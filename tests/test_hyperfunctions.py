@@ -1,0 +1,147 @@
+"""first/last, histogram, uuidv7 — oracle-checked."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from timescaledb_spark.functions import (
+    first,
+    histogram,
+    last,
+    time_bucket,
+    to_uuidv7,
+    to_uuidv7_boundary,
+    uuid_timestamp_micros,
+    uuid_version,
+    width_bucket,
+)
+from .oracle import assert_match
+
+
+def test_first_last_vs_argmin(tsdata, duck):
+    df = (
+        tsdata.table("events")
+        .groupBy("user_id")
+        .agg(
+            first("value", "ts").alias("first_v"),
+            last("value", "ts").alias("last_v"),
+            first("event_type", "ts").alias("first_t"),
+        )
+    )
+    sql = """
+        SELECT user_id,
+               arg_min(value, ts) AS first_v,
+               arg_max(value, ts) AS last_v,
+               arg_min(event_type, ts) AS first_t
+        FROM events GROUP BY user_id
+    """
+    assert_match(df, duck, sql)
+
+
+def test_first_last_per_bucket(tsdata, duck):
+    """l_shipdate is day-granular → ties; use a deterministic composite
+    bookend key (time, orderkey, linenumber) folded into one int64 so both
+    engines break ties identically."""
+    key = (
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")) / 1_000_000
+    ).cast("long") * F.lit(100_000_000) + F.col("l_orderkey") * F.lit(10) + F.col(
+        "l_linenumber"
+    )
+    df = (
+        tsdata.table("lineitem")
+        .groupBy(time_bucket("7 days", "l_shipdate").alias("bucket"))
+        .agg(
+            first("l_extendedprice", key).alias("open_price"),
+            last("l_extendedprice", key).alias("close_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    w = 7 * 86_400_000_000
+    e = "epoch_us(l_shipdate)"
+    k = "(epoch(l_shipdate)::BIGINT * 100000000 + l_orderkey * 10 + l_linenumber)"
+    sql = f"""
+        SELECT make_timestamp({e} - ((({e} - 946857600000000) % {w} + {w}) % {w})) AS bucket,
+               arg_min(l_extendedprice, {k}) AS open_price,
+               arg_max(l_extendedprice, {k}) AS close_price,
+               count(*) AS n
+        FROM lineitem GROUP BY 1
+    """
+    assert_match(df, duck, sql)
+
+
+def test_width_bucket_and_histogram(tsdata, duck, spark):
+    # histogram(value, 0, 200, 10) over events per event_type
+    df = (
+        tsdata.table("events")
+        .groupBy("event_type")
+        .agg(histogram("value", 0.0, 200.0, 10).alias("hist"))
+    )
+    rows = {r["event_type"]: r["hist"] for r in df.collect()}
+    # oracle: compute bucket counts in duckdb with the width_bucket formula
+    dsql = """
+        SELECT event_type,
+               CASE WHEN value < 0 THEN 0
+                    WHEN value >= 200 THEN 11
+                    ELSE 1 + CAST(floor((value - 0)/(200 - 0) * 10) AS INT)
+               END AS b,
+               count(*) AS n
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    """
+    expect: dict = {}
+    for et, b, n in duck.execute(dsql).fetchall():
+        expect.setdefault(et, [0] * 12)[b] = n
+    assert rows == expect
+    # every value accounted for
+    total = duck.execute(
+        "SELECT count(*) FROM events WHERE value IS NOT NULL"
+    ).fetchone()[0]
+    assert sum(sum(h) for h in rows.values()) == total
+
+
+def test_histogram_nulls_ignored(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0), (1, None), (1, 5.0), (1, 99.0), (1, -3.0)], "g int, v double"
+    )
+    h = df.groupBy("g").agg(histogram("v", 0.0, 10.0, 5).alias("h")).collect()[0]["h"]
+    # -3 -> underflow(0); 1.0 -> bucket 1; 5.0 -> bucket 3; 99 -> overflow(6)
+    assert h == [1, 1, 0, 1, 0, 0, 1]
+    assert len(h) == 7
+
+
+def test_uuidv7_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(datetime(2026, 1, 15, 12, 30, 45, 123456),), (datetime(2000, 1, 3),)],
+        "ts timestamp",
+    )
+    out = df.select(
+        to_uuidv7("ts").alias("u"),
+        to_uuidv7_boundary("ts").alias("ub"),
+        F.unix_micros("ts").alias("us"),
+    ).collect()
+    for r in out:
+        assert uuid_version_of(r["u"]) == 7
+        assert uuid_version_of(r["ub"]) == 7
+    # extraction: ms-exact, sub-ms within 1µs quantization
+    df2 = df.select(
+        "ts", uuid_timestamp_micros(to_uuidv7("ts")).alias("us2"),
+        F.unix_micros("ts").alias("us"),
+        uuid_version(to_uuidv7("ts")).alias("ver"),
+    )
+    for r in df2.collect():
+        assert abs(r["us2"] - r["us"]) <= 1
+        assert r["ver"] == 7
+
+
+def uuid_version_of(u: str) -> int:
+    return int(u[14], 16)
+
+
+def test_uuidv7_ordering(spark):
+    """UUIDv7 string order == timestamp order (the point of v7 keys)."""
+    df = spark.range(1000).select(
+        F.timestamp_micros(F.lit(1700000000000000) + F.col("id") * 1234567).alias("ts")
+    )
+    out = df.select(to_uuidv7("ts").alias("u"), "ts").collect()
+    us = [r["u"] for r in sorted(out, key=lambda r: r["ts"])]
+    assert us == sorted(us)

@@ -1,0 +1,116 @@
+"""Hypertable lifecycle: create, insert (chunk routing), pruned reads,
+show_chunks/drop_chunks, size utils."""
+
+import os
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from timescaledb_spark.session import TSSession
+
+
+@pytest.fixture()
+def ts(spark, tmp_path):
+    return TSSession(spark, str(tmp_path / "ts"))
+
+
+def _events(spark, sf="/root/testdata/sf0.001"):
+    from timescaledb_spark.sources import load_table
+
+    return load_table(spark, sf, "events")
+
+
+def test_create_insert_read_roundtrip(ts, spark):
+    ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+    src = _events(spark)
+    res = ht.insert(src)
+    assert res["rows"] == src.count()
+    assert len(res["chunks"]) >= 2  # data spans weeks
+    got = ht.read()
+    assert got.count() == src.count()
+    assert set(got.columns) == set(src.columns)
+    # value-level roundtrip
+    a = sorted(r["event_id"] for r in got.select("event_id").collect())
+    b = sorted(r["event_id"] for r in src.select("event_id").collect())
+    assert a == b
+
+
+def test_chunk_bounds_and_pruning(ts, spark):
+    ht = ts.create_hypertable("events", "ts", chunk_interval="1 day")
+    src = _events(spark)
+    ht.insert(src)
+    chunks = ht.chunks()
+    assert all(c["range_end"] - c["range_start"] == 86_400_000_000 for c in chunks)
+    # every row lands inside its chunk bounds
+    lo = min(c["range_start"] for c in chunks)
+    hi = max(c["range_end"] for c in chunks)
+    us = src.select(F.unix_micros("ts").alias("u")).agg(
+        F.min("u").alias("lo"), F.max("u").alias("hi")
+    ).collect()[0]
+    assert lo <= us["lo"] and us["hi"] < hi
+
+    start, end = datetime(2024, 1, 10), datetime(2024, 1, 20)
+    pruned = ht.read(start=start, end=end)
+    expect = src.filter((F.col("ts") >= start) & (F.col("ts") < end)).count()
+    assert pruned.count() == expect
+    # the scan must list only surviving chunk dirs (partition pruning analog)
+    n_overlap = len(
+        [
+            c
+            for c in chunks
+            if c["range_start"] < 1705708800000000 and c["range_end"] > 1704844800000000
+        ]
+    )
+    assert n_overlap < len(chunks)
+
+
+def test_show_and_drop_chunks(ts, spark):
+    ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+    ht.insert(_events(spark))
+    total = ht.read().count()
+    cutoff = datetime(2024, 2, 1)
+    old = ht.show_chunks(older_than=cutoff)
+    assert all(c["range_end"] <= 1706745600000000 for c in old)
+    dropped = ht.drop_chunks(older_than=cutoff)
+    assert dropped and len(dropped) == len(old)
+    left = ht.read()
+    # only rows at/after the last dropped chunk's end remain
+    assert left.count() < total
+    assert left.filter(F.col("ts") < datetime(2024, 1, 22)).count() == 0
+    # dirs actually gone
+    for c in old:
+        assert not os.path.isdir(
+            os.path.join(ht.data_dir, f"_chunk={c['range_start']}")
+        )
+
+
+def test_space_dimension(ts, spark):
+    ht = ts.create_hypertable(
+        "events", "ts", chunk_interval="7 days", space_column="user_id", num_partitions=4
+    )
+    src = _events(spark)
+    ht.insert(src)
+    assert ht.read().count() == src.count()
+    # space dirs exist under chunk dirs
+    chunk0 = ht.chunks()[0]
+    sub = os.listdir(os.path.join(ht.data_dir, f"_chunk={chunk0['range_start']}"))
+    assert any(p.startswith("_space=") for p in sub)
+
+
+def test_integer_time_column(ts, spark):
+    df = spark.range(0, 1_000_000, 10).select(
+        F.col("id").alias("time"), (F.col("id") % 20).alias("device")
+    )
+    ht = ts.create_hypertable("devices_int", "time", chunk_interval=100_000)
+    ht.insert(df)
+    assert len(ht.chunks()) == 10
+    assert ht.read(start=250_000, end=310_000).count() == 6_000
+    assert ht.approximate_row_count() == 100_000
+
+
+def test_size_utils(ts, spark):
+    ht = ts.create_hypertable("events", "ts")
+    ht.insert(_events(spark))
+    assert ht.approximate_row_count() == 1000
+    assert ht.hypertable_size() > 0

@@ -1,0 +1,153 @@
+"""Engine catalog — the Spark analog of the ``_timescaledb_catalog`` schema.
+
+Reference: the catalog is an explicit set of small relational tables
+(``src/ts_catalog/catalog.h:33-61``; DDL ``sql/pre_install/tables.sql:42-528``):
+HYPERTABLE, DIMENSION, DIMENSION_SLICE, CHUNK, CONTINUOUS_AGG, the
+invalidation log/threshold/watermark tables, BGW_JOB, COMPRESSION_SETTINGS…
+
+Here each catalog table is a JSON-lines file under ``<root>/_catalog/``,
+mutated only driver-side (metadata operations are inherently driver-side in
+Spark, like a Hive metastore). Files are tiny relative to data (one row per
+hypertable/chunk/job); updates use write-tmp+atomic-rename. Invalidation
+logs are append-only JSONL — the highest-write-rate catalog object, same as
+the reference's ``continuous_aggs_hypertable_invalidation_log``.
+
+Scale note: at 100 TB with 7-day chunks a hypertable has O(10²-10⁴) chunks —
+a JSONL file of that size is trivially cacheable on the driver; the data
+itself never flows through here. DataFrame views over the catalog are
+provided for the ``timescaledb_information.*`` analogs (sql/views.sql).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import threading
+from typing import Any, Iterable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class JsonlTable:
+    """One catalog table = one JSONL file with atomic replace."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._lock = threading.Lock()
+
+    def read(self) -> list[dict]:
+        if not os.path.exists(self.path):
+            return []
+        with open(self.path) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    def append(self, rows: Iterable[dict]) -> None:
+        rows = list(rows)
+        if not rows:
+            return
+        with self._lock:
+            os.makedirs(os.path.dirname(self.path), exist_ok=True)
+            with open(self.path, "a") as f:
+                for r in rows:
+                    f.write(json.dumps(r, default=str) + "\n")
+
+    def replace(self, rows: Iterable[dict]) -> None:
+        with self._lock:
+            os.makedirs(os.path.dirname(self.path), exist_ok=True)
+            fd, tmp = tempfile.mkstemp(dir=os.path.dirname(self.path))
+            with os.fdopen(fd, "w") as f:
+                for r in rows:
+                    f.write(json.dumps(r, default=str) + "\n")
+            os.replace(tmp, self.path)
+
+    def update(self, match: dict, changes: dict) -> int:
+        """Update rows where all ``match`` keys equal; returns count."""
+        rows = self.read()
+        n = 0
+        for r in rows:
+            if all(r.get(k) == v for k, v in match.items()):
+                r.update(changes)
+                n += 1
+        if n:
+            self.replace(rows)
+        return n
+
+    def delete(self, match: dict) -> int:
+        rows = self.read()
+        keep = [r for r in rows if not all(r.get(k) == v for k, v in match.items())]
+        n = len(rows) - len(keep)
+        if n:
+            self.replace(keep)
+        return n
+
+    def find(self, **match: Any) -> list[dict]:
+        return [
+            r for r in self.read() if all(r.get(k) == v for k, v in match.items())
+        ]
+
+    def find_one(self, **match: Any) -> Optional[dict]:
+        rows = self.find(**match)
+        return rows[0] if rows else None
+
+
+class Catalog:
+    """All catalog tables for one engine root directory."""
+
+    TABLES = (
+        "hypertable",          # catalog.h HYPERTABLE
+        "dimension",           # catalog.h DIMENSION
+        "chunk",               # catalog.h CHUNK (+ DIMENSION_SLICE folded in)
+        "continuous_agg",      # catalog.h CONTINUOUS_AGG
+        "cagg_watermark",      # catalog.h CONTINUOUS_AGGS_WATERMARK
+        "invalidation_threshold",   # continuous_aggs_invalidation_threshold
+        "hypertable_invalidation_log",  # per-hypertable dirty ranges
+        "materialization_invalidation_log",  # per-cagg dirty ranges
+        "compression_settings",     # catalog.h COMPRESSION_SETTINGS
+        "chunk_column_stats",       # catalog.h CHUNK_COLUMN_STATS
+        "bgw_job",             # catalog.h BGW_JOB
+        "bgw_job_stat",        # catalog.h BGW_JOB_STAT
+        "metadata",
+    )
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.dir = os.path.join(root, "_catalog")
+        os.makedirs(self.dir, exist_ok=True)
+        self._tables = {
+            t: JsonlTable(os.path.join(self.dir, f"{t}.jsonl")) for t in self.TABLES
+        }
+
+    def table(self, name: str) -> JsonlTable:
+        return self._tables[name]
+
+    def __getattr__(self, name: str) -> JsonlTable:
+        tables = self.__dict__.get("_tables", {})
+        if name in tables:
+            return tables[name]
+        raise AttributeError(name)
+
+    def next_id(self, seq: str) -> int:
+        """Monotonic id per sequence name (chunk ids, job ids, …)."""
+        meta = self.table("metadata")
+        row = meta.find_one(key=f"seq_{seq}")
+        nxt = int(row["value"]) + 1 if row else 1
+        if row:
+            meta.update({"key": f"seq_{seq}"}, {"value": nxt})
+        else:
+            meta.append([{"key": f"seq_{seq}", "value": nxt}])
+        return nxt
+
+    def data_dir(self, hypertable_name: str) -> str:
+        return os.path.join(self.root, "data", hypertable_name)
+
+    # ------ timescaledb_information.* analogs (sql/views.sql) -------------
+    def view(self, name: str) -> DataFrame:
+        """Catalog table as a DataFrame (info-schema views)."""
+        rows = self.table(name).read()
+        if not rows:
+            return self.spark.createDataFrame([], schema="placeholder string").limit(0)
+        return self.spark.createDataFrame([json.dumps(r) for r in rows], "string").selectExpr(
+            "from_json(value, schema_of_json('" + json.dumps(rows[0]).replace("'", "''") + "')) as r"
+        ).select("r.*")

@@ -1,0 +1,478 @@
+"""Hypertables: time(+space)-partitioned parquet tables with a chunk catalog.
+
+Reference parity:
+- ``create_hypertable`` (``sql/ddl_api.sql:21,44``; ``src/hypertable.c:1444``)
+- Dimensions: OPEN (range/time) + CLOSED (hash/space) (``src/dimension.h:63-78``)
+- Chunks: hypercube slices with ``[range_start, range_end)`` in int64
+  internal time — µs for timestamps, verbatim for integers
+  (``src/chunk.h:55-75``, ``sql/util_time.sql:49 time_to_internal``)
+- Default chunk interval 7 days (``src/dimension.h:115``); integer defaults
+  10k/100k/1M (``src/dimension.h:118-120``)
+- ``show_chunks`` / ``drop_chunks`` (``sql/ddl_api.sql:89-101``)
+- Chunk exclusion: reads prune chunks via the catalog before Spark ever
+  lists files — the plan-time analog of ``src/planner/expand_hypertable.c:1305``
+  + ``src/hypertable_restrict_info.c`` — and additionally emit a partition
+  filter on the ``_chunk`` directory column so Catalyst partition pruning
+  kicks in (``PartitionFilters`` in the scan).
+
+Physical layout (Spark-first, 100 TB-ready):
+    <root>/data/<name>/_chunk=<start_internal>[/_space=<k>]/*.parquet
+One chunk = one partition directory; a 1000-executor cluster reads chunks
+in parallel with file-split granularity inside each chunk. Writes cluster
+rows by chunk (repartition on the derived partition columns) so each chunk
+gets few large parquet files instead of one file per task per chunk.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import time as _time
+from datetime import date, datetime, timezone as _tz
+from typing import Iterable, Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+from .functions.time import (
+    USECS_PER_DAY,
+    Interval,
+    parse_interval,
+)
+
+CHUNK_COL = "_chunk"
+SPACE_COL = "_space"
+
+DEFAULT_CHUNK_INTERVAL_US = 7 * USECS_PER_DAY  # src/dimension.h:115
+INTEGER_DEFAULT_INTERVALS = {  # src/dimension.h:118-120
+    "smallint": 10_000,
+    "int": 100_000,
+    "integer": 100_000,
+    "bigint": 1_000_000,
+    "long": 1_000_000,
+}
+
+
+def _to_internal(value: Union[int, str, datetime, date, None]) -> Optional[int]:
+    """Any user time value -> int64 internal (µs for timestamps)."""
+    if value is None:
+        return None
+    if isinstance(value, bool):
+        raise TypeError("bool is not a time value")
+    if isinstance(value, int):
+        return value
+    if isinstance(value, str):
+        value = datetime.fromisoformat(value)
+    if isinstance(value, datetime):
+        if value.tzinfo is None:
+            value = value.replace(tzinfo=_tz.utc)
+        return int(value.timestamp() * 1_000_000)
+    if isinstance(value, date):
+        return int(
+            datetime(value.year, value.month, value.day, tzinfo=_tz.utc).timestamp()
+            * 1_000_000
+        )
+    raise TypeError(f"unsupported time value {value!r}")
+
+
+class Hypertable:
+    def __init__(self, ts, row: dict):
+        self.ts = ts
+        self.row = row
+
+    # -------------------------------------------------------------- create
+    @classmethod
+    def create(
+        cls,
+        ts,
+        name: str,
+        time_column: str,
+        chunk_interval: Union[str, int, None] = None,
+        space_column: Optional[str] = None,
+        num_partitions: Optional[int] = None,
+        if_not_exists: bool = False,
+    ) -> "Hypertable":
+        """``create_hypertable(rel, by_range(time) [, by_hash(space, n)])``."""
+        cat = ts.catalog
+        existing = cat.hypertable.find_one(name=name)
+        if existing:
+            if if_not_exists:
+                return cls(ts, existing)
+            raise ValueError(f"hypertable {name!r} already exists")
+        ht_id = cat.next_id("hypertable")
+        row = {
+            "id": ht_id,
+            "name": name,
+            "time_column": time_column,
+            "time_type": None,  # filled on first insert
+            "chunk_interval": None,  # internal units; filled below or on insert
+            "chunk_interval_spec": chunk_interval,
+            "space_column": space_column,
+            "num_partitions": num_partitions if space_column else None,
+            "compression": None,
+            "schema_ddl": None,
+            "created_at": _time.time(),
+        }
+        if isinstance(chunk_interval, str):
+            iv = parse_interval(chunk_interval)
+            if iv.months:
+                raise ValueError("month-granular chunk intervals not supported")
+            row["chunk_interval"] = iv.us
+        elif isinstance(chunk_interval, int):
+            row["chunk_interval"] = chunk_interval
+        cat.hypertable.append([row])
+        dims = [
+            {
+                "hypertable_id": ht_id,
+                "column": time_column,
+                "type": "open",
+                "num_slices": None,
+            }
+        ]
+        if space_column:
+            if not num_partitions or num_partitions < 1:
+                raise ValueError("space dimension requires num_partitions >= 1")
+            dims.append(
+                {
+                    "hypertable_id": ht_id,
+                    "column": space_column,
+                    "type": "closed",
+                    "num_slices": num_partitions,
+                }
+            )
+        cat.dimension.append(dims)
+        return cls(ts, row)
+
+    @classmethod
+    def get(cls, ts, name: str) -> "Hypertable":
+        row = ts.catalog.hypertable.find_one(name=name)
+        if not row:
+            raise KeyError(f"no hypertable {name!r}")
+        return cls(ts, row)
+
+    # ------------------------------------------------------------ plumbing
+    @property
+    def name(self) -> str:
+        return self.row["name"]
+
+    @property
+    def id(self) -> int:
+        return self.row["id"]
+
+    @property
+    def time_column(self) -> str:
+        return self.row["time_column"]
+
+    @property
+    def data_dir(self) -> str:
+        return self.ts.catalog.data_dir(self.name)
+
+    def _refresh(self) -> None:
+        self.row = self.ts.catalog.hypertable.find_one(name=self.name) or self.row
+
+    def _time_is_timestamp(self) -> bool:
+        t = self.row.get("time_type") or "timestamp"
+        return t in ("timestamp", "timestamp_ntz", "date")
+
+    def _internal_time_expr(self, df: DataFrame) -> Column:
+        """time column -> int64 internal units (µs or verbatim int)."""
+        dt = dict(df.dtypes)[self.time_column]
+        if dt.startswith("timestamp"):
+            return F.unix_micros(F.col(self.time_column).cast(T.TimestampType()))
+        if dt == "date":
+            return (
+                F.datediff(F.col(self.time_column), F.lit("1970-01-01").cast(T.DateType()))
+                .cast(T.LongType())
+                * F.lit(USECS_PER_DAY)
+            )
+        return F.col(self.time_column).cast(T.LongType())
+
+    def _default_interval_for(self, dtype: str) -> int:
+        if dtype.startswith("timestamp") or dtype == "date":
+            return DEFAULT_CHUNK_INTERVAL_US
+        return INTEGER_DEFAULT_INTERVALS.get(dtype, 1_000_000)
+
+    def _ensure_typed(self, df: DataFrame) -> None:
+        """Fill time_type / chunk_interval / schema on first insert."""
+        changed = {}
+        dtypes = dict(df.dtypes)
+        if self.time_column not in dtypes:
+            raise ValueError(
+                f"time column {self.time_column!r} not in {sorted(dtypes)}"
+            )
+        dt = dtypes[self.time_column]
+        if self.row.get("time_type") is None:
+            kind = (
+                "timestamp"
+                if dt.startswith("timestamp")
+                else ("date" if dt == "date" else "int")
+            )
+            changed["time_type"] = kind
+        if self.row.get("chunk_interval") is None:
+            spec = self.row.get("chunk_interval_spec")
+            if spec is None:
+                changed["chunk_interval"] = self._default_interval_for(dt)
+            elif isinstance(spec, int):
+                changed["chunk_interval"] = spec
+            else:
+                changed["chunk_interval"] = parse_interval(spec).us
+        if self.row.get("schema_ddl") is None:
+            changed["schema_ddl"] = df.schema.json()
+        if changed:
+            self.ts.catalog.hypertable.update({"name": self.name}, changed)
+            self.row.update(changed)
+
+    def set_chunk_time_interval(self, chunk_interval: Union[str, int]) -> None:
+        """``set_chunk_time_interval`` (sql/ddl_api.sql:61) — new chunks only."""
+        us = (
+            chunk_interval
+            if isinstance(chunk_interval, int)
+            else parse_interval(chunk_interval).us
+        )
+        self.ts.catalog.hypertable.update({"name": self.name}, {"chunk_interval": us})
+        self._refresh()
+
+    # -------------------------------------------------------------- insert
+    def _partition_exprs(self, df: DataFrame) -> list[Column]:
+        interval = int(self.row["chunk_interval"])
+        internal = self._internal_time_expr(df)
+        exprs = [
+            (internal - F.pmod(internal, F.lit(interval))).alias(CHUNK_COL)
+        ]
+        if self.row.get("space_column"):
+            n = int(self.row["num_partitions"])
+            exprs.append(
+                F.pmod(F.xxhash64(F.col(self.row["space_column"])), F.lit(n)).alias(
+                    SPACE_COL
+                )
+            )
+        return exprs
+
+    @property
+    def _partition_cols(self) -> list[str]:
+        cols = [CHUNK_COL]
+        if self.row.get("space_column"):
+            cols.append(SPACE_COL)
+        return cols
+
+    def insert(self, df: DataFrame, cluster: bool = True) -> dict:
+        """Append rows, routing each to its chunk.
+
+        The Spark analog of tuple routing in ``ModifyHypertable``
+        (``src/chunk_tuple_routing.c:72``): the derived ``_chunk`` column IS
+        the route; new partition directories are the reference's
+        "chunk created on demand" (``ts_chunk_create_for_point``).
+
+        Also captures continuous-aggregate invalidations: per-batch
+        min/max of the time dimension appended to the hypertable
+        invalidation log (``tsl/src/continuous_aggs/insert.c:208``).
+        """
+        self._ensure_typed(df)
+        want = {f.name for f in self._schema().fields}
+        have = set(df.columns)
+        if want != have:
+            raise ValueError(f"schema mismatch: want {sorted(want)}, have {sorted(have)}")
+        out = df.select("*", *self._partition_exprs(df))
+        if cluster:
+            out = out.repartition(*[F.col(c) for c in self._partition_cols])
+        # stats for chunk registration + invalidation in ONE tiny job
+        internal = self._internal_time_expr(df)
+        stats = (
+            df.select(internal.alias("_t"))
+            .agg(
+                F.min("_t").alias("tmin"),
+                F.max("_t").alias("tmax"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()[0]
+        )
+        if stats["n"] == 0:
+            return {"rows": 0, "chunks": []}
+        (
+            out.write.mode("append")
+            .partitionBy(*self._partition_cols)
+            .parquet(self.data_dir)
+        )
+        chunks = self._register_chunks_in_range(stats["tmin"], stats["tmax"])
+        self._capture_invalidation(stats["tmin"], stats["tmax"])
+        return {"rows": stats["n"], "chunks": chunks}
+
+    def _schema(self) -> T.StructType:
+        return T.StructType.fromJson(__import__("json").loads(self.row["schema_ddl"]))
+
+    def _register_chunks_in_range(self, tmin: int, tmax: int) -> list[int]:
+        """Register any partition dirs present on disk as catalog chunks."""
+        interval = int(self.row["chunk_interval"])
+        known = {c["range_start"] for c in self.chunks()}
+        new = [s for s in self._scan_chunk_dirs() if s not in known]
+        rows = []
+        for start in sorted(new):
+            rows.append(
+                {
+                    "id": self.ts.catalog.next_id("chunk"),
+                    "hypertable_id": self.id,
+                    "range_start": start,
+                    "range_end": start + interval,
+                    "status": "rowstore",
+                    "created_at": _time.time(),
+                }
+            )
+        if rows:
+            self.ts.catalog.chunk.append(rows)
+        return [r["range_start"] for r in rows]
+
+    def _scan_chunk_dirs(self) -> list[int]:
+        out = []
+        if not os.path.isdir(self.data_dir):
+            return out
+        for p in os.listdir(self.data_dir):
+            if p.startswith(f"{CHUNK_COL}="):
+                out.append(int(p.split("=", 1)[1]))
+        return sorted(out)
+
+    def _capture_invalidation(self, tmin: int, tmax: int) -> None:
+        """Append dirty range if any cagg watches this hypertable and the
+        range is below the invalidation threshold
+        (``tsl/src/continuous_aggs/invalidation_threshold.c``)."""
+        cat = self.ts.catalog
+        if not cat.continuous_agg.find(hypertable_id=self.id):
+            return
+        thr = cat.invalidation_threshold.find_one(hypertable_id=self.id)
+        threshold = int(thr["watermark"]) if thr else None
+        if threshold is None or tmin < threshold:
+            cat.hypertable_invalidation_log.append(
+                [
+                    {
+                        "hypertable_id": self.id,
+                        "lowest_modified_value": tmin,
+                        "greatest_modified_value": tmax,
+                    }
+                ]
+            )
+
+    # ---------------------------------------------------------------- read
+    def read(
+        self,
+        start: Union[int, str, datetime, None] = None,
+        end: Union[int, str, datetime, None] = None,
+        with_partition_cols: bool = False,
+    ) -> DataFrame:
+        """Read with chunk exclusion: ``start <= time < end``.
+
+        Prunes twice: (1) driver-side against catalog slices — the
+        plan-time chunk exclusion of ``hypertable_restrict_info.c`` — and
+        (2) a ``_chunk IN (...)`` partition filter so the parquet scan
+        lists only surviving directories, plus the raw row-level predicate.
+        """
+        spark = self.ts.spark
+        chunks = self.chunks()
+        lo, hi = _to_internal(start), _to_internal(end)
+        if lo is not None or hi is not None:
+            chunks = [
+                c
+                for c in chunks
+                if (hi is None or c["range_start"] < hi)
+                and (lo is None or c["range_end"] > lo)
+            ]
+        if not chunks:
+            df = spark.createDataFrame([], self._schema_or_empty())
+            return df
+        df = (
+            spark.read.option("basePath", self.data_dir)
+            .parquet(*[self._chunk_glob(c) for c in chunks])
+        )
+        # Row-level predicate on the raw time column. Compare against a
+        # typed literal (not unix_micros arithmetic) so the predicate
+        # reaches the parquet scan as a PushedFilter → row-group skipping,
+        # the analog of the reference's per-batch minmax sparse index
+        # (tsl/src/compression/batch_metadata_builder_minmax.c).
+        dt = dict(df.dtypes).get(self.time_column, "")
+        if dt.startswith("timestamp"):
+            tcol = F.col(self.time_column)
+            if lo is not None:
+                df = df.filter(tcol >= F.timestamp_micros(F.lit(lo)))
+            if hi is not None:
+                df = df.filter(tcol < F.timestamp_micros(F.lit(hi)))
+        else:
+            if lo is not None:
+                df = df.filter(self._internal_expr_on(df) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(self._internal_expr_on(df) < F.lit(hi))
+        if not with_partition_cols:
+            df = df.drop(CHUNK_COL, SPACE_COL)
+        return df
+
+    def _internal_expr_on(self, df: DataFrame) -> Column:
+        return self._internal_time_expr(df)
+
+    def _chunk_glob(self, chunk: dict) -> str:
+        return os.path.join(self.data_dir, f"{CHUNK_COL}={chunk['range_start']}")
+
+    def _schema_or_empty(self) -> T.StructType:
+        if self.row.get("schema_ddl"):
+            return self._schema()
+        return T.StructType([])
+
+    def df(self) -> DataFrame:
+        """Whole-table read (no pruning)."""
+        return self.read()
+
+    # --------------------------------------------------------- chunk admin
+    def chunks(self) -> list[dict]:
+        return sorted(
+            self.ts.catalog.chunk.find(hypertable_id=self.id),
+            key=lambda c: c["range_start"],
+        )
+
+    def show_chunks(
+        self,
+        older_than: Union[int, str, datetime, None] = None,
+        newer_than: Union[int, str, datetime, None] = None,
+    ) -> list[dict]:
+        """``show_chunks`` (sql/ddl_api.sql:101): older_than compares
+        range_end, newer_than compares range_start — same as the reference
+        (``src/chunk.c ts_chunk_get_by_time_constraint``)."""
+        out = []
+        ot, nt = _to_internal(older_than), _to_internal(newer_than)
+        for c in self.chunks():
+            if ot is not None and not (c["range_end"] <= ot):
+                continue
+            if nt is not None and not (c["range_start"] >= nt):
+                continue
+            out.append(c)
+        return out
+
+    def drop_chunks(
+        self,
+        older_than: Union[int, str, datetime, None] = None,
+        newer_than: Union[int, str, datetime, None] = None,
+    ) -> list[int]:
+        """Retention: drop whole chunks (sql/ddl_api.sql:89). O(chunks
+        dropped) — directory removal, never a row-level delete."""
+        dropped = []
+        for c in self.show_chunks(older_than=older_than, newer_than=newer_than):
+            path = self._chunk_glob(c)
+            if os.path.isdir(path):
+                shutil.rmtree(path)
+            self.ts.catalog.chunk.delete({"id": c["id"]})
+            dropped.append(c["range_start"])
+        return dropped
+
+    # ------------------------------------------------------------- stats
+    def approximate_row_count(self) -> int:
+        """``approximate_row_count`` (sql/size_utils.sql:311): from parquet
+        footer metadata, no data scan."""
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in glob.glob(os.path.join(self.data_dir, "**", "*.parquet"), recursive=True):
+            total += pq.ParquetFile(f).metadata.num_rows
+        return total
+
+    def hypertable_size(self) -> int:
+        """``hypertable_size`` (sql/size_utils.sql:119): bytes on disk."""
+        total = 0
+        for dirpath, _dirs, files in os.walk(self.data_dir):
+            for fn in files:
+                total += os.path.getsize(os.path.join(dirpath, fn))
+        return total

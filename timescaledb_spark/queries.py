@@ -1,0 +1,364 @@
+"""Declared query inventory — the driver correctness gate surface.
+
+Every entry pairs a Spark DataFrame builder (``QUERIES``) with an
+ANSI-SQL DuckDB oracle (``ORACLES``) computing the same result with the
+same column names. Keys map to SURVEY.md §2 inventory items; docstrings
+cite the reference implementation.
+
+Conventions:
+- Deterministic results only: bookend aggregates use composite tie-break
+  keys; no floating-point-order-dependent reductions beyond sum/avg over
+  doubles (duckdb and spark both sum in arbitrary order — values in the
+  testdata are small enough for 10-significant-digit stability).
+- Oracle formulas encode the reference semantics explicitly (FIXTURES.md
+  "Oracle protocol"): time_bucket = ts - pmod(ts - origin, width) at µs
+  precision, origin Mon 2000-01-03.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .functions import first, histogram, last, time_bucket, time_bucket_int
+from .sources import load_table
+
+ORIGIN_US = 946_857_600_000_000
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _bucket_sql(width_us: int, expr: str, origin: int = ORIGIN_US) -> str:
+    """DuckDB SQL for the reference time_bucket formula (src/time_bucket.c)."""
+    d = f"(epoch_us({expr}) - {origin})"
+    return f"make_timestamp(epoch_us({expr}) - (({d} % {width_us} + {width_us}) % {width_us}))"
+
+
+HOUR = 3_600_000_000
+DAY = 86_400_000_000
+WEEK = 7 * DAY
+
+
+# ---------------------------------------------------------------------------
+# time_bucket + aggregates (SURVEY §2.4; src/time_bucket.c, vector_agg/)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_bucket_hourly",
+    f"""
+    SELECT {_bucket_sql(HOUR, 'ts')} AS bucket,
+           count(*) AS n,
+           sum(value) AS sum_v,
+           avg(value) AS avg_v,
+           min(value) AS min_v,
+           max(value) AS max_v
+    FROM events GROUP BY 1
+    """,
+)
+def q_bucket_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly rollup: time_bucket('1 hour') + the vectorized-agg set
+    (tsl/src/nodes/vector_agg/ — count/sum/avg/min/max come from Spark's
+    codegen HashAggregate, the Catalyst analog)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(time_bucket("1 hour", "ts").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("sum_v"),
+        F.avg("value").alias("avg_v"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )
+
+
+@query(
+    "q_bucket_daily_by_type",
+    f"""
+    SELECT {_bucket_sql(DAY, 'ts')} AS bucket,
+           event_type,
+           count(*) AS n,
+           sum(value) AS sum_v,
+           stddev_samp(value) AS sd_v
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_bucket_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        time_bucket("1 day", "ts").alias("bucket"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("sum_v"),
+        F.stddev_samp("value").alias("sd_v"),
+    )
+
+
+@query(
+    "q_bucket_month",
+    """
+    WITH m AS (SELECT (year(ts)*12 + month(ts) - 1) AS midx, value FROM events),
+    b AS (SELECT midx - (((midx - 24000) % 1 + 1) % 1) AS bidx, value FROM m)
+    SELECT CAST(make_date(CAST(bidx // 12 AS INT), CAST(bidx % 12 + 1 AS INT), 1)
+                AS TIMESTAMP) AS bucket,
+           count(*) AS n, sum(value) AS sum_v
+    FROM b GROUP BY 1
+    """,
+)
+def q_bucket_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-width month bucket (bucket_month, src/time_bucket.c:157)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(time_bucket("1 month", "ts").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_v")
+    )
+
+
+@query(
+    "q_bucket_offset_tz",
+    f"""
+    WITH shifted AS (
+      SELECT make_timestamp(epoch_us(ts) - 1800000000) AS s, value FROM events
+    )
+    SELECT make_timestamp(epoch_us(s)
+             - ((epoch_us(s) - {ORIGIN_US}) % {DAY} + {DAY}) % {DAY}
+             + 1800000000) AS bucket,
+           count(*) AS n
+    FROM shifted GROUP BY 1
+    """,
+)
+def q_bucket_offset_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset variant (ts_timestamptz_offset_bucket, src/time_bucket.c:245)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        time_bucket("1 day", "ts", offset="30 minutes").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q_int_bucket",
+    """
+    SELECT l_orderkey - ((l_orderkey % 1000 + 1000) % 1000) AS bucket,
+           count(*) AS n, sum(l_quantity) AS sum_qty
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_int_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer time_bucket (ts_int64_bucket, src/time_bucket.c:84)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(time_bucket_int(1000, "l_orderkey").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("sum_qty")
+    )
+
+
+# ---------------------------------------------------------------------------
+# bookends first/last (SURVEY §2.4; src/agg_bookend.c)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_first_last",
+    f"""
+    SELECT user_id,
+           {_bucket_sql(WEEK, 'ts')} AS bucket,
+           arg_min(value, epoch_us(ts)*1000 + (event_id % 1000)) AS first_v,
+           arg_max(value, epoch_us(ts)*1000 + (event_id % 1000)) AS last_v,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last bookend aggregates == min_by/max_by (sql/bookend.sql:50,63);
+    composite key makes tie-breaking deterministic across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.unix_micros("ts") * F.lit(1000) + F.pmod(F.col("event_id"), F.lit(1000))
+    return ev.groupBy(
+        "user_id", time_bucket("7 days", "ts").alias("bucket")
+    ).agg(
+        first("value", key).alias("first_v"),
+        last("value", key).alias("last_v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# histogram (SURVEY §2.4; src/histogram.c)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_histogram",
+    """
+    WITH counts AS (
+      SELECT event_type,
+             CASE WHEN value < 0 THEN 0
+                  WHEN value >= 200 THEN 11
+                  ELSE 1 + CAST(floor(value / 200 * 10) AS INT) END AS b,
+             count(*) AS n
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ), spine AS (
+      SELECT event_type, b
+      FROM (SELECT DISTINCT event_type FROM events)
+      CROSS JOIN (SELECT unnest(range(0, 12)) AS b)
+    )
+    SELECT s.event_type,
+           list(CAST(coalesce(c.n, 0) AS INT) ORDER BY s.b) AS hist
+    FROM spine s LEFT JOIN counts c ON s.event_type = c.event_type AND s.b = c.b
+    GROUP BY 1
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram(value, 0, 200, 10) → int[12] incl. under/overflow buckets
+    (src/histogram.c:33-49, width_bucket_float8 semantics)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        histogram("value", 0.0, 200.0, 10).alias("hist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inherited relational operators over time-series data (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           sum(l_extendedprice) AS sum_base_price,
+           sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+           sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+           avg(l_quantity) AS avg_qty,
+           avg(l_extendedprice) AS avg_price,
+           avg(l_discount) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide aggregate w/ predicate pushdown (vectorized-agg
+    parity, tsl/src/nodes/vector_agg/)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sum_disc_price"
+            ),
+            F.sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q_revenue_by_nation",
+    """
+    SELECT n.n_name AS nation,
+           sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way join with broadcast dims (decompress_join parity,
+    tsl/test/shared/sql/decompress_join.sql): small dimension tables are
+    explicitly broadcast — no shuffle of the fact table for them."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q_window_lag",
+    f"""
+    WITH b AS (
+      SELECT user_id, {_bucket_sql(DAY, 'ts')} AS bucket, sum(value) AS sum_v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, bucket, sum_v,
+           sum_v - lag(sum_v) OVER (PARTITION BY user_id ORDER BY bucket) AS delta,
+           row_number() OVER (PARTITION BY user_id ORDER BY bucket) AS rn
+    FROM b
+    """,
+)
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions over bucketed series (inherited operators, §2.7)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "user_id", time_bucket("1 day", "ts").alias("bucket")
+    ).agg(F.sum("value").alias("sum_v"))
+    w = W.partitionBy("user_id").orderBy("bucket")
+    return b.select(
+        "user_id",
+        "bucket",
+        "sum_v",
+        (F.col("sum_v") - F.lag("sum_v").over(w)).alias("delta"),
+        F.row_number().over(w).alias("rn"),
+    )
+
+
+@query(
+    "q_distinct_last_per_user",
+    """
+    SELECT user_id,
+           max(epoch_us(ts)) AS last_us,
+           arg_max(event_type, epoch_us(ts)*1000 + (event_id % 1000)) AS last_type
+    FROM events GROUP BY user_id
+    """,
+)
+def q_distinct_last_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SkipScan-equivalent DISTINCT ON (tsl/src/nodes/skip_scan/): Spark has
+    no loose index scan; groupBy+max_by is the documented fallback
+    (SURVEY §4 item 12) — same result, scan-based."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.unix_micros("ts") * F.lit(1000) + F.pmod(F.col("event_id"), F.lit(1000))
+    return ev.groupBy("user_id").agg(
+        F.max(F.unix_micros("ts")).alias("last_us"),
+        F.max_by("event_type", key).alias("last_type"),
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLES)

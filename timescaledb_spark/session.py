@@ -1,0 +1,101 @@
+"""TSSession — the engine's entry point wrapping a SparkSession.
+
+Role parity with the reference's extension loading + catalog
+(``src/ts_catalog/catalog.h:33-61``): the session owns the catalog root
+directory (a directory of small parquet-backed state tables mirroring
+``_timescaledb_catalog``) and hands out hypertable / cagg handles.
+
+Design stance (SURVEY.md §7): a Python library on top of PySpark — no
+Spark fork, no custom Catalyst rules. Reads go through builder functions
+that inject pruning/union logic; Catalyst does the rest.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def build_spark(
+    app_name: str = "timescaledb_spark",
+    master: Optional[str] = None,
+    shuffle_partitions: Optional[str] = None,
+    extra_conf: Optional[dict] = None,
+) -> SparkSession:
+    """Opinionated local SparkSession for this engine.
+
+    Scale notes: AQE on (runtime re-plan, skew-join handling, partition
+    coalescing — the analog of the reference's runtime chunk exclusion),
+    UTC session timezone (PG session-TZ parity), Arrow enabled for the few
+    Pandas-UDF paths.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", shuffle_partitions or cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+class TSSession:
+    """Engine session: SparkSession + catalog root.
+
+    ``catalog_root`` holds the engine catalog (hypertables, dimensions,
+    chunks, caggs, invalidation logs, jobs) and the hypertable data
+    directories — the Spark analog of the ``_timescaledb_catalog`` schema
+    (``sql/pre_install/tables.sql:42-528``).
+    """
+
+    def __init__(self, spark: SparkSession, catalog_root: str):
+        from .catalog import Catalog
+
+        self.spark = spark
+        self.catalog_root = catalog_root
+        self.catalog = Catalog(spark, catalog_root)
+
+    # -- hypertable lifecycle (src/hypertable.c:1444 create_hypertable) ----
+    def create_hypertable(self, name, time_column, **kw):
+        from .hypertable import Hypertable
+
+        return Hypertable.create(self, name, time_column, **kw)
+
+    def get_hypertable(self, name):
+        from .hypertable import Hypertable
+
+        return Hypertable.get(self, name)
+
+    # -- continuous aggregates (tsl/src/continuous_aggs/create.c:600) ------
+    def create_cagg(self, name, hypertable, **kw):
+        from .caggs import ContinuousAggregate
+
+        return ContinuousAggregate.create(self, name, hypertable, **kw)
+
+    def get_cagg(self, name):
+        from .caggs import ContinuousAggregate
+
+        return ContinuousAggregate.get(self, name)
+
+    # -- jobs & policies (src/bgw/, tsl/src/bgw_policy/) --------------------
+    @property
+    def jobs(self):
+        from .jobs import JobRegistry
+
+        return JobRegistry(self)
