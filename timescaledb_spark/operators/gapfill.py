@@ -1,0 +1,299 @@
+"""``time_bucket_gapfill`` + ``locf`` + ``interpolate``.
+
+Reference: the GapFill custom plan node
+(``tsl/src/nodes/gapfill/gapfill_exec.c:1695``) with the semantics:
+
+- Buckets are generated per aggregation group from
+  ``time_bucket(width, start)`` (``align_with_time_bucket``,
+  gapfill_exec.c:345-390) stepping ``width`` while ``< finish``
+  (gapfill_exec.c:1053). Actual rows outside [start, finish) pass
+  through un-gapfilled (gapfill_exec.c:1061).
+- ``locf(col)`` (locf.c): gap rows carry the value of the last *actual*
+  row — including NULL (an actual NULL row resets the carried value to
+  NULL). ``treat_null_as_missing=True`` skips NULL values both when
+  carrying and on actual rows (gapfill_exec.c:1326). The optional
+  ``prev`` expression seeds leading gaps that have no prior actual row
+  (locf.c:77-80: evaluated at ``gapfill_start``).
+- ``interpolate(col)`` (interpolate.c): gap rows get linear interpolation
+  ``y = (y0*(x1-x) + y1*(x-x0)) / (x1-x0)`` between the LAST actual row
+  (NULL value → NULL result, interpolate.c:76-88) and the NEXT actual row.
+  Integer columns round (numeric-based math, interpolate.c:165-230);
+  floats use double math. Optional ``prev`` / ``next`` (time, value)
+  records serve rows before the first / after the last actual row.
+
+Spark-first implementation: one aggregation, a ``sequence()``-exploded
+bucket spine per group, a full-outer join, and window functions — all
+JVM-side; no Python UDFs. The spine explode is per-group and parallel;
+nothing collects to the driver, so a 100 TB hypertable gapfills at the
+cardinality of (groups × buckets), which is the output size.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import date, datetime
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+from pyspark.sql import types as T
+
+from ..functions.time import (
+    DEFAULT_ORIGIN_MONTHS,
+    DEFAULT_ORIGIN_US,
+    parse_interval,
+)
+from ..hypertable import _to_internal
+
+_BUS = "_ts_bucket_us"
+
+
+@dataclass(frozen=True)
+class locf:  # noqa: N801 — mirrors the SQL function name
+    """Fill spec: last observation carried forward (sql/gapfill.sql:27)."""
+
+    prev: Union[Column, float, int, None] = None
+    treat_null_as_missing: bool = False
+
+
+@dataclass(frozen=True)
+class interpolate:  # noqa: N801
+    """Fill spec: linear interpolation (sql/gapfill.sql:31-43).
+
+    ``prev`` / ``next``: optional (time_us | timestamp, value) tuples used
+    when there is no actual row before/after — the reference's RECORD
+    lookup expressions.
+    """
+
+    prev: Optional[tuple] = None
+    next: Optional[tuple] = None
+
+
+FillSpec = Union[locf, interpolate, None]
+
+
+def _pbucket(value_us: int, width_us: int, origin_us: int) -> int:
+    """Python-side time_bucket (same floor-mod formula)."""
+    return value_us - ((value_us - origin_us) % width_us + width_us) % width_us
+
+
+def time_bucket_gapfill(
+    df: DataFrame,
+    width: Union[str, int],
+    time_col: str,
+    start: Union[int, str, datetime, date],
+    finish: Union[int, str, datetime, date],
+    group_by: Sequence[str] = (),
+    aggs: Optional[dict[str, Column]] = None,
+    fill: Optional[dict[str, FillSpec]] = None,
+    bucket_alias: str = "bucket",
+) -> DataFrame:
+    """Aggregate ``df`` by time bucket (+ ``group_by``), generating rows for
+    missing buckets in ``[start, finish)`` and applying per-column fills.
+
+    ``aggs``: output column name -> aggregate expression.
+    ``fill``: output column name -> locf(...) / interpolate(...) / None.
+    """
+    if aggs is None:
+        raise ValueError("aggs is required")
+    fill = fill or {}
+    group_by = list(group_by)
+    dtypes = dict(df.dtypes)
+    tdt = dtypes.get(time_col)
+    if tdt is None:
+        raise ValueError(f"no column {time_col!r}")
+    is_ts = tdt.startswith("timestamp") or tdt == "date"
+
+    # --- bucket grid (all int64 internal units: µs or verbatim ints) ------
+    if is_ts:
+        iv = parse_interval(width)
+        if iv.months:
+            return _gapfill_month(
+                df, iv.months, time_col, start, finish, group_by, aggs, fill,
+                bucket_alias,
+            )
+        width_i = iv.us
+        origin = DEFAULT_ORIGIN_US
+        internal = F.unix_micros(F.col(time_col).cast(T.TimestampType()))
+    else:
+        if not isinstance(width, int):
+            width_i = parse_interval(width).us
+        else:
+            width_i = width
+        origin = 0
+        internal = F.col(time_col).cast(T.LongType())
+
+    start_i, finish_i = _to_internal(start), _to_internal(finish)
+    if start_i is None or finish_i is None:
+        raise ValueError("start and finish are required (gapfill_exec.c:390)")
+    b0 = _pbucket(start_i, width_i, origin)
+    if finish_i <= b0:
+        raise ValueError("finish must be after time_bucket(width, start)")
+    b_last = b0 + ((finish_i - 1 - b0) // width_i) * width_i
+
+    bucket_us = internal - F.pmod(internal - F.lit(origin), F.lit(width_i))
+    bucketed = (
+        df.groupBy(*group_by, bucket_us.alias(_BUS))
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+        .withColumn("_present", F.lit(True))
+    )
+
+    if group_by:
+        groups = bucketed.select(*group_by).distinct()
+    else:
+        groups = bucketed.sparkSession.range(1).select(F.lit(1).alias("_g")).drop("_g")
+    spine = groups.select(
+        "*",
+        F.explode(
+            F.sequence(F.lit(b0), F.lit(b_last), F.lit(width_i))
+        ).alias(_BUS),
+    )
+
+    joined = spine.join(bucketed, on=group_by + [_BUS], how="full_outer")
+    out = _apply_fills(joined, group_by, list(aggs), fill)
+
+    if is_ts:
+        bucket_out = F.timestamp_micros(F.col(_BUS)).alias(bucket_alias)
+    else:
+        bucket_out = F.col(_BUS).alias(bucket_alias)
+    return out.select(*group_by, bucket_out, *aggs.keys())
+
+
+def _gapfill_month(
+    df, width_months, time_col, start, finish, group_by, aggs, fill, bucket_alias
+):
+    """Month-width gapfill: bucket the month index (bucket_month,
+    src/time_bucket.c:157); the spine is a month-index sequence."""
+    def py_midx(v) -> int:
+        if isinstance(v, str):
+            v = datetime.fromisoformat(v)
+        return v.year * 12 + v.month - 1
+
+    m0_raw = py_midx(start)
+    w = width_months
+    om = DEFAULT_ORIGIN_MONTHS
+    b0 = m0_raw - ((m0_raw - om) % w + w) % w
+    # last bucket = largest month-index bucket whose start timestamp < finish
+    finish_i = _to_internal(finish)
+    m = b0
+    while True:
+        nxt = m + w
+        y, mo = divmod(nxt, 12)
+        nxt_us = _to_internal(datetime(y, mo + 1, 1))
+        if nxt_us >= finish_i:
+            break
+        m = nxt
+    b_last = m
+
+    midx = F.year(F.col(time_col)) * F.lit(12) + F.month(F.col(time_col)) - F.lit(1)
+    bmidx = midx - F.pmod(midx - F.lit(om), F.lit(w))
+    bucketed = (
+        df.groupBy(*group_by, bmidx.alias(_BUS))
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+        .withColumn("_present", F.lit(True))
+    )
+    if group_by:
+        groups = bucketed.select(*group_by).distinct()
+    else:
+        groups = bucketed.sparkSession.range(1).select(F.lit(1).alias("_g")).drop("_g")
+    spine = groups.select(
+        "*", F.explode(F.sequence(F.lit(b0), F.lit(b_last), F.lit(w))).alias(_BUS)
+    )
+    joined = spine.join(bucketed, on=group_by + [_BUS], how="full_outer")
+    out = _apply_fills(joined, group_by, list(aggs), fill)
+    b = F.col(_BUS)
+    bucket_out = F.make_date(
+        F.floor(b / F.lit(12)).cast(T.IntegerType()),
+        (F.pmod(b, F.lit(12)) + F.lit(1)).cast(T.IntegerType()),
+        F.lit(1),
+    ).cast(T.TimestampType()).alias(bucket_alias)
+    return out.select(*group_by, bucket_out, *aggs.keys())
+
+
+def _apply_fills(
+    joined: DataFrame,
+    group_by: list[str],
+    value_cols: list[str],
+    fill: dict[str, FillSpec],
+) -> DataFrame:
+    present = F.col("_present").isNotNull() & F.col("_present")
+    w = W.partitionBy(*group_by).orderBy(_BUS) if group_by else W.orderBy(_BUS)
+    w_upto = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_after = w.rowsBetween(1, W.unboundedFollowing)
+
+    out = joined
+    for name, spec in fill.items():
+        if spec is None:
+            continue
+        col = F.col(name)
+        if isinstance(spec, locf):
+            prev_expr = _lit_or_col(spec.prev)
+            if spec.treat_null_as_missing:
+                carried = F.last(
+                    F.when(present & col.isNotNull(), col), ignorenulls=True
+                ).over(w_upto)
+                filled = carried if prev_expr is None else F.coalesce(carried, prev_expr)
+                value = F.when(present & col.isNotNull(), col).otherwise(filled)
+            else:
+                # carry the last ACTUAL row's value, NULL included; the
+                # prev expression only serves rows with no prior actual row
+                last_actual = F.last(
+                    F.when(present, F.struct(col.alias("v"))), ignorenulls=True
+                ).over(w_upto)
+                gap_val = last_actual["v"]
+                if prev_expr is not None:
+                    gap_val = F.when(last_actual.isNull(), prev_expr).otherwise(
+                        last_actual["v"]
+                    )
+                value = F.when(present, col).otherwise(gap_val)
+            out = out.withColumn(name, value)
+        elif isinstance(spec, interpolate):
+            dtype = dict(joined.dtypes)[name]
+            # prev = last actual row; NULL value there → NULL result
+            # (interpolate.c:76-88 tuple_returned resets on NULL)
+            last_actual = F.last(
+                F.when(present, F.struct(F.col(_BUS).alias("t"), col.alias("v"))),
+                ignorenulls=True,
+            ).over(w_upto)
+            next_actual = F.first(
+                F.when(present, F.struct(F.col(_BUS).alias("t"), col.alias("v"))),
+                ignorenulls=True,
+            ).over(w_after)
+            prev_t, prev_v = last_actual["t"], last_actual["v"]
+            next_t, next_v = next_actual["t"], next_actual["v"]
+            if spec.prev is not None:
+                pt = F.lit(_to_internal(spec.prev[0]))
+                pv = F.lit(spec.prev[1])
+                no_before = last_actual.isNull()
+                prev_t = F.when(no_before, pt).otherwise(prev_t)
+                prev_v = F.when(no_before, pv).otherwise(prev_v)
+            if spec.next is not None:
+                nt = F.lit(_to_internal(spec.next[0]))
+                nv = F.lit(spec.next[1])
+                no_after = next_actual.isNull()
+                next_t = F.when(no_after, nt).otherwise(next_t)
+                next_v = F.when(no_after, nv).otherwise(next_v)
+            x = F.col(_BUS).cast(T.DoubleType())
+            x0, x1 = prev_t.cast(T.DoubleType()), next_t.cast(T.DoubleType())
+            y0, y1 = prev_v.cast(T.DoubleType()), next_v.cast(T.DoubleType())
+            interp = (y0 * (x1 - x) + y1 * (x - x0)) / (x1 - x0)
+            if dtype in ("smallint", "int", "bigint", "long", "integer", "short"):
+                interp = F.round(interp).cast(dtype)
+            else:
+                interp = interp.cast(dtype)
+            value = F.when(present, col).otherwise(
+                F.when(prev_v.isNull() | next_v.isNull(), F.lit(None)).otherwise(
+                    interp
+                )
+            )
+            out = out.withColumn(name, value)
+        else:
+            raise TypeError(f"unknown fill spec {spec!r} for {name!r}")
+    return out.drop("_present")
+
+
+def _lit_or_col(v) -> Optional[Column]:
+    if v is None:
+        return None
+    if isinstance(v, Column):
+        return v
+    return F.lit(v)

@@ -223,6 +223,112 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# gapfill + locf + interpolate (SURVEY §2.1 GapFill node; tsl/src/nodes/gapfill/)
+# ---------------------------------------------------------------------------
+
+_GAPFILL_SPINE = f"""
+    WITH agg AS (
+      SELECT user_id,
+             {_bucket_sql(DAY, 'ts')} AS bucket,
+             sum(value) AS sum_v
+      FROM events GROUP BY 1, 2
+    ), spine AS (
+      SELECT u.user_id, b.bucket
+      FROM (SELECT DISTINCT user_id FROM events) u
+      CROSS JOIN (
+        SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                      TIMESTAMP '2024-03-30', INTERVAL 1 DAY)) AS bucket
+      ) b
+    ), j AS (
+      SELECT s.user_id, s.bucket, a.sum_v, a.bucket IS NOT NULL AS present
+      FROM spine s LEFT JOIN agg a ON s.user_id = a.user_id AND s.bucket = a.bucket
+      UNION ALL
+      SELECT a.user_id, a.bucket, a.sum_v, true FROM agg a
+      WHERE a.bucket < TIMESTAMP '2024-01-01' OR a.bucket >= TIMESTAMP '2024-03-31'
+    )
+"""
+
+
+@query(
+    "q_gapfill_locf",
+    _GAPFILL_SPINE
+    + """
+    SELECT user_id, bucket,
+           last_value(CASE WHEN present THEN sum_v END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_v
+    FROM j
+    """,
+)
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """time_bucket_gapfill + locf (GapFill node, gapfill_exec.c:1695 +
+    locf.c): daily spine per user over [2024-01-01, 2024-03-31)."""
+    from datetime import datetime
+
+    from .operators import locf, time_bucket_gapfill
+
+    ev = load_table(spark, sf_dir, "events")
+    return time_bucket_gapfill(
+        ev,
+        "1 day",
+        "ts",
+        start=datetime(2024, 1, 1),
+        finish=datetime(2024, 3, 31),
+        group_by=["user_id"],
+        aggs={"sum_v": F.sum("value")},
+        fill={"sum_v": locf()},
+    )
+
+
+@query(
+    "q_gapfill_interpolate",
+    _GAPFILL_SPINE
+    + """
+    , w AS (
+      SELECT user_id, bucket, sum_v, present,
+             last_value(CASE WHEN present
+                             THEN struct_pack(t := epoch_us(bucket), v := sum_v)
+                        END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             first_value(CASE WHEN present
+                              THEN struct_pack(t := epoch_us(bucket), v := sum_v)
+                         END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY bucket
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv
+      FROM j
+    )
+    SELECT user_id, bucket,
+           CASE WHEN present THEN sum_v
+                WHEN pv IS NULL OR nv IS NULL THEN NULL
+                ELSE (pv.v * (nv.t - epoch_us(bucket))
+                      + nv.v * (epoch_us(bucket) - pv.t))
+                     / CAST(nv.t - pv.t AS DOUBLE)
+           END AS sum_v
+    FROM w
+    """,
+)
+def q_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """time_bucket_gapfill + interpolate (interpolate.c linear formula
+    y=(y0(x1-x)+y1(x-x0))/(x1-x0) on µs bucket coordinates)."""
+    from datetime import datetime
+
+    from .operators import interpolate, time_bucket_gapfill
+
+    ev = load_table(spark, sf_dir, "events")
+    return time_bucket_gapfill(
+        ev,
+        "1 day",
+        "ts",
+        start=datetime(2024, 1, 1),
+        finish=datetime(2024, 3, 31),
+        group_by=["user_id"],
+        aggs={"sum_v": F.sum("value")},
+        fill={"sum_v": interpolate()},
+    )
+
+
+# ---------------------------------------------------------------------------
 # Inherited relational operators over time-series data (SURVEY §2.7)
 # ---------------------------------------------------------------------------
 
