@@ -1,0 +1,181 @@
+"""Continuous aggregates: creation, two-phase refresh, invalidation
+processing, realtime union reads. Mirrors tsl/test/sql/cagg*.sql cases.
+
+Core property (SURVEY §7 phase 3): for ANY sequence of inserts and
+refreshes, `refresh(full) then mat table == full re-aggregation`."""
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from timescaledb_spark.session import TSSession
+
+BASE = datetime(2026, 1, 1)
+
+
+@pytest.fixture()
+def ts(spark, tmp_path):
+    return TSSession(spark, str(tmp_path / "ts"))
+
+
+def mk_conditions(spark, n_hours=96, locs=3, start=BASE):
+    rows = []
+    for h in range(n_hours):
+        for loc in range(locs):
+            rows.append((start + timedelta(hours=h, minutes=loc), f"loc_{loc}",
+                         float(h + loc), float(100 - h)))
+    return spark.createDataFrame(
+        rows, "timec timestamp, location string, temperature double, humidity double"
+    )
+
+
+def full_recompute(ht_df):
+    from timescaledb_spark.functions import time_bucket
+
+    return (
+        ht_df.groupBy(time_bucket("1 day", "timec").alias("bucket"), "location")
+        .agg(
+            F.avg("temperature").alias("avg_t"),
+            F.count(F.lit(1)).alias("n"),
+            F.max("humidity").alias("max_h"),
+        )
+    )
+
+
+def rows_set(df):
+    return {
+        (r["bucket"], r["location"], round(r["avg_t"], 9), r["n"], round(r["max_h"], 9))
+        for r in df.collect()
+    }
+
+
+AGGS = {
+    "avg_t": "avg(temperature)",
+    "n": "count(*)",
+    "max_h": "max(humidity)",
+}
+
+
+def test_create_refresh_read(ts, spark):
+    ht = ts.create_hypertable("conditions", "timec", chunk_interval="7 days")
+    src = mk_conditions(spark)
+    ht.insert(src)
+    cagg = ts.create_cagg(
+        "daily", ht, bucket_width="1 day", aggs=AGGS, group_by=["location"]
+    )
+    ranges = cagg.refresh()
+    assert len(ranges) == 1
+    mat = cagg._mat().read()
+    assert rows_set(mat) == rows_set(full_recompute(ht.read()))
+    # watermark = end of last materialized bucket
+    assert cagg.watermark() is not None
+    # second refresh with no new data: nothing dirty
+    assert cagg.refresh() == []
+
+
+def test_refresh_proportional_to_invalidation(ts, spark):
+    """Cagg refresh cost ∝ invalidated range (tsl/src/continuous_aggs/README
+    'Bookkeeping'): a late insert dirties only its buckets."""
+    ht = ts.create_hypertable("conditions", "timec", chunk_interval="7 days")
+    ht.insert(mk_conditions(spark))
+    cagg = ts.create_cagg(
+        "daily2", ht, bucket_width="1 day", aggs=AGGS, group_by=["location"]
+    )
+    cagg.refresh()
+    # late arrival: one row into day 1 (below threshold → logged)
+    late = spark.createDataFrame(
+        [(BASE + timedelta(days=1, hours=3), "loc_0", 99.0, 1.0)],
+        "timec timestamp, location string, temperature double, humidity double",
+    )
+    ht.insert(late)
+    log = ts.catalog.hypertable_invalidation_log.find(hypertable_id=ht.id)
+    assert len(log) == 1
+    ranges = cagg.refresh()
+    assert len(ranges) == 1
+    a, b = ranges[0]
+    assert b - a == 86_400_000_000  # exactly one day re-materialized
+    assert rows_set(cagg._mat().read()) == rows_set(full_recompute(ht.read()))
+
+
+def test_realtime_union(ts, spark):
+    ht = ts.create_hypertable("conditions", "timec", chunk_interval="7 days")
+    ht.insert(mk_conditions(spark, n_hours=48))
+    cagg = ts.create_cagg(
+        "daily3", ht, bucket_width="1 day", aggs=AGGS, group_by=["location"]
+    )
+    # refresh only the first day → second day served from raw
+    cagg.refresh(start=BASE, end=BASE + timedelta(days=1))
+    wm = cagg.watermark()
+    assert wm == int((BASE + timedelta(days=1)).timestamp() * 1e6)
+    rt = cagg.read(realtime=True)
+    assert rows_set(rt) == rows_set(full_recompute(ht.read()))
+    # materialized-only read sees just day 1
+    mo = cagg.read(realtime=False)
+    assert {r["bucket"] for r in mo.collect()} == {BASE}
+    # realtime must not double-count the boundary bucket
+    assert rt.count() == full_recompute(ht.read()).count()
+
+
+def test_unrefreshed_region_stays_dirty(ts, spark):
+    """Initial [-inf, +inf) entry: regions never refreshed stay dirty even
+    when inserts were above the threshold (unlogged)."""
+    ht = ts.create_hypertable("conditions", "timec", chunk_interval="7 days")
+    ht.insert(mk_conditions(spark, n_hours=24))
+    cagg = ts.create_cagg(
+        "daily4", ht, bucket_width="1 day", aggs=AGGS, group_by=["location"]
+    )
+    cagg.refresh(start=BASE, end=BASE + timedelta(days=1))
+    # new data AFTER the threshold: not logged
+    ht.insert(mk_conditions(spark, n_hours=24, start=BASE + timedelta(days=5)))
+    assert ts.catalog.hypertable_invalidation_log.find(hypertable_id=ht.id) == []
+    # but a full refresh still picks it up via the leftover invalidation
+    cagg.refresh()
+    assert rows_set(cagg._mat().read()) == rows_set(full_recompute(ht.read()))
+
+
+def test_random_dml_refresh_equivalence(ts, spark):
+    """Property: arbitrary interleaving of inserts and partial refreshes,
+    then a full refresh, equals full recompute."""
+    import random
+
+    rng = random.Random(42)
+    ht = ts.create_hypertable("conditions", "timec", chunk_interval="3 days")
+    cagg = ts.create_cagg(
+        "daily5", ht, bucket_width="1 day", aggs=AGGS, group_by=["location"]
+    )
+    for step in range(6):
+        day = rng.randrange(0, 10)
+        hrs = rng.randrange(1, 30)
+        ht.insert(mk_conditions(spark, n_hours=hrs, start=BASE + timedelta(days=day)))
+        if rng.random() < 0.6:
+            s = BASE + timedelta(days=rng.randrange(0, 8))
+            e = s + timedelta(days=rng.randrange(1, 4))
+            cagg.refresh(start=s, end=e)
+    cagg.refresh()
+    assert rows_set(cagg._mat().read()) == rows_set(full_recompute(ht.read()))
+    # and realtime equals it too
+    assert rows_set(cagg.read(realtime=True)) == rows_set(full_recompute(ht.read()))
+
+
+def test_integer_time_cagg(ts, spark):
+    df = spark.createDataFrame(
+        [(i, i % 5, float(i)) for i in range(0, 10_000, 7)],
+        "t bigint, dev int, v double",
+    )
+    ht = ts.create_hypertable("int_ht", "t", chunk_interval=5_000)
+    ht.insert(df)
+    cagg = ts.create_cagg(
+        "int_cagg",
+        ht,
+        bucket_width=1000,  # integer time: width in raw units
+        aggs={"sum_v": "sum(v)", "n": "count(*)"},
+        group_by=["dev"],
+    )
+    cagg.refresh()
+    mat = cagg._mat().read()
+    expect = (
+        df.groupBy((F.col("t") - F.pmod("t", F.lit(1000))).alias("bucket"), "dev")
+        .agg(F.sum("v").alias("sum_v"), F.count(F.lit(1)).alias("n"))
+    )
+    assert {tuple(r) for r in mat.collect()} == {tuple(r) for r in expect.collect()}

@@ -1,0 +1,372 @@
+"""Continuous aggregates: incrementally-refreshed materialized aggregates
+with the reference's invalidation-log / threshold / watermark protocol.
+
+Reference: ``tsl/src/continuous_aggs/`` — protocol per its README:
+
+- creation seeds the materialization invalidation log with the entire
+  range (``create.c``; README "initial state ... invalidates the entire
+  range"), so never-materialized regions stay dirty until refreshed.
+- DML appends one (lowest, greatest) modified range per batch to the
+  hypertable invalidation log, suppressed above the invalidation
+  threshold (``insert.c:208``, ``invalidation_threshold.c``) — implemented
+  in ``Hypertable._capture_invalidation``.
+- ``refresh(start, end)`` is two-phase (``refresh.c:735``):
+  txn 1 moves the threshold to the window end; txn 2 moves hypertable-log
+  entries into every cagg's materialization log
+  (``invalidation_process_hypertable_log``), cuts the refreshed cagg's log
+  against the bucket-aligned window (``invalidation.c`` range algebra),
+  merges overlapping dirty ranges, and per range deletes + re-inserts the
+  materialized rows (``materialize.c:442-489``), then advances the
+  watermark.
+- Since v2.7 the mat table stores FINALIZED aggregate values
+  (``sql/updates/2.24.0--2.25.0.sql:193-201`` removed partials), so
+  refresh is plain re-aggregation of dirty ranges — which maps exactly to
+  Spark aggregation + chunk-wise rewrite.
+- realtime reads are ``mat WHERE bucket < watermark UNION ALL
+  agg(raw WHERE time >= watermark)`` (``common.c:1745 build_union_query``).
+
+Scale: refresh cost is O(dirty range), not O(table) — the dirty ranges
+prune the raw-side scan through chunk exclusion, and the mat-side rewrite
+only touches overlapping mat chunks.
+"""
+
+from __future__ import annotations
+
+import json
+import time as _time
+from datetime import datetime
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import DataFrame, functions as F
+
+from .functions.time import DEFAULT_ORIGIN_US, parse_interval
+from .hypertable import Hypertable, _to_internal
+
+INT64_MIN = -(2**63)
+INT64_MAX = 2**63 - 1
+
+
+def _pbucket(v: int, w: int, origin: int) -> int:
+    # clamp to avoid int64 wraparound at the infinite sentinels
+    if v <= INT64_MIN + w:
+        return INT64_MIN
+    if v >= INT64_MAX - w:
+        return v
+    return v - ((v - origin) % w + w) % w
+
+
+class ContinuousAggregate:
+    def __init__(self, ts, row: dict):
+        self.ts = ts
+        self.row = row
+
+    # ------------------------------------------------------------- create
+    @classmethod
+    def create(
+        cls,
+        ts,
+        name: str,
+        hypertable: Union[str, Hypertable],
+        bucket_width: str,
+        aggs: dict[str, str],
+        group_by: Sequence[str] = (),
+        time_column: Optional[str] = None,
+        bucket_alias: str = "bucket",
+        materialized_only: bool = False,
+    ) -> "ContinuousAggregate":
+        """``CREATE MATERIALIZED VIEW .. WITH (timescaledb.continuous)``
+        (``tsl/src/continuous_aggs/create.c:600``).
+
+        ``aggs``: output column -> Spark SQL aggregate expression over the
+        source hypertable's columns (the "partial view" query).
+        """
+        if isinstance(hypertable, str):
+            hypertable = Hypertable.get(ts, hypertable)
+        cat = ts.catalog
+        if cat.continuous_agg.find_one(name=name):
+            raise ValueError(f"cagg {name!r} already exists")
+        if isinstance(bucket_width, int):
+            # integer time dimension: width in raw internal units
+            from .functions.time import Interval
+
+            iv = Interval(us=bucket_width)
+        else:
+            iv = parse_interval(bucket_width)
+        if iv.months:
+            raise ValueError("month-width caggs not supported yet")
+        tcol = time_column or hypertable.time_column
+        is_ts = (hypertable.row.get("time_type") or "timestamp") in (
+            "timestamp",
+            "timestamp_ntz",
+            "date",
+        )
+        row = {
+            "id": cat.next_id("cagg"),
+            "name": name,
+            "hypertable_id": hypertable.id,
+            "hypertable_name": hypertable.name,
+            "time_column": tcol,
+            "bucket_width_us": iv.us,
+            "bucket_origin_us": DEFAULT_ORIGIN_US if is_ts else 0,
+            "time_is_timestamp": is_ts,
+            "bucket_alias": bucket_alias,
+            "group_by": list(group_by),
+            "aggs": aggs,
+            "materialized_only": materialized_only,
+            "mat_table": f"_mat_{name}",
+            "created_at": _time.time(),
+        }
+        cat.continuous_agg.append([row])
+        # materialization hypertable (create.c:267): bucket column is the
+        # open dimension; chunk interval = 10 buckets (enough to keep
+        # per-range rewrites local) but at least the source's interval
+        mat_interval = max(iv.us * 10, int(hypertable.row.get("chunk_interval") or 0))
+        Hypertable.create(ts, row["mat_table"], bucket_alias, chunk_interval=mat_interval)
+        # seed: entire range invalid (README "initial state")
+        cat.materialization_invalidation_log.append(
+            [
+                {
+                    "cagg_id": row["id"],
+                    "lowest_modified_value": INT64_MIN,
+                    "greatest_modified_value": INT64_MAX,
+                }
+            ]
+        )
+        cat.cagg_watermark.append([{"cagg_id": row["id"], "watermark": None}])
+        return cls(ts, row)
+
+    @classmethod
+    def get(cls, ts, name: str) -> "ContinuousAggregate":
+        row = ts.catalog.continuous_agg.find_one(name=name)
+        if not row:
+            raise KeyError(f"no cagg {name!r}")
+        return cls(ts, row)
+
+    # ----------------------------------------------------------- plumbing
+    @property
+    def id(self) -> int:
+        return self.row["id"]
+
+    @property
+    def name(self) -> str:
+        return self.row["name"]
+
+    @property
+    def width(self) -> int:
+        return int(self.row["bucket_width_us"])
+
+    @property
+    def origin(self) -> int:
+        return int(self.row["bucket_origin_us"])
+
+    def _source(self) -> Hypertable:
+        return Hypertable.get(self.ts, self.row["hypertable_name"])
+
+    def _mat(self) -> Hypertable:
+        return Hypertable.get(self.ts, self.row["mat_table"])
+
+    def _bucket_expr(self, df: DataFrame):
+        from .functions.time import time_bucket, time_bucket_int
+
+        if self.row["time_is_timestamp"]:
+            from .functions.time import Interval
+
+            return time_bucket(
+                Interval(us=self.width), self.row["time_column"]
+            ).alias(self.row["bucket_alias"])
+        return time_bucket_int(self.width, self.row["time_column"]).alias(
+            self.row["bucket_alias"]
+        )
+
+    def _aggregate(self, raw: DataFrame) -> DataFrame:
+        """The 'partial view' query: bucket + group_by + aggs."""
+        exprs = [F.expr(e).alias(n) for n, e in self.row["aggs"].items()]
+        return raw.groupBy(
+            self._bucket_expr(raw), *self.row["group_by"]
+        ).agg(*exprs)
+
+    def watermark(self) -> Optional[int]:
+        """``cagg_watermark`` (sql/util_time.sql:52): end of the last
+        materialized bucket, int64 internal."""
+        row = self.ts.catalog.cagg_watermark.find_one(cagg_id=self.id)
+        return None if row is None or row["watermark"] is None else int(row["watermark"])
+
+    # ------------------------------------------------------------ refresh
+    def refresh(
+        self,
+        start: Union[int, str, datetime, None] = None,
+        end: Union[int, str, datetime, None] = None,
+        verbose: bool = False,
+    ) -> list[tuple[int, int]]:
+        """``refresh_continuous_aggregate(cagg, start, end)``
+        (``tsl/src/continuous_aggs/refresh.c:735``). Returns the dirty
+        ranges that were materialized (internal units, half-open)."""
+        cat = self.ts.catalog
+        src = self._source()
+        w, origin = self.width, self.origin
+
+        lo = _to_internal(start)
+        hi = _to_internal(end)
+        if lo is None:
+            lo = INT64_MIN
+        if hi is None:
+            # refresh everything seen so far: end of the bucket holding max(t)
+            mx = src.chunks()
+            hi = max((c["range_end"] for c in mx), default=0)
+        # align window to complete buckets: floor both ends
+        win_s = _pbucket(lo, w, origin)
+        win_e = _pbucket(hi, w, origin)
+        if hi != win_e:
+            # partial last bucket is excluded only if it is incomplete;
+            # reference refreshes buckets fully inside the window
+            pass
+        if win_e <= win_s:
+            return []
+
+        # ---- txn 1: move invalidation threshold (invalidation_threshold.c)
+        thr_row = cat.invalidation_threshold.find_one(hypertable_id=src.id)
+        old_thr = int(thr_row["watermark"]) if thr_row else INT64_MIN
+        if win_e > old_thr:
+            if thr_row:
+                cat.invalidation_threshold.update(
+                    {"hypertable_id": src.id}, {"watermark": win_e}
+                )
+            else:
+                cat.invalidation_threshold.append(
+                    [{"hypertable_id": src.id, "watermark": win_e}]
+                )
+
+        # ---- txn 2a: process hypertable log → ALL caggs' mat logs
+        # (invalidation_process_hypertable_log)
+        ht_entries = cat.hypertable_invalidation_log.find(hypertable_id=src.id)
+        if ht_entries:
+            for cagg in cat.continuous_agg.find(hypertable_id=src.id):
+                cat.materialization_invalidation_log.append(
+                    [
+                        {
+                            "cagg_id": cagg["id"],
+                            "lowest_modified_value": e["lowest_modified_value"],
+                            "greatest_modified_value": e["greatest_modified_value"],
+                        }
+                        for e in ht_entries
+                    ]
+                )
+            cat.hypertable_invalidation_log.delete({"hypertable_id": src.id})
+
+        # ---- txn 2b: cut this cagg's mat log against the window
+        # (invalidation.c range algebra; entries are INCLUSIVE bounds)
+        entries = cat.materialization_invalidation_log.find(cagg_id=self.id)
+        dirty: list[tuple[int, int]] = []
+        leftovers: list[dict] = []
+        for e in entries:
+            a, b = int(e["lowest_modified_value"]), int(e["greatest_modified_value"])
+            if b < win_s or a >= win_e:
+                leftovers.append(e)
+                continue
+            # overlap, bucket-aligned and clipped to the window
+            oa = max(_pbucket(max(a, win_s), w, origin), win_s)
+            ob_incl = min(b, win_e - 1)
+            ob = min(_pbucket(ob_incl, w, origin) + w, win_e)
+            dirty.append((oa, ob))
+            # leftover fragments outside the window survive
+            if a < win_s:
+                leftovers.append(
+                    {
+                        "cagg_id": self.id,
+                        "lowest_modified_value": a,
+                        "greatest_modified_value": win_s - 1,
+                    }
+                )
+            if b >= win_e:
+                leftovers.append(
+                    {
+                        "cagg_id": self.id,
+                        "lowest_modified_value": win_e,
+                        "greatest_modified_value": b,
+                    }
+                )
+        others = [
+            e
+            for e in cat.materialization_invalidation_log.read()
+            if e.get("cagg_id") != self.id
+        ]
+        cat.materialization_invalidation_log.replace(others + leftovers)
+
+        # merge overlapping/adjacent dirty ranges
+        dirty.sort()
+        merged: list[list[int]] = []
+        for a, b in dirty:
+            if merged and a <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], b)
+            else:
+                merged.append([a, b])
+
+        # ---- materialize each dirty range (materialize.c:442-489)
+        mat = self._mat()
+        for a, b in merged:
+            # infinite sentinels become open bounds (no filter): they are
+            # not representable as timestamps
+            raw = src.read(
+                start=a if a > INT64_MIN else None,
+                end=b if b < INT64_MAX else None,
+            )
+            agg = self._aggregate(raw)
+            mat_rows = agg
+            if verbose:
+                print(f"refresh {self.name}: range [{a}, {b}) ")
+            # DELETE + INSERT per range, chunk-local
+            if mat.row.get("schema_ddl"):
+                mat.delete_range(
+                    a if a > INT64_MIN else None, b if b < INT64_MAX else None
+                )
+            mat.insert(mat_rows, cluster=True)
+
+        # ---- advance watermark (continuous_aggs_watermark.c)
+        wm = self.watermark()
+        new_wm = max(wm if wm is not None else INT64_MIN, win_e)
+        cat.cagg_watermark.update({"cagg_id": self.id}, {"watermark": new_wm})
+        return [(a, b) for a, b in merged]
+
+    # --------------------------------------------------------------- read
+    def read(self, realtime: Optional[bool] = None) -> DataFrame:
+        """User-view read. Realtime = materialized below the watermark,
+        raw aggregation at/after it (``common.c:1745 build_union_query``)."""
+        if realtime is None:
+            realtime = not self.row.get("materialized_only", False)
+        mat = self._mat()
+        wm = self.watermark()
+        bucket = self.row["bucket_alias"]
+        if mat.row.get("schema_ddl") is None:
+            mat_df = None
+        else:
+            mat_df = mat.read()
+        if not realtime:
+            if mat_df is None:
+                raise ValueError(f"cagg {self.name!r} never refreshed")
+            return mat_df
+
+        src = self._source()
+        wm_i = wm if wm is not None else INT64_MIN
+        raw = src.read(start=wm_i if wm is not None else None)
+        raw_agg = self._aggregate(raw)
+        if mat_df is None:
+            return raw_agg
+        if self.row["time_is_timestamp"]:
+            wm_lit = F.timestamp_micros(F.lit(wm_i))
+        else:
+            wm_lit = F.lit(wm_i)
+        mat_side = mat_df.filter(F.col(bucket) < wm_lit)
+        raw_side = raw_agg.filter(F.col(bucket) >= wm_lit)
+        return mat_side.unionByName(raw_side)
+
+    def drop(self) -> None:
+        import shutil as _sh
+
+        cat = self.ts.catalog
+        mat = self._mat()
+        cat.continuous_agg.delete({"id": self.id})
+        cat.cagg_watermark.delete({"cagg_id": self.id})
+        cat.materialization_invalidation_log.delete({"cagg_id": self.id})
+        cat.hypertable.delete({"name": self.row["mat_table"]})
+        cat.chunk.delete({"hypertable_id": mat.id})
+        _sh.rmtree(mat.data_dir, ignore_errors=True)

@@ -458,6 +458,48 @@ class Hypertable:
             dropped.append(c["range_start"])
         return dropped
 
+    def delete_range(self, lo: Optional[int], hi: Optional[int]) -> int:
+        """Delete rows with ``lo <= internal_time < hi``.
+
+        Chunk-wise, like compressed DML in the reference
+        (``tsl/src/compression/compression_dml.c``): chunks fully inside
+        the range are dropped as directories (O(1) per chunk); partially
+        overlapping chunks are rewritten with the complement predicate.
+        Never touches chunks outside the range.
+        """
+        spark = self.ts.spark
+        n_dropped = 0
+        for c in self.chunks():
+            if hi is not None and c["range_start"] >= hi:
+                continue
+            if lo is not None and c["range_end"] <= lo:
+                continue
+            full = (lo is None or lo <= c["range_start"]) and (
+                hi is None or c["range_end"] <= hi
+            )
+            path = self._chunk_glob(c)
+            if full:
+                if os.path.isdir(path):
+                    shutil.rmtree(path)
+                self.ts.catalog.chunk.delete({"id": c["id"]})
+                n_dropped += 1
+                continue
+            # partial overlap: rewrite the chunk keeping the complement
+            df = spark.read.parquet(path)
+            keep = self._internal_time_expr(df)
+            cond = F.lit(False)
+            if lo is not None:
+                cond = cond | (keep < F.lit(lo))
+            if hi is not None:
+                cond = cond | (keep >= F.lit(hi))
+            kept = df.filter(cond)
+            tmp = path + ".tmp_rewrite"
+            kept.write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(path)
+            os.replace(tmp, path)
+            n_dropped += 1
+        return n_dropped
+
     # ------------------------------------------------------------- stats
     def approximate_row_count(self) -> int:
         """``approximate_row_count`` (sql/size_utils.sql:311): from parquet

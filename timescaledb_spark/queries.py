@@ -329,6 +329,96 @@ def q_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# continuous aggregates (SURVEY §2.5; tsl/src/continuous_aggs/)
+# ---------------------------------------------------------------------------
+
+_CAGG_ORACLE = f"""
+    SELECT {_bucket_sql(DAY, 'ts')} AS bucket,
+           event_type,
+           count(*) AS n,
+           sum(value) AS sum_v,
+           avg(value) AS avg_v
+    FROM events GROUP BY 1, 2
+"""
+
+
+def _cagg_setup(spark: SparkSession, sf_dir: str, name: str):
+    """Build a scratch engine root, ingest events, define a daily cagg."""
+    import tempfile
+
+    from .session import TSSession
+
+    root = tempfile.mkdtemp(prefix=f"ts_cagg_{name}_")
+    ts = TSSession(spark, root)
+    ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+    ht.insert(load_table(spark, sf_dir, "events"))
+    cagg = ts.create_cagg(
+        name,
+        ht,
+        bucket_width="1 day",
+        aggs={"n": "count(*)", "sum_v": "sum(value)", "avg_v": "avg(value)"},
+        group_by=["event_type"],
+    )
+    return ts, ht, cagg
+
+
+@query("q_cagg_refresh", _CAGG_ORACLE)
+def q_cagg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cagg lifecycle: ingest → invalidation → two-phase refresh →
+    materialized read (refresh.c:735, materialize.c:442). The oracle is a
+    plain aggregation — the protocol must converge to it."""
+    _, _, cagg = _cagg_setup(spark, sf_dir, "q1")
+    cagg.refresh()
+    return cagg.read(realtime=False)
+
+
+@query("q_cagg_realtime", _CAGG_ORACLE)
+def q_cagg_realtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realtime union view (common.c:1745): materialize only the first half
+    of the range; the union of mat + raw-above-watermark must equal the
+    full aggregation, with no double-counted boundary bucket."""
+    from datetime import datetime, timedelta, timezone
+
+    ts, ht, cagg = _cagg_setup(spark, sf_dir, "q2")
+    lo = min(c["range_start"] for c in ht.chunks())
+    hi = max(c["range_end"] for c in ht.chunks())
+    mid = lo + (hi - lo) // 2
+    cagg.refresh(start=lo, end=mid)
+    return cagg.read(realtime=True)
+
+
+@query("q_cagg_late_data", _CAGG_ORACLE)
+def q_cagg_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data invalidation: refresh everything, then insert a random 10%
+    sample AGAIN... would break equality — instead split ingest: first 90%,
+    refresh, then the remaining 10% arrives late (below the threshold →
+    logged → re-refresh picks up exactly the dirty buckets). Final mat
+    equals the full aggregation over all rows."""
+    import tempfile
+
+    from .session import TSSession
+
+    root = tempfile.mkdtemp(prefix="ts_cagg_q3_")
+    ts = TSSession(spark, root)
+    ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+    ev = load_table(spark, sf_dir, "events")
+    early = ev.filter(F.pmod(F.col("event_id"), F.lit(10)) != 0)
+    late = ev.filter(F.pmod(F.col("event_id"), F.lit(10)) == 0)
+    ht.insert(early)
+    cagg = ts.create_cagg(
+        "q3",
+        ht,
+        bucket_width="1 day",
+        aggs={"n": "count(*)", "sum_v": "sum(value)", "avg_v": "avg(value)"},
+        group_by=["event_type"],
+    )
+    cagg.refresh()
+    ht.insert(late)  # arrives late, lands below the threshold → invalidation
+    cagg.refresh()
+    return cagg.read(realtime=False)
+
+
+# ---------------------------------------------------------------------------
 # Inherited relational operators over time-series data (SURVEY §2.7)
 # ---------------------------------------------------------------------------
 
