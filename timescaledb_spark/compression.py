@@ -1,0 +1,251 @@
+"""Columnstore semantics: segmentby/orderby clustering, sparse-index parity.
+
+Reference: ``tsl/src/compression/`` — ``compress_chunk`` rewrites a chunk
+grouped by ``segmentby`` columns, ordered by ``orderby``, into ~1000-row
+batches, each with min/max + bloom metadata used for batch skipping
+(``compression.c:294``, ``batch_metadata_builder_{minmax,bloom1}.c``,
+qual pushdown in ``tsl/src/nodes/columnar_scan/qual_pushdown.c``).
+
+Spark-first mapping (SURVEY §2.3): parquet *is* the columnstore — its
+encodings subsume deltadelta/gorilla/dictionary (DELTA_BINARY_PACKED,
+BYTE_STREAM_SPLIT, RLE_DICTIONARY), so we do not port the byte-level
+algorithms. What we reproduce is the *physical organization* that makes
+scans fast:
+
+- ``convert_to_columnstore(chunk)`` = rewrite the chunk directory
+  range-partitioned by segmentby and sorted by (segmentby, orderby).
+  Row-group min/max stats then become tight per segment key — the exact
+  analog of the reference's per-batch ``_ts_meta_min/max`` sparse index —
+  and parquet bloom filters on segmentby columns replace ``bloom1``.
+- per-chunk column min/max recorded in ``chunk_column_stats`` power
+  chunk-level skipping on non-time predicates
+  (``enable_chunk_skipping``, src/ts_catalog/chunk_column_stats.c).
+- ``recompress_chunk`` merges rows appended after compression back into
+  the sorted layout (``recompress.c``) — same rewrite, idempotent.
+
+Scale: each chunk rewrite is an independent Spark job over one partition
+directory; a compression policy sweeping N chunks parallelizes trivially,
+and file count per chunk is sized from bytes, not hardcoded.
+"""
+
+from __future__ import annotations
+
+import glob
+import math
+import os
+import shutil
+import time as _time
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import functions as F
+
+from .hypertable import CHUNK_COL, Hypertable
+
+TARGET_FILE_BYTES = 128 * 1024 * 1024  # one spark input split per file
+
+
+def enable_columnstore(
+    ht: Hypertable,
+    segmentby: Sequence[str] = (),
+    orderby: Union[str, Sequence[str], None] = None,
+) -> None:
+    """``ALTER TABLE .. SET (timescaledb.compress, compress_segmentby,
+    compress_orderby)`` (src/with_clause/alter_table_with_clause.c:40)."""
+    if orderby is None:
+        orderby = [(ht.time_column, "desc")]
+    norm = []
+    if isinstance(orderby, str):
+        orderby = [orderby]
+    for ob in orderby:
+        if isinstance(ob, str):
+            parts = ob.split()
+            norm.append((parts[0], parts[1].lower() if len(parts) > 1 else "asc"))
+        else:
+            norm.append((ob[0], ob[1].lower()))
+    cat = ht.ts.catalog
+    cat.compression_settings.delete({"hypertable_id": ht.id})
+    cat.compression_settings.append(
+        [
+            {
+                "hypertable_id": ht.id,
+                "segmentby": list(segmentby),
+                "orderby": norm,
+            }
+        ]
+    )
+    cat.hypertable.update({"name": ht.name}, {"compression": True})
+    ht._refresh()
+
+
+def _settings(ht: Hypertable) -> dict:
+    s = ht.ts.catalog.compression_settings.find_one(hypertable_id=ht.id)
+    if not s:
+        raise ValueError(
+            f"columnstore not enabled on {ht.name!r}; call enable_columnstore"
+        )
+    return s
+
+
+def _chunk_path(ht: Hypertable, chunk: dict) -> str:
+    return os.path.join(ht.data_dir, f"{CHUNK_COL}={chunk['range_start']}")
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for dirpath, _d, files in os.walk(path):
+        for fn in files:
+            total += os.path.getsize(os.path.join(dirpath, fn))
+    return total
+
+
+def compress_chunk(
+    ht: Hypertable,
+    chunk: Union[dict, int],
+    stats_columns: Sequence[str] = (),
+    target_file_bytes: int = TARGET_FILE_BYTES,
+) -> dict:
+    """``compress_chunk`` / ``convert_to_columnstore``
+    (sql/maintenance_utils.sql:35; tsl/src/compression/api.c:889).
+
+    Rewrites one chunk directory clustered by segmentby, sorted by
+    (segmentby, orderby); records before/after sizes
+    (compression_chunk_size catalog) and per-chunk column min/max
+    (chunk_column_stats) for the skip index.
+    """
+    if isinstance(chunk, int):
+        matches = [c for c in ht.chunks() if c["range_start"] == chunk]
+        if not matches:
+            raise KeyError(f"no chunk starting at {chunk}")
+        chunk = matches[0]
+    s = _settings(ht)
+    spark = ht.ts.spark
+    path = _chunk_path(ht, chunk)
+    before = _dir_bytes(path)
+
+    df = spark.read.parquet(path)
+    segmentby = [c for c in s["segmentby"] if c in df.columns]
+    order_cols = [
+        F.col(c).desc() if d.startswith("desc") else F.col(c).asc()
+        for c, d in s["orderby"]
+        if c in df.columns
+    ]
+    nfiles = max(1, math.ceil(before / target_file_bytes))
+    if segmentby:
+        out = df.repartitionByRange(nfiles, *segmentby)
+    else:
+        out = df.repartitionByRange(nfiles, *[F.col(c) for c, _ in s["orderby"]])
+    out = out.sortWithinPartitions(*[F.col(c) for c in segmentby], *order_cols)
+
+    writer = out.write.mode("overwrite")
+    for col in segmentby:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{col}", "true")
+    tmp = path + ".tmp_columnstore"
+    writer.parquet(tmp)
+    # collect per-chunk column stats for chunk skipping while data is hot
+    stat_cols = list(dict.fromkeys(list(stats_columns) + segmentby))
+    stats = {}
+    if stat_cols:
+        row = (
+            spark.read.parquet(tmp)
+            .agg(
+                *[F.min(c).alias(f"min_{c}") for c in stat_cols],
+                *[F.max(c).alias(f"max_{c}") for c in stat_cols],
+            )
+            .collect()[0]
+        )
+        stats = {c: [row[f"min_{c}"], row[f"max_{c}"]] for c in stat_cols}
+    shutil.rmtree(path)
+    os.replace(tmp, path)
+    after = _dir_bytes(path)
+
+    cat = ht.ts.catalog
+    cat.chunk.update({"id": chunk["id"]}, {"status": "columnstore"})
+    cat.chunk_column_stats.delete({"chunk_id": chunk["id"]})
+    if stats:
+        cat.chunk_column_stats.append(
+            [
+                {
+                    "chunk_id": chunk["id"],
+                    "hypertable_id": ht.id,
+                    "column": c,
+                    "min": v[0],
+                    "max": v[1],
+                }
+                for c, v in stats.items()
+            ]
+        )
+    cat.table("metadata").append(
+        [
+            {
+                "key": f"compression_chunk_size_{chunk['id']}",
+                "value": {"before": before, "after": after, "at": _time.time()},
+            }
+        ]
+    )
+    return {"chunk": chunk["range_start"], "before_bytes": before, "after_bytes": after}
+
+
+def decompress_chunk(ht: Hypertable, chunk: Union[dict, int]) -> None:
+    """``decompress_chunk`` / ``convert_to_rowstore``
+    (sql/maintenance_utils.sql:48): storage format is parquet either way —
+    this only flips chunk status so DML paths treat it as rowstore."""
+    if isinstance(chunk, int):
+        chunk = next(c for c in ht.chunks() if c["range_start"] == chunk)
+    ht.ts.catalog.chunk.update({"id": chunk["id"]}, {"status": "rowstore"})
+
+
+def recompress_chunk(ht: Hypertable, chunk: Union[dict, int]) -> dict:
+    """``recompress_chunk`` (tsl/src/compression/recompress.c): fold rows
+    appended after compression back into the sorted clustered layout."""
+    return compress_chunk(ht, chunk)
+
+
+def compress_chunks(
+    ht: Hypertable,
+    older_than=None,
+    newer_than=None,
+    recompress: bool = False,
+) -> list[dict]:
+    """Compress every (still-rowstore) chunk in the window — the payload of
+    ``add_compression_policy`` (tsl/src/bgw_policy/compression_api.c)."""
+    out = []
+    for c in ht.show_chunks(older_than=older_than, newer_than=newer_than):
+        if c.get("status") == "columnstore" and not recompress:
+            continue
+        out.append(compress_chunk(ht, c))
+    return out
+
+
+def reorder_chunk(ht: Hypertable, chunk: Union[dict, int], by: Sequence[str]) -> None:
+    """``reorder_chunk`` (sql/maintenance_utils.sql:8; tsl/src/reorder.c):
+    CLUSTER-like sorted rewrite by the given key."""
+    if isinstance(chunk, int):
+        chunk = next(c for c in ht.chunks() if c["range_start"] == chunk)
+    spark = ht.ts.spark
+    path = _chunk_path(ht, chunk)
+    df = spark.read.parquet(path)
+    nfiles = max(1, math.ceil(_dir_bytes(path) / TARGET_FILE_BYTES))
+    out = df.repartitionByRange(nfiles, *by).sortWithinPartitions(*by)
+    tmp = path + ".tmp_reorder"
+    out.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.replace(tmp, path)
+
+
+def chunk_compression_stats(ht: Hypertable) -> list[dict]:
+    """``chunk_compression_stats`` (sql/size_utils.sql): per-chunk
+    before/after byte sizes."""
+    cat = ht.ts.catalog
+    out = []
+    for c in ht.chunks():
+        m = cat.table("metadata").find_one(key=f"compression_chunk_size_{c['id']}")
+        if m:
+            v = m["value"] if isinstance(m["value"], dict) else None
+            out.append(
+                {
+                    "chunk": c["range_start"],
+                    "status": c.get("status"),
+                    **(v or {}),
+                }
+            )
+    return out

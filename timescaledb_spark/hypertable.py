@@ -356,6 +356,7 @@ class Hypertable:
         start: Union[int, str, datetime, None] = None,
         end: Union[int, str, datetime, None] = None,
         with_partition_cols: bool = False,
+        where_stats: Optional[dict] = None,
     ) -> DataFrame:
         """Read with chunk exclusion: ``start <= time < end``.
 
@@ -363,6 +364,12 @@ class Hypertable:
         plan-time chunk exclusion of ``hypertable_restrict_info.c`` — and
         (2) a ``_chunk IN (...)`` partition filter so the parquet scan
         lists only surviving directories, plus the raw row-level predicate.
+
+        ``where_stats``: {column: (lo, hi)} — additionally exclude chunks
+        whose recorded min/max for that column (``chunk_column_stats``,
+        populated by compress_chunk / enable_chunk_skipping) cannot
+        overlap. Row-level filtering on those columns stays the caller's
+        job; this only narrows the chunk list.
         """
         spark = self.ts.spark
         chunks = self.chunks()
@@ -374,6 +381,29 @@ class Hypertable:
                 if (hi is None or c["range_start"] < hi)
                 and (lo is None or c["range_end"] > lo)
             ]
+        if where_stats:
+            stats = self.ts.catalog.chunk_column_stats.find(hypertable_id=self.id)
+            by_chunk: dict = {}
+            for srow in stats:
+                by_chunk.setdefault(srow["chunk_id"], {})[srow["column"]] = (
+                    srow["min"],
+                    srow["max"],
+                )
+            kept = []
+            for c in chunks:
+                cstats = by_chunk.get(c["id"])
+                drop = False
+                if cstats:
+                    for col, (qlo, qhi) in where_stats.items():
+                        if col in cstats:
+                            cmin, cmax = cstats[col]
+                            if cmin is not None and qhi is not None and cmin > qhi:
+                                drop = True
+                            if cmax is not None and qlo is not None and cmax < qlo:
+                                drop = True
+                if not drop:
+                    kept.append(c)
+            chunks = kept
         if not chunks:
             df = spark.createDataFrame([], self._schema_or_empty())
             return df

@@ -329,6 +329,52 @@ def q_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# columnstore (SURVEY §2.3; tsl/src/compression/)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_columnstore_roundtrip",
+    """
+    SELECT l_returnflag,
+           count(*) AS n,
+           sum(l_extendedprice) AS sum_price,
+           min(l_quantity) AS min_qty,
+           max(l_quantity) AS max_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+    GROUP BY 1
+    """,
+)
+def q_columnstore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest lineitem as a hypertable, convert every chunk to columnstore
+    (segmentby=l_returnflag cluster + orderby sort + bloom filters,
+    tsl/src/compression/api.c:889), then aggregate through a chunk-pruned
+    read — results must be identical to aggregating the raw table."""
+    import tempfile
+    from datetime import datetime
+
+    from .compression import compress_chunks, enable_columnstore
+    from .session import TSSession
+
+    root = tempfile.mkdtemp(prefix="ts_columnstore_")
+    ts = TSSession(spark, root)
+    ht = ts.create_hypertable("lineitem", "l_shipdate", chunk_interval="365 days")
+    ht.insert(load_table(spark, sf_dir, "lineitem"))
+    enable_columnstore(ht, segmentby=["l_returnflag"], orderby=[("l_shipdate", "asc")])
+    compress_chunks(ht)
+    return (
+        ht.read(start=datetime(1994, 1, 1), end=datetime(1996, 1, 1))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_extendedprice").alias("sum_price"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # continuous aggregates (SURVEY §2.5; tsl/src/continuous_aggs/)
 # ---------------------------------------------------------------------------
 
