@@ -1,0 +1,129 @@
+"""Cross-engine deterministic primitives for the training-data pipeline.
+
+Every pipeline operator (dedup, similarity, text analysis) is built on
+hash functions whose output is *bit-identical* in Spark SQL and in the
+DuckDB oracle, so the driver's value-hash correctness gate can verify the
+full algorithm (not just row counts):
+
+- ``md5(string)`` produces the same 32-char hex in both engines.
+- ``h60``: the first 15 hex chars of md5 parsed as a base-16 integer is a
+  deterministic, uniformly-distributed 60-bit non-negative int in both
+  engines (Spark ``conv(substring(md5(x),1,15),16,10)``; DuckDB
+  ``('0x' || substr(md5(x),1,15))::BIGINT``). 60 bits keeps it inside a
+  signed int64 in both.
+- Double-precision folds (``aggregate`` in Spark, ``list_dot_product`` in
+  DuckDB) were measured bit-exact for identical operand order.
+
+All expressions here are pure Column expressions (JVM-side, whole-stage
+codegen) — no Python UDFs in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+TOKEN_RE = "[a-z0-9]+"
+
+#: number of minhash permutations and LSH banding layout (k = bands*rows)
+MINHASH_K = 16
+LSH_BANDS = 4
+LSH_ROWS = 4
+
+
+def _col(c) -> Column:
+    return c if isinstance(c, Column) else F.col(c)
+
+
+def _name(c) -> str:
+    """SQL-able name for a column reference (expr strings need a name)."""
+    return c if isinstance(c, str) else c._jc.toString()
+
+
+def h60(col) -> Column:
+    """60-bit deterministic hash: int of the first 15 hex chars of md5."""
+    return F.conv(F.substring(F.md5(_col(col)), 1, 15), 16, 10).cast("long")
+
+
+def h60_sql(expr: str) -> str:
+    """DuckDB SQL producing the identical 60-bit hash."""
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def tokens(col) -> Column:
+    """Lowercase alphanumeric tokens (the shared pipeline tokenizer)."""
+    return F.regexp_extract_all(F.lower(_col(col)), F.lit(TOKEN_RE), F.lit(0))
+
+
+def tokens_sql(expr: str) -> str:
+    return f"regexp_extract_all(lower({expr}), '{TOKEN_RE}')"
+
+
+def word_shingles(col, k: int = 3) -> Column:
+    """Word k-gram shingles joined by a single space.
+
+    Documents with fewer than ``k`` tokens yield an empty array (matched
+    exactly by the oracle: DuckDB ``range(1, len-k+2)`` is empty then).
+    """
+    t = tokens(col)
+    n = F.size(t)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.array_join(F.slice(t, i, k), " "),
+    )
+    return F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingles_sql(expr: str, k: int = 3) -> str:
+    t = tokens_sql(expr)
+    return (
+        f"CASE WHEN len({t}) >= {k} THEN "
+        f"[array_to_string(({t})[i:i+{k - 1}], ' ') "
+        f"FOR i IN range(1, len({t}) - {k - 1} + 1)] "
+        f"ELSE [] END"
+    )
+
+
+def minhash_signature(shingles: Column, k: int = MINHASH_K) -> list[Column]:
+    """k minhash values: per permutation i, min md5 over seeded shingles.
+
+    String-min over md5 hex is a valid uniform minhash (md5 is the random
+    permutation; the seed prefix makes the k hashes independent) and is
+    engine-portable because both engines compare ASCII hex identically.
+    """
+    return [
+        F.array_min(
+            F.transform(shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s)))
+        ).alias(f"mh{i}")
+        for i in range(k)
+    ]
+
+
+def minhash_signature_sql(shingles_expr: str, k: int = MINHASH_K) -> str:
+    """DuckDB list of the same k minhash values."""
+    return (
+        f"[list_aggregate(list_transform({shingles_expr}, "
+        f"s -> md5(CAST(i AS VARCHAR) || '|' || s)), 'min') "
+        f"FOR i IN range(0, {k})]"
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float/double> columns.
+
+    Sequential left-to-right double fold — bit-exact vs DuckDB's
+    ``list_dot_product`` on the same operand order.
+    """
+    da = F.transform(a, lambda x: x.cast("double"))
+    db = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(da, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(db, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (na * nb)
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+        f"(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+        f"sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))"
+    )

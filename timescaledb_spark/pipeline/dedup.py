@@ -1,0 +1,408 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design (the point of each variant at 100 TB):
+
+- ``exact_dedup``: one hash-shuffle on md5(text) — the cheapest possible
+  grouping; AQE handles skew (identical boilerplate docs hash to one key
+  but the aggregation is partial/final so the map side pre-combines).
+- ``minhash_lsh_pairs``: the linear-scale near-dup path. Signatures are a
+  per-row projection (no shuffle); the only shuffle is the band-bucket
+  self-join, whose key (band_idx, band_hash) is high-cardinality by
+  construction, so candidate pairs ≪ n². Exact Jaccard verification then
+  touches only candidates.
+- ``ngram_jaccard_pairs``: exact all-pairs via a shingle equi-join —
+  quadratic in the worst case; intended for verification / small slices.
+  Use the LSH variant as the scale path.
+- ``simhash64``: per-row projection to a 60-bit fingerprint; near-dup =
+  small Hamming distance, found by banding the fingerprint into 4
+  15-bit keys (any pair with Hamming ≤ 3 shares ≥ 1 band).
+- ``embedding_dup_pairs``: brute cosine is O(n²) (verification baseline);
+  the scale path buckets by random-hyperplane signs first.
+
+Every hash is md5-derived (see ``core``) so the DuckDB oracle reproduces
+candidate sets and scores bit-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .core import (
+    LSH_BANDS,
+    LSH_ROWS,
+    MINHASH_K,
+    cosine,
+    cosine_sql,
+    h60_sql,
+    minhash_signature,
+    minhash_signature_sql,
+    word_shingles,
+    word_shingles_sql,
+)
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group identical texts by md5; keep the lowest id as canonical.
+
+    Returns (content_hash, keeper, n_dups). One shuffle, map-side combined.
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.min(id_col).alias("keeper"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def exact_dedup_sql(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    return (
+        f"SELECT md5({text_col}) AS content_hash, min({id_col}) AS keeper, "
+        f"count(*) AS n_dups FROM {table} GROUP BY 1"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _distinct_shingles(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    return (
+        df.select(F.col(id_col), F.explode(word_shingles(text_col, k)).alias("s"))
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash signatures + LSH banding + exact
+    Jaccard verification of candidates only.
+
+    MINHASH_K=16 string-minhashes, banded 4x4: a pair with Jaccard j
+    collides with probability 1-(1-j^4)^4 (≈0.9996 at j=0.8). Candidates
+    are then verified with exact Jaccard over distinct shingle sets and
+    filtered to ``threshold``. Returns (id_a, id_b, inter_n, union_n, jaccard).
+    """
+    sigs = df.select(
+        F.col(id_col), *minhash_signature(word_shingles(text_col, shingle_k))
+    ).filter(F.col("mh0").isNotNull())  # docs with ≥1 shingle
+
+    band_cols = []
+    for b in range(LSH_BANDS):
+        parts = [F.col(f"mh{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *parts)).alias("key"))
+        )
+    bands = sigs.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")).select(
+        id_col, "bk.band", "bk.key"
+    )
+
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+    sh = _distinct_shingles(df, text_col, id_col, shingle_k)
+    sz = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(sh.alias("sa"), F.col("id_a") == F.col(f"sa.{id_col}"))
+        .join(
+            sh.alias("sb"),
+            (F.col("id_b") == F.col(f"sb.{id_col}")) & (F.col("sa.s") == F.col("sb.s")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter_n"))
+    )
+    out = (
+        inter.join(sz.alias("za"), F.col("id_a") == F.col(f"za.{id_col}"))
+        .join(sz.alias("zb"), F.col("id_b") == F.col(f"zb.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            "inter_n",
+            (F.col("za.n") + F.col("zb.n") - F.col("inter_n")).alias("union_n"),
+        )
+        .withColumn("jaccard", F.col("inter_n").cast("double") / F.col("union_n").cast("double"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def minhash_lsh_pairs_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> str:
+    """DuckDB replica of the full LSH protocol (identical candidate set)."""
+    sh_expr = word_shingles_sql(text_col, shingle_k)
+    sig_expr = minhash_signature_sql("sl", MINHASH_K)
+    band_exprs = ", ".join(
+        f"md5(array_to_string(sigs[{b * LSH_ROWS + 1}:{b * LSH_ROWS + LSH_ROWS}], ',')) AS k{b}"
+        for b in range(LSH_BANDS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT {id_col}, {b} AS band, k{b} AS key FROM sig" for b in range(LSH_BANDS)
+    )
+    return f"""
+    WITH base AS (SELECT {id_col}, {sh_expr} AS sl FROM {table}),
+    sig AS (
+      SELECT {id_col}, {band_exprs}
+      FROM (SELECT {id_col}, {sig_expr} AS sigs FROM base WHERE len(sl) > 0)
+    ),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT x.{id_col} AS id_a, y.{id_col} AS id_b
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.key = y.key AND x.{id_col} < y.{id_col}
+    ),
+    sh AS (
+      SELECT {id_col}, s FROM (SELECT {id_col}, unnest(sl) AS s FROM base)
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT {id_col}, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS inter_n
+      FROM cand c
+      JOIN sh sa ON sa.{id_col} = c.id_a
+      JOIN sh sb ON sb.{id_col} = c.id_b AND sa.s = sb.s
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, inter_n,
+           (za.n + zb.n - inter_n) AS union_n,
+           CAST(inter_n AS DOUBLE) / CAST(za.n + zb.n - inter_n AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sz za ON za.{id_col} = id_a
+    JOIN sz zb ON zb.{id_col} = id_b
+    WHERE CAST(inter_n AS DOUBLE) / CAST(za.n + zb.n - inter_n AS DOUBLE) >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact all-pairs)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard pairs via a shingle equi-join (no LSH prefilter).
+
+    Quadratic worst case — the verification baseline; use
+    ``minhash_lsh_pairs`` at scale. Returns the same shape as LSH so the
+    two can be diffed."""
+    sh = _distinct_shingles(df, text_col, id_col, shingle_k)
+    sz = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh.alias("x")
+        .join(
+            sh.alias("y"),
+            (F.col("x.s") == F.col("y.s")) & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter_n"))
+    )
+    return (
+        inter.join(sz.alias("za"), F.col("id_a") == F.col(f"za.{id_col}"))
+        .join(sz.alias("zb"), F.col("id_b") == F.col(f"zb.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            "inter_n",
+            (F.col("za.n") + F.col("zb.n") - F.col("inter_n")).alias("union_n"),
+        )
+        .withColumn("jaccard", F.col("inter_n").cast("double") / F.col("union_n").cast("double"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> str:
+    sh_expr = word_shingles_sql(text_col, shingle_k)
+    return f"""
+    WITH sh AS (
+      SELECT {id_col}, s
+      FROM (SELECT {id_col}, unnest({sh_expr}) AS s FROM {table})
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT {id_col}, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT x.{id_col} AS id_a, y.{id_col} AS id_b, count(*) AS inter_n
+      FROM sh x JOIN sh y ON x.s = y.s AND x.{id_col} < y.{id_col}
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, inter_n,
+           (za.n + zb.n - inter_n) AS union_n,
+           CAST(inter_n AS DOUBLE) / CAST(za.n + zb.n - inter_n AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sz za ON za.{id_col} = id_a
+    JOIN sz zb ON zb.{id_col} = id_b
+    WHERE CAST(inter_n AS DOUBLE) / CAST(za.n + zb.n - inter_n AS DOUBLE) >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """60-bit SimHash fingerprint per document (term-frequency weighted).
+
+    Per-row projection (nested higher-order functions over the token
+    array): zero shuffle, codegen-compiled. Bit j of the fingerprint is 1
+    iff sum over token occurrences of ±1 (by bit j of the token's 60-bit
+    md5 hash) is positive.
+    """
+    th = (
+        f"transform(regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0), "
+        f"w -> CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT))"
+    )
+    sim = (
+        f"aggregate(transform(sequence(0, {SIMHASH_BITS - 1}), j -> "
+        f"CASE WHEN aggregate({th}, 0L, (acc, h) -> acc + "
+        f"CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1L ELSE -1L END) > 0 "
+        f"THEN shiftleft(1L, j) ELSE 0L END), 0L, (a, b) -> a + b)"
+    )
+    return df.select(F.col(id_col), F.expr(sim).alias("simhash"))
+
+
+def simhash64_sql(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
+    hv = h60_sql("w")
+    return f"""
+    WITH tok AS (
+      SELECT {id_col},
+             unnest(regexp_extract_all(lower({text_col}), '[a-z0-9]+')) AS w
+      FROM {table}
+    ),
+    h AS (SELECT {id_col}, {hv} AS hv FROM tok),
+    bits AS (
+      SELECT {id_col}, j,
+             sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h, (SELECT unnest(range(0, {SIMHASH_BITS})) AS j)
+      GROUP BY 1, 2
+    ),
+    fp AS (
+      SELECT {id_col},
+             CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY 1
+    )
+    SELECT d.{id_col}, coalesce(fp.simhash, 0) AS simhash
+    FROM {table} d LEFT JOIN fp ON d.{id_col} = fp.{id_col}
+    """
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Banding: split the 60-bit fingerprint into 4 15-bit keys; any pair at
+    Hamming ≤ 3 agrees exactly on ≥ 1 band (pigeonhole), so the self-join
+    on (band, key) finds all of them without an n² comparison; candidates
+    are then verified with bit_count(xor).
+    """
+    fp = simhash64(df, text_col, id_col)
+    n_bands = 4
+    width = SIMHASH_BITS // n_bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            ((F.col("simhash").bitwiseAND(F.lit(((1 << width) - 1) << (b * width))))).alias("key"),
+        )
+        for b in range(n_bands)
+    ]
+    bands = fp.select(id_col, "simhash", F.explode(F.array(*band_cols)).alias("bk")).select(
+        id_col, "simhash", "bk.band", "bk.key"
+    )
+    return (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.45,
+) -> DataFrame:
+    """Brute-force cosine near-dup pairs (verification baseline; O(n²)).
+
+    At scale, prefilter with random-hyperplane LSH
+    (``similarity.hyperplane_bucket``) and verify only bucket collisions.
+    """
+    a, b = df.alias("a"), df.alias("b")
+    return (
+        a.crossJoin(b)
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def embedding_dup_pairs_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.45,
+) -> str:
+    c = cosine_sql(f"a.{vec_col}", f"b.{vec_col}")
+    return f"""
+    SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, {c} AS cos_sim
+    FROM {table} a JOIN {table} b ON a.{id_col} < b.{id_col}
+    WHERE {c} >= {threshold}
+    """

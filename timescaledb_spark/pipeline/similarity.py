@@ -1,0 +1,214 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Three tiers, mirroring how a 100 TB vector corpus is actually served:
+
+- ``knn_bruteforce``: exact top-k. The query set is broadcast (small
+  side), the corpus is scanned once — no shuffle of the corpus at all;
+  per-partition partial top-k then a final top-k via the window. Cost is
+  O(|corpus|·|queries|·dim) FLOPs but a single pass, which is the right
+  baseline and the verifier for the approximate tiers.
+- ``knn_ivf``: IVF — assign every vector to its nearest centroid (one
+  broadcast join + per-row argmax), probe only the ``nprobe`` nearest
+  centroid buckets per query. Corpus work drops by ~n_centroids/nprobe.
+  Centroid choice here is deterministic (every ``stride``-th vector) so
+  the oracle can replicate; swap in k-means centroids in production.
+- ``hyperplane_bucket``: random-hyperplane LSH signature (SimHash for
+  vectors) — a per-row projection usable as a pre-join bucket key for
+  near-dup joins at scale.
+
+All scores are sequential double folds — bit-exact vs the DuckDB oracle
+(measured), so rank order and therefore top-k sets match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .core import cosine, cosine_sql, h60_sql
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k per query vector (query side broadcast)."""
+    scored = (
+        corpus.alias("c")
+        .crossJoin(F.broadcast(queries.alias("q")))
+        .filter(F.col(f"q.{id_col}") != F.col(f"c.{id_col}"))
+        .select(
+            F.col(f"q.{id_col}").alias("query_id"),
+            F.col(f"c.{id_col}").alias("neighbor_id"),
+            cosine(F.col(f"q.{vec_col}"), F.col(f"c.{vec_col}")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def knn_bruteforce_sql(
+    table: str = "embeddings",
+    query_pred: str = "vec_id < 5",
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    c = cosine_sql(f"q.{vec_col}", f"c.{vec_col}")
+    return f"""
+    WITH q AS (SELECT * FROM {table} WHERE {query_pred}),
+    scored AS (
+      SELECT q.{id_col} AS query_id, c.{id_col} AS neighbor_id, {c} AS cos_sim
+      FROM {table} c CROSS JOIN q
+      WHERE q.{id_col} != c.{id_col}
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    centroid_stride: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` nearest centroid
+    buckets only. Centroids = every ``centroid_stride``-th vector
+    (deterministic stand-in for k-means; the partition/probe machinery is
+    identical). Assignment and probing are broadcast joins — the corpus
+    is never shuffled; the inverted lists arrive for free as a
+    ``partitionBy(centroid_id)`` layout on write."""
+    cents = corpus.filter(F.pmod(F.col(id_col), F.lit(centroid_stride)) == 0).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
+    )
+
+    def nearest(df: DataFrame, n: int, out: str) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cents)).select(
+            df[id_col].alias(out),
+            F.col("centroid_id"),
+            cosine(df[vec_col], F.col("cvec")).alias("ccos"),
+        )
+        w = Window.partitionBy(out).orderBy(F.desc("ccos"), F.asc("centroid_id"))
+        return scored.withColumn("crank", F.row_number().over(w)).filter(
+            F.col("crank") <= n
+        )
+
+    assign = nearest(corpus, 1, "vid").select("vid", "centroid_id")
+    probe = nearest(queries, nprobe, "qid").select("qid", "centroid_id")
+
+    cand = (
+        probe.join(assign, "centroid_id")
+        .select("qid", "vid")
+        .filter(F.col("qid") != F.col("vid"))
+        .distinct()
+    )
+    scored = (
+        cand.join(corpus.alias("c"), F.col("vid") == F.col(f"c.{id_col}"))
+        .join(F.broadcast(queries.alias("q")), F.col("qid") == F.col(f"q.{id_col}"))
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vid").alias("neighbor_id"),
+            cosine(F.col(f"q.{vec_col}"), F.col(f"c.{vec_col}")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def knn_ivf_sql(
+    table: str = "embeddings",
+    query_pred: str = "vec_id < 5",
+    k: int = 5,
+    nprobe: int = 2,
+    centroid_stride: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    c_assign = cosine_sql(f"v.{vec_col}", "cn.cvec")
+    c_score = cosine_sql(f"q.{vec_col}", f"c.{vec_col}")
+    return f"""
+    WITH cents AS (
+      SELECT {id_col} AS centroid_id, {vec_col} AS cvec
+      FROM {table} WHERE {id_col} % {centroid_stride} = 0
+    ),
+    assign AS (
+      SELECT vid, centroid_id FROM (
+        SELECT v.{id_col} AS vid, cn.centroid_id,
+               row_number() OVER (PARTITION BY v.{id_col}
+                 ORDER BY {c_assign} DESC, cn.centroid_id ASC) AS crank
+        FROM {table} v CROSS JOIN cents cn
+      ) WHERE crank <= 1
+    ),
+    probe AS (
+      SELECT qid, centroid_id FROM (
+        SELECT v.{id_col} AS qid, cn.centroid_id,
+               row_number() OVER (PARTITION BY v.{id_col}
+                 ORDER BY {c_assign} DESC, cn.centroid_id ASC) AS crank
+        FROM {table} v CROSS JOIN cents cn
+        WHERE v.{id_col} IN (SELECT {id_col} FROM {table} WHERE {query_pred})
+      ) WHERE crank <= {nprobe}
+    ),
+    cand AS (
+      SELECT DISTINCT p.qid, a.vid
+      FROM probe p JOIN assign a ON p.centroid_id = a.centroid_id
+      WHERE p.qid != a.vid
+    ),
+    scored AS (
+      SELECT cand.qid AS query_id, cand.vid AS neighbor_id, {c_score} AS cos_sim
+      FROM cand
+      JOIN {table} c ON cand.vid = c.{id_col}
+      JOIN {table} q ON cand.qid = q.{id_col}
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+N_PLANES = 16
+
+
+def hyperplane_bucket(vec_col: str = "embedding", n_planes: int = N_PLANES):
+    """Random-hyperplane LSH bucket id (int) as a pure Column expression.
+
+    Plane p's component for dimension d is ±1 from bit 0 of the 60-bit
+    md5 hash of "p:d" — deterministic, reproducible in SQL, and unbiased.
+    Bucket bit p = sign(dot(v, plane_p)). Use as a groupBy/join key to
+    prefilter near-dup candidate pairs at scale."""
+    dot = (
+        f"aggregate(transform(sequence(0, size({vec_col}) - 1), d -> "
+        f"CAST(element_at({vec_col}, d + 1) AS DOUBLE) * "
+        f"CASE WHEN (CAST(conv(substring(md5(concat(p, ':', d)), 1, 15), 16, 10) AS BIGINT)"
+        f" & 1) = 1 THEN 1.0D ELSE -1.0D END), 0D, (acc, x) -> acc + x)"
+    )
+    return F.expr(
+        f"aggregate(transform(sequence(0, {n_planes - 1}), p -> "
+        f"CASE WHEN ({dot}) > 0 THEN shiftleft(1L, p) ELSE 0L END), "
+        f"0L, (a, b) -> a + b)"
+    )
+
+
+def hyperplane_bucket_sql(vec_col: str = "embedding", n_planes: int = N_PLANES) -> str:
+    h = h60_sql("CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)")
+    dot = (
+        f"list_sum([CAST({vec_col}[d + 1] AS DOUBLE) * "
+        f"(CASE WHEN ({h}) & 1 = 1 THEN 1.0 ELSE -1.0 END) "
+        f"FOR d IN range(0, len({vec_col}))])"
+    )
+    return (
+        f"CAST(list_sum([CASE WHEN ({dot}) > 0 THEN (1::BIGINT << p) ELSE 0 END "
+        f"FOR p IN range(0, {n_planes})]) AS BIGINT)"
+    )

@@ -1,0 +1,200 @@
+"""Text analysis operators for training-data curation.
+
+Language ID (stopword-hit heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and document fingerprinting (min-hash of
+character k-grams, a winnowing-style rolling fingerprint).
+
+All pure SQL expressions — JVM-side, codegen-friendly, no UDFs — so a
+100 TB documents table processes at full scan speed with zero shuffle
+(every feature is a per-row projection). Functions take a *column name*
+and return a Column built with ``F.expr`` so the paired ``*_sql`` helper
+emits the bit-identical DuckDB formula for the oracle. Reference analog:
+TimescaleDB has no text pipeline; these extend the engine for LLM data
+curation (BASELINE north-star items).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .core import TOKEN_RE
+
+#: BPE-ish pre-tokenization: letter runs, single digits, single symbols.
+BPE_RE = "[a-z]+|[0-9]|[^a-z0-9\\s]"
+PUNCT_RE = "[^a-z0-9\\s]"
+# Spark SQL single-quoted literals process backslash escapes (\s -> s),
+# DuckDB's do not — double them for the Spark expr strings only.
+BPE_RE_SPARK = BPE_RE.replace("\\", "\\\\")
+PUNCT_RE_SPARK = PUNCT_RE.replace("\\", "\\\\")
+
+#: stopword lists for the stopword-hit language heuristic, in
+#: deterministic priority order for tie-breaking.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it", "on", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "se", "no"),
+    "de": ("der", "die", "und", "das", "von", "zu", "mit", "ist", "im", "den"),
+    "fr": ("le", "les", "des", "et", "une", "du", "dans", "pour", "est", "au"),
+}
+
+
+def _toks(name: str) -> str:
+    return f"regexp_extract_all(lower({name}), '{TOKEN_RE}', 0)"
+
+
+def _toks_duck(name: str) -> str:
+    return f"regexp_extract_all(lower({name}), '{TOKEN_RE}')"
+
+
+def token_count(name: str) -> Column:
+    """Token count under the shared `[a-z0-9]+` tokenizer."""
+    return F.expr(f"size({_toks(name)})")
+
+
+def token_count_sql(name: str) -> str:
+    return f"len({_toks_duck(name)})"
+
+
+def bpe_token_count(name: str) -> Column:
+    """Upper-bound BPE token estimate via GPT-style pre-tokenizer regex."""
+    return F.expr(f"regexp_count(lower({name}), '{BPE_RE_SPARK}')")
+
+
+def bpe_token_count_sql(name: str) -> str:
+    return f"len(regexp_extract_all(lower({name}), '{BPE_RE}'))"
+
+
+def punct_count(name: str) -> Column:
+    return F.expr(f"regexp_count(lower({name}), '{PUNCT_RE_SPARK}')")
+
+
+def punct_count_sql(name: str) -> str:
+    return f"len(regexp_extract_all(lower({name}), '{PUNCT_RE}'))"
+
+
+def _stoplist(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+
+
+def stop_hits(name: str, lang: str = "en") -> Column:
+    """Count of tokens (with multiplicity) in the language's stopword list."""
+    return F.expr(f"size(filter({_toks(name)}, t -> t IN ({_stoplist(lang)})))")
+
+
+def stop_hits_sql(name: str, lang: str = "en") -> str:
+    return f"len(list_filter({_toks_duck(name)}, t -> t IN ({_stoplist(lang)})))"
+
+
+def mean_token_len(name: str) -> Column:
+    t = _toks(name)
+    return F.expr(
+        f"CAST(aggregate({t}, 0, (acc, w) -> acc + length(w)) AS DOUBLE)"
+        f" / CAST(nullif(size({t}), 0) AS DOUBLE)"
+    )
+
+
+def mean_token_len_sql(name: str) -> str:
+    t = _toks_duck(name)
+    return (
+        f"CAST(list_sum([length(w) FOR w IN {t}]) AS DOUBLE)"
+        f" / CAST(nullif(len({t}), 0) AS DOUBLE)"
+    )
+
+
+def quality_score(name: str) -> Column:
+    """Deterministic [0,1] quality heuristic: length, stopword density,
+    punctuation density. Fixed formula so the oracle reproduces it:
+
+      0.4*min(n_tok/64, 1) + 0.3*min(4*stop/n_tok, 1)
+      + 0.3*max(1 - 8*punct/n_chars, 0)
+    """
+    n_tok = f"CAST(size({_toks(name)}) AS DOUBLE)"
+    stop = f"CAST(size(filter({_toks(name)}, t -> t IN ({_stoplist('en')}))) AS DOUBLE)"
+    punct = f"CAST(regexp_count(lower({name}), '{PUNCT_RE_SPARK}') AS DOUBLE)"
+    n_chars = f"CAST(greatest(length({name}), 1) AS DOUBLE)"
+    return F.expr(
+        f"0.4 * least({n_tok} / 64.0, 1.0)"
+        f" + 0.3 * (CASE WHEN {n_tok} > 0 THEN least(4.0 * {stop} / {n_tok}, 1.0)"
+        f"          ELSE 0.0 END)"
+        f" + 0.3 * greatest(1.0 - 8.0 * {punct} / {n_chars}, 0.0)"
+    )
+
+
+def quality_score_sql(name: str) -> str:
+    n_tok = f"CAST({token_count_sql(name)} AS DOUBLE)"
+    stop = f"CAST({stop_hits_sql(name)} AS DOUBLE)"
+    punct = f"CAST({punct_count_sql(name)} AS DOUBLE)"
+    n_chars = f"CAST(greatest(length({name}), 1) AS DOUBLE)"
+    return (
+        f"0.4 * least({n_tok} / 64.0, 1.0)"
+        f" + 0.3 * (CASE WHEN {n_tok} > 0 THEN least(4.0 * {stop} / {n_tok}, 1.0)"
+        f"          ELSE 0.0 END)"
+        f" + 0.3 * greatest(1.0 - 8.0 * {punct} / {n_chars}, 0.0)"
+    )
+
+
+def _langid_case(hit_exprs: dict[str, str]) -> str:
+    """Shared CASE chain: argmax of hits, earlier languages win ties."""
+    langs = list(LANG_STOPWORDS)
+    out = "'und'"
+    for lang in reversed(langs):
+        conds = [f"{hit_exprs[lang]} > 0"]
+        for o in langs[langs.index(lang) + 1 :]:
+            conds.append(f"{hit_exprs[lang]} >= {hit_exprs[o]}")
+        for o in langs[: langs.index(lang)]:
+            conds.append(f"{hit_exprs[lang]} > {hit_exprs[o]}")
+        out = f"CASE WHEN {' AND '.join(conds)} THEN '{lang}' ELSE {out} END"
+    return out
+
+
+def lang_id(name: str) -> Column:
+    """Language guess: argmax of per-language stopword hits; ties go to the
+    earlier language in LANG_STOPWORDS order; zero hits → 'und'."""
+    hits = {
+        lang: f"size(filter({_toks(name)}, t -> t IN ({_stoplist(lang)})))"
+        for lang in LANG_STOPWORDS
+    }
+    return F.expr(_langid_case(hits))
+
+
+def lang_id_sql(name: str) -> str:
+    hits = {lang: stop_hits_sql(name, lang) for lang in LANG_STOPWORDS}
+    return _langid_case(hits)
+
+
+FP_GRAM = 16
+FP_STRIDE = 8
+
+
+def doc_fingerprint(name: str) -> Column:
+    """Rolling-hash document fingerprint: min md5 over character
+    FP_GRAM-grams sampled every FP_STRIDE chars (winnowing-style). Texts
+    shorter than FP_GRAM hash the whole text."""
+    return F.expr(
+        f"array_min(transform("
+        f"sequence(1, greatest(length({name}) - {FP_GRAM - 1}, 1), {FP_STRIDE}),"
+        f" i -> md5(substring({name}, i, {FP_GRAM}))))"
+    )
+
+
+def doc_fingerprint_sql(name: str) -> str:
+    return (
+        f"list_aggregate([md5(substring({name}, i, {FP_GRAM})) "
+        f"FOR i IN range(1, greatest(length({name}) - {FP_GRAM - 1}, 1) + 1, "
+        f"{FP_STRIDE})], 'min')"
+    )
+
+
+def text_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """All text-analysis features as one narrow projection (single scan,
+    column-pruned to (id, text) at the parquet reader)."""
+    return df.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tok"),
+        bpe_token_count(text_col).alias("n_bpe"),
+        punct_count(text_col).alias("n_punct"),
+        stop_hits(text_col).alias("n_stop"),
+        mean_token_len(text_col).alias("mean_tok_len"),
+        quality_score(text_col).alias("quality"),
+        lang_id(text_col).alias("lang_guess"),
+        doc_fingerprint(text_col).alias("fingerprint"),
+    )

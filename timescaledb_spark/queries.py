@@ -599,8 +599,16 @@ def q_distinct_last_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_extra_inventories()
     return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
+    _load_extra_inventories()
     return dict(ORACLES)
+
+
+def _load_extra_inventories() -> None:
+    """Import satellite query modules that register via @query (deferred
+    to avoid a circular import at module load)."""
+    from . import queries_pipeline  # noqa: F401
