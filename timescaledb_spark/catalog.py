@@ -107,6 +107,7 @@ class Catalog:
         "chunk_column_stats",       # catalog.h CHUNK_COLUMN_STATS
         "bgw_job",             # catalog.h BGW_JOB
         "bgw_job_stat",        # catalog.h BGW_JOB_STAT
+        "bgw_job_stat_history",  # catalog.h BGW_JOB_STAT_HISTORY
         "metadata",
     )
 

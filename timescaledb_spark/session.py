@@ -98,4 +98,6 @@ class TSSession:
     def jobs(self):
         from .jobs import JobRegistry
 
-        return JobRegistry(self)
+        if not hasattr(self, "_jobs"):
+            self._jobs = JobRegistry(self)
+        return self._jobs
