@@ -1,0 +1,125 @@
+"""Chunk surgery: merge_chunks / split_chunk.
+
+Reference parity: ``merge_chunks`` (``sql/maintenance_utils.sql:70``;
+``tsl/src/chunk_merge.c``) and ``split_chunk``
+(``sql/maintenance_utils.sql:85``; ``tsl/src/chunk_split.c``). Both are
+metadata+rewrite operations on whole chunks; the resulting slices leave
+the uniform interval grid, which insert routing handles via the
+irregular-chunk override in ``Hypertable._partition_exprs``.
+
+Scale note: each operation touches only the named chunks — a directory
+read + clustered write of those chunks, never a table scan. On a real
+cluster this is one job over the merged range's files.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time as _time
+from typing import Sequence, Union
+
+from .hypertable import CHUNK_COL, Hypertable, _to_internal
+
+
+def _chunk_by_start(ht: Hypertable, start: Union[dict, int]) -> dict:
+    if isinstance(start, dict):
+        return start
+    for c in ht.chunks():
+        if c["range_start"] == start:
+            return c
+    raise KeyError(f"no chunk starting at {start}")
+
+
+def _chunk_dir(ht: Hypertable, c: dict) -> str:
+    return os.path.join(ht.data_dir, f"{CHUNK_COL}={c['range_start']}")
+
+
+def merge_chunks(ht: Hypertable, starts: Sequence[Union[int, dict]]) -> dict:
+    """``merge_chunks(chunk[])``: combine adjacent chunks into one.
+
+    The chunks must tile a contiguous range (each ``range_end`` equals
+    the next ``range_start``) — same precondition as the reference
+    (``tsl/src/chunk_merge.c`` checks slice adjacency).
+    """
+    chunks = sorted(
+        (_chunk_by_start(ht, s) for s in starts), key=lambda c: c["range_start"]
+    )
+    if len(chunks) < 2:
+        raise ValueError("merge_chunks needs at least two chunks")
+    for a, b in zip(chunks, chunks[1:]):
+        if a["range_end"] != b["range_start"]:
+            raise ValueError(
+                f"chunks not adjacent: [{a['range_start']},{a['range_end']}) then "
+                f"[{b['range_start']},{b['range_end']})"
+            )
+    spark = ht.ts.spark
+    cat = ht.ts.catalog
+    target = chunks[0]
+    dirs = [_chunk_dir(ht, c) for c in chunks if os.path.isdir(_chunk_dir(ht, c))]
+    merged_dir = _chunk_dir(ht, target)
+    tmp = merged_dir + ".tmp_merge"
+    if dirs:
+        spark.read.parquet(*dirs).write.mode("overwrite").parquet(tmp)
+        for d in dirs:
+            shutil.rmtree(d)
+        os.replace(tmp, merged_dir)
+    new_row = {
+        "id": cat.next_id("chunk"),
+        "hypertable_id": ht.id,
+        "range_start": target["range_start"],
+        "range_end": chunks[-1]["range_end"],
+        "status": "rowstore",  # merged data is unclustered until recompressed
+        "created_at": _time.time(),
+    }
+    for c in chunks:
+        cat.chunk.delete({"id": c["id"]})
+        cat.chunk_column_stats.delete({"chunk_id": c["id"]})
+    cat.chunk.append([new_row])
+    return new_row
+
+
+def split_chunk(
+    ht: Hypertable, chunk: Union[int, dict], at: Union[int, str]
+) -> list[dict]:
+    """``split_chunk(chunk, split_at)``: one chunk -> two at ``at``."""
+    c = _chunk_by_start(ht, chunk)
+    at_i = _to_internal(at)
+    if not (c["range_start"] < at_i < c["range_end"]):
+        raise ValueError(
+            f"split point {at_i} outside ({c['range_start']}, {c['range_end']})"
+        )
+    spark = ht.ts.spark
+    cat = ht.ts.catalog
+    path = _chunk_dir(ht, c)
+    lo_tmp, hi_tmp = path + ".tmp_lo", path + ".tmp_hi"
+    if os.path.isdir(path):
+        df = spark.read.parquet(path)
+        internal = ht._internal_time_expr(df)
+        df.filter(internal < at_i).write.mode("overwrite").parquet(lo_tmp)
+        df.filter(internal >= at_i).write.mode("overwrite").parquet(hi_tmp)
+        shutil.rmtree(path)
+        os.replace(lo_tmp, path)
+        os.replace(hi_tmp, os.path.join(ht.data_dir, f"{CHUNK_COL}={at_i}"))
+    rows = [
+        {
+            "id": cat.next_id("chunk"),
+            "hypertable_id": ht.id,
+            "range_start": c["range_start"],
+            "range_end": at_i,
+            "status": "rowstore",
+            "created_at": _time.time(),
+        },
+        {
+            "id": cat.next_id("chunk"),
+            "hypertable_id": ht.id,
+            "range_start": at_i,
+            "range_end": c["range_end"],
+            "status": "rowstore",
+            "created_at": _time.time(),
+        },
+    ]
+    cat.chunk.delete({"id": c["id"]})
+    cat.chunk_column_stats.delete({"chunk_id": c["id"]})
+    cat.chunk.append(rows)
+    return rows

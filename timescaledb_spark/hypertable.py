@@ -236,9 +236,21 @@ class Hypertable:
     def _partition_exprs(self, df: DataFrame) -> list[Column]:
         interval = int(self.row["chunk_interval"])
         internal = self._internal_time_expr(df)
-        exprs = [
-            (internal - F.pmod(internal, F.lit(interval))).alias(CHUNK_COL)
-        ]
+        route = internal - F.pmod(internal, F.lit(interval))
+        # Chunks whose slice left the uniform grid (merge_chunks /
+        # split_chunk surgery) take precedence over grid routing — the
+        # analog of tuple routing consulting dimension slices
+        # (src/chunk_tuple_routing.c:72). Irregular chunks are rare
+        # (surgery output), so a chained CASE stays cheap and codegen-able.
+        for c in self._irregular_chunks():
+            route = (
+                F.when(
+                    (internal >= F.lit(c["range_start"]))
+                    & (internal < F.lit(c["range_end"])),
+                    F.lit(c["range_start"]),
+                ).otherwise(route)
+            )
+        exprs = [route.alias(CHUNK_COL)]
         if self.row.get("space_column"):
             n = int(self.row["num_partitions"])
             exprs.append(
@@ -300,6 +312,19 @@ class Hypertable:
     def _schema(self) -> T.StructType:
         return T.StructType.fromJson(__import__("json").loads(self.row["schema_ddl"]))
 
+    def _irregular_chunks(self) -> list[dict]:
+        """Chunks whose [start, end) is not the uniform interval grid."""
+        interval = int(self.row["chunk_interval"])
+        out = []
+        for c in self.chunks():
+            on_grid = (
+                c["range_end"] - c["range_start"] == interval
+                and c["range_start"] % interval == 0
+            )
+            if not on_grid:
+                out.append(c)
+        return out
+
     def _register_chunks_in_range(self, tmin: int, tmax: int) -> list[int]:
         """Register any partition dirs present on disk as catalog chunks."""
         interval = int(self.row["chunk_interval"])
@@ -349,6 +374,115 @@ class Hypertable:
                     }
                 ]
             )
+
+    # ----------------------------------------------------------------- dml
+    def _affected_chunk_writeback(self, out: DataFrame) -> None:
+        """Rewrite exactly the partition dirs present in ``out`` via
+        dynamic partition overwrite — the Spark-native analog of the
+        reference's per-chunk DML rewrites
+        (``tsl/src/compression/compression_dml.c``): untouched chunks'
+        files are never read or written."""
+        (
+            out.repartition(*[F.col(c) for c in self._partition_cols])
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*self._partition_cols)
+            .parquet(self.data_dir)
+        )
+
+    def _mark_rewritten(self, chunk_starts: Iterable[int]) -> None:
+        """After an in-place rewrite, a columnstore chunk is back to row
+        form and its skip-index stats are stale."""
+        cat = self.ts.catalog
+        starts = set(chunk_starts)
+        for c in self.chunks():
+            if c["range_start"] in starts and c.get("status") == "columnstore":
+                cat.chunk.update({"id": c["id"]}, {"status": "rowstore"})
+                cat.chunk_column_stats.delete({"chunk_id": c["id"]})
+
+    def upsert(self, df: DataFrame, keys: Sequence[str]) -> dict:
+        """INSERT .. ON CONFLICT DO UPDATE over hypertables
+        (``test/sql/upsert.sql``; arbiter handling in
+        ``ModifyHypertable``, ``src/nodes/modify_hypertable.c``).
+
+        Rows in ``df`` replace existing rows with equal ``keys``; others
+        append. Only chunks receiving rows are rewritten (anti-join of
+        the old chunk contents against the new keys, then a dynamic
+        partition overwrite of those dirs). Works on columnstore chunks —
+        they are rewritten and drop back to rowstore status, like the
+        reference's decompress-on-upsert path.
+        """
+        self._ensure_typed(df)
+        new = df.select("*", *self._partition_exprs(df))
+        affected = sorted(
+            r[0] for r in new.select(CHUNK_COL).distinct().collect()
+        )
+        if not affected:
+            return {"rows": 0, "chunks": []}
+        existing = {c["range_start"]: c for c in self.chunks()}
+        hit = [s for s in affected if s in existing]
+        out = new
+        if hit:
+            old = self.ts.spark.read.option("basePath", self.data_dir).parquet(
+                *[
+                    os.path.join(self.data_dir, f"{CHUNK_COL}={s}")
+                    for s in hit
+                ]
+            )
+            keep = old.join(
+                new.select(*keys).distinct(), list(keys), "left_anti"
+            ).select(*new.columns)
+            out = keep.unionByName(new)
+        stats = (
+            df.select(self._internal_time_expr(df).alias("_t"))
+            .agg(F.min("_t").alias("tmin"), F.max("_t").alias("tmax"), F.count(F.lit(1)).alias("n"))
+            .collect()[0]
+        )
+        self._affected_chunk_writeback(out)
+        self._mark_rewritten(hit)
+        chunks = self._register_chunks_in_range(stats["tmin"], stats["tmax"])
+        self._capture_invalidation(stats["tmin"], stats["tmax"])
+        return {"rows": stats["n"], "chunks": chunks, "rewritten": hit}
+
+    def update_where(
+        self,
+        assignments: dict[str, Union[str, Column]],
+        where: Union[str, Column],
+        start: Union[int, str, datetime, None] = None,
+        end: Union[int, str, datetime, None] = None,
+    ) -> int:
+        """UPDATE hypertable SET .. WHERE .. (``test/sql/update.sql``),
+        chunk-pruned by ``start``/``end`` then rewritten per affected
+        chunk dir. Returns the number of rows matching ``where``."""
+        cond = F.expr(where) if isinstance(where, str) else where
+        lo, hi = _to_internal(start), _to_internal(end)
+        targets = [
+            c
+            for c in self.chunks()
+            if (hi is None or c["range_start"] < hi)
+            and (lo is None or c["range_end"] > lo)
+        ]
+        if not targets:
+            return 0
+        old = self.ts.spark.read.option("basePath", self.data_dir).parquet(
+            *[os.path.join(self.data_dir, f"{CHUNK_COL}={c['range_start']}") for c in targets]
+        )
+        n = old.filter(cond).count()
+        if n == 0:
+            return 0
+        out = old
+        for col, expr in assignments.items():
+            val = F.expr(expr) if isinstance(expr, str) else expr
+            out = out.withColumn(col, F.when(cond, val).otherwise(F.col(col)))
+        mm = old.filter(cond).agg(
+            F.min(self._internal_time_expr(old)).alias("lo"),
+            F.max(self._internal_time_expr(old)).alias("hi"),
+        ).collect()[0]
+        self._affected_chunk_writeback(out)
+        self._mark_rewritten([c["range_start"] for c in targets])
+        if mm["lo"] is not None:
+            self._capture_invalidation(mm["lo"], mm["hi"])
+        return n
 
     # ---------------------------------------------------------------- read
     def read(
