@@ -1,0 +1,359 @@
+"""Inherited-relational-operator queries (SURVEY §2.7).
+
+TimescaleDB implements none of these itself — they are PostgreSQL's —
+but hypertable queries use them constantly, so the correctness gate must
+cover them over the same tables (reference tests:
+``tsl/test/shared/sql/decompress_join.sql``, ``test/sql/plan_hashagg.sql``,
+window/grouping coverage across ``tsl/test/sql``). Every query here is
+pure declarative DataFrame API → Catalyst picks broadcast joins for the
+dims, partial aggregation, and pushes filters to the scans.
+
+Determinism conventions: top-N selections and window frames use
+composite tie-break keys (unique ids) so Spark and DuckDB rank
+identically despite float ties; window sums/averages run in identical
+frame order on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .queries import query
+from .sources import load_table
+
+
+# ---------------------------------------------------------------------------
+# joins (decompress_join / ordered_append_join parity)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_tpch_q3",
+    """
+    SELECT o.o_orderkey, o.o_orderdate,
+           sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective fact join + top-N. Customer is broadcast;
+    the orderkey join shuffles once; tie-break on orderkey keeps the
+    LIMIT deterministic across engines."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q_tpch_q6",
+    """
+    SELECT sum(l_extendedprice * l_discount) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+      AND l_shipdate < TIMESTAMP '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure filter+agg — every predicate must reach the parquet
+    scan (PushedFilters), the 100 TB fast path."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "q_semi_anti_join",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+      )
+    """,
+)
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS/NOT EXISTS → left-semi + left-anti joins (PG inherits;
+    hypertable queries rely on them, e.g. retention-audit patterns)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .join(
+            o.filter(F.col("o_orderstatus") == "F"),
+            c.c_custkey == o.o_custkey,
+            "left_anti",
+        )
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "q_asof_prev_click",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click_value
+      FROM events
+    )
+    SELECT event_id, user_id, ts, value, prev_click_value
+    FROM seq WHERE event_type = 'purchase'
+    """,
+)
+def q_asof_prev_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (each purchase matched to the latest strictly-earlier
+    click of the same user), expressed as a carried last-ignore-nulls
+    window — the composition-of-builtin-ops strategy for operators Spark
+    lacks natively. Single shuffle on user_id; no range-join explosion."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.last(
+        F.when(F.col("event_type") == "click", F.col("value")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("prev_click_value", prev)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "value", "prev_click_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# grouping sets / rollup / cube (plan_hashagg parity)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "q_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           sum(o_totalprice) AS total, count(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.sum("o_totalprice").alias("total"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "q_grouping_sets",
+    """
+    SELECT event_type, user_id % 10 AS user_mod, count(*) AS n,
+           sum(value) AS sum_v
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_gs_events")
+    return spark.sql(
+        """
+        SELECT event_type, user_id % 10 AS user_mod, count(*) AS n,
+               sum(value) AS sum_v
+        FROM _gs_events
+        GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# window functions (§2.7; frames + ranking)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_moving_avg",
+    """
+    SELECT event_id, event_type, ts,
+           avg(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7
+    FROM events
+    """,
+)
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-frame moving average; frame order fixed by (ts, event_id) so
+    float accumulation order matches the oracle bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id").rowsBetween(-6, 0)
+    return ev.select(
+        "event_id", "event_type", "ts", F.avg("value").over(w).alias("ma7")
+    )
+
+
+@query(
+    "q_topn_per_group",
+    """
+    SELECT event_type, event_id, value
+    FROM (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events
+    ) WHERE rn <= 3
+    """,
+)
+def q_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group via ranking window (SkipScan-adjacent pattern);
+    Spark runs it with a partial top-N sort per partition, no global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("event_type", "event_id", "value")
+    )
+
+
+@query(
+    "q_count_distinct",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS users,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT aggregate (skip_scan.sql's DISTINCT-agg cases): Catalyst
+    plans expand + two-phase agg; exact, unlike approx_count_distinct."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("users"), F.count(F.lit(1)).alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sliding windows (§2.8: superset of the reference's tumbling-only)
+# ---------------------------------------------------------------------------
+
+_SLIDE_US = 1_800_000_000  # 30 min
+_WIN_US = 3_600_000_000  # 1 hour
+
+
+@query(
+    "q_sliding_window",
+    f"""
+    SELECT make_timestamp(
+             (epoch_us(ts) - ((epoch_us(ts) - 946857600000000) % {_SLIDE_US}
+                              + {_SLIDE_US}) % {_SLIDE_US}) - k.k * {_SLIDE_US}
+           ) AS win_start,
+           event_type, count(*) AS n, sum(value) AS sum_v
+    FROM events CROSS JOIN (VALUES (0), (1)) AS k(k)
+    GROUP BY 1, 2
+    """,
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 30 min: each row feeds window starts
+    ``time_bucket(30m, ts) - k*30m`` for k in 0..1 (hop count =
+    window/slide). Same explode-then-aggregate shape Spark's
+    ``window(slideDuration)`` plans, but with reference time_bucket
+    origin alignment instead of epoch alignment."""
+    from .functions import time_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            "value",
+            F.explode(F.array(F.lit(0), F.lit(1))).alias("k"),
+            time_bucket("30 minutes", "ts").alias("_tb"),
+        )
+        .select(
+            (
+                F.timestamp_micros(
+                    F.unix_micros("_tb") - F.col("k") * F.lit(_SLIDE_US)
+                )
+            ).alias("win_start"),
+            "event_type",
+            "value",
+        )
+        .groupBy("win_start", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_v"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# set operations (§2.7)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_set_ops",
+    """
+    SELECT user_id FROM (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'view'
+    )
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT: users who clicked and viewed but never bought."""
+    ev = load_table(spark, sf_dir, "events")
+    uid = lambda t: ev.filter(F.col("event_type") == t).select("user_id")  # noqa: E731
+    return uid("click").intersect(uid("view")).subtract(uid("purchase"))
