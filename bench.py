@@ -36,6 +36,9 @@ def main() -> None:
         df = fn(spark, SF_DIR)
         df.collect()
         times[name] = round(time.perf_counter() - t0, 4)
+        # queries that cache intermediates (LSH bands, shingle sets) must
+        # not bleed memory pressure into the next measurement
+        spark.catalog.clearCache()
 
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None

@@ -83,28 +83,47 @@ def word_shingles_sql(expr: str, k: int = 3) -> str:
     )
 
 
+#: affine-permutation minhash parameters: mh_i = min((A[i]*h32 + B[i]) % P).
+#: One md5 per shingle (reduced to 32 bits) + k multiply-adds replaces k
+#: full md5 passes — 16× less hashing on the hot path. P is the Mersenne
+#: prime 2^31-1; A[i] < 2^30 keeps A[i]*h32 < 2^62 (no int64 overflow in
+#: either engine); fixed odd multipliers make the signature deterministic.
+MINHASH_P = 2_147_483_647
+
+
+def _mh_params(k: int = MINHASH_K) -> list[tuple[int, int]]:
+    out = []
+    for i in range(k):
+        a = ((i + 1) * 2_654_435_761) % (1 << 30) | 1
+        b = ((i + 1) * 40_503 * 65_537) % MINHASH_P
+        out.append((a, b))
+    return out
+
+
+def h32(col) -> Column:
+    """32-bit deterministic hash: int of the first 8 hex chars of md5."""
+    return F.conv(F.substring(F.md5(_col(col)), 1, 8), 16, 10).cast("long")
+
+
+def h32_sql(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 8))::BIGINT"
+
+
 def minhash_signature(shingles: Column, k: int = MINHASH_K) -> list[Column]:
-    """k minhash values: per permutation i, min md5 over seeded shingles.
-
-    String-min over md5 hex is a valid uniform minhash (md5 is the random
-    permutation; the seed prefix makes the k hashes independent) and is
-    engine-portable because both engines compare ASCII hex identically.
-    """
-    return [
-        F.array_min(
-            F.transform(shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s)))
-        ).alias(f"mh{i}")
-        for i in range(k)
-    ]
-
-
-def minhash_signature_sql(shingles_expr: str, k: int = MINHASH_K) -> str:
-    """DuckDB list of the same k minhash values."""
-    return (
-        f"[list_aggregate(list_transform({shingles_expr}, "
-        f"s -> md5(CAST(i AS VARCHAR) || '|' || s)), 'min') "
-        f"FOR i IN range(0, {k})]"
+    """k minhash values over affine permutations of a single 60-bit hash
+    per shingle (classic (a*h+b) mod p universal-hash minhash; the top 32
+    bits of h keep a*h inside int64)."""
+    hashed = F.transform(
+        shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
     )
+
+    def _perm(a: int, b: int):
+        return lambda h: (F.shiftright(h, 28) * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
+
+    return [
+        F.array_min(F.transform(hashed, _perm(a, b))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_mh_params(k))
+    ]
 
 
 def cosine(a: Column, b: Column) -> Column:

@@ -32,11 +32,11 @@ from .core import (
     LSH_BANDS,
     LSH_ROWS,
     MINHASH_K,
-    cosine,
+    MINHASH_P,
+    _mh_params,
     cosine_sql,
+    h60,
     h60_sql,
-    minhash_signature,
-    minhash_signature_sql,
     word_shingles,
     word_shingles_sql,
 )
@@ -70,8 +70,18 @@ def exact_dedup_sql(table: str = "documents", text_col: str = "text", id_col: st
 
 
 def _distinct_shingles(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """Distinct (id, shingle-hash) pairs. Shingles are reduced to 60-bit
+    md5 hashes before the distinct: the shuffle moves int64s instead of
+    ~40-char strings (~10× less shuffle bytes) and the equi-joins compare
+    longs. Collision odds within one doc pair are ~S²/2^61 — vanishing —
+    and the oracle hashes identically, so results still match bit-exactly.
+    """
     return (
-        df.select(F.col(id_col), F.explode(word_shingles(text_col, k)).alias("s"))
+        df.select(
+            F.col(id_col),
+            F.explode(word_shingles(text_col, k)).alias("_s"),
+        )
+        .select(F.col(id_col), h60("_s").alias("s"))
         .distinct()
     )
 
@@ -91,18 +101,46 @@ def minhash_lsh_pairs(
     are then verified with exact Jaccard over distinct shingle sets and
     filtered to ``threshold``. Returns (id_a, id_b, inter_n, union_n, jaccard).
     """
-    sigs = df.select(
-        F.col(id_col), *minhash_signature(word_shingles(text_col, shingle_k))
-    ).filter(F.col("mh0").isNotNull())  # docs with ≥1 shingle
+    # One md5 per shingle, materialized once (cache): the signature path
+    # reads the 60-bit hash array per row, the verification path explodes
+    # the same array. Signatures use the top 32 bits (h >> 28) under k
+    # affine permutations — multiply-adds, not k fresh hash passes.
+    hl = (
+        df.select(
+            F.col(id_col),
+            F.transform(
+                word_shingles(text_col, shingle_k),
+                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+            ).alias("hl"),
+        )
+        .filter(F.size("hl") > 0)
+        .cache()
+    )
+
+    def _perm(a: int, b: int):
+        return lambda h: (F.shiftright(h, 28) * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
+
+    sigs = hl.select(
+        F.col(id_col),
+        *[
+            F.array_min(F.transform(F.col("hl"), _perm(a, b))).alias(f"mh{i}")
+            for i, (a, b) in enumerate(_mh_params(MINHASH_K))
+        ],
+    )
 
     band_cols = []
     for b in range(LSH_BANDS):
         parts = [F.col(f"mh{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
         band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *parts)).alias("key"))
+            F.struct(F.lit(b).alias("band"), F.concat_ws(",", *parts).alias("key"))
         )
-    bands = sigs.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")).select(
-        id_col, "bk.band", "bk.key"
+    # cache: the self-join would otherwise recompute the permutations
+    # once per branch. Bands are 4 short rows per doc — tiny relative to
+    # the corpus, safe to materialize at any scale.
+    bands = (
+        sigs.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk"))
+        .select(id_col, "bk.band", "bk.key")
+        .cache()
     )
 
     cand = (
@@ -117,7 +155,9 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh = _distinct_shingles(df, text_col, id_col, shingle_k)
+    # cached: reused by both sides of the verification join and the size
+    # aggregate (3 plan branches). Int64 shingle hashes, not strings.
+    sh = hl.select(F.col(id_col), F.explode("hl").alias("s")).distinct().cache()
     sz = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     inter = (
         cand.join(sh.alias("sa"), F.col("id_a") == F.col(f"sa.{id_col}"))
@@ -152,9 +192,12 @@ def minhash_lsh_pairs_sql(
 ) -> str:
     """DuckDB replica of the full LSH protocol (identical candidate set)."""
     sh_expr = word_shingles_sql(text_col, shingle_k)
-    sig_expr = minhash_signature_sql("sl", MINHASH_K)
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(hl, h -> ((h >> 28) * {a} + {b}) % {MINHASH_P}))"
+        for a, b in _mh_params(MINHASH_K)
+    )
     band_exprs = ", ".join(
-        f"md5(array_to_string(sigs[{b * LSH_ROWS + 1}:{b * LSH_ROWS + LSH_ROWS}], ',')) AS k{b}"
+        f"array_to_string(sigs[{b * LSH_ROWS + 1}:{b * LSH_ROWS + LSH_ROWS}], ',') AS k{b}"
         for b in range(LSH_BANDS)
     )
     band_rows = " UNION ALL ".join(
@@ -162,9 +205,13 @@ def minhash_lsh_pairs_sql(
     )
     return f"""
     WITH base AS (SELECT {id_col}, {sh_expr} AS sl FROM {table}),
+    hashed AS (
+      SELECT {id_col}, list_transform(sl, s -> {h60_sql('s')}) AS hl
+      FROM base WHERE len(sl) > 0
+    ),
     sig AS (
       SELECT {id_col}, {band_exprs}
-      FROM (SELECT {id_col}, {sig_expr} AS sigs FROM base WHERE len(sl) > 0)
+      FROM (SELECT {id_col}, [{sig_exprs}] AS sigs FROM hashed)
     ),
     bands AS ({band_rows}),
     cand AS (
@@ -173,7 +220,7 @@ def minhash_lsh_pairs_sql(
         ON x.band = y.band AND x.key = y.key AND x.{id_col} < y.{id_col}
     ),
     sh AS (
-      SELECT {id_col}, s FROM (SELECT {id_col}, unnest(sl) AS s FROM base)
+      SELECT {id_col}, s FROM (SELECT {id_col}, unnest(hl) AS s FROM hashed)
       GROUP BY 1, 2
     ),
     sz AS (SELECT {id_col}, count(*) AS n FROM sh GROUP BY 1),
@@ -211,7 +258,7 @@ def ngram_jaccard_pairs(
     Quadratic worst case — the verification baseline; use
     ``minhash_lsh_pairs`` at scale. Returns the same shape as LSH so the
     two can be diffed."""
-    sh = _distinct_shingles(df, text_col, id_col, shingle_k)
+    sh = _distinct_shingles(df, text_col, id_col, shingle_k).cache()
     sz = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     inter = (
         sh.alias("x")
@@ -246,10 +293,11 @@ def ngram_jaccard_pairs_sql(
     threshold: float = 0.8,
 ) -> str:
     sh_expr = word_shingles_sql(text_col, shingle_k)
+    hs = h60_sql("_s")
     return f"""
     WITH sh AS (
-      SELECT {id_col}, s
-      FROM (SELECT {id_col}, unnest({sh_expr}) AS s FROM {table})
+      SELECT {id_col}, {hs} AS s
+      FROM (SELECT {id_col}, unnest({sh_expr}) AS _s FROM {table})
       GROUP BY 1, 2
     ),
     sz AS (SELECT {id_col}, count(*) AS n FROM sh GROUP BY 1),
@@ -278,22 +326,43 @@ SIMHASH_BITS = 60
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """60-bit SimHash fingerprint per document (term-frequency weighted).
 
-    Per-row projection (nested higher-order functions over the token
-    array): zero shuffle, codegen-compiled. Bit j of the fingerprint is 1
-    iff sum over token occurrences of ±1 (by bit j of the token's 60-bit
-    md5 hash) is positive.
+    Bit j of the fingerprint is 1 iff the sum over token occurrences of
+    ±1 (by bit j of the token's 60-bit md5 hash) is positive.
+
+    Shape: explode tokens → one hash per token → 60 flat SUM aggregates →
+    fingerprint assembly. One shuffle on the doc id (map-side combined),
+    but each expression is trivial — unlike a 60-way nested fold, which
+    whole-stage codegen compiles for tens of seconds. Tokenless docs come
+    back via the left join with fingerprint 0 (matches the oracle).
     """
-    th = (
-        f"transform(regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0), "
-        f"w -> CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT))"
+    tok = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+        ).alias("w"),
     )
-    sim = (
-        f"aggregate(transform(sequence(0, {SIMHASH_BITS - 1}), j -> "
-        f"CASE WHEN aggregate({th}, 0L, (acc, h) -> acc + "
-        f"CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1L ELSE -1L END) > 0 "
-        f"THEN shiftleft(1L, j) ELSE 0L END), 0L, (a, b) -> a + b)"
+    h = tok.select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long").alias("hv"),
     )
-    return df.select(F.col(id_col), F.expr(sim).alias("simhash"))
+    sums = h.groupBy(id_col).agg(
+        *[
+            F.sum(
+                (F.shiftright("hv", j).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+            ).alias(f"b{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    fp_expr = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp_expr = term if fp_expr is None else fp_expr + term
+    fp = sums.select(F.col(id_col), fp_expr.cast("long").alias("simhash"))
+    return (
+        df.select(F.col(id_col))
+        .join(fp, id_col, "left")
+        .select(F.col(id_col), F.coalesce("simhash", F.lit(0)).alias("simhash"))
+    )
 
 
 def simhash64_sql(table: str = "documents", text_col: str = "text", id_col: str = "doc_id") -> str:
@@ -344,8 +413,10 @@ def simhash_pairs(
         )
         for b in range(n_bands)
     ]
-    bands = fp.select(id_col, "simhash", F.explode(F.array(*band_cols)).alias("bk")).select(
-        id_col, "simhash", "bk.band", "bk.key"
+    bands = (
+        fp.select(id_col, "simhash", F.explode(F.array(*band_cols)).alias("bk"))
+        .select(id_col, "simhash", "bk.band", "bk.key")
+        .cache()  # self-join would recompute the fingerprint per branch
     )
     return (
         bands.alias("x")
@@ -380,15 +451,35 @@ def embedding_dup_pairs(
 
     At scale, prefilter with random-hyperplane LSH
     (``similarity.hyperplane_bucket``) and verify only bucket collisions.
+
+    Per-row work (double cast + norm) is projected once per side before
+    the join; each pair then costs a single dot-product fold instead of
+    re-deriving both operands' norms — ~3× less arithmetic per pair.
     """
-    a, b = df.alias("a"), df.alias("b")
+    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("v"), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    pre = (
+        df.select(F.col(id_col), dv.alias("v"))
+        .select(F.col(id_col), "v", norm.alias("nrm"))
+        .cache()
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     return (
-        a.crossJoin(b)
+        pre.alias("a")
+        .crossJoin(pre.alias("b"))
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cos_sim"),
+            (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

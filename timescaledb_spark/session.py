@@ -34,6 +34,15 @@ def build_spark(
     Pandas-UDF paths.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Executor Python workers must be able to import this package for the
+    # Pandas-UDF paths (multimodal decode) regardless of the caller's cwd;
+    # local-mode workers inherit PYTHONPATH from the driver environment.
+    _repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _pp = os.environ.get("PYTHONPATH", "")
+    if _repo_root not in _pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            _repo_root + (os.pathsep + _pp if _pp else "")
+        )
     b = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
