@@ -222,6 +222,92 @@ class Hypertable:
             self.ts.catalog.hypertable.update({"name": self.name}, changed)
             self.row.update(changed)
 
+    def add_dimension(self, column: str, num_partitions: int) -> None:
+        """``add_dimension(rel, by_hash(col, n))`` (sql/ddl_api.sql:118;
+        src/dimension.c). Adds a hash space dimension; existing chunks are
+        rewritten into ``_space=k`` sub-partitions one chunk at a time
+        (bounded memory — the same chunk-local cost model as the
+        reference, which requires the table be empty or rewrites)."""
+        if self.row.get("space_column"):
+            raise ValueError("hypertable already has a space dimension")
+        if not num_partitions or num_partitions < 1:
+            raise ValueError("num_partitions must be >= 1")
+        spark = self.ts.spark
+        for c in self.chunks():
+            path = self._chunk_glob(c)
+            if not os.path.isdir(path):
+                continue
+            df = spark.read.parquet(path)
+            if column not in df.columns:
+                raise ValueError(f"column {column!r} not in chunk schema")
+            out = df.withColumn(
+                SPACE_COL, F.pmod(F.xxhash64(F.col(column)), F.lit(num_partitions))
+            )
+            tmp = path + ".tmp_dim"
+            out.write.mode("overwrite").partitionBy(SPACE_COL).parquet(tmp)
+            shutil.rmtree(path)
+            os.replace(tmp, path)
+        self.ts.catalog.hypertable.update(
+            {"name": self.name},
+            {"space_column": column, "num_partitions": num_partitions},
+        )
+        self.ts.catalog.dimension.append(
+            [
+                {
+                    "hypertable_id": self.id,
+                    "column": column,
+                    "type": "closed",
+                    "num_slices": num_partitions,
+                }
+            ]
+        )
+        self._refresh()
+
+    def enable_chunk_skipping(self, column: str) -> int:
+        """``enable_chunk_skipping(rel, col)`` (sql/ddl_api.sql:147;
+        src/ts_catalog/chunk_column_stats.c): record per-chunk min/max of
+        a non-partition column so reads can exclude chunks via
+        ``read(where_stats=...)``. One aggregate job over the table
+        grouped by the chunk directory — no per-chunk loop."""
+        spark = self.ts.spark
+        chunks = self.chunks()
+        if not chunks:
+            return 0
+        df = spark.read.option("basePath", self.data_dir).parquet(
+            *[self._chunk_glob(c) for c in chunks]
+        )
+        if column not in df.columns:
+            raise ValueError(f"column {column!r} not in schema")
+        stats = (
+            df.groupBy(CHUNK_COL)
+            .agg(F.min(column).alias("mn"), F.max(column).alias("mx"))
+            .collect()
+        )
+        by_start = {c["range_start"]: c for c in chunks}
+        cat = self.ts.catalog
+        n = 0
+        for r in stats:
+            c = by_start.get(r[CHUNK_COL])
+            if not c:
+                continue
+            mn, mx = r["mn"], r["mx"]
+            if hasattr(mn, "isoformat"):
+                mn, mx = mn.isoformat(), mx.isoformat()
+            cat.chunk_column_stats.delete({"chunk_id": c["id"], "column": column})
+            cat.chunk_column_stats.append(
+                [
+                    {
+                        "chunk_id": c["id"],
+                        "hypertable_id": self.id,
+                        "column": column,
+                        "min": mn,
+                        "max": mx,
+                    }
+                ]
+            )
+            n += 1
+        return n
+
     def set_chunk_time_interval(self, chunk_interval: Union[str, int]) -> None:
         """``set_chunk_time_interval`` (sql/ddl_api.sql:61) — new chunks only."""
         us = (
