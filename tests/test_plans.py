@@ -1,0 +1,69 @@
+"""Plan-shape assertions: chunk exclusion, filter pushdown, column
+pruning, broadcast joins — the EXPLAIN-golden analog (SURVEY §4)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from timescaledb_spark.plans import (
+    broadcast_join_count,
+    pushed_filters,
+    read_schema_columns,
+    scanned_paths,
+    shuffle_count,
+)
+from timescaledb_spark.queries import queries
+from timescaledb_spark.session import TSSession
+
+T0_US = 1704067200000000
+
+
+@pytest.fixture()
+def ht(spark, tmp_path):
+    ts = TSSession(spark, str(tmp_path / "ts"))
+    ht = ts.create_hypertable("m", "ts", chunk_interval="1 day")
+    df = spark.range(10 * 24).select(
+        F.timestamp_micros(
+            (F.lit(T0_US) + F.col("id") * 3600 * 1_000_000).cast("long")
+        ).alias("ts"),
+        (F.col("id") % 4).cast("int").alias("device"),
+        F.col("id").cast("double").alias("value"),
+    )
+    ht.insert(df)
+    return ht
+
+
+def test_chunk_exclusion_prunes_paths(ht):
+    full = ht.df()
+    assert scanned_paths(full) == 10
+    pruned = ht.read(start="2024-01-03", end="2024-01-06")
+    assert scanned_paths(pruned) == 3
+    assert pruned.count() == 72
+
+
+def test_time_predicate_reaches_parquet_scan(ht):
+    pruned = ht.read(start="2024-01-03", end="2024-01-06")
+    pf = " ".join(pushed_filters(pruned))
+    assert "GreaterThanOrEqual(ts" in pf and "LessThan(ts" in pf
+
+
+def test_column_pruning(ht):
+    df = ht.read().select("device").groupBy("device").count()
+    cols = read_schema_columns(df)
+    assert "value" not in cols and "ts" not in cols
+
+
+def test_tpch_q6_pushdown(tsdata, sf_dir):
+    df = queries()["q_tpch_q6"](tsdata, sf_dir)
+    pf = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pf, f"{col} not pushed: {pf}"
+    cols = read_schema_columns(df)
+    assert set(cols) == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}
+
+
+def test_broadcast_dims_no_extra_shuffle(tsdata, sf_dir):
+    df = queries()["q_revenue_by_nation"](tsdata, sf_dir)
+    assert broadcast_join_count(df) >= 2  # customer + nation broadcast
+    # lineitem is shuffled once for the orders join and once for the agg;
+    # broadcasting the dims must not add more
+    assert shuffle_count(df) <= 4

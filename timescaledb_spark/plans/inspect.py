@@ -1,0 +1,78 @@
+"""Physical-plan inspection helpers.
+
+The reference asserts plan shape in EXPLAIN-golden tests
+(``test/sql/plan_expand_hypertable.sql.in``, ``plan_ordered_append.sql``,
+``tsl/test/sql/plan_skip_scan.sql.in``); we assert the Catalyst
+equivalents — scanned partition-path counts (chunk exclusion), pushed
+parquet filters (sparse-index parity), read-schema pruning, broadcast
+joins, and shuffle counts — so a regression that silently turns a
+pruned scan into a full scan fails a test instead of a 100 TB bill.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def _plan(df: DataFrame) -> str:
+    # full QueryExecution text, not executedPlan(): under AQE the latter
+    # prints an AdaptiveSparkPlan wrapper that hides scan details until
+    # the plan is materialized. Scan metadata (PushedFilters, ReadSchema)
+    # is truncated at spark.sql.maxMetadataStringLength (default 100) —
+    # raise it while rendering so filters aren't cut mid-name.
+    conf = df.sparkSession.conf
+    key = "spark.sql.maxMetadataStringLength"
+    old = conf.get(key, None)
+    conf.set(key, "100000")
+    try:
+        return df._jdf.queryExecution().toString()
+    finally:
+        if old is not None:
+            conf.set(key, old)
+
+
+def scanned_paths(df: DataFrame) -> int:
+    """Number of data paths the file scans will list (sum over scans).
+
+    The Spark analog of "how many chunks survived exclusion": each
+    hypertable chunk dir contributes one path to its scan's
+    InMemoryFileIndex.
+    """
+    total = 0
+    for m in re.finditer(r"InMemoryFileIndex(?:\[[^\]]*\])?\((\d+) paths?\)", _plan(df)):
+        total += int(m.group(1))
+    return total
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """All parquet PushedFilters entries across scans (deduplicated)."""
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", _plan(df)):
+        for f in m.group(1).split(", "):
+            if f and f not in out:
+                out.append(f)
+    return out
+
+
+def read_schema_columns(df: DataFrame) -> list[str]:
+    """Columns the parquet scans actually read (union over scans) —
+    asserts column pruning reached the scan."""
+    cols: list[str] = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", _plan(df)):
+        for field in m.group(1).split(","):
+            name = field.split(":")[0].strip()
+            if name and name not in cols:
+                cols.append(name)
+    return cols
+
+
+def broadcast_join_count(df: DataFrame) -> int:
+    return len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin", _plan(df)))
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Exchange nodes in the plan — every one is a full shuffle of its
+    input; the number to minimize at scale."""
+    return len(re.findall(r"Exchange (?:hash|range|single)partitioning", _plan(df)))
