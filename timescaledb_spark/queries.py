@@ -598,6 +598,36 @@ def q_distinct_last_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_uuidv7",
+    """
+    SELECT event_id,
+           printf('%08x-%04x-%04x-8000-000000000000',
+                  (epoch_us(ts) // 1000) >> 16,
+                  (epoch_us(ts) // 1000) & 65535,
+                  28672 + ((epoch_us(ts) % 1000) * 4096) // 1000) AS u,
+           (epoch_us(ts) // 1000) * 1000
+             + ((((epoch_us(ts) % 1000) * 4096) // 1000) * 1000) // 4096 AS ts_us,
+           7 AS ver
+    FROM events
+    """,
+)
+def q_uuidv7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UUIDv7 family (sql/uuidv7.sql:5-40; src/uuid.c): boundary UUID from
+    each timestamp, then round-trip extraction of the microsecond
+    timestamp and the version nibble. The oracle rebuilds the same RFC
+    9562 layout with hex printf — bit-identical strings."""
+    from .functions.uuid7 import to_uuidv7_boundary, uuid_timestamp_micros, uuid_version
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        to_uuidv7_boundary("ts").alias("u"),
+        uuid_timestamp_micros(to_uuidv7_boundary("ts")).alias("ts_us"),
+        uuid_version(to_uuidv7_boundary("ts")).alias("ver"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_extra_inventories()
     return dict(QUERIES)
