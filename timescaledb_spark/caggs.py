@@ -73,12 +73,16 @@ class ContinuousAggregate:
         time_column: Optional[str] = None,
         bucket_alias: str = "bucket",
         materialized_only: bool = False,
+        where: Optional[str] = None,
     ) -> "ContinuousAggregate":
         """``CREATE MATERIALIZED VIEW .. WITH (timescaledb.continuous)``
         (``tsl/src/continuous_aggs/create.c:600``).
 
         ``aggs``: output column -> Spark SQL aggregate expression over the
         source hypertable's columns (the "partial view" query).
+        ``where``: optional row filter in the defining query (the
+        reference allows WHERE clauses in cagg definitions,
+        ``cagg_validate_query``).
         """
         if isinstance(hypertable, str):
             hypertable = Hypertable.get(ts, hypertable)
@@ -113,6 +117,7 @@ class ContinuousAggregate:
             "group_by": list(group_by),
             "aggs": aggs,
             "materialized_only": materialized_only,
+            "where": where,
             "mat_table": f"_mat_{name}",
             "created_at": _time.time(),
         }
@@ -179,7 +184,9 @@ class ContinuousAggregate:
         )
 
     def _aggregate(self, raw: DataFrame) -> DataFrame:
-        """The 'partial view' query: bucket + group_by + aggs."""
+        """The 'partial view' query: [where] + bucket + group_by + aggs."""
+        if self.row.get("where"):
+            raw = raw.filter(F.expr(self.row["where"]))
         exprs = [F.expr(e).alias(n) for n, e in self.row["aggs"].items()]
         return raw.groupBy(
             self._bucket_expr(raw), *self.row["group_by"]

@@ -79,6 +79,51 @@ def merge_chunks(ht: Hypertable, starts: Sequence[Union[int, dict]]) -> dict:
     return new_row
 
 
+def freeze_chunk(ht: Hypertable, chunk: Union[int, dict]) -> None:
+    """``freeze_chunk`` (sql/chunk.sql:45): mark a chunk read-only; write
+    paths refuse to touch it until unfrozen."""
+    c = _chunk_by_start(ht, chunk)
+    ht.ts.catalog.chunk.update({"id": c["id"]}, {"frozen": True})
+
+
+def unfreeze_chunk(ht: Hypertable, chunk: Union[int, dict]) -> None:
+    """``unfreeze_chunk`` (sql/chunk.sql:52)."""
+    c = _chunk_by_start(ht, chunk)
+    ht.ts.catalog.chunk.update({"id": c["id"]}, {"frozen": False})
+
+
+def detach_chunk(ht: Hypertable, chunk: Union[int, dict]) -> dict:
+    """``detach_chunk`` (sql/chunk.sql:64): remove the chunk from the
+    catalog without deleting its data directory (the OSM/tiering hook —
+    the dir can be re-attached or managed externally)."""
+    c = _chunk_by_start(ht, chunk)
+    ht.ts.catalog.chunk.delete({"id": c["id"]})
+    ht.ts.catalog.chunk_column_stats.delete({"chunk_id": c["id"]})
+    return c
+
+
+def attach_chunk(ht: Hypertable, range_start: int, range_end: int) -> dict:
+    """``attach_chunk`` / ``create_chunk`` (sql/chunk.sql:31,58): register
+    an existing partition directory as a chunk with the given slice."""
+    for c in ht.chunks():
+        if range_start < c["range_end"] and range_end > c["range_start"]:
+            raise ValueError(
+                f"slice [{range_start},{range_end}) overlaps chunk {c['id']}"
+            )
+    if not os.path.isdir(os.path.join(ht.data_dir, f"{CHUNK_COL}={range_start}")):
+        raise ValueError(f"no partition dir {CHUNK_COL}={range_start} on disk")
+    row = {
+        "id": ht.ts.catalog.next_id("chunk"),
+        "hypertable_id": ht.id,
+        "range_start": range_start,
+        "range_end": range_end,
+        "status": "rowstore",
+        "created_at": _time.time(),
+    }
+    ht.ts.catalog.chunk.append([row])
+    return row
+
+
 def split_chunk(
     ht: Hypertable, chunk: Union[int, dict], at: Union[int, str]
 ) -> list[dict]:

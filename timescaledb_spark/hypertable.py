@@ -386,6 +386,7 @@ class Hypertable:
         )
         if stats["n"] == 0:
             return {"rows": 0, "chunks": []}
+        self._check_frozen(stats["tmin"], stats["tmax"])
         (
             out.write.mode("append")
             .partitionBy(*self._partition_cols)
@@ -462,6 +463,21 @@ class Hypertable:
             )
 
     # ----------------------------------------------------------------- dml
+    def _check_frozen(self, lo: Optional[int], hi: Optional[int]) -> None:
+        """Write paths refuse frozen chunks (``freeze_chunk``,
+        sql/chunk.sql:45; the reference raises on DML into frozen/OSM
+        chunks). ``[lo, hi]`` are inclusive internal bounds of the write."""
+        for c in self.chunks():
+            if not c.get("frozen"):
+                continue
+            if (hi is None or c["range_start"] <= hi) and (
+                lo is None or c["range_end"] > lo
+            ):
+                raise PermissionError(
+                    f"chunk [{c['range_start']},{c['range_end']}) of "
+                    f"{self.name!r} is frozen"
+                )
+
     def _affected_chunk_writeback(self, out: DataFrame) -> None:
         """Rewrite exactly the partition dirs present in ``out`` via
         dynamic partition overwrite — the Spark-native analog of the
@@ -524,6 +540,7 @@ class Hypertable:
             .agg(F.min("_t").alias("tmin"), F.max("_t").alias("tmax"), F.count(F.lit(1)).alias("n"))
             .collect()[0]
         )
+        self._check_frozen(stats["tmin"], stats["tmax"])
         self._affected_chunk_writeback(out)
         self._mark_rewritten(hit)
         chunks = self._register_chunks_in_range(stats["tmin"], stats["tmax"])
@@ -564,6 +581,8 @@ class Hypertable:
             F.min(self._internal_time_expr(old)).alias("lo"),
             F.max(self._internal_time_expr(old)).alias("hi"),
         ).collect()[0]
+        if mm["lo"] is not None:
+            self._check_frozen(mm["lo"], mm["hi"])
         self._affected_chunk_writeback(out)
         self._mark_rewritten([c["range_start"] for c in targets])
         if mm["lo"] is not None:
@@ -701,6 +720,10 @@ class Hypertable:
         dropped) — directory removal, never a row-level delete."""
         dropped = []
         for c in self.show_chunks(older_than=older_than, newer_than=newer_than):
+            if c.get("frozen"):
+                raise PermissionError(
+                    f"chunk [{c['range_start']},{c['range_end']}) is frozen"
+                )
             path = self._chunk_glob(c)
             if os.path.isdir(path):
                 shutil.rmtree(path)
@@ -724,6 +747,10 @@ class Hypertable:
                 continue
             if lo is not None and c["range_end"] <= lo:
                 continue
+            if c.get("frozen"):
+                raise PermissionError(
+                    f"chunk [{c['range_start']},{c['range_end']}) is frozen"
+                )
             full = (lo is None or lo <= c["range_start"]) and (
                 hi is None or c["range_end"] <= hi
             )
