@@ -34,7 +34,7 @@ from __future__ import annotations
 
 import json
 import time as _time
-from datetime import datetime
+from datetime import datetime, timezone as _tz
 from typing import Optional, Sequence, Union
 
 from pyspark.sql import DataFrame, functions as F
@@ -96,14 +96,14 @@ class ContinuousAggregate:
             iv = Interval(us=bucket_width)
         else:
             iv = parse_interval(bucket_width)
-        if iv.months:
-            raise ValueError("month-width caggs not supported yet")
         tcol = time_column or hypertable.time_column
         is_ts = (hypertable.row.get("time_type") or "timestamp") in (
             "timestamp",
             "timestamp_ntz",
             "date",
         )
+        if iv.months and not is_ts:
+            raise ValueError("month-width buckets need a timestamp dimension")
         row = {
             "id": cat.next_id("cagg"),
             "name": name,
@@ -111,6 +111,7 @@ class ContinuousAggregate:
             "hypertable_name": hypertable.name,
             "time_column": tcol,
             "bucket_width_us": iv.us,
+            "bucket_width_months": iv.months,  # variable-width bucket_function
             "bucket_origin_us": DEFAULT_ORIGIN_US if is_ts else 0,
             "time_is_timestamp": is_ts,
             "bucket_alias": bucket_alias,
@@ -125,7 +126,8 @@ class ContinuousAggregate:
         # materialization hypertable (create.c:267): bucket column is the
         # open dimension; chunk interval = 10 buckets (enough to keep
         # per-range rewrites local) but at least the source's interval
-        mat_interval = max(iv.us * 10, int(hypertable.row.get("chunk_interval") or 0))
+        nominal_us = iv.us if not iv.months else iv.months * 31 * 86_400_000_000
+        mat_interval = max(nominal_us * 10, int(hypertable.row.get("chunk_interval") or 0))
         Hypertable.create(ts, row["mat_table"], bucket_alias, chunk_interval=mat_interval)
         # seed: entire range invalid (README "initial state")
         cat.materialization_invalidation_log.append(
@@ -176,12 +178,48 @@ class ContinuousAggregate:
         if self.row["time_is_timestamp"]:
             from .functions.time import Interval
 
-            return time_bucket(
-                Interval(us=self.width), self.row["time_column"]
-            ).alias(self.row["bucket_alias"])
+            months = int(self.row.get("bucket_width_months") or 0)
+            iv = Interval(months=months) if months else Interval(us=self.width)
+            return time_bucket(iv, self.row["time_column"]).alias(
+                self.row["bucket_alias"]
+            )
         return time_bucket_int(self.width, self.row["time_column"]).alias(
             self.row["bucket_alias"]
         )
+
+    # -- variable-width bucket algebra (continuous_aggs_bucket_function) ---
+    def _floor_us(self, v: int) -> int:
+        """Bucket start containing internal time ``v``. Fixed widths use
+        the closed-form formula; month widths floor the month index
+        (driver-side calendar math — the analog of the reference's
+        ``ts_compute_inscribed_bucketed_refresh_window`` for variable
+        buckets)."""
+        months = int(self.row.get("bucket_width_months") or 0)
+        if not months:
+            return _pbucket(v, self.width, self.origin)
+        guard = 32 * 86_400_000_000 * (months + 1)
+        if v <= INT64_MIN + guard:
+            return INT64_MIN
+        if v >= INT64_MAX - guard:
+            return v
+        dt = datetime.fromtimestamp(v // 1_000_000, tz=_tz.utc)
+        midx = dt.year * 12 + dt.month - 1
+        origin_midx = 2000 * 12  # DEFAULT_ORIGIN_MONTHS (Jan 2000)
+        b = midx - ((midx - origin_midx) % months + months) % months
+        y, mo = divmod(b, 12)
+        return int(datetime(y, mo + 1, 1, tzinfo=_tz.utc).timestamp() * 1_000_000)
+
+    def _next_us(self, bucket_start: int) -> int:
+        """Start of the bucket after the one starting at ``bucket_start``."""
+        months = int(self.row.get("bucket_width_months") or 0)
+        if not months:
+            return bucket_start + self.width
+        if bucket_start in (INT64_MIN, INT64_MAX):
+            return bucket_start
+        dt = datetime.fromtimestamp(bucket_start // 1_000_000, tz=_tz.utc)
+        midx = dt.year * 12 + dt.month - 1 + months
+        y, mo = divmod(midx, 12)
+        return int(datetime(y, mo + 1, 1, tzinfo=_tz.utc).timestamp() * 1_000_000)
 
     def _aggregate(self, raw: DataFrame) -> DataFrame:
         """The 'partial view' query: [where] + bucket + group_by + aggs."""
@@ -210,23 +248,28 @@ class ContinuousAggregate:
         ranges that were materialized (internal units, half-open)."""
         cat = self.ts.catalog
         src = self._source()
-        w, origin = self.width, self.origin
 
         lo = _to_internal(start)
         hi = _to_internal(end)
+        open_end = hi is None
         if lo is None:
             lo = INT64_MIN
         if hi is None:
-            # refresh everything seen so far: end of the bucket holding max(t)
+            # refresh everything seen so far
             mx = src.chunks()
             hi = max((c["range_end"] for c in mx), default=0)
-        # align window to complete buckets: floor both ends
-        win_s = _pbucket(lo, w, origin)
-        win_e = _pbucket(hi, w, origin)
-        if hi != win_e:
-            # partial last bucket is excluded only if it is incomplete;
-            # reference refreshes buckets fully inside the window
-            pass
+        win_s = self._floor_us(lo)
+        if open_end:
+            # open-ended refresh covers the (possibly partial) bucket
+            # holding the latest data: ceil to the bucket end, so e.g. a
+            # month bucket mid-month still materializes (later inserts
+            # into it re-dirty it through the invalidation log)
+            f = self._floor_us(hi)
+            win_e = f if f == hi else self._next_us(f)
+        else:
+            # explicit window: inscribed (floor) — only complete buckets,
+            # like the reference's bucketed refresh window
+            win_e = self._floor_us(hi)
         if win_e <= win_s:
             return []
 
@@ -271,9 +314,9 @@ class ContinuousAggregate:
                 leftovers.append(e)
                 continue
             # overlap, bucket-aligned and clipped to the window
-            oa = max(_pbucket(max(a, win_s), w, origin), win_s)
+            oa = max(self._floor_us(max(a, win_s)), win_s)
             ob_incl = min(b, win_e - 1)
-            ob = min(_pbucket(ob_incl, w, origin) + w, win_e)
+            ob = min(self._next_us(self._floor_us(ob_incl)), win_e)
             dirty.append((oa, ob))
             # leftover fragments outside the window survive
             if a < win_s:

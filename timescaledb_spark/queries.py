@@ -464,6 +464,35 @@ def q_cagg_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cagg.read(realtime=False)
 
 
+@query(
+    "q_cagg_monthly",
+    """
+    SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS bucket,
+           count(*) AS n, sum(value) AS sum_v
+    FROM events GROUP BY 1
+    """,
+)
+def q_cagg_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-width (calendar month) cagg
+    (continuous_aggs_bucket_function; month buckets at default origin ==
+    calendar months, so the oracle is date_trunc). Exercises the
+    month-aware floor/ceil refresh-window algebra."""
+    import tempfile
+
+    from .session import TSSession
+
+    root = tempfile.mkdtemp(prefix="ts_cagg_month_")
+    ts = TSSession(spark, root)
+    ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+    ht.insert(load_table(spark, sf_dir, "events"))
+    cagg = ts.create_cagg(
+        "qm", ht, bucket_width="1 month",
+        aggs={"n": "count(*)", "sum_v": "sum(value)"},
+    )
+    cagg.refresh()
+    return cagg.read(realtime=False)
+
+
 # ---------------------------------------------------------------------------
 # Inherited relational operators over time-series data (SURVEY §2.7)
 # ---------------------------------------------------------------------------
