@@ -9,6 +9,7 @@ time-series functions are pure Column expressions Catalyst can optimize.
 See SURVEY.md for the reference mapping (file:line citations throughout).
 """
 
+from . import views  # noqa: F401
 from .functions import (  # noqa: F401
     first,
     histogram,

@@ -596,6 +596,7 @@ class Hypertable:
         end: Union[int, str, datetime, None] = None,
         with_partition_cols: bool = False,
         where_stats: Optional[dict] = None,
+        space_key=None,
     ) -> DataFrame:
         """Read with chunk exclusion: ``start <= time < end``.
 
@@ -609,6 +610,11 @@ class Hypertable:
         populated by compress_chunk / enable_chunk_skipping) cannot
         overlap. Row-level filtering on those columns stays the caller's
         job; this only narrows the chunk list.
+
+        ``space_key``: value (or list of values) of the space column —
+        space-dimension exclusion (``src/planner/space_constraint.c``):
+        only the matching ``_space=k`` sub-partitions are scanned, plus a
+        row filter on the raw column.
         """
         spark = self.ts.spark
         chunks = self.chunks()
@@ -646,10 +652,50 @@ class Hypertable:
         if not chunks:
             df = spark.createDataFrame([], self._schema_or_empty())
             return df
+        paths = [self._chunk_glob(c) for c in chunks]
+        space_vals = None
+        if space_key is not None:
+            if not self.row.get("space_column"):
+                raise ValueError("hypertable has no space dimension")
+            keys = space_key if isinstance(space_key, (list, tuple)) else [space_key]
+            n = int(self.row["num_partitions"])
+            # hash the literals with the same function AND column type the
+            # router used (xxhash64 of int32 != int64) — one tiny
+            # driver-side job, no table scan
+            sc_type = next(
+                f.dataType
+                for f in self._schema().fields
+                if f.name == self.row["space_column"]
+            )
+            buckets = {
+                r[0]
+                for r in spark.range(1)
+                .select(
+                    F.explode(
+                        F.array(
+                            *[
+                                F.pmod(F.xxhash64(F.lit(k).cast(sc_type)), F.lit(n))
+                                for k in keys
+                            ]
+                        )
+                    )
+                )
+                .collect()
+            }
+            space_vals = sorted(buckets)
+            paths = [
+                os.path.join(p, f"{SPACE_COL}={b}") for p in paths for b in space_vals
+            ]
+            paths = [p for p in paths if os.path.isdir(p)]
+            if not paths:
+                return spark.createDataFrame([], self._schema_or_empty())
         df = (
             spark.read.option("basePath", self.data_dir)
-            .parquet(*[self._chunk_glob(c) for c in chunks])
+            .parquet(*paths)
         )
+        if space_key is not None:
+            keys = space_key if isinstance(space_key, (list, tuple)) else [space_key]
+            df = df.filter(F.col(self.row["space_column"]).isin(list(keys)))
         # Row-level predicate on the raw time column. Compare against a
         # typed literal (not unix_micros arithmetic) so the predicate
         # reaches the parquet scan as a PushedFilter → row-group skipping,
