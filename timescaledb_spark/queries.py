@@ -628,6 +628,24 @@ def q_distinct_last_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_approx_row_count",
+    "SELECT count(*) AS n FROM events",
+)
+def q_approx_row_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``approximate_row_count`` (sql/size_utils.sql:311): estimated from
+    parquet footer metadata without scanning data — exact on a
+    freshly-written hypertable, hence oracle-comparable to count(*)."""
+    import tempfile
+
+    from .session import TSSession
+
+    ts = TSSession(spark, tempfile.mkdtemp(prefix="ts_arc_"))
+    ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+    ht.insert(load_table(spark, sf_dir, "events"))
+    return spark.createDataFrame([(ht.approximate_row_count(),)], "n bigint")
+
+
+@query(
     "q_uuidv7",
     """
     SELECT event_id,
