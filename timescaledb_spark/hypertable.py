@@ -785,9 +785,16 @@ class Hypertable:
         the range are dropped as directories (O(1) per chunk); partially
         overlapping chunks are rewritten with the complement predicate.
         Never touches chunks outside the range.
+
+        As row-level DML, deletes invalidate watching caggs over the
+        deleted span (``continuous_agg_dml_invalidate``) — unlike
+        ``drop_chunks``, which deliberately preserves cagg contents (the
+        reference's downsample-then-retain pattern).
         """
         spark = self.ts.spark
         n_dropped = 0
+        touched_lo: Optional[int] = None
+        touched_hi: Optional[int] = None
         for c in self.chunks():
             if hi is not None and c["range_start"] >= hi:
                 continue
@@ -800,6 +807,10 @@ class Hypertable:
             full = (lo is None or lo <= c["range_start"]) and (
                 hi is None or c["range_end"] <= hi
             )
+            c_lo = c["range_start"] if lo is None else max(lo, c["range_start"])
+            c_hi = c["range_end"] if hi is None else min(hi, c["range_end"])
+            touched_lo = c_lo if touched_lo is None else min(touched_lo, c_lo)
+            touched_hi = c_hi if touched_hi is None else max(touched_hi, c_hi)
             path = self._chunk_glob(c)
             if full:
                 if os.path.isdir(path):
@@ -821,6 +832,8 @@ class Hypertable:
             shutil.rmtree(path)
             os.replace(tmp, path)
             n_dropped += 1
+        if touched_lo is not None:
+            self._capture_invalidation(touched_lo, touched_hi - 1)
         return n_dropped
 
     # ------------------------------------------------------------- stats
