@@ -20,7 +20,7 @@ codegen) — no Python UDFs in any hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 TOKEN_RE = "[a-z0-9]+"
 
@@ -32,6 +32,22 @@ LSH_ROWS = 4
 
 def _col(c) -> Column:
     return c if isinstance(c, Column) else F.col(c)
+
+
+def spread(df: DataFrame, parts: int | None = None) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism.
+
+    Heavy per-row projections (shingling, hashing, cosine folds) must not
+    inherit their parallelism from the input file-split count: a small or
+    poorly-split Parquet source otherwise pins the whole operator to a
+    handful of tasks. One cheap round-robin exchange of the (projected)
+    input lets every core work; at real scale the source has thousands of
+    splits and the caller can pass ``parts=0`` semantics by skipping it,
+    but the exchange is still tiny relative to the per-row compute it
+    unlocks.
+    """
+    n = parts or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
 
 
 def _name(c) -> str:

@@ -37,6 +37,7 @@ from .core import (
     cosine_sql,
     h60,
     h60_sql,
+    spread,
     word_shingles,
     word_shingles_sql,
 )
@@ -77,7 +78,8 @@ def _distinct_shingles(df: DataFrame, text_col: str, id_col: str, k: int) -> Dat
     and the oracle hashes identically, so results still match bit-exactly.
     """
     return (
-        df.select(
+        spread(df.select(id_col, text_col))
+        .select(
             F.col(id_col),
             F.explode(word_shingles(text_col, k)).alias("_s"),
         )
@@ -106,7 +108,8 @@ def minhash_lsh_pairs(
     # the same array. Signatures use the top 32 bits (h >> 28) under k
     # affine permutations — multiply-adds, not k fresh hash passes.
     hl = (
-        df.select(
+        spread(df.select(id_col, text_col))
+        .select(
             F.col(id_col),
             F.transform(
                 word_shingles(text_col, shingle_k),
@@ -335,7 +338,7 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     whole-stage codegen compiles for tens of seconds. Tokenless docs come
     back via the left join with fingerprint 0 (matches the oracle).
     """
-    tok = df.select(
+    tok = spread(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode(
             F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
@@ -463,7 +466,7 @@ def embedding_dup_pairs(
         )
     )
     pre = (
-        df.select(F.col(id_col), dv.alias("v"))
+        spread(df.select(F.col(id_col), dv.alias("v")))
         .select(F.col(id_col), "v", norm.alias("nrm"))
         .cache()
     )

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .core import cosine, cosine_sql, h60_sql
+from .core import cosine, cosine_sql, h60_sql, spread
 
 
 def knn_bruteforce(
@@ -36,7 +36,7 @@ def knn_bruteforce(
 ) -> DataFrame:
     """Exact cosine top-k per query vector (query side broadcast)."""
     scored = (
-        corpus.alias("c")
+        spread(corpus).alias("c")
         .crossJoin(F.broadcast(queries.alias("q")))
         .filter(F.col(f"q.{id_col}") != F.col(f"c.{id_col}"))
         .select(
@@ -91,6 +91,7 @@ def knn_ivf(
     cents = corpus.filter(F.pmod(F.col(id_col), F.lit(centroid_stride)) == 0).select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
     )
+    corpus = spread(corpus)
 
     def nearest(df: DataFrame, n: int, out: str) -> DataFrame:
         scored = df.crossJoin(F.broadcast(cents)).select(
