@@ -61,6 +61,21 @@ def test_tpch_q6_pushdown(tsdata, sf_dir):
     assert set(cols) == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}
 
 
+def test_histogram_bounded_state(spark):
+    # histogram() must aggregate with O(nbuckets) state (conditional sums),
+    # never an O(rows-per-group) collect_list buffer (VERDICT r1 item 7).
+    from timescaledb_spark.functions import histogram
+
+    df = spark.range(100).select(
+        (F.col("id") % 3).alias("g"), F.col("id").cast("double").alias("v")
+    )
+    agg = df.groupBy("g").agg(histogram("v", 0.0, 100.0, 10).alias("h"))
+    plan = agg._jdf.queryExecution().toString()
+    assert "collect_list" not in plan
+    # partial + final hash aggregate, nothing else stateful
+    assert plan.count("ObjectHashAggregate") == 0
+
+
 def test_broadcast_dims_no_extra_shuffle(tsdata, sf_dir):
     df = queries()["q_revenue_by_nation"](tsdata, sf_dir)
     assert broadcast_join_count(df) >= 2  # customer + nation broadcast

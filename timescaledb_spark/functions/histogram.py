@@ -8,10 +8,12 @@ Bucket index = PostgreSQL ``width_bucket_float8``:
 ``0 if v < min; nbuckets+1 if v >= max; else 1 + floor((v-min)/(max-min)*nb)``.
 
 Spark-first implementation: a pure column pipeline — compute the bucket
-index with arithmetic, count per index with a hash aggregate (map-side
-partial agg, JVM codegen), and assemble the dense array with
-``aggregate`` over ``collect_list`` of (idx, count) structs. No Python UDFs.
-NULL values are ignored.
+index with arithmetic, then count per bucket as ``nbuckets + 2``
+independent conditional ``sum`` aggregates assembled into one array.
+The aggregation buffer is O(nbuckets) per group (one long per slot),
+map-side partially aggregated inside a single whole-stage-codegen
+HashAggregate — never O(rows-per-group), so a hot group at 100 TB
+cannot blow up executor memory. No Python UDFs. NULL values are ignored.
 """
 
 from __future__ import annotations
@@ -53,15 +55,18 @@ def histogram(
     (src/histogram.c:49 ``ts_hist_sfunc``). Usable inside
     ``df.groupBy(...).agg(histogram("v", 0, 100, 10).alias("hist"))``.
 
-    Implementation: collect (bucket_idx) per row -> build the dense array
-    by counting matches per index with a JVM-side higher-order function.
+    Implementation: one conditional ``sum`` per bucket slot (a one-hot
+    encoding summed component-wise), packed into an array. State per
+    group is exactly ``nbuckets + 2`` longs regardless of group size,
+    and Spark partial-aggregates it map-side.
     """
     idx = width_bucket(v, vmin, vmax, nbuckets)
-    # collect_list of bucket indexes (nulls dropped by collect_list)
-    idxs = F.collect_list(idx)
     n = nbuckets + 2
-    # For each slot i in [0, n), count occurrences in idxs.
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n - 1)),
-        lambda i: F.size(F.filter(idxs, lambda x: x == i)),
+    # idx == i is NULL for NULL input -> otherwise(0): NULLs count nowhere.
+    return F.array(
+        *[
+            F.sum(F.when(idx == i, F.lit(1)).otherwise(F.lit(0)))
+            .cast(T.IntegerType())
+            for i in range(n)
+        ]
     )

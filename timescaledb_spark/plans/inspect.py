@@ -31,6 +31,8 @@ def _plan(df: DataFrame) -> str:
     finally:
         if old is not None:
             conf.set(key, old)
+        else:
+            conf.unset(key)
 
 
 def scanned_paths(df: DataFrame) -> int:

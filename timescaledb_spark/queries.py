@@ -208,17 +208,22 @@ def q_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
       CROSS JOIN (SELECT unnest(range(0, 12)) AS b)
     )
     SELECT s.event_type,
-           list(CAST(coalesce(c.n, 0) AS INT) ORDER BY s.b) AS hist
+           string_agg(CAST(coalesce(c.n, 0) AS VARCHAR), ',' ORDER BY s.b) AS hist
     FROM spine s LEFT JOIN counts c ON s.event_type = c.event_type AND s.b = c.b
     GROUP BY 1
     """,
 )
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """histogram(value, 0, 200, 10) → int[12] incl. under/overflow buckets
-    (src/histogram.c:33-49, width_bucket_float8 semantics)."""
+    (src/histogram.c:33-49, width_bucket_float8 semantics).
+
+    The array is emitted comma-joined as a string so the result is
+    hashable for the driver's canonicalizer (arrays aren't)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        histogram("value", 0.0, 200.0, 10).alias("hist")
+        F.array_join(
+            histogram("value", 0.0, 200.0, 10).cast("array<string>"), ","
+        ).alias("hist")
     )
 
 
