@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from timescaledb_spark.plans import (
     broadcast_join_count,
+    cartesian_count,
     pushed_filters,
     read_schema_columns,
     scanned_paths,
@@ -74,6 +75,15 @@ def test_histogram_bounded_state(spark):
     assert "collect_list" not in plan
     # partial + final hash aggregate, nothing else stateful
     assert plan.count("ObjectHashAggregate") == 0
+
+
+def test_embedding_lsh_no_cartesian(tsdata, sf_dir):
+    # the scale tier of embedding dedup must never cross-join the corpus
+    # (VERDICT r1 item 3); its O(n²) sibling is the verification baseline
+    df = queries()["q_dedup_embedding_lsh"](tsdata, sf_dir)
+    assert cartesian_count(df) == 0
+    baseline = queries()["q_dedup_embedding"](tsdata, sf_dir)
+    assert cartesian_count(baseline) >= 1  # sanity: the detector detects
 
 
 def test_broadcast_dims_no_extra_shuffle(tsdata, sf_dir):

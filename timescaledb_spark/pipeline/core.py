@@ -142,6 +142,101 @@ def minhash_signature(shingles: Column, k: int = MINHASH_K) -> list[Column]:
     ]
 
 
+#: random-hyperplane LSH defaults: 60 sign bits (inside signed int64, same
+#: convention as h60/simhash), banded 10×6 for candidate generation.
+#: Components are quantized to ``floor(v * 2^20)`` int64 before the dot so
+#: the sign computation is EXACT integer arithmetic — order-independent and
+#: therefore bit-identical across numpy (int matmul), Spark, and DuckDB.
+HYPERPLANE_N = 60
+HYPERPLANE_DIM = 64
+HYPERPLANE_BAND_BITS = 6
+HYPERPLANE_SCALE = 1 << 20
+
+
+def plane_matrix(n_planes: int = HYPERPLANE_N, dim: int = HYPERPLANE_DIM) -> list[list[int]]:
+    """Deterministic ±1 hyperplane matrix: component (p, d) is +1 iff bit 0
+    of the 60-bit md5 hash of ``"p:d"`` is set — the same derivation both
+    engines use for ``h60``, but evaluated ONCE on the driver. The matrix
+    is a constant of (n_planes, dim); shipping it as a constant removes
+    n_planes×dim md5 calls from every row's hot path."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16) & 1 else -1
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def hyperplane_sig_batch(n_planes: int = HYPERPLANE_N, dim: int = HYPERPLANE_DIM):
+    """Vectorized signature kernel: Series of float vectors → int64 numpy.
+
+    Dense sign-projection is linear algebra, not relational work — an
+    Arrow-batched numpy int64 matmul is ~1000× faster than interpreted
+    per-row higher-order-function folds and is the honest 100 TB shape
+    (BLAS per batch, zero shuffle). Quantization makes it reproducible:
+    ``q = floor(v·2^20)`` exactly (float32→float64 and ·2^20 are exact),
+    then ``sign(q @ planes.T)`` is pure int64 arithmetic.
+    """
+    import numpy as np
+
+    planes = np.array(plane_matrix(n_planes, dim), dtype=np.int64)  # (P, D)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))  # bit p -> 2^p
+
+    def kernel(vecs) -> "np.ndarray":
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        q = np.floor(x * HYPERPLANE_SCALE).astype(np.int64)  # (N, D) exact
+        bits = (q @ planes.T) > 0  # (N, P) exact int dots
+        return bits @ weights
+
+    return kernel
+
+
+def hyperplane_sig_pd(
+    vec_col, n_planes: int = HYPERPLANE_N, dim: int = HYPERPLANE_DIM
+) -> Column:
+    """``hyperplane_sig_batch`` as an Arrow-batched pandas UDF column."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.functions import PandasUDFType
+
+    kernel = hyperplane_sig_batch(n_planes, dim)
+
+    def _sig(v):
+        return pd.Series(kernel(v.to_numpy()))
+
+    sig = pandas_udf(_sig, "long", PandasUDFType.SCALAR)
+    return sig(_col(vec_col))
+
+
+def hyperplane_q_sql(expr: str) -> str:
+    """DuckDB SQL quantizing a float vector to the exact int64 component
+    list (compute once in a CTE, then feed ``hyperplane_sig_from_q_sql``)."""
+    return (
+        f"[CAST(floor(CAST(e AS DOUBLE) * {HYPERPLANE_SCALE}) AS BIGINT) "
+        f"FOR e IN {expr}]"
+    )
+
+
+def hyperplane_sig_from_q_sql(
+    q: str = "q", n_planes: int = HYPERPLANE_N, dim: int = HYPERPLANE_DIM
+) -> str:
+    """DuckDB SQL producing the bit-identical signature from a quantized
+    component list: since plane entries are ±1, plane p's dot is
+    ``2·Σ_{d: +1} q[d] − Σ q[d]`` — a static expression tree of list
+    indexes that DuckDB evaluates vectorized (no per-row lambda loops),
+    and exact int64 arithmetic, so fold order cannot matter."""
+    planes = plane_matrix(n_planes, dim)
+    t = f"list_sum({q})"
+    terms = []
+    for p, plane in enumerate(planes):
+        pos = " + ".join(f"{q}[{d + 1}]" for d in range(dim) if plane[d] == 1)
+        terms.append(f"(CASE WHEN 2 * ({pos}) - {t} > 0 THEN {1 << p} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<float/double> columns.
 

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from . import core
 from .core import (
     LSH_BANDS,
     LSH_ROWS,
@@ -486,6 +487,126 @@ def embedding_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def embedding_dup_pairs_lsh(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.45,
+    n_planes: int = core.HYPERPLANE_N,
+    band_bits: int = core.HYPERPLANE_BAND_BITS,
+    dim: int = core.HYPERPLANE_DIM,
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: random-hyperplane LSH candidates
+    + exact-cosine verification. The scale tier of ``embedding_dup_pairs``
+    (which is the O(n²) verification baseline).
+
+    Candidate generation is banded like MinHash-LSH/SimHash: the 60-bit
+    hyperplane signature (Arrow-batched int64 numpy matmul — see
+    ``core.hyperplane_sig_batch``) is cut into 10 bands of 6 bits; a pair
+    is a candidate iff some band matches exactly. At cosine ~0.5 a plane
+    bit agrees with p ≈ 0.66, so a 6-bit band matches with p ≈ 0.08 and
+    10 bands give ~58% recall, while random pairs (cos ~ 0) collide per
+    band with p = 2^-6 — candidate volume ≈ n²/12.8 instead of n²/2.
+    Band width/count are the recall-vs-candidate-volume dial: at real
+    near-dup thresholds (cos ≥ 0.9, plane agreement ≈ 0.86) the same 10×6
+    layout gives ~99.8% recall. The O(n²) ``embedding_dup_pairs`` remains
+    the verification baseline.
+
+    Shuffle profile: one exchange of (id, band, band_value) rows on the
+    band key for the self-join, then exact cosine only on band collisions
+    (deduped *after* the threshold filter, when the set is tiny) — never
+    all pairs, no crossJoin anywhere in the plan.
+    """
+    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("v"), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    pre = (
+        spread(df.select(F.col(id_col), F.col(vec_col)))
+        .select(
+            F.col(id_col),
+            dv.alias("v"),
+            core.hyperplane_sig_pd(vec_col, n_planes, dim).alias("sig"),
+        )
+        .select(F.col(id_col), "v", norm.alias("nrm"), "sig")
+        .cache()
+    )
+    bands = n_planes // band_bits
+    mask = (1 << band_bits) - 1
+    banded = pre.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        F.col("sig"),
+    ).select(
+        F.col(id_col),
+        "band",
+        F.expr(f"shiftright(sig, band * {band_bits}) & {mask}").alias("bval"),
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bval"])
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b")
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(pre.alias("a"), F.col("id_a") == F.col(f"a.{id_col}"))
+        .join(pre.alias("b"), F.col("id_b") == F.col(f"b.{id_col}"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .distinct()
+    )
+
+
+def embedding_dup_pairs_lsh_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.45,
+    n_planes: int = core.HYPERPLANE_N,
+    band_bits: int = core.HYPERPLANE_BAND_BITS,
+    dim: int = core.HYPERPLANE_DIM,
+) -> str:
+    c = cosine_sql(f"a.{vec_col}", f"b.{vec_col}")
+    bands = n_planes // band_bits
+    mask = (1 << band_bits) - 1
+    return f"""
+    WITH qv AS (
+      SELECT {id_col}, {core.hyperplane_q_sql(vec_col)} AS q FROM {table}
+    ),
+    sigs AS (
+      SELECT {id_col}, {core.hyperplane_sig_from_q_sql('q', n_planes, dim)} AS sig
+      FROM qv
+    ),
+    banded AS (
+      SELECT {id_col}, b.band, (sig >> (b.band * {band_bits})) & {mask} AS bval
+      FROM sigs CROSS JOIN (SELECT unnest(range(0, {bands})) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT x.{id_col} AS id_a, y.{id_col} AS id_b
+      FROM banded x JOIN banded y
+        ON x.band = y.band AND x.bval = y.bval AND x.{id_col} < y.{id_col}
+    )
+    SELECT DISTINCT cand.id_a, cand.id_b, {c} AS cos_sim
+    FROM cand
+    JOIN {table} a ON cand.id_a = a.{id_col}
+    JOIN {table} b ON cand.id_b = b.{id_col}
+    WHERE {c} >= {threshold}
+    """
 
 
 def embedding_dup_pairs_sql(

@@ -99,6 +99,22 @@ def knn_ivf(
             F.col("centroid_id"),
             cosine(df[vec_col], F.col("cvec")).alias("ccos"),
         )
+        if n == 1:
+            # Assignment (the corpus-sized side): a plain argmax. max_by is
+            # partial-aggregated map-side — the shuffle carries one row per
+            # vector, not |corpus|×|centroids| rows into a sort, which the
+            # row_number window below would (VERDICT r1 item 4). Tie-break
+            # mirrors the window's ORDER BY ccos DESC, centroid_id ASC.
+            return scored.groupBy(out).agg(
+                F.max_by(
+                    "centroid_id",
+                    F.struct(
+                        F.col("ccos").alias("s"),
+                        (-F.col("centroid_id")).alias("nid"),
+                    ),
+                ).alias("centroid_id")
+            )
+        # Probe side (tiny query set): keep the window for top-nprobe.
         w = Window.partitionBy(out).orderBy(F.desc("ccos"), F.asc("centroid_id"))
         return scored.withColumn("crank", F.row_number().over(w)).filter(
             F.col("crank") <= n

@@ -1,5 +1,6 @@
 from .inspect import (
     broadcast_join_count,
+    cartesian_count,
     pushed_filters,
     read_schema_columns,
     scanned_paths,
@@ -8,6 +9,7 @@ from .inspect import (
 
 __all__ = [
     "broadcast_join_count",
+    "cartesian_count",
     "pushed_filters",
     "read_schema_columns",
     "scanned_paths",

@@ -74,6 +74,16 @@ def broadcast_join_count(df: DataFrame) -> int:
     return len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin", _plan(df)))
 
 
+def cartesian_count(df: DataFrame) -> int:
+    """Cartesian/cross-product nodes in the plan — the O(n²) shape a
+    scale-tier operator must never contain."""
+    return len(
+        re.findall(
+            r"CartesianProduct|BroadcastNestedLoopJoin [^,\n]+, Cross", _plan(df)
+        )
+    )
+
+
 def shuffle_count(df: DataFrame) -> int:
     """Exchange nodes in the plan — every one is a full shuffle of its
     input; the number to minimize at scale."""

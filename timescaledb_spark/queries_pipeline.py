@@ -122,6 +122,14 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_dup_pairs(load_table(spark, sf_dir, "embeddings"))
 
 
+@query("q_dedup_embedding_lsh", dedup.embedding_dup_pairs_lsh_sql())
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup at scale: 60-bit hyperplane-LSH banded
+    candidates (15×4) + exact-cosine verify — no crossJoin in the plan;
+    the oracle replicates the literal plane matrix bit-exactly."""
+    return dedup.embedding_dup_pairs_lsh(load_table(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
