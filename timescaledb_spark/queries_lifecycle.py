@@ -1,0 +1,244 @@
+"""Lifecycle-operator queries for the driver correctness gate.
+
+Round-1 verdict: retention, upsert, update/delete, chunk surgery,
+recompression, and streaming replay were pytest-only — implemented and
+oracle-tested, but invisible to the driver's CORRECTNESS gate. Each query
+here runs the actual lifecycle operation on a scratch hypertable built
+from the sf parquet tables, then returns an aggregation whose DuckDB
+oracle is plain SQL over the same tables (reference test parity:
+``test/sql/update.sql``, ``upsert.sql``, ``tsl/test/sql/merge_chunks.sql``,
+``recompress_chunk_segmentwise.sql``, ``bgw_policy.sql``).
+
+Every scratch hypertable uses 7-day chunks on the epoch-aligned grid
+(``range_start = ts_us - ts_us % week_us``), so chunk boundaries are
+compile-time constants the oracle SQL can encode.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .functions import time_bucket
+from .queries import DAY, WEEK, _bucket_sql, query
+from .sources import load_table
+
+_US = 1_000_000
+
+
+def _epoch_us(iso_date: str) -> int:
+    from datetime import datetime, timezone
+
+    return int(
+        datetime.fromisoformat(iso_date).replace(tzinfo=timezone.utc).timestamp()
+    ) * _US
+
+
+def _grid_floor(us: int, width: int = WEEK) -> int:
+    return us - us % width
+
+
+def _scratch(spark: SparkSession, prefix: str):
+    from .session import TSSession
+
+    return TSSession(spark, tempfile.mkdtemp(prefix=prefix))
+
+
+_DAILY_AGG = "count(*) AS n, sum(value) AS sum_v"
+
+
+def _daily(df: DataFrame) -> DataFrame:
+    return df.groupBy(time_bucket("1 day", "ts").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_v")
+    )
+
+
+# ---------------------------------------------------------------------------
+# retention: drop_chunks (sql/ddl_api.sql:89; tsl/test/sql/bgw_policy.sql)
+# ---------------------------------------------------------------------------
+
+_RETAIN_CUT = "2024-01-16"
+#: drop_chunks(older_than=CUT) drops chunks with range_end <= CUT; the
+#: surviving prefix therefore starts at the epoch-week floor of CUT.
+_RETAIN_FLOOR = _grid_floor(_epoch_us(_RETAIN_CUT))
+
+
+@query(
+    "q_retention",
+    f"""
+    SELECT {_bucket_sql(DAY, 'ts')} AS bucket, {_DAILY_AGG}
+    FROM events
+    WHERE epoch_us(ts) >= {_RETAIN_FLOOR}
+    GROUP BY 1
+    """,
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention: ingest events, drop_chunks(older_than='2024-01-16'),
+    aggregate the survivors. Whole-chunk directory drops, never row
+    deletes (hypertable.py drop_chunks; sql/ddl_api.sql:89)."""
+    ts = _scratch(spark, "ts_retention_")
+    ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+    ht.insert(load_table(spark, sf_dir, "events"))
+    ht.drop_chunks(older_than=_RETAIN_CUT)
+    return _daily(ht.read())
+
+
+# ---------------------------------------------------------------------------
+# upsert (test/sql/upsert.sql; src/nodes/modify_hypertable.c)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_upsert",
+    f"""
+    SELECT {_bucket_sql(DAY, 'ts')} AS bucket,
+           count(*) AS n,
+           sum(CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END) AS sum_v
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert: re-send every 10th event with value+1000; keyed replace on
+    event_id must leave counts identical and shift sums exactly."""
+    ts = _scratch(spark, "ts_upsert_")
+    ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+    ev = load_table(spark, sf_dir, "events")
+    ht.insert(ev)
+    changed = ev.filter(F.col("event_id") % 10 == 0).withColumn(
+        "value", F.col("value") + F.lit(1000.0)
+    )
+    ht.upsert(changed, keys=["event_id"])
+    return _daily(ht.read())
+
+
+# ---------------------------------------------------------------------------
+# update + delete (test/sql/update.sql, delete.sql)
+# ---------------------------------------------------------------------------
+
+_UPD_LO, _UPD_HI = "2024-01-05", "2024-01-12"
+_DEL_LO, _DEL_HI = "2024-01-20 03:00:00", "2024-01-25 09:00:00"
+
+
+@query(
+    "q_update_delete",
+    f"""
+    SELECT {_bucket_sql(DAY, 'ts')} AS bucket,
+           count(*) AS n,
+           sum(CASE WHEN event_type = 'click'
+                     AND epoch_us(ts) >= {_epoch_us(_UPD_LO)}
+                     AND epoch_us(ts) < {_epoch_us(_UPD_HI)}
+                    THEN value * 2 ELSE value END) AS sum_v
+    FROM events
+    WHERE NOT (epoch_us(ts) >= {_epoch_us(_DEL_LO.replace(' ', 'T'))}
+               AND epoch_us(ts) < {_epoch_us(_DEL_HI.replace(' ', 'T'))})
+    GROUP BY 1
+    """,
+)
+def q_update_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE .. WHERE over a chunk-pruned window (doubles click values),
+    then DELETE of an off-grid time range (partial chunks rewritten with
+    the complement predicate, full chunks dropped as directories)."""
+    ts = _scratch(spark, "ts_upddel_")
+    ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+    ht.insert(load_table(spark, sf_dir, "events"))
+    ht.update_where(
+        {"value": "value * 2"},
+        f"event_type = 'click' AND ts >= '{_UPD_LO}' AND ts < '{_UPD_HI}'",
+        start=_UPD_LO,
+        end=_UPD_HI,
+    )
+    from .hypertable import _to_internal
+
+    ht.delete_range(_to_internal(_DEL_LO), _to_internal(_DEL_HI))
+    return _daily(ht.read())
+
+
+# ---------------------------------------------------------------------------
+# merge_chunks + split_chunk (tsl/test/sql/merge_chunks.sql, chunk_utils)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_merge_split_roundtrip",
+    f"""
+    SELECT {_bucket_sql(DAY, 'ts')} AS bucket, {_DAILY_AGG}
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_merge_split_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk surgery invariant: merge the first two chunks, split another
+    at an off-grid instant — row contents (and thus any aggregate) must
+    be unchanged, and reads must route through the irregular slices."""
+    from .chunkops import merge_chunks, split_chunk
+
+    ts = _scratch(spark, "ts_surgery_")
+    ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+    ht.insert(load_table(spark, sf_dir, "events"))
+    chunks = sorted(ht.chunks(), key=lambda c: c["range_start"])
+    merge_chunks(ht, [chunks[0]["range_start"], chunks[1]["range_start"]])
+    split_chunk(ht, chunks[3]["range_start"], at="2024-01-20 12:00:00")
+    return _daily(ht.read())
+
+
+# ---------------------------------------------------------------------------
+# recompress after append-to-compressed (recompress_chunk_segmentwise.sql)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_recompress",
+    f"""
+    SELECT {_bucket_sql(DAY, 'ts')} AS bucket, {_DAILY_AGG}
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_recompress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compress-append-recompress: ingest 6/7 of events, convert every
+    chunk to columnstore, append the held-back 1/7 (landing inside the
+    compressed ranges → chunks drop to rowstore), recompress them, and
+    aggregate — equal to aggregating all events."""
+    from .compression import compress_chunks, enable_columnstore, recompress_chunk
+
+    ts = _scratch(spark, "ts_recompress_")
+    ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+    ev = load_table(spark, sf_dir, "events")
+    ht.insert(ev.filter(F.col("event_id") % 7 != 3))
+    enable_columnstore(ht, segmentby=["event_type"], orderby=["ts"])
+    compress_chunks(ht)
+    ht.insert(ev.filter(F.col("event_id") % 7 == 3))
+    for c in ht.chunks():
+        if c["status"] != "columnstore":
+            recompress_chunk(ht, c)
+    return _daily(ht.read())
+
+
+# ---------------------------------------------------------------------------
+# streaming replay idempotency (SURVEY §2.8; tsl streaming ingest path)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_stream_replay",
+    f"""
+    SELECT {_bucket_sql(DAY, 'ts')} AS bucket, {_DAILY_AGG}
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ingest: batch 1 is processed twice with the same
+    batch_id (a foreachBatch crash-replay) — the second call must be
+    skipped, or counts would double. Batches partition events by id."""
+    from .streaming import StreamIngest
+
+    ts = _scratch(spark, "ts_replay_")
+    ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+    ev = load_table(spark, sf_dir, "events")
+    ingest = StreamIngest(ht, checkpoint_dir=tempfile.mkdtemp(prefix="ckpt_"))
+    b1 = ev.filter(F.col("event_id") % 2 == 0)
+    b2 = ev.filter(F.col("event_id") % 2 == 1)
+    ingest.process_batch(b1, 1)
+    replay = ingest.process_batch(b1, 1)
+    assert replay.get("replayed"), "replayed batch must be skipped"
+    ingest.process_batch(b2, 2)
+    return _daily(ht.read())
