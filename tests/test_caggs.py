@@ -179,3 +179,68 @@ def test_integer_time_cagg(ts, spark):
         .agg(F.sum("v").alias("sum_v"), F.count(F.lit(1)).alias("n"))
     )
     assert {tuple(r) for r in mat.collect()} == {tuple(r) for r in expect.collect()}
+
+
+# ---- joins + window functions in cagg definitions (common.c:886, guc.c:1031)
+
+
+def mk_loc_dim(spark):
+    return spark.createDataFrame(
+        [("loc_0", "north"), ("loc_1", "south"), ("loc_2", "north")],
+        "location string, region string",
+    )
+
+
+def test_cagg_join_validation(ts, spark):
+    ht = ts.create_hypertable("c1", "timec", chunk_interval="1 day")
+    ht.insert(mk_conditions(spark))
+    with pytest.raises(KeyError):
+        ts.create_cagg(
+            "bad_dim", ht, bucket_width="1 day", aggs={"n": "count(*)"},
+            join={"table": "nope", "on": "location"},
+        )
+    ts.create_table("locs", mk_loc_dim(spark))
+    with pytest.raises(ValueError, match="INNER or LEFT"):
+        ts.create_cagg(
+            "bad_how", ht, bucket_width="1 day", aggs={"n": "count(*)"},
+            join={"table": "locs", "on": "location", "how": "full"},
+        )
+    with pytest.raises(ValueError, match="enable_window_functions"):
+        ts.create_cagg(
+            "bad_win", ht, bucket_width="1 day", aggs={"n": "count(*)"},
+            window_fns={"r": "rank() OVER (PARTITION BY bucket ORDER BY n)"},
+        )
+
+
+def test_cagg_join_refresh_convergence(ts, spark):
+    """Join-cagg partial refresh after late data equals full recompute of
+    the joined aggregation (the cagg_joins.sql property)."""
+    ht = ts.create_hypertable("c2", "timec", chunk_interval="1 day")
+    df = mk_conditions(spark)
+    ts.create_table("locs2", mk_loc_dim(spark))
+    early = df.filter(F.dayofmonth("timec") != 2)
+    late = df.filter(F.dayofmonth("timec") == 2)
+    ht.insert(early)
+    cagg = ts.create_cagg(
+        "joined", ht, bucket_width="1 day",
+        aggs={"n": "count(*)", "avg_t": "avg(temperature)"},
+        group_by=["region"],
+        join={"table": "locs2", "on": "location", "how": "inner"},
+    )
+    cagg.refresh()
+    ht.insert(late)
+    cagg.refresh()
+    from timescaledb_spark.functions import time_bucket
+
+    expect = {
+        (r["bucket"], r["region"], r["n"], round(r["avg_t"], 9))
+        for r in df.join(mk_loc_dim(spark), "location")
+        .groupBy(time_bucket("1 day", "timec").alias("bucket"), "region")
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("temperature").alias("avg_t"))
+        .collect()
+    }
+    got = {
+        (r["bucket"], r["region"], r["n"], round(r["avg_t"], 9))
+        for r in cagg.read(realtime=False).collect()
+    }
+    assert got == expect

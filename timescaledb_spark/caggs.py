@@ -74,6 +74,9 @@ class ContinuousAggregate:
         bucket_alias: str = "bucket",
         materialized_only: bool = False,
         where: Optional[str] = None,
+        join: Optional[dict] = None,
+        window_fns: Optional[dict[str, str]] = None,
+        enable_window_functions: bool = False,
     ) -> "ContinuousAggregate":
         """``CREATE MATERIALIZED VIEW .. WITH (timescaledb.continuous)``
         (``tsl/src/continuous_aggs/create.c:600``).
@@ -83,12 +86,56 @@ class ContinuousAggregate:
         ``where``: optional row filter in the defining query (the
         reference allows WHERE clauses in cagg definitions,
         ``cagg_validate_query``).
+        ``join``: enrich the hypertable with a plain table registered via
+        ``TSSession.create_table`` before bucketing —
+        ``{"table": name, "on": col | [cols] | "a = b" expr,
+        "how": "inner" | "left"}``. Only INNER and LEFT joins, like the
+        reference (``tsl/src/continuous_aggs/common.c:886-892``); the time
+        dimension always comes from the hypertable side (``common.c:1808``).
+        The dim side is broadcast at refresh, so a join adds zero shuffles.
+        Like the reference, changes to the joined table do NOT invalidate
+        the cagg — dirty ranges track hypertable DML only.
+        ``window_fns``: output column -> window expression evaluated over
+        the *aggregated* rows (e.g. ``"rank() OVER (PARTITION BY bucket
+        ORDER BY sum_v DESC)"``). Gated off by default like the
+        reference's ``timescaledb.enable_cagg_window_functions``
+        (``src/guc.c:1031``; validation ``common.c:665-695``): partitions
+        that span buckets give unexpected results after partial refresh,
+        because each refresh recomputes windows only over its dirty
+        ranges. Keep every OVER clause partitioned by the bucket column.
         """
         if isinstance(hypertable, str):
             hypertable = Hypertable.get(ts, hypertable)
         cat = ts.catalog
         if cat.continuous_agg.find_one(name=name):
             raise ValueError(f"cagg {name!r} already exists")
+        if join is not None:
+            how = join.get("how", "inner")
+            if how not in ("inner", "left"):
+                raise ValueError(
+                    "only INNER or LEFT joins are supported in continuous "
+                    "aggregates (tsl/src/continuous_aggs/common.c:892)"
+                )
+            if not cat.plain_table.find_one(name=join["table"]):
+                raise KeyError(
+                    f"join table {join['table']!r} not registered "
+                    "(TSSession.create_table)"
+                )
+        if window_fns and not enable_window_functions:
+            raise ValueError(
+                "window functions in continuous aggregates are experimental; "
+                "pass enable_window_functions=True "
+                "(timescaledb.enable_cagg_window_functions, src/guc.c:1031)"
+            )
+        if window_fns:
+            import warnings
+
+            warnings.warn(
+                "cagg window function support is experimental and may give "
+                "unexpected results if an OVER clause spans buckets "
+                "(tsl/src/continuous_aggs/common.c:672)",
+                stacklevel=2,
+            )
         if isinstance(bucket_width, int):
             # integer time dimension: width in raw internal units
             from .functions.time import Interval
@@ -119,6 +166,8 @@ class ContinuousAggregate:
             "aggs": aggs,
             "materialized_only": materialized_only,
             "where": where,
+            "join": join,
+            "window_fns": window_fns,
             "mat_table": f"_mat_{name}",
             "created_at": _time.time(),
         }
@@ -222,13 +271,24 @@ class ContinuousAggregate:
         return int(datetime(y, mo + 1, 1, tzinfo=_tz.utc).timestamp() * 1_000_000)
 
     def _aggregate(self, raw: DataFrame) -> DataFrame:
-        """The 'partial view' query: [where] + bucket + group_by + aggs."""
+        """The 'partial view' query:
+        [join dim] + [where] + bucket + group_by + aggs + [window_fns]."""
+        j = self.row.get("join")
+        if j:
+            dim = self.ts.read_table(j["table"])
+            on = j.get("on")
+            if isinstance(on, str) and not on.replace("_", "").isalnum():
+                on = F.expr(on)  # "a = b" join condition
+            raw = raw.join(F.broadcast(dim), on=on, how=j.get("how", "inner"))
         if self.row.get("where"):
             raw = raw.filter(F.expr(self.row["where"]))
         exprs = [F.expr(e).alias(n) for n, e in self.row["aggs"].items()]
-        return raw.groupBy(
+        agg = raw.groupBy(
             self._bucket_expr(raw), *self.row["group_by"]
         ).agg(*exprs)
+        for col, expr in (self.row.get("window_fns") or {}).items():
+            agg = agg.withColumn(col, F.expr(expr))
+        return agg
 
     def watermark(self) -> Optional[int]:
         """``cagg_watermark`` (sql/util_time.sql:52): end of the last

@@ -105,6 +105,7 @@ class Catalog:
         "materialization_invalidation_log",  # per-cagg dirty ranges
         "compression_settings",     # catalog.h COMPRESSION_SETTINGS
         "chunk_column_stats",       # catalog.h CHUNK_COLUMN_STATS
+        "plain_table",         # regular (non-hypertable) tables, e.g. cagg join dims
         "bgw_job",             # catalog.h BGW_JOB
         "bgw_job_stat",        # catalog.h BGW_JOB_STAT
         "bgw_job_stat_history",  # catalog.h BGW_JOB_STAT_HISTORY

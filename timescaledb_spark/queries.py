@@ -498,6 +498,89 @@ def q_cagg_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cagg.read(realtime=False)
 
 
+@query(
+    "q_cagg_join",
+    f"""
+    SELECT {_bucket_sql(DAY, 'e.ts')} AS bucket,
+           c.c_mktsegment AS c_mktsegment,
+           count(*) AS n,
+           sum(e.value) AS sum_v
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def q_cagg_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cagg whose defining query joins the hypertable to a plain dimension
+    table (tsl/test/sql/cagg_joins.sql; validation common.c:886-892) —
+    daily rollup enriched with the customer market segment, dim side
+    broadcast at refresh. Late data still converges through the normal
+    invalidation path."""
+    import tempfile
+
+    from .session import TSSession
+
+    ts = TSSession(spark, tempfile.mkdtemp(prefix="ts_cagg_join_"))
+    ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+    ev = load_table(spark, sf_dir, "events")
+    ts.create_table("customer_dim", load_table(spark, sf_dir, "customer"))
+    ht.insert(ev.filter(F.pmod(F.col("event_id"), F.lit(9)) != 0))
+    cagg = ts.create_cagg(
+        "qj",
+        ht,
+        bucket_width="1 day",
+        aggs={"n": "count(*)", "sum_v": "sum(value)"},
+        group_by=["c_mktsegment"],
+        join={"table": "customer_dim", "on": "user_id = c_custkey", "how": "inner"},
+    )
+    cagg.refresh()
+    ht.insert(ev.filter(F.pmod(F.col("event_id"), F.lit(9)) == 0))  # late
+    cagg.refresh()
+    return cagg.read(realtime=False)
+
+
+@query(
+    "q_cagg_window",
+    f"""
+    WITH agg AS (
+      SELECT {_bucket_sql(DAY, 'ts')} AS bucket,
+             event_type,
+             count(*) AS n,
+             sum(value) AS sum_v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT bucket, event_type, n, sum_v,
+           CAST(rank() OVER (PARTITION BY bucket ORDER BY sum_v DESC) AS BIGINT)
+             AS seg_rank
+    FROM agg
+    """,
+)
+def q_cagg_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cagg with a window function over the aggregated rows (experimental
+    in the reference behind timescaledb.enable_cagg_window_functions,
+    src/guc.c:1031): per-day rank of event types by total value. The OVER
+    clause partitions by bucket, so partial refreshes stay correct."""
+    import tempfile
+
+    from .session import TSSession
+
+    ts = TSSession(spark, tempfile.mkdtemp(prefix="ts_cagg_win_"))
+    ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+    ht.insert(load_table(spark, sf_dir, "events"))
+    cagg = ts.create_cagg(
+        "qw",
+        ht,
+        bucket_width="1 day",
+        aggs={"n": "count(*)", "sum_v": "sum(value)"},
+        group_by=["event_type"],
+        window_fns={
+            "seg_rank": "rank() OVER (PARTITION BY bucket ORDER BY sum_v DESC)"
+        },
+        enable_window_functions=True,
+    )
+    cagg.refresh()
+    return cagg.read(realtime=False)
+
+
 # ---------------------------------------------------------------------------
 # Inherited relational operators over time-series data (SURVEY §2.7)
 # ---------------------------------------------------------------------------

@@ -91,6 +91,27 @@ class TSSession:
 
         return Hypertable.get(self, name)
 
+    # -- plain (non-hypertable) tables --------------------------------------
+    def create_table(self, name: str, df, mode: str = "error"):
+        """Register a regular table (the analog of a plain PG table living
+        beside hypertables) — e.g. a dimension table a cagg joins to.
+        Stored as parquet under the engine root so refreshes can reload it
+        by name."""
+        path = os.path.join(self.catalog_root, "tables", name)
+        existing = self.catalog.plain_table.find_one(name=name)
+        if existing and mode == "error":
+            raise ValueError(f"table {name!r} already exists")
+        df.write.mode("overwrite").parquet(path)
+        if not existing:
+            self.catalog.plain_table.append([{"name": name, "path": path}])
+        return path
+
+    def read_table(self, name: str):
+        row = self.catalog.plain_table.find_one(name=name)
+        if not row:
+            raise KeyError(f"no table {name!r}")
+        return self.spark.read.parquet(row["path"])
+
     # -- continuous aggregates (tsl/src/continuous_aggs/create.c:600) ------
     def create_cagg(self, name, hypertable, **kw):
         from .caggs import ContinuousAggregate
