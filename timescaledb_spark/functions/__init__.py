@@ -14,6 +14,7 @@ from .time import (
 )
 from .uuid7 import (
     generate_uuidv7,
+    time_bucket_uuid,
     to_uuidv7,
     to_uuidv7_boundary,
     uuid_timestamp,
@@ -35,6 +36,7 @@ __all__ = [
     "histogram",
     "width_bucket",
     "generate_uuidv7",
+    "time_bucket_uuid",
     "to_uuidv7",
     "to_uuidv7_boundary",
     "uuid_timestamp",

@@ -107,3 +107,22 @@ def uuid_timestamp_micros(u: Union[str, Column]) -> Column:
 def uuid_timestamp(u: Union[str, Column]) -> Column:
     """Extract timestamp from a UUIDv7 (sql/uuidv7.sql:29)."""
     return F.timestamp_micros(uuid_timestamp_micros(u))
+
+
+def time_bucket_uuid(
+    width,
+    u: Union[str, Column],
+    origin=None,
+    offset=None,
+    timezone=None,
+) -> Column:
+    """``time_bucket`` over UUIDv7 key columns — the reference's
+    ``ts_uuid_bucket`` / ``ts_uuid_offset_bucket`` /
+    ``ts_uuid_timezone_bucket`` overloads (sql/time_bucket.sql:18-45):
+    extract the embedded timestamp, then bucket it like a timestamptz.
+    Returns a timestamp (the reference returns TIMESTAMPTZ)."""
+    from .time import time_bucket
+
+    return time_bucket(
+        width, uuid_timestamp(u), origin=origin, offset=offset, timezone=timezone
+    )

@@ -76,6 +76,18 @@ def _pbucket(value_us: int, width_us: int, origin_us: int) -> int:
     return value_us - ((value_us - origin_us) % width_us + width_us) % width_us
 
 
+def _local_us(instant_us: int, tz: str) -> int:
+    """UTC instant µs -> local wall-clock µs in ``tz`` (IANA tzdb — the
+    same database Spark's from_utc_timestamp consults)."""
+    from datetime import timezone as _tz
+    from zoneinfo import ZoneInfo
+
+    dt = datetime.fromtimestamp(instant_us // 1_000_000, tz=_tz.utc).astimezone(
+        ZoneInfo(tz)
+    )
+    return instant_us + int(dt.utcoffset().total_seconds()) * 1_000_000
+
+
 def time_bucket_gapfill(
     df: DataFrame,
     width: Union[str, int],
@@ -86,12 +98,19 @@ def time_bucket_gapfill(
     aggs: Optional[dict[str, Column]] = None,
     fill: Optional[dict[str, FillSpec]] = None,
     bucket_alias: str = "bucket",
+    timezone: Optional[str] = None,
 ) -> DataFrame:
     """Aggregate ``df`` by time bucket (+ ``group_by``), generating rows for
     missing buckets in ``[start, finish)`` and applying per-column fills.
 
     ``aggs``: output column name -> aggregate expression.
     ``fill``: output column name -> locf(...) / interpolate(...) / None.
+    ``timezone``: bucket in local wall-clock time of an IANA zone — the
+    reference's ``ts_gapfill_timestamptz_timezone_bucket`` overload
+    (sql/gapfill.sql:23). The spine steps uniformly in LOCAL time, so
+    bucket instants are non-uniform in UTC across a DST transition
+    (23 h/25 h days) — exactly the reference semantics; locf/interpolate
+    window math runs on the local-time axis.
     """
     if aggs is None:
         raise ValueError("aggs is required")
@@ -102,6 +121,8 @@ def time_bucket_gapfill(
     if tdt is None:
         raise ValueError(f"no column {time_col!r}")
     is_ts = tdt.startswith("timestamp") or tdt == "date"
+    if timezone is not None and not is_ts:
+        raise ValueError("timezone gapfill needs a timestamp column")
 
     # --- bucket grid (all int64 internal units: µs or verbatim ints) ------
     if is_ts:
@@ -109,11 +130,17 @@ def time_bucket_gapfill(
         if iv.months:
             return _gapfill_month(
                 df, iv.months, time_col, start, finish, group_by, aggs, fill,
-                bucket_alias,
+                bucket_alias, timezone,
             )
         width_i = iv.us
         origin = DEFAULT_ORIGIN_US
-        internal = F.unix_micros(F.col(time_col).cast(T.TimestampType()))
+        ts_col = F.col(time_col).cast(T.TimestampType())
+        if timezone is not None:
+            # _BUS is the LOCAL-wall-clock bucket start in µs; the output
+            # converts each local bucket back to its UTC instant.
+            internal = F.unix_micros(F.from_utc_timestamp(ts_col, timezone))
+        else:
+            internal = F.unix_micros(ts_col)
     else:
         if not isinstance(width, int):
             width_i = parse_interval(width).us
@@ -125,6 +152,8 @@ def time_bucket_gapfill(
     start_i, finish_i = _to_internal(start), _to_internal(finish)
     if start_i is None or finish_i is None:
         raise ValueError("start and finish are required (gapfill_exec.c:390)")
+    if is_ts and timezone is not None:
+        start_i, finish_i = _local_us(start_i, timezone), _local_us(finish_i, timezone)
     b0 = _pbucket(start_i, width_i, origin)
     if finish_i <= b0:
         raise ValueError("finish must be after time_bucket(width, start)")
@@ -151,7 +180,11 @@ def time_bucket_gapfill(
     joined = spine.join(bucketed, on=group_by + [_BUS], how="full_outer")
     out = _apply_fills(joined, group_by, list(aggs), fill)
 
-    if is_ts:
+    if is_ts and timezone is not None:
+        bucket_out = F.to_utc_timestamp(
+            F.timestamp_micros(F.col(_BUS)), timezone
+        ).alias(bucket_alias)
+    elif is_ts:
         bucket_out = F.timestamp_micros(F.col(_BUS)).alias(bucket_alias)
     else:
         bucket_out = F.col(_BUS).alias(bucket_alias)
@@ -159,13 +192,23 @@ def time_bucket_gapfill(
 
 
 def _gapfill_month(
-    df, width_months, time_col, start, finish, group_by, aggs, fill, bucket_alias
+    df, width_months, time_col, start, finish, group_by, aggs, fill,
+    bucket_alias, timezone=None,
 ):
     """Month-width gapfill: bucket the month index (bucket_month,
-    src/time_bucket.c:157); the spine is a month-index sequence."""
+    src/time_bucket.c:157); the spine is a month-index sequence. With
+    ``timezone``, the month index is taken in local wall-clock time and
+    bucket instants are the local month starts converted back to UTC."""
     def py_midx(v) -> int:
         if isinstance(v, str):
             v = datetime.fromisoformat(v)
+        if timezone is not None:
+            from datetime import timezone as _tzmod
+            from zoneinfo import ZoneInfo
+
+            if v.tzinfo is None:
+                v = v.replace(tzinfo=_tzmod.utc)
+            v = v.astimezone(ZoneInfo(timezone))
         return v.year * 12 + v.month - 1
 
     m0_raw = py_midx(start)
@@ -184,7 +227,10 @@ def _gapfill_month(
         m = nxt
     b_last = m
 
-    midx = F.year(F.col(time_col)) * F.lit(12) + F.month(F.col(time_col)) - F.lit(1)
+    tcol = F.col(time_col)
+    if timezone is not None:
+        tcol = F.from_utc_timestamp(tcol.cast(T.TimestampType()), timezone)
+    midx = F.year(tcol) * F.lit(12) + F.month(tcol) - F.lit(1)
     bmidx = midx - F.pmod(midx - F.lit(om), F.lit(w))
     bucketed = (
         df.groupBy(*group_by, bmidx.alias(_BUS))
@@ -201,12 +247,14 @@ def _gapfill_month(
     joined = spine.join(bucketed, on=group_by + [_BUS], how="full_outer")
     out = _apply_fills(joined, group_by, list(aggs), fill)
     b = F.col(_BUS)
-    bucket_out = F.make_date(
+    bucket_ts = F.make_date(
         F.floor(b / F.lit(12)).cast(T.IntegerType()),
         (F.pmod(b, F.lit(12)) + F.lit(1)).cast(T.IntegerType()),
         F.lit(1),
-    ).cast(T.TimestampType()).alias(bucket_alias)
-    return out.select(*group_by, bucket_out, *aggs.keys())
+    ).cast(T.TimestampType())
+    if timezone is not None:
+        bucket_ts = F.to_utc_timestamp(bucket_ts, timezone)
+    return out.select(*group_by, bucket_ts.alias(bucket_alias), *aggs.keys())
 
 
 def _apply_fills(

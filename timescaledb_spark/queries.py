@@ -333,6 +333,96 @@ def q_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TZ = "America/New_York"
+# q_gapfill_tz window: UTC instants whose New-York wall clock is midnight
+# Jan 1 (EST, UTC-5) and midnight Apr 5 (EDT, UTC-4) — the spine crosses
+# the 2024-03-10 spring-forward, so local-midnight instants shift by 1 h.
+_TZ_START, _TZ_FINISH = "2024-01-01 05:00:00", "2024-04-05 04:00:00"
+
+
+@query(
+    "q_gapfill_tz",
+    f"""
+    WITH agg AS (
+      SELECT event_type,
+             CAST(timezone('{_TZ}',
+                  date_trunc('day', timezone('{_TZ}', ts::TIMESTAMPTZ)))
+                  AS TIMESTAMP) AS bucket,
+             sum(value) AS sum_v
+      FROM events GROUP BY 1, 2
+    ), spine AS (
+      SELECT t.event_type, CAST(timezone('{_TZ}', b.lb) AS TIMESTAMP) AS bucket
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (
+        SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                      TIMESTAMP '2024-04-04', INTERVAL 1 DAY)) AS lb
+      ) b
+    ), j AS (
+      SELECT s.event_type, s.bucket, a.sum_v, a.bucket IS NOT NULL AS present
+      FROM spine s LEFT JOIN agg a ON s.event_type = a.event_type AND s.bucket = a.bucket
+      UNION ALL
+      SELECT a.event_type, a.bucket, a.sum_v, true FROM agg a
+      WHERE a.bucket < TIMESTAMP '{_TZ_START}' OR a.bucket >= TIMESTAMP '{_TZ_FINISH}'
+    )
+    SELECT event_type, bucket,
+           last_value(CASE WHEN present THEN sum_v END IGNORE NULLS)
+             OVER (PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_v
+    FROM j
+    """,
+)
+def q_gapfill_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone gapfill (ts_gapfill_timestamptz_timezone_bucket,
+    sql/gapfill.sql:23): daily spine in America/New_York wall-clock time
+    crossing the 2024-03-10 DST spring-forward — post-transition bucket
+    instants are 04:00 UTC instead of 05:00. locf carries January totals
+    across the gap."""
+    from .operators import locf, time_bucket_gapfill
+
+    ev = load_table(spark, sf_dir, "events")
+    return time_bucket_gapfill(
+        ev,
+        "1 day",
+        "ts",
+        start=_TZ_START,
+        finish=_TZ_FINISH,
+        group_by=["event_type"],
+        aggs={"sum_v": F.sum("value")},
+        fill={"sum_v": locf()},
+        timezone=_TZ,
+    )
+
+
+@query(
+    "q_uuid_bucket",
+    f"""
+    WITH u AS (
+      SELECT value,
+             (epoch_us(ts) // 1000) * 1000
+             + (((epoch_us(ts) % 1000) * 4096 // 1000) * 1000 // 4096) AS us2
+      FROM events
+    )
+    SELECT make_timestamp(us2 - ((us2 - {ORIGIN_US}) % {DAY} + {DAY}) % {DAY})
+             AS bucket,
+           count(*) AS n,
+           sum(value) AS sum_v
+    FROM u GROUP BY 1
+    """,
+)
+def q_uuid_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """time_bucket over UUIDv7 keys (ts_uuid_bucket, sql/time_bucket.sql:18):
+    events keyed by a UUIDv7 built from ts, bucketed daily straight from
+    the uuid. The oracle replicates the ms+12-bit-frac timestamp encoding
+    roundtrip arithmetically (sub-ms precision loss and all)."""
+    from .functions.uuid7 import time_bucket_uuid, to_uuidv7
+
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(to_uuidv7("ts").alias("u"), "value")
+    return keyed.groupBy(time_bucket_uuid("1 day", "u").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_v")
+    )
+
+
 # ---------------------------------------------------------------------------
 # columnstore (SURVEY §2.3; tsl/src/compression/)
 # ---------------------------------------------------------------------------
