@@ -207,3 +207,60 @@ def test_integer_time_retention(ts, spark):
     r = ts.jobs.run_job(jid)
     assert r["result"]["dropped_chunks"] == 7
     assert ht.df().count() == 300
+
+
+def test_compaction_policy(ts, spark):
+    from timescaledb_spark.compression import enable_columnstore
+
+    ht = _seed_events(ts, spark, name="evk", days=6)
+    with pytest.raises(ValueError, match="compression to be enabled"):
+        ts.jobs.add_compaction_policy("evk")
+    enable_columnstore(ht, segmentby=["device"], orderby=["ts"])
+    with pytest.raises(ValueError, match="max_chunks"):
+        ts.jobs.add_compaction_policy("evk", max_chunks=-1)
+    jid = ts.jobs.add_compaction_policy("evk", max_chunks=4)
+    r1 = ts.jobs.run_job(jid, now=1.0)
+    assert r1["success"] and r1["result"]["compacted_chunks"] == 4
+    r2 = ts.jobs.run_job(jid, now=2.0)
+    assert r2["result"]["compacted_chunks"] == 2  # remaining
+    assert all(c["status"] == "columnstore" for c in ht.chunks())
+    # DML knocks a chunk back to rowstore -> next run recompacts exactly it
+    ht.update_where({"value": "value + 1"}, "device = 0",
+                    start="2024-01-02", end="2024-01-03")
+    assert sum(1 for c in ht.chunks() if c["status"] != "columnstore") == 1
+    r3 = ts.jobs.run_job(jid, now=3.0)
+    assert r3["result"]["compacted_chunks"] == 1
+    ts.jobs.remove_compaction_policy("evk")
+    assert ts.jobs.list() == []
+
+
+def test_policies_v2(ts, spark):
+    _seed_events(ts, spark, name="evp", days=5)
+    ts.create_cagg(
+        "pdaily", "evp", bucket_width="1 day",
+        aggs={"n": "count(1)", "sum_v": "sum(value)"},
+    )
+    assert ts.jobs.add_policies(
+        "pdaily",
+        refresh_start_offset="30 days",
+        refresh_end_offset=None,
+        compress_after="2 days",
+        drop_after="90 days",
+    )
+    shown = ts.jobs.show_policies("pdaily")
+    names = {p["policy_name"] for p in shown}
+    assert names == {
+        "policy_refresh_continuous_aggregate",
+        "policy_compression",
+        "policy_retention",
+    }
+    # refresh fires against the cagg; compression/retention against the mat
+    now_s = 1704067200 + 5 * 86400
+    for r in ts.jobs.run_pending(now=float(now_s)):
+        assert r["success"], r
+    assert ts.jobs.remove_policies("pdaily", False, "policy_retention")
+    assert len(ts.jobs.show_policies("pdaily")) == 2
+    with pytest.raises(KeyError):
+        ts.jobs.remove_policies("pdaily", False, "policy_retention")
+    assert ts.jobs.remove_all_policies("pdaily")
+    assert ts.jobs.show_policies("pdaily") == []

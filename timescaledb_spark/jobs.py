@@ -148,12 +148,45 @@ def _proc_reorder(ts, config: dict, now_s: float) -> dict:
     return {"reordered": 1, "chunk": chunk["range_start"]}
 
 
+def _proc_compaction(ts, config: dict, now_s: float) -> dict:
+    """``add_compaction_policy`` payload
+    (tsl/src/bgw_policy/compaction_api.c + job.c recompression dispatch):
+    (re)compress chunks that are not in columnstore form — never-compressed
+    completed chunks and chunks knocked back to rowstore by DML — oldest
+    first, at most ``max_chunks`` per run, skipping chunks whose range
+    isn't at least ``inactive_for`` old."""
+    from .compression import recompress_chunk
+
+    ht = ts.get_hypertable(config["hypertable"])
+    cutoff = (
+        _ht_cutoff(ht, config["inactive_for"], now_s)
+        if config.get("inactive_for") is not None
+        else None
+    )
+    cands = sorted(
+        (
+            c
+            for c in ht.chunks()
+            if c.get("status") != "columnstore"
+            and (cutoff is None or c["range_end"] <= cutoff)
+        ),
+        key=lambda c: c["range_start"],
+    )
+    max_chunks = int(config.get("max_chunks") or 0)
+    if max_chunks:
+        cands = cands[:max_chunks]
+    for c in cands:
+        recompress_chunk(ht, c)
+    return {"compacted_chunks": len(cands)}
+
+
 BUILTIN_PROCS: dict[str, Callable] = {
     "policy_retention": _proc_retention,
     "policy_compression": _proc_compression,
     "policy_columnstore": _proc_compression,
     "policy_refresh_continuous_aggregate": _proc_refresh_cagg,
     "policy_reorder": _proc_reorder,
+    "policy_compaction": _proc_compaction,
 }
 
 
@@ -469,6 +502,142 @@ class JobRegistry:
             schedule_interval,
             if_not_exists,
         )
+
+    def add_compaction_policy(
+        self,
+        hypertable: str,
+        schedule_interval: Union[str, int, float] = "1 day",
+        if_not_exists: bool = False,
+        max_chunks: Optional[int] = None,
+        max_batches: Optional[int] = None,
+        inactive_for: Union[str, int, None] = None,
+    ) -> int:
+        """``add_compaction_policy`` (sql/policy_api.sql:48;
+        tsl/src/bgw_policy/compaction_api.c): periodic (re)compression of
+        chunks not in columnstore form. Requires columnstore settings on
+        the hypertable, like the reference (compaction_api.c:153)."""
+        ht = self.ts.get_hypertable(hypertable)
+        if not self.ts.catalog.compression_settings.find_one(hypertable_id=ht.id):
+            raise ValueError(
+                f"compaction policy requires compression to be enabled on "
+                f"hypertable {hypertable!r} (compaction_api.c:153)"
+            )
+        for val, name in ((max_chunks, "max_chunks"), (max_batches, "max_batches")):
+            if val is not None and val < 0:
+                raise ValueError(f"{name} must be greater than or equal to 0")
+        return self._add_policy(
+            "policy_compaction",
+            {
+                "hypertable": hypertable,
+                "max_chunks": max_chunks,
+                "max_batches": max_batches,
+                "inactive_for": inactive_for,
+            },
+            schedule_interval,
+            if_not_exists,
+        )
+
+    # ---- timescaledb_experimental.policies_v2 (sql/policy_api.sql:129-168)
+    def add_policies(
+        self,
+        relation: str,
+        if_not_exists: bool = False,
+        refresh_start_offset: Union[str, int, None] = None,
+        refresh_end_offset: Union[str, int, None] = None,
+        compress_after: Union[str, int, None] = None,
+        drop_after: Union[str, int, None] = None,
+        refresh_schedule_interval: Union[str, int, float] = "1 hour",
+    ) -> bool:
+        """One-step cagg policies (``timescaledb_experimental.add_policies``,
+        tsl/src/bgw_policy/policies_v2.c): the refresh policy targets the
+        cagg; compression and retention target its materialization
+        hypertable (policies_v2.c:316,436)."""
+        cagg = self.ts.get_cagg(relation)
+        mat = cagg.row["mat_table"]
+        added = False
+        if refresh_start_offset is not None or refresh_end_offset is not None:
+            self.add_continuous_aggregate_policy(
+                relation,
+                refresh_start_offset,
+                refresh_end_offset,
+                schedule_interval=refresh_schedule_interval,
+                if_not_exists=if_not_exists,
+            )
+            added = True
+        if compress_after is not None:
+            from .compression import enable_columnstore
+
+            mat_ht = self.ts.get_hypertable(mat)
+            if not self.ts.catalog.compression_settings.find_one(
+                hypertable_id=mat_ht.id
+            ):
+                # the reference requires/sets compression on the mat
+                # hypertable; order by the bucket column by default
+                enable_columnstore(mat_ht, orderby=[cagg.row["bucket_alias"]])
+            self.add_compression_policy(
+                mat, compress_after, if_not_exists=if_not_exists
+            )
+            added = True
+        if drop_after is not None:
+            self.add_retention_policy(mat, drop_after, if_not_exists=if_not_exists)
+            added = True
+        return added
+
+    _V2_PROCS = {
+        "policy_refresh_continuous_aggregate": "cagg",
+        "policy_compression": "hypertable",
+        "policy_retention": "hypertable",
+    }
+
+    def _v2_jobs(self, relation: str) -> list[dict]:
+        cagg = self.ts.get_cagg(relation)
+        mat = cagg.row["mat_table"]
+        out = []
+        for job in self.list():
+            key = self._V2_PROCS.get(job["proc"])
+            if key is None:
+                continue
+            target = (job.get("config") or {}).get(key)
+            if (key == "cagg" and target == relation) or (
+                key == "hypertable" and target == mat
+            ):
+                out.append(job)
+        return out
+
+    def remove_policies(
+        self, relation: str, if_exists: bool = False, *policy_names: str
+    ) -> bool:
+        """``timescaledb_experimental.remove_policies`` (policy_api.sql:137)."""
+        jobs = {j["proc"]: j for j in self._v2_jobs(relation)}
+        ok = True
+        for name in policy_names:
+            job = jobs.get(name)
+            if job is None:
+                if not if_exists:
+                    raise KeyError(f"no policy {name!r} on {relation!r}")
+                ok = False
+                continue
+            self.delete_job(job["id"])
+        return ok
+
+    def remove_all_policies(self, relation: str, if_exists: bool = False) -> bool:
+        """``timescaledb_experimental.remove_all_policies`` (policy_api.sql:146)."""
+        jobs = self._v2_jobs(relation)
+        if not jobs and not if_exists:
+            raise KeyError(f"no policies on {relation!r}")
+        for job in jobs:
+            self.delete_job(job["id"])
+        return bool(jobs)
+
+    def show_policies(self, relation: str) -> list[dict]:
+        """``timescaledb_experimental.show_policies`` (policy_api.sql:164)."""
+        return [
+            {"policy_name": j["proc"], **(j.get("config") or {})}
+            for j in self._v2_jobs(relation)
+        ]
+
+    def remove_compaction_policy(self, hypertable: str) -> None:
+        self._remove_policy("policy_compaction", "hypertable", hypertable)
 
     def _remove_policy(self, proc: str, match_key: str, match_val: str) -> None:
         for job in self.list():
