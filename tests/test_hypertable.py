@@ -114,3 +114,45 @@ def test_size_utils(ts, spark):
     ht.insert(_events(spark))
     assert ht.approximate_row_count() == 1000
     assert ht.hypertable_size() > 0
+
+
+def test_triggers_fire_per_batch(ts, spark):
+    """Batch-level trigger hooks (test/sql/triggers.sql analog): BEFORE
+    transforms the batch, AFTER observes rows + touched chunks — and both
+    fire per streaming micro-batch routed through StreamIngest."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from timescaledb_spark.streaming import StreamIngest
+
+    ht = ts.create_hypertable("trig", "ts", chunk_interval="1 day")
+    fired = []
+    ht.create_trigger(
+        "clamp", lambda df: df.withColumn("value", F.least("value", F.lit(10.0))),
+        when="before",
+    )
+    ht.create_trigger("audit", lambda h, stats: fired.append(stats), when="after")
+
+    df = spark.range(48).select(
+        F.timestamp_micros(
+            (F.lit(1704067200000000) + F.col("id") * 3600 * 1_000_000).cast("long")
+        ).alias("ts"),
+        (F.col("id") * 1.0).alias("value"),
+    )
+    ht.insert(df)
+    assert len(fired) == 1 and fired[0]["rows"] == 48
+    assert ht.df().agg(F.max("value")).collect()[0][0] == 10.0  # BEFORE clamped
+
+    ingest = StreamIngest(ht, checkpoint_dir=tempfile.mkdtemp())
+    ingest.process_batch(df, 1)
+    ingest.process_batch(df, 1)  # replay skipped -> no trigger
+    assert len(fired) == 2
+
+    with pytest.raises(ValueError):
+        ht.create_trigger("audit", lambda h, s: None)
+    ht.drop_trigger("audit")
+    ht.insert(df)
+    assert len(fired) == 2  # dropped trigger no longer fires
+    with pytest.raises(KeyError):
+        ht.drop_trigger("audit")

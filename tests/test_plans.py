@@ -77,6 +77,31 @@ def test_histogram_bounded_state(spark):
     assert plan.count("ObjectHashAggregate") == 0
 
 
+def test_insert_scans_source_once(spark, tmp_path):
+    # ingest stats ride the write job via observe() — a second stats scan
+    # would double source cost at 100 TB (VERDICT r1 item 6)
+    from pyspark.sql.functions import udf
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @udf("long")
+    def tick(x):
+        acc.add(1)
+        return x
+
+    ts = TSSession(spark, str(tmp_path / "ts1"))
+    ht = ts.create_hypertable("m1", "ts", chunk_interval="1 day")
+    df = spark.range(48).select(
+        F.timestamp_micros(
+            (F.lit(T0_US) + tick(F.col("id")) * 3600 * 1_000_000).cast("long")
+        ).alias("ts"),
+        F.col("id").cast("double").alias("value"),
+    )
+    stats = ht.insert(df)
+    assert stats["rows"] == 48 and ht.df().count() == 48
+    assert acc.value == 48, f"source evaluated {acc.value / 48:.1f}x"
+
+
 def test_embedding_lsh_no_cartesian(tsdata, sf_dir):
     # the scale tier of embedding dedup must never cross-join the corpus
     # (VERDICT r1 item 3); its O(n²) sibling is the verification baseline

@@ -353,6 +353,53 @@ class Hypertable:
             cols.append(SPACE_COL)
         return cols
 
+    # ----------------------------------------------------------- triggers
+    def create_trigger(self, name: str, fn, when: str = "after") -> None:
+        """Batch-level trigger hooks — the Spark analog of triggers on
+        chunks (``test/sql/triggers.sql``; tuple routing fires the chunk's
+        triggers in ``src/nodes/chunk_dispatch/``).
+
+        Row-at-a-time trigger bodies don't exist in a vectorized engine;
+        the idiomatic equivalents are:
+        - ``when="before"``: ``fn(df) -> DataFrame`` — transform/filter
+          the incoming batch (the BEFORE ROW "modify NEW" analog).
+        - ``when="after"``: ``fn(hypertable, stats)`` — observe the write
+          (stats include rows + touched chunk starts), e.g. audit logs or
+          downstream notifications.
+        Hooks fire on every ``insert``/``upsert``, including each
+        streaming micro-batch routed through ``StreamIngest``. Like the
+        reference (where trigger functions live in the database), hook
+        callables live with the session, not the on-disk catalog.
+        """
+        if when not in ("before", "after"):
+            raise ValueError("when must be 'before' or 'after'")
+        reg = self.ts.__dict__.setdefault("_triggers", {}).setdefault(self.name, [])
+        if any(t[0] == name for t in reg):
+            raise ValueError(f"trigger {name!r} already exists on {self.name!r}")
+        reg.append((name, when, fn))
+
+    def drop_trigger(self, name: str) -> None:
+        reg = self.ts.__dict__.get("_triggers", {}).get(self.name, [])
+        keep = [t for t in reg if t[0] != name]
+        if len(keep) == len(reg):
+            raise KeyError(f"no trigger {name!r} on {self.name!r}")
+        self.ts._triggers[self.name] = keep
+
+    def _hooks(self, when: str):
+        return [
+            t for t in self.ts.__dict__.get("_triggers", {}).get(self.name, [])
+            if t[1] == when
+        ]
+
+    def _fire_before(self, df: DataFrame) -> DataFrame:
+        for _, _, fn in self._hooks("before"):
+            df = fn(df)
+        return df
+
+    def _fire_after(self, stats: dict) -> None:
+        for _, _, fn in self._hooks("after"):
+            fn(self, stats)
+
     def insert(self, df: DataFrame, cluster: bool = True) -> dict:
         """Append rows, routing each to its chunk.
 
@@ -365,36 +412,62 @@ class Hypertable:
         min/max of the time dimension appended to the hypertable
         invalidation log (``tsl/src/continuous_aggs/insert.c:208``).
         """
+        df = self._fire_before(df)
         self._ensure_typed(df)
         want = {f.name for f in self._schema().fields}
         have = set(df.columns)
         if want != have:
             raise ValueError(f"schema mismatch: want {sorted(want)}, have {sorted(have)}")
+        internal = self._internal_time_expr(df)
+        frozen = [c for c in self.chunks() if c.get("frozen")]
+        if frozen:
+            # frozen chunks must be able to REJECT the write, so stats are
+            # needed before any file lands: pay a separate stats scan
+            # (rare — frozen chunks only exist on tiering-style setups)
+            stats = (
+                df.select(internal.alias("_t"))
+                .agg(
+                    F.min("_t").alias("tmin"),
+                    F.max("_t").alias("tmax"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()[0]
+            )
+            if stats["n"] == 0:
+                return {"rows": 0, "chunks": []}
+            self._check_frozen(stats["tmin"], stats["tmax"])
+            tmin, tmax, n = stats["tmin"], stats["tmax"], stats["n"]
+            obs = None
+        else:
+            # single-scan ingest: min/max/count ride the write job as
+            # observe() metrics instead of a second pass over the source
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            df = df.observe(
+                obs,
+                F.min(internal).alias("tmin"),
+                F.max(internal).alias("tmax"),
+                F.count(F.lit(1)).alias("n"),
+            )
         out = df.select("*", *self._partition_exprs(df))
         if cluster:
             out = out.repartition(*[F.col(c) for c in self._partition_cols])
-        # stats for chunk registration + invalidation in ONE tiny job
-        internal = self._internal_time_expr(df)
-        stats = (
-            df.select(internal.alias("_t"))
-            .agg(
-                F.min("_t").alias("tmin"),
-                F.max("_t").alias("tmax"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .collect()[0]
-        )
-        if stats["n"] == 0:
-            return {"rows": 0, "chunks": []}
-        self._check_frozen(stats["tmin"], stats["tmax"])
         (
             out.write.mode("append")
             .partitionBy(*self._partition_cols)
             .parquet(self.data_dir)
         )
-        chunks = self._register_chunks_in_range(stats["tmin"], stats["tmax"])
-        self._capture_invalidation(stats["tmin"], stats["tmax"])
-        return {"rows": stats["n"], "chunks": chunks}
+        if obs is not None:
+            got = obs.get
+            tmin, tmax, n = got["tmin"], got["tmax"], got["n"]
+            if n == 0:
+                return {"rows": 0, "chunks": []}
+        chunks = self._register_chunks_in_range(tmin, tmax)
+        self._capture_invalidation(tmin, tmax)
+        stats = {"rows": n, "chunks": chunks}
+        self._fire_after(stats)
+        return stats
 
     def _schema(self) -> T.StructType:
         return T.StructType.fromJson(__import__("json").loads(self.row["schema_ddl"]))
@@ -514,6 +587,7 @@ class Hypertable:
         they are rewritten and drop back to rowstore status, like the
         reference's decompress-on-upsert path.
         """
+        df = self._fire_before(df)
         self._ensure_typed(df)
         new = df.select("*", *self._partition_exprs(df))
         affected = sorted(
@@ -545,7 +619,9 @@ class Hypertable:
         self._mark_rewritten(hit)
         chunks = self._register_chunks_in_range(stats["tmin"], stats["tmax"])
         self._capture_invalidation(stats["tmin"], stats["tmax"])
-        return {"rows": stats["n"], "chunks": chunks, "rewritten": hit}
+        out_stats = {"rows": stats["n"], "chunks": chunks, "rewritten": hit}
+        self._fire_after(out_stats)
+        return out_stats
 
     def update_where(
         self,
