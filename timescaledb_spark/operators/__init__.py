@@ -1,1 +1,2 @@
 from .gapfill import interpolate, locf, time_bucket_gapfill  # noqa: F401
+from .recursive import recursive_union  # noqa: F401

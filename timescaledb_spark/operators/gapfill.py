@@ -159,6 +159,16 @@ def time_bucket_gapfill(
         raise ValueError("finish must be after time_bucket(width, start)")
     b_last = b0 + ((finish_i - 1 - b0) // width_i) * width_i
 
+    if not group_by and (b_last - b0) // width_i >= 5_000_000:
+        import warnings
+
+        warnings.warn(
+            "gapfill without group_by runs its fill windows in a single "
+            "task; a spine this large (>5M buckets) will serialize — add a "
+            "group_by dimension or split the window",
+            stacklevel=2,
+        )
+
     bucket_us = internal - F.pmod(internal - F.lit(origin), F.lit(width_i))
     bucketed = (
         df.groupBy(*group_by, bucket_us.alias(_BUS))

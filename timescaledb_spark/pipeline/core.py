@@ -200,14 +200,15 @@ def hyperplane_sig_pd(
     """``hyperplane_sig_batch`` as an Arrow-batched pandas UDF column."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.functions import PandasUDFType
 
     kernel = hyperplane_sig_batch(n_planes, dim)
 
     def _sig(v):
         return pd.Series(kernel(v.to_numpy()))
 
-    sig = pandas_udf(_sig, "long", PandasUDFType.SCALAR)
+    # concrete class annotations (not strings) drive scalar-UDF inference
+    _sig.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    sig = pandas_udf(_sig, "long")
     return sig(_col(vec_col))
 
 

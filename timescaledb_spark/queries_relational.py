@@ -357,3 +357,45 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     uid = lambda t: ev.filter(F.col("event_type") == t).select("user_id")  # noqa: E731
     return uid("click").intersect(uid("view")).subtract(uid("purchase"))
+
+
+# ---------------------------------------------------------------------------
+# recursive CTE (§2.7) — driver-side fixpoint (operators/recursive.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_recursive_cte",
+    """
+    WITH RECURSIVE r AS (
+      SELECT c_custkey AS root, c_custkey AS node, 0 AS depth
+      FROM customer WHERE c_custkey < 100
+      UNION ALL
+      SELECT r.root, c.c_custkey AS node, r.depth + 1 AS depth
+      FROM r JOIN customer c ON c.c_custkey = r.node + 100
+    )
+    SELECT root, node, depth FROM r
+    """,
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE analog: walk the +100 custkey chain from each root
+    < 100 (a synthetic hierarchy over the customer table), accumulating
+    (root, node, depth). Each iteration is a distributed broadcast
+    semi-join; only emptiness probes reach the driver."""
+    from .operators import recursive_union
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    base = cust.filter(F.col("c_custkey") < 100).select(
+        F.col("c_custkey").alias("root"),
+        F.col("c_custkey").alias("node"),
+        F.lit(0).alias("depth"),
+    )
+
+    def step(frontier: DataFrame) -> DataFrame:
+        nxt = frontier.select(
+            "root", (F.col("node") + 100).alias("node"), (F.col("depth") + 1).alias("depth")
+        )
+        return nxt.join(
+            F.broadcast(cust), nxt["node"] == cust["c_custkey"], "left_semi"
+        )
+
+    return recursive_union(base, step, union_all=True)
