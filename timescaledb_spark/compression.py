@@ -98,25 +98,15 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
-def compress_chunk(
+def _compress_chunk_data(
     ht: Hypertable,
-    chunk: Union[dict, int],
-    stats_columns: Sequence[str] = (),
-    target_file_bytes: int = TARGET_FILE_BYTES,
+    chunk: dict,
+    stats_columns: Sequence[str],
+    target_file_bytes: int,
 ) -> dict:
-    """``compress_chunk`` / ``convert_to_columnstore``
-    (sql/maintenance_utils.sql:35; tsl/src/compression/api.c:889).
-
-    Rewrites one chunk directory clustered by segmentby, sorted by
-    (segmentby, orderby); records before/after sizes
-    (compression_chunk_size catalog) and per-chunk column min/max
-    (chunk_column_stats) for the skip index.
-    """
-    if isinstance(chunk, int):
-        matches = [c for c in ht.chunks() if c["range_start"] == chunk]
-        if not matches:
-            raise KeyError(f"no chunk starting at {chunk}")
-        chunk = matches[0]
+    """The Spark side of a chunk compression: sorted clustered rewrite +
+    stats scan + atomic dir swap. Touches only this chunk's directory, so
+    many of these can run concurrently (catalog commits stay serial)."""
     s = _settings(ht)
     spark = ht.ts.spark
     path = _chunk_path(ht, chunk)
@@ -156,12 +146,15 @@ def compress_chunk(
         stats = {c: [row[f"min_{c}"], row[f"max_{c}"]] for c in stat_cols}
     shutil.rmtree(path)
     os.replace(tmp, path)
-    after = _dir_bytes(path)
+    return {"before": before, "after": _dir_bytes(path), "stats": stats}
 
+
+def _compress_chunk_commit(ht: Hypertable, chunk: dict, data: dict) -> dict:
+    """Catalog side of a chunk compression (single-threaded)."""
     cat = ht.ts.catalog
     cat.chunk.update({"id": chunk["id"]}, {"status": "columnstore"})
     cat.chunk_column_stats.delete({"chunk_id": chunk["id"]})
-    if stats:
+    if data["stats"]:
         cat.chunk_column_stats.append(
             [
                 {
@@ -171,18 +164,49 @@ def compress_chunk(
                     "min": v[0],
                     "max": v[1],
                 }
-                for c, v in stats.items()
+                for c, v in data["stats"].items()
             ]
         )
     cat.table("metadata").append(
         [
             {
                 "key": f"compression_chunk_size_{chunk['id']}",
-                "value": {"before": before, "after": after, "at": _time.time()},
+                "value": {
+                    "before": data["before"],
+                    "after": data["after"],
+                    "at": _time.time(),
+                },
             }
         ]
     )
-    return {"chunk": chunk["range_start"], "before_bytes": before, "after_bytes": after}
+    return {
+        "chunk": chunk["range_start"],
+        "before_bytes": data["before"],
+        "after_bytes": data["after"],
+    }
+
+
+def compress_chunk(
+    ht: Hypertable,
+    chunk: Union[dict, int],
+    stats_columns: Sequence[str] = (),
+    target_file_bytes: int = TARGET_FILE_BYTES,
+) -> dict:
+    """``compress_chunk`` / ``convert_to_columnstore``
+    (sql/maintenance_utils.sql:35; tsl/src/compression/api.c:889).
+
+    Rewrites one chunk directory clustered by segmentby, sorted by
+    (segmentby, orderby); records before/after sizes
+    (compression_chunk_size catalog) and per-chunk column min/max
+    (chunk_column_stats) for the skip index.
+    """
+    if isinstance(chunk, int):
+        matches = [c for c in ht.chunks() if c["range_start"] == chunk]
+        if not matches:
+            raise KeyError(f"no chunk starting at {chunk}")
+        chunk = matches[0]
+    data = _compress_chunk_data(ht, chunk, stats_columns, target_file_bytes)
+    return _compress_chunk_commit(ht, chunk, data)
 
 
 def decompress_chunk(ht: Hypertable, chunk: Union[dict, int]) -> None:
@@ -205,15 +229,33 @@ def compress_chunks(
     older_than=None,
     newer_than=None,
     recompress: bool = False,
+    parallelism: int = 8,
 ) -> list[dict]:
     """Compress every (still-rowstore) chunk in the window — the payload of
-    ``add_compression_policy`` (tsl/src/bgw_policy/compression_api.c)."""
-    out = []
-    for c in ht.show_chunks(older_than=older_than, newer_than=newer_than):
-        if c.get("status") == "columnstore" and not recompress:
-            continue
-        out.append(compress_chunk(ht, c))
-    return out
+    ``add_compression_policy`` (tsl/src/bgw_policy/compression_api.c).
+
+    Chunk rewrites are independent (each touches only its own directory),
+    so the Spark work runs ``parallelism``-wide — concurrent job
+    submission keeps the cluster saturated instead of draining between
+    per-chunk jobs; catalog commits are applied serially afterwards."""
+    cands = [
+        c
+        for c in ht.show_chunks(older_than=older_than, newer_than=newer_than)
+        if c.get("status") != "columnstore" or recompress
+    ]
+    if not cands:
+        return []
+    if parallelism <= 1 or len(cands) == 1:
+        return [compress_chunk(ht, c) for c in cands]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(parallelism, len(cands))) as ex:
+        datas = list(
+            ex.map(
+                lambda c: _compress_chunk_data(ht, c, (), TARGET_FILE_BYTES), cands
+            )
+        )
+    return [_compress_chunk_commit(ht, c, d) for c, d in zip(cands, datas)]
 
 
 def reorder_chunk(ht: Hypertable, chunk: Union[dict, int], by: Sequence[str]) -> None:

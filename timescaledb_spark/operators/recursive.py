@@ -35,16 +35,24 @@ def recursive_union(
     table" semantics, not the full accumulated result) and returns the
     next frontier; iteration stops when a frontier comes back empty.
     """
-    acc = base.localCheckpoint(eager=True)
-    frontier = acc
+    from functools import reduce
+
+    frontier = base.localCheckpoint(eager=True)
+    parts = [frontier]
+
+    def acc() -> DataFrame:
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
     for _ in range(max_iterations):
         new = step(frontier)
         if not union_all:
-            new = new.subtract(acc)
+            new = new.subtract(acc())
+        # one materializing job per iteration: checkpoint the frontier
+        # (truncates lineage) and probe emptiness on the cached result
         new = new.localCheckpoint(eager=True)
         if new.isEmpty():
-            return acc
-        acc = acc.unionByName(new).localCheckpoint(eager=True)
+            return acc()
+        parts.append(new)
         frontier = new
     raise RuntimeError(
         f"recursive_union did not converge in {max_iterations} iterations"

@@ -368,23 +368,29 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH RECURSIVE r AS (
       SELECT c_custkey AS root, c_custkey AS node, 0 AS depth
-      FROM customer WHERE c_custkey < 100
+      FROM customer WHERE c_custkey >= 1 AND c_custkey < 100 AND c_custkey % 2 = 1
       UNION ALL
       SELECT r.root, c.c_custkey AS node, r.depth + 1 AS depth
-      FROM r JOIN customer c ON c.c_custkey = r.node + 100
+      FROM r JOIN customer c ON c.c_custkey = r.node * 2
     )
     SELECT root, node, depth FROM r
     """,
 )
 def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WITH RECURSIVE analog: walk the +100 custkey chain from each root
-    < 100 (a synthetic hierarchy over the customer table), accumulating
-    (root, node, depth). Each iteration is a distributed broadcast
+    """WITH RECURSIVE analog: walk the node→2·node custkey chain from odd
+    roots < 100 (a synthetic hierarchy over the customer table). The
+    doubling step keeps recursion depth O(log n) at any scale factor —
+    iteration count is the one thing a driver-side fixpoint must keep
+    independent of data volume. Each iteration is a distributed broadcast
     semi-join; only emptiness probes reach the driver."""
     from .operators import recursive_union
 
     cust = load_table(spark, sf_dir, "customer").select("c_custkey")
-    base = cust.filter(F.col("c_custkey") < 100).select(
+    base = cust.filter(
+        (F.col("c_custkey") >= 1)
+        & (F.col("c_custkey") < 100)
+        & (F.col("c_custkey") % 2 == 1)
+    ).select(
         F.col("c_custkey").alias("root"),
         F.col("c_custkey").alias("node"),
         F.lit(0).alias("depth"),
@@ -392,7 +398,7 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def step(frontier: DataFrame) -> DataFrame:
         nxt = frontier.select(
-            "root", (F.col("node") + 100).alias("node"), (F.col("depth") + 1).alias("depth")
+            "root", (F.col("node") * 2).alias("node"), (F.col("depth") + 1).alias("depth")
         )
         return nxt.join(
             F.broadcast(cust), nxt["node"] == cust["c_custkey"], "left_semi"
