@@ -242,3 +242,53 @@ def q_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert replay.get("replayed"), "replayed batch must be skipped"
     ingest.process_batch(b2, 2)
     return _daily(ht.read())
+
+
+# ---------------------------------------------------------------------------
+# join through compressed chunks (tsl/test/shared/sql/decompress_join.sql)
+# ---------------------------------------------------------------------------
+
+_DJ_LO, _DJ_HI = "1996-01-01", "1998-01-01"
+
+
+@query(
+    "q_decompress_join",
+    f"""
+    SELECT p.p_brand AS brand,
+           count(*) AS n,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '{_DJ_LO}'
+      AND l.l_shipdate <  TIMESTAMP '{_DJ_HI}'
+    GROUP BY p.p_brand
+    """,
+)
+def q_decompress_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable ⋈ plain table under transparent decompression
+    (tsl/test/shared/sql/decompress_join.sql): ingest lineitem as a
+    hypertable on l_shipdate, convert every chunk to columnstore, then
+    time-filter + broadcast-join the part dimension and aggregate. Chunk
+    exclusion must skip chunks outside [lo, hi) BEFORE any decompression
+    — pruning happens on catalog ranges, so compressed chunks never even
+    get their footers read when excluded."""
+    from .compression import compress_chunks, enable_columnstore
+
+    ts = _scratch(spark, "ts_djoin_")
+    ht = ts.create_hypertable("lineitem", "l_shipdate", chunk_interval="180 days")
+    ht.insert(load_table(spark, sf_dir, "lineitem"))
+    enable_columnstore(ht, segmentby=["l_returnflag"], orderby=["l_shipdate"])
+    compress_chunks(ht)
+    part = load_table(spark, sf_dir, "part")
+    li = ht.read(start=_DJ_LO, end=_DJ_HI)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).cast("double").alias("revenue"),
+        )
+    )

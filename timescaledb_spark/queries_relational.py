@@ -30,7 +30,7 @@ from .sources import load_table
     "q_tpch_q3",
     """
     SELECT o.o_orderkey, o.o_orderdate,
-           sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -405,3 +405,153 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return recursive_union(base, step, union_all=True)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5: deep join tree with join reordering + two broadcast tiers
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_tpch_q5",
+    """
+    SELECT n.n_name AS nation,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): 6-table join. The region→nation→
+    supplier chain collapses into one broadcast build side; customer is
+    broadcast too, so the only shuffle is lineitem⋈orders on orderkey —
+    at 100 TB that single fact-fact exchange is the floor for this query
+    shape, and everything else stays map-side."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    sn = s.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+                s.s_nationkey == n.n_nationkey)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(sn),
+            (li.l_suppkey == sn.s_suppkey) & (c.c_nationkey == sn.s_nationkey),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).cast("double").alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# vectorized accumulator family (§2.4: float48_accum_single.c:22-28)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_stats_agg",
+    """
+    SELECT event_type,
+           avg(value) AS avg_v,
+           stddev_samp(value) AS sd_samp,
+           stddev_pop(value) AS sd_pop,
+           var_samp(value) AS var_s,
+           var_pop(value) AS var_p
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's vectorized accumulator set (avg/stddev/variance in
+    sample and population forms, tsl/src/nodes/vector_agg/function/
+    float48_accum_single.c) — Spark computes all five from one shared
+    moments buffer inside a single codegen HashAggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.avg("value").alias("avg_v"),
+        F.stddev_samp("value").alias("sd_samp"),
+        F.stddev_pop("value").alias("sd_pop"),
+        F.var_samp("value").alias("var_s"),
+        F.var_pop("value").alias("var_p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# set-returning function analog (§2.7: generate_series/unnest → explode)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_srf_unnest",
+    """
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY word
+    HAVING count(*) >= 50
+    """,
+)
+def q_srf_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-returning-function analog: explode(split()) is Spark's UNNEST.
+    The explode runs inside whole-stage codegen before the aggregation —
+    one scan, one shuffle on the word key."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ", -1)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON scalar functions (§2.7: jsonb operator inheritance)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_json_props",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    GROUP BY event_type
+    """,
+)
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jsonb-operator inheritance (§2.7): extract a key from the events
+    JSON payload, filter and aggregate on it. get_json_object evaluates
+    JVM-side inside codegen; the extraction-based filter still allows the
+    scan to prune every non-props column."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
