@@ -117,3 +117,26 @@ def test_broadcast_dims_no_extra_shuffle(tsdata, sf_dir):
     # lineitem is shuffled once for the orders join and once for the agg;
     # broadcasting the dims must not add more
     assert shuffle_count(df) <= 4
+
+
+def test_tpch_q5_broadcast_chain(tsdata, sf_dir):
+    # region→nation→supplier collapses into broadcast builds; customer is
+    # broadcast too — the only big exchange is lineitem⋈orders + the agg
+    df = queries()["q_tpch_q5"](tsdata, sf_dir)
+    assert broadcast_join_count(df) >= 3
+    assert shuffle_count(df) <= 3
+    assert cartesian_count(df) == 0
+
+
+def test_srf_unnest_single_shuffle(tsdata, sf_dir):
+    # explode + count: one scan, one hash shuffle on the word key
+    df = queries()["q_srf_unnest"](tsdata, sf_dir)
+    assert shuffle_count(df) <= 1
+    assert read_schema_columns(df) == ["text"]
+
+
+def test_json_props_column_pruning(tsdata, sf_dir):
+    # the JSON extraction filter must not widen the scan beyond the two
+    # referenced columns
+    df = queries()["q_json_props"](tsdata, sf_dir)
+    assert set(read_schema_columns(df)) == {"event_type", "props"}
