@@ -1,0 +1,239 @@
+"""SQL surface tests: macro parity with the Column API, DuckDB oracles,
+chunk pruning, and the gapfill statement path."""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from timescaledb_spark.functions.time import (
+    time_bucket,
+    time_bucket_int,
+    time_bucket_int_sql,
+    time_bucket_sql,
+)
+from timescaledb_spark.session import TSSession
+from timescaledb_spark.sources import load_table
+from timescaledb_spark.sqlapi import extract_time_bounds, rewrite_sql
+
+from .oracle import assert_match, canon_rows, spark_rows
+
+
+@pytest.fixture(scope="module")
+def ts(spark, tmp_path_factory, sf_dir):
+    s = TSSession(spark, str(tmp_path_factory.mktemp("ts_sql")))
+    ht = s.create_hypertable("events", "ts", chunk_interval="7 days")
+    ht.insert(load_table(spark, sf_dir, "events"))
+    return s
+
+
+# ---------------------------------------------------------------------------
+# macro parity: SQL text generator vs Column function (same rows out)
+# ---------------------------------------------------------------------------
+
+BUCKET_CASES = [
+    dict(width="1 hour"),
+    dict(width="5 minutes"),
+    dict(width="1 day"),
+    dict(width="1 week"),
+    dict(width="1 month"),
+    dict(width="3 months"),
+    dict(width="1 day", origin="2024-01-05"),
+    dict(width="1 hour", offset="17 minutes"),
+    dict(width="1 day", timezone="America/New_York"),
+    dict(width="1 month", timezone="Asia/Kolkata"),
+    dict(width="1 week", origin="2024-01-02", offset="90 seconds"),
+]
+
+
+@pytest.mark.parametrize("case", BUCKET_CASES)
+def test_time_bucket_sql_parity(spark, sf_dir, case):
+    ev = load_table(spark, sf_dir, "events")
+    col = time_bucket(case["width"], "ts", origin=case.get("origin"),
+                      offset=case.get("offset"), timezone=case.get("timezone"))
+    sql = time_bucket_sql(case["width"], "ts", origin=case.get("origin"),
+                          offset=case.get("offset"), timezone=case.get("timezone"))
+    df = ev.select(
+        col.alias("a"), F.expr(sql).alias("b")
+    ).filter("a IS DISTINCT FROM b")
+    assert df.count() == 0, f"divergence for {case}: {df.first()}"
+
+
+def test_time_bucket_int_sql_parity(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.select(
+        time_bucket_int(250, "user_id", offset=13).alias("a"),
+        F.expr(time_bucket_int_sql(250, "user_id", offset=13)).alias("b"),
+    ).filter("a IS DISTINCT FROM b")
+    assert df.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# rewriter unit behavior
+# ---------------------------------------------------------------------------
+
+def test_rewrite_first_last():
+    out = rewrite_sql("SELECT first(v, t) AS a, last(v, t) AS b FROM x")
+    assert "min_by(v, t)" in out and "max_by(v, t)" in out
+
+
+def test_rewrite_spark_first_untouched():
+    out = rewrite_sql("SELECT first(v, true) AS a FROM x")
+    assert "first(v, true)" in out
+
+
+def test_rewrite_nested_macros():
+    out = rewrite_sql("SELECT last(time_bucket('1 hour', t), t) FROM x")
+    assert "max_by" in out and "pmod" in out and "time_bucket" not in out
+
+
+def test_rewrite_string_literals_protected():
+    q = "SELECT 'time_bucket(''1 hour'', ts)' AS s FROM x"
+    assert rewrite_sql(q) == q
+
+
+def test_locf_outside_gapfill_raises():
+    with pytest.raises(ValueError, match="time_bucket_gapfill"):
+        rewrite_sql("SELECT locf(avg(v)) FROM x")
+
+
+# ---------------------------------------------------------------------------
+# bounds extraction (drives chunk pruning)
+# ---------------------------------------------------------------------------
+
+US = 1_000_000
+
+
+def test_bounds_simple():
+    lo, hi = extract_time_bounds(
+        "SELECT * FROM events WHERE ts >= '2024-01-10' AND ts < '2024-01-20'",
+        "events", "ts", set())
+    assert lo == 1704844800 * US and hi == 1705708800 * US
+
+
+def test_bounds_or_disables():
+    lo, hi = extract_time_bounds(
+        "SELECT * FROM events WHERE ts >= '2024-01-10' OR user_id = 3",
+        "events", "ts", set())
+    assert lo is None and hi is None
+
+
+def test_bounds_other_alias_ignored():
+    lo, hi = extract_time_bounds(
+        "SELECT * FROM events e JOIN clicks c ON e.id=c.id WHERE c.ts >= '2024-01-10'",
+        "events", "ts", {"e"})
+    assert lo is None and hi is None
+
+
+def test_bounds_between_and_qualified():
+    lo, hi = extract_time_bounds(
+        "SELECT * FROM events e WHERE e.ts BETWEEN '2024-01-10' AND '2024-01-20'",
+        "events", "ts", {"e"})
+    assert lo == 1704844800 * US and hi == 1705708800 * US + 1
+
+
+# ---------------------------------------------------------------------------
+# end-to-end vs DuckDB oracle
+# ---------------------------------------------------------------------------
+
+def test_sql_bucket_agg_oracle(ts, duck):
+    df = ts.sql("""
+        SELECT time_bucket(INTERVAL '1 day', ts) AS bucket,
+               count(*) AS n, sum(value) AS sum_v,
+               first(value, event_id) AS first_v, last(value, event_id) AS last_v
+        FROM events
+        WHERE ts >= '2024-01-05' AND ts < '2024-01-25'
+        GROUP BY bucket
+    """)
+    assert_match(df, duck, """
+        SELECT make_timestamp(epoch_us(ts) - ((epoch_us(ts) - 946857600000000) % 86400000000 + 86400000000) % 86400000000) AS bucket,
+               count(*) AS n, sum(value) AS sum_v,
+               arg_min(value, event_id) AS first_v, arg_max(value, event_id) AS last_v
+        FROM events
+        WHERE ts >= '2024-01-05' AND ts < '2024-01-25'
+        GROUP BY bucket
+    """)
+
+
+def test_sql_histogram_oracle(ts, duck):
+    df = ts.sql("""
+        SELECT event_type, histogram(value, 0, 100, 10) AS hist
+        FROM events GROUP BY event_type
+    """)
+    scols, srows = spark_rows(df)
+    dcols = ["event_type", "hist"]
+    drows = duck.execute("""
+        SELECT event_type,
+               list(cnt ORDER BY slot) AS hist
+        FROM (
+          SELECT event_type, s.slot AS slot,
+                 count(*) FILTER (
+                   WHERE CASE WHEN value < 0 THEN 0
+                              WHEN value >= 100 THEN 11
+                              ELSE 1 + floor(value / 10)::int END = s.slot
+                 )::int AS cnt
+          FROM events, (SELECT unnest(range(12)) AS slot) s
+          GROUP BY event_type, s.slot
+        ) GROUP BY event_type
+    """).fetchall()
+    assert canon_rows(scols, srows) == canon_rows(dcols, drows)
+
+
+def test_sql_gapfill_locf_oracle(ts, duck):
+    df = ts.sql("""
+        SELECT time_bucket_gapfill('6 hours', ts) AS bucket, event_type,
+               locf(avg(value)) AS v
+        FROM events
+        WHERE ts >= '2024-01-08' AND ts < '2024-01-15'
+        GROUP BY bucket, event_type
+    """)
+    assert_match(df, duck, """
+        WITH spine AS (
+          SELECT unnest(generate_series(
+            TIMESTAMP '2024-01-08', TIMESTAMP '2024-01-14 23:59:59',
+            INTERVAL 6 HOUR)) AS bucket
+        ), types AS (SELECT DISTINCT event_type FROM events),
+        agg AS (
+          SELECT make_timestamp(epoch_us(ts) - ((epoch_us(ts) - 946857600000000) % 21600000000 + 21600000000) % 21600000000) AS bucket,
+                 event_type, avg(value) AS v
+          FROM events
+          WHERE ts >= '2024-01-08' AND ts < '2024-01-15'
+          GROUP BY 1, 2
+        )
+        SELECT s.bucket AS bucket, t.event_type,
+               coalesce(a.v, lag(a.v IGNORE NULLS) OVER (
+                 PARTITION BY t.event_type ORDER BY s.bucket)) AS v
+        FROM spine s CROSS JOIN types t
+        LEFT JOIN agg a ON a.bucket = s.bucket AND a.event_type = t.event_type
+    """)
+
+
+def test_sql_insert_and_prune_plan(ts):
+    before = ts.sql("SELECT count(*) AS n FROM events").first()["n"]
+    res = ts.sql(
+        "INSERT INTO events SELECT * FROM events WHERE ts >= '2024-01-10' AND ts < '2024-01-11'"
+    ).first()
+    # keyed dedup on insert: re-inserting existing event_ids replaces rows
+    after = ts.sql("SELECT count(*) AS n FROM events").first()["n"]
+    assert res["rows_inserted"] > 0
+    assert after >= before
+
+    pruned = ts.sql(
+        "SELECT count(*) AS n FROM events WHERE ts >= '2024-01-10' AND ts < '2024-01-20'"
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    m = _re.search(r"(\d+) paths", plan)
+    full = ts.sql("SELECT count(*) AS n FROM events")
+    m2 = _re.search(
+        r"(\d+) paths", full._jdf.queryExecution().executedPlan().toString()
+    )
+    assert m and m2 and int(m.group(1)) < int(m2.group(1))
+
+
+def test_sql_approximate_row_count(ts):
+    n = ts.sql("SELECT approximate_row_count('events') AS n").first()["n"]
+    real = ts.sql("SELECT count(*) AS n FROM events").first()["n"]
+    assert n == real

@@ -299,6 +299,67 @@ def time_bucket_date(
     return F.date_add(F.lit("1970-01-01").cast(T.DateType()), b.cast(T.IntegerType()))
 
 
+def time_bucket_sql(
+    width: Union[str, Interval],
+    ts_sql: str,
+    origin: Union[str, datetime, date, int, None] = None,
+    offset: Union[str, int, None] = None,
+    timezone: Optional[str] = None,
+) -> str:
+    """Spark-SQL text form of :func:`time_bucket` — same formulas, same
+    constants, emitted as a SQL expression string for the ``TSSession.sql``
+    macro expander. Parity is property-tested against the Column version
+    (``tests/test_sqlapi.py``)."""
+    iv = parse_interval(width)
+
+    if offset is not None:
+        off = parse_interval(offset)
+        if off.months:
+            raise ValueError("month-granular offsets not supported")
+        shifted = f"timestamp_micros(unix_micros(cast(({ts_sql}) as timestamp)) - {off.us})"
+        inner = time_bucket_sql(width, shifted, origin=origin, timezone=timezone)
+        return f"timestamp_micros(unix_micros({inner}) + {off.us})"
+
+    if timezone is not None:
+        tz = timezone.replace("'", "''")
+        local = f"from_utc_timestamp(cast(({ts_sql}) as timestamp), '{tz}')"
+        if iv.months:
+            om = DEFAULT_ORIGIN_MONTHS if origin is None else _origin_months_of(origin)
+            local_bucket = _bucket_month_sql(local, iv.months, om)
+        else:
+            local_bucket = _bucket_us_sql(local, iv.us, _origin_to_us(origin))
+        return f"to_utc_timestamp({local_bucket}, '{tz}')"
+
+    if iv.months:
+        om = DEFAULT_ORIGIN_MONTHS if origin is None else _origin_months_of(origin)
+        return _bucket_month_sql(f"cast(({ts_sql}) as timestamp)", iv.months, om)
+    return _bucket_us_sql(f"cast(({ts_sql}) as timestamp)", iv.us, _origin_to_us(origin))
+
+
+def _bucket_us_sql(ts_sql: str, width_us: int, origin_us: int) -> str:
+    if width_us <= 0:
+        raise ValueError("period must be greater than 0")
+    us = f"unix_micros({ts_sql})"
+    return f"timestamp_micros({us} - pmod({us} - {origin_us}, {width_us}))"
+
+
+def _bucket_month_sql(ts_sql: str, width_months: int, origin_months: int) -> str:
+    midx = f"(year({ts_sql}) * 12 + month({ts_sql}) - 1)"
+    b = f"({midx} - pmod({midx} - {origin_months}, {width_months}))"
+    return (
+        f"cast(make_date(cast(floor({b} / 12) as int), "
+        f"cast(pmod({b}, 12) + 1 as int), 1) as timestamp)"
+    )
+
+
+def time_bucket_int_sql(width: int, x_sql: str, offset: int = 0) -> str:
+    """SQL text form of :func:`time_bucket_int` (same TIME_BUCKET macro)."""
+    if width <= 0:
+        raise ValueError("period must be greater than 0")
+    x = f"({x_sql})"
+    return f"({x} - pmod({x} - {offset}, {width}))"
+
+
 def time_bucket_int(
     width: int,
     x: Union[str, Column],

@@ -123,6 +123,20 @@ class TSSession:
 
         return ContinuousAggregate.get(self, name)
 
+    # -- SQL surface (sql/*.sql hyperfunction API) --------------------------
+    def sql(self, query: str):
+        """TimescaleDB-flavored SQL over this session's tables.
+
+        ``time_bucket``, ``first``/``last``, ``histogram``,
+        ``approximate_row_count`` are macro-expanded into pure Spark-SQL
+        expressions; ``time_bucket_gapfill`` + ``locf``/``interpolate``
+        statements route through the gapfill operator; hypertable reads
+        are chunk-pruned from the WHERE clause's time predicates. See
+        ``sqlapi.py``."""
+        from .sqlapi import ts_sql
+
+        return ts_sql(self, query)
+
     # -- jobs & policies (src/bgw/, tsl/src/bgw_policy/) --------------------
     @property
     def jobs(self):

@@ -1,0 +1,529 @@
+"""TimescaleDB-flavored SQL surface: ``TSSession.sql(query)``.
+
+The reference is SQL-first — every hyperfunction (``time_bucket``,
+``first``/``last``, ``histogram``, ``time_bucket_gapfill`` + ``locf`` /
+``interpolate``) is called from plain SQL over hypertables (reference
+``sql/time_bucket.sql``, ``sql/gapfill.sql``, ``sql/histogram.sql``). This
+module gives a user of the reference the same entry point on Spark:
+
+- hypertables / plain tables / caggs are registered as temp views;
+- hyperfunction calls are **macro-expanded at parse time** into pure
+  Spark-SQL expressions (the exact same formulas as the Column API in
+  ``functions/`` — no UDFs, fully Catalyst-optimizable / codegen);
+- time predicates in the WHERE clause drive **driver-side chunk
+  exclusion** (the SQL-path analog of plan-time ChunkAppend pruning,
+  reference ``src/planner/hypertable_restrict_info.c``): the view for a
+  hypertable is registered over only the surviving chunk directories.
+  Extraction is conservative — when in doubt (OR terms, ambiguous
+  columns) the full table is registered and correctness falls back to
+  Catalyst's own filter pushdown + parquet row-group skipping;
+- ``time_bucket_gapfill`` statements are recognized as a (constrained)
+  statement shape and routed through the gapfill operator
+  (``operators/gapfill.py``), the analog of the reference's GapFill plan
+  node being injected above the aggregation (``tsl/src/nodes/gapfill/``).
+
+Macro expansion keeps everything in the JVM: the emitted SQL contains
+only built-in functions, so a 100 TB scan pays zero Python tax.
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import datetime
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame
+
+from .functions.time import (
+    parse_interval,
+    time_bucket_int_sql,
+    time_bucket_sql,
+)
+
+__all__ = ["ts_sql", "rewrite_sql", "extract_time_bounds"]
+
+_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+# ---------------------------------------------------------------------------
+# lexer helpers: quote-aware scanning
+# ---------------------------------------------------------------------------
+
+def _skip_string(sql: str, i: int) -> int:
+    """``i`` points at a quote char; return index just past the literal
+    (handles '' doubling and backslash-free SQL strings)."""
+    q = sql[i]
+    j = i + 1
+    while j < len(sql):
+        if sql[j] == q:
+            if q == "'" and j + 1 < len(sql) and sql[j + 1] == "'":
+                j += 2
+                continue
+            return j + 1
+        j += 1
+    return j
+
+
+def _strip_strings(sql: str) -> str:
+    """Replace quoted literals with spaces (for structure-only regexes)."""
+    out = []
+    i = 0
+    while i < len(sql):
+        ch = sql[i]
+        if ch in "'\"`":
+            j = _skip_string(sql, i)
+            out.append(" " * (j - i))
+            i = j
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def _matching_paren(sql: str, i: int) -> int:
+    """``i`` points at '('; return index of the matching ')'."""
+    depth = 0
+    while i < len(sql):
+        ch = sql[i]
+        if ch in "'\"`":
+            i = _skip_string(sql, i)
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    raise ValueError("unbalanced parentheses in SQL")
+
+
+def _split_args(argstr: str) -> list[str]:
+    """Split a call's argument string on top-level commas."""
+    args, depth, start, i = [], 0, 0, 0
+    while i < len(argstr):
+        ch = argstr[i]
+        if ch in "'\"`":
+            i = _skip_string(argstr, i)
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            args.append(argstr[start:i].strip())
+            start = i + 1
+        i += 1
+    tail = argstr[start:].strip()
+    if tail or args:
+        args.append(tail)
+    return args
+
+
+def _find_calls(sql: str, names: set[str]):
+    """Yield (name_start, name, arg_start, arg_end_exclusive, close_idx)
+    for every top-level textual call to one of ``names`` (leftmost first,
+    outermost first — args may contain further calls; callers recurse)."""
+    i = 0
+    n = len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in "'\"`":
+            i = _skip_string(sql, i)
+            continue
+        m = _IDENT.match(sql, i)
+        if not m:
+            i += 1
+            continue
+        word = m.group(0)
+        j = m.end()
+        prev = sql[i - 1] if i > 0 else ""
+        if word.lower() in names and prev != "." and not (prev.isalnum() or prev == "_"):
+            k = j
+            while k < n and sql[k].isspace():
+                k += 1
+            if k < n and sql[k] == "(":
+                close = _matching_paren(sql, k)
+                yield (i, word.lower(), k + 1, close, close)
+                i = close + 1
+                continue
+        i = j
+    return
+
+
+# ---------------------------------------------------------------------------
+# literal classification (positional-arg overload dispatch, PG-style)
+# ---------------------------------------------------------------------------
+
+_NAMED = re.compile(r"^\s*([A-Za-z_]\w*)\s*=>\s*(.+)$", re.S)
+_TYPED_LIT = re.compile(
+    r"^\s*(interval|timestamptz|timestamp|date)\s+'((?:[^']|'')*)'\s*$", re.I | re.S
+)
+_PLAIN_LIT = re.compile(r"^\s*'((?:[^']|'')*)'\s*(?:::\s*[A-Za-z_ ]+)?\s*$", re.S)
+_INT_LIT = re.compile(r"^\s*[+-]?\d+\s*$")
+
+
+def _unq(s: str) -> str:
+    return s.replace("''", "'")
+
+
+def _literal_of(arg: str):
+    """Classify an argument into ('interval'|'timestamp'|'string'|'int',
+    value) or (None, None) for non-literal expressions."""
+    m = _TYPED_LIT.match(arg)
+    if m:
+        kind, body = m.group(1).lower(), _unq(m.group(2))
+        if kind == "interval":
+            return "interval", body
+        return "timestamp", body
+    if _INT_LIT.match(arg):
+        return "int", int(arg.strip())
+    m = _PLAIN_LIT.match(arg)
+    if m:
+        return "string", _unq(m.group(1))
+    return None, None
+
+
+def _is_tz_name(s: str) -> bool:
+    if "/" in s:
+        try:
+            from zoneinfo import ZoneInfo
+
+            ZoneInfo(s)
+            return True
+        except Exception:
+            return False
+    return s.upper() in {"UTC", "GMT", "Z"}
+
+
+def _try_interval(s: str):
+    try:
+        return parse_interval(s)
+    except ValueError:
+        return None
+
+
+def _try_timestamp(s: str) -> bool:
+    try:
+        datetime.fromisoformat(s)
+        return True
+    except ValueError:
+        return False
+
+
+# ---------------------------------------------------------------------------
+# macro expanders
+# ---------------------------------------------------------------------------
+
+def _expand_time_bucket(args: list[str]) -> str:
+    """``time_bucket(width, ts [, origin|offset|timezone ...])`` →
+    the exact formula SQL (sql/time_bucket.sql overload set; dispatch on
+    the width literal's type, as PG dispatches on argument type)."""
+    if len(args) < 2:
+        raise ValueError("time_bucket needs (width, time_expr)")
+    wkind, wval = _literal_of(args[0])
+    ts_expr = args[1]
+
+    if wkind == "int":  # integer-time overloads (ts_int64_bucket)
+        offset = 0
+        for a in args[2:]:
+            nm = _NAMED.match(a)
+            if nm:
+                if nm.group(1).lower() != "offset":
+                    raise ValueError(f"unknown time_bucket arg {nm.group(1)!r}")
+                a = nm.group(2)
+            k, v = _literal_of(a)
+            if k != "int":
+                raise ValueError("integer time_bucket offset must be a literal int")
+            offset = v
+        return "(" + time_bucket_int_sql(wval, ts_expr, offset) + ")"
+
+    if wkind not in ("interval", "string"):
+        raise ValueError(
+            "time_bucket width must be an INTERVAL/string literal "
+            "(macro expansion bakes the bucket formula into the plan)"
+        )
+    origin = offset = tzname = None
+    for a in args[2:]:
+        nm = _NAMED.match(a)
+        if nm:
+            name, val = nm.group(1).lower(), nm.group(2)
+            k, v = _literal_of(val)
+            if k is None:
+                raise ValueError(f"time_bucket {name} must be a literal")
+            if name == "origin":
+                origin = str(v)
+            elif name == "offset":
+                offset = str(v) if k != "int" else int(v)
+            elif name == "timezone":
+                tzname = str(v)
+            else:
+                raise ValueError(f"unknown time_bucket arg {name!r}")
+            continue
+        k, v = _literal_of(a)
+        if k == "interval":
+            offset = v
+        elif k == "timestamp":
+            origin = v
+        elif k == "string":
+            if _try_interval(v) is not None and not _is_tz_name(v):
+                offset = v
+            elif _is_tz_name(v):
+                tzname = v
+            elif _try_timestamp(v):
+                origin = v
+            else:
+                raise ValueError(f"cannot classify time_bucket argument {a!r}")
+        else:
+            raise ValueError(
+                f"time_bucket extra args must be literals, got {a!r}"
+            )
+    return "(" + time_bucket_sql(wval, ts_expr, origin=origin, offset=offset, timezone=tzname) + ")"
+
+
+def _expand_first_last(fn: str, args: list[str]) -> Optional[str]:
+    """Timescale ``first(value, time)`` / ``last(value, time)``
+    (sql/aggregates.sql) → ``min_by`` / ``max_by``. A 2-arg call whose
+    second arg is a boolean literal is Spark's own ``first(col,
+    ignoreNulls)`` and is left untouched."""
+    if len(args) != 2:
+        return None
+    if args[1].strip().lower() in ("true", "false"):
+        return None
+    agg = "min_by" if fn == "first" else "max_by"
+    return f"{agg}({args[0]}, {args[1]})"
+
+
+def _expand_histogram(args: list[str]) -> str:
+    """``histogram(v, min, max, nbuckets)`` (src/histogram.c:33-120) →
+    ``nbuckets + 2`` conditional sums packed into an array — identical
+    semantics and state shape to ``functions.histogram`` (O(nbuckets)
+    agg buffer, map-side partial aggregation)."""
+    if len(args) != 4:
+        raise ValueError("histogram(value, min, max, nbuckets)")
+    v = args[0]
+    try:
+        lo = float(args[1])
+        hi = float(args[2])
+        nb = int(args[3])
+    except ValueError as e:
+        raise ValueError("histogram bounds/nbuckets must be numeric literals") from e
+    if lo > hi:
+        raise ValueError("lower bound cannot exceed upper bound")
+    vv = f"cast(({v}) as double)"
+    wb = (
+        f"(case when {vv} < {lo} then 0 "
+        f"when {vv} >= {hi} then {nb + 1} "
+        f"else cast(floor(({vv} - {lo}) / ({hi} - {lo}) * {nb}) + 1 as int) end)"
+    )
+    slots = ", ".join(
+        f"cast(sum(case when {wb} = {i} then 1 else 0 end) as int)"
+        for i in range(nb + 2)
+    )
+    return f"array({slots})"
+
+
+def _bad_outside_gapfill(fn: str, args: list[str]) -> str:
+    raise ValueError(
+        f"{fn}() is only valid around an aggregate in a time_bucket_gapfill "
+        "query (reference gapfill_exec.c checks the same)"
+    )
+
+
+_MACROS: dict[str, Callable] = {
+    "time_bucket": lambda fn, args, ctx: _expand_time_bucket(args),
+    "first": lambda fn, args, ctx: _expand_first_last(fn, args),
+    "last": lambda fn, args, ctx: _expand_first_last(fn, args),
+    "histogram": lambda fn, args, ctx: _expand_histogram(args),
+    "locf": lambda fn, args, ctx: _bad_outside_gapfill(fn, args),
+    "interpolate": lambda fn, args, ctx: _bad_outside_gapfill(fn, args),
+    "approximate_row_count": lambda fn, args, ctx: _expand_approx_count(args, ctx),
+}
+
+
+def _expand_approx_count(args: list[str], ctx) -> str:
+    """``approximate_row_count('table')`` (sql/size_utils.sql:150) —
+    resolved driver-side from parquet footers (no scan), spliced in as a
+    literal."""
+    k, v = _literal_of(args[0]) if args else (None, None)
+    if k != "string" or ctx is None:
+        raise ValueError("approximate_row_count('hypertable_name')")
+    ht = ctx.get_hypertable(v)
+    return f"cast({ht.approximate_row_count()} as bigint)"
+
+
+def rewrite_sql(sql: str, ctx=None) -> str:
+    """Expand every hyperfunction macro in ``sql`` (recursing into call
+    arguments). ``ctx`` is the TSSession (only needed for table-level
+    macros like approximate_row_count)."""
+    out = []
+    last = 0
+    for (start, name, a0, a1, close) in _find_calls(sql, set(_MACROS)):
+        args = [rewrite_sql(a, ctx) for a in _split_args(sql[a0:a1])]
+        expansion = _MACROS[name](name, args, ctx)
+        if expansion is None:  # not actually ours (e.g. Spark first(x, true))
+            expansion = sql[start:a0] + ", ".join(args) + ")"
+        out.append(sql[last:start])
+        out.append(expansion)
+        last = close + 1
+    out.append(sql[last:])
+    return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# chunk pruning from WHERE-clause time predicates
+# ---------------------------------------------------------------------------
+
+_US = 1
+
+
+def _parse_time_literal(kind: str, val) -> Optional[int]:
+    from .hypertable import _to_internal
+
+    try:
+        return _to_internal(val)
+    except Exception:
+        return None
+
+
+def extract_time_bounds(sql: str, table: str, col: str, aliases: set[str]):
+    """Conservative (lo_us, hi_us) extraction for ``col`` of ``table``
+    from the query text. Returns (None, None) unless the predicates are
+    provably AND-conjoined top-level comparisons against literals.
+
+    Pruning with a **superset** range is always safe because the original
+    predicates stay in the query; this only narrows the scan's file list.
+    """
+    stripped = _strip_strings(sql)
+    if re.search(r"\bor\b", stripped, re.I):
+        return None, None
+    names = [a for a in aliases | {table} if a]
+    # Either a known qualifier ("tbl." / "alias.") or an unqualified ref
+    # (not preceded by any word char or dot — an unknown alias's column
+    # must NOT match).
+    if names:
+        quals = "|".join(re.escape(a) for a in names)
+        ref = rf"(?:\b(?:{quals})\s*\.\s*|(?<![\w.])){re.escape(col)}\b"
+    else:
+        ref = rf"(?<![\w.]){re.escape(col)}\b"
+    pat = re.compile(
+        ref + r"\s*(>=|<=|<|>|=)\s*"
+        r"((?:timestamptz|timestamp|date)\s+'(?:[^']|'')*'|'(?:[^']|'')*')",
+        re.I,
+    )
+    lo = hi = None
+    for m in pat.finditer(sql):
+        op, lit = m.group(1), m.group(2)
+        k, v = _literal_of(lit)
+        if k not in ("timestamp", "string"):
+            continue
+        t = _parse_time_literal(k, v)
+        if t is None:
+            return None, None
+        if op in (">", ">="):
+            lo = t if lo is None else max(lo, t)
+        elif op == "<":
+            hi = t if hi is None else min(hi, t)
+        elif op == "<=":
+            hi = t + _US if hi is None else min(hi, t + _US)
+        elif op == "=":
+            lo = t if lo is None else max(lo, t)
+            hi = t + _US if hi is None else min(hi, t + _US)
+    # BETWEEN 'a' AND 'b'
+    bet = re.compile(
+        ref + r"\s+between\s+"
+        r"('(?:[^']|'')*'|(?:timestamptz|timestamp|date)\s+'(?:[^']|'')*')\s+and\s+"
+        r"('(?:[^']|'')*'|(?:timestamptz|timestamp|date)\s+'(?:[^']|'')*')",
+        re.I,
+    )
+    for m in bet.finditer(sql):
+        ka, va = _literal_of(m.group(1))
+        kb, vb = _literal_of(m.group(2))
+        ta = _parse_time_literal(ka, va) if ka else None
+        tb = _parse_time_literal(kb, vb) if kb else None
+        if ta is None or tb is None:
+            return None, None
+        lo = ta if lo is None else max(lo, ta)
+        hi = tb + _US if hi is None else min(hi, tb + _US)
+    return lo, hi
+
+
+def _table_aliases(sql: str, table: str) -> set[str]:
+    """Aliases under which ``table`` appears in FROM/JOIN clauses."""
+    stripped = _strip_strings(sql)
+    out = set()
+    for m in re.finditer(
+        rf"\b(?:from|join)\s+{re.escape(table)}\b(?:\s+as)?\s*([A-Za-z_]\w*)?",
+        stripped,
+        re.I,
+    ):
+        a = m.group(1)
+        if a and a.lower() not in (
+            "on", "where", "group", "order", "join", "inner", "left", "right",
+            "full", "cross", "limit", "having", "using", "union", "lateral",
+        ):
+            out.add(a)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# statement-level entry
+# ---------------------------------------------------------------------------
+
+def _referenced(sql: str, name: str) -> bool:
+    return re.search(rf"\b{re.escape(name)}\b", _strip_strings(sql), re.I) is not None
+
+
+def _register_views(ts, sql: str) -> list[str]:
+    """Register every engine table referenced in ``sql`` as a temp view.
+    Hypertables get chunk-pruned reads when a time range is extractable.
+    Returns the names registered."""
+    spark = ts.spark
+    names = []
+    hts = {r["name"]: r for r in ts.catalog.hypertable.read()}
+    mat_tables = {r["mat_table"] for r in ts.catalog.continuous_agg.read()}
+    for name, row in hts.items():
+        if name in mat_tables and not _referenced(sql, name):
+            continue
+        if not _referenced(sql, name):
+            continue
+        ht = ts.get_hypertable(name)
+        aliases = _table_aliases(sql, name)
+        lo, hi = extract_time_bounds(sql, name, ht.time_column, aliases)
+        df = ht.read(start=lo, end=hi)
+        df.createOrReplaceTempView(name)
+        names.append(name)
+    for row in ts.catalog.continuous_agg.read():
+        if _referenced(sql, row["name"]):
+            cagg = ts.get_cagg(row["name"])
+            cagg.read().createOrReplaceTempView(row["name"])
+            names.append(row["name"])
+    for row in ts.catalog.plain_table.read():
+        if _referenced(sql, row["name"]):
+            ts.read_table(row["name"]).createOrReplaceTempView(row["name"])
+            names.append(row["name"])
+    return names
+
+
+_INSERT_RE = re.compile(r"^\s*insert\s+into\s+([A-Za-z_]\w*)\s+(.*)$", re.I | re.S)
+
+
+def ts_sql(ts, query: str) -> DataFrame:
+    """Run a TimescaleDB-flavored SQL statement. See module docstring."""
+    q = query.strip().rstrip(";").strip()
+    m = _INSERT_RE.match(q)
+    if m:
+        name, rest = m.group(1), m.group(2)
+        _register_views(ts, rest)
+        src = ts.spark.sql(rewrite_sql(rest, ts))
+        ht = ts.get_hypertable(name)
+        stats = ht.insert(src)
+        return ts.spark.createDataFrame(
+            [(int(stats["rows"]),)], "rows_inserted bigint"
+        )
+    _register_views(ts, q)
+    if re.search(r"\btime_bucket_gapfill\b", _strip_strings(q), re.I):
+        from .sqlgapfill import run_gapfill_statement
+
+        return run_gapfill_statement(ts, q)
+    return ts.spark.sql(rewrite_sql(q, ts))
