@@ -866,4 +866,9 @@ def oracle_sql() -> dict[str, str]:
 def _load_extra_inventories() -> None:
     """Import satellite query modules that register via @query (deferred
     to avoid a circular import at module load)."""
-    from . import queries_lifecycle, queries_pipeline, queries_relational  # noqa: F401
+    from . import (  # noqa: F401
+        queries_lifecycle,
+        queries_pipeline,
+        queries_relational,
+        queries_sql,
+    )
