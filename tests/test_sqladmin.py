@@ -1,0 +1,159 @@
+"""Admin-SQL surface: DDL, chunk ops, policies, cagg DDL — parity with
+the reference's SQL management API (sql/ddl_api.sql, sql/policy_api.sql)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from timescaledb_spark.session import TSSession
+from timescaledb_spark.sources import load_table
+
+from .oracle import assert_match
+
+
+@pytest.fixture()
+def ts(spark, tmp_path):
+    return TSSession(spark, str(tmp_path / "adm"))
+
+
+@pytest.fixture()
+def ts_events(ts, spark, sf_dir):
+    ts.create_table("events", load_table(spark, sf_dir, "events"))
+    ts.sql(
+        "SELECT create_hypertable('events', 'ts', "
+        "chunk_time_interval => INTERVAL '7 days')"
+    ).collect()
+    return ts
+
+
+def test_create_hypertable_migrates_plain_table(ts_events, spark, sf_dir):
+    n = ts_events.sql("SELECT count(*) AS n FROM events").first()["n"]
+    assert n == load_table(spark, sf_dir, "events").count()
+    # plain table entry consumed by the migration
+    assert ts_events.catalog.plain_table.find_one(name="events") is None
+
+
+def test_show_chunks_reference_naming(ts_events):
+    rows = ts_events.sql("SELECT show_chunks('events')").collect()
+    assert len(rows) > 3
+    assert rows[0]["chunk"].startswith("_timescaledb_internal._hyper_1_")
+    # older_than filters on range_end (ddl_api.sql:101)
+    some = ts_events.sql(
+        "SELECT show_chunks('events', older_than => TIMESTAMP '2024-01-18')"
+    ).collect()
+    assert 0 < len(some) < len(rows)
+
+
+def test_compress_decompress_chunk_by_name(ts_events):
+    ts_events.sql(
+        "ALTER TABLE events SET (timescaledb.compress, "
+        "timescaledb.compress_segmentby = 'event_type', "
+        "timescaledb.compress_orderby = 'ts DESC')"
+    ).collect()
+    chunk = ts_events.sql("SELECT show_chunks('events')").first()["chunk"]
+    ts_events.sql(f"SELECT compress_chunk('{chunk}')").collect()
+    st = ts_events.sql("SELECT show_chunks('events')").first()
+    assert st["is_compressed"]
+    ts_events.sql(f"SELECT decompress_chunk('{chunk}')").collect()
+    assert not ts_events.sql("SELECT show_chunks('events')").first()["is_compressed"]
+
+
+def test_drop_chunks_retention(ts_events):
+    before = ts_events.sql("SELECT show_chunks('events')").count()
+    dropped = ts_events.sql(
+        "SELECT drop_chunks('events', older_than => TIMESTAMP '2024-01-18')"
+    ).count()
+    after = ts_events.sql("SELECT show_chunks('events')").count()
+    assert dropped > 0 and after == before - dropped
+
+
+def test_policies_roundtrip(ts_events):
+    j1 = ts_events.sql(
+        "SELECT add_retention_policy('events', INTERVAL '90 days')"
+    ).first()["job_id"]
+    assert j1 >= 1
+    jobs = {j["id"]: j for j in ts_events.catalog.bgw_job.read()}
+    assert jobs[j1]["proc"] == "policy_retention"
+    ts_events.sql("SELECT remove_retention_policy('events')").collect()
+    assert j1 not in {j["id"] for j in ts_events.catalog.bgw_job.read()}
+
+    ts_events.sql(
+        "ALTER TABLE events SET (timescaledb.compress)"
+    ).collect()
+    j2 = ts_events.sql(
+        "SELECT add_columnstore_policy('events', INTERVAL '7 days')"
+    ).first()["job_id"]
+    res = ts_events.sql(f"SELECT run_job({j2})").first()
+    assert res["job_id"] == j2
+    ts_events.sql(f"SELECT delete_job({j2})").collect()
+
+
+def test_cagg_ddl_end_to_end(ts_events, duck):
+    ts_events.sql(
+        """
+        CREATE MATERIALIZED VIEW daily WITH (timescaledb.continuous) AS
+        SELECT time_bucket(INTERVAL '1 day', ts) AS bucket, event_type,
+               count(*) AS n, sum(value) AS sum_v,
+               last(value, event_id) AS last_v
+        FROM events
+        GROUP BY bucket, event_type
+        """
+    ).collect()
+    df = ts_events.sql("SELECT * FROM daily")
+    assert_match(df, duck, """
+        SELECT make_timestamp(epoch_us(ts) - ((epoch_us(ts) - 946857600000000) % 86400000000 + 86400000000) % 86400000000) AS bucket,
+               event_type, count(*) AS n, sum(value) AS sum_v,
+               arg_max(value, event_id) AS last_v
+        FROM events GROUP BY 1, 2
+    """)
+
+
+def test_cagg_ddl_with_no_data_then_refresh(ts_events):
+    ts_events.sql(
+        """
+        CREATE MATERIALIZED VIEW lazy WITH (timescaledb.continuous,
+                                            timescaledb.materialized_only = 'true') AS
+        SELECT time_bucket('1 day', ts) AS bucket, count(*) AS n
+        FROM events GROUP BY bucket
+        WITH NO DATA
+        """
+    ).collect()
+    # PG: "materialized view has not been populated" until first refresh
+    with pytest.raises(ValueError, match="never refreshed"):
+        ts_events.sql("SELECT * FROM lazy").collect()
+    ts_events.sql(
+        "CALL refresh_continuous_aggregate('lazy', NULL, NULL)"
+    ).collect()
+    assert ts_events.sql("SELECT * FROM lazy").count() > 0
+
+
+def test_cagg_ddl_with_join(ts_events, spark, sf_dir):
+    ts_events.create_table("customer", load_table(spark, sf_dir, "customer"))
+    ts_events.sql(
+        """
+        CREATE MATERIALIZED VIEW seg_daily WITH (timescaledb.continuous) AS
+        SELECT time_bucket('1 day', e.ts) AS bucket, c.c_mktsegment,
+               count(*) AS n, sum(e.value) AS sum_v
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY bucket, c_mktsegment
+        """
+    ).collect()
+    got = ts_events.sql("SELECT * FROM seg_daily")
+    ev = load_table(spark, sf_dir, "events")
+    cu = load_table(spark, sf_dir, "customer")
+    from timescaledb_spark.functions import time_bucket
+
+    want = (
+        ev.join(cu, ev.user_id == cu.c_custkey)
+        .groupBy(time_bucket("1 day", "ts").alias("bucket"), "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_v"))
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+
+
+def test_set_chunk_interval_and_size(ts_events):
+    ts_events.sql(
+        "SELECT set_chunk_time_interval('events', INTERVAL '14 days')"
+    ).collect()
+    assert ts_events.get_hypertable("events").row["chunk_interval"] == 14 * 86_400_000_000
+    assert ts_events.sql("SELECT hypertable_size('events')").first()[0] > 0

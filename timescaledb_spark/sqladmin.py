@@ -1,0 +1,525 @@
+"""Admin statements for the SQL surface — the reference's SQL-callable
+management API (``sql/ddl_api.sql``, ``sql/policy_api.sql``,
+``sql/size_utils.sql``) plus the cagg / columnstore DDL forms:
+
+- ``SELECT create_hypertable('t', 'ts', chunk_time_interval => INTERVAL '7 days')``
+- ``SELECT show_chunks('t' [, older_than =>, newer_than =>])``
+- ``SELECT drop_chunks('t', older_than => ...)``
+- ``SELECT compress_chunk('_timescaledb_internal._hyper_1_2_chunk')`` (+
+  decompress / recompress / convert_to_columnstore / convert_to_rowstore,
+  freeze_chunk / unfreeze_chunk)
+- ``SELECT add_retention_policy(...)`` & friends; ``remove_*_policy``
+- ``SELECT set_chunk_time_interval / hypertable_size / run_job / delete_job``
+- ``CALL refresh_continuous_aggregate('cagg', start, finish)``
+- ``ALTER TABLE t SET (timescaledb.compress, timescaledb.compress_segmentby
+  = '...', timescaledb.compress_orderby = '...')``
+  (tsl/src/compression/create.c DDL path)
+- ``CREATE MATERIALIZED VIEW c WITH (timescaledb.continuous) AS SELECT
+  time_bucket(...) ... GROUP BY ... [WITH [NO] DATA]``
+  (tsl/src/continuous_aggs/create.c:600)
+
+Every handler maps 1:1 onto the Python API (hypertable.py, chunkops.py,
+compression.py, jobs.py, caggs.py) and returns a small DataFrame so the
+statement composes with the rest of the SQL surface. Chunks are named
+``_timescaledb_internal._hyper_<ht_id>_<chunk_id>_chunk`` exactly like
+the reference (src/chunk.c ts_chunk_create_table).
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import datetime, timezone as _tz
+
+from pyspark.sql import DataFrame
+
+from .sqlapi import (
+    _NAMED,
+    _literal_of,
+    _split_args,
+    _strip_strings,
+)
+
+_CHUNK_NAME = re.compile(
+    r"^(?:_timescaledb_internal\s*\.\s*)?_hyper_(\d+)_(\d+)_chunk$"
+)
+
+
+def _chunk_sql_name(ht, chunk: dict) -> str:
+    return f"_timescaledb_internal._hyper_{ht.id}_{chunk['id']}_chunk"
+
+
+def _resolve_chunk(ts, name: str):
+    m = _CHUNK_NAME.match(name.strip())
+    if not m:
+        raise ValueError(
+            f"bad chunk name {name!r} (expected _timescaledb_internal."
+            f"_hyper_<ht>_<chunk>_chunk, as printed by show_chunks)"
+        )
+    ht_id, chunk_id = int(m.group(1)), int(m.group(2))
+    row = ts.catalog.hypertable.find_one(id=ht_id)
+    if row is None:
+        raise ValueError(f"no hypertable with id {ht_id}")
+    ht = ts.get_hypertable(row["name"])
+    chunk = ts.catalog.chunk.find_one(hypertable_id=ht_id, id=chunk_id)
+    if chunk is None:
+        raise ValueError(f"no chunk {chunk_id} on hypertable {row['name']!r}")
+    return ht, chunk
+
+
+def _time_arg(ts, ht, val, kind):
+    """older_than/newer_than & friends: absolute timestamp literal, or an
+    INTERVAL meaning now() - interval (sql/ddl_api.sql:101 semantics)."""
+    from .functions.time import parse_interval
+    from .hypertable import _to_internal
+
+    if val is None:
+        return None
+    if kind == "interval":
+        iv = parse_interval(val)
+        now_us = int(datetime.now(_tz.utc).timestamp() * 1_000_000)
+        if iv.months:
+            raise ValueError("month-granular older_than/newer_than not supported")
+        return now_us - iv.us
+    return _to_internal(val)
+
+
+def _args_of(ts, raw_args: list[str]):
+    """(positional, named) literal values; non-literals are rejected."""
+    pos, named = [], {}
+    for a in raw_args:
+        nm = _NAMED.match(a)
+        if nm:
+            k, v = _literal_of(nm.group(2))
+            if k is None and nm.group(2).strip().lower() not in ("null", "true", "false"):
+                raise ValueError(f"admin argument must be a literal: {a!r}")
+            named[nm.group(1).lower()] = _coerce(k, v, nm.group(2))
+        else:
+            k, v = _literal_of(a)
+            if k is None and a.strip().lower() not in ("null", "true", "false"):
+                raise ValueError(f"admin argument must be a literal: {a!r}")
+            pos.append(_coerce(k, v, a))
+    return pos, named
+
+
+class _Lit:
+    __slots__ = ("kind", "value")
+
+    def __init__(self, kind, value):
+        self.kind = kind
+        self.value = value
+
+
+def _coerce(kind, value, raw):
+    s = raw.strip().lower()
+    if kind is None:
+        if s == "null":
+            return _Lit("null", None)
+        return _Lit("bool", s == "true")
+    if kind == "string":
+        try:
+            return _Lit("number", int(value))
+        except (TypeError, ValueError):
+            return _Lit(kind, value)
+    return _Lit(kind, value)
+
+
+def _df(ts, rows, schema) -> DataFrame:
+    return ts.spark.createDataFrame(rows, schema)
+
+
+def _ts_or_us(ht, us: int):
+    try:
+        import pyspark.sql.types as T
+
+        f = next(
+            f for f in ht._schema().fields if f.name == ht.time_column
+        )
+        if isinstance(f.dataType, (T.TimestampType, T.DateType)):
+            return datetime.fromtimestamp(us / 1_000_000, tz=_tz.utc).replace(
+                tzinfo=None
+            )
+    except Exception:
+        pass
+    return us
+
+
+# ---------------------------------------------------------------------------
+# handlers: SELECT fn(...)
+# ---------------------------------------------------------------------------
+
+def _h_create_hypertable(ts, pos, named):
+    name = pos[0].value
+    time_col = pos[1].value if len(pos) > 1 else named["time_column"].value
+    kw = {}
+    ci = named.get("chunk_time_interval")
+    if ci is not None:
+        kw["chunk_interval"] = ci.value
+    if "partitioning_column" in named:
+        kw["space_column"] = named["partitioning_column"].value
+        if "number_partitions" in named:
+            kw["num_partitions"] = int(named["number_partitions"].value)
+    ht = ts.create_hypertable(name, time_col, **kw)
+    # PG flow: table exists with data, then create_hypertable migrates it
+    # (migrate_data => true). If a plain table of that name is registered,
+    # ingest it.
+    row = ts.catalog.plain_table.find_one(name=name)
+    if row is not None and named.get("migrate_data", _Lit("bool", True)).value:
+        ht.insert(ts.spark.read.parquet(row["path"]))
+        ts.catalog.plain_table.delete({"name": name})
+    return _df(ts, [(ht.id, name, True)], "hypertable_id int, name string, created boolean")
+
+
+def _h_show_chunks(ts, pos, named):
+    ht = ts.get_hypertable(pos[0].value)
+    ot = named.get("older_than") or (pos[1] if len(pos) > 1 else None)
+    nt = named.get("newer_than") or (pos[2] if len(pos) > 2 else None)
+    chunks = ht.show_chunks(
+        older_than=_time_arg(ts, ht, ot.value, ot.kind) if ot else None,
+        newer_than=_time_arg(ts, ht, nt.value, nt.kind) if nt else None,
+    )
+    rows = [
+        (
+            _chunk_sql_name(ht, c),
+            _ts_or_us(ht, c["range_start"]),
+            _ts_or_us(ht, c["range_end"]),
+            c.get("status") == "columnstore",
+            bool(c.get("frozen")),
+        )
+        for c in chunks
+    ]
+    dt = "timestamp" if rows and isinstance(rows[0][1], datetime) else "bigint"
+    return _df(
+        ts, rows,
+        f"chunk string, range_start {dt}, range_end {dt}, "
+        "is_compressed boolean, is_frozen boolean",
+    )
+
+
+def _h_drop_chunks(ts, pos, named):
+    ht = ts.get_hypertable(pos[0].value)
+    ot = named.get("older_than") or (pos[1] if len(pos) > 1 else None)
+    nt = named.get("newer_than") or (pos[2] if len(pos) > 2 else None)
+    before = {c["range_start"]: _chunk_sql_name(ht, c) for c in ht.chunks()}
+    dropped = ht.drop_chunks(
+        older_than=_time_arg(ts, ht, ot.value, ot.kind) if ot else None,
+        newer_than=_time_arg(ts, ht, nt.value, nt.kind) if nt else None,
+    )
+    return _df(ts, [(before[s],) for s in dropped], "dropped_chunk string")
+
+
+def _chunk_op(fn):
+    def h(ts, pos, named):
+        from . import chunkops, compression
+
+        ht, chunk = _resolve_chunk(ts, pos[0].value)
+        ops = {
+            "compress_chunk": lambda: compression.compress_chunk(ht, chunk),
+            "convert_to_columnstore": lambda: compression.compress_chunk(ht, chunk),
+            "decompress_chunk": lambda: compression.decompress_chunk(ht, chunk),
+            "convert_to_rowstore": lambda: compression.decompress_chunk(ht, chunk),
+            "recompress_chunk": lambda: compression.recompress_chunk(ht, chunk),
+            "freeze_chunk": lambda: chunkops.freeze_chunk(ht, chunk),
+            "unfreeze_chunk": lambda: chunkops.unfreeze_chunk(ht, chunk),
+        }
+        ops[fn]()
+        return _df(ts, [(pos[0].value,)], "chunk string")
+
+    return h
+
+
+def _h_set_chunk_time_interval(ts, pos, named):
+    ht = ts.get_hypertable(pos[0].value)
+    iv = named.get("chunk_time_interval") or pos[1]
+    ht.set_chunk_time_interval(iv.value)
+    return _df(ts, [(True,)], "ok boolean")
+
+
+def _h_hypertable_size(ts, pos, named):
+    ht = ts.get_hypertable(pos[0].value)
+    return _df(ts, [(ht.hypertable_size(),)], "hypertable_size bigint")
+
+
+def _policy(fnname):
+    def h(ts, pos, named):
+        jr = ts.jobs
+        kw = {k: v.value for k, v in named.items()}
+        args = [p.value for p in pos]
+        job_id = getattr(jr, fnname)(*args, **kw)
+        return _df(ts, [(job_id if isinstance(job_id, int) else -1,)], "job_id int")
+
+    return h
+
+
+def _h_remove_policy(fnname):
+    def h(ts, pos, named):
+        getattr(ts.jobs, fnname)(pos[0].value)
+        return _df(ts, [(True,)], "ok boolean")
+
+    return h
+
+
+def _h_add_reorder_policy(ts, pos, named):
+    """Reference takes an index name; here the second arg is the
+    comma-separated sort column list the reorder clusters by."""
+    cols = [c.strip() for c in str(pos[1].value).split(",") if c.strip()]
+    job_id = ts.jobs.add_reorder_policy(
+        pos[0].value, cols, **{k: v.value for k, v in named.items()}
+    )
+    return _df(ts, [(job_id,)], "job_id int")
+
+
+def _h_run_job(ts, pos, named):
+    res = ts.jobs.run_job(int(pos[0].value))
+    return _df(ts, [(int(pos[0].value), str(res.get("status", "ok")))], "job_id int, status string")
+
+
+def _h_delete_job(ts, pos, named):
+    ts.jobs.delete_job(int(pos[0].value))
+    return _df(ts, [(True,)], "ok boolean")
+
+
+ADMIN_FNS = {
+    "create_hypertable": _h_create_hypertable,
+    "show_chunks": _h_show_chunks,
+    "drop_chunks": _h_drop_chunks,
+    "compress_chunk": _chunk_op("compress_chunk"),
+    "convert_to_columnstore": _chunk_op("convert_to_columnstore"),
+    "decompress_chunk": _chunk_op("decompress_chunk"),
+    "convert_to_rowstore": _chunk_op("convert_to_rowstore"),
+    "recompress_chunk": _chunk_op("recompress_chunk"),
+    "freeze_chunk": _chunk_op("freeze_chunk"),
+    "unfreeze_chunk": _chunk_op("unfreeze_chunk"),
+    "set_chunk_time_interval": _h_set_chunk_time_interval,
+    "hypertable_size": _h_hypertable_size,
+    "add_retention_policy": _policy("add_retention_policy"),
+    "add_compression_policy": _policy("add_compression_policy"),
+    "add_columnstore_policy": _policy("add_columnstore_policy"),
+    "add_compaction_policy": _policy("add_compaction_policy"),
+    "add_continuous_aggregate_policy": _policy("add_continuous_aggregate_policy"),
+    "add_reorder_policy": _h_add_reorder_policy,
+    "remove_retention_policy": _h_remove_policy("remove_retention_policy"),
+    "remove_compression_policy": _h_remove_policy("remove_compression_policy"),
+    "remove_compaction_policy": _h_remove_policy("remove_compaction_policy"),
+    "remove_continuous_aggregate_policy": _h_remove_policy(
+        "remove_continuous_aggregate_policy"
+    ),
+    "remove_reorder_policy": _h_remove_policy("remove_reorder_policy"),
+    "run_job": _h_run_job,
+    "delete_job": _h_delete_job,
+}
+
+_ADMIN_SELECT = re.compile(
+    r"^\s*select\s+([a-z_]+)\s*\(", re.I
+)
+_CALL = re.compile(r"^\s*call\s+([a-z_]+)\s*\(", re.I)
+
+
+def match_admin(q: str):
+    """If ``q`` is a single admin call, return (fn_name, argstr); else None."""
+    for rx in (_ADMIN_SELECT, _CALL):
+        m = rx.match(q)
+        if not m:
+            continue
+        fn = m.group(1).lower()
+        if fn not in ADMIN_FNS and fn != "refresh_continuous_aggregate":
+            return None
+        from .sqlapi import _matching_paren
+
+        open_idx = q.index("(", m.end() - 1)
+        close = _matching_paren(q, open_idx)
+        tail = q[close + 1:].strip().rstrip(";").strip()
+        if tail and not re.match(r"^as\s+\w+$", tail, re.I):
+            return None
+        return fn, q[open_idx + 1: close]
+    return None
+
+
+def run_admin(ts, fn: str, argstr: str) -> DataFrame:
+    pos, named = _args_of(ts, _split_args(argstr))
+    if fn == "refresh_continuous_aggregate":
+        cagg = ts.get_cagg(pos[0].value)
+        start = pos[1].value if len(pos) > 1 and pos[1].kind != "null" else None
+        end = pos[2].value if len(pos) > 2 and pos[2].kind != "null" else None
+        ranges = cagg.refresh(start=start, end=end)
+        return _df(ts, [(len(ranges),)], "ranges_materialized int")
+    return ADMIN_FNS[fn](ts, pos, named)
+
+
+# ---------------------------------------------------------------------------
+# ALTER TABLE ... SET (timescaledb.compress ...)
+# ---------------------------------------------------------------------------
+
+_ALTER = re.compile(
+    r"^\s*alter\s+table\s+([A-Za-z_]\w*)\s+set\s*\((.*)\)\s*$", re.I | re.S
+)
+
+
+def match_alter_compress(q: str):
+    m = _ALTER.match(q.strip().rstrip(";"))
+    if not m:
+        return None
+    if "timescaledb.compress" not in m.group(2).lower().replace(" ", ""):
+        return None
+    return m.group(1), m.group(2)
+
+
+def run_alter_compress(ts, table: str, optstr: str) -> DataFrame:
+    """``ALTER TABLE t SET (timescaledb.compress, ...)``
+    (tsl/src/compression/create.c): enables columnstore settings."""
+    from .compression import enable_columnstore
+
+    ht = ts.get_hypertable(table)
+    segmentby: list[str] = []
+    orderby: list[tuple] = []
+    enabled = True
+    for opt in _split_args(optstr):
+        if "=" in opt:
+            key, _, val = opt.partition("=")
+        else:
+            key, val = opt, "true"
+        key = key.strip().lower()
+        val = val.strip().strip("'")
+        if key == "timescaledb.compress":
+            enabled = val.lower() != "false"
+        elif key in ("timescaledb.compress_segmentby", "timescaledb.segmentby"):
+            segmentby = [c.strip() for c in val.split(",") if c.strip()]
+        elif key in ("timescaledb.compress_orderby", "timescaledb.orderby"):
+            for piece in val.split(","):
+                toks = piece.split()
+                if not toks:
+                    continue
+                direction = "desc" if len(toks) > 1 and toks[1].lower() == "desc" else "asc"
+                orderby.append((toks[0], direction))
+        else:
+            raise ValueError(f"unsupported ALTER TABLE option {key!r}")
+    if not enabled:
+        raise ValueError("disabling compression via ALTER is not supported")
+    enable_columnstore(ht, segmentby=segmentby, orderby=orderby or None)
+    return _df(ts, [(table, True)], "hypertable string, compress boolean")
+
+
+# ---------------------------------------------------------------------------
+# CREATE MATERIALIZED VIEW ... WITH (timescaledb.continuous) AS SELECT ...
+# ---------------------------------------------------------------------------
+
+_CMV = re.compile(
+    r"^\s*create\s+materialized\s+view\s+([A-Za-z_]\w*)\s+"
+    r"with\s*\((?P<opts>[^)]*)\)\s*as\s+(?P<body>.+?)"
+    r"(?:\s+with\s+(?P<data>no\s+)?data)?\s*$",
+    re.I | re.S,
+)
+
+
+def match_create_cagg(q: str):
+    m = _CMV.match(q.strip().rstrip(";"))
+    if not m:
+        return None
+    if "timescaledb.continuous" not in m.group("opts").lower().replace(" ", ""):
+        return None
+    return m
+
+
+def run_create_cagg(ts, m) -> DataFrame:
+    """Parse the defining query into ``TSSession.create_cagg`` arguments
+    (the same validation path as tsl/src/continuous_aggs/common.c
+    ``cagg_validate_query``): one time_bucket in the target list, plain
+    group columns, aggregate expressions, optional WHERE and a single
+    optional ``JOIN dim ON a = b``."""
+    from .sqlapi import rewrite_sql as _rw
+    from .sqlgapfill import _alias_of, _clauses_of, _head_call, _split_select_items
+
+    name = m.group(1)
+    opts = {
+        kv.partition("=")[0].strip().lower(): kv.partition("=")[2].strip().strip("'")
+        for kv in _split_args(m.group("opts"))
+    }
+    mat_only = opts.get("timescaledb.materialized_only", "false").lower() == "true"
+    body = m.group("body")
+    cl = _clauses_of(body)
+    items = _split_select_items(cl["select"])
+
+    bucket = None
+    bucket_alias = "bucket"
+    group_by: list[str] = []
+    aggs: dict[str, str] = {}
+    for item in items:
+        expr, alias = _alias_of(item)
+        head = _head_call(expr, {"time_bucket"})
+        if head:
+            if bucket is not None:
+                raise ValueError("cagg query must have exactly one time_bucket")
+            wk, wv = _literal_of(head[1][0])
+            if wk == "int":
+                width = int(wv)
+            elif wk in ("interval", "string"):
+                width = str(wv)
+            else:
+                raise ValueError("cagg time_bucket width must be a literal")
+            tcol = head[1][1].strip().split(".")[-1].strip()
+            bucket = (width, tcol)
+            if alias:
+                bucket_alias = alias
+            continue
+        if re.match(r"^\s*(?:[A-Za-z_]\w*\s*\.\s*)?[A-Za-z_]\w*\s*$", expr):
+            group_by.append(expr.strip().split(".")[-1].strip())
+            continue
+        if alias is None:
+            raise ValueError(f"cagg aggregate needs AS alias: {item!r}")
+        aggs[alias] = _rw(expr, ts)
+    if bucket is None:
+        raise ValueError(
+            "cagg defining query must bucket by time_bucket "
+            "(continuous_aggs/common.c cagg_validate_query)"
+        )
+
+    # FROM: hypertable [alias] [JOIN table [alias] ON cond]
+    from_clause = cl["from"].strip()
+    jm = re.match(
+        r"^([A-Za-z_]\w*)(?:\s+(?:as\s+)?(\w+))?"
+        r"(?:\s+(?:inner\s+|left\s+(?:outer\s+)?)?join\s+([A-Za-z_]\w*)"
+        r"(?:\s+(?:as\s+)?(\w+))?\s+on\s+(.+))?$",
+        from_clause,
+        re.I | re.S,
+    )
+    if not jm:
+        raise ValueError(f"unsupported cagg FROM clause: {from_clause!r}")
+    ht_name, ht_alias, join_tbl, j_alias, join_cond = jm.groups()
+    quals = {q for q in (ht_name, ht_alias, join_tbl, j_alias) if q}
+    aggs = {k: _strip_quals(v, quals) for k, v in aggs.items()}
+    join = None
+    if join_tbl:
+        how = "left" if re.search(r"\bleft\b", from_clause, re.I) else "inner"
+        join = {
+            "table": join_tbl,
+            "on": _strip_quals(join_cond.strip(), quals),
+            "how": how,
+        }
+
+    where = _strip_quals(_rw(cl["where"], ts), quals) if cl.get("where") else None
+    ht = ts.get_hypertable(ht_name)
+    cagg = ts.create_cagg(
+        name,
+        ht,
+        bucket_width=bucket[0],
+        time_column=bucket[1],
+        bucket_alias=bucket_alias,
+        aggs=aggs,
+        group_by=group_by,
+        where=where,
+        join=join,
+        materialized_only=mat_only,
+    )
+    if not (m.group("data") or "").strip():  # WITH DATA is the PG default
+        cagg.refresh()
+    return _df(ts, [(name, True)], "view string, created boolean")
+
+
+def _strip_quals(sql: str, quals: set[str]) -> str:
+    """Drop the FROM clause's table/alias qualifiers (``e.value`` →
+    ``value``) — the cagg machinery evaluates expressions on the (joined)
+    frame where columns are unqualified. Only known qualifiers are
+    stripped so struct-field access (``props.key``) survives."""
+    if not quals:
+        return sql
+    pat = "|".join(re.escape(q) for q in quals)
+    return re.sub(rf"\b(?:{pat})\s*\.\s*(?=[A-Za-z_])", "", sql)

@@ -511,6 +511,17 @@ _INSERT_RE = re.compile(r"^\s*insert\s+into\s+([A-Za-z_]\w*)\s+(.*)$", re.I | re
 def ts_sql(ts, query: str) -> DataFrame:
     """Run a TimescaleDB-flavored SQL statement. See module docstring."""
     q = query.strip().rstrip(";").strip()
+    from . import sqladmin
+
+    adm = sqladmin.match_admin(q)
+    if adm:
+        return sqladmin.run_admin(ts, adm[0], adm[1])
+    alter = sqladmin.match_alter_compress(q)
+    if alter:
+        return sqladmin.run_alter_compress(ts, alter[0], alter[1])
+    cmv = sqladmin.match_create_cagg(q)
+    if cmv:
+        return sqladmin.run_create_cagg(ts, cmv)
     m = _INSERT_RE.match(q)
     if m:
         name, rest = m.group(1), m.group(2)
