@@ -157,3 +157,21 @@ def test_set_chunk_interval_and_size(ts_events):
     ).collect()
     assert ts_events.get_hypertable("events").row["chunk_interval"] == 14 * 86_400_000_000
     assert ts_events.sql("SELECT hypertable_size('events')").first()[0] > 0
+
+
+def test_info_views_via_sql(ts_events):
+    rows = ts_events.sql(
+        "SELECT hypertable_name, num_chunks, compression_enabled "
+        "FROM timescaledb_information.hypertables"
+    ).collect()
+    assert rows[0]["hypertable_name"] == "events" and rows[0]["num_chunks"] > 3
+    n = ts_events.sql(
+        "SELECT count(*) AS n FROM timescaledb_information.chunks "
+        "WHERE hypertable_name = 'events'"
+    ).first()["n"]
+    assert n == rows[0]["num_chunks"]
+    ts_events.sql("SELECT add_retention_policy('events', INTERVAL '90 days')").collect()
+    jobs = ts_events.sql(
+        "SELECT * FROM timescaledb_information.jobs"
+    ).collect()
+    assert any("retention" in (j["proc_name"] or "") for j in jobs)

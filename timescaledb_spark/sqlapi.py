@@ -505,6 +505,28 @@ def _register_views(ts, sql: str) -> list[str]:
     return names
 
 
+_INFO_VIEWS = (
+    "hypertables", "chunks", "dimensions", "continuous_aggregates",
+    "compression_settings", "jobs", "job_stats", "job_history",
+)
+
+
+def _register_info_views(ts, sql: str) -> str:
+    """``timescaledb_information.<view>`` (sql/views.sql) → temp views.
+    Spark temp views cannot be schema-qualified, so references are
+    rewritten to ``timescaledb_information_<view>`` and the catalog-backed
+    DataFrame (views.py) is registered under that name."""
+    from . import views as _views
+
+    for v in _INFO_VIEWS:
+        pat = re.compile(rf"\btimescaledb_information\s*\.\s*{v}\b", re.I)
+        if pat.search(_strip_strings(sql)):
+            name = f"timescaledb_information_{v}"
+            getattr(_views, v)(ts).createOrReplaceTempView(name)
+            sql = pat.sub(name, sql)
+    return sql
+
+
 _INSERT_RE = re.compile(r"^\s*insert\s+into\s+([A-Za-z_]\w*)\s+(.*)$", re.I | re.S)
 
 
@@ -522,6 +544,7 @@ def ts_sql(ts, query: str) -> DataFrame:
     cmv = sqladmin.match_create_cagg(q)
     if cmv:
         return sqladmin.run_create_cagg(ts, cmv)
+    q = _register_info_views(ts, q)
     m = _INSERT_RE.match(q)
     if m:
         name, rest = m.group(1), m.group(2)

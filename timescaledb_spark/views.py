@@ -60,7 +60,10 @@ def chunks(ts, hypertable: Optional[str] = None) -> DataFrame:
         rows.append(
             {
                 "hypertable_name": h["name"],
-                "chunk_name": f"{CHUNK_COL}={c['range_start']}",
+                # reference chunk naming (src/chunk.c ts_chunk_create_table);
+                # resolvable by the SQL chunk ops (sqladmin._resolve_chunk)
+                "chunk_name": f"_hyper_{h['id']}_{c['id']}_chunk",
+                "chunk_dir": f"{CHUNK_COL}={c['range_start']}",
                 "range_start": c["range_start"],
                 "range_end": c["range_end"],
                 "is_compressed": c.get("status") == "columnstore",
@@ -69,8 +72,8 @@ def chunks(ts, hypertable: Optional[str] = None) -> DataFrame:
     return _df(
         ts,
         rows,
-        "hypertable_name string, chunk_name string, range_start long, "
-        "range_end long, is_compressed boolean",
+        "hypertable_name string, chunk_name string, chunk_dir string, "
+        "range_start long, range_end long, is_compressed boolean",
     )
 
 
