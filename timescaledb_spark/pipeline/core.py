@@ -79,14 +79,24 @@ def word_shingles(col, k: int = 3) -> Column:
 
     Documents with fewer than ``k`` tokens yield an empty array (matched
     exactly by the oracle: DuckDB ``range(1, len-k+2)`` is empty then).
-    """
-    t = tokens(col)
-    n = F.size(t)
-    grams = F.transform(
-        F.sequence(F.lit(1), n - (k - 1)),
-        lambda i: F.array_join(F.slice(t, i, k), " "),
-    )
-    return F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
+
+    The token array is BOUND as a lambda variable (single-element-array
+    ``transform`` wrapper) before the per-shingle lambda slices it.
+    Referencing the ``tokens()`` expression directly inside the lambda
+    re-evaluates the regex extraction per shingle index (Spark does not
+    CSE across lambda scopes) — measured ~2× slower for the whole
+    minhash hot path at sf0.1; per-shingle work must only touch bound
+    attributes."""
+
+    def _grams(t: Column) -> Column:
+        n = F.size(t)
+        g = F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.array_join(F.slice(t, i, k), " "),
+        )
+        return F.when(n >= k, g).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(tokens(col)), _grams), 1)
 
 
 def word_shingles_sql(expr: str, k: int = 3) -> str:
@@ -128,7 +138,9 @@ def h32_sql(expr: str) -> str:
 def minhash_signature(shingles: Column, k: int = MINHASH_K) -> list[Column]:
     """k minhash values over affine permutations of a single 60-bit hash
     per shingle (classic (a*h+b) mod p universal-hash minhash; the top 32
-    bits of h keep a*h inside int64)."""
+    bits of h keep a*h inside int64). The shared ``hashed`` subtree is a
+    plain (non-lambda) argument, so projection-level subexpression
+    elimination evaluates it once per row across all k branches."""
     hashed = F.transform(
         shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
     )

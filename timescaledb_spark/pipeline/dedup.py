@@ -532,42 +532,30 @@ def embedding_dup_pairs_lsh(
     import pandas as pd
 
     dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform(F.col("v"), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
-        )
-    )
-    pre = (
-        spread(df.select(F.col(id_col), F.col(vec_col)))
-        .select(
-            F.col(id_col),
-            dv.alias("v"),
-            core.hyperplane_sig_pd(vec_col, n_planes, dim).alias("sig"),
-        )
-        .select(
-            F.col(id_col),
-            F.transform("v", lambda x: x / norm).alias("vn"),
-            "sig",
-        )
+    pre = spread(df.select(F.col(id_col), F.col(vec_col))).select(
+        F.col(id_col),
+        dv.alias("v"),
+        core.hyperplane_sig_pd(vec_col, n_planes, dim).alias("sig"),
     )
     bands = n_planes // band_bits
     mask = (1 << band_bits) - 1
     banded = pre.select(
         F.col(id_col),
-        "vn",
+        "v",
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
         F.col("sig"),
     ).select(
         F.col(id_col),
-        "vn",
+        "v",
         "band",
         F.expr(f"shiftright(sig, band * {band_bits}) & {mask}").alias("bval"),
     )
 
     def _verify_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy()
-        mat = np.vstack(pdf["vn"].to_numpy())
-        gram = mat @ mat.T
+        mat = np.vstack(pdf["v"].to_numpy())
+        norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+        gram = (mat @ mat.T) / np.outer(norms, norms)
         ia, ib = np.where(gram >= threshold)
         keep = ids[ia] < ids[ib]
         ia, ib = ia[keep], ib[keep]
