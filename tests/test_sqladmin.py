@@ -175,3 +175,25 @@ def test_info_views_via_sql(ts_events):
         "SELECT * FROM timescaledb_information.jobs"
     ).collect()
     assert any("retention" in (j["proc_name"] or "") for j in jobs)
+
+
+def test_hierarchical_cagg_ddl(ts_events):
+    ts_events.sql(
+        """
+        CREATE MATERIALIZED VIEW hourly_h WITH (timescaledb.continuous) AS
+        SELECT time_bucket('1 hour', ts) AS bucket, count(*) AS n,
+               sum(value) AS sum_v
+        FROM events GROUP BY bucket
+        """
+    ).collect()
+    ts_events.sql(
+        """
+        CREATE MATERIALIZED VIEW daily_h WITH (timescaledb.continuous) AS
+        SELECT time_bucket('1 day', bucket) AS bucket, sum(n) AS n,
+               sum(sum_v) AS sum_v
+        FROM hourly_h GROUP BY bucket
+        """
+    ).collect()
+    total = ts_events.sql("SELECT sum(n) AS t FROM daily_h").first()["t"]
+    raw = ts_events.sql("SELECT count(*) AS t FROM events").first()["t"]
+    assert total == raw

@@ -496,7 +496,15 @@ def run_create_cagg(ts, m) -> DataFrame:
         }
 
     where = _strip_quals(_rw(cl["where"], ts), quals) if cl.get("where") else None
-    ht = ts.get_hypertable(ht_name)
+    try:
+        ht = ts.get_hypertable(ht_name)
+    except KeyError:
+        # hierarchical cagg: FROM names another cagg → define over its
+        # materialization hypertable (create.c allows cagg-on-cagg)
+        crow = ts.catalog.continuous_agg.find_one(name=ht_name)
+        if crow is None:
+            raise
+        ht = ts.get_hypertable(crow["mat_table"])
     cagg = ts.create_cagg(
         name,
         ht,
