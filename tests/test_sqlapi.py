@@ -237,3 +237,28 @@ def test_sql_approximate_row_count(ts):
     n = ts.sql("SELECT approximate_row_count('events') AS n").first()["n"]
     real = ts.sql("SELECT count(*) AS n FROM events").first()["n"]
     assert n == real
+
+
+def test_uuid_sql_macros_parity(spark, sf_dir):
+    from timescaledb_spark.functions.uuid7 import (
+        to_uuidv7,
+        uuid_timestamp_micros,
+        uuid_version,
+    )
+    from timescaledb_spark.sources import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events").select(
+        to_uuidv7("ts", seed="event_id").alias("u")
+    )
+    ev.createOrReplaceTempView("_uuid_probe")
+    df = spark.sql(rewrite_sql(
+        "SELECT u, uuid_timestamp(u) AS t, uuid_version(u) AS v, "
+        "time_bucket_uuid('1 hour', u) AS b FROM _uuid_probe"
+    ))
+    chk = df.join(ev, "u").select(
+        (F.col("t") == F.timestamp_micros(uuid_timestamp_micros("u"))).alias("t_ok"),
+        (F.col("v") == uuid_version("u")).alias("v_ok"),
+        (F.col("b") == time_bucket("1 hour", F.timestamp_micros(uuid_timestamp_micros("u")))).alias("b_ok"),
+    )
+    bad = chk.filter(~(F.col("t_ok") & F.col("v_ok") & F.col("b_ok"))).count()
+    assert bad == 0

@@ -323,6 +323,38 @@ def _expand_histogram(args: list[str]) -> str:
     return f"array({slots})"
 
 
+def _uuid_ts_us_sql(u: str) -> str:
+    """Unix µs from a UUIDv7 string — SQL form of
+    ``functions.uuid7.uuid_timestamp_micros`` (48-bit ms + 12-bit
+    sub-ms fraction, reference uuid_v7 timestamp extraction)."""
+    return (
+        f"(cast(conv(concat(substring(({u}), 1, 8), substring(({u}), 10, 4)), 16, 10) as bigint) * 1000"
+        f" + cast(floor(cast(conv(substring(({u}), 16, 3), 16, 10) as bigint) * 1000 / 4096) as bigint))"
+    )
+
+
+def _expand_uuid_timestamp(args: list[str]) -> str:
+    if len(args) != 1:
+        raise ValueError("uuid_timestamp(uuid)")
+    return f"timestamp_micros({_uuid_ts_us_sql(args[0])})"
+
+
+def _expand_uuid_version(args: list[str]) -> str:
+    if len(args) != 1:
+        raise ValueError("uuid_version(uuid)")
+    return f"cast(conv(substring(({args[0]}), 15, 1), 16, 10) as int)"
+
+
+def _expand_time_bucket_uuid(args: list[str]) -> str:
+    """``time_bucket`` over a UUIDv7 column (sql/time_bucket.sql:19-45
+    ``ts_uuid_bucket`` overload family — PG dispatches on the uuid type;
+    SQL surface uses an explicit name since view schemas are stringly)."""
+    if len(args) < 2:
+        raise ValueError("time_bucket_uuid(width, uuid_expr, ...)")
+    ts_expr = f"timestamp_micros({_uuid_ts_us_sql(args[1])})"
+    return _expand_time_bucket([args[0], ts_expr, *args[2:]])
+
+
 def _bad_outside_gapfill(fn: str, args: list[str]) -> str:
     raise ValueError(
         f"{fn}() is only valid around an aggregate in a time_bucket_gapfill "
@@ -335,6 +367,9 @@ _MACROS: dict[str, Callable] = {
     "first": lambda fn, args, ctx: _expand_first_last(fn, args),
     "last": lambda fn, args, ctx: _expand_first_last(fn, args),
     "histogram": lambda fn, args, ctx: _expand_histogram(args),
+    "uuid_timestamp": lambda fn, args, ctx: _expand_uuid_timestamp(args),
+    "uuid_version": lambda fn, args, ctx: _expand_uuid_version(args),
+    "time_bucket_uuid": lambda fn, args, ctx: _expand_time_bucket_uuid(args),
     "locf": lambda fn, args, ctx: _bad_outside_gapfill(fn, args),
     "interpolate": lambda fn, args, ctx: _bad_outside_gapfill(fn, args),
     "approximate_row_count": lambda fn, args, ctx: _expand_approx_count(args, ctx),
