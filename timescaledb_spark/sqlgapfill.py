@@ -50,12 +50,15 @@ _CLAUSES = ["select", "from", "where", "group by", "having", "order by", "limit"
 
 
 def _clause_positions(q: str) -> dict[str, int]:
-    """Start index of each top-level clause keyword (depth-0, quote-aware)."""
+    """Start index + end-of-keyword of each top-level clause keyword
+    (depth-0, quote-aware; any whitespace run between GROUP/ORDER and
+    BY)."""
     stripped = _strip_strings(q)
-    pos: dict[str, int] = {}
+    pos: dict[str, tuple[int, int]] = {}
     depth = 0
     i = 0
     low = stripped.lower()
+    kw_res = {kw: re.compile(kw.replace(" ", r"\s+")) for kw in _CLAUSES}
     while i < len(low):
         ch = low[i]
         if ch == "(":
@@ -64,10 +67,11 @@ def _clause_positions(q: str) -> dict[str, int]:
             depth -= 1
         elif depth == 0 and (i == 0 or not (low[i - 1].isalnum() or low[i - 1] == "_")):
             for kw in _CLAUSES:
-                if low.startswith(kw, i) and kw not in pos:
-                    end = i + len(kw)
+                m = kw_res[kw].match(low, i)
+                if m and kw not in pos:
+                    end = m.end()
                     if end == len(low) or not (low[end].isalnum() or low[end] == "_"):
-                        pos[kw] = i
+                        pos[kw] = (i, end)
                         i = end
                         break
         i += 1
@@ -78,11 +82,11 @@ def _clauses_of(q: str) -> dict[str, str]:
     pos = _clause_positions(q)
     if "select" not in pos or "from" not in pos:
         raise ValueError("gapfill SQL must be a single SELECT ... FROM ... statement")
-    ordered = sorted(pos.items(), key=lambda kv: kv[1])
+    ordered = sorted(pos.items(), key=lambda kv: kv[1][0])
     out = {}
-    for idx, (kw, start) in enumerate(ordered):
-        end = ordered[idx + 1][1] if idx + 1 < len(ordered) else len(q)
-        out[kw] = q[start + len(kw): end].strip()
+    for idx, (kw, (start, kw_end)) in enumerate(ordered):
+        end = ordered[idx + 1][1][0] if idx + 1 < len(ordered) else len(q)
+        out[kw] = q[kw_end:end].strip()
     return out
 
 
