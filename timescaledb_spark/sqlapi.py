@@ -509,35 +509,67 @@ def _referenced(sql: str, name: str) -> bool:
     return re.search(rf"\b{re.escape(name)}\b", _strip_strings(sql), re.I) is not None
 
 
-def _register_views(ts, sql: str) -> list[str]:
-    """Register every engine table referenced in ``sql`` as a temp view.
-    Hypertables get chunk-pruned reads when a time range is extractable.
-    Returns the names registered."""
-    spark = ts.spark
-    names = []
-    hts = {r["name"]: r for r in ts.catalog.hypertable.read()}
-    mat_tables = {r["mat_table"] for r in ts.catalog.continuous_agg.read()}
-    for name, row in hts.items():
-        if name in mat_tables and not _referenced(sql, name):
+_VIEW_SEQ = [0]
+
+
+def _sub_table_refs(sql: str, mapping: dict[str, str]) -> str:
+    """Replace bare table-name identifiers (outside string literals, not
+    behind a '.') with their uniquified view names."""
+    out = []
+    i = 0
+    low = {k.lower(): v for k, v in mapping.items()}
+    while i < len(sql):
+        ch = sql[i]
+        if ch in "'\"`":
+            j = _skip_string(sql, i)
+            out.append(sql[i:j])
+            i = j
             continue
+        m = _IDENT.match(sql, i)
+        if m:
+            word = m.group(0)
+            prev = sql[i - 1] if i > 0 else ""
+            if word.lower() in low and prev != ".":
+                out.append(low[word.lower()])
+            else:
+                out.append(word)
+            i = m.end()
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _register_views(ts, sql: str) -> str:
+    """Register every engine table referenced in ``sql`` as a temp view
+    under a statement-unique name (never clobbering same-named session
+    views the caller may own), and rewrite the references. Hypertables
+    get chunk-pruned reads when a time range is extractable. Returns the
+    rewritten SQL."""
+    mapping: dict[str, str] = {}
+    _VIEW_SEQ[0] += 1
+    uid = _VIEW_SEQ[0]
+    hts = {r["name"]: r for r in ts.catalog.hypertable.read()}
+    for name in hts:
         if not _referenced(sql, name):
             continue
         ht = ts.get_hypertable(name)
         aliases = _table_aliases(sql, name)
         lo, hi = extract_time_bounds(sql, name, ht.time_column, aliases)
-        df = ht.read(start=lo, end=hi)
-        df.createOrReplaceTempView(name)
-        names.append(name)
+        vname = f"_ts_sql_{uid}_{name}"
+        ht.read(start=lo, end=hi).createOrReplaceTempView(vname)
+        mapping[name] = vname
     for row in ts.catalog.continuous_agg.read():
-        if _referenced(sql, row["name"]):
-            cagg = ts.get_cagg(row["name"])
-            cagg.read().createOrReplaceTempView(row["name"])
-            names.append(row["name"])
+        if row["name"] not in mapping and _referenced(sql, row["name"]):
+            vname = f"_ts_sql_{uid}_{row['name']}"
+            ts.get_cagg(row["name"]).read().createOrReplaceTempView(vname)
+            mapping[row["name"]] = vname
     for row in ts.catalog.plain_table.read():
-        if _referenced(sql, row["name"]):
-            ts.read_table(row["name"]).createOrReplaceTempView(row["name"])
-            names.append(row["name"])
-    return names
+        if row["name"] not in mapping and _referenced(sql, row["name"]):
+            vname = f"_ts_sql_{uid}_{row['name']}"
+            ts.read_table(row["name"]).createOrReplaceTempView(vname)
+            mapping[row["name"]] = vname
+    return _sub_table_refs(sql, mapping) if mapping else sql
 
 
 _INFO_VIEWS = (
@@ -583,14 +615,14 @@ def ts_sql(ts, query: str) -> DataFrame:
     m = _INSERT_RE.match(q)
     if m:
         name, rest = m.group(1), m.group(2)
-        _register_views(ts, rest)
+        rest = _register_views(ts, rest)
         src = ts.spark.sql(rewrite_sql(rest, ts))
         ht = ts.get_hypertable(name)
         stats = ht.insert(src)
         return ts.spark.createDataFrame(
             [(int(stats["rows"]),)], "rows_inserted bigint"
         )
-    _register_views(ts, q)
+    q = _register_views(ts, q)
     if re.search(r"\btime_bucket_gapfill\b", _strip_strings(q), re.I):
         from .sqlgapfill import run_gapfill_statement
 
