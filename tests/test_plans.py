@@ -140,3 +140,47 @@ def test_json_props_column_pruning(tsdata, sf_dir):
     # referenced columns
     df = queries()["q_json_props"](tsdata, sf_dir)
     assert set(read_schema_columns(df)) == {"event_type", "props"}
+
+
+# ---------------------------------------------------------------------------
+# SQL surface: same plans as the DataFrame API (sqlapi.py macro expansion)
+# ---------------------------------------------------------------------------
+
+def test_sql_surface_plan_shapes(ht):
+    ts = ht.ts
+    # chunk exclusion driven by the statement's WHERE clause
+    pruned = ts.sql(
+        "SELECT count(*) AS n FROM m WHERE ts >= '2024-01-03' AND ts < '2024-01-06'"
+    )
+    assert scanned_paths(pruned) == 3
+    # macro expansion emits built-in expressions only: no BatchEvalPython /
+    # ArrowEvalPython stage anywhere in the plan
+    df = ts.sql(
+        "SELECT time_bucket('1 hour', ts) AS b, first(value, ts) AS f, "
+        "histogram(value, 0, 100, 5) AS h FROM m GROUP BY b"
+    )
+    from timescaledb_spark.plans.inspect import _plan
+
+    plan = _plan(df)
+    assert "EvalPython" not in plan and "PythonUDF" not in plan
+    # one shuffle for the aggregation, none extra from the macros
+    assert shuffle_count(df) <= 2
+
+
+def test_sql_join_broadcasts_dim(ht, spark):
+    ts = ht.ts
+    dim = spark.range(4).select(
+        F.col("id").cast("int").alias("device"),
+        F.concat(F.lit("seg"), (F.col("id") % 2).cast("string")).alias("seg"),
+    )
+    ts.create_table("devdim", dim)
+    df = ts.sql(
+        "SELECT time_bucket('1 day', m.ts) AS b, d.seg, sum(m.value) AS s "
+        "FROM m JOIN devdim d ON m.device = d.device "
+        "WHERE m.ts >= '2024-01-02' AND m.ts < '2024-01-08' "
+        "GROUP BY b, seg"
+    )
+    assert broadcast_join_count(df) >= 1
+    assert cartesian_count(df) == 0
+    # 6 surviving chunk dirs + the broadcast dim table's single file
+    assert scanned_paths(df) == 7
