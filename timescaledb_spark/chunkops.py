@@ -60,7 +60,18 @@ def merge_chunks(ht: Hypertable, starts: Sequence[Union[int, dict]]) -> dict:
     merged_dir = _chunk_dir(ht, target)
     tmp = merged_dir + ".tmp_merge"
     if dirs:
-        spark.read.parquet(*dirs).write.mode("overwrite").parquet(tmp)
+        # per-source-chunk conforming reads: after ALTER TABLE the files
+        # may be at different schema versions, and the merged chunk row is
+        # new (no fill would ever apply again) — materialize now
+        parts = [
+            ht._conform_chunk_df(c, ht._chunk_reader().parquet(_chunk_dir(ht, c)))
+            for c in chunks
+            if os.path.isdir(_chunk_dir(ht, c))
+        ]
+        merged = parts[0]
+        for p_ in parts[1:]:
+            merged = merged.unionByName(p_)
+        merged.write.mode("overwrite").parquet(tmp)
         for d in dirs:
             shutil.rmtree(d)
         os.replace(tmp, merged_dir)
@@ -139,7 +150,7 @@ def split_chunk(
     path = _chunk_dir(ht, c)
     lo_tmp, hi_tmp = path + ".tmp_lo", path + ".tmp_hi"
     if os.path.isdir(path):
-        df = spark.read.parquet(path)
+        df = ht._conform_chunk_df(c, ht._chunk_reader().parquet(path))
         internal = ht._internal_time_expr(df)
         df.filter(internal < at_i).write.mode("overwrite").parquet(lo_tmp)
         df.filter(internal >= at_i).write.mode("overwrite").parquet(hi_tmp)

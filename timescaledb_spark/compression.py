@@ -112,7 +112,7 @@ def _compress_chunk_data(
     path = _chunk_path(ht, chunk)
     before = _dir_bytes(path)
 
-    df = spark.read.parquet(path)
+    df = ht._conform_chunk_df(chunk, ht._chunk_reader().parquet(path))
     segmentby = [c for c in s["segmentby"] if c in df.columns]
     order_cols = [
         F.col(c).desc() if d.startswith("desc") else F.col(c).asc()
@@ -153,6 +153,7 @@ def _compress_chunk_commit(ht: Hypertable, chunk: dict, data: dict) -> dict:
     """Catalog side of a chunk compression (single-threaded)."""
     cat = ht.ts.catalog
     cat.chunk.update({"id": chunk["id"]}, {"status": "columnstore"})
+    ht._mark_fill_done([chunk["range_start"]])
     cat.chunk_column_stats.delete({"chunk_id": chunk["id"]})
     if data["stats"]:
         cat.chunk_column_stats.append(
@@ -265,13 +266,14 @@ def reorder_chunk(ht: Hypertable, chunk: Union[dict, int], by: Sequence[str]) ->
         chunk = next(c for c in ht.chunks() if c["range_start"] == chunk)
     spark = ht.ts.spark
     path = _chunk_path(ht, chunk)
-    df = spark.read.parquet(path)
+    df = ht._conform_chunk_df(chunk, ht._chunk_reader().parquet(path))
     nfiles = max(1, math.ceil(_dir_bytes(path) / TARGET_FILE_BYTES))
     out = df.repartitionByRange(nfiles, *by).sortWithinPartitions(*by)
     tmp = path + ".tmp_reorder"
     out.write.mode("overwrite").parquet(tmp)
     shutil.rmtree(path)
     os.replace(tmp, path)
+    ht._mark_fill_done([chunk["range_start"]])
 
 
 def chunk_compression_stats(ht: Hypertable) -> list[dict]:

@@ -237,7 +237,7 @@ class Hypertable:
             path = self._chunk_glob(c)
             if not os.path.isdir(path):
                 continue
-            df = spark.read.parquet(path)
+            df = self._conform_chunk_df(c, self._chunk_reader().parquet(path))
             if column not in df.columns:
                 raise ValueError(f"column {column!r} not in chunk schema")
             out = df.withColumn(
@@ -273,9 +273,10 @@ class Hypertable:
         chunks = self.chunks()
         if not chunks:
             return 0
-        df = spark.read.option("basePath", self.data_dir).parquet(
+        df = self._chunk_reader().option("basePath", self.data_dir).parquet(
             *[self._chunk_glob(c) for c in chunks]
         )
+        df = self._apply_fills(df, chunks)
         if column not in df.columns:
             raise ValueError(f"column {column!r} not in schema")
         stats = (
@@ -414,6 +415,7 @@ class Hypertable:
         """
         df = self._fire_before(df)
         self._ensure_typed(df)
+        df = self._conform_input(df)
         want = {f.name for f in self._schema().fields}
         have = set(df.columns)
         if want != have:
@@ -459,8 +461,19 @@ class Hypertable:
             .parquet(self.data_dir)
         )
         if obs is not None:
-            got = obs.get
-            tmin, tmax, n = got["tmin"], got["tmax"], got["n"]
+            try:
+                got = obs.get
+                tmin, tmax, n = got["tmin"], got["tmax"], got["n"]
+            except Exception:
+                # Observation delivery is a listener-bus callback and can
+                # (rarely) fail to materialize; the write already
+                # happened, so pay a one-off stats scan instead of dying.
+                row = df.agg(
+                    F.min(internal).alias("tmin"),
+                    F.max(internal).alias("tmax"),
+                    F.count(F.lit(1)).alias("n"),
+                ).collect()[0]
+                tmin, tmax, n = row["tmin"], row["tmax"], row["n"]
             if n == 0:
                 return {"rows": 0, "chunks": []}
         chunks = self._register_chunks_in_range(tmin, tmax)
@@ -471,6 +484,138 @@ class Hypertable:
 
     def _schema(self) -> T.StructType:
         return T.StructType.fromJson(__import__("json").loads(self.row["schema_ddl"]))
+
+    # ---------------------------------------------- schema evolution
+    # ALTER TABLE .. ADD/DROP COLUMN on hypertables; the reference
+    # propagates the DDL to every chunk (src/process_utility.c,
+    # test/sql/alter.sql). Here the ALTER is lazy like PG's fast default
+    # path (attmissingval): no chunk files are rewritten; files written
+    # before the ADD simply lack the column, and reads fill the recorded
+    # default for exactly those chunks. Any later chunk rewrite (upsert /
+    # update / compress / merge) materializes current-schema files and
+    # stamps ``fill_done_at`` so the fill stops applying.
+
+    def added_columns(self) -> list[dict]:
+        return list(self.row.get("added_columns") or [])
+
+    def add_column(self, name: str, dtype: str, default=None) -> None:
+        """``ALTER TABLE .. ADD COLUMN name dtype [DEFAULT d]``.
+
+        O(1): catalog-only. ``default`` must be a plain literal (or None);
+        existing rows read it back, exactly PG's fast-default behavior.
+        """
+        if self.row.get("schema_ddl") is None:
+            raise ValueError("hypertable has no schema yet (insert first)")
+        cur = self._schema()
+        if name in {f.name for f in cur.fields}:
+            raise ValueError(f"column {name!r} already exists")
+        field = T.StructType.fromDDL(f"{name} {dtype}").fields[0]
+        new_schema = T.StructType(list(cur.fields) + [field])
+        entry = {
+            "name": name,
+            "type": dtype,
+            "default": default,
+            "added_at": _time.time(),
+        }
+        changed = {
+            "schema_ddl": new_schema.json(),
+            "added_columns": self.added_columns() + [entry],
+            "schema_evolved": True,
+        }
+        self.ts.catalog.hypertable.update({"name": self.name}, changed)
+        self.row.update(changed)
+
+    def drop_column(self, name: str) -> None:
+        """``ALTER TABLE .. DROP COLUMN`` — lazy: files keep the bytes,
+        the declared schema stops selecting them (column pruning means
+        they are never even read)."""
+        if name == self.time_column or name == self.row.get("space_column"):
+            raise ValueError(f"cannot drop partitioning column {name!r}")
+        cur = self._schema()
+        if name not in {f.name for f in cur.fields}:
+            raise ValueError(f"no column {name!r}")
+        new_schema = T.StructType([f for f in cur.fields if f.name != name])
+        changed = {
+            "schema_ddl": new_schema.json(),
+            "added_columns": [
+                a for a in self.added_columns() if a["name"] != name
+            ],
+            "schema_evolved": True,
+        }
+        self.ts.catalog.hypertable.update({"name": self.name}, changed)
+        self.row.update(changed)
+
+    def _conform_input(self, df: DataFrame) -> DataFrame:
+        """Fill added columns absent from an INSERT/UPSERT input with
+        their defaults (PG: INSERT without the new column → default)."""
+        for ac in self.added_columns():
+            if ac["name"] not in df.columns:
+                df = df.withColumn(
+                    ac["name"], F.lit(ac["default"]).cast(ac["type"])
+                )
+        return df
+
+    def _chunk_needs_fill(self, chunk: dict, ac: dict) -> bool:
+        seen = max(chunk.get("created_at") or 0, chunk.get("fill_done_at") or 0)
+        return seen < ac["added_at"]
+
+    def _apply_fills(self, df: DataFrame, chunks: list[dict]) -> DataFrame:
+        """Fill NULLs of added columns with their default, but only for
+        rows of chunks whose files predate the ADD COLUMN."""
+        acs = self.added_columns()
+        if not acs or CHUNK_COL not in df.columns:
+            return df
+        for ac in acs:
+            if ac["default"] is None:
+                continue
+            need = [
+                c["range_start"] for c in chunks if self._chunk_needs_fill(c, ac)
+            ]
+            if not need:
+                continue
+            col = F.col(ac["name"])
+            df = df.withColumn(
+                ac["name"],
+                F.when(
+                    F.col(CHUNK_COL).isin(need) & col.isNull(),
+                    F.lit(ac["default"]).cast(ac["type"]),
+                ).otherwise(col),
+            )
+        return df
+
+    def _conform_chunk_df(self, chunk: dict, df: DataFrame) -> DataFrame:
+        """Single-chunk variant of ``_apply_fills`` for per-chunk rewrite
+        paths (compress / reorder / split / merge / add_dimension)."""
+        for ac in self.added_columns():
+            if ac["default"] is not None and self._chunk_needs_fill(chunk, ac):
+                df = df.withColumn(
+                    ac["name"],
+                    F.coalesce(
+                        F.col(ac["name"]), F.lit(ac["default"]).cast(ac["type"])
+                    ),
+                )
+        return df
+
+    def _mark_fill_done(self, chunk_starts) -> None:
+        """Stamp chunks whose files were just rewritten at current schema."""
+        if not self.added_columns():
+            return
+        now = _time.time()
+        starts = set(chunk_starts)
+        for c in self.chunks():
+            if c["range_start"] in starts:
+                self.ts.catalog.chunk.update(
+                    {"id": c["id"]}, {"fill_done_at": now}
+                )
+
+    def _chunk_reader(self):
+        """Parquet reader for chunk dirs: explicit current schema when the
+        table has evolved (files may lack added columns → read as NULL),
+        inferred otherwise."""
+        reader = self.ts.spark.read
+        if self.row.get("schema_evolved"):
+            reader = reader.schema(self._schema())
+        return reader
 
     def _irregular_chunks(self) -> list[dict]:
         """Chunks whose [start, end) is not the uniform interval grid."""
@@ -589,6 +734,7 @@ class Hypertable:
         """
         df = self._fire_before(df)
         self._ensure_typed(df)
+        df = self._conform_input(df)
         new = df.select("*", *self._partition_exprs(df))
         affected = sorted(
             r[0] for r in new.select(CHUNK_COL).distinct().collect()
@@ -599,12 +745,13 @@ class Hypertable:
         hit = [s for s in affected if s in existing]
         out = new
         if hit:
-            old = self.ts.spark.read.option("basePath", self.data_dir).parquet(
+            old = self._chunk_reader().option("basePath", self.data_dir).parquet(
                 *[
                     os.path.join(self.data_dir, f"{CHUNK_COL}={s}")
                     for s in hit
                 ]
             )
+            old = self._apply_fills(old, [existing[s] for s in hit])
             keep = old.join(
                 new.select(*keys).distinct(), list(keys), "left_anti"
             ).select(*new.columns)
@@ -617,6 +764,7 @@ class Hypertable:
         self._check_frozen(stats["tmin"], stats["tmax"])
         self._affected_chunk_writeback(out)
         self._mark_rewritten(hit)
+        self._mark_fill_done(hit)
         chunks = self._register_chunks_in_range(stats["tmin"], stats["tmax"])
         self._capture_invalidation(stats["tmin"], stats["tmax"])
         out_stats = {"rows": stats["n"], "chunks": chunks, "rewritten": hit}
@@ -643,9 +791,10 @@ class Hypertable:
         ]
         if not targets:
             return 0
-        old = self.ts.spark.read.option("basePath", self.data_dir).parquet(
+        old = self._chunk_reader().option("basePath", self.data_dir).parquet(
             *[os.path.join(self.data_dir, f"{CHUNK_COL}={c['range_start']}") for c in targets]
         )
+        old = self._apply_fills(old, targets)
         n = old.filter(cond).count()
         if n == 0:
             return 0
@@ -661,6 +810,7 @@ class Hypertable:
             self._check_frozen(mm["lo"], mm["hi"])
         self._affected_chunk_writeback(out)
         self._mark_rewritten([c["range_start"] for c in targets])
+        self._mark_fill_done([c["range_start"] for c in targets])
         if mm["lo"] is not None:
             self._capture_invalidation(mm["lo"], mm["hi"])
         return n
@@ -766,9 +916,10 @@ class Hypertable:
             if not paths:
                 return spark.createDataFrame([], self._schema_or_empty())
         df = (
-            spark.read.option("basePath", self.data_dir)
+            self._chunk_reader().option("basePath", self.data_dir)
             .parquet(*paths)
         )
+        df = self._apply_fills(df, chunks)
         if space_key is not None:
             keys = space_key if isinstance(space_key, (list, tuple)) else [space_key]
             df = df.filter(F.col(self.row["space_column"]).isin(list(keys)))
@@ -895,7 +1046,7 @@ class Hypertable:
                 n_dropped += 1
                 continue
             # partial overlap: rewrite the chunk keeping the complement
-            df = spark.read.parquet(path)
+            df = self._conform_chunk_df(c, self._chunk_reader().parquet(path))
             keep = self._internal_time_expr(df)
             cond = F.lit(False)
             if lo is not None:
@@ -907,6 +1058,7 @@ class Hypertable:
             kept.write.mode("overwrite").parquet(tmp)
             shutil.rmtree(path)
             os.replace(tmp, path)
+            self._mark_fill_done([c["range_start"]])
             n_dropped += 1
         if touched_lo is not None:
             self._capture_invalidation(touched_lo, touched_hi - 1)

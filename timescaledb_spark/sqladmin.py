@@ -352,6 +352,58 @@ def run_admin(ts, fn: str, argstr: str) -> DataFrame:
 _ALTER = re.compile(
     r"^\s*alter\s+table\s+([A-Za-z_]\w*)\s+set\s*\((.*)\)\s*$", re.I | re.S
 )
+_ALTER_ADD = re.compile(
+    r"^\s*alter\s+table\s+([A-Za-z_]\w*)\s+add\s+(?:column\s+)?"
+    r"([A-Za-z_]\w*)\s+([A-Za-z_][\w()<>, ]*?)"
+    r"(?:\s+default\s+(.+?))?\s*$",
+    re.I | re.S,
+)
+_ALTER_DROP = re.compile(
+    r"^\s*alter\s+table\s+([A-Za-z_]\w*)\s+drop\s+(?:column\s+)?"
+    r"([A-Za-z_]\w*)\s*$",
+    re.I,
+)
+
+
+def match_alter_column(q: str):
+    q = q.strip().rstrip(";")
+    m = _ALTER_ADD.match(q)
+    if m:
+        return ("add", m)
+    m = _ALTER_DROP.match(q)
+    if m:
+        return ("drop", m)
+    return None
+
+
+def run_alter_column(ts, kind: str, m) -> DataFrame:
+    """``ALTER TABLE .. ADD/DROP COLUMN`` on a hypertable — lazy schema
+    evolution, no chunk rewrite (hypertable.py add_column/drop_column;
+    reference propagates the DDL to chunks, src/process_utility.c)."""
+    ht = ts.get_hypertable(m.group(1))
+    if kind == "drop":
+        ht.drop_column(m.group(2))
+        return _df(ts, [(m.group(2), "dropped")], "column string, action string")
+    name, dtype, default_sql = m.group(2), m.group(3).strip(), m.group(4)
+    default = None
+    if default_sql is not None:
+        k, v = _literal_of(default_sql)
+        if k is None:
+            s = default_sql.strip().lower()
+            if s == "null":
+                v = None
+            elif s in ("true", "false"):
+                v = s == "true"
+            else:
+                try:
+                    v = float(default_sql) if "." in default_sql else int(default_sql)
+                except ValueError as e:
+                    raise ValueError(
+                        f"ADD COLUMN default must be a literal: {default_sql!r}"
+                    ) from e
+        default = v
+    ht.add_column(name, dtype, default=default)
+    return _df(ts, [(name, "added")], "column string, action string")
 
 
 def match_alter_compress(q: str):

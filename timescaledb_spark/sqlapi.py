@@ -608,6 +608,9 @@ def ts_sql(ts, query: str) -> DataFrame:
     alter = sqladmin.match_alter_compress(q)
     if alter:
         return sqladmin.run_alter_compress(ts, alter[0], alter[1])
+    altc = sqladmin.match_alter_column(q)
+    if altc:
+        return sqladmin.run_alter_column(ts, altc[0], altc[1])
     cmv = sqladmin.match_create_cagg(q)
     if cmv:
         return sqladmin.run_create_cagg(ts, cmv)
