@@ -292,3 +292,41 @@ def q_decompress_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double").alias("revenue"),
         )
     )
+
+
+@query(
+    "q_alter_schema",
+    """
+    SELECT CASE WHEN event_id % 3 = 2 THEN 'x' || event_type ELSE 'eu' END AS site,
+           count(*) AS n,
+           sum(value) AS sum_v
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_alter_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE ADD COLUMN mid-stream (src/process_utility.c DDL
+    propagation; PG fast-default semantics): a third of the rows land
+    before the ALTER (files lack the column → reads fill the default),
+    a third after it without the column (insert conformance fills the
+    default into the files), a third with explicit values. The final
+    aggregation groups by the evolved column across all three file
+    generations — one scan, no chunk was ever rewritten for the ALTER."""
+    from .session import TSSession
+
+    ts = TSSession(spark, tempfile.mkdtemp(prefix="ts_alter_"))
+    ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+    ev = load_table(spark, sf_dir, "events")
+    ht.insert(ev.filter(F.col("event_id") % 3 == 0))
+    ht.add_column("site", "string", default="eu")
+    ht.insert(ev.filter(F.col("event_id") % 3 == 1))
+    ht.insert(
+        ev.filter(F.col("event_id") % 3 == 2).withColumn(
+            "site", F.concat(F.lit("x"), F.col("event_type"))
+        )
+    )
+    return (
+        ht.read()
+        .groupBy("site")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_v"))
+    )
