@@ -197,3 +197,28 @@ def test_hierarchical_cagg_ddl(ts_events):
     total = ts_events.sql("SELECT sum(n) AS t FROM daily_h").first()["t"]
     raw = ts_events.sql("SELECT count(*) AS t FROM events").first()["t"]
     assert total == raw
+
+
+def test_alter_mv_and_detailed_size(ts_events):
+    ts_events.sql(
+        """
+        CREATE MATERIALIZED VIEW rt WITH (timescaledb.continuous) AS
+        SELECT time_bucket('1 day', ts) AS bucket, count(*) AS n
+        FROM events GROUP BY bucket
+        """
+    ).collect()
+    # flip realtime off: reads return only materialized rows
+    ts_events.sql(
+        "ALTER MATERIALIZED VIEW rt SET (timescaledb.materialized_only = true)"
+    ).collect()
+    assert ts_events.get_cagg("rt").row["materialized_only"] is True
+    ts_events.sql(
+        "ALTER MATERIALIZED VIEW rt SET (timescaledb.materialized_only = false)"
+    ).collect()
+    assert ts_events.get_cagg("rt").row["materialized_only"] is False
+
+    sizes = ts_events.sql("SELECT chunks_detailed_size('events')").collect()
+    assert len(sizes) > 3 and all(r["total_bytes"] > 0 for r in sizes)
+    tot = ts_events.sql("SELECT hypertable_detailed_size('events')").first()
+    assert tot["table_bytes"] == sum(r["total_bytes"] for r in sizes)
+    assert tot["num_chunks"] == len(sizes)

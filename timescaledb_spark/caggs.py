@@ -290,6 +290,15 @@ class ContinuousAggregate:
             agg = agg.withColumn(col, F.expr(expr))
         return agg
 
+    def set_materialized_only(self, flag: bool) -> None:
+        """``ALTER MATERIALIZED VIEW .. SET (timescaledb.materialized_only
+        = ..)`` (tsl/src/continuous_aggs/options.c): toggles whether the
+        user view unions the realtime tail above the watermark."""
+        self.ts.catalog.continuous_agg.update(
+            {"name": self.name}, {"materialized_only": bool(flag)}
+        )
+        self.row["materialized_only"] = bool(flag)
+
     def watermark(self) -> Optional[int]:
         """``cagg_watermark`` (sql/util_time.sql:52): end of the last
         materialized bucket, int64 internal."""

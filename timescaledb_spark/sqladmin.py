@@ -239,6 +239,28 @@ def _h_hypertable_size(ts, pos, named):
     return _df(ts, [(ht.hypertable_size(),)], "hypertable_size bigint")
 
 
+def _h_chunks_detailed_size(ts, pos, named):
+    from .views import chunks_detailed_size
+
+    ht = ts.get_hypertable(pos[0].value)
+    rows = [
+        (_chunk_sql_name(ht, c), d["total_bytes"])
+        for c, d in zip(ht.chunks(), chunks_detailed_size(ht))
+    ]
+    return _df(ts, rows, "chunk string, total_bytes bigint")
+
+
+def _h_hypertable_detailed_size(ts, pos, named):
+    from .views import hypertable_detailed_size
+
+    ht = ts.get_hypertable(pos[0].value)
+    d = hypertable_detailed_size(ht)
+    return _df(
+        ts, [(d["table_bytes"], d["num_chunks"])],
+        "table_bytes bigint, num_chunks int",
+    )
+
+
 def _policy(fnname):
     def h(ts, pos, named):
         jr = ts.jobs
@@ -291,6 +313,8 @@ ADMIN_FNS = {
     "unfreeze_chunk": _chunk_op("unfreeze_chunk"),
     "set_chunk_time_interval": _h_set_chunk_time_interval,
     "hypertable_size": _h_hypertable_size,
+    "chunks_detailed_size": _h_chunks_detailed_size,
+    "hypertable_detailed_size": _h_hypertable_detailed_size,
     "add_retention_policy": _policy("add_retention_policy"),
     "add_compression_policy": _policy("add_compression_policy"),
     "add_columnstore_policy": _policy("add_columnstore_policy"),
@@ -453,6 +477,24 @@ def run_alter_compress(ts, table: str, optstr: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # CREATE MATERIALIZED VIEW ... WITH (timescaledb.continuous) AS SELECT ...
 # ---------------------------------------------------------------------------
+
+_ALTER_MV = re.compile(
+    r"^\s*alter\s+materialized\s+view\s+([A-Za-z_]\w*)\s+set\s*\("
+    r"\s*timescaledb\.materialized_only\s*=\s*'?(true|false)'?\s*\)\s*$",
+    re.I,
+)
+
+
+def match_alter_mv(q: str):
+    return _ALTER_MV.match(q.strip().rstrip(";"))
+
+
+def run_alter_mv(ts, m) -> DataFrame:
+    cagg = ts.get_cagg(m.group(1))
+    cagg.set_materialized_only(m.group(2).lower() == "true")
+    return _df(ts, [(m.group(1), m.group(2).lower() == "true")],
+               "view string, materialized_only boolean")
+
 
 _CMV = re.compile(
     r"^\s*create\s+materialized\s+view\s+([A-Za-z_]\w*)\s+"

@@ -611,6 +611,9 @@ def ts_sql(ts, query: str) -> DataFrame:
     altc = sqladmin.match_alter_column(q)
     if altc:
         return sqladmin.run_alter_column(ts, altc[0], altc[1])
+    altmv = sqladmin.match_alter_mv(q)
+    if altmv:
+        return sqladmin.run_alter_mv(ts, altmv)
     cmv = sqladmin.match_create_cagg(q)
     if cmv:
         return sqladmin.run_create_cagg(ts, cmv)
