@@ -222,3 +222,26 @@ def test_alter_mv_and_detailed_size(ts_events):
     tot = ts_events.sql("SELECT hypertable_detailed_size('events')").first()
     assert tot["table_bytes"] == sum(r["total_bytes"] for r in sizes)
     assert tot["num_chunks"] == len(sizes)
+
+
+def test_created_filters_and_attach_detach(ts_events):
+    n = ts_events.sql("SELECT show_chunks('events')").count()
+    # everything was created just now → created_after an hour ago = all
+    recent = ts_events.sql(
+        "SELECT show_chunks('events', created_after => INTERVAL '1 hour')"
+    ).count()
+    assert recent == n
+    old = ts_events.sql(
+        "SELECT show_chunks('events', created_before => INTERVAL '1 hour')"
+    ).count()
+    assert old == 0
+
+    chunk = ts_events.sql("SELECT show_chunks('events')").first()
+    ts_events.sql(f"SELECT detach_chunk('{chunk['chunk']}')").collect()
+    assert ts_events.sql("SELECT show_chunks('events')").count() == n - 1
+    from timescaledb_spark.hypertable import _to_internal
+
+    lo = _to_internal(chunk["range_start"])
+    hi = _to_internal(chunk["range_end"])
+    ts_events.sql(f"SELECT attach_chunk('events', {lo}, {hi})").collect()
+    assert ts_events.sql("SELECT show_chunks('events')").count() == n

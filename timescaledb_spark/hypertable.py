@@ -970,16 +970,28 @@ class Hypertable:
         self,
         older_than: Union[int, str, datetime, None] = None,
         newer_than: Union[int, str, datetime, None] = None,
+        created_before: Union[str, datetime, None] = None,
+        created_after: Union[str, datetime, None] = None,
     ) -> list[dict]:
         """``show_chunks`` (sql/ddl_api.sql:101): older_than compares
         range_end, newer_than compares range_start — same as the reference
-        (``src/chunk.c ts_chunk_get_by_time_constraint``)."""
+        (``src/chunk.c ts_chunk_get_by_time_constraint``).
+        ``created_before``/``created_after`` filter on the chunk's
+        creation wall-clock instead of its data range (ddl_api.sql v2.16
+        overloads)."""
         out = []
         ot, nt = _to_internal(older_than), _to_internal(newer_than)
+        cb = _to_internal(created_before)
+        ca = _to_internal(created_after)
         for c in self.chunks():
             if ot is not None and not (c["range_end"] <= ot):
                 continue
             if nt is not None and not (c["range_start"] >= nt):
+                continue
+            created_us = int((c.get("created_at") or 0) * 1_000_000)
+            if cb is not None and not (created_us < cb):
+                continue
+            if ca is not None and not (created_us > ca):
                 continue
             out.append(c)
         return out
@@ -988,11 +1000,18 @@ class Hypertable:
         self,
         older_than: Union[int, str, datetime, None] = None,
         newer_than: Union[int, str, datetime, None] = None,
+        created_before: Union[str, datetime, None] = None,
+        created_after: Union[str, datetime, None] = None,
     ) -> list[int]:
         """Retention: drop whole chunks (sql/ddl_api.sql:89). O(chunks
         dropped) — directory removal, never a row-level delete."""
         dropped = []
-        for c in self.show_chunks(older_than=older_than, newer_than=newer_than):
+        for c in self.show_chunks(
+            older_than=older_than,
+            newer_than=newer_than,
+            created_before=created_before,
+            created_after=created_after,
+        ):
             if c.get("frozen"):
                 raise PermissionError(
                     f"chunk [{c['range_start']},{c['range_end']}) is frozen"

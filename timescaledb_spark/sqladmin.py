@@ -173,9 +173,12 @@ def _h_show_chunks(ts, pos, named):
     ht = ts.get_hypertable(pos[0].value)
     ot = named.get("older_than") or (pos[1] if len(pos) > 1 else None)
     nt = named.get("newer_than") or (pos[2] if len(pos) > 2 else None)
+    cb, ca = named.get("created_before"), named.get("created_after")
     chunks = ht.show_chunks(
         older_than=_time_arg(ts, ht, ot.value, ot.kind) if ot else None,
         newer_than=_time_arg(ts, ht, nt.value, nt.kind) if nt else None,
+        created_before=_time_arg(ts, ht, cb.value, cb.kind) if cb else None,
+        created_after=_time_arg(ts, ht, ca.value, ca.kind) if ca else None,
     )
     rows = [
         (
@@ -199,10 +202,13 @@ def _h_drop_chunks(ts, pos, named):
     ht = ts.get_hypertable(pos[0].value)
     ot = named.get("older_than") or (pos[1] if len(pos) > 1 else None)
     nt = named.get("newer_than") or (pos[2] if len(pos) > 2 else None)
+    cb, ca = named.get("created_before"), named.get("created_after")
     before = {c["range_start"]: _chunk_sql_name(ht, c) for c in ht.chunks()}
     dropped = ht.drop_chunks(
         older_than=_time_arg(ts, ht, ot.value, ot.kind) if ot else None,
         newer_than=_time_arg(ts, ht, nt.value, nt.kind) if nt else None,
+        created_before=_time_arg(ts, ht, cb.value, cb.kind) if cb else None,
+        created_after=_time_arg(ts, ht, ca.value, ca.kind) if ca else None,
     )
     return _df(ts, [(before[s],) for s in dropped], "dropped_chunk string")
 
@@ -225,6 +231,25 @@ def _chunk_op(fn):
         return _df(ts, [(pos[0].value,)], "chunk string")
 
     return h
+
+
+def _h_detach_chunk(ts, pos, named):
+    from . import chunkops
+
+    ht, chunk = _resolve_chunk(ts, pos[0].value)
+    chunkops.detach_chunk(ht, chunk)
+    return _df(ts, [(pos[0].value, "detached")], "chunk string, action string")
+
+
+def _h_attach_chunk(ts, pos, named):
+    from . import chunkops
+    from .hypertable import _to_internal
+
+    ht = ts.get_hypertable(pos[0].value)
+    row = chunkops.attach_chunk(
+        ht, _to_internal(pos[1].value), _to_internal(pos[2].value)
+    )
+    return _df(ts, [(_chunk_sql_name(ht, row), "attached")], "chunk string, action string")
 
 
 def _h_set_chunk_time_interval(ts, pos, named):
@@ -310,6 +335,8 @@ ADMIN_FNS = {
     "convert_to_rowstore": _chunk_op("convert_to_rowstore"),
     "recompress_chunk": _chunk_op("recompress_chunk"),
     "freeze_chunk": _chunk_op("freeze_chunk"),
+    "detach_chunk": _h_detach_chunk,
+    "attach_chunk": _h_attach_chunk,
     "unfreeze_chunk": _chunk_op("unfreeze_chunk"),
     "set_chunk_time_interval": _h_set_chunk_time_interval,
     "hypertable_size": _h_hypertable_size,
