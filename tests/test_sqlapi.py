@@ -262,3 +262,25 @@ def test_uuid_sql_macros_parity(spark, sf_dir):
     )
     bad = chk.filter(~(F.col("t_ok") & F.col("v_ok") & F.col("b_ok"))).count()
     assert bad == 0
+
+
+def test_insert_values_with_column_list(spark, tmp_path_factory):
+    s = TSSession(spark, str(tmp_path_factory.mktemp("ts_ins")))
+    ht = s.create_hypertable("m2", "ts", chunk_interval="1 day")
+    seed = spark.createDataFrame(
+        [("2024-01-01 00:00:00", 1, 1.0)], "ts string, device int, value double"
+    ).select(F.col("ts").cast("timestamp"), "device", "value")
+    ht.insert(seed)
+    r = s.sql(
+        "INSERT INTO m2 (ts, device, value) VALUES "
+        "(TIMESTAMP '2024-01-02 01:00:00', 2, 2.5), "
+        "(TIMESTAMP '2024-01-02 02:00:00', 3, 3.5)"
+    ).first()
+    assert r["rows_inserted"] == 2
+    assert s.sql("SELECT count(*) AS n FROM m2").first()["n"] == 3
+    # added column missing from an INSERT is filled with its default
+    ht.add_column("site", "string", default="eu")
+    s.sql(
+        "INSERT INTO m2 (ts, device, value) VALUES (TIMESTAMP '2024-01-03 00:00:00', 4, 4.0)"
+    ).collect()
+    assert s.sql("SELECT count(*) AS n FROM m2 WHERE site = 'eu'").first()["n"] == 4

@@ -32,7 +32,7 @@ import re
 from datetime import datetime
 from typing import Callable, Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from .functions.time import (
     parse_interval,
@@ -594,7 +594,10 @@ def _register_info_views(ts, sql: str) -> str:
     return sql
 
 
-_INSERT_RE = re.compile(r"^\s*insert\s+into\s+([A-Za-z_]\w*)\s+(.*)$", re.I | re.S)
+_INSERT_RE = re.compile(
+    r"^\s*insert\s+into\s+([A-Za-z_]\w*)\s*(?:\(([^)]*)\))?\s+(.*)$",
+    re.I | re.S,
+)
 
 
 def ts_sql(ts, query: str) -> DataFrame:
@@ -620,10 +623,28 @@ def ts_sql(ts, query: str) -> DataFrame:
     q = _register_info_views(ts, q)
     m = _INSERT_RE.match(q)
     if m:
-        name, rest = m.group(1), m.group(2)
+        name, collist, rest = m.group(1), m.group(2), m.group(3)
         rest = _register_views(ts, rest)
         src = ts.spark.sql(rewrite_sql(rest, ts))
+        if collist:
+            cols = [c.strip() for c in collist.split(",") if c.strip()]
+            if len(cols) != len(src.columns):
+                raise ValueError(
+                    f"INSERT column list has {len(cols)} names but the "
+                    f"source produces {len(src.columns)} columns"
+                )
+            src = src.toDF(*cols)
         ht = ts.get_hypertable(name)
+        if ht.row.get("schema_ddl"):
+            # PG assignment casts: VALUES literals (e.g. DECIMAL) take the
+            # target column's declared type, keeping chunk files uniform
+            sch = {f.name: f.dataType for f in ht._schema().fields}
+            src = src.select(
+                *[
+                    F.col(c).cast(sch[c]).alias(c) if c in sch else F.col(c)
+                    for c in src.columns
+                ]
+            )
         stats = ht.insert(src)
         return ts.spark.createDataFrame(
             [(int(stats["rows"]),)], "rows_inserted bigint"
