@@ -245,3 +245,23 @@ def test_created_filters_and_attach_detach(ts_events):
     hi = _to_internal(chunk["range_end"])
     ts_events.sql(f"SELECT attach_chunk('events', {lo}, {hi})").collect()
     assert ts_events.sql("SELECT show_chunks('events')").count() == n
+
+
+def test_update_delete_sql(ts_events):
+    total = ts_events.sql("SELECT count(*) AS n FROM events").first()["n"]
+    upd = ts_events.sql(
+        "UPDATE events SET value = value * 2 "
+        "WHERE event_type = 'click' AND ts >= '2024-01-10' AND ts < '2024-01-20'"
+    ).first()["rows_updated"]
+    assert upd > 0
+    # deleting those same rows prunes to the same chunk range
+    dele = ts_events.sql(
+        "DELETE FROM events WHERE event_type = 'click' "
+        "AND ts >= '2024-01-10' AND ts < '2024-01-20'"
+    ).first()["rows_deleted"]
+    assert dele == upd
+    after = ts_events.sql("SELECT count(*) AS n FROM events").first()["n"]
+    assert after == total - dele
+    # full-table DELETE empties and drops every chunk
+    ts_events.sql("DELETE FROM events").collect()
+    assert ts_events.sql("SELECT show_chunks('events')").count() == 0

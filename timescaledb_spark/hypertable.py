@@ -815,6 +815,62 @@ class Hypertable:
             self._capture_invalidation(mm["lo"], mm["hi"])
         return n
 
+    def delete_where(
+        self,
+        where: Union[str, Column],
+        start: Union[int, str, datetime, None] = None,
+        end: Union[int, str, datetime, None] = None,
+    ) -> int:
+        """DELETE FROM hypertable WHERE .. (row-level predicate; whole-
+        range deletes should use :meth:`delete_range` / ``drop_chunks``,
+        which never rewrite rows). Chunk-pruned by ``start``/``end``,
+        rewrites only the affected chunk dirs, captures cagg
+        invalidations for the deleted rows' time span. Returns the number
+        of rows deleted."""
+        cond = F.expr(where) if isinstance(where, str) else where
+        lo, hi = _to_internal(start), _to_internal(end)
+        targets = [
+            c
+            for c in self.chunks()
+            if (hi is None or c["range_start"] < hi)
+            and (lo is None or c["range_end"] > lo)
+        ]
+        if not targets:
+            return 0
+        old = self._chunk_reader().option("basePath", self.data_dir).parquet(
+            *[os.path.join(self.data_dir, f"{CHUNK_COL}={c['range_start']}") for c in targets]
+        )
+        old = self._apply_fills(old, targets)
+        doomed = old.filter(cond)
+        mm = doomed.agg(
+            F.min(self._internal_time_expr(old)).alias("lo"),
+            F.max(self._internal_time_expr(old)).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        if mm["n"] == 0:
+            return 0
+        self._check_frozen(mm["lo"], mm["hi"])
+        kept = old.filter(~cond)
+        # dynamic partition overwrite only rewrites dirs PRESENT in the
+        # output — a chunk whose every row matched the predicate must be
+        # dropped explicitly (reference: ts_chunk_drop on empty)
+        survivors = {
+            r[0] for r in kept.select(CHUNK_COL).distinct().collect()
+        }
+        emptied = [c for c in targets if c["range_start"] not in survivors]
+        if len(emptied) < len(targets):
+            self._affected_chunk_writeback(kept)
+        for c in emptied:
+            path = self._chunk_glob(c)
+            if os.path.isdir(path):
+                shutil.rmtree(path)
+            self.ts.catalog.chunk.delete({"id": c["id"]})
+        live = [c["range_start"] for c in targets if c not in emptied]
+        self._mark_rewritten(live)
+        self._mark_fill_done(live)
+        self._capture_invalidation(mm["lo"], mm["hi"])
+        return int(mm["n"])
+
     # ---------------------------------------------------------------- read
     def read(
         self,

@@ -505,6 +505,64 @@ def run_alter_compress(ts, table: str, optstr: str) -> DataFrame:
 # CREATE MATERIALIZED VIEW ... WITH (timescaledb.continuous) AS SELECT ...
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# UPDATE / DELETE DML statements (test/sql/update.sql, delete.sql)
+# ---------------------------------------------------------------------------
+
+_UPDATE_HEAD = re.compile(r"^\s*update\s+([A-Za-z_]\w*)\s+set\s+", re.I)
+_DELETE_HEAD = re.compile(r"^\s*delete\s+from\s+([A-Za-z_]\w*)\s*", re.I)
+
+
+def _split_where(tail: str):
+    """(body, where) at the first top-level WHERE (quote-aware)."""
+    stripped = _strip_strings(tail)
+    depth = 0
+    low = stripped.lower()
+    for m in re.finditer(r"\bwhere\b", low):
+        depth = stripped[: m.start()].count("(") - stripped[: m.start()].count(")")
+        if depth == 0:
+            return tail[: m.start()].strip(), tail[m.end():].strip()
+    return tail.strip(), None
+
+
+def match_dml(q: str):
+    q = q.strip().rstrip(";")
+    m = _UPDATE_HEAD.match(q)
+    if m:
+        body, where = _split_where(q[m.end():])
+        return ("update", m.group(1), body, where)
+    m = _DELETE_HEAD.match(q)
+    if m:
+        _, where = _split_where(" " + q[m.end():])
+        return ("delete", m.group(1), None, where)
+    return None
+
+
+def run_dml(ts, kind: str, table: str, body, where) -> DataFrame:
+    """UPDATE .. SET .. WHERE / DELETE FROM .. WHERE on hypertables —
+    routed through the chunk-pruned rewrite DML (hypertable.py
+    update_where/delete_where); time predicates in WHERE prune the chunk
+    set exactly like reads."""
+    from .sqlapi import extract_time_bounds, rewrite_sql
+
+    ht = ts.get_hypertable(table)
+    cond_sql = rewrite_sql(where, ts) if where else "true"
+    lo = hi = None
+    if where:
+        lo, hi = extract_time_bounds(where, table, ht.time_column, set())
+    if kind == "delete":
+        n = ht.delete_where(cond_sql, start=lo, end=hi)
+        return _df(ts, [(n,)], "rows_deleted bigint")
+    assignments = {}
+    for item in _split_args(body):
+        col, eq, expr = item.partition("=")
+        if not eq:
+            raise ValueError(f"bad SET item {item!r}")
+        assignments[col.strip()] = rewrite_sql(expr.strip(), ts)
+    n = ht.update_where(assignments, cond_sql, start=lo, end=hi)
+    return _df(ts, [(n,)], "rows_updated bigint")
+
+
 _ALTER_MV = re.compile(
     r"^\s*alter\s+materialized\s+view\s+([A-Za-z_]\w*)\s+set\s*\("
     r"\s*timescaledb\.materialized_only\s*=\s*'?(true|false)'?\s*\)\s*$",

@@ -617,6 +617,9 @@ def ts_sql(ts, query: str) -> DataFrame:
     altmv = sqladmin.match_alter_mv(q)
     if altmv:
         return sqladmin.run_alter_mv(ts, altmv)
+    dml = sqladmin.match_dml(q)
+    if dml:
+        return sqladmin.run_dml(ts, dml[0], dml[1], dml[2], dml[3])
     cmv = sqladmin.match_create_cagg(q)
     if cmv:
         return sqladmin.run_create_cagg(ts, cmv)
