@@ -184,3 +184,32 @@ def test_sql_join_broadcasts_dim(ht, spark):
     assert cartesian_count(df) == 0
     # 6 surviving chunk dirs + the broadcast dim table's single file
     assert scanned_paths(df) == 7
+
+
+def test_sql_space_dimension_exclusion(spark, tmp_path):
+    ts = TSSession(spark, str(tmp_path / "sp"))
+    ht = ts.create_hypertable(
+        "sm", "ts", chunk_interval="1 day", space_column="device", num_partitions=4
+    )
+    df = spark.range(4 * 24).select(
+        F.timestamp_micros(
+            (F.lit(T0_US) + F.col("id") * 3600 * 1_000_000).cast("long")
+        ).alias("ts"),
+        (F.col("id") % 8).cast("int").alias("device"),
+        F.col("id").cast("double").alias("value"),
+    )
+    ht.insert(df)
+    from timescaledb_spark.plans.inspect import _plan
+
+    full = ts.sql("SELECT count(*) AS n FROM sm")
+    one = ts.sql("SELECT count(*) AS n FROM sm WHERE device = 3")
+    # pruned scan lists _space=k subdirectories (1 per chunk), the full
+    # scan lists whole chunk dirs — same path count, 4× less data
+    assert "_space=" in _plan(one) and "_space=" not in _plan(full)
+    # correctness: the pruned scan still answers exactly
+    assert one.first()["n"] == df.filter("device = 3").count()
+    many = ts.sql("SELECT count(*) AS n FROM sm WHERE device IN (1, 3)")
+    assert many.first()["n"] == df.filter("device in (1,3)").count()
+    # OR disables extraction but never correctness
+    safe = ts.sql("SELECT count(*) AS n FROM sm WHERE device = 3 OR value < 5")
+    assert safe.first()["n"] == df.filter("device = 3 or value < 5").count()

@@ -483,6 +483,38 @@ def extract_time_bounds(sql: str, table: str, col: str, aliases: set[str]):
     return lo, hi
 
 
+def extract_space_keys(sql: str, table: str, col: str, aliases: set[str]):
+    """Conservative space-key extraction: ``col = lit`` or ``col IN
+    (lits)`` in an AND-only query → the literal list; else None. Drives
+    hash-partition (``_space=k``) exclusion, the SQL-path analog of
+    ``src/planner/space_constraint.c``."""
+    stripped = _strip_strings(sql)
+    if re.search(r"\bor\b", stripped, re.I):
+        return None
+    names = [a for a in aliases | {table} if a]
+    if names:
+        quals = "|".join(re.escape(a) for a in names)
+        ref = rf"(?:\b(?:{quals})\s*\.\s*|(?<![\w.])){re.escape(col)}\b"
+    else:
+        ref = rf"(?<![\w.]){re.escape(col)}\b"
+    m = re.search(
+        ref + r"\s*=\s*('(?:[^']|'')*'|[+-]?\d+)\b", sql, re.I
+    )
+    if m:
+        k, v = _literal_of(m.group(1))
+        return [v] if k is not None else None
+    m = re.search(ref + r"\s+in\s*\(([^()]*)\)", sql, re.I)
+    if m:
+        vals = []
+        for piece in _split_args(m.group(1)):
+            k, v = _literal_of(piece)
+            if k is None:
+                return None
+            vals.append(v)
+        return vals or None
+    return None
+
+
 def _table_aliases(sql: str, table: str) -> set[str]:
     """Aliases under which ``table`` appears in FROM/JOIN clauses."""
     stripped = _strip_strings(sql)
@@ -556,8 +588,15 @@ def _register_views(ts, sql: str) -> str:
         ht = ts.get_hypertable(name)
         aliases = _table_aliases(sql, name)
         lo, hi = extract_time_bounds(sql, name, ht.time_column, aliases)
+        space_key = None
+        if ht.row.get("space_column"):
+            space_key = extract_space_keys(
+                sql, name, ht.row["space_column"], aliases
+            )
         vname = f"_ts_sql_{uid}_{name}"
-        ht.read(start=lo, end=hi).createOrReplaceTempView(vname)
+        ht.read(start=lo, end=hi, space_key=space_key).createOrReplaceTempView(
+            vname
+        )
         mapping[name] = vname
     for row in ts.catalog.continuous_agg.read():
         if row["name"] not in mapping and _referenced(sql, row["name"]):
