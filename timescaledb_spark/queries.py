@@ -853,14 +853,64 @@ def q_uuidv7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The driver's correctness gate verifies the FIRST 50 entries of queries()
+# in iteration order. Gates with the fewest prior green driver rounds go
+# first so every registered query accumulates a driver oracle row; gates
+# green in two consecutive driver rounds rotate to the back (they remain
+# covered by the local pytest DuckDB-oracle mirror in tests/).
+GATE_PRIORITY: list[str] = [
+    # never driver-verified before round 3
+    "q_sql_hyperfunctions",
+    "q_sql_gapfill",
+    "q_sql_join_rollup",
+    "q_recursive_cte",
+    "q_stats_agg",
+    "q_srf_unnest",
+    "q_json_props",
+    "q_tpch_q5",
+    "q_tpch_q10",
+    "q_tpch_q14",
+    "q_tpch_q18",
+    # green in round 1 only (fell outside the round-2 window)
+    "q_cube",
+    "q_grouping_sets",
+    "q_moving_avg",
+    "q_topn_per_group",
+    "q_count_distinct",
+    "q_sliding_window",
+    "q_set_ops",
+    # green in round 2 only
+    "q_gapfill_tz",
+    "q_uuid_bucket",
+    "q_cagg_join",
+    "q_cagg_window",
+    "q_retention",
+    "q_upsert",
+    "q_update_delete",
+    "q_merge_split_roundtrip",
+    "q_recompress",
+    "q_stream_replay",
+    "q_decompress_join",
+    "q_alter_schema",
+    "q_dedup_embedding_lsh",
+]
+
+
+def _ordered(d: dict) -> dict:
+    """Priority keys first (new/under-verified gates), then registration
+    order for the rest."""
+    pri = [k for k in GATE_PRIORITY if k in d]
+    return {k: d[k] for k in pri} | {k: v for k, v in d.items() if k not in set(pri)}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_extra_inventories()
-    return dict(QUERIES)
+    return _ordered(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     _load_extra_inventories()
-    return dict(ORACLES)
+    return _ordered(ORACLES)
 
 
 def _load_extra_inventories() -> None:
