@@ -25,11 +25,16 @@ def entry(spark: SparkSession) -> DataFrame:
     with vectorized-agg set + bookends over the events hypertable."""
     from pyspark.sql import functions as F
 
-    from timescaledb_spark.functions import first, last, time_bucket
+    from timescaledb_spark.functions import (
+        first,
+        last,
+        time_bucket,
+        to_unix_microseconds,
+    )
     from timescaledb_spark.sources import load_table
 
     ev = load_table(spark, "/root/testdata/sf0.001", "events")
-    key = F.unix_micros("ts")
+    key = to_unix_microseconds("ts")
     return (
         ev.groupBy(time_bucket("1 hour", "ts").alias("bucket"), "event_type")
         .agg(

@@ -21,7 +21,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .functions import first, histogram, last, time_bucket, time_bucket_int
+from .functions import (
+    first,
+    histogram,
+    last,
+    time_bucket,
+    time_bucket_int,
+    to_unix_microseconds,
+)
 from .sources import load_table
 
 ORIGIN_US = 946_857_600_000_000
@@ -178,7 +185,9 @@ def q_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first/last bookend aggregates == min_by/max_by (sql/bookend.sql:50,63);
     composite key makes tie-breaking deterministic across engines."""
     ev = load_table(spark, sf_dir, "events")
-    key = F.unix_micros("ts") * F.lit(1000) + F.pmod(F.col("event_id"), F.lit(1000))
+    key = to_unix_microseconds("ts") * F.lit(1000) + F.pmod(
+        F.col("event_id"), F.lit(1000)
+    )
     return ev.groupBy(
         "user_id", time_bucket("7 days", "ts").alias("bucket")
     ).agg(
@@ -798,9 +807,11 @@ def q_distinct_last_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     no loose index scan; groupBy+max_by is the documented fallback
     (SURVEY §4 item 12) — same result, scan-based."""
     ev = load_table(spark, sf_dir, "events")
-    key = F.unix_micros("ts") * F.lit(1000) + F.pmod(F.col("event_id"), F.lit(1000))
+    key = to_unix_microseconds("ts") * F.lit(1000) + F.pmod(
+        F.col("event_id"), F.lit(1000)
+    )
     return ev.groupBy("user_id").agg(
-        F.max(F.unix_micros("ts")).alias("last_us"),
+        F.max(to_unix_microseconds("ts")).alias("last_us"),
         F.max_by("event_type", key).alias("last_type"),
     )
 

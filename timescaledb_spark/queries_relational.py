@@ -531,8 +531,8 @@ def q_srf_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
     FROM events
     WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
     GROUP BY event_type

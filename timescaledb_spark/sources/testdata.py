@@ -24,9 +24,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        dtype = dict(df.dtypes).get("ts", "")
+        if dtype == "bigint":
             # integer division: double division loses precision at ns scale
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dtype.startswith("timestamp"):
+            # parquet may surface TIMESTAMP_NTZ; the engine's internal unit
+            # is session-zoned TimestampType (int64 µs, sql/util_time.sql:49)
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
         return df
     return spark.read.parquet(path)
 
