@@ -356,24 +356,32 @@ class Hypertable:
 
     # ----------------------------------------------------------- triggers
     def create_trigger(self, name: str, fn, when: str = "after") -> None:
-        """Batch-level trigger hooks — the Spark analog of triggers on
-        chunks (``test/sql/triggers.sql``; tuple routing fires the chunk's
+        """Trigger hooks — the Spark analog of triggers on chunks
+        (``test/sql/triggers.sql``; tuple routing fires the chunk's
         triggers in ``src/nodes/chunk_dispatch/``).
 
-        Row-at-a-time trigger bodies don't exist in a vectorized engine;
-        the idiomatic equivalents are:
+        Three kinds:
         - ``when="before"``: ``fn(df) -> DataFrame`` — transform/filter
-          the incoming batch (the BEFORE ROW "modify NEW" analog).
+          the incoming batch as a whole (BEFORE STATEMENT analog).
+        - ``when="before_row"``: ``fn(pandas.DataFrame) -> pandas.DataFrame``
+          — BEFORE ROW semantics, vectorized: the function sees incoming
+          rows as Arrow-batched pandas frames and may mutate column
+          values ("modify NEW") and/or drop rows ("RETURN NULL" skips
+          the row). The returned frame must keep the input schema.
+          Executes distributed via ``mapInPandas``; adjacent row-level
+          triggers are fused into a single Arrow pass.
         - ``when="after"``: ``fn(hypertable, stats)`` — observe the write
           (stats include rows + touched chunk starts), e.g. audit logs or
           downstream notifications.
-        Hooks fire on every ``insert``/``upsert``, including each
-        streaming micro-batch routed through ``StreamIngest``. Like the
-        reference (where trigger functions live in the database), hook
-        callables live with the session, not the on-disk catalog.
+        Multiple triggers fire in name order (PostgreSQL semantics,
+        ``src/backend/commands/trigger.c``). Hooks fire on every
+        ``insert``/``upsert``, including each streaming micro-batch
+        routed through ``StreamIngest``. Like the reference (where
+        trigger functions live in the database), hook callables live
+        with the session, not the on-disk catalog.
         """
-        if when not in ("before", "after"):
-            raise ValueError("when must be 'before' or 'after'")
+        if when not in ("before", "before_row", "after"):
+            raise ValueError("when must be 'before', 'before_row' or 'after'")
         reg = self.ts.__dict__.setdefault("_triggers", {}).setdefault(self.name, [])
         if any(t[0] == name for t in reg):
             raise ValueError(f"trigger {name!r} already exists on {self.name!r}")
@@ -393,8 +401,34 @@ class Hypertable:
         ]
 
     def _fire_before(self, df: DataFrame) -> DataFrame:
-        for _, _, fn in self._hooks("before"):
-            df = fn(df)
+        hooks = sorted(
+            self._hooks("before") + self._hooks("before_row"),
+            key=lambda t: t[0],
+        )
+        i = 0
+        while i < len(hooks):
+            _, when, fn = hooks[i]
+            if when == "before":
+                df = fn(df)
+                i += 1
+                continue
+            # fuse the run of adjacent row-level triggers into ONE
+            # mapInPandas pass: each extra Python exchange costs an
+            # Arrow round-trip per batch
+            run: list = []
+            while i < len(hooks) and hooks[i][1] == "before_row":
+                run.append(hooks[i][2])
+                i += 1
+
+            def _apply(batches, _fns=tuple(run)):
+                for pdf in batches:
+                    for f in _fns:
+                        if len(pdf) == 0:
+                            break
+                        pdf = f(pdf)
+                    yield pdf
+
+            df = df.mapInPandas(_apply, df.schema)
         return df
 
     def _fire_after(self, stats: dict) -> None:
@@ -1140,15 +1174,52 @@ class Hypertable:
         return n_dropped
 
     # ------------------------------------------------------------- stats
-    def approximate_row_count(self) -> int:
+    def approximate_row_count(self, distributed_threshold: int = 256) -> int:
         """``approximate_row_count`` (sql/size_utils.sql:311): from parquet
-        footer metadata, no data scan."""
+        footer metadata, no data scan.
+
+        Footer reads are random I/O, one per file: beyond
+        ``distributed_threshold`` files they run as a narrow Spark job on
+        executors (at 100 TB / ~1M files a driver-side loop would
+        serialize ~1M round-trips); small tables keep the cheaper
+        driver-side loop.
+        """
         import pyarrow.parquet as pq
 
-        total = 0
-        for f in glob.glob(os.path.join(self.data_dir, "**", "*.parquet"), recursive=True):
-            total += pq.ParquetFile(f).metadata.num_rows
-        return total
+        files = glob.glob(
+            os.path.join(self.data_dir, "**", "*.parquet"), recursive=True
+        )
+        if not files:
+            return 0
+        if len(files) <= distributed_threshold:
+            return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+        def _footer_counts(batches):
+            import pandas as pd
+            import pyarrow.parquet as pq  # noqa: F811 — executor-side import
+
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "n": [
+                            sum(
+                                pq.ParquetFile(p).metadata.num_rows
+                                for p in pdf["path"]
+                            )
+                        ]
+                    }
+                )
+
+        spark = self.ts.spark
+        paths = spark.createDataFrame([(p,) for p in files], "path string")
+        slices = min(len(files) // 32 + 1, 512)
+        row = (
+            paths.repartition(slices)
+            .mapInPandas(_footer_counts, "n long")
+            .agg(F.sum("n").alias("total"))
+            .collect()[0]
+        )
+        return int(row["total"])
 
     def hypertable_size(self) -> int:
         """``hypertable_size`` (sql/size_utils.sql:119): bytes on disk."""

@@ -17,6 +17,10 @@ Conventions:
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -864,54 +868,59 @@ def q_uuidv7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The driver's correctness gate verifies the FIRST 50 entries of queries()
-# in iteration order. Gates with the fewest prior green driver rounds go
-# first so every registered query accumulates a driver oracle row; gates
-# green in two consecutive driver rounds rotate to the back (they remain
+# The driver's correctness gate verifies the FIRST `GATE_WINDOW` entries of
+# queries() in iteration order. The ordering below is derived dynamically
+# from the committed CORRECTNESS_r*.json artifacts so no registered query
+# can fall permanently outside the window: never-driver-verified queries
+# come first, then failed-last-time, then least-recently-verified — the
+# rotated-out tail is exactly the most-recently-green set (which stays
 # covered by the local pytest DuckDB-oracle mirror in tests/).
-GATE_PRIORITY: list[str] = [
-    # never driver-verified before round 3
-    "q_sql_hyperfunctions",
-    "q_sql_gapfill",
-    "q_sql_join_rollup",
-    "q_recursive_cte",
-    "q_stats_agg",
-    "q_srf_unnest",
-    "q_json_props",
-    "q_tpch_q5",
-    "q_tpch_q10",
-    "q_tpch_q14",
-    "q_tpch_q18",
-    # green in round 1 only (fell outside the round-2 window)
-    "q_cube",
-    "q_grouping_sets",
-    "q_moving_avg",
-    "q_topn_per_group",
-    "q_count_distinct",
-    "q_sliding_window",
-    "q_set_ops",
-    # green in round 2 only
-    "q_gapfill_tz",
-    "q_uuid_bucket",
-    "q_cagg_join",
-    "q_cagg_window",
-    "q_retention",
-    "q_upsert",
-    "q_update_delete",
-    "q_merge_split_roundtrip",
-    "q_recompress",
-    "q_stream_replay",
-    "q_decompress_join",
-    "q_alter_schema",
-    "q_dedup_embedding_lsh",
-]
+GATE_WINDOW = 50
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def gate_history(repo_root: str = _REPO_ROOT) -> dict[str, tuple[int, bool]]:
+    """name -> (last driver round that checked it, green in that round).
+
+    A round's check counts green when the value hash matched, or — for
+    the weaker rows-only checks on non-SQL-expressible ops — when rows
+    matched without error.
+    """
+    hist: dict[str, tuple[int, bool]] = {}
+    for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r0*(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is not None:
+                green = bool(row.get("hash_match"))
+            else:
+                green = row.get("err") is None and bool(row.get("rows_match"))
+            prev = hist.get(name)
+            if prev is None or rnd >= prev[0]:
+                hist[name] = (rnd, green)
+    return hist
+
+
+def gate_order(names, hist: dict[str, tuple[int, bool]] | None = None) -> list[str]:
+    """Order gate names: never-verified first, then by (last-verified round
+    ascending, failed-before-green), name as the deterministic tie-break."""
+    if hist is None:
+        hist = gate_history()
+    return sorted(names, key=lambda n: (*hist.get(n, (0, False)), n))
 
 
 def _ordered(d: dict) -> dict:
-    """Priority keys first (new/under-verified gates), then registration
-    order for the rest."""
-    pri = [k for k in GATE_PRIORITY if k in d]
-    return {k: d[k] for k in pri} | {k: v for k, v in d.items() if k not in set(pri)}
+    return {k: d[k] for k in gate_order(d)}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
