@@ -829,17 +829,20 @@ class Hypertable:
             *[os.path.join(self.data_dir, f"{CHUNK_COL}={c['range_start']}") for c in targets]
         )
         old = self._apply_fills(old, targets)
-        n = old.filter(cond).count()
+        # one stats pass gates the rewrite: count + touched time range
+        # in a single job (a no-match UPDATE must not rewrite chunks)
+        mm = old.filter(cond).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(self._internal_time_expr(old)).alias("lo"),
+            F.max(self._internal_time_expr(old)).alias("hi"),
+        ).collect()[0]
+        n = mm["n"]
         if n == 0:
             return 0
         out = old
         for col, expr in assignments.items():
             val = F.expr(expr) if isinstance(expr, str) else expr
             out = out.withColumn(col, F.when(cond, val).otherwise(F.col(col)))
-        mm = old.filter(cond).agg(
-            F.min(self._internal_time_expr(old)).alias("lo"),
-            F.max(self._internal_time_expr(old)).alias("hi"),
-        ).collect()[0]
         if mm["lo"] is not None:
             self._check_frozen(mm["lo"], mm["hi"])
         self._affected_chunk_writeback(out)
