@@ -174,18 +174,23 @@ class Hypertable:
         t = self.row.get("time_type") or "timestamp"
         return t in ("timestamp", "timestamp_ntz", "date")
 
-    def _internal_time_expr(self, df: DataFrame) -> Column:
-        """time column -> int64 internal units (µs or verbatim int)."""
+    def _internal_time_expr(
+        self, df: DataFrame, col: Optional[Column] = None
+    ) -> Column:
+        """time column -> int64 internal units (µs or verbatim int).
+        ``col`` overrides the source column (e.g. an alias-qualified
+        reference in a join) while ``df`` still supplies the dtype."""
         dt = dict(df.dtypes)[self.time_column]
+        c = F.col(self.time_column) if col is None else col
         if dt.startswith("timestamp"):
-            return F.unix_micros(F.col(self.time_column).cast(T.TimestampType()))
+            return F.unix_micros(c.cast(T.TimestampType()))
         if dt == "date":
             return (
-                F.datediff(F.col(self.time_column), F.lit("1970-01-01").cast(T.DateType()))
+                F.datediff(c, F.lit("1970-01-01").cast(T.DateType()))
                 .cast(T.LongType())
                 * F.lit(USECS_PER_DAY)
             )
-        return F.col(self.time_column).cast(T.LongType())
+        return c.cast(T.LongType())
 
     def _default_interval_for(self, dtype: str) -> int:
         if dtype.startswith("timestamp") or dtype == "date":
@@ -448,6 +453,11 @@ class Hypertable:
         invalidation log (``tsl/src/continuous_aggs/insert.c:208``).
         """
         df = self._fire_before(df)
+        return self._insert_prepared(df, cluster=cluster)
+
+    def _insert_prepared(self, df: DataFrame, cluster: bool = True) -> dict:
+        """insert() after BEFORE triggers — callers that already fired
+        them (merge_into's pure-insert path) enter here."""
         self._ensure_typed(df)
         df = self._conform_input(df)
         want = {f.name for f in self._schema().fields}
@@ -803,6 +813,159 @@ class Hypertable:
         self._capture_invalidation(stats["tmin"], stats["tmax"])
         out_stats = {"rows": stats["n"], "chunks": chunks, "rewritten": hit}
         self._fire_after(out_stats)
+        return out_stats
+
+    def merge_into(
+        self,
+        src: DataFrame,
+        keys: Sequence[str],
+        matched_update: Optional[dict[str, Union[str, Column]]] = None,
+        insert_not_matched: bool = True,
+        delete_matched: bool = False,
+    ) -> dict:
+        """MERGE INTO over hypertables — the general form behind SQL
+        ``MERGE`` and ``INSERT .. ON CONFLICT`` (``test/sql/upsert.sql``,
+        ``tsl/test/sql/cagg_query_using_merge.sql``; arbiter handling in
+        ``src/nodes/modify_hypertable.c``).
+
+        For each source row whose ``keys`` match an existing row:
+        - ``delete_matched=True``: the target row is deleted
+          (WHEN MATCHED THEN DELETE);
+        - ``matched_update``: target columns are recomputed from SQL
+          expressions that may reference ``target.<col>`` and
+          ``excluded.<col>`` (WHEN MATCHED THEN UPDATE / DO UPDATE SET);
+        - neither: the target row is kept (ON CONFLICT DO NOTHING).
+        Source rows with no match insert when ``insert_not_matched``.
+
+        Like :meth:`upsert`, matching is chunk-local: a source row only
+        sees target rows in the chunk its OWN time value routes to, so
+        source rows must carry the matched row's timestamp (include the
+        time column in ``keys`` to make this structural — mirroring the
+        reference's rule that hypertable unique indexes must include the
+        partition column). Updating the time/partition column is
+        rejected, as rows would migrate between chunks mid-rewrite.
+        """
+        if delete_matched and matched_update:
+            raise ValueError("cannot both UPDATE and DELETE matched rows")
+        if matched_update and self.time_column in matched_update:
+            raise ValueError(
+                f"MERGE cannot update the partition column "
+                f"{self.time_column!r}; delete + re-insert instead"
+            )
+        src = self._fire_before(src)
+        self._ensure_typed(src)
+        src = self._conform_input(src)
+        data_cols = src.columns
+        new = src.select("*", *self._partition_exprs(src))
+        affected = sorted(
+            r[0] for r in new.select(CHUNK_COL).distinct().collect()
+        )
+        zeros = {
+            "rows_inserted": 0,
+            "rows_updated": 0,
+            "rows_deleted": 0,
+            "chunks": [],
+        }
+        if not affected:
+            return zeros
+        existing = {c["range_start"]: c for c in self.chunks()}
+        hit = [s for s in affected if s in existing]
+        if not hit:
+            if not insert_not_matched:
+                return zeros
+            st = self._insert_prepared(src)
+            return {**zeros, "rows_inserted": st["rows"], "chunks": st["chunks"]}
+
+        old = self._chunk_reader().option("basePath", self.data_dir).parquet(
+            *[os.path.join(self.data_dir, f"{CHUNK_COL}={s}") for s in hit]
+        )
+        old = self._apply_fills(old, [existing[s] for s in hit])
+        tgt = old.select(*data_cols, F.lit(True).alias("_tp")).alias("target")
+        ex = src.select(*data_cols, F.lit(True).alias("_sp")).alias("excluded")
+        cond = F.lit(True)
+        for k in keys:
+            cond = cond & F.col(f"target.{k}").eqNullSafe(F.col(f"excluded.{k}"))
+        j = tgt.join(ex, cond, "full_outer")
+        t_here = F.col("target._tp").isNotNull()
+        s_here = F.col("excluded._sp").isNotNull()
+        is_update = t_here & s_here & F.lit(bool(matched_update))
+        is_delete = t_here & s_here & F.lit(bool(delete_matched))
+        is_insert = ~t_here & s_here & F.lit(bool(insert_not_matched))
+
+        tcol = self.time_column
+        counts = j.agg(
+            F.sum(is_insert.cast("long")).alias("ins"),
+            F.sum((t_here & s_here).cast("long")).alias("matched"),
+            F.min(
+                F.when(
+                    is_insert | (t_here & s_here),
+                    self._internal_time_expr(src, F.col(f"excluded.{tcol}")),
+                )
+            ).alias("tmin"),
+            F.max(
+                F.when(
+                    is_insert | (t_here & s_here),
+                    self._internal_time_expr(src, F.col(f"excluded.{tcol}")),
+                )
+            ).alias("tmax"),
+        ).collect()[0]
+        n_matched = int(counts["matched"] or 0)
+        n_ins = int(counts["ins"] or 0)
+        n_upd = n_matched if matched_update else 0
+        n_del = n_matched if delete_matched else 0
+        if n_ins == 0 and n_upd == 0 and n_del == 0:
+            return zeros
+        if counts["tmin"] is not None:
+            self._check_frozen(counts["tmin"], counts["tmax"])
+
+        upd = {}
+        for c, expr in (matched_update or {}).items():
+            if c not in data_cols:
+                raise ValueError(f"unknown column {c!r} in matched_update")
+            upd[c] = F.expr(expr) if isinstance(expr, str) else expr
+        out_cols = []
+        for c in data_cols:
+            col = (
+                F.when(is_delete, F.lit(None))
+                .when(is_update, upd.get(c, F.col(f"target.{c}")))
+                .when(t_here, F.col(f"target.{c}"))
+                .otherwise(F.col(f"excluded.{c}"))
+            )
+            out_cols.append(col.alias(c))
+        out = j.filter((t_here & ~is_delete) | is_insert).select(*out_cols)
+        out = out.select("*", *self._partition_exprs(out))
+
+        if delete_matched:
+            # a fully-emptied chunk dir is invisible to dynamic overwrite
+            survivors = {
+                r[0] for r in out.select(CHUNK_COL).distinct().collect()
+            }
+            emptied = [
+                existing[s] for s in hit if s not in survivors
+            ]
+        else:
+            emptied = []
+        if not emptied or len(emptied) < len(hit) or n_ins:
+            self._affected_chunk_writeback(out)
+        for c in emptied:
+            path = self._chunk_glob(c)
+            if os.path.isdir(path):
+                shutil.rmtree(path)
+            self.ts.catalog.chunk.delete({"id": c["id"]})
+        live = [s for s in hit if s not in {c["range_start"] for c in emptied}]
+        self._mark_rewritten(live)
+        self._mark_fill_done(live)
+        chunks = []
+        if counts["tmin"] is not None:
+            chunks = self._register_chunks_in_range(counts["tmin"], counts["tmax"])
+            self._capture_invalidation(counts["tmin"], counts["tmax"])
+        out_stats = {
+            "rows_inserted": n_ins,
+            "rows_updated": n_upd,
+            "rows_deleted": n_del,
+            "chunks": chunks,
+        }
+        self._fire_after({"rows": n_ins + n_upd, "chunks": chunks})
         return out_stats
 
     def update_where(

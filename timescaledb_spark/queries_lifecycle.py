@@ -155,6 +155,53 @@ def q_update_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SQL MERGE (tsl/test/sql/cagg_query_using_merge.sql; ON CONFLICT arbiter
+# in src/nodes/modify_hypertable.c)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_sql_merge",
+    f"""
+    SELECT {_bucket_sql(DAY, 'ts')} AS bucket, count(*) AS n, sum(v) AS sum_v
+    FROM (
+        SELECT ts, value + CASE WHEN event_id % 7 = 0 THEN 100 ELSE 0 END AS v
+        FROM events
+        UNION ALL
+        SELECT ts, value AS v FROM events WHERE event_id % 11 = 0
+    ) merged
+    GROUP BY 1
+    """,
+)
+def q_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL MERGE INTO a hypertable: every 7th event matched (UPDATE SET
+    value = t.value + s.value with s.value = 100), every 11th re-sent
+    under a fresh event_id (NOT MATCHED -> INSERT *). Routed through
+    Hypertable.merge_into — chunk-local full-outer merge, dynamic
+    partition overwrite of hit chunks only."""
+    ts = _scratch(spark, "ts_sqlmerge_")
+    ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+    ev = load_table(spark, sf_dir, "events")
+    ht.insert(ev)
+    src = ev.filter(F.col("event_id") % 7 == 0).withColumn(
+        "value", F.lit(100.0)
+    ).unionByName(
+        ev.filter(F.col("event_id") % 11 == 0).withColumn(
+            "event_id", F.col("event_id") + F.lit(10_000_000)
+        )
+    )
+    src.createOrReplaceTempView("merge_src")
+    ts.sql(
+        """
+        MERGE INTO events t USING merge_src s
+        ON t.ts = s.ts AND t.event_id = s.event_id
+        WHEN MATCHED THEN UPDATE SET value = t.value + s.value
+        WHEN NOT MATCHED THEN INSERT *
+        """
+    )
+    return _daily(ht.read())
+
+
+# ---------------------------------------------------------------------------
 # merge_chunks + split_chunk (tsl/test/sql/merge_chunks.sql, chunk_utils)
 # ---------------------------------------------------------------------------
 

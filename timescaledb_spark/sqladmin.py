@@ -147,9 +147,30 @@ def _ts_or_us(ht, us: int):
 # handlers: SELECT fn(...)
 # ---------------------------------------------------------------------------
 
+_CREATE_HT_ARGS = {
+    "time_column",
+    "chunk_time_interval",
+    "partitioning_column",
+    "number_partitions",
+    "migrate_data",
+    "if_not_exists",
+    "create_default_indexes",
+    "associated_schema_name",
+    "associated_table_prefix",
+}
+
+
 def _h_create_hypertable(ts, pos, named):
     name = pos[0].value
     time_col = pos[1].value if len(pos) > 1 else named["time_column"].value
+    unknown = set(named) - _CREATE_HT_ARGS
+    if unknown:
+        # reference parity: PG raises on unknown named args instead of
+        # silently ignoring them (a misspelled chunk_time_interval would
+        # otherwise give 7-day default chunks without a word)
+        raise ValueError(
+            f"create_hypertable: unknown named argument(s) {sorted(unknown)}"
+        )
     kw = {}
     ci = named.get("chunk_time_interval")
     if ci is not None:
@@ -710,3 +731,272 @@ def _strip_quals(sql: str, quals: set[str]) -> str:
         return sql
     pat = "|".join(re.escape(q) for q in quals)
     return re.sub(rf"\b(?:{pat})\s*\.\s*(?=[A-Za-z_])", "", sql)
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO / INSERT .. ON CONFLICT / COPY (test/sql/upsert.sql,
+# tsl/test/sql/cagg_query_using_merge.sql, src/copy.c)
+# ---------------------------------------------------------------------------
+
+_MERGE_HEAD = re.compile(
+    r"^\s*merge\s+into\s+([A-Za-z_]\w*)(?:\s+(?:as\s+)?([A-Za-z_]\w*))?"
+    r"\s+using\s+",
+    re.I,
+)
+_ON_CONFLICT = re.compile(
+    r"\bon\s+conflict\s*\(([^)]*)\)\s*do\s+(nothing|update\s+set\s+(.*))\s*$",
+    re.I | re.S,
+)
+_COPY_RE = re.compile(
+    r"^\s*copy\s+([A-Za-z_]\w*)\s+from\s+'([^']+)'\s*"
+    r"(?:with\s*\((?P<opts>[^)]*)\))?\s*$",
+    re.I,
+)
+
+_RESERVED_ALIASES = {"target", "excluded"}
+
+
+def _qualify_bare(expr: str, cols, qual: str) -> str:
+    """Qualify bare references to target columns (PG's ON CONFLICT scope:
+    unqualified names mean the target row). Leaves ``excluded.c`` /
+    ``target.c`` / function names / struct access untouched."""
+    pat = r"(?<![\w.`'])(" + "|".join(re.escape(c) for c in cols) + r")\b(?!\s*\(|\s*\.)"
+    # operate only outside string literals
+    out, i = [], 0
+    stripped = _strip_strings(expr)
+    for m in re.finditer(pat, stripped):
+        out.append(expr[i : m.start()])
+        out.append(f"{qual}.{m.group(1)}")
+        i = m.end()
+    out.append(expr[i:])
+    return "".join(out)
+
+
+def match_insert_on_conflict(q: str):
+    """INSERT INTO t [..] <src> ON CONFLICT (keys) DO NOTHING|UPDATE SET.
+    Returns (head_without_conflict_clause, keys, set_items|None)."""
+    stripped = _strip_strings(q.strip().rstrip(";"))
+    m = _ON_CONFLICT.search(stripped)
+    if not m or not re.match(r"^\s*insert\b", stripped, re.I):
+        return None
+    head = q.strip().rstrip(";")[: m.start()].strip()
+    keys = [k.strip() for k in m.group(1).split(",") if k.strip()]
+    action = m.group(2)
+    if action.lower().startswith("nothing"):
+        return (head, keys, None)
+    body = q.strip().rstrip(";")[m.start() :]
+    set_part = re.search(r"do\s+update\s+set\s+", body, re.I)
+    return (head, keys, body[set_part.end() :])
+
+
+def run_insert_on_conflict(ts, head: str, keys, set_items) -> DataFrame:
+    """ON CONFLICT routed through Hypertable.merge_into: DO NOTHING keeps
+    matched target rows; DO UPDATE recomputes columns from expressions
+    over the PG scopes (bare = target row, ``excluded.c`` = incoming)."""
+    from .sqlapi import _INSERT_RE, _register_views, rewrite_sql
+
+    m = _INSERT_RE.match(head)
+    if not m:
+        raise ValueError(f"cannot parse INSERT head {head!r}")
+    name, collist, rest = m.group(1), m.group(2), m.group(3)
+    ht = ts.get_hypertable(name)
+    src = ts.spark.sql(rewrite_sql(_register_views(ts, rest), ts))
+    if collist:
+        cols = [c.strip() for c in collist.split(",") if c.strip()]
+        src = src.toDF(*cols)
+    if ht.row.get("schema_ddl"):
+        sch = {f.name: f.dataType for f in ht._schema().fields}
+        from pyspark.sql import functions as _F
+
+        src = src.select(
+            *[
+                _F.col(c).cast(sch[c]).alias(c) if c in sch else _F.col(c)
+                for c in src.columns
+            ]
+        )
+    matched = None
+    if set_items is not None:
+        tcols = [f.name for f in ht._schema().fields] if ht.row.get(
+            "schema_ddl"
+        ) else src.columns
+        matched = {}
+        for item in _split_args(set_items):
+            col, eq, expr = item.partition("=")
+            if not eq:
+                raise ValueError(f"bad SET item {item!r}")
+            matched[col.strip()] = _qualify_bare(
+                rewrite_sql(expr.strip(), ts), tcols, "target"
+            )
+    st = ht.merge_into(src, keys, matched_update=matched)
+    return _df(
+        ts,
+        [(st["rows_inserted"], st["rows_updated"])],
+        "rows_inserted bigint, rows_updated bigint",
+    )
+
+
+def match_merge(q: str):
+    return _MERGE_HEAD.match(q.strip().rstrip(";"))
+
+
+def run_merge(ts, q: str) -> DataFrame:
+    """MERGE INTO t [AS a] USING <table|(subquery)> [AS b] ON <equi-keys>
+    WHEN MATCHED THEN UPDATE SET .. | DELETE
+    [WHEN NOT MATCHED THEN INSERT * | (cols) VALUES (exprs)].
+
+    The ON condition must be a conjunction of target/source column
+    equalities (the arbiter keys, like the reference's unique-index
+    requirement). Aliases are normalized to the merge scopes ``target``
+    and ``excluded`` before expressions reach Spark.
+    """
+    from .sqlapi import _register_views, rewrite_sql
+
+    q = q.strip().rstrip(";")
+    m = _MERGE_HEAD.match(q)
+    tname, talias = m.group(1), m.group(2)
+    rest = q[m.end() :]
+    # USING <source> ON ...
+    stripped = _strip_strings(rest)
+    on_m = None
+    depth = 0
+    for mm in re.finditer(r"\(|\)|\bon\b", stripped, re.I):
+        tok = mm.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            on_m = mm
+            break
+    if on_m is None:
+        raise ValueError("MERGE missing ON clause")
+    using_part = rest[: on_m.start()].strip()
+    after_on = rest[on_m.end() :]
+    when_m = re.search(r"\bwhen\b", _strip_strings(after_on), re.I)
+    if when_m is None:
+        raise ValueError("MERGE missing WHEN clause")
+    on_cond = after_on[: when_m.start()].strip()
+    when_part = after_on[when_m.start() :]
+
+    # source: table name or (subquery), optional alias
+    sm = re.match(
+        r"^(\((?:.|\n)*\)|[A-Za-z_]\w*)(?:\s+(?:as\s+)?([A-Za-z_]\w*))?$",
+        using_part.strip(),
+        re.I,
+    )
+    if not sm:
+        raise ValueError(f"cannot parse USING clause {using_part!r}")
+    src_sql, salias = sm.group(1), sm.group(2)
+    if src_sql.startswith("("):
+        src_sql = src_sql[1:-1]
+    else:
+        src_sql = f"SELECT * FROM {src_sql}"
+    src = ts.spark.sql(rewrite_sql(_register_views(ts, src_sql), ts))
+    salias = salias or "src"
+
+    ht = ts.get_hypertable(tname)
+    talias = talias or tname
+
+    def _normalize(expr: str) -> str:
+        e = re.sub(rf"\b{re.escape(talias)}\s*\.", "target.", expr)
+        e = re.sub(rf"\b{re.escape(salias)}\s*\.", "excluded.", e)
+        e = re.sub(rf"\b{re.escape(tname)}\s*\.", "target.", e)
+        return e
+
+    keys = []
+    for part in re.split(r"(?i)\band\b", on_cond):
+        lhs, eq, rhs = part.partition("=")
+        if not eq:
+            raise ValueError(f"MERGE ON must be equality conjunction: {part!r}")
+        lhs, rhs = _normalize(lhs.strip()), _normalize(rhs.strip())
+        tgt_side = lhs if lhs.startswith("target.") else rhs
+        src_side = rhs if tgt_side is lhs else lhs
+        kt = tgt_side.split(".", 1)[1].strip()
+        ks = src_side.split(".", 1)[1].strip() if "." in src_side else src_side
+        if kt != ks:
+            # align source column name to the target key name
+            src = src.withColumnRenamed(ks, kt)
+        keys.append(kt)
+
+    matched_update = None
+    delete_matched = False
+    insert_not_matched = False
+    for clause in re.split(r"(?i)\bwhen\b", when_part)[1:]:
+        clause = clause.strip()
+        cm = re.match(
+            r"^(not\s+)?matched\s+then\s+(.*)$", clause, re.I | re.S
+        )
+        if not cm:
+            raise ValueError(f"cannot parse WHEN clause {clause!r}")
+        action = cm.group(2).strip()
+        if cm.group(1):  # NOT MATCHED
+            im = re.match(
+                r"^insert\s*(\*|\(([^)]*)\)\s*values\s*\((.*)\))\s*$",
+                action,
+                re.I | re.S,
+            )
+            if not im:
+                raise ValueError(f"unsupported NOT MATCHED action {action!r}")
+            insert_not_matched = True
+            if im.group(2) is not None:
+                cols = [c.strip() for c in im.group(2).split(",")]
+                exprs = [
+                    re.sub(rf"\b{re.escape(salias)}\s*\.", "", e.strip())
+                    for e in _split_args(im.group(3))
+                ]
+                src = src.selectExpr(
+                    *[f"{rewrite_sql(e, ts)} AS {c}" for e, c in zip(exprs, cols)]
+                )
+        elif re.match(r"^delete\s*$", action, re.I):
+            delete_matched = True
+        else:
+            um = re.match(r"^update\s+set\s+(.*)$", action, re.I | re.S)
+            if not um:
+                raise ValueError(f"unsupported MATCHED action {action!r}")
+            matched_update = {}
+            for item in _split_args(um.group(1)):
+                col, eq, expr = item.partition("=")
+                if not eq:
+                    raise ValueError(f"bad SET item {item!r}")
+                col = _normalize(col.strip()).removeprefix("target.")
+                matched_update[col] = _normalize(rewrite_sql(expr.strip(), ts))
+    st = ht.merge_into(
+        src,
+        keys,
+        matched_update=matched_update,
+        insert_not_matched=insert_not_matched,
+        delete_matched=delete_matched,
+    )
+    return _df(
+        ts,
+        [(st["rows_inserted"], st["rows_updated"], st["rows_deleted"])],
+        "rows_inserted bigint, rows_updated bigint, rows_deleted bigint",
+    )
+
+
+def match_copy(q: str):
+    return _COPY_RE.match(q.strip().rstrip(";"))
+
+
+def run_copy(ts, m) -> DataFrame:
+    """COPY t FROM 'file' WITH (FORMAT csv|text, HEADER, DELIMITER 'c') —
+    the reference's chunk-routing COPY path (src/copy.c): the file is
+    read with the hypertable's declared schema (parallel, splittable
+    scan) and routed through the normal insert tuple routing."""
+    name, path = m.group(1), m.group(2)
+    opts = {}
+    for item in _split_args(m.group("opts") or ""):
+        if not item:
+            continue
+        parts = item.split(None, 1)
+        opts[parts[0].lower()] = parts[1].strip().strip("'") if len(parts) > 1 else "true"
+    fmt = opts.get("format", "text").lower()
+    ht = ts.get_hypertable(name)
+    reader = ts.spark.read
+    if ht.row.get("schema_ddl"):
+        reader = reader.schema(ht._schema())
+    delim = opts.get("delimiter", "," if fmt == "csv" else "\t")
+    header = opts.get("header", "false").lower() in ("true", "on", "1")
+    src = reader.option("header", header).option("sep", delim).csv(path)
+    st = ht.insert(src)
+    return _df(ts, [(int(st["rows"]),)], "rows_copied bigint")

@@ -659,6 +659,14 @@ def ts_sql(ts, query: str) -> DataFrame:
     dml = sqladmin.match_dml(q)
     if dml:
         return sqladmin.run_dml(ts, dml[0], dml[1], dml[2], dml[3])
+    oc = sqladmin.match_insert_on_conflict(q)
+    if oc:
+        return sqladmin.run_insert_on_conflict(ts, oc[0], oc[1], oc[2])
+    if sqladmin.match_merge(q):
+        return sqladmin.run_merge(ts, q)
+    cp = sqladmin.match_copy(q)
+    if cp:
+        return sqladmin.run_copy(ts, cp)
     cmv = sqladmin.match_create_cagg(q)
     if cmv:
         return sqladmin.run_create_cagg(ts, cmv)
