@@ -268,6 +268,20 @@ class Hypertable:
         )
         self._refresh()
 
+    def disable_chunk_skipping(self, column: str) -> int:
+        """``disable_chunk_skipping(rel, col)`` (sql/ddl_api.sql:156):
+        drop the per-chunk min/max stats for ``column``."""
+        cat = self.ts.catalog
+        n = 0
+        for c in self.chunks():
+            rows = cat.chunk_column_stats.find(chunk_id=c["id"], column=column)
+            if rows:
+                cat.chunk_column_stats.delete(
+                    {"chunk_id": c["id"], "column": column}
+                )
+                n += len(rows)
+        return n
+
     def enable_chunk_skipping(self, column: str) -> int:
         """``enable_chunk_skipping(rel, col)`` (sql/ddl_api.sql:147;
         src/ts_catalog/chunk_column_stats.c): record per-chunk min/max of

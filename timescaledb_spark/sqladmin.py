@@ -346,6 +346,85 @@ def _h_delete_job(ts, pos, named):
     return _df(ts, [(True,)], "ok boolean")
 
 
+def _h_enable_chunk_skipping(ts, pos, named):
+    ht = ts.get_hypertable(pos[0].value)
+    n = ht.enable_chunk_skipping(pos[1].value)
+    return _df(ts, [(n,)], "chunks_indexed int")
+
+
+def _h_disable_chunk_skipping(ts, pos, named):
+    ht = ts.get_hypertable(pos[0].value)
+    n = ht.disable_chunk_skipping(pos[1].value)
+    return _df(ts, [(n,)], "stats_dropped int")
+
+
+def _h_chunk_compression_stats(ts, pos, named):
+    """``chunk_compression_stats`` / ``chunk_columnstore_stats``
+    (sql/size_utils.sql:360,390)."""
+    from . import compression
+
+    ht = ts.get_hypertable(pos[0].value)
+    by_start = {c["range_start"]: c for c in ht.chunks()}
+    rows = [
+        (
+            _chunk_sql_name(ht, by_start[s["chunk"]]),
+            int(s.get("before", 0)),
+            int(s.get("after", 0)),
+        )
+        for s in compression.chunk_compression_stats(ht)
+        if s["chunk"] in by_start
+    ]
+    return _df(
+        ts,
+        rows or [],
+        "chunk_name string, before_compression_total_bytes bigint, "
+        "after_compression_total_bytes bigint",
+    )
+
+
+def _h_hypertable_compression_stats(ts, pos, named):
+    from . import compression
+
+    ht = ts.get_hypertable(pos[0].value)
+    stats = compression.chunk_compression_stats(ht)
+    return _df(
+        ts,
+        [
+            (
+                len(stats),
+                sum(int(s.get("before", 0)) for s in stats),
+                sum(int(s.get("after", 0)) for s in stats),
+            )
+        ],
+        "total_chunks bigint, before_compression_total_bytes bigint, "
+        "after_compression_total_bytes bigint",
+    )
+
+
+def _h_hypertable_index_size(ts, pos, named):
+    """Parquet has no secondary indexes; the skip-stats analog lives in
+    the catalog and is negligible — reference parity is a 0-byte answer
+    (sql/size_utils.sql:236)."""
+    ts.get_hypertable(pos[0].value)  # raise on unknown table
+    return _df(ts, [(0,)], "hypertable_index_size bigint")
+
+
+def _h_show_policies(ts, pos, named):
+    rows = [
+        (str(p.get("policy_name")), str({k: v for k, v in p.items() if k != "policy_name"}))
+        for p in ts.jobs.show_policies(pos[0].value)
+    ]
+    return _df(ts, rows or [], "policy_name string, config string")
+
+
+def _h_remove_all_policies(ts, pos, named):
+    ok = ts.jobs.remove_all_policies(
+        pos[0].value,
+        if_exists=bool(named.get("if_exists", _Lit("bool", False)).value),
+    )
+    return _df(ts, [(ok,)], "removed boolean")
+
+
 ADMIN_FNS = {
     "create_hypertable": _h_create_hypertable,
     "show_chunks": _h_show_chunks,
@@ -378,6 +457,231 @@ ADMIN_FNS = {
     "remove_reorder_policy": _h_remove_policy("remove_reorder_policy"),
     "run_job": _h_run_job,
     "delete_job": _h_delete_job,
+    "enable_chunk_skipping": _h_enable_chunk_skipping,
+    "disable_chunk_skipping": _h_disable_chunk_skipping,
+    "chunk_compression_stats": _h_chunk_compression_stats,
+    "chunk_columnstore_stats": _h_chunk_compression_stats,
+    "hypertable_compression_stats": _h_hypertable_compression_stats,
+    "hypertable_columnstore_stats": _h_hypertable_compression_stats,
+    "hypertable_approximate_size": _h_hypertable_size,
+    "hypertable_approximate_detailed_size": _h_hypertable_detailed_size,
+    "hypertable_index_size": _h_hypertable_index_size,
+    "show_policies": _h_show_policies,
+    "remove_all_policies": _h_remove_all_policies,
+}
+
+
+def _rh_add_dimension(ts, argstr: str) -> DataFrame:
+    """``add_dimension(rel, col, number_partitions)`` and the dimension-
+    builder forms ``by_hash('col', n)`` / ``by_range('col', width)``
+    (sql/ddl_api.sql:64,116). A second *range* dimension is rejected:
+    the engine partitions on one open (time) dimension + one hash space
+    dimension (SURVEY §1.1) — the reference itself warns multiple range
+    dims rarely help."""
+    args = _split_args(argstr)
+    rel = _literal_of(args[0])[1]
+    ht = ts.get_hypertable(rel)
+    bh = re.match(r"^\s*by_hash\s*\((.*)\)\s*$", args[1], re.I | re.S)
+    br = re.match(r"^\s*by_range\s*\(", args[1], re.I)
+    if br:
+        raise ValueError(
+            "add_dimension(by_range(..)): second range dimensions are not "
+            "supported — the open time dimension + by_hash space "
+            "partitioning cover the chunk grid"
+        )
+    if bh:
+        inner = _split_args(bh.group(1))
+        col = _literal_of(inner[0])[1]
+        nparts = int(_literal_of(inner[1])[1])
+    else:
+        col = _literal_of(args[1])[1]
+        named = dict(
+            (m.group(1).lower(), m.group(2))
+            for a in args[2:]
+            if (m := _NAMED.match(a))
+        )
+        raw_n = named.get("number_partitions") or (args[2] if len(args) > 2 else None)
+        if raw_n is None:
+            raise ValueError("add_dimension: number_partitions required")
+        nparts = int(_literal_of(raw_n)[1])
+    ht.add_dimension(col, nparts)
+    return _df(
+        ts, [(rel, col, nparts, True)],
+        "hypertable string, column_name string, num_partitions int, created boolean",
+    )
+
+
+def _rh_merge_chunks(ts, argstr: str) -> DataFrame:
+    """``merge_chunks(c1, c2)`` / ``merge_chunks(ARRAY[...])``
+    (tsl/src/chunk.c merge API). ``merge_chunks_concurrently`` maps here
+    too — the engine is single-writer, so the lock-relaxed variant is
+    the same operation."""
+    from . import chunkops
+
+    raw = argstr.strip()
+    am = re.match(r"^\s*array\s*\[(.*)\]\s*$", raw, re.I | re.S)
+    names = _split_args(am.group(1)) if am else _split_args(raw)
+    pairs = [_resolve_chunk(ts, _literal_of(n)[1]) for n in names]
+    ht = pairs[0][0]
+    if any(p[0].name != ht.name for p in pairs):
+        raise ValueError("merge_chunks: chunks belong to different hypertables")
+    merged = chunkops.merge_chunks(ht, [p[1] for p in pairs])
+    return _df(
+        ts,
+        [(_chunk_sql_name(ht, merged), merged["range_start"], merged["range_end"])],
+        "chunk_name string, range_start bigint, range_end bigint",
+    )
+
+
+def _rh_split_chunk(ts, argstr: str) -> DataFrame:
+    """``split_chunk(chunk, split_at => ts)`` (tsl/src/chunk.c)."""
+    from . import chunkops
+
+    args = _split_args(argstr)
+    ht, chunk = _resolve_chunk(ts, _literal_of(args[0])[1])
+    split_at = None
+    for a in args[1:]:
+        m = _NAMED.match(a)
+        split_at = _literal_of(m.group(2))[1] if m else _literal_of(a)[1]
+    if split_at is None:
+        raise ValueError("split_chunk: split_at required")
+    parts = chunkops.split_chunk(ht, chunk, split_at)
+    return _df(
+        ts,
+        [(_chunk_sql_name(ht, p), p["range_start"], p["range_end"]) for p in parts],
+        "chunk_name string, range_start bigint, range_end bigint",
+    )
+
+
+def _rh_reorder_chunk(ts, argstr: str) -> DataFrame:
+    """``reorder_chunk(chunk, index)`` (sql/maintenance_utils.sql:8) —
+    the index argument maps to the comma-separated sort column list the
+    rewrite clusters by."""
+    from . import compression
+
+    args = _split_args(argstr)
+    ht, chunk = _resolve_chunk(ts, _literal_of(args[0])[1])
+    cols_raw = None
+    for a in args[1:]:
+        m = _NAMED.match(a)
+        cols_raw = _literal_of(m.group(2))[1] if m else _literal_of(a)[1]
+    if not cols_raw:
+        raise ValueError("reorder_chunk: sort columns required")
+    cols = [c.strip() for c in str(cols_raw).split(",") if c.strip()]
+    compression.reorder_chunk(ht, chunk, cols)
+    return _df(ts, [(True,)], "reordered boolean")
+
+
+def _rh_add_job(ts, argstr: str) -> DataFrame:
+    """``add_job(proc, schedule_interval, config => jsonb)``
+    (sql/job_api.sql:5): proc is a builtin payload or a name registered
+    via ``ts.jobs.register_proc``; config is a JSON object literal."""
+    import json as _json
+
+    args = _split_args(argstr)
+    proc = _literal_of(args[0])[1]
+    interval = _literal_of(args[1])[1]
+    kw = {}
+    for a in args[2:]:
+        m = _NAMED.match(a)
+        if not m:
+            continue
+        key, rawv = m.group(1).lower(), m.group(2).strip()
+        if key == "config":
+            kw["config"] = _json.loads(_literal_of(rawv)[1])
+        elif key in ("fixed_schedule", "scheduled"):
+            kw[key] = rawv.lower() == "true"
+        elif key == "job_name":
+            kw["job_name"] = _literal_of(rawv)[1]
+        elif key == "retry_period":
+            kw["retry_period"] = _literal_of(rawv)[1]
+    job_id = ts.jobs.add_job(proc, interval, **kw)
+    return _df(ts, [(job_id,)], "job_id int")
+
+
+def _rh_alter_job(ts, argstr: str) -> DataFrame:
+    """``alter_job(job_id, ...)`` (sql/job_api.sql:30)."""
+    import json as _json
+
+    args = _split_args(argstr)
+    job_id = int(_literal_of(args[0])[1])
+    changes = {}
+    for a in args[1:]:
+        m = _NAMED.match(a)
+        if not m:
+            continue
+        key, rawv = m.group(1).lower(), m.group(2).strip()
+        if key == "config":
+            changes["config"] = _json.loads(_literal_of(rawv)[1])
+        elif key in ("scheduled", "fixed_schedule"):
+            changes[key] = rawv.lower() == "true"
+        else:
+            changes[key] = _literal_of(rawv)[1]
+    row = ts.jobs.alter_job(job_id, **changes)
+    return _df(
+        ts, [(job_id, bool(row.get("scheduled", True)))],
+        "job_id int, scheduled boolean",
+    )
+
+
+def _rh_set_integer_now_func(ts, argstr: str) -> DataFrame:
+    """``set_integer_now_func(rel, fn)`` (sql/ddl_api.sql:137): the
+    second argument is a SQL expression evaluated per policy run to get
+    'now' in the integer time dimension's units."""
+    args = _split_args(argstr)
+    rel = _literal_of(args[0])[1]
+    expr = _literal_of(args[1])[1]
+    ts.get_hypertable(rel)  # raise on unknown table
+    spark = ts.spark
+    ts.jobs.set_integer_now(
+        rel, lambda: int(spark.sql(f"SELECT ({expr}) AS v").collect()[0][0])
+    )
+    return _df(ts, [(rel, str(expr))], "hypertable string, now_expr string")
+
+
+def _rh_add_policies(ts, argstr: str) -> DataFrame:
+    args = _split_args(argstr)
+    rel = _literal_of(args[0])[1]
+    kw = {}
+    for a in args[1:]:
+        m = _NAMED.match(a)
+        if not m:
+            continue
+        key, rawv = m.group(1).lower(), m.group(2).strip()
+        if key == "if_not_exists":
+            kw[key] = rawv.lower() == "true"
+        else:
+            kw[key] = _literal_of(rawv)[1]
+    ok = ts.jobs.add_policies(rel, **kw)
+    return _df(ts, [(ok,)], "added boolean")
+
+
+def _rh_remove_policies(ts, argstr: str) -> DataFrame:
+    args = _split_args(argstr)
+    rel = _literal_of(args[0])[1]
+    if_exists = False
+    names = []
+    for a in args[1:]:
+        m = _NAMED.match(a)
+        if m and m.group(1).lower() == "if_exists":
+            if_exists = m.group(2).strip().lower() == "true"
+        else:
+            names.append(_literal_of(a)[1])
+    ok = ts.jobs.remove_policies(rel, if_exists, *names)
+    return _df(ts, [(ok,)], "removed boolean")
+
+
+RAW_ADMIN_FNS = {
+    "add_dimension": _rh_add_dimension,
+    "merge_chunks": _rh_merge_chunks,
+    "merge_chunks_concurrently": _rh_merge_chunks,
+    "split_chunk": _rh_split_chunk,
+    "reorder_chunk": _rh_reorder_chunk,
+    "add_job": _rh_add_job,
+    "alter_job": _rh_alter_job,
+    "set_integer_now_func": _rh_set_integer_now_func,
+    "add_policies": _rh_add_policies,
+    "remove_policies": _rh_remove_policies,
 }
 
 _ADMIN_SELECT = re.compile(
@@ -393,7 +697,11 @@ def match_admin(q: str):
         if not m:
             continue
         fn = m.group(1).lower()
-        if fn not in ADMIN_FNS and fn != "refresh_continuous_aggregate":
+        if (
+            fn not in ADMIN_FNS
+            and fn not in RAW_ADMIN_FNS
+            and fn != "refresh_continuous_aggregate"
+        ):
             return None
         from .sqlapi import _matching_paren
 
@@ -407,6 +715,8 @@ def match_admin(q: str):
 
 
 def run_admin(ts, fn: str, argstr: str) -> DataFrame:
+    if fn in RAW_ADMIN_FNS:
+        return RAW_ADMIN_FNS[fn](ts, argstr)
     pos, named = _args_of(ts, _split_args(argstr))
     if fn == "refresh_continuous_aggregate":
         cagg = ts.get_cagg(pos[0].value)

@@ -339,6 +339,61 @@ def _expand_uuid_timestamp(args: list[str]) -> str:
     return f"timestamp_micros({_uuid_ts_us_sql(args[0])})"
 
 
+def _expand_uuid_timestamp_micros(args: list[str]) -> str:
+    if len(args) != 1:
+        raise ValueError("uuid_timestamp_micros(uuid)")
+    return _uuid_ts_us_sql(args[0])
+
+
+def _uuidv7_sql(us_expr: str, rand_src: Optional[str]) -> str:
+    """SQL form of ``functions.uuid7.to_uuidv7`` / ``to_uuidv7_boundary``
+    (sql/uuidv7.sql:17,25): 48-bit unix ms | version 7 nibble | 12-bit
+    scaled µs remainder | variant '10' | tail. ``rand_src`` fills the
+    62 random bits (None -> boundary UUID with a zero tail)."""
+    us = f"({us_expr})"
+    ms = f"cast(floor({us} / 1000) as bigint)"
+    frac = f"cast(floor(({us} - {ms} * 1000) * 4096 / 1000) as bigint)"
+    time_hex = f"lpad(lower(hex({ms})), 12, '0')"
+    ver_frac = f"lpad(lower(hex(28672 + {frac})), 4, '0')"
+    if rand_src is None:
+        var_hex, tail_hex = "'8000'", "'000000000000'"
+    else:
+        r = f"abs({rand_src})"
+        var_hex = f"lpad(lower(hex(32768 + pmod({r}, 16384))), 4, '0')"
+        tail_hex = (
+            f"lpad(lower(hex(pmod(cast(floor({r} / 16384) as bigint), "
+            f"281474976710656))), 12, '0')"
+        )
+    return (
+        f"concat_ws('-', substring({time_hex}, 1, 8), "
+        f"substring({time_hex}, 9, 4), {ver_frac}, {var_hex}, {tail_hex})"
+    )
+
+
+def _expand_to_uuidv7(args: list[str]) -> str:
+    """Deterministic UUIDv7 from a timestamp (tail from xxhash64 of the
+    timestamp [+ optional seed], matching functions/uuid7.to_uuidv7)."""
+    if len(args) not in (1, 2):
+        raise ValueError("to_uuidv7(ts [, seed])")
+    us = f"unix_micros(cast(({args[0]}) as timestamp))"
+    seed = f"xxhash64({us}, ({args[1]}))" if len(args) == 2 else f"xxhash64({us})"
+    return _uuidv7_sql(us, seed)
+
+
+def _expand_to_uuidv7_boundary(args: list[str]) -> str:
+    if len(args) != 1:
+        raise ValueError("to_uuidv7_boundary(ts)")
+    return _uuidv7_sql(f"unix_micros(cast(({args[0]}) as timestamp))", None)
+
+
+def _expand_generate_uuidv7(args: list[str]) -> str:
+    """``generate_uuidv7()`` (sql/uuidv7.sql:5): current time + random
+    tail (uuid()'s entropy hashed to 62 bits)."""
+    if args and any(a.strip() for a in args):
+        raise ValueError("generate_uuidv7()")
+    return _uuidv7_sql("unix_micros(now())", "xxhash64(uuid())")
+
+
 def _expand_uuid_version(args: list[str]) -> str:
     if len(args) != 1:
         raise ValueError("uuid_version(uuid)")
@@ -368,7 +423,11 @@ _MACROS: dict[str, Callable] = {
     "last": lambda fn, args, ctx: _expand_first_last(fn, args),
     "histogram": lambda fn, args, ctx: _expand_histogram(args),
     "uuid_timestamp": lambda fn, args, ctx: _expand_uuid_timestamp(args),
+    "uuid_timestamp_micros": lambda fn, args, ctx: _expand_uuid_timestamp_micros(args),
     "uuid_version": lambda fn, args, ctx: _expand_uuid_version(args),
+    "to_uuidv7": lambda fn, args, ctx: _expand_to_uuidv7(args),
+    "to_uuidv7_boundary": lambda fn, args, ctx: _expand_to_uuidv7_boundary(args),
+    "generate_uuidv7": lambda fn, args, ctx: _expand_generate_uuidv7(args),
     "time_bucket_uuid": lambda fn, args, ctx: _expand_time_bucket_uuid(args),
     "locf": lambda fn, args, ctx: _bad_outside_gapfill(fn, args),
     "interpolate": lambda fn, args, ctx: _bad_outside_gapfill(fn, args),
