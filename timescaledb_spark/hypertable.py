@@ -906,19 +906,30 @@ class Hypertable:
         is_delete = t_here & s_here & F.lit(bool(delete_matched))
         is_insert = ~t_here & s_here & F.lit(bool(insert_not_matched))
 
+        # the stats pass gates the rewrite (a no-op MERGE must not
+        # rewrite chunks) but only needs key-match info — run it on a
+        # KEY-COLUMNS-ONLY projection of the same join so the shuffle
+        # carries keys + time, not full rows; the full-width join below
+        # executes once, inside the write job
         tcol = self.time_column
-        counts = j.agg(
-            F.sum(is_insert.cast("long")).alias("ins"),
+        narrow_cols = list(dict.fromkeys([*keys, tcol]))
+        tgt_k = old.select(*narrow_cols, F.lit(True).alias("_tp")).alias("target")
+        ex_k = src.select(*narrow_cols, F.lit(True).alias("_sp")).alias("excluded")
+        jk = tgt_k.join(ex_k, cond, "full_outer")
+        k_ins = ~t_here & s_here & F.lit(bool(insert_not_matched))
+        touched = k_ins | (t_here & s_here)
+        counts = jk.agg(
+            F.sum(k_ins.cast("long")).alias("ins"),
             F.sum((t_here & s_here).cast("long")).alias("matched"),
             F.min(
                 F.when(
-                    is_insert | (t_here & s_here),
+                    touched,
                     self._internal_time_expr(src, F.col(f"excluded.{tcol}")),
                 )
             ).alias("tmin"),
             F.max(
                 F.when(
-                    is_insert | (t_here & s_here),
+                    touched,
                     self._internal_time_expr(src, F.col(f"excluded.{tcol}")),
                 )
             ).alias("tmax"),
