@@ -163,6 +163,42 @@ def q_asof_prev_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_asof_join",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, arg_max(value, event_id) AS click_v
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value, c.click_v
+    FROM p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General two-table as-of join (operators/asof.py): each purchase
+    matched to the latest at-or-before click of the same user. Union-tag
+    + carried-struct plan — one shuffle on user_id, no range join; the
+    oracle is DuckDB's native ASOF LEFT JOIN. Right side deduped to one
+    row per (user, ts) so tie-resolution is engine-independent."""
+    from .operators import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("click_v"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return asof_join(purchases, clicks, on="ts", by=["user_id"])
+
+
 # ---------------------------------------------------------------------------
 # grouping sets / rollup / cube (plan_hashagg parity)
 # ---------------------------------------------------------------------------
