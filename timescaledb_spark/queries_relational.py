@@ -199,6 +199,41 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(purchases, clicks, on="ts", by=["user_id"])
 
 
+@query(
+    "q_range_join",
+    """
+    SELECT p.event_id, p.user_id, p.ts, p.value, c.lo, c.hi, c.click_id
+    FROM (SELECT event_id, user_id, ts, value FROM events
+          WHERE event_type = 'purchase') p
+    JOIN (SELECT user_id, ts AS lo, ts + INTERVAL 1 HOUR AS hi,
+                 event_id AS click_id
+          FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.lo AND p.ts < c.hi
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join (operators/rangejoin.py): purchases
+    matched into the hour following each click of the same user. Grid
+    bucketization — intervals explode into 1-hour cells, points equi-join
+    on their single cell, exact containment re-checked — one hash
+    shuffle, no BroadcastNestedLoopJoin. Oracle: plain inequality join."""
+    from .operators import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("hi"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return range_join(
+        purchases, clicks, "ts", "lo", "hi", width="1 hour", by=["user_id"]
+    )
+
+
 # ---------------------------------------------------------------------------
 # grouping sets / rollup / cube (plan_hashagg parity)
 # ---------------------------------------------------------------------------
