@@ -3,6 +3,7 @@ analysis, multimodal columns (BASELINE north-star items beyond the
 TimescaleDB reference surface)."""
 
 from .core import cosine, h60, minhash_signature, tokens, word_shingles
+from .downsample import lttb
 from .dedup import (
     embedding_dup_pairs,
     exact_dedup,
@@ -34,6 +35,7 @@ __all__ = [
     "knn_bruteforce",
     "knn_ivf",
     "lang_id",
+    "lttb",
     "minhash_lsh_pairs",
     "minhash_signature",
     "ngram_jaccard_pairs",

@@ -1,0 +1,95 @@
+"""Visualization-grade downsampling: LTTB (Largest-Triangle-Three-
+Buckets, Steinarsson 2013) per series.
+
+The reference ecosystem ships this as the toolkit's ``lttb()``/
+``gp_lttb()`` hyperfunction for dashboard rendering; at 100 TB a raw
+series can't leave the cluster, so downsampling runs where the data is
+and only ``n_out`` points per series return to the driver/dashboard.
+
+LTTB is inherently sequential per series (each kept point depends on
+the previously kept one), so the per-series body is an Arrow-batched
+``applyInPandas`` over numpy — the correct Spark shape for an
+irreducibly sequential per-group algorithm. Parallelism comes from the
+``by`` keys: every series downsamples independently. A single series
+must fit one worker (the same bound any LTTB implementation has);
+bucket-average pre-aggregation (``time_bucket`` + avg) is the escape
+hatch for series beyond worker memory.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _lttb_numpy(x, y, n_out: int):
+    """Classic LTTB over float64 arrays; returns kept indices."""
+    import numpy as np
+
+    n = len(x)
+    if n_out >= n or n_out < 3:
+        return np.arange(n)
+    kept = [0]
+    # n_out-2 interior buckets over points 1..n-2
+    bounds = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
+    a = 0
+    for i in range(n_out - 2):
+        lo, hi = bounds[i], bounds[i + 1]
+        nxt_lo, nxt_hi = bounds[i + 1], min(bounds[i + 2] if i + 2 < len(bounds) else n - 1, n - 1)
+        if nxt_hi > nxt_lo:
+            avg_x = x[nxt_lo:nxt_hi].mean()
+            avg_y = y[nxt_lo:nxt_hi].mean()
+        else:
+            avg_x, avg_y = x[n - 1], y[n - 1]
+        bx, by_ = x[lo:hi], y[lo:hi]
+        if len(bx) == 0:
+            continue
+        # triangle area with fixed vertices (x[a], y[a]) and the next
+        # bucket's average point
+        area = np.abs(
+            (x[a] - avg_x) * (by_ - y[a]) - (x[a] - bx) * (avg_y - y[a])
+        )
+        a = lo + int(area.argmax())
+        kept.append(a)
+    kept.append(n - 1)
+    return np.array(kept)
+
+
+def lttb(
+    df: DataFrame,
+    time_col: str = "ts",
+    value_col: str = "value",
+    n_out: int = 1000,
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Downsample each series (grouped by ``by``) to ``n_out`` visually
+    representative points. First/last points are always kept; interior
+    points maximize the rendered triangle area (LTTB). Output schema:
+    ``by`` + ``time_col`` + ``value_col``."""
+    import pandas as pd
+
+    by = list(by)
+    is_ts = dict(df.dtypes)[time_col].startswith("timestamp")
+    src = df.select(*by, time_col, value_col)
+    out_schema = src.schema
+
+    def _per_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(time_col, kind="mergesort").reset_index(drop=True)
+        xs = (
+            pdf[time_col].astype("int64").to_numpy()
+            if is_ts
+            else pdf[time_col].to_numpy()
+        ).astype("float64")
+        ys = pdf[value_col].to_numpy().astype("float64")
+        idx = _lttb_numpy(xs, ys, n_out)
+        return pdf.iloc[np.sort(idx)]
+
+    if not by:
+        # single global series: one group (documented worker-fit bound)
+        return src.withColumn("_g", F.lit(0)).groupBy("_g").applyInPandas(
+            lambda pdf: _per_series(pdf.drop(columns=["_g"])), out_schema
+        )
+    return src.groupBy(*by).applyInPandas(_per_series, out_schema)
