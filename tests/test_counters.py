@@ -1,0 +1,71 @@
+"""counter_agg / time_weighted_avg semantics on controlled series
+(toolkit counter_agg and time_weight families, prometheus reset rules)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from timescaledb_spark.functions.counters import counter_agg, time_weighted_avg
+
+
+def _series(spark, rows):
+    # rows: (seconds, value, key)
+    return spark.createDataFrame(
+        [(s * 1_000_000, float(v), k) for s, v, k in rows],
+        "us long, value double, k int",
+    ).select(F.timestamp_micros("us").alias("ts"), "value", "k")
+
+
+def test_counter_delta_with_resets(spark):
+    # 0→10→25 | reset | 5→15: increases 10+15 + 5(post-reset) + 10 = 40
+    df = _series(spark, [(0, 0, 1), (10, 10, 1), (20, 25, 1), (30, 5, 1), (40, 15, 1)])
+    row = counter_agg(df, "ts", "value", by=["k"]).collect()[0]
+    assert row["delta"] == 40.0
+    assert row["num_resets"] == 1
+    assert row["n"] == 5
+    assert row["rate"] == pytest.approx(40.0 / 40.0)
+    # irate: last step 5→15 over 10s
+    assert row["irate"] == pytest.approx(1.0)
+
+
+def test_counter_irate_after_reset_step(spark):
+    # last step IS the reset: irate counts the post-reset value
+    df = _series(spark, [(0, 100, 1), (10, 4, 1)])
+    row = counter_agg(df, "ts", "value", by=["k"]).collect()[0]
+    assert row["delta"] == 4.0
+    assert row["irate"] == pytest.approx(0.4)
+
+
+def test_counter_single_sample(spark):
+    row = counter_agg(_series(spark, [(0, 7, 1)]), "ts", "value", by=["k"]).collect()[0]
+    assert row["delta"] == 0.0
+    assert row["rate"] is None and row["irate"] is None
+
+
+def test_counter_groups_independent(spark):
+    df = _series(spark, [(0, 0, 1), (10, 5, 1), (0, 0, 2), (10, 50, 2)])
+    got = {r["k"]: r["delta"] for r in counter_agg(df, "ts", "value", by=["k"]).collect()}
+    assert got == {1: 5.0, 2: 50.0}
+
+
+def test_time_weighted_avg_locf(spark):
+    # value 10 for 30s, then 40 for 10s (last point weightless):
+    # (10*30 + 40*10)/40 = 17.5 ... wait: samples at 0(10), 30(40), 40(0)
+    df = _series(spark, [(0, 10, 1), (30, 40, 1), (40, 0, 1)])
+    row = time_weighted_avg(df, "ts", "value", by=["k"]).collect()[0]
+    assert row["tw_avg"] == pytest.approx((10 * 30 + 40 * 10) / 40.0)
+
+
+def test_time_weighted_single_sample(spark):
+    row = time_weighted_avg(_series(spark, [(5, 3, 1)]), "ts", "value", by=["k"]).collect()[0]
+    assert row["tw_avg"] == 3.0
+
+
+def test_plain_avg_differs_on_irregular_sampling(spark):
+    # burst of high samples at the end must NOT dominate the tw average
+    rows = [(t, 1, 1) for t in range(0, 100, 10)] + [
+        (100 + t, 100, 1) for t in range(3)
+    ]
+    df = _series(spark, rows)
+    tw = time_weighted_avg(df, "ts", "value", by=["k"]).collect()[0]["tw_avg"]
+    plain = df.agg(F.avg("value")).collect()[0][0]
+    assert tw < 6.0 < plain

@@ -1,0 +1,104 @@
+"""Counter and time-weighted aggregates (the toolkit hyperfunction
+families ``counter_agg``/``rate``/``delta``/``irate`` and
+``time_weight``/``average`` — timescaledb-toolkit extension surface,
+prometheus-style semantics).
+
+All are compositions of built-in window + aggregate expressions: one
+shuffle on the ``by`` keys, whole-stage-codegen bodies, no Python in
+the path.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Union
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .time import to_unix_microseconds
+
+
+def _order_cols(ts_col: str, tiebreak: Sequence[str]) -> list:
+    return [F.col(ts_col), *[F.col(c) for c in tiebreak]]
+
+
+def counter_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    by: Sequence[str] = (),
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Monotonic-counter summary per ``by`` group with prometheus reset
+    semantics: a drop in the raw counter is a reset, and the counter's
+    post-reset value counts as its increment.
+
+    Returns per group: ``n`` samples, ``delta`` (reset-adjusted total
+    increase), ``rate`` (delta / observed seconds), ``irate``
+    (reset-adjusted increase of the LAST step / its seconds),
+    ``num_resets``, ``first_ts``/``last_ts``.
+    """
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(
+        *_order_cols(ts_col, tiebreak)
+    )
+    us = to_unix_microseconds(ts_col)
+    prev_v = F.lag(value_col).over(w)
+    prev_us = F.lag(us).over(w)
+    step = F.col(value_col) - prev_v
+    inc = F.when(prev_v.isNull(), F.lit(0.0)).when(
+        step < 0, F.col(value_col)
+    ).otherwise(step)
+    stepped = df.select(
+        *by,
+        us.alias("_us"),
+        F.col(value_col).alias("_v"),
+        inc.alias("_inc"),
+        (step < 0).cast("int").alias("_reset"),
+        prev_us.alias("_prev_us"),
+    )
+    span_s = (F.max("_us") - F.min("_us")).cast("double") / 1e6
+    last_key = F.struct(F.col("_us"), F.col("_inc"), F.col("_prev_us"))
+    return stepped.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_inc").alias("delta"),
+        F.when(span_s > 0, F.sum("_inc") / span_s).alias("rate"),
+        F.when(
+            F.max_by(F.col("_prev_us"), last_key).isNotNull(),
+            F.max_by(F.col("_inc"), last_key)
+            / ((F.max("_us") - F.max_by(F.col("_prev_us"), last_key)).cast("double") / 1e6),
+        ).alias("irate"),
+        F.coalesce(F.sum("_reset"), F.lit(0)).alias("num_resets"),
+        F.min("_us").alias("first_us"),
+        F.max("_us").alias("last_us"),
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    by: Sequence[str] = (),
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Time-weighted average per group, LOCF weighting (toolkit
+    ``time_weight('LOCF', ts, value)`` → ``average``): each sample's
+    value holds until the next sample; the final sample carries no
+    weight. Groups with a single sample return that value.
+    """
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(
+        *_order_cols(ts_col, tiebreak)
+    )
+    us = to_unix_microseconds(ts_col)
+    nxt = F.lead(us).over(w)
+    weighted = df.select(
+        *by,
+        us.alias("_us"),
+        F.col(value_col).alias("_v"),
+        (F.coalesce(nxt, us) - us).cast("double").alias("_w_us"),
+    )
+    span = (F.max("_us") - F.min("_us")).cast("double")
+    return weighted.groupBy(*by).agg(
+        F.when(span > 0, F.sum(F.col("_v") * F.col("_w_us")) / span)
+        .otherwise(F.first("_v"))
+        .alias("tw_avg"),
+        F.count(F.lit(1)).alias("n"),
+    )

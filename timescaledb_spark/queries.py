@@ -241,6 +241,78 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# counter aggregates + time weighting (toolkit hyperfunction families
+# counter_agg/rate/delta and time_weight/average — prometheus semantics)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_counter_agg",
+    """
+    WITH s AS (
+      SELECT user_id, epoch_us(ts) AS us, value,
+             lag(value) OVER w AS pv
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(CASE WHEN pv IS NULL THEN 0
+                    WHEN value < pv THEN value
+                    ELSE value - pv END) AS delta,
+           CASE WHEN max(us) > min(us)
+                THEN sum(CASE WHEN pv IS NULL THEN 0
+                              WHEN value < pv THEN value
+                              ELSE value - pv END)
+                     / ((max(us) - min(us)) / 1000000.0)
+           END AS rate,
+           CAST(sum(CASE WHEN pv IS NOT NULL AND value < pv
+                         THEN 1 ELSE 0 END) AS BIGINT) AS num_resets,
+           min(us) AS first_us,
+           max(us) AS last_us
+    FROM s GROUP BY user_id
+    """,
+)
+def q_counter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """counter_agg/delta/rate with prometheus reset semantics (toolkit
+    counter_agg family): a drop in the raw series is a reset and the
+    post-reset value counts as the increment. One shuffle on user_id;
+    the lag window and the final aggregate share it."""
+    from .functions.counters import counter_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return counter_agg(
+        ev, "ts", "value", by=["user_id"], tiebreak=["event_id"]
+    ).select("user_id", "n", "delta", "rate", "num_resets", "first_us", "last_us")
+
+
+@query(
+    "q_time_weight",
+    """
+    WITH s AS (
+      SELECT user_id, epoch_us(ts) AS us, value,
+             lead(epoch_us(ts)) OVER w AS nxt
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CASE WHEN max(us) > min(us)
+                THEN sum(value * (coalesce(nxt, us) - us)) / (max(us) - min(us))
+                ELSE arg_min(value, us) END AS tw_avg,
+           CAST(count(*) AS BIGINT) AS n
+    FROM s GROUP BY user_id
+    """,
+)
+def q_time_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """time_weight('LOCF') -> average (toolkit time_weight family): each
+    sample's value holds until the next sample; irregular sampling stops
+    skewing the mean toward burst periods."""
+    from .functions.counters import time_weighted_avg
+
+    ev = load_table(spark, sf_dir, "events")
+    return time_weighted_avg(ev, "ts", "value", by=["user_id"], tiebreak=["event_id"])
+
+
+# ---------------------------------------------------------------------------
 # gapfill + locf + interpolate (SURVEY §2.1 GapFill node; tsl/src/nodes/gapfill/)
 # ---------------------------------------------------------------------------
 
