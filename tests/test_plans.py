@@ -213,3 +213,27 @@ def test_sql_space_dimension_exclusion(spark, tmp_path):
     # OR disables extraction but never correctness
     safe = ts.sql("SELECT count(*) AS n FROM sm WHERE device = 3 OR value < 5")
     assert safe.first()["n"] == df.filter("device = 3 or value < 5").count()
+
+
+def test_new_operator_plan_shapes(spark, sf_dir):
+    """Shuffle discipline of the round-5 operators: the window+agg
+    hyperfunction pairs share ONE exchange; the as-of and range joins
+    never degrade to nested-loop/cartesian plans."""
+    from timescaledb_spark.plans.inspect import _plan
+    from timescaledb_spark.queries import queries
+
+    qs = queries()
+    for name, max_ex in (
+        ("q_counter_agg", 1),
+        ("q_time_weight", 1),
+        ("q_asof_join", 2),  # one per union input feeding the carry window
+    ):
+        plan = _plan(qs[name](spark, sf_dir))
+        n_ex = plan.count("Exchange hashpartitioning") + plan.count(
+            "Exchange rangepartitioning"
+        )
+        assert n_ex <= max_ex, f"{name}: {n_ex} exchanges (max {max_ex})"
+        assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+
+    plan = _plan(qs["q_range_join"](spark, sf_dir))
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
