@@ -65,3 +65,38 @@ def test_size_utils(ts):
     assert total["num_chunks"] == 3
     assert total["table_bytes"] == sum(c["total_bytes"] for c in per_chunk)
     assert ht.approximate_row_count() == 72
+
+
+def test_compression_settings_views(ts):
+    from timescaledb_spark.compression import enable_columnstore
+
+    enable_columnstore(ts.get_hypertable("m"), segmentby=["dev"], orderby=[("ts", "asc")])
+    hs = views.hypertable_compression_settings(ts).collect()
+    assert any(r["hypertable_name"] == "m" and r["segmentby"] == "dev" for r in hs)
+    cs = views.chunk_compression_settings(ts).collect()
+    assert len([r for r in cs if r["hypertable_name"] == "m"]) == 3
+    # columnstore-era aliases resolve to the same views
+    assert views.hypertable_columnstore_settings(ts).count() == len(hs)
+    assert views.chunk_columnstore_settings(ts).count() == len(cs)
+
+
+def test_job_errors_view(ts):
+    jid = ts.jobs.add_job(
+        "policy_retention", "1 hour",
+        config={"hypertable": "missing_tbl", "drop_after": "1 day"},
+    )
+    res = ts.jobs.run_job(jid)
+    assert res["success"] is False  # job isolation: recorded, not raised
+    errs = views.job_errors(ts).collect()
+    assert len(errs) == 1 and errs[0]["job_id"] == jid
+    assert "missing_tbl" in (errs[0]["error"] or "")
+
+
+def test_info_views_sql_surface(ts):
+    got = ts.sql(
+        "SELECT hypertable_name FROM timescaledb_information.chunk_compression_settings"
+    )
+    assert got.count() == 0  # compression not enabled in this fixture path
+    assert ts.sql(
+        "SELECT count(*) AS n FROM timescaledb_information.job_errors"
+    ).collect()[0][0] == 0

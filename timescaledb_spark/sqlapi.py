@@ -672,7 +672,10 @@ def _register_views(ts, sql: str) -> str:
 
 _INFO_VIEWS = (
     "hypertables", "chunks", "dimensions", "continuous_aggregates",
+    "hypertable_compression_settings", "hypertable_columnstore_settings",
+    "chunk_compression_settings", "chunk_columnstore_settings",
     "compression_settings", "jobs", "job_stats", "job_history",
+    "job_errors",
 )
 
 

@@ -147,6 +147,73 @@ def compression_settings(ts) -> DataFrame:
     return _df(ts, rows, "hypertable_name string, segmentby string, orderby string")
 
 
+def hypertable_compression_settings(ts) -> DataFrame:
+    """``timescaledb_information.hypertable_compression_settings``
+    (sql/views.sql) — same shape as ``compression_settings``."""
+    return compression_settings(ts)
+
+
+#: columnstore-era name (sql/views.sql keeps both)
+hypertable_columnstore_settings = hypertable_compression_settings
+
+
+def chunk_compression_settings(ts) -> DataFrame:
+    """``timescaledb_information.chunk_compression_settings``: the
+    per-chunk settings rows — settings are hypertable-wide here (as in
+    the reference unless ALTERed mid-life), repeated per chunk."""
+    hts = {h["id"]: h for h in ts.catalog.hypertable.read()}
+    settings = {
+        s["hypertable_id"]: s for s in ts.catalog.compression_settings.read()
+    }
+    rows = []
+    for c in ts.catalog.chunk.read():
+        s = settings.get(c["hypertable_id"])
+        h = hts.get(c["hypertable_id"])
+        if not s or not h:
+            continue
+        rows.append(
+            {
+                "hypertable_name": h["name"],
+                "chunk_name": f"_hyper_{h['id']}_{c['id']}_chunk",
+                "segmentby": ",".join(s.get("segmentby") or []),
+                "orderby": ",".join(
+                    f"{col} {d}" for col, d in (s.get("orderby") or [])
+                ),
+            }
+        )
+    return _df(
+        ts,
+        rows,
+        "hypertable_name string, chunk_name string, segmentby string, "
+        "orderby string",
+    )
+
+
+chunk_columnstore_settings = chunk_compression_settings
+
+
+def job_errors(ts) -> DataFrame:
+    """``timescaledb_information.job_errors`` (sql/views.sql): failed
+    runs from the job history."""
+    rows = [
+        {
+            "job_id": h["job_id"],
+            "proc_name": h["proc"],
+            "start": h["start"],
+            "finish": h["finish"],
+            "error": h.get("error"),
+        }
+        for h in ts.catalog.bgw_job_stat_history.read()
+        if not h.get("success")
+    ]
+    return _df(
+        ts,
+        rows,
+        "job_id long, proc_name string, start double, finish double, "
+        "error string",
+    )
+
+
 def jobs(ts) -> DataFrame:
     """``timescaledb_information.jobs`` (sql/views.sql:268)."""
     rows = [
