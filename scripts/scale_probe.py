@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Scale probe: exercise the engine well beyond the driver SFs to catch
+scaling cliffs the gates can't see — a many-chunk catalog (thousands of
+chunk rows, the 100 TB metadata shape) and multi-million-row operators.
+
+Inputs are the driver testdata multiplied row-wise with shifted
+timestamps/ids (synthetic blow-up for stress only — correctness gates
+still run exclusively on the pristine tables). Prints one JSON line.
+
+Usage: python scripts/scale_probe.py [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+MULT = int(os.environ.get("SCALE_PROBE_MULT", "20"))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from timescaledb_spark.session import TSSession, build_spark
+    from timescaledb_spark.sources import load_table
+
+    spark = build_spark(app_name="ts_scale_probe")
+    out: dict = {"sf_dir": SF_DIR, "mult": MULT}
+
+    ev = load_table(spark, SF_DIR, "events")
+    n0 = ev.count()
+    # MULT shifted copies: ~n0*MULT rows spanning MULT times the range
+    span_days = 45
+    big = ev.crossJoin(
+        spark.range(MULT).select(F.col("id").alias("_rep"))
+    ).select(
+        (F.col("ts") + F.expr(f"make_interval(0,0,0,{span_days},0,0,0)") * F.col("_rep")).alias("ts"),
+        (F.col("event_id") + F.col("_rep") * F.lit(100_000_000)).alias("event_id"),
+        "user_id", "event_type", "value", "props",
+    )
+    n = n0 * MULT
+    out["rows"] = n
+
+    ts = TSSession(spark, tempfile.mkdtemp(prefix="ts_scale_"))
+    # 6-hour chunks over MULT*45 days -> thousands of chunks
+    ht = ts.create_hypertable("big", "ts", chunk_interval="6 hours")
+    t0 = time.perf_counter()
+    ht.insert(big)
+    out["insert_s"] = round(time.perf_counter() - t0, 2)
+    out["chunks"] = len(ht.chunks())
+
+    t0 = time.perf_counter()
+    pruned = ht.read(start="2024-03-01", end="2024-03-08").count()
+    out["pruned_read_s"] = round(time.perf_counter() - t0, 2)
+    out["pruned_rows"] = pruned
+
+    t0 = time.perf_counter()
+    ht.df().groupBy(F.window("ts", "1 hour")).agg(
+        F.count(F.lit(1)), F.avg("value")
+    ).count()
+    out["bucket_agg_s"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    out["approx_rows"] = ht.approximate_row_count()
+    out["approx_count_s"] = round(time.perf_counter() - t0, 2)
+
+    # chunk-pruned UPDATE touching one week
+    t0 = time.perf_counter()
+    ht.update_where(
+        {"value": "value * 2"},
+        "event_type = 'click'",
+        start="2024-03-01",
+        end="2024-03-08",
+    )
+    out["pruned_update_s"] = round(time.perf_counter() - t0, 2)
+
+    # MERGE of a 1%-sized source into the big table
+    src = big.filter(F.pmod("event_id", F.lit(100)) == 0).withColumn(
+        "value", F.col("value") + F.lit(1.0)
+    )
+    t0 = time.perf_counter()
+    st = ht.merge_into(
+        src, ["ts", "event_id"], matched_update={"value": "excluded.value"}
+    )
+    out["merge_s"] = round(time.perf_counter() - t0, 2)
+    out["merge_updated"] = st["rows_updated"]
+
+    print(json.dumps(out))
+    with open(sys.argv[1] if len(sys.argv) > 1 else "SCALE_PROBE.json", "w") as f:
+        json.dump(out, f, indent=1)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
