@@ -312,6 +312,62 @@ def q_time_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_weighted_avg(ev, "ts", "value", by=["user_id"], tiebreak=["event_id"])
 
 
+@query(
+    "q_state_agg",
+    """
+    WITH s AS (
+      SELECT user_id, event_type AS state, epoch_us(ts) AS us,
+             lead(epoch_us(ts)) OVER w AS nxt
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, state,
+           sum(coalesce(nxt, us) - us) AS duration_us,
+           CAST(count(*) AS BIGINT) AS n
+    FROM s GROUP BY 1, 2
+    """,
+)
+def q_state_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """state_agg -> duration_in (toolkit state_agg family): time each
+    user spends in each event_type state under LOCF holding."""
+    from .functions.state import state_durations
+
+    ev = load_table(spark, sf_dir, "events")
+    return state_durations(
+        ev, "ts", "event_type", by=["user_id"], tiebreak=["event_id"]
+    )
+
+
+@query(
+    "q_heartbeat",
+    """
+    WITH s AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS nxt
+      FROM events
+    )
+    SELECT user_id,
+           sum(CASE WHEN nxt IS NULL THEN 7200000000
+                    WHEN nxt - us < 7200000000 THEN nxt - us
+                    ELSE 7200000000 END) AS live_us,
+           CAST(1 + sum(CASE WHEN nxt - us > 7200000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS num_live_ranges,
+           min(us) AS first_us,
+           max(us) AS last_us,
+           CAST(count(*) AS BIGINT) AS n
+    FROM s GROUP BY user_id
+    """,
+)
+def q_heartbeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """heartbeat_agg (toolkit): every event asserts 2h of liveness; the
+    union of those windows gives live time and disjoint live ranges per
+    user — interleaved-union algebra expressed as capped gap sums."""
+    from .functions.state import heartbeat_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return heartbeat_agg(ev, "ts", by=["user_id"], liveness="2 hours")
+
+
 # ---------------------------------------------------------------------------
 # gapfill + locf + interpolate (SURVEY §2.1 GapFill node; tsl/src/nodes/gapfill/)
 # ---------------------------------------------------------------------------
