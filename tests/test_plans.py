@@ -237,3 +237,15 @@ def test_new_operator_plan_shapes(spark, sf_dir):
 
     plan = _plan(qs["q_range_join"](spark, sf_dir))
     assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_ordered_limit_avoids_global_sort(ht):
+    """SURVEY §4 item 4 (ordered append): the reference skips sorting
+    time-disjoint chunks for ORDER BY time LIMIT n; Spark's equivalent is
+    TakeOrderedAndProject — per-partition top-N merged on the driver, no
+    range-repartition exchange."""
+    from timescaledb_spark.plans.inspect import _plan
+
+    plan = _plan(ht.read().orderBy("ts").limit(20))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
