@@ -156,3 +156,27 @@ def test_triggers_fire_per_batch(ts, spark):
     assert len(fired) == 2  # dropped trigger no longer fires
     with pytest.raises(KeyError):
         ht.drop_trigger("audit")
+
+
+def test_null_time_rejected_on_all_write_paths(ts, spark):
+    """Reference parity: the open dimension is NOT NULL (src/dimension.c)
+    — inserting a NULL time value must fail with a clean constraint
+    error on every write path, leave no Hive default-partition junk
+    behind, and not poison subsequent good writes."""
+    ht = ts.create_hypertable("nn", "ts", chunk_interval="1 day")
+    bad = spark.createDataFrame(
+        [(1704067200000000, 1.0), (None, 2.0)], "us long, v double"
+    ).select(F.timestamp_micros("us").alias("ts"), "v")
+    for attempt in (
+        lambda: ht.insert(bad),
+        lambda: ht.upsert(bad, keys=["ts"]),
+        lambda: ht.merge_into(bad, ["ts"]),
+    ):
+        with pytest.raises(ValueError, match="NOT NULL"):
+            attempt()
+    assert not any(
+        "__HIVE_DEFAULT_PARTITION__" in d
+        for d in (os.listdir(ht.data_dir) if os.path.isdir(ht.data_dir) else [])
+    )
+    st = ht.insert(bad.filter("ts is not null"))
+    assert st["rows"] == 1 and ht.read().count() == 1

@@ -43,6 +43,10 @@ from .functions.time import (
 CHUNK_COL = "_chunk"
 SPACE_COL = "_space"
 
+#: sentinel emitted by raise_error inside the chunk-routing expression;
+#: translated to the user-facing NOT NULL ValueError at the call sites
+_NULL_TIME_MARKER = "TS_NULL_TIME_DIMENSION"
+
 DEFAULT_CHUNK_INTERVAL_US = 7 * USECS_PER_DAY  # src/dimension.h:115
 INTEGER_DEFAULT_INTERVALS = {  # src/dimension.h:118-120
     "smallint": 10_000,
@@ -356,6 +360,14 @@ class Hypertable:
                     F.lit(c["range_start"]),
                 ).otherwise(route)
             )
+        # NOT NULL open dimension (src/dimension.c): raising inside the
+        # routing expression aborts the WRITE JOB itself on the first
+        # null row — the FileOutputCommitter discards uncommitted task
+        # output, so the failed batch lands atomically-nothing, with no
+        # extra validation scan in the no-null common case
+        route = F.when(
+            internal.isNull(), F.raise_error(F.lit(_NULL_TIME_MARKER))
+        ).otherwise(route)
         exprs = [route.alias(CHUNK_COL)]
         if self.row.get("space_column"):
             n = int(self.row["num_partitions"])
@@ -490,9 +502,12 @@ class Hypertable:
                     F.min("_t").alias("tmin"),
                     F.max("_t").alias("tmax"),
                     F.count(F.lit(1)).alias("n"),
+                    F.count_if(F.col("_t").isNull()).alias("nulls"),
                 )
                 .collect()[0]
             )
+            if stats["nulls"]:
+                raise ValueError(self._null_time_msg())
             if stats["n"] == 0:
                 return {"rows": 0, "chunks": []}
             self._check_frozen(stats["tmin"], stats["tmax"])
@@ -513,8 +528,8 @@ class Hypertable:
         out = df.select("*", *self._partition_exprs(df))
         if cluster:
             out = out.repartition(*[F.col(c) for c in self._partition_cols])
-        (
-            out.write.mode("append")
+        self._null_guarded(
+            lambda: out.write.mode("append")
             .partitionBy(*self._partition_cols)
             .parquet(self.data_dir)
         )
@@ -534,11 +549,43 @@ class Hypertable:
                 tmin, tmax, n = row["tmin"], row["tmax"], row["n"]
             if n == 0:
                 return {"rows": 0, "chunks": []}
+        self._reject_null_partition_dir()
         chunks = self._register_chunks_in_range(tmin, tmax)
         self._capture_invalidation(tmin, tmax)
         stats = {"rows": n, "chunks": chunks}
         self._fire_after(stats)
         return stats
+
+    @staticmethod
+    def _null_time_msg() -> str:
+        return (
+            "null value in the time dimension column violates its NOT NULL "
+            "constraint (create_hypertable requires a non-null open "
+            "dimension, src/dimension.c)"
+        )
+
+    def _null_guarded(self, fn):
+        """Run a job that evaluates the chunk-routing expression,
+        translating the executor-side NOT NULL sentinel into the clean
+        constraint error."""
+        try:
+            return fn()
+        except ValueError:
+            raise
+        except Exception as e:  # noqa: BLE001 — inspect-and-rethrow
+            if _NULL_TIME_MARKER in str(e):
+                raise ValueError(self._null_time_msg()) from None
+            raise
+
+    def _reject_null_partition_dir(self) -> None:
+        """A NULL time value routes to Hive's default partition dir. The
+        observe-path write has already landed by the time stats are
+        visible, so detect-and-undo: drop the junk dir and raise the
+        reference's NOT NULL error (free filesystem check per insert)."""
+        bad = os.path.join(self.data_dir, f"{CHUNK_COL}=__HIVE_DEFAULT_PARTITION__")
+        if os.path.isdir(bad):
+            shutil.rmtree(bad)
+            raise ValueError(self._null_time_msg())
 
     def _schema(self) -> T.StructType:
         return T.StructType.fromJson(__import__("json").loads(self.row["schema_ddl"]))
@@ -794,9 +841,10 @@ class Hypertable:
         self._ensure_typed(df)
         df = self._conform_input(df)
         new = df.select("*", *self._partition_exprs(df))
-        affected = sorted(
-            r[0] for r in new.select(CHUNK_COL).distinct().collect()
+        starts = self._null_guarded(
+            lambda: [r[0] for r in new.select(CHUNK_COL).distinct().collect()]
         )
+        affected = sorted(starts)
         if not affected:
             return {"rows": 0, "chunks": []}
         existing = {c["range_start"]: c for c in self.chunks()}
@@ -871,9 +919,10 @@ class Hypertable:
         src = self._conform_input(src)
         data_cols = src.columns
         new = src.select("*", *self._partition_exprs(src))
-        affected = sorted(
-            r[0] for r in new.select(CHUNK_COL).distinct().collect()
+        starts = self._null_guarded(
+            lambda: [r[0] for r in new.select(CHUNK_COL).distinct().collect()]
         )
+        affected = sorted(starts)
         zeros = {
             "rows_inserted": 0,
             "rows_updated": 0,
