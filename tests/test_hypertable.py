@@ -180,3 +180,13 @@ def test_null_time_rejected_on_all_write_paths(ts, spark):
     )
     st = ht.insert(bad.filter("ts is not null"))
     assert st["rows"] == 1 and ht.read().count() == 1
+
+
+def test_invalid_time_column_type_rejected(ts, spark):
+    """create_hypertable rejects non-time dimension types
+    (src/dimension.c): the first insert types the table and must raise
+    a clean error for a string time column rather than a cast failure
+    mid-write."""
+    ht = ts.create_hypertable("bad_t", "t", chunk_interval=100)
+    with pytest.raises(ValueError, match="invalid type"):
+        ht.insert(spark.createDataFrame([("a", 1)], "t string, v int"))

@@ -211,11 +211,20 @@ class Hypertable:
             )
         dt = dtypes[self.time_column]
         if self.row.get("time_type") is None:
-            kind = (
-                "timestamp"
-                if dt.startswith("timestamp")
-                else ("date" if dt == "date" else "int")
-            )
+            if dt.startswith("timestamp"):
+                kind = "timestamp"
+            elif dt == "date":
+                kind = "date"
+            elif dt in ("smallint", "int", "integer", "bigint", "long", "tinyint"):
+                kind = "int"
+            else:
+                # reference: create_hypertable rejects non-time dimension
+                # types (src/dimension.c dimension_type check)
+                raise ValueError(
+                    f"invalid type {dt!r} for time column "
+                    f"{self.time_column!r}: must be timestamp, date, or "
+                    f"integer"
+                )
             changed["time_type"] = kind
         if self.row.get("chunk_interval") is None:
             spec = self.row.get("chunk_interval_spec")
