@@ -190,3 +190,24 @@ def test_invalid_time_column_type_rejected(ts, spark):
     ht = ts.create_hypertable("bad_t", "t", chunk_interval=100)
     with pytest.raises(ValueError, match="invalid type"):
         ht.insert(spark.createDataFrame([("a", 1)], "t string, v int"))
+
+
+def test_pre_epoch_timestamps(ts, spark):
+    """Negative internal time (pre-1970): chunk routing must floor
+    toward -inf (not truncate toward zero), pruned reads stay exact,
+    and negative range_start directory names round-trip the catalog."""
+    ht = ts.create_hypertable("p70", "ts", chunk_interval="7 days")
+    base = -315_619_200_000_000  # 1960-01-01 UTC µs
+    df = spark.range(31 * 24).select(
+        F.timestamp_micros(
+            (F.lit(base) + F.col("id") * 3_600_000_000).cast("long")
+        ).alias("ts"),
+        F.col("id").cast("double").alias("v"),
+    )
+    st = ht.insert(df)
+    assert st["rows"] == 744
+    assert all(c["range_start"] < 0 for c in ht.chunks())
+    assert ht.read(start="1960-01-10", end="1960-01-17").count() == 7 * 24
+    # chunk grid is aligned: every start is a multiple of the interval
+    iv = 7 * 86_400_000_000
+    assert all(c["range_start"] % iv == 0 for c in ht.chunks())

@@ -17,9 +17,10 @@ from pyspark.sql import functions as F
 
 from timescaledb_spark.functions import time_bucket
 
-# timestamps across 1995..2038, pre/post the 2000-01-03 origin
+# timestamps across 1950..2038: pre/post the 2000-01-03 origin AND
+# pre/post the 1970 epoch (negative internal µs must floor, not truncate)
 TS_US = st.integers(
-    min_value=int(datetime(1995, 1, 1, tzinfo=timezone.utc).timestamp() * 1_000_000),
+    min_value=int(datetime(1950, 1, 1, tzinfo=timezone.utc).timestamp() * 1_000_000),
     max_value=int(datetime(2038, 1, 1, tzinfo=timezone.utc).timestamp() * 1_000_000),
 )
 WIDTHS = st.sampled_from(
