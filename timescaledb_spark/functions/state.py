@@ -46,6 +46,7 @@ def heartbeat_agg(
     ts_col: str = "ts",
     by: Sequence[str] = (),
     liveness: Union[str, int] = "5 minutes",
+    tiebreak: Sequence[str] = (),
 ) -> DataFrame:
     """``heartbeat_agg(ts, …)``: every heartbeat asserts liveness for
     ``liveness`` after it; the covered time is the union of those
@@ -60,7 +61,9 @@ def heartbeat_agg(
         if iv.months:
             raise ValueError("liveness must be a fixed-width interval")
         live_us = iv.us
-    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(F.col(ts_col))
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(
+        F.col(ts_col), *[F.col(c) for c in tiebreak]
+    )
     us = to_unix_microseconds(ts_col)
     nxt = F.lead(us).over(w)
     gap = nxt - us

@@ -322,7 +322,7 @@ def q_time_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT user_id, state,
-           sum(coalesce(nxt, us) - us) AS duration_us,
+           CAST(sum(coalesce(nxt, us) - us) AS BIGINT) AS duration_us,
            CAST(count(*) AS BIGINT) AS n
     FROM s GROUP BY 1, 2
     """,
@@ -343,13 +343,13 @@ def q_state_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH s AS (
       SELECT user_id, epoch_us(ts) AS us,
-             lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS nxt
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
       FROM events
     )
     SELECT user_id,
-           sum(CASE WHEN nxt IS NULL THEN 7200000000
+           CAST(sum(CASE WHEN nxt IS NULL THEN 7200000000
                     WHEN nxt - us < 7200000000 THEN nxt - us
-                    ELSE 7200000000 END) AS live_us,
+                    ELSE 7200000000 END) AS BIGINT) AS live_us,
            CAST(1 + sum(CASE WHEN nxt - us > 7200000000 THEN 1 ELSE 0 END)
                 AS BIGINT) AS num_live_ranges,
            min(us) AS first_us,
@@ -365,7 +365,9 @@ def q_heartbeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.state import heartbeat_agg
 
     ev = load_table(spark, sf_dir, "events")
-    return heartbeat_agg(ev, "ts", by=["user_id"], liveness="2 hours")
+    return heartbeat_agg(
+        ev, "ts", by=["user_id"], liveness="2 hours", tiebreak=["event_id"]
+    )
 
 
 # ---------------------------------------------------------------------------
