@@ -32,7 +32,7 @@ import time as _time
 from datetime import date, datetime, timezone as _tz
 from typing import Iterable, Optional, Sequence, Union
 
-from pyspark.sql import Column, DataFrame, functions as F, types as T
+from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
 
 from .functions.time import (
     USECS_PER_DAY,
@@ -537,6 +537,7 @@ class Hypertable:
         out = df.select("*", *self._partition_exprs(df))
         if cluster:
             out = out.repartition(*[F.col(c) for c in self._partition_cols])
+        self._guard_preexisting_null_dir()
         self._null_guarded(
             lambda: out.write.mode("append")
             .partitionBy(*self._partition_cols)
@@ -586,14 +587,34 @@ class Hypertable:
                 raise ValueError(self._null_time_msg()) from None
             raise
 
+    @property
+    def _null_partition_dir(self) -> str:
+        return os.path.join(
+            self.data_dir, f"{CHUNK_COL}=__HIVE_DEFAULT_PARTITION__"
+        )
+
+    def _guard_preexisting_null_dir(self) -> None:
+        """Refuse to write when a Hive default-partition dir already
+        exists (older engine version or an external writer): deleting it
+        post-write would destroy data that this insert never produced,
+        so surface it as layout corruption BEFORE any file commits."""
+        if os.path.isdir(self._null_partition_dir):
+            raise ValueError(
+                f"hypertable data dir contains a pre-existing "
+                f"{CHUNK_COL}=__HIVE_DEFAULT_PARTITION__ directory (null "
+                f"time values from an external or legacy writer); refusing "
+                f"to write — repair or remove it first"
+            )
+
     def _reject_null_partition_dir(self) -> None:
         """A NULL time value routes to Hive's default partition dir. The
-        observe-path write has already landed by the time stats are
-        visible, so detect-and-undo: drop the junk dir and raise the
-        reference's NOT NULL error (free filesystem check per insert)."""
-        bad = os.path.join(self.data_dir, f"{CHUNK_COL}=__HIVE_DEFAULT_PARTITION__")
-        if os.path.isdir(bad):
-            shutil.rmtree(bad)
+        routing expression raises pre-commit, so this post-write check is
+        a belt-and-braces backstop; any dir present here appeared DURING
+        this insert (pre-existing dirs are rejected before the write by
+        :meth:`_guard_preexisting_null_dir`), so detect-and-undo is safe:
+        drop the junk dir and raise the reference's NOT NULL error."""
+        if os.path.isdir(self._null_partition_dir):
+            shutil.rmtree(self._null_partition_dir)
             raise ValueError(self._null_time_msg())
 
     def _schema(self) -> T.StructType:
@@ -908,13 +929,24 @@ class Hypertable:
         - neither: the target row is kept (ON CONFLICT DO NOTHING).
         Source rows with no match insert when ``insert_not_matched``.
 
-        Like :meth:`upsert`, matching is chunk-local: a source row only
-        sees target rows in the chunk its OWN time value routes to, so
-        source rows must carry the matched row's timestamp (include the
-        time column in ``keys`` to make this structural — mirroring the
+        Matching is chunk-local and enforced structurally: the join
+        condition includes equality of the target row's chunk and the
+        chunk the source row's OWN time value routes to, so a source row
+        can only ever match target rows in its own chunk — mirroring the
         reference's rule that hypertable unique indexes must include the
-        partition column). Updating the time/partition column is
+        partition column. (This also makes :meth:`_check_frozen` over
+        the source time range sound: no update can land outside the
+        source-routed chunks.) Updating the time/partition column is
         rejected, as rows would migrate between chunks mid-rewrite.
+
+        SQL-conformant edge semantics (``src/nodes/modify_hypertable.c``
+        arbiter behavior):
+        - NULL keys never match (plain equality, not null-safe): a
+          NULL-keyed source row inserts, never updates.
+        - If two source rows match the same target row the command
+          errors, like PostgreSQL's "MERGE command cannot affect row a
+          second time" / ON CONFLICT's "cannot affect row a second
+          time" — silently applying both would fan the target row out.
         """
         if delete_matched and matched_update:
             raise ValueError("cannot both UPDATE and DELETE matched rows")
@@ -952,11 +984,24 @@ class Hypertable:
             *[os.path.join(self.data_dir, f"{CHUNK_COL}={s}") for s in hit]
         )
         old = self._apply_fills(old, [existing[s] for s in hit])
-        tgt = old.select(*data_cols, F.lit(True).alias("_tp")).alias("target")
-        ex = src.select(*data_cols, F.lit(True).alias("_sp")).alias("excluded")
-        cond = F.lit(True)
+        tgt = old.select(
+            *data_cols,
+            F.col(CHUNK_COL).alias("_tchunk"),
+            F.lit(True).alias("_tp"),
+        ).alias("target")
+        # `new` already carries the routed chunk of each SOURCE row; the
+        # chunk-equality conjunct makes matching structurally chunk-local
+        # (and lets the join co-partition on the chunk key at scale).
+        ex = new.select(
+            *data_cols,
+            F.col(CHUNK_COL).alias("_schunk"),
+            F.lit(True).alias("_sp"),
+        ).alias("excluded")
+        # plain equality (NOT null-safe): SQL MERGE / ON CONFLICT
+        # arbiters never match NULL keys — NULL-keyed source rows insert
+        cond = F.col("target._tchunk") == F.col("excluded._schunk")
         for k in keys:
-            cond = cond & F.col(f"target.{k}").eqNullSafe(F.col(f"excluded.{k}"))
+            cond = cond & (F.col(f"target.{k}") == F.col(f"excluded.{k}"))
         j = tgt.join(ex, cond, "full_outer")
         t_here = F.col("target._tp").isNotNull()
         s_here = F.col("excluded._sp").isNotNull()
@@ -971,14 +1016,31 @@ class Hypertable:
         # executes once, inside the write job
         tcol = self.time_column
         narrow_cols = list(dict.fromkeys([*keys, tcol]))
-        tgt_k = old.select(*narrow_cols, F.lit(True).alias("_tp")).alias("target")
-        ex_k = src.select(*narrow_cols, F.lit(True).alias("_sp")).alias("excluded")
+        tgt_k = old.select(
+            *narrow_cols,
+            F.col(CHUNK_COL).alias("_tchunk"),
+            F.lit(True).alias("_tp"),
+        ).alias("target")
+        # per-(chunk, keys) source multiplicity: >1 on a matched pair
+        # means two source rows hit the SAME target row — SQL errors
+        # ("MERGE command cannot affect row a second time"); one extra
+        # window over the (narrow) source side only
+        src_w = Window.partitionBy(CHUNK_COL, *keys)
+        ex_k = new.select(
+            *narrow_cols,
+            F.col(CHUNK_COL).alias("_schunk"),
+            F.count(F.lit(1)).over(src_w).alias("_smult"),
+            F.lit(True).alias("_sp"),
+        ).alias("excluded")
         jk = tgt_k.join(ex_k, cond, "full_outer")
         k_ins = ~t_here & s_here & F.lit(bool(insert_not_matched))
         touched = k_ins | (t_here & s_here)
         counts = jk.agg(
             F.sum(k_ins.cast("long")).alias("ins"),
             F.sum((t_here & s_here).cast("long")).alias("matched"),
+            F.max(
+                F.when(t_here & s_here, F.col("excluded._smult"))
+            ).alias("max_mult"),
             F.min(
                 F.when(
                     touched,
@@ -994,6 +1056,12 @@ class Hypertable:
         ).collect()[0]
         n_matched = int(counts["matched"] or 0)
         n_ins = int(counts["ins"] or 0)
+        if n_matched and int(counts["max_mult"] or 0) > 1:
+            raise ValueError(
+                "MERGE command cannot affect row a second time: multiple "
+                "source rows match the same target row on the given keys "
+                "(deduplicate the source on the keys first)"
+            )
         n_upd = n_matched if matched_update else 0
         n_del = n_matched if delete_matched else 0
         if n_ins == 0 and n_upd == 0 and n_del == 0:
@@ -1282,6 +1350,106 @@ class Hypertable:
         if not with_partition_cols:
             df = df.drop(CHUNK_COL, SPACE_COL)
         return df
+
+    def last_point(
+        self,
+        by: Union[str, Sequence[str]],
+        tiebreak: Sequence[str] = (),
+        keys=None,
+        batch_chunks: int = 4,
+    ) -> DataFrame:
+        """Latest row per key — ``SELECT DISTINCT ON (by) * ORDER BY by,
+        time DESC`` — the SkipScan analog (``tsl/src/nodes/skip_scan/
+        README.md``: skip to the next distinct key instead of scanning
+        every row).
+
+        Spark has no ordered-index loose scan, so the skip structure
+        comes from the CHUNK CATALOG instead: chunks are visited newest
+        first in geometrically growing batches, each batch answers
+        ``max_by(row, (time, tiebreak))`` for the still-missing keys
+        only, and the walk STOPS as soon as every expected key has been
+        seen — O(recent chunks) work for the "latest value per device"
+        query instead of O(all rows), independent of table history
+        length.
+
+        ``keys``: the expected key universe — a DataFrame of key
+        columns, or a list of values/tuples. Without it there is no
+        sound early-stop (a key seen only in the oldest chunk must
+        still be found), so the fallback is a single full-table
+        ``groupBy().agg(max_by)`` — one shuffle of (key, row) pairs,
+        still never a sort of all rows.
+
+        Per-batch results are collected driver-side; volume is bounded
+        by key cardinality (the final result size), like the catalog
+        metadata ops. ``self.last_point_stats`` records
+        ``chunks_scanned``/``total_chunks`` for plan assertions.
+        """
+        by = [by] if isinstance(by, str) else list(by)
+        spark = self.ts.spark
+        tcol = self.time_column
+        order = F.struct(F.col(tcol), *[F.col(c) for c in tiebreak])
+        chunks = sorted(self.chunks(), key=lambda c: c["range_end"], reverse=True)
+        self.last_point_stats = {
+            "total_chunks": len(chunks),
+            "chunks_scanned": [],
+        }
+        data_cols = [f.name for f in self._schema().fields] if chunks else []
+
+        def _agg(df: DataFrame) -> DataFrame:
+            return df.groupBy(*by).agg(
+                F.max_by(F.struct(*[F.col(c) for c in data_cols]), order).alias(
+                    "_row"
+                )
+            ).select("_row.*")
+
+        if keys is None:
+            self.last_point_stats["chunks_scanned"] = [
+                c["range_start"] for c in chunks
+            ]
+            return _agg(self.df())
+
+        if isinstance(keys, DataFrame):
+            remaining = {tuple(r) for r in keys.select(*by).distinct().collect()}
+        else:
+            remaining = {
+                k if isinstance(k, tuple) else (k,) for k in keys
+            }
+        found_rows: list = []
+        i, batch = 0, max(1, int(batch_chunks))
+        while i < len(chunks) and remaining:
+            group = chunks[i : i + batch]
+            i += batch
+            batch *= 2  # geometric growth bounds the number of jobs
+            self.last_point_stats["chunks_scanned"] += [
+                c["range_start"] for c in group
+            ]
+            df = (
+                self._chunk_reader()
+                .option("basePath", self.data_dir)
+                .parquet(*[self._chunk_glob(c) for c in group])
+            )
+            df = self._apply_fills(df, group).select(*data_cols)
+            if len(by) == 1 and len(remaining) <= 10_000:
+                # single-key: an IN filter pushes to the parquet scan
+                # (row-group skipping on the key's column stats)
+                df = df.filter(
+                    F.col(by[0]).isin([k[0] for k in remaining])
+                )
+            else:
+                kdf = spark.createDataFrame(
+                    [tuple(k) for k in remaining], schema=", ".join(
+                        f"{c} {dict(df.dtypes)[c]}" for c in by
+                    )
+                )
+                df = df.join(F.broadcast(kdf), on=by, how="left_semi")
+            for r in _agg(df).collect():
+                key = tuple(r[c] for c in by)
+                if key in remaining:
+                    remaining.discard(key)
+                    found_rows.append(tuple(r[c] for c in data_cols))
+        if not found_rows:
+            return spark.createDataFrame([], self._schema_or_empty())
+        return spark.createDataFrame(found_rows, self._schema())
 
     def _internal_expr_on(self, df: DataFrame) -> Column:
         return self._internal_time_expr(df)

@@ -612,6 +612,34 @@ def q_columnstore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_last_point",
+    """
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM events
+    QUALIFY row_number() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+    ) = 1
+    """,
+)
+def q_last_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SkipScan analog (tsl/src/nodes/skip_scan/README.md): latest row
+    per user via a stats-first newest-chunks-backward walk that stops
+    once every key is seen — O(recent chunks), not O(rows)."""
+    import tempfile
+
+    from .session import TSSession
+
+    root = tempfile.mkdtemp(prefix="ts_lastpoint_")
+    ts = TSSession(spark, root)
+    ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+    ev = load_table(spark, sf_dir, "events")
+    ht.insert(ev)
+    return ht.last_point(
+        by="user_id", tiebreak=["event_id"], keys=ev.select("user_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # continuous aggregates (SURVEY §2.5; tsl/src/continuous_aggs/)
 # ---------------------------------------------------------------------------

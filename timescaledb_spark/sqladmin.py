@@ -1215,6 +1215,11 @@ def run_merge(ts, q: str) -> DataFrame:
 
     keys = []
     for part in re.split(r"(?i)\band\b", on_cond):
+        # reject non-equi operators up front — '>=', '!=', '<>' etc.
+        # contain '=' and would otherwise partition into garbage key
+        # names that only fail later as an opaque analysis error
+        if re.search(r"[<>!]=|<>|<|>", part):
+            raise ValueError(f"MERGE ON must be equality conjunction: {part!r}")
         lhs, eq, rhs = part.partition("=")
         if not eq:
             raise ValueError(f"MERGE ON must be equality conjunction: {part!r}")
