@@ -342,74 +342,92 @@ class ContinuousAggregate:
         if win_e <= win_s:
             return []
 
-        # ---- txn 1: move invalidation threshold (invalidation_threshold.c)
-        thr_row = cat.invalidation_threshold.find_one(hypertable_id=src.id)
-        old_thr = int(thr_row["watermark"]) if thr_row else INT64_MIN
-        if win_e > old_thr:
-            if thr_row:
-                cat.invalidation_threshold.update(
-                    {"hypertable_id": src.id}, {"watermark": win_e}
-                )
-            else:
-                cat.invalidation_threshold.append(
-                    [{"hypertable_id": src.id, "watermark": win_e}]
+        # txn 1 + txn 2a/2b are compound catalog read-modify-writes; the
+        # write_lock serializes them against concurrent inserts'
+        # _capture_invalidation (the analog of the reference's threshold
+        # row lock — without it, an entry appended between 2a's find and
+        # delete would be silently dropped). Data jobs (the materialize
+        # pass below) run OUTSIDE the lock.
+        with cat.write_lock:
+            # ---- txn 1: move invalidation threshold
+            # (invalidation_threshold.c)
+            thr_row = cat.invalidation_threshold.find_one(hypertable_id=src.id)
+            old_thr = int(thr_row["watermark"]) if thr_row else INT64_MIN
+            if win_e > old_thr:
+                if thr_row:
+                    cat.invalidation_threshold.update(
+                        {"hypertable_id": src.id}, {"watermark": win_e}
+                    )
+                else:
+                    cat.invalidation_threshold.append(
+                        [{"hypertable_id": src.id, "watermark": win_e}]
+                    )
+
+            # ---- txn 2a: process hypertable log → ALL caggs' mat logs
+            # (invalidation_process_hypertable_log)
+            ht_entries = cat.hypertable_invalidation_log.find(
+                hypertable_id=src.id
+            )
+            if ht_entries:
+                for cagg in cat.continuous_agg.find(hypertable_id=src.id):
+                    cat.materialization_invalidation_log.append(
+                        [
+                            {
+                                "cagg_id": cagg["id"],
+                                "lowest_modified_value": e[
+                                    "lowest_modified_value"
+                                ],
+                                "greatest_modified_value": e[
+                                    "greatest_modified_value"
+                                ],
+                            }
+                            for e in ht_entries
+                        ]
+                    )
+                cat.hypertable_invalidation_log.delete(
+                    {"hypertable_id": src.id}
                 )
 
-        # ---- txn 2a: process hypertable log → ALL caggs' mat logs
-        # (invalidation_process_hypertable_log)
-        ht_entries = cat.hypertable_invalidation_log.find(hypertable_id=src.id)
-        if ht_entries:
-            for cagg in cat.continuous_agg.find(hypertable_id=src.id):
-                cat.materialization_invalidation_log.append(
-                    [
+            # ---- txn 2b: cut this cagg's mat log against the window
+            # (invalidation.c range algebra; entries are INCLUSIVE bounds)
+            entries = cat.materialization_invalidation_log.find(cagg_id=self.id)
+            dirty: list[tuple[int, int]] = []
+            leftovers: list[dict] = []
+            for e in entries:
+                a, b = int(e["lowest_modified_value"]), int(
+                    e["greatest_modified_value"]
+                )
+                if b < win_s or a >= win_e:
+                    leftovers.append(e)
+                    continue
+                # overlap, bucket-aligned and clipped to the window
+                oa = max(self._floor_us(max(a, win_s)), win_s)
+                ob_incl = min(b, win_e - 1)
+                ob = min(self._next_us(self._floor_us(ob_incl)), win_e)
+                dirty.append((oa, ob))
+                # leftover fragments outside the window survive
+                if a < win_s:
+                    leftovers.append(
                         {
-                            "cagg_id": cagg["id"],
-                            "lowest_modified_value": e["lowest_modified_value"],
-                            "greatest_modified_value": e["greatest_modified_value"],
+                            "cagg_id": self.id,
+                            "lowest_modified_value": a,
+                            "greatest_modified_value": win_s - 1,
                         }
-                        for e in ht_entries
-                    ]
-                )
-            cat.hypertable_invalidation_log.delete({"hypertable_id": src.id})
-
-        # ---- txn 2b: cut this cagg's mat log against the window
-        # (invalidation.c range algebra; entries are INCLUSIVE bounds)
-        entries = cat.materialization_invalidation_log.find(cagg_id=self.id)
-        dirty: list[tuple[int, int]] = []
-        leftovers: list[dict] = []
-        for e in entries:
-            a, b = int(e["lowest_modified_value"]), int(e["greatest_modified_value"])
-            if b < win_s or a >= win_e:
-                leftovers.append(e)
-                continue
-            # overlap, bucket-aligned and clipped to the window
-            oa = max(self._floor_us(max(a, win_s)), win_s)
-            ob_incl = min(b, win_e - 1)
-            ob = min(self._next_us(self._floor_us(ob_incl)), win_e)
-            dirty.append((oa, ob))
-            # leftover fragments outside the window survive
-            if a < win_s:
-                leftovers.append(
-                    {
-                        "cagg_id": self.id,
-                        "lowest_modified_value": a,
-                        "greatest_modified_value": win_s - 1,
-                    }
-                )
-            if b >= win_e:
-                leftovers.append(
-                    {
-                        "cagg_id": self.id,
-                        "lowest_modified_value": win_e,
-                        "greatest_modified_value": b,
-                    }
-                )
-        others = [
-            e
-            for e in cat.materialization_invalidation_log.read()
-            if e.get("cagg_id") != self.id
-        ]
-        cat.materialization_invalidation_log.replace(others + leftovers)
+                    )
+                if b >= win_e:
+                    leftovers.append(
+                        {
+                            "cagg_id": self.id,
+                            "lowest_modified_value": win_e,
+                            "greatest_modified_value": b,
+                        }
+                    )
+            others = [
+                e
+                for e in cat.materialization_invalidation_log.read()
+                if e.get("cagg_id") != self.id
+            ]
+            cat.materialization_invalidation_log.replace(others + leftovers)
 
         # merge overlapping/adjacent dirty ranges
         dirty.sort()

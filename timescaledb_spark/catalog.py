@@ -120,6 +120,32 @@ class Catalog:
         self._tables = {
             t: JsonlTable(os.path.join(self.dir, f"{t}.jsonl")) for t in self.TABLES
         }
+        # Concurrency model (the analog of the reference's row locks on
+        # the invalidation threshold, tsl/src/continuous_aggs/
+        # invalidation_threshold.c, and its ~43 isolation specs): ONE
+        # driver process owns the catalog; within it, concurrent threads
+        # (streaming foreachBatch, job scheduler, user calls) serialize
+        # multi-step catalog read-modify-write sections on this lock.
+        # Each JsonlTable already locks single calls; this lock protects
+        # COMPOUND transactions (find -> append -> delete), e.g. refresh
+        # txn-2a draining the hypertable invalidation log while an insert
+        # appends to it. Cross-PROCESS writers are unsupported by design
+        # (single-writer catalog, like a Hive metastore owner).
+        self.write_lock = threading.RLock()
+        # Per-hypertable DML locks: Spark append/overwrite jobs stage
+        # under ONE <data_dir>/_temporary per output root, so two
+        # concurrent write jobs into the same hypertable can clobber
+        # each other's task staging. DML (insert/upsert/merge/update/
+        # delete) therefore serializes per hypertable in-process; reads
+        # and DML on OTHER hypertables stay fully concurrent. Lock order
+        # is always ht_lock -> write_lock (never reversed), so the pair
+        # cannot deadlock.
+        self._ht_locks: dict = {}
+        self._ht_locks_guard = threading.Lock()
+
+    def ht_lock(self, name: str) -> threading.RLock:
+        with self._ht_locks_guard:
+            return self._ht_locks.setdefault(name, threading.RLock())
 
     def table(self, name: str) -> JsonlTable:
         return self._tables[name]

@@ -79,6 +79,21 @@ def _to_internal(value: Union[int, str, datetime, date, None]) -> Optional[int]:
     raise TypeError(f"unsupported time value {value!r}")
 
 
+def _serialized_dml(fn):
+    """Serialize DML per hypertable (catalog.ht_lock): Spark write jobs
+    stage under one ``<data_dir>/_temporary`` per output root, so two
+    concurrent writers into the same hypertable could clobber each
+    other's task staging. Reads and other hypertables are unaffected."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(self, *a, **kw):
+        with self.ts.catalog.ht_lock(self.name):
+            return fn(self, *a, **kw)
+
+    return wrapper
+
+
 class Hypertable:
     def __init__(self, ts, row: dict):
         self.ts = ts
@@ -490,6 +505,7 @@ class Hypertable:
         df = self._fire_before(df)
         return self._insert_prepared(df, cluster=cluster)
 
+    @_serialized_dml
     def _insert_prepared(self, df: DataFrame, cluster: bool = True) -> dict:
         """insert() after BEFORE triggers — callers that already fired
         them (merge_into's pure-insert path) enter here."""
@@ -802,18 +818,24 @@ class Hypertable:
         cat = self.ts.catalog
         if not cat.continuous_agg.find(hypertable_id=self.id):
             return
-        thr = cat.invalidation_threshold.find_one(hypertable_id=self.id)
-        threshold = int(thr["watermark"]) if thr else None
-        if threshold is None or tmin < threshold:
-            cat.hypertable_invalidation_log.append(
-                [
-                    {
-                        "hypertable_id": self.id,
-                        "lowest_modified_value": tmin,
-                        "greatest_modified_value": tmax,
-                    }
-                ]
-            )
+        # threshold read + log append must be atomic vs refresh txn-1/2a
+        # (the reference locks the threshold row, invalidation_threshold.c
+        # + insert.c:208); the data write has already landed when we get
+        # here, so either the refresh's materialize pass sees the rows or
+        # this entry survives for the next refresh — never neither.
+        with cat.write_lock:
+            thr = cat.invalidation_threshold.find_one(hypertable_id=self.id)
+            threshold = int(thr["watermark"]) if thr else None
+            if threshold is None or tmin < threshold:
+                cat.hypertable_invalidation_log.append(
+                    [
+                        {
+                            "hypertable_id": self.id,
+                            "lowest_modified_value": tmin,
+                            "greatest_modified_value": tmax,
+                        }
+                    ]
+                )
 
     # ----------------------------------------------------------------- dml
     def _check_frozen(self, lo: Optional[int], hi: Optional[int]) -> None:
@@ -855,6 +877,7 @@ class Hypertable:
                 cat.chunk.update({"id": c["id"]}, {"status": "rowstore"})
                 cat.chunk_column_stats.delete({"chunk_id": c["id"]})
 
+    @_serialized_dml
     def upsert(self, df: DataFrame, keys: Sequence[str]) -> dict:
         """INSERT .. ON CONFLICT DO UPDATE over hypertables
         (``test/sql/upsert.sql``; arbiter handling in
@@ -907,6 +930,7 @@ class Hypertable:
         self._fire_after(out_stats)
         return out_stats
 
+    @_serialized_dml
     def merge_into(
         self,
         src: DataFrame,
@@ -1119,6 +1143,7 @@ class Hypertable:
         self._fire_after({"rows": n_ins + n_upd, "chunks": chunks})
         return out_stats
 
+    @_serialized_dml
     def update_where(
         self,
         assignments: dict[str, Union[str, Column]],
@@ -1166,6 +1191,7 @@ class Hypertable:
             self._capture_invalidation(mm["lo"], mm["hi"])
         return n
 
+    @_serialized_dml
     def delete_where(
         self,
         where: Union[str, Column],
@@ -1530,6 +1556,7 @@ class Hypertable:
             dropped.append(c["range_start"])
         return dropped
 
+    @_serialized_dml
     def delete_range(self, lo: Optional[int], hi: Optional[int]) -> int:
         """Delete rows with ``lo <= internal_time < hi``.
 
