@@ -410,24 +410,53 @@ class Hypertable:
         return cols
 
     # ----------------------------------------------------------- triggers
-    def create_trigger(self, name: str, fn, when: str = "after") -> None:
+    def create_trigger(
+        self,
+        name: str,
+        fn,
+        when: str = "after",
+        ops: Sequence[str] = ("insert",),
+        condition: Optional[str] = None,
+        chunk_scoped: bool = False,
+    ) -> None:
         """Trigger hooks — the Spark analog of triggers on chunks
         (``test/sql/triggers.sql``; tuple routing fires the chunk's
         triggers in ``src/nodes/chunk_dispatch/``).
 
-        Three kinds:
+        Kinds:
         - ``when="before"``: ``fn(df) -> DataFrame`` — transform/filter
           the incoming batch as a whole (BEFORE STATEMENT analog).
-        - ``when="before_row"``: ``fn(pandas.DataFrame) -> pandas.DataFrame``
-          — BEFORE ROW semantics, vectorized: the function sees incoming
-          rows as Arrow-batched pandas frames and may mutate column
+        - ``when="before_row"``: ``fn(pandas.DataFrame) -> pandas.
+          DataFrame`` — BEFORE ROW semantics, vectorized: the function
+          sees rows as Arrow-batched pandas frames and may mutate column
           values ("modify NEW") and/or drop rows ("RETURN NULL" skips
-          the row). The returned frame must keep the input schema.
-          Executes distributed via ``mapInPandas``; adjacent row-level
-          triggers are fused into a single Arrow pass.
-        - ``when="after"``: ``fn(hypertable, stats)`` — observe the write
-          (stats include rows + touched chunk starts), e.g. audit logs or
-          downstream notifications.
+          the row — for DELETE ops, dropping a row SKIPS its deletion,
+          like a BEFORE DELETE trigger returning NULL). The returned
+          frame must keep the input schema. Executes distributed via
+          ``mapInPandas``; adjacent row-level triggers are fused into a
+          single Arrow pass. With ``chunk_scoped=True`` the function is
+          called once per (batch, chunk) with signature
+          ``fn(pdf, chunk_start)`` and every frame it sees is pure to
+          one routed chunk — the per-chunk firing of the reference's
+          chunk triggers (tuple routing fires the CHUNK's triggers,
+          ``src/nodes/chunk_dispatch/``); chunk-scoped triggers must
+          not modify the time column (rows would re-route).
+        - ``when="after_row"``: ``fn(pandas.DataFrame)`` (or
+          ``fn(pdf, chunk_start)`` when chunk-scoped) — observe NEW
+          rows after the write lands; the return value is ignored
+          (AFTER ROW semantics). Costs one extra distributed pass over
+          the written batch, not over the table.
+        - ``when="after"``: ``fn(hypertable, stats)`` — observe the
+          statement (stats include rows + touched chunk starts).
+
+        ``ops``: which operations fire the trigger — any of
+        ``"insert"`` (insert / upsert / merge), ``"update"``
+        (``update_where`` NEW rows), ``"delete"`` (``delete_where``
+        doomed rows); default insert-only, matching the pre-existing
+        behavior. ``condition``: SQL boolean over NEW's columns — rows
+        not matching bypass the trigger unchanged (``CREATE TRIGGER ..
+        WHEN (NEW.x = ..)``, triggers.sql).
+
         Multiple triggers fire in name order (PostgreSQL semantics,
         ``src/backend/commands/trigger.c``). Hooks fire on every
         ``insert``/``upsert``, including each streaming micro-batch
@@ -435,60 +464,156 @@ class Hypertable:
         trigger functions live in the database), hook callables live
         with the session, not the on-disk catalog.
         """
-        if when not in ("before", "before_row", "after"):
-            raise ValueError("when must be 'before', 'before_row' or 'after'")
+        if when not in ("before", "before_row", "after", "after_row"):
+            raise ValueError(
+                "when must be 'before', 'before_row', 'after' or 'after_row'"
+            )
+        bad_ops = set(ops) - {"insert", "update", "delete"}
+        if bad_ops:
+            raise ValueError(f"unknown trigger ops {sorted(bad_ops)}")
+        if chunk_scoped and when not in ("before_row", "after_row"):
+            raise ValueError("chunk_scoped applies to row-level triggers only")
         reg = self.ts.__dict__.setdefault("_triggers", {}).setdefault(self.name, [])
-        if any(t[0] == name for t in reg):
+        if any(t["name"] == name for t in reg):
             raise ValueError(f"trigger {name!r} already exists on {self.name!r}")
-        reg.append((name, when, fn))
+        reg.append(
+            {
+                "name": name,
+                "when": when,
+                "fn": fn,
+                "ops": tuple(ops),
+                "condition": condition,
+                "chunk_scoped": bool(chunk_scoped),
+            }
+        )
 
     def drop_trigger(self, name: str) -> None:
         reg = self.ts.__dict__.get("_triggers", {}).get(self.name, [])
-        keep = [t for t in reg if t[0] != name]
+        keep = [t for t in reg if t["name"] != name]
         if len(keep) == len(reg):
             raise KeyError(f"no trigger {name!r} on {self.name!r}")
         self.ts._triggers[self.name] = keep
 
-    def _hooks(self, when: str):
+    def _hooks(self, when: str, op: str = "insert"):
         return [
             t for t in self.ts.__dict__.get("_triggers", {}).get(self.name, [])
-            if t[1] == when
+            if t["when"] == when and op in t["ops"]
         ]
 
-    def _fire_before(self, df: DataFrame) -> DataFrame:
+    def _fused_row_pass(self, df: DataFrame, fns: list) -> DataFrame:
+        """Run of plain (unconditional, unscoped) row triggers fused
+        into ONE mapInPandas pass — each extra Python exchange costs an
+        Arrow round-trip per batch."""
+
+        def _apply(batches, _fns=tuple(fns)):
+            for pdf in batches:
+                for f in _fns:
+                    if len(pdf) == 0:
+                        break
+                    pdf = f(pdf)
+                yield pdf
+
+        return df.mapInPandas(_apply, df.schema)
+
+    def _chunk_scoped_pass(self, df: DataFrame, fn) -> DataFrame:
+        """Per-chunk firing (the reference fires the CHUNK's triggers
+        after tuple routing, ``src/nodes/chunk_dispatch/``): the routed
+        chunk start is computed JVM-side, each Arrow batch is grouped by
+        it, and ``fn(pdf, chunk_start)`` sees only chunk-pure frames.
+        Grouping happens within batches — no shuffle is added."""
+        data_cols = df.columns
+        rc = "_trg_chunk"
+        routed = df.select("*", self._partition_exprs(df)[0].alias(rc))
+        schema = df.schema
+
+        def _apply(batches, _fn=fn, _cols=tuple(data_cols), _rc=rc):
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    yield pdf[list(_cols)]
+                    continue
+                parts = [
+                    _fn(g[list(_cols)], int(cv))
+                    for cv, g in pdf.groupby(_rc, sort=True)
+                ]
+                yield (
+                    pd.concat(parts, ignore_index=True)
+                    if parts
+                    else pdf[list(_cols)].iloc[0:0]
+                )
+
+        return routed.mapInPandas(_apply, schema)
+
+    def _row_trigger_step(self, df: DataFrame, t: dict) -> DataFrame:
+        """Apply one row trigger honoring ``condition`` (JVM-side split:
+        non-matching rows bypass untouched, WHEN (...) semantics) and
+        ``chunk_scoped``."""
+        if t["condition"] is not None:
+            cond = F.coalesce(F.expr(t["condition"]), F.lit(False))
+            hit, miss = df.filter(cond), df.filter(~cond)
+        else:
+            hit, miss = df, None
+        if t["chunk_scoped"]:
+            hit = self._chunk_scoped_pass(hit, t["fn"])
+        else:
+            hit = self._fused_row_pass(hit, [t["fn"]])
+        return hit if miss is None else hit.unionByName(miss)
+
+    def _fire_before(self, df: DataFrame, op: str = "insert") -> DataFrame:
         hooks = sorted(
-            self._hooks("before") + self._hooks("before_row"),
-            key=lambda t: t[0],
+            self._hooks("before", op) + self._hooks("before_row", op),
+            key=lambda t: t["name"],
         )
         i = 0
         while i < len(hooks):
-            _, when, fn = hooks[i]
-            if when == "before":
-                df = fn(df)
+            t = hooks[i]
+            if t["when"] == "before":
+                df = t["fn"](df)
                 i += 1
                 continue
-            # fuse the run of adjacent row-level triggers into ONE
-            # mapInPandas pass: each extra Python exchange costs an
-            # Arrow round-trip per batch
-            run: list = []
-            while i < len(hooks) and hooks[i][1] == "before_row":
-                run.append(hooks[i][2])
+            if t["condition"] is not None or t["chunk_scoped"]:
+                df = self._row_trigger_step(df, t)
                 i += 1
-
-            def _apply(batches, _fns=tuple(run)):
-                for pdf in batches:
-                    for f in _fns:
-                        if len(pdf) == 0:
-                            break
-                        pdf = f(pdf)
-                    yield pdf
-
-            df = df.mapInPandas(_apply, df.schema)
+                continue
+            # fuse the run of adjacent PLAIN row-level triggers
+            run: list = []
+            while (
+                i < len(hooks)
+                and hooks[i]["when"] == "before_row"
+                and hooks[i]["condition"] is None
+                and not hooks[i]["chunk_scoped"]
+            ):
+                run.append(hooks[i]["fn"])
+                i += 1
+            df = self._fused_row_pass(df, run)
         return df
 
-    def _fire_after(self, stats: dict) -> None:
-        for _, _, fn in self._hooks("after"):
-            fn(self, stats)
+    def _fire_after_row(self, df: DataFrame, op: str = "insert") -> None:
+        hooks = sorted(self._hooks("after_row", op), key=lambda t: t["name"])
+        if not hooks:
+            return
+
+        def _observe(t):
+            if t["chunk_scoped"]:
+                def wrapped(pdf, chunk, _f=t["fn"]):
+                    _f(pdf, chunk)
+                    return pdf  # AFTER ROW: return value ignored
+            else:
+                def wrapped(pdf, _f=t["fn"]):
+                    _f(pdf)
+                    return pdf
+
+            return {**t, "fn": wrapped}
+
+        out = df
+        for t in hooks:
+            out = self._row_trigger_step(out, _observe(t))
+        out.foreach(lambda _: None)  # drive the passes; rows discarded
+
+    def _fire_after(self, stats: dict, op: str = "insert") -> None:
+        for t in self._hooks("after", op):
+            t["fn"](self, stats)
 
     def insert(self, df: DataFrame, cluster: bool = True) -> dict:
         """Append rows, routing each to its chunk.
@@ -579,6 +704,7 @@ class Hypertable:
         chunks = self._register_chunks_in_range(tmin, tmax)
         self._capture_invalidation(tmin, tmax)
         stats = {"rows": n, "chunks": chunks}
+        self._fire_after_row(df, "insert")
         self._fire_after(stats)
         return stats
 
@@ -1182,6 +1308,21 @@ class Hypertable:
         for col, expr in assignments.items():
             val = F.expr(expr) if isinstance(expr, str) else expr
             out = out.withColumn(col, F.when(cond, val).otherwise(F.col(col)))
+        upd_hooks = sorted(
+            self._hooks("before_row", "update"), key=lambda t: t["name"]
+        )
+        if upd_hooks:
+            # BEFORE UPDATE ROW (triggers.sql): triggers see the NEW
+            # rows (post-assignment) and may modify them further; they
+            # must return every row (no row-skip on the update path).
+            # Untouched rows bypass the Python pass entirely.
+            ccond = F.coalesce(cond, F.lit(False))
+            changed = out.filter(ccond).drop(CHUNK_COL, SPACE_COL)
+            untouched = out.filter(~ccond)
+            for t in upd_hooks:
+                changed = self._row_trigger_step(changed, t)
+            changed = changed.select("*", *self._partition_exprs(changed))
+            out = changed.unionByName(untouched)
         if mm["lo"] is not None:
             self._check_frozen(mm["lo"], mm["hi"])
         self._affected_chunk_writeback(out)
@@ -1189,6 +1330,7 @@ class Hypertable:
         self._mark_fill_done([c["range_start"] for c in targets])
         if mm["lo"] is not None:
             self._capture_invalidation(mm["lo"], mm["hi"])
+        self._fire_after({"rows": n, "op": "update"}, op="update")
         return n
 
     @_serialized_dml
@@ -1228,6 +1370,14 @@ class Hypertable:
             return 0
         self._check_frozen(mm["lo"], mm["hi"])
         kept = old.filter(~cond)
+        del_hooks = sorted(
+            self._hooks("before_row", "delete"), key=lambda t: t["name"]
+        )
+        n_deleted = int(mm["n"])
+        if del_hooks:
+            kept, n_deleted = self._delete_row_triggers(old, cond, del_hooks)
+            if n_deleted == 0:
+                return 0
         # dynamic partition overwrite only rewrites dirs PRESENT in the
         # output — a chunk whose every row matched the predicate must be
         # dropped explicitly (reference: ts_chunk_drop on empty)
@@ -1246,7 +1396,64 @@ class Hypertable:
         self._mark_rewritten(live)
         self._mark_fill_done(live)
         self._capture_invalidation(mm["lo"], mm["hi"])
-        return int(mm["n"])
+        if del_hooks:
+            kept.unpersist()
+        self._fire_after({"rows": n_deleted, "op": "delete"}, op="delete")
+        return n_deleted
+
+    def _delete_row_triggers(self, old: DataFrame, cond, hooks: list):
+        """BEFORE DELETE ROW semantics (triggers.sql): each trigger sees
+        the doomed rows and returns the subset to ACTUALLY delete —
+        dropping a row from the frame skips its deletion ("RETURN NULL").
+        Contract: triggers must subset via boolean-mask filtering (the
+        pandas index identifies surviving rows); mutations are ignored
+        (DELETE has no NEW). Runs as ONE mapInPandas pass over the
+        targeted chunks; chunk-scoped triggers group by the row's actual
+        stored chunk (``_chunk``), no routing recompute needed.
+
+        Returns ``(kept_df_persisted, n_deleted)`` — kept is persisted
+        because it is consumed by both the survivor scan and the
+        writeback, and trigger side effects must not double-fire."""
+        data_cols = [
+            c for c in old.columns if c not in (CHUNK_COL, SPACE_COL)
+        ]
+        flag = "_del"
+        flagged = old.withColumn(flag, F.coalesce(cond, F.lit(False)))
+        specs = tuple((t["fn"], t["chunk_scoped"]) for t in hooks)
+        for t in hooks:
+            if t["condition"] is not None:
+                raise ValueError(
+                    "delete row triggers do not support WHEN conditions; "
+                    "fold the condition into the trigger body"
+                )
+
+        def _apply(batches, _specs=specs, _cols=tuple(data_cols), _fl=flag):
+            import pandas as pd
+
+            for pdf in batches:
+                doomed = pdf[pdf[_fl]]
+                cur = doomed[list(_cols)]
+                for fn, scoped in _specs:
+                    if len(cur) == 0:
+                        break
+                    if scoped:
+                        groups = doomed.loc[cur.index, CHUNK_COL]
+                        parts = [
+                            fn(g, int(cv))
+                            for cv, g in cur.groupby(groups, sort=True)
+                        ]
+                        cur = (
+                            pd.concat(parts) if parts else cur.iloc[0:0]
+                        )
+                    else:
+                        cur = fn(cur)
+                # cur = confirmed deletions; everything else survives
+                yield pdf.drop(index=cur.index).drop(columns=[_fl])
+
+        kept = flagged.mapInPandas(_apply, old.schema).persist()
+        total = old.count()
+        n_deleted = total - kept.count()
+        return kept, int(n_deleted)
 
     # ---------------------------------------------------------------- read
     def read(
