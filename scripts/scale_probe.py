@@ -92,6 +92,56 @@ def main() -> None:
     out["merge_s"] = round(time.perf_counter() - t0, 2)
     out["merge_updated"] = st["rows_updated"]
 
+    # ---- skewed space dimension (probe v2): ONE hot device carries 50%
+    # of all rows — the shape that melts naive hash partitioning at
+    # 100 TB. Measures: (a) ingest through a space dimension with the
+    # hot key, (b) plain vs salted hot-key aggregation, (c) skewed join
+    # with AQE skew mitigation enabled.
+    from timescaledb_spark.pipeline.skew import salted_agg, salted_join
+
+    skewed = big.withColumn(
+        "user_id",
+        F.when(F.rand(7) < F.lit(0.5), F.lit(1)).otherwise(F.col("user_id")),
+    )
+    ts2 = TSSession(spark, tempfile.mkdtemp(prefix="ts_skew_"))
+    ht2 = ts2.create_hypertable(
+        "skewed", "ts", chunk_interval="7 days",
+        space_column="user_id", num_partitions=8,
+    )
+    t0 = time.perf_counter()
+    ht2.insert(skewed)
+    out["skew_insert_s"] = round(time.perf_counter() - t0, 2)
+    out["skew_chunks"] = len(ht2.chunks())
+
+    t0 = time.perf_counter()
+    ht2.df().groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("value").alias("a")
+    ).count()
+    out["skew_agg_plain_s"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    salted_agg(
+        ht2.df(),
+        keys=["user_id"],
+        aggs={"n": ("count", "value"), "s": ("sum", "value")},
+        salt_n=16,
+    ).count()
+    out["skew_agg_salted_s"] = round(time.perf_counter() - t0, 2)
+
+    dim = ht2.df().select("user_id").distinct().withColumn(
+        "tier", F.pmod("user_id", F.lit(3))
+    )
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    t0 = time.perf_counter()
+    ht2.df().join(dim.hint("merge"), "user_id").groupBy("tier").count().count()
+    out["skew_join_aqe_s"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    salted_join(ht2.df(), dim, keys=["user_id"], salt_n=16).groupBy(
+        "tier"
+    ).count().count()
+    out["skew_join_salted_s"] = round(time.perf_counter() - t0, 2)
+
     print(json.dumps(out))
     with open(sys.argv[1] if len(sys.argv) > 1 else "SCALE_PROBE.json", "w") as f:
         json.dump(out, f, indent=1)

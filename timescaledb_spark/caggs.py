@@ -33,6 +33,7 @@ only touches overlapping mat chunks.
 from __future__ import annotations
 
 import json
+import os
 import time as _time
 from datetime import datetime, timezone as _tz
 from typing import Optional, Sequence, Union
@@ -507,3 +508,89 @@ class ContinuousAggregate:
         cat.hypertable.delete({"name": self.row["mat_table"]})
         cat.chunk.delete({"hypertable_id": mat.id})
         _sh.rmtree(mat.data_dir, ignore_errors=True)
+
+    # ------------------------------------------------------------- migrate
+    def alter(
+        self,
+        aggs: Optional[dict[str, str]] = None,
+        group_by: Optional[Sequence[str]] = None,
+        bucket_width: Union[str, int, None] = None,
+        where: Optional[str] = None,
+        refresh: bool = True,
+    ) -> "ContinuousAggregate":
+        """Redefine this continuous aggregate in place — the
+        ``cagg_migrate`` analog (``@extschema@.cagg_migrate``; plan
+        steps in the reference's ``_timescaledb_internal.cagg_migrate_
+        execute_plan``: create new cagg → copy/recompute data → swap →
+        drop old). Without this, redefinition means drop + recreate and
+        every reader/policy pointing at the name breaks mid-window.
+
+        Any parameter left ``None`` keeps the current definition. The
+        new definition is materialized into a SHADOW cagg, backfilled
+        over the full source range (aggregates changed ⇒ recompute, not
+        copy), then swapped under the original name in one catalog
+        transaction (``write_lock``): readers and refresh policies —
+        which reference caggs by name — never observe a half-migrated
+        state. The old materialization is dropped after the swap.
+
+        Refuses when dependent (hierarchical) caggs are defined on this
+        cagg's materialization, like the reference's pre-validation
+        (``cagg_migrate_pre_validation``).
+        """
+        from .functions.time import Interval
+
+        cat = self.ts.catalog
+        deps = [
+            c["name"]
+            for c in cat.continuous_agg.read()
+            if c.get("hypertable_name") == self.row["mat_table"]
+        ]
+        if deps:
+            raise ValueError(
+                f"cannot migrate {self.name!r}: dependent continuous "
+                f"aggregates {deps} are defined on it (drop or migrate "
+                f"them first, cagg_migrate_pre_validation)"
+            )
+        if bucket_width is None:
+            months = int(self.row.get("bucket_width_months") or 0)
+            bucket_width = (
+                Interval(months=months) if months else Interval(us=self.width)
+            )
+        shadow_name = f"_migrate_{self.name}"
+        if cat.continuous_agg.find_one(name=shadow_name):
+            ContinuousAggregate.get(self.ts, shadow_name).drop()
+        new = ContinuousAggregate.create(
+            self.ts,
+            shadow_name,
+            self.row["hypertable_name"],
+            bucket_width=bucket_width,
+            aggs=dict(aggs if aggs is not None else self.row["aggs"]),
+            group_by=list(
+                group_by if group_by is not None else self.row["group_by"]
+            ),
+            time_column=self.row["time_column"],
+            bucket_alias=self.row["bucket_alias"],
+            materialized_only=self.row.get("materialized_only", False),
+            where=where if where is not None else self.row.get("where"),
+            join=self.row.get("join"),
+            window_fns=self.row.get("window_fns"),
+            enable_window_functions=bool(self.row.get("window_fns")),
+        )
+        if refresh:
+            new.refresh()
+        old_name, old_mat = self.name, self.row["mat_table"]
+        new_mat_tmp = new.row["mat_table"]
+        final_mat = f"_mat_{old_name}"
+        with cat.write_lock:
+            # drop the old cagg + its materialization, then adopt the
+            # original name (and mat-table name) for the shadow — one
+            # catalog transaction, readers resolve names only through it
+            self.drop()
+            if os.path.isdir(cat.data_dir(new_mat_tmp)):
+                os.rename(cat.data_dir(new_mat_tmp), cat.data_dir(final_mat))
+            cat.hypertable.update({"name": new_mat_tmp}, {"name": final_mat})
+            cat.continuous_agg.update(
+                {"id": new.id}, {"name": old_name, "mat_table": final_mat}
+            )
+            self.row = cat.continuous_agg.find_one(id=new.id)
+        return self

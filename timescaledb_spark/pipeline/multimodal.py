@@ -41,22 +41,62 @@ def with_payload(df: DataFrame, text_col: str = "text", kind: str = "image") -> 
     )
 
 
-def _try_real_decoder():
-    try:  # pragma: no cover - decoder libs absent in this environment
+def _try_pil():
+    try:
         import PIL.Image  # noqa: F401
 
-        return "pil"
+        return True
     except Exception:
-        return None
+        return False
 
 
-def _fake_meta(payload: bytes) -> tuple[int, str, int, int]:
-    """Deterministic stand-in for image decode: metadata from raw bytes."""
+_SOF_MARKERS = frozenset(
+    [0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF]
+)
+
+
+def parse_image_header(p: bytes):
+    """REAL image decode of the container headers — pure Python, no
+    external libs: PNG IHDR, GIF logical screen descriptor, JPEG SOFn
+    frame header. Returns ``(format, width, height)`` or None when the
+    payload is not a recognized image."""
+    if p[:8] == b"\x89PNG\r\n\x1a\n" and len(p) >= 24:
+        return (
+            "png",
+            int.from_bytes(p[16:20], "big"),
+            int.from_bytes(p[20:24], "big"),
+        )
+    if p[:4] == b"GIF8" and len(p) >= 10:
+        return (
+            "gif",
+            int.from_bytes(p[6:8], "little"),
+            int.from_bytes(p[8:10], "little"),
+        )
+    if p[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 <= len(p):
+            if p[i] != 0xFF:
+                i += 1
+                continue
+            marker = p[i + 1]
+            if marker in _SOF_MARKERS:
+                return (
+                    "jpeg",
+                    int.from_bytes(p[i + 7 : i + 9], "big"),
+                    int.from_bytes(p[i + 5 : i + 7], "big"),
+                )
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            i += 2 + int.from_bytes(p[i + 2 : i + 4], "big")
+    return None
+
+
+def _fake_meta(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in dims for NON-image payloads (e.g. the text
+    bytes the oracle harness uses), derived from the raw bytes."""
     n = len(payload)
-    digest = hashlib.md5(payload).hexdigest()
-    width = n % 640 + 16
-    height = (n * 7) % 480 + 16
-    return n, digest, width, height
+    return n % 640 + 16, (n * 7) % 480 + 16
 
 
 MEDIA_META_SCHEMA = T.StructType(
@@ -73,27 +113,42 @@ MEDIA_META_SCHEMA = T.StructType(
 def decode_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Decode payloads to typed metadata via Arrow-batched mapInPandas.
 
-    With a real decoder installed this would parse actual image headers;
-    here the deterministic fake keeps the full pipeline testable. The
-    stage is embarrassingly parallel: no shuffle, each task decodes its
-    input split only."""
-    decoder = _try_real_decoder()
+    Per payload, in order: PIL when importable (full decoder), else the
+    built-in real header parser (PNG/GIF/JPEG); payloads that are not
+    recognizable images fall back to the deterministic fake dims — the
+    path the DuckDB oracle models, since the testdata payloads are text
+    bytes. The stage is embarrassingly parallel: no shuffle, each task
+    decodes its input split only."""
+    use_pil = _try_pil()
+
+    def _meta(p: bytes):
+        if use_pil:
+            try:
+                import io
+
+                import PIL.Image
+
+                with PIL.Image.open(io.BytesIO(p)) as im:
+                    return im.width, im.height
+            except Exception:
+                pass
+        hdr = parse_image_header(p)
+        if hdr is not None:
+            return hdr[1], hdr[2]
+        return _fake_meta(p)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decoder == "pil":  # pragma: no cover
-                raise NotImplementedError(
-                    "real image decode requires PIL at runtime; "
-                    "deterministic fake is the tested path here"
-                )
-            metas = [_fake_meta(p) for p in pdf["payload"]]
+            metas = [_meta(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
-                    "n_bytes": [m[0] for m in metas],
-                    "payload_md5": [m[1] for m in metas],
-                    "width": [m[2] for m in metas],
-                    "height": [m[3] for m in metas],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "payload_md5": [
+                        hashlib.md5(p).hexdigest() for p in pdf["payload"]
+                    ],
+                    "width": [m[0] for m in metas],
+                    "height": [m[1] for m in metas],
                 }
             )
 

@@ -640,6 +640,44 @@ def q_last_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_bucket_date",
+    """
+    SELECT DATE '1970-01-01'
+             + CAST(dd - ((dd - 10959) % 7 + 7) % 7 AS INT) AS wbucket,
+           CAST(date_trunc('month', d) AS DATE) AS mbucket,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(l_quantity) AS sum_qty
+    FROM (
+      SELECT CAST(l_shipdate AS DATE) AS d,
+             CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS dd,
+             l_quantity
+      FROM lineitem
+    )
+    GROUP BY 1, 2
+    """,
+)
+def q_bucket_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """time_bucket DATE overloads (sql/time_bucket.sql): 7-day buckets on
+    the day-index grid anchored at 2000-01-03 (day 10959, the reference's
+    Monday origin) plus 1-month date buckets — both return DateType."""
+    from .functions.time import time_bucket_date
+
+    li = load_table(spark, sf_dir, "lineitem")
+    d = F.col("l_shipdate").cast("date")
+    return (
+        li.select(d.alias("d"), "l_quantity")
+        .groupBy(
+            time_bucket_date("7 days", F.col("d")).alias("wbucket"),
+            time_bucket_date("1 month", F.col("d")).alias("mbucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # continuous aggregates (SURVEY §2.5; tsl/src/continuous_aggs/)
 # ---------------------------------------------------------------------------
