@@ -1,0 +1,147 @@
+"""Statistical and financial aggregate families from the toolkit
+surface: ``stats_agg`` (1D moments, 2D linear regression),
+``candlestick_agg`` (OHLC/VWAP), ``percentile_agg`` and ``topn``
+(timescaledb-toolkit extension: ``stats_agg``, ``candlestick_agg``,
+``percentile_agg``/``approx_percentile``, ``topn``/``freq_agg``).
+
+Everything is a composition of built-in JVM aggregates — one shuffle on
+the grouping keys, whole-stage codegen, no Python anywhere. The
+toolkit's sketch-based implementations (UddSketch, SpaceSavings) exist
+because PostgreSQL aggregates single-node; on Spark the same scale
+problem is solved by distributed partial aggregation, so the exact
+forms below ARE the scale path, with ``percentile_approx`` offered for
+the truly-huge-group case.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Union
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .time import time_bucket, to_unix_microseconds
+
+
+def stats_agg_1d(
+    df: DataFrame,
+    value_col: str = "value",
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """``stats_agg(value)`` 1D rollup -> average / stddev / variance /
+    skewness / kurtosis / sum / num_vals (toolkit stats_agg one-variable
+    form). Sample stddev/variance like the toolkit's default.
+    """
+    v = F.col(value_col)
+    return df.groupBy(*by).agg(
+        F.count(v).alias("num_vals"),
+        F.sum(v).alias("sum_v"),
+        F.avg(v).alias("average"),
+        F.stddev_samp(v).alias("stddev"),
+        F.var_samp(v).alias("variance"),
+        F.skewness(v).alias("skewness"),
+        F.kurtosis(v).alias("kurtosis"),
+    )
+
+
+def stats_agg_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """``stats_agg(y, x)`` 2D form -> slope / intercept / corr /
+    covariance / determination_coefficient (toolkit two-variable
+    stats_agg; the same regr_* family PostgreSQL exposes natively)."""
+    x, y = F.col(x_col), F.col(y_col)
+    return df.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.regr_slope(y, x).alias("slope"),
+        F.regr_intercept(y, x).alias("intercept"),
+        F.corr(y, x).alias("corr"),
+        F.covar_samp(y, x).alias("covariance"),
+        F.regr_r2(y, x).alias("determination_coefficient"),
+    )
+
+
+def candlestick_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    price_col: str = "value",
+    volume_col: Union[str, Column, None] = None,
+    bucket_width: str = "1 hour",
+    by: Sequence[str] = (),
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """``candlestick_agg(ts, price, volume)`` -> open / high / low /
+    close / volume / vwap per time bucket (toolkit financial-analysis
+    family). ``open``/``close`` are bookends on (time, tiebreak) —
+    ``min_by``/``max_by``, the same execution shape as first/last."""
+    p = F.col(price_col)
+    vol = (
+        F.lit(1.0)
+        if volume_col is None
+        else (F.col(volume_col) if isinstance(volume_col, str) else volume_col)
+    )
+    key = to_unix_microseconds(ts_col) * F.lit(1000)
+    for c in tiebreak:
+        key = key + F.pmod(F.col(c), F.lit(1000))
+    return df.groupBy(
+        *by, time_bucket(bucket_width, ts_col).alias("bucket")
+    ).agg(
+        F.min_by(p, key).alias("open"),
+        F.max(p).alias("high"),
+        F.min(p).alias("low"),
+        F.max_by(p, key).alias("close"),
+        F.sum(vol).alias("volume"),
+        (F.sum(p * vol) / F.sum(vol)).alias("vwap"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def percentile_agg(
+    df: DataFrame,
+    value_col: str = "value",
+    percentiles: Sequence[float] = (0.5,),
+    by: Sequence[str] = (),
+    exact: bool = True,
+) -> DataFrame:
+    """``percentile_agg(value) -> approx_percentile(p)`` (toolkit
+    UddSketch percentile family). ``exact=True`` computes the true
+    continuous percentile (distributed sort-based aggregate — fine up
+    to very large groups); ``exact=False`` switches to
+    ``percentile_approx`` (t-digest-style sketch, the 100 TB path —
+    same shape as the toolkit's UddSketch rollup)."""
+    v = F.col(value_col)
+    cols = []
+    for p in percentiles:
+        name = f"p{int(p * 100):02d}"
+        agg = (
+            F.percentile(v, F.lit(float(p)))
+            if exact
+            else F.percentile_approx(v, F.lit(float(p)), F.lit(10_000))
+        )
+        cols.append(agg.alias(name))
+    return df.groupBy(*by).agg(*cols, F.count(v).alias("num_vals"))
+
+
+def topn(
+    df: DataFrame,
+    col: str,
+    n: int = 10,
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """``topn(freq_agg(value), n)`` (toolkit SpaceSavings frequency
+    family): the ``n`` most frequent values per group with their counts.
+    Exact two-phase count (map-side partials merge) + per-group rank —
+    the sketch is unnecessary when aggregation distributes."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(*by, col).agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(
+        F.col("freq").desc(), F.col(col).asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .drop("rank")
+    )

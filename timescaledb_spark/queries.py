@@ -370,6 +370,136 @@ def q_heartbeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_stats_agg",
+    """
+    SELECT event_type,
+           CAST(count(value) AS BIGINT) AS num_vals,
+           sum(value) AS sum_v,
+           avg(value) AS average,
+           stddev_samp(value) AS stddev,
+           var_samp(value) AS variance,
+           skewness(value) * (count(value) - 2)
+             / sqrt(count(value) * (count(value) - 1.0)) AS skewness,
+           kurtosis_pop(value) AS kurtosis
+    FROM events GROUP BY 1
+    """,
+)
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats_agg(value) one-variable rollup (toolkit stats_agg family):
+    moments via built-in codegen aggregates. Spark's skewness/kurtosis
+    are the POPULATION forms (g1/g2); the oracle converts DuckDB's
+    sample-adjusted G1 with (n-2)/sqrt(n(n-1)) and uses kurtosis_pop."""
+    from .functions.stats import stats_agg_1d
+
+    ev = load_table(spark, sf_dir, "events")
+    return stats_agg_1d(ev, "value", by=["event_type"])
+
+
+@query(
+    "q_stats_regr",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           regr_slope(value, epoch_us(ts) / 1000000.0) AS slope,
+           regr_intercept(value, epoch_us(ts) / 1000000.0) AS intercept,
+           corr(value, epoch_us(ts) / 1000000.0) AS corr,
+           covar_samp(value, epoch_us(ts) / 1000000.0) AS covariance,
+           regr_r2(value, epoch_us(ts) / 1000000.0)
+             AS determination_coefficient
+    FROM events GROUP BY 1
+    """,
+)
+def q_stats_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats_agg(y, x) two-variable form -> slope/intercept/corr/
+    covariance/r2 (toolkit 2D stats_agg; value regressed on time)."""
+    from .functions.stats import stats_agg_2d
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "t_sec", F.unix_micros("ts") / F.lit(1_000_000.0)
+    )
+    return stats_agg_2d(ev, "t_sec", "value", by=["event_type"])
+
+
+@query(
+    "q_candlestick",
+    f"""
+    SELECT event_type,
+           {_bucket_sql(DAY, 'ts')} AS bucket,
+           arg_min(value, epoch_us(ts)*1000 + (event_id % 1000)) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, epoch_us(ts)*1000 + (event_id % 1000)) AS close,
+           CAST(sum(event_id % 7 + 1) AS DOUBLE) AS volume,
+           sum(value * (event_id % 7 + 1)) / sum(event_id % 7 + 1) AS vwap,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_candlestick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """candlestick_agg(ts, price, volume) -> OHLC + volume + vwap per
+    day bucket (toolkit financial family); open/close are bookends on a
+    composite (time, event_id) key, same shape as first/last."""
+    from .functions.stats import candlestick_agg
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "vol", (F.pmod("event_id", F.lit(7)) + F.lit(1)).cast("double")
+    )
+    return candlestick_agg(
+        ev, "ts", "value", "vol", bucket_width="1 day",
+        by=["event_type"], tiebreak=["event_id"],
+    )
+
+
+@query(
+    "q_percentile_agg",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90,
+           quantile_cont(value, 0.99) AS p99,
+           CAST(count(value) AS BIGINT) AS num_vals
+    FROM events GROUP BY 1
+    """,
+)
+def q_percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_agg -> approx_percentile (toolkit UddSketch family).
+    Exact continuous percentiles here (Spark `percentile` ==
+    quantile_cont interpolation); percentile_approx is the documented
+    sketch path for 100 TB groups (functions/stats.py:percentile_agg
+    exact=False)."""
+    from .functions.stats import percentile_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return percentile_agg(
+        ev, "value", percentiles=(0.5, 0.9, 0.99), by=["event_type"]
+    )
+
+
+@query(
+    "q_topn",
+    """
+    SELECT user_id, event_type, freq FROM (
+      SELECT user_id, event_type,
+             CAST(count(*) AS BIGINT) AS freq,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY count(*) DESC, event_type ASC
+             ) AS rnk
+      FROM events GROUP BY 1, 2
+    ) WHERE rnk <= 3
+    """,
+)
+def q_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """topn(freq_agg(..), 3) (toolkit SpaceSavings frequency family):
+    exact two-phase count + per-group rank; deterministic tiebreak on
+    the value itself."""
+    from .functions.stats import topn
+
+    ev = load_table(spark, sf_dir, "events")
+    return topn(ev, "event_type", n=3, by=["user_id"])
+
+
 # ---------------------------------------------------------------------------
 # gapfill + locf + interpolate (SURVEY §2.1 GapFill node; tsl/src/nodes/gapfill/)
 # ---------------------------------------------------------------------------
