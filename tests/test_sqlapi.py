@@ -284,3 +284,38 @@ def test_insert_values_with_column_list(spark, tmp_path_factory):
         "INSERT INTO m2 (ts, device, value) VALUES (TIMESTAMP '2024-01-03 00:00:00', 4, 4.0)"
     ).collect()
     assert s.sql("SELECT count(*) AS n FROM m2 WHERE site = 'eu'").first()["n"] == 4
+
+
+def test_stats_accessor_macros(ts):
+    """Toolkit two-step idiom accessor(stats_agg(..)) expands to single
+    built-in aggregates; colliding names (sum/stddev/corr) only rewrite
+    when wrapping stats_agg."""
+    r = ts.sql(
+        "SELECT average(stats_agg(value)) AS a, sum(stats_agg(value)) AS s, "
+        "kurtosis(stats_agg(value)) AS k, "
+        "x_intercept(stats_agg(value, unix_micros(ts)/1e6)) AS xi, "
+        "determination_coefficient(stats_agg(value, unix_micros(ts)/1e6)) AS r2 "
+        "FROM events"
+    ).collect()[0]
+    plain = ts.sql(
+        "SELECT avg(value) AS a, sum(value) AS s, kurtosis(value) AS k FROM events"
+    ).collect()[0]
+    assert r["a"] == plain["a"] and r["s"] == plain["s"] and r["k"] == plain["k"]
+    assert r["r2"] is not None and r["xi"] is not None
+
+
+def test_stats_accessor_arity_error(ts):
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        ts.sql("SELECT slope(stats_agg(value)) FROM events")
+
+
+def test_approx_percentile_macro(ts):
+    r = ts.sql(
+        "SELECT approx_percentile(0.5, percentile_agg(value)) AS p FROM events"
+    ).collect()[0]
+    p = ts.sql(
+        "SELECT percentile(value, 0.5) AS p FROM events"
+    ).collect()[0]
+    assert r["p"] == p["p"]

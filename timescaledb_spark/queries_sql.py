@@ -151,3 +151,39 @@ def q_sql_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY bucket, segment
         """
     )
+
+
+@query(
+    "q_sql_stats",
+    """
+    SELECT event_type,
+           avg(value) AS average,
+           stddev_samp(value) AS stddev,
+           var_samp(value) AS variance,
+           CAST(count(value) AS BIGINT) AS num_vals,
+           regr_slope(value, epoch_us(ts) / 1000000.0) AS slope,
+           corr(value, epoch_us(ts) / 1000000.0) AS corr,
+           quantile_cont(value, 0.9) AS p90
+    FROM events GROUP BY 1
+    """,
+)
+def q_sql_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The toolkit two-step SQL idiom — accessor(stats_agg(..)) and
+    approx_percentile(p, percentile_agg(..)) — macro-expanded to single
+    built-in aggregates (timescaledb-toolkit stats_agg / percentile
+    families; accessors that collide with SQL builtins rewrite only
+    when wrapping stats_agg)."""
+    ts = _sql_session(spark, sf_dir)
+    return ts.sql(
+        """
+        SELECT event_type,
+               average(stats_agg(value)) AS average,
+               stddev(stats_agg(value)) AS stddev,
+               variance(stats_agg(value)) AS variance,
+               num_vals(stats_agg(value)) AS num_vals,
+               slope(stats_agg(value, unix_micros(ts) / 1000000.0)) AS slope,
+               corr(stats_agg(value, unix_micros(ts) / 1000000.0)) AS corr,
+               approx_percentile(0.9, percentile_agg(value)) AS p90
+        FROM events GROUP BY event_type
+        """
+    )

@@ -417,6 +417,73 @@ def _bad_outside_gapfill(fn: str, args: list[str]) -> str:
     )
 
 
+# -- toolkit two-step aggregates: accessor(stats_agg(..)) -------------------
+# The toolkit idiom is ``SELECT average(stats_agg(v))`` /
+# ``slope(stats_agg(y, x))`` / ``approx_percentile(0.5,
+# percentile_agg(v))`` (timescaledb-toolkit stats_agg & percentile
+# families). The accessor-over-aggregate pair macro-expands to ONE
+# built-in Spark aggregate, so the two-step surface costs nothing at
+# plan time. Accessors that collide with real SQL functions (sum,
+# stddev, variance, corr, skewness, kurtosis) only rewrite when their
+# argument IS a stats_agg(..) call and pass through untouched otherwise.
+
+_STATS_1D_ACCESSORS = {
+    "average": "avg({v})",
+    "sum": "sum({v})",
+    "num_vals": "cast(count({v}) as bigint)",
+    "stddev": "stddev_samp({v})",
+    "variance": "var_samp({v})",
+    "skewness": "skewness({v})",
+    "kurtosis": "kurtosis({v})",
+}
+_STATS_2D_ACCESSORS = {
+    "slope": "regr_slope({y}, {x})",
+    "intercept": "regr_intercept({y}, {x})",
+    "x_intercept": "(-regr_intercept({y}, {x}) / regr_slope({y}, {x}))",
+    "corr": "corr({y}, {x})",
+    "covariance": "covar_samp({y}, {x})",
+    "determination_coefficient": "regr_r2({y}, {x})",
+}
+
+_INNER_CALL = re.compile(r"^\s*([a-zA-Z_]\w*)\s*\((.*)\)\s*$", re.S)
+
+
+def _inner_call(arg: str, name: str) -> Optional[list[str]]:
+    m = _INNER_CALL.match(arg)
+    if not m or m.group(1).lower() != name:
+        return None
+    return _split_args(m.group(2))
+
+
+def _expand_stats_accessor(fn: str, args: list[str]) -> Optional[str]:
+    if len(args) != 1:
+        return None
+    inner = _inner_call(args[0], "stats_agg")
+    if inner is None:
+        return None  # not the toolkit idiom; leave SQL builtins alone
+    if len(inner) == 1 and fn in _STATS_1D_ACCESSORS:
+        return "(" + _STATS_1D_ACCESSORS[fn].format(v=inner[0]) + ")"
+    if len(inner) == 2 and fn in _STATS_2D_ACCESSORS:
+        # toolkit 2D form is stats_agg(y, x)
+        return "(" + _STATS_2D_ACCESSORS[fn].format(y=inner[0], x=inner[1]) + ")"
+    raise ValueError(
+        f"{fn}(stats_agg(..)) expects a {'one' if fn in _STATS_1D_ACCESSORS else 'two'}-variable stats_agg"
+    )
+
+
+def _expand_approx_percentile(args: list[str]) -> Optional[str]:
+    """``approx_percentile(p, percentile_agg(v))`` (toolkit UddSketch) →
+    exact ``percentile(v, p)`` — distributed partial aggregation makes
+    the sketch unnecessary at gate scale; Spark's percentile_approx is
+    the documented opt-in for huge groups."""
+    if len(args) != 2:
+        return None
+    inner = _inner_call(args[1], "percentile_agg")
+    if inner is None or len(inner) != 1:
+        return None
+    return f"percentile({inner[0]}, {args[0]})"
+
+
 _MACROS: dict[str, Callable] = {
     "time_bucket": lambda fn, args, ctx: _expand_time_bucket(args),
     "first": lambda fn, args, ctx: _expand_first_last(fn, args),
@@ -432,6 +499,11 @@ _MACROS: dict[str, Callable] = {
     "locf": lambda fn, args, ctx: _bad_outside_gapfill(fn, args),
     "interpolate": lambda fn, args, ctx: _bad_outside_gapfill(fn, args),
     "approximate_row_count": lambda fn, args, ctx: _expand_approx_count(args, ctx),
+    "approx_percentile": lambda fn, args, ctx: _expand_approx_percentile(args),
+    **{
+        name: (lambda fn, args, ctx: _expand_stats_accessor(fn, args))
+        for name in {**_STATS_1D_ACCESSORS, **_STATS_2D_ACCESSORS}
+    },
 }
 
 
