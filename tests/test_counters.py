@@ -69,3 +69,33 @@ def test_plain_avg_differs_on_irregular_sampling(spark):
     tw = time_weighted_avg(df, "ts", "value", by=["k"]).collect()[0]["tw_avg"]
     plain = df.agg(F.avg("value")).collect()[0][0]
     assert tw < 6.0 < plain
+
+
+def test_gauge_agg_basic(spark):
+    """Gauge may decrease: no resets, delta = last - first."""
+    from timescaledb_spark.functions.counters import gauge_agg
+    from pyspark.sql import functions as F
+
+    T0 = 1704067200000000
+    rows = [(T0, 1, 10.0), (T0 + 10_000_000, 2, 4.0), (T0 + 20_000_000, 3, 7.0)]
+    df = spark.createDataFrame(rows, "us long, eid long, v double").select(
+        F.timestamp_micros("us").alias("ts"), "eid", "v"
+    )
+    r = gauge_agg(df, "ts", "v", tiebreak=["eid"]).collect()[0]
+    assert r["n"] == 3
+    assert r["delta"] == -3.0          # 7 - 10, decreases allowed
+    assert r["rate"] == -3.0 / 20.0
+    assert r["idelta"] == 3.0          # last step 4 -> 7
+    assert r["irate"] == 3.0 / 10.0
+
+
+def test_gauge_agg_single_sample(spark):
+    from timescaledb_spark.functions.counters import gauge_agg
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1704067200000000, 1, 5.0)], "us long, eid long, v double").select(
+        F.timestamp_micros("us").alias("ts"), "eid", "v"
+    )
+    r = gauge_agg(df, "ts", "v", tiebreak=["eid"]).collect()[0]
+    assert r["delta"] == 0.0 and r["rate"] is None
+    assert r["idelta"] is None and r["irate"] is None

@@ -102,3 +102,52 @@ def time_weighted_avg(
         .alias("tw_avg"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def gauge_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    by: Sequence[str] = (),
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Gauge summary per ``by`` group (toolkit ``gauge_agg`` family):
+    like :func:`counter_agg` but the metric may legitimately decrease,
+    so there are no resets — ``delta`` is simply last − first and
+    ``rate`` its slope over the observed span. ``idelta``/``irate`` are
+    the last step's change and instantaneous rate.
+
+    Same execution shape as counter_agg: one window + one aggregate,
+    single shuffle on the keys, fully codegen.
+    """
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(
+        *_order_cols(ts_col, tiebreak)
+    )
+    us = to_unix_microseconds(ts_col)
+    prev_v = F.lag(value_col).over(w)
+    prev_us = F.lag(us).over(w)
+    key = F.struct(F.col(ts_col), *[F.col(c) for c in tiebreak])
+    stepped = df.select(
+        *by,
+        us.alias("_us"),
+        F.col(value_col).alias("_v"),
+        (F.col(value_col) - prev_v).alias("_step"),
+        prev_us.alias("_prev_us"),
+        key.alias("_k"),
+    )
+    span_s = (F.max("_us") - F.min("_us")).cast("double") / 1e6
+    last_step = F.max_by(F.col("_step"), F.col("_k"))
+    last_prev = F.max_by(F.col("_prev_us"), F.col("_k"))
+    delta = F.max_by(F.col("_v"), F.col("_k")) - F.min_by(F.col("_v"), F.col("_k"))
+    return stepped.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        delta.alias("delta"),
+        F.when(span_s > 0, delta / span_s).alias("rate"),
+        last_step.alias("idelta"),
+        F.when(
+            last_prev.isNotNull(),
+            last_step / ((F.max("_us") - last_prev).cast("double") / 1e6),
+        ).alias("irate"),
+        F.min("_us").alias("first_us"),
+        F.max("_us").alias("last_us"),
+    )

@@ -371,6 +371,44 @@ def q_heartbeat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_gauge_agg",
+    """
+    WITH s AS (
+      SELECT user_id, value, epoch_us(ts) AS us,
+             epoch_us(ts)*1000 + (event_id % 1000) AS k,
+             lag(value) OVER w AS pv,
+             lag(epoch_us(ts)) OVER w AS pus
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           arg_max(value, k) - arg_min(value, k) AS delta,
+           CASE WHEN max(us) > min(us)
+                THEN (arg_max(value, k) - arg_min(value, k))
+                     / ((max(us) - min(us)) / 1000000.0)
+                END AS rate,
+           arg_max(value - pv, k) AS idelta,
+           CASE WHEN arg_max(pus, k) IS NOT NULL
+                THEN arg_max(value - pv, k)
+                     / ((max(us) - arg_max(pus, k)) / 1000000.0)
+                END AS irate,
+           min(us) AS first_us,
+           max(us) AS last_us
+    FROM s GROUP BY 1
+    """,
+)
+def q_gauge_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gauge_agg -> delta/rate/idelta/irate (toolkit gauge family):
+    counter_agg's twin for metrics that may decrease — no reset
+    handling, delta is last - first."""
+    from .functions.counters import gauge_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return gauge_agg(ev, "ts", "value", by=["user_id"], tiebreak=["event_id"])
+
+
+@query(
     "q_stats_agg",
     """
     SELECT event_type,
