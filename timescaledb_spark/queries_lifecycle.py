@@ -377,3 +377,45 @@ def q_alter_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("site")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_v"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming windowed aggregation (SURVEY §2.8 low-latency tier)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_stream_windowed",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(value) AS sum_v
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Structured Streaming query end-to-end: readStream over the
+    events parquet -> watermarked 1-day tumbling windowed_agg -> memory
+    sink under availableNow, then the sink's contents are compared to
+    the batch oracle — streaming and batch must agree exactly on fully
+    replayed data (SURVEY §2.8: tumbling windows == time_bucket)."""
+    import uuid as _uuid
+
+    from .sources import load_stream
+    from .streaming.windows import windowed_agg
+
+    sdf = load_stream(spark, sf_dir, "events")
+    agg = windowed_agg(
+        sdf, "ts",
+        {"n": "cast(count(1) as bigint)", "sum_v": "sum(value)"},
+        window="1 day", group_by=("event_type",), watermark="1 hour",
+    )
+    sink = f"stream_win_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        F.col("win_start").alias("bucket"), "event_type", "n", "sum_v"
+    )

@@ -36,6 +36,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def load_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Streaming reader over the same testdata parquet (readStream needs
+    an explicit schema; the events ns→µs conversion matches
+    :func:`load_table`). One file = one micro-batch under availableNow."""
+    # the streaming file source wants a DIRECTORY; select the one table
+    # file out of sf_dir with a glob filter
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = spark.read.parquet(path).schema
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", f"{name}.parquet")
+            .parquet(sf_dir)
+        )
+        if dict(sdf.dtypes).get("ts") == "bigint":
+            sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            sdf = sdf.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+        return sdf
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     for t in TABLES:
         if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
