@@ -168,3 +168,37 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 slice signatures, exploded inside the Pandas batch."""
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.sample_frames(multimodal.with_payload(docs))
+
+
+# ---------------------------------------------------------------------------
+# training-sequence assembly (packing + context windows)
+# ---------------------------------------------------------------------------
+
+from .pipeline import packing  # noqa: E402
+
+
+@query(
+    "q_pack_sequences",
+    packing.pack_sequences_sql(budget_tokens=256, shard_by=("lang",)),
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-fill sequence packing (concat-and-chunk) sharded by
+    language: each document is assigned the training sequence its
+    starting token offset falls in — pure window algebra, no UDFs;
+    sharding keeps the cumulative sum parallel at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    return packing.pack_sequences(
+        docs, budget_tokens=256, shard_by=("lang",)
+    )
+
+
+@query(
+    "q_window_text",
+    packing.window_text_sql(width=120, stride=80),
+)
+def q_window_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context windows (120 chars, stride 80): JVM-side
+    sequence + substring explode, one row per window; tails shorter
+    than the overlap still appear exactly once."""
+    docs = load_table(spark, sf_dir, "documents")
+    return packing.window_text(docs, width=120, stride=80)
