@@ -114,3 +114,43 @@ def test_last_point_multi_key(ts, spark):
         .collect()
     }
     assert {(r["a"], r["b"], r["v"]) for r in got.collect()} == exp
+
+
+# ---------------------------------------------------------------------------
+# property: ANY data layout + ANY queried key set == window model
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_DATA = st.lists(
+    st.tuples(st.integers(0, 240), st.integers(0, 6)),  # (hour slot, key)
+    min_size=1, max_size=40, unique=True,
+)
+_KEYS = st.sets(st.integers(0, 8), min_size=1, max_size=9)
+
+
+@settings(max_examples=8, deadline=None)
+@given(data=_DATA, keys=_KEYS)
+def test_last_point_matches_window_model(spark, data, keys):
+    import tempfile
+
+    ts = TSSession(spark, tempfile.mkdtemp(prefix="ts_lpprop_"))
+    ht = ts.create_hypertable("p", "ts", chunk_interval="1 day")
+    rows = [(T0 + h * 3_600_000_000, k, float(h * 10 + k)) for h, k in data]
+    df = spark.createDataFrame(rows, "us long, k int, v double").select(
+        F.timestamp_micros("us").alias("ts"), "k", "v"
+    )
+    ht.insert(df)
+    got = {
+        (r["k"], r["ts"], r["v"])
+        for r in ht.last_point(by="k", keys=sorted(keys), batch_chunks=2).collect()
+    }
+    w = Window.partitionBy("k").orderBy(F.col("ts").desc())
+    exp = {
+        (r["k"], r["ts"], r["v"])
+        for r in df.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .filter(F.col("k").isin(list(keys)))
+        .collect()
+    }
+    assert got == exp

@@ -249,3 +249,47 @@ def test_ordered_limit_avoids_global_sort(ht):
     plan = _plan(ht.read().orderBy("ts").limit(20))
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_toolkit_stats_single_shuffle(tsdata, sf_dir):
+    """stats/candlestick/percentile/gauge families: one hash exchange
+    (the groupBy), zero joins/cartesians — the codegen composition the
+    round-6 toolkit additions promise."""
+    from timescaledb_spark.plans.inspect import _plan
+    from timescaledb_spark.queries import queries
+
+    qs = queries()
+    spark = tsdata
+    for name, max_ex in (
+        ("q_stats_agg", 1),
+        ("q_stats_regr", 1),
+        ("q_candlestick", 1),
+        ("q_percentile_agg", 1),
+        ("q_gauge_agg", 1),
+        # topn: agg on (by, value) then rank window on (by) — the second
+        # exchange carries only post-aggregation (key, count) rows
+        ("q_topn", 2),
+    ):
+        plan = _plan(qs[name](spark, sf_dir))
+        n_ex = plan.count("Exchange hashpartitioning") + plan.count(
+            "Exchange rangepartitioning"
+        )
+        assert n_ex <= max_ex, f"{name}: {n_ex} exchanges (max {max_ex})"
+        assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_packing_plan_shape(tsdata, sf_dir):
+    """pack_sequences: one exchange (the shard window); window_text:
+    ZERO exchanges — a pure per-row explode must never shuffle."""
+    from timescaledb_spark.pipeline.packing import pack_sequences, window_text
+    from timescaledb_spark.plans.inspect import _plan, shuffle_count
+    from timescaledb_spark.sources import load_table
+
+    docs = load_table(tsdata, sf_dir, "documents")
+    assert shuffle_count(window_text(docs)) == 0
+    packed = pack_sequences(docs, budget_tokens=256, shard_by=("lang",))
+    plan = _plan(packed)
+    n_ex = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    assert n_ex <= 1, plan
