@@ -140,3 +140,48 @@ def test_uuidv7_scalars_sql(ts):
         "SELECT generate_uuidv7() AS u1, generate_uuidv7() AS u2"
     ).collect()[0]
     assert g["u1"] != g["u2"] and g["u1"][14] == "7"
+
+
+def test_truncate_hypertable(ts, spark):
+    """TRUNCATE (test/sql/truncate.sql): drops every chunk, keeps the
+    hypertable usable; caggs are invalidated over the whole range so a
+    refresh empties them."""
+    from pyspark.sql import functions as F
+
+    ts.sql(
+        "SELECT create_hypertable('tr', 'ts', chunk_time_interval => INTERVAL '1 day')"
+    )
+    ts.sql(
+        "INSERT INTO tr (ts, v) SELECT timestamp '2024-01-01' + "
+        "make_interval(0,0,0,0,CAST(id AS INT),0,0), CAST(id AS DOUBLE) FROM range(48)"
+    )
+    ht = ts.get_hypertable("tr")
+    cagg = ts.create_cagg("trd", "tr", bucket_width="1 day", aggs={"n": "count(1)"})
+    cagg.refresh()
+    assert cagg.read(realtime=False).count() == 2
+    assert len(ht.chunks()) == 2
+    r = ts.sql("TRUNCATE tr").collect()[0]
+    assert r["chunks_dropped"] == 2
+    assert len(ht.chunks()) == 0
+    assert ht.df().count() == 0
+    # table stays writable, and the cagg converges to empty on refresh
+    ts.sql("INSERT INTO tr (ts, v) SELECT timestamp '2024-03-01', 1.0")
+    assert ht.df().count() == 1
+    cagg.refresh()
+    got = cagg.read(realtime=False).collect()
+    assert len(got) == 1 and got[0]["n"] == 1
+
+
+def test_truncate_refuses_frozen_chunk(ts, spark):
+    ts.sql(
+        "SELECT create_hypertable('trf', 'ts', chunk_time_interval => INTERVAL '1 day')"
+    )
+    ts.sql("INSERT INTO trf (ts, v) SELECT timestamp '2024-01-01', 1.0")
+    ht = ts.get_hypertable("trf")
+    from timescaledb_spark.chunkops import freeze_chunk
+
+    freeze_chunk(ht, ht.chunks()[0])
+    import pytest as _pt
+
+    with _pt.raises(PermissionError):
+        ht.truncate()

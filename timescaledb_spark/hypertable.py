@@ -1455,6 +1455,30 @@ class Hypertable:
         n_deleted = total - kept.count()
         return kept, int(n_deleted)
 
+    @_serialized_dml
+    def truncate(self) -> int:
+        """``TRUNCATE hypertable`` (``test/sql/truncate.sql``): drop
+        every chunk — directories and catalog rows — while the
+        hypertable itself survives and accepts new inserts. O(chunks),
+        no data read. Refuses when any chunk is frozen (DML into frozen
+        chunks is rejected, sql/chunk.sql). Captures a full-range cagg
+        invalidation, like the reference's truncate trigger on the
+        invalidation log. Returns the number of chunks dropped."""
+        chunks = self.chunks()
+        if not chunks:
+            return 0
+        lo = min(c["range_start"] for c in chunks)
+        hi = max(c["range_end"] for c in chunks) - 1
+        self._check_frozen(lo, hi)
+        cat = self.ts.catalog
+        for c in chunks:
+            path = self._chunk_glob(c)
+            if os.path.isdir(path):
+                shutil.rmtree(path)
+            cat.chunk.delete({"id": c["id"]})
+        self._capture_invalidation(lo, hi)
+        return len(chunks)
+
     # ---------------------------------------------------------------- read
     def read(
         self,

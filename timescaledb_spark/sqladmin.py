@@ -856,6 +856,11 @@ def _split_where(tail: str):
     return tail.strip(), None
 
 
+_TRUNCATE_RE = re.compile(
+    r"^\s*truncate\s+(?:table\s+)?([A-Za-z_]\w*)\s*$", re.I
+)
+
+
 def match_dml(q: str):
     q = q.strip().rstrip(";")
     m = _UPDATE_HEAD.match(q)
@@ -866,6 +871,9 @@ def match_dml(q: str):
     if m:
         _, where = _split_where(" " + q[m.end():])
         return ("delete", m.group(1), None, where)
+    m = _TRUNCATE_RE.match(q)
+    if m:
+        return ("truncate", m.group(1), None, None)
     return None
 
 
@@ -877,6 +885,11 @@ def run_dml(ts, kind: str, table: str, body, where) -> DataFrame:
     from .sqlapi import extract_time_bounds, rewrite_sql
 
     ht = ts.get_hypertable(table)
+    if kind == "truncate":
+        # TRUNCATE hypertable (test/sql/truncate.sql): drop all chunks,
+        # keep the hypertable; O(chunks), never reads data
+        n = ht.truncate()
+        return _df(ts, [(n,)], "chunks_dropped bigint")
     cond_sql = rewrite_sql(where, ts) if where else "true"
     lo = hi = None
     if where:
