@@ -1,0 +1,79 @@
+"""Remaining ddl_api surface: set_number_partitions (per-chunk space
+modulus, sql/ddl_api.sql), set_partitioning_interval, restore mode
+(timescaledb_pre/post_restore) and get_telemetry_report."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from timescaledb_spark.session import TSSession
+
+T0 = 1704067200000000
+DAY = 86_400_000_000
+
+
+@pytest.fixture()
+def ts(spark, tmp_path):
+    return TSSession(spark, str(tmp_path / "ts"))
+
+
+def _rows(spark, day, n_dev):
+    return spark.range(n_dev * 4).select(
+        F.timestamp_micros(
+            (F.lit(T0 + day * DAY) + F.col("id") * 60_000_000).cast("long")
+        ).alias("ts"),
+        (F.col("id") % n_dev).alias("dev"),
+        F.lit(1.0).alias("v"),
+    )
+
+
+def test_set_number_partitions_new_chunks_only(ts, spark):
+    ht = ts.create_hypertable(
+        "s", "ts", chunk_interval="1 day", space_column="dev", num_partitions=2
+    )
+    ht.insert(_rows(spark, 0, 8))       # chunk day0 written with n=2
+    ht.set_number_partitions(8)
+    ht.insert(_rows(spark, 1, 8))       # chunk day1 written with n=8
+    by_start = {c["range_start"]: c for c in ht.chunks()}
+    assert by_start[T0]["space_n"] == 2
+    assert by_start[T0 + DAY]["space_n"] == 8
+    # space-pruned reads hash each chunk with ITS modulus -> exact rows
+    for dev in range(8):
+        got = ht.read(space_key=dev).count()
+        exp = ht.df().filter(F.col("dev") == dev).count()
+        assert got == exp, f"dev {dev}: pruned {got} != full {exp}"
+
+
+def test_set_number_partitions_validation(ts, spark):
+    ht = ts.create_hypertable("p", "ts", chunk_interval="1 day")
+    with pytest.raises(ValueError, match="space dimension"):
+        ht.set_number_partitions(4)
+
+
+def test_set_partitioning_interval_alias(ts, spark):
+    ht = ts.create_hypertable("i", "ts", chunk_interval="1 day")
+    ht.set_partitioning_interval("12 hours")
+    assert int(ht.row["chunk_interval"]) == 12 * 3_600_000_000
+
+
+def test_restore_mode_pauses_scheduler(ts, spark):
+    ht = ts.create_hypertable("r", "ts", chunk_interval="1 day")
+    ht.insert(_rows(spark, 0, 2))
+    ts.jobs.add_retention_policy("r", drop_after="100 days")
+    ts.pre_restore()
+    assert ts.jobs.run_pending(now=ts.jobs.now() + 10_000_000) == []
+    assert ts.get_telemetry_report()["restoring"] is True
+    ts.post_restore()
+    assert ts.get_telemetry_report()["restoring"] is False
+    # scheduler live again (job may or may not be due; call must not
+    # be short-circuited by the restoring flag)
+    ts.jobs.run_pending()
+
+
+def test_telemetry_report_counts(ts, spark):
+    ht = ts.create_hypertable("t", "ts", chunk_interval="1 day")
+    ht.insert(_rows(spark, 0, 2))
+    ts.create_cagg("td", "t", bucket_width="1 day", aggs={"n": "count(1)"})
+    rep = ts.get_telemetry_report()
+    assert rep["num_hypertables"] >= 2  # t + cagg mat table
+    assert rep["num_chunks"] >= 1
+    assert rep["num_continuous_aggs"] == 1

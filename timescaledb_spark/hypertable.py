@@ -366,6 +366,29 @@ class Hypertable:
         self.ts.catalog.hypertable.update({"name": self.name}, {"chunk_interval": us})
         self._refresh()
 
+    def set_partitioning_interval(self, interval: Union[str, int]) -> None:
+        """``set_partitioning_interval`` (sql/ddl_api.sql) — the
+        generalized form of :meth:`set_chunk_time_interval` for the open
+        dimension; identical here since the open dimension IS the chunk
+        grid."""
+        self.set_chunk_time_interval(interval)
+
+    def set_number_partitions(self, n: int) -> None:
+        """``set_number_partitions`` (sql/ddl_api.sql): change the space
+        dimension's fan-out for NEW chunks only. Existing chunks keep
+        the modulus they were written with (recorded per chunk as
+        ``space_n``), and space-pruned reads hash each chunk with its
+        own modulus — the analog of the reference recording dimension
+        slices per chunk."""
+        if not self.row.get("space_column"):
+            raise ValueError("hypertable has no space dimension")
+        if n < 1:
+            raise ValueError("num_partitions must be >= 1")
+        self.ts.catalog.hypertable.update(
+            {"name": self.name}, {"num_partitions": int(n)}
+        )
+        self._refresh()
+
     # -------------------------------------------------------------- insert
     def _partition_exprs(self, df: DataFrame) -> list[Column]:
         interval = int(self.row["chunk_interval"])
@@ -914,16 +937,21 @@ class Hypertable:
         new = [s for s in self._scan_chunk_dirs() if s not in known]
         rows = []
         for start in sorted(new):
-            rows.append(
-                {
-                    "id": self.ts.catalog.next_id("chunk"),
-                    "hypertable_id": self.id,
-                    "range_start": start,
-                    "range_end": start + interval,
-                    "status": "rowstore",
-                    "created_at": _time.time(),
-                }
-            )
+            row = {
+                "id": self.ts.catalog.next_id("chunk"),
+                "hypertable_id": self.id,
+                "range_start": start,
+                "range_end": start + interval,
+                "status": "rowstore",
+                "created_at": _time.time(),
+            }
+            if self.row.get("space_column"):
+                # snapshot the space fan-out THIS chunk was written with:
+                # set_number_partitions applies to new chunks only, and
+                # space pruning must hash with the chunk's own modulus
+                # (reference: dimension slices are recorded per chunk)
+                row["space_n"] = int(self.row["num_partitions"])
+            rows.append(row)
         if rows:
             self.ts.catalog.chunk.append(rows)
         return [r["range_start"] for r in rows]
@@ -1543,38 +1571,37 @@ class Hypertable:
             df = spark.createDataFrame([], self._schema_or_empty())
             return df
         paths = [self._chunk_glob(c) for c in chunks]
-        space_vals = None
         if space_key is not None:
             if not self.row.get("space_column"):
                 raise ValueError("hypertable has no space dimension")
             keys = space_key if isinstance(space_key, (list, tuple)) else [space_key]
-            n = int(self.row["num_partitions"])
+            cur_n = int(self.row["num_partitions"])
             # hash the literals with the same function AND column type the
             # router used (xxhash64 of int32 != int64) — one tiny
-            # driver-side job, no table scan
+            # driver-side job, no table scan. Each chunk is pruned with
+            # the space modulus it was WRITTEN with (chunk row space_n;
+            # set_number_partitions changes new chunks only, like the
+            # reference's per-chunk dimension slices).
             sc_type = next(
                 f.dataType
                 for f in self._schema().fields
                 if f.name == self.row["space_column"]
             )
-            buckets = {
-                r[0]
-                for r in spark.range(1)
-                .select(
-                    F.explode(
-                        F.array(
-                            *[
-                                F.pmod(F.xxhash64(F.lit(k).cast(sc_type)), F.lit(n))
-                                for k in keys
-                            ]
-                        )
-                    )
-                )
-                .collect()
+            moduli = sorted({int(c.get("space_n") or cur_n) for c in chunks})
+            hashed = spark.range(1).select(
+                *[
+                    F.xxhash64(F.lit(k).cast(sc_type)).alias(f"h{i}")
+                    for i, k in enumerate(keys)
+                ]
+            ).collect()[0]
+            buckets_for = {
+                n: sorted({int(hashed[i]) % n for i in range(len(keys))})
+                for n in moduli
             }
-            space_vals = sorted(buckets)
             paths = [
-                os.path.join(p, f"{SPACE_COL}={b}") for p in paths for b in space_vals
+                os.path.join(self._chunk_glob(c), f"{SPACE_COL}={b}")
+                for c in chunks
+                for b in buckets_for[int(c.get("space_n") or cur_n)]
             ]
             paths = [p for p in paths if os.path.isdir(p)]
             if not paths:

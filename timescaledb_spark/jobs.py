@@ -401,6 +401,11 @@ class JobRegistry:
         """One scheduler tick (src/bgw/scheduler.c loop body): run every
         scheduled job whose ``next_start`` has arrived."""
         now = now if now is not None else self.now()
+        # restore mode (timescaledb_pre_restore, sql/restoring.sql): the
+        # background scheduler idles until timescaledb_post_restore
+        meta = self.ts.catalog.metadata.find_one(key="restoring")
+        if meta and meta.get("value"):
+            return []
         out = []
         for job in self.list():
             if not job.get("scheduled"):

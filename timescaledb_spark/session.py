@@ -145,3 +145,40 @@ class TSSession:
         if not hasattr(self, "_jobs"):
             self._jobs = JobRegistry(self)
         return self._jobs
+
+    # -- restore mode + telemetry (sql/restoring.sql, src/telemetry/) -------
+    def pre_restore(self) -> None:
+        """``timescaledb_pre_restore()``: pause background job
+        scheduling while a dump is restored into the catalog root."""
+        meta = self.catalog.metadata
+        if meta.find_one(key="restoring"):
+            meta.update({"key": "restoring"}, {"value": True})
+        else:
+            meta.append([{"key": "restoring", "value": True}])
+
+    def post_restore(self) -> None:
+        """``timescaledb_post_restore()``: resume background jobs."""
+        meta = self.catalog.metadata
+        if meta.find_one(key="restoring"):
+            meta.update({"key": "restoring"}, {"value": False})
+
+    def get_telemetry_report(self) -> dict:
+        """``get_telemetry_report()`` (src/telemetry/telemetry.c): a
+        LOCAL report of installation shape — never transmitted anywhere
+        (this engine has no phone-home path at all)."""
+        cat = self.catalog
+        hts = cat.hypertable.read()
+        chunks = cat.chunk.read()
+        return {
+            "engine": "timescaledb_spark",
+            "num_hypertables": len(hts),
+            "num_chunks": len(chunks),
+            "num_continuous_aggs": len(cat.continuous_agg.read()),
+            "num_jobs": len(cat.bgw_job.read()),
+            "compressed_chunks": sum(
+                1 for c in chunks if c.get("status") == "columnstore"
+            ),
+            "restoring": bool(
+                (cat.metadata.find_one(key="restoring") or {}).get("value")
+            ),
+        }
