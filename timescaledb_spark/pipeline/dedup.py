@@ -620,3 +620,68 @@ def embedding_dup_pairs_sql(
     FROM {table} a JOIN {table} b ON a.{id_col} < b.{id_col}
     WHERE {c} >= {threshold}
     """
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap against a held-out set)
+# ---------------------------------------------------------------------------
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "doc_id",
+    ngram_k: int = 5,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Flag training documents that share at least ``min_hits`` distinct
+    word ``ngram_k``-grams with any benchmark document — the standard
+    test-set decontamination pass (the k is a parameter; published
+    pipelines use 8-13 grams).
+
+    Scale shape: the benchmark side is tiny relative to the corpus, so
+    its distinct n-gram hashes BROADCAST; the corpus explodes its own
+    n-grams once and probes the broadcast set — no shuffle of corpus
+    text; output is (corpus id, benchmark id, n shared grams). At 100 TB
+    the corpus-side explode is the only heavy stage and it is
+    embarrassingly parallel.
+    """
+    c_grams = _distinct_shingles(corpus, text_col, id_col, ngram_k)
+    b_grams = _distinct_shingles(
+        benchmark.withColumnRenamed(bench_id_col, "_bid"), text_col, "_bid",
+        ngram_k,
+    ).withColumnRenamed("_bid", "bench_id")
+    return (
+        c_grams.join(F.broadcast(b_grams), "s")
+        .groupBy(id_col, "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_hits)
+    )
+
+
+def decontaminate_sql(
+    corpus_table: str = "documents",
+    bench_sql: str = "SELECT doc_id, text FROM documents WHERE doc_id % 100 = 0",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_k: int = 5,
+    min_hits: int = 1,
+) -> str:
+    sh = word_shingles_sql(text_col, ngram_k)
+    hs = h60_sql("_s")
+    return f"""
+    WITH cg AS (
+      SELECT {id_col}, {hs} AS s
+      FROM (SELECT {id_col}, unnest({sh}) AS _s FROM {corpus_table})
+      GROUP BY 1, 2
+    ), bg AS (
+      SELECT {id_col} AS bench_id, {hs} AS s
+      FROM (SELECT {id_col}, unnest({sh}) AS _s FROM ({bench_sql}))
+      GROUP BY 1, 2
+    )
+    SELECT cg.{id_col}, bg.bench_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM cg JOIN bg USING (s)
+    GROUP BY 1, 2
+    HAVING count(*) >= {min_hits}
+    """

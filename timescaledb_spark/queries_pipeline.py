@@ -202,3 +202,21 @@ def q_window_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     than the overlap still appear exactly once."""
     docs = load_table(spark, sf_dir, "documents")
     return packing.window_text(docs, width=120, stride=80)
+
+
+@query(
+    "q_decontaminate",
+    dedup.decontaminate_sql(
+        bench_sql="SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0",
+        ngram_k=5,
+        min_hits=2,
+    ),
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: training docs sharing >= 2 distinct
+    5-grams with any 'benchmark' doc (every 97th doc stands in for the
+    held-out set). Benchmark n-gram hashes broadcast; the corpus-side
+    explode is the only heavy stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    return dedup.decontaminate(docs, bench, ngram_k=5, min_hits=2)
