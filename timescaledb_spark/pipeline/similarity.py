@@ -229,3 +229,165 @@ def hyperplane_bucket_sql(vec_col: str = "embedding", n_planes: int = N_PLANES) 
         f"CAST(list_sum([CASE WHEN ({dot}) > 0 THEN (1::BIGINT << p) ELSE 0 END "
         f"FOR p IN range(0, {n_planes})]) AS BIGINT)"
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) — the memory-compression ANN tier
+# ---------------------------------------------------------------------------
+#
+# At 100 TB the embedding column dominates storage and scan cost: a
+# 64-dim float32 vector is 256 bytes; its PQ code with m=8 subspaces is
+# 8 bytes (32x). Queries run ADC (asymmetric distance computation): one
+# small lookup table per query, then the scan reads CODES ONLY — the
+# full vectors never leave parquet. Training runs driver-side numpy
+# k-means on a bounded sample, exactly like building a Faiss index;
+# encode and scan are Arrow-vectorized numpy over mapInPandas batches.
+
+def _l2_normalize(X):
+    """Unit-normalize rows: after normalization L2 order == cosine order
+    (||a-b||^2 = 2 - 2cos), so the ADC ranking matches the cosine
+    brute-force baseline."""
+    import numpy as np
+
+    n = np.linalg.norm(X, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return X / n
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    sample: int = 2048,
+    iters: int = 10,
+    seed: int = 7,
+    vec_col: str = "embedding",
+):
+    """Train PQ codebooks: split dims into ``m`` subspaces, k-means each
+    with ``n_codes`` centroids over a deterministic sample. Returns a
+    numpy array of shape (m, n_codes, dim/m)."""
+    import numpy as np
+
+    rows = corpus.select(vec_col).limit(sample).collect()
+    X = _l2_normalize(np.asarray([r[0] for r in rows], dtype=np.float64))
+    n, dim = X.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, n_codes, sub))
+    for j in range(m):
+        Xj = X[:, j * sub : (j + 1) * sub]
+        cents = Xj[rng.choice(n, size=min(n_codes, n), replace=False)]
+        if len(cents) < n_codes:  # tiny corpus: pad with jitter
+            pad = cents[rng.integers(0, len(cents), n_codes - len(cents))]
+            cents = np.vstack([cents, pad + 1e-6])
+        for _ in range(iters):
+            d2 = ((Xj[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            a = d2.argmin(1)
+            for c in range(n_codes):
+                pts = Xj[a == c]
+                if len(pts):
+                    cents[c] = pts.mean(0)
+        books[j] = cents
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode each vector to ``m`` small codes (argmin L2 per subspace)
+    — an Arrow-batched numpy pass, no shuffle. Output: (id, codes)."""
+    import numpy as np
+    import pandas as pd
+
+    books = np.asarray(codebooks)
+    m, n_codes, sub = books.shape
+
+    def encode(batches):
+        for pdf in batches:
+            X = _l2_normalize(
+                np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            ) if len(pdf) else np.empty((0, m * sub))
+            if len(X) == 0:
+                yield pd.DataFrame({id_col: [], "codes": []})
+                continue
+            codes = np.empty((len(X), m), dtype=np.int64)
+            for j in range(m):
+                Xj = X[:, j * sub : (j + 1) * sub]
+                d2 = ((Xj[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+                codes[:, j] = d2.argmin(1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, "codes": list(codes)}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        encode, f"{id_col} long, codes array<long>"
+    )
+
+
+def knn_pq(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k: per query, precompute the (m x n_codes) lookup table
+    of squared subspace distances driver-side (tiny), then the scan
+    sums ``m`` table lookups per code row — the corpus pass reads the
+    8-byte codes, never the vectors. Returns approximate neighbors
+    ranked by ascending PQ distance (tiebreak id)."""
+    import numpy as np
+    import pandas as pd
+
+    books = np.asarray(codebooks)
+    m, n_codes, sub = books.shape
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.asarray([r[0] for r in q_rows])
+    Q = _l2_normalize(np.asarray([r[1] for r in q_rows], dtype=np.float64))
+    # LUT[q, j, c] = || Q[q, sub_j] - books[j, c] ||^2
+    lut = np.stack(
+        [
+            ((Q[:, j * sub : (j + 1) * sub][:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+            for j in range(m)
+        ],
+        axis=1,
+    )
+
+    def scan(batches):
+        for pdf in batches:
+            C = np.asarray(list(pdf["codes"]), dtype=np.int64)
+            if len(C) == 0:
+                yield pd.DataFrame(
+                    {"query_id": [], "neighbor_id": [], "pq_dist": []}
+                )
+                continue
+            # dists[q, row] = sum_j lut[q, j, C[row, j]]
+            d = np.zeros((len(q_ids), len(C)))
+            for j in range(m):
+                d += lut[:, j, :][:, C[:, j]]
+            qq, rr = np.meshgrid(
+                np.arange(len(q_ids)), np.arange(len(C)), indexing="ij"
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": q_ids[qq.ravel()],
+                    "neighbor_id": pdf[id_col].values[rr.ravel()],
+                    "pq_dist": d.ravel(),
+                }
+            )
+
+    scored = codes.mapInPandas(
+        scan, "query_id long, neighbor_id long, pq_dist double"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("pq_dist"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

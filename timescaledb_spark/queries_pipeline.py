@@ -220,3 +220,21 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
     return dedup.decontaminate(docs, bench, ngram_k=5, min_hits=2)
+
+
+@query("q_ann_pq")  # approximate index: no SQL oracle; rows-only gate +
+                    # recall-vs-bruteforce assertion in tests/test_pq.py
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (32x vector compression + ADC scan):
+    train codebooks on a bounded sample, encode the corpus to m small
+    codes, answer top-k from LUT sums over the codes — the corpus pass
+    never reads the raw vectors. Approximate by construction, so the
+    gate checks execution, and tests/test_pq.py checks recall against
+    the exact baseline."""
+    from .pipeline.similarity import knn_pq, pq_encode, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_train(emb, m=16, n_codes=32, sample=512, iters=8)
+    codes = pq_encode(emb, books)
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return knn_pq(codes, queries_df, books, k=5)
