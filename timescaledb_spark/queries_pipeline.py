@@ -238,3 +238,17 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = pq_encode(emb, books)
     queries_df = emb.filter(F.col("vec_id") < 5)
     return knn_pq(codes, queries_df, books, k=5)
+
+
+@query("q_lttb")  # visually-lossy downsample: output is algorithm-defined,
+                  # not SQL-expressible; rows-only gate + exactness tests
+                  # in tests/test_downsample.py
+def q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """largest_triangle_three_buckets downsample (toolkit lttb): each
+    user's series reduced to 24 representative points via per-group
+    applyInPandas; first/last kept, interior points maximize triangle
+    area."""
+    from .pipeline.downsample import lttb
+
+    ev = load_table(spark, sf_dir, "events")
+    return lttb(ev, "ts", "value", n_out=24, by=["user_id"])
