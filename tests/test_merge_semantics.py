@@ -121,3 +121,20 @@ def test_preexisting_null_partition_dir_blocks_write_undeleted(ts, spark):
         ht.insert(_src(spark, [(T0 + DAY, 2, 2.0)]))
     # the foreign data was NOT deleted
     assert os.path.exists(marker)
+
+
+def test_upsert_is_chunk_local(ts, spark):
+    """upsert replacement only displaces rows in the new row's OWN
+    routed chunk (keys omitting time cannot reach other chunks)."""
+    ht = _ht(ts, spark, [(T0, 5, 1.0)])
+    st = ht.upsert(_src(spark, [(T0 + DAY, 5, 99.0)]), keys=["k"])
+    rows = sorted((r["k"], r["v"]) for r in ht.df().collect())
+    # day-1 row survives; day-2 row appended
+    assert rows == [(5, 1.0), (5, 99.0)]
+
+
+def test_upsert_same_chunk_replaces(ts, spark):
+    ht = _ht(ts, spark, [(T0, 5, 1.0)])
+    ht.upsert(_src(spark, [(T0 + 3600_000_000, 5, 99.0)]), keys=["k"])
+    rows = [(r["k"], r["v"]) for r in ht.df().collect()]
+    assert rows == [(5, 99.0)]

@@ -1043,6 +1043,14 @@ class Hypertable:
         partition overwrite of those dirs). Works on columnstore chunks —
         they are rewritten and drop back to rowstore status, like the
         reference's decompress-on-upsert path.
+
+        Replacement is chunk-local, like :meth:`merge_into`: a new row
+        only displaces target rows in the chunk ITS time value routes
+        to (the anti-join key includes the routed chunk), mirroring the
+        reference's rule that hypertable unique indexes include the
+        partition column. Unlike ON CONFLICT (which errors), this bulk
+        API keeps duplicate-keyed rows within ``df`` as-is — it is a
+        batch replace, not a row arbiter.
         """
         df = self._fire_before(df)
         self._ensure_typed(df)
@@ -1066,7 +1074,9 @@ class Hypertable:
             )
             old = self._apply_fills(old, [existing[s] for s in hit])
             keep = old.join(
-                new.select(*keys).distinct(), list(keys), "left_anti"
+                new.select(*keys, CHUNK_COL).distinct(),
+                [*keys, CHUNK_COL],
+                "left_anti",
             ).select(*new.columns)
             out = keep.unionByName(new)
         stats = (
