@@ -40,8 +40,10 @@ def test_rotated_out_queries_recently_green():
 def test_never_verified_sort_first():
     hist = {"a": (3, True), "b": (1, True), "c": (2, False)}
     order = gate_order(["a", "b", "zz_new", "c", "aa_new"], hist)
-    # never-verified first (name tie-break), then oldest round first
-    assert order == ["aa_new", "zz_new", "b", "c", "a"]
+    # never-verified first (name tie-break), then FAILED (any round —
+    # a failure re-verifies next round, it cannot queue behind the
+    # green backlog), then greens oldest-round-first
+    assert order == ["aa_new", "zz_new", "c", "b", "a"]
 
 
 def test_failed_sort_before_green_same_round():

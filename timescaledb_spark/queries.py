@@ -1276,11 +1276,21 @@ def gate_history(repo_root: str = _REPO_ROOT) -> dict[str, tuple[int, bool]]:
 
 
 def gate_order(names, hist: dict[str, tuple[int, bool]] | None = None) -> list[str]:
-    """Order gate names: never-verified first, then by (last-verified round
-    ascending, failed-before-green), name as the deterministic tie-break."""
+    """Order gate names: never-verified first, then every query whose
+    LAST driver check failed (regardless of round — a failure must be
+    re-verified next round, not after the green backlog rotates
+    through), then greens oldest-round-first; name is the deterministic
+    tie-break."""
     if hist is None:
         hist = gate_history()
-    return sorted(names, key=lambda n: (*hist.get(n, (0, False)), n))
+
+    def key(n):
+        if n not in hist:
+            return (0, 0, n)
+        rnd, ok = hist[n]
+        return (1 if not ok else 2, rnd, n)
+
+    return sorted(names, key=key)
 
 
 def _ordered(d: dict) -> dict:
