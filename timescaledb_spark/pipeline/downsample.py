@@ -92,4 +92,41 @@ def lttb(
         return src.withColumn("_g", F.lit(0)).groupBy("_g").applyInPandas(
             lambda pdf: _per_series(pdf.drop(columns=["_g"])), out_schema
         )
-    return src.groupBy(*by).applyInPandas(_per_series, out_schema)
+
+    # applyInPandas pays one Arrow exchange PER GROUP — with thousands of
+    # small series that overhead dominates (measured ~3x at sf0.1). So:
+    # repartition on the keys, sort each partition by (keys, time), and
+    # stream ONE mapInPandas pass that walks contiguous groups with a
+    # carry across Arrow batch boundaries.
+    parts = src.repartition(*[F.col(c) for c in by]).sortWithinPartitions(
+        *by, time_col
+    )
+
+    def _scan(batches):
+        import pandas as pd
+
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            keys = pdf[by]
+            grp = (keys != keys.shift()).any(axis=1).cumsum()
+            last = grp.iloc[-1]
+            done_mask = grp != last
+            carry = pdf[~done_mask]
+            done = pdf[done_mask]
+            if len(done):
+                yield pd.concat(
+                    [
+                        _per_series(g)
+                        for _, g in done.groupby(grp[done_mask], sort=False)
+                    ],
+                    ignore_index=True,
+                )
+        if carry is not None and len(carry):
+            yield _per_series(carry)
+
+    return parts.mapInPandas(_scan, out_schema)
