@@ -150,3 +150,52 @@ def test_compress_requires_settings(ts, spark):
     ht.insert(mk_metrics(spark, n=100))
     with pytest.raises(ValueError, match="columnstore not enabled"):
         compress_chunk(ht, ht.chunks()[0])
+
+
+def test_auto_segmentby_picks_even_low_cardinality(ts, spark):
+    """get_segmentby_defaults (sql/compression_defaults.sql analog):
+    prefers the column whose values segment tuples most evenly; unique
+    ids and the time dimension are never picked."""
+    from pyspark.sql import functions as F
+
+    from timescaledb_spark.compression import (
+        enable_columnstore,
+        get_segmentby_defaults,
+    )
+
+    ht = ts.create_hypertable("auto_sb", "ts", chunk_interval="1 day")
+    df = spark.range(600).select(
+        F.timestamp_micros(
+            (F.lit(1704067200000000) + F.col("id") * 60_000_000).cast("long")
+        ).alias("ts"),
+        F.col("id").alias("event_id"),                      # unique: excluded
+        (F.col("id") % 3).cast("string").alias("device"),   # even 3-way
+        F.when(F.col("id") % 100 == 0, "rare").otherwise("common").alias("skewed"),
+        (F.col("id") * 1.0).alias("value"),                  # double: not a candidate
+    )
+    ht.insert(df)
+    got = get_segmentby_defaults(ht)
+    assert got["columns"] == ["device"]
+    assert got["confidence"] > 0
+    # the "auto" spelling wires it into enable_columnstore
+    enable_columnstore(ht, segmentby="auto")
+    s = ts.catalog.compression_settings.find_one(hypertable_id=ht.id)
+    assert s["segmentby"] == ["device"]
+
+
+def test_auto_segmentby_empty_when_nothing_qualifies(ts, spark):
+    from pyspark.sql import functions as F
+
+    from timescaledb_spark.compression import get_segmentby_defaults
+
+    ht = ts.create_hypertable("auto_none", "ts", chunk_interval="1 day")
+    ht.insert(
+        spark.range(50).select(
+            F.timestamp_micros(
+                (F.lit(1704067200000000) + F.col("id") * 60_000_000).cast("long")
+            ).alias("ts"),
+            F.col("id").alias("uid"),  # unique -> fails rows-per-segment
+        )
+    )
+    got = get_segmentby_defaults(ht)
+    assert got["columns"] == []

@@ -44,13 +44,83 @@ from .hypertable import CHUNK_COL, Hypertable
 TARGET_FILE_BYTES = 128 * 1024 * 1024  # one spark input split per file
 
 
+def get_segmentby_defaults(
+    ht: Hypertable,
+    sample_rows: int = 10_000,
+    max_candidates: int = 10,
+) -> dict:
+    """Auto-select a default segmentby column — the analog of
+    ``_timescaledb_functions.get_segmentby_defaults``
+    (``sql/compression_defaults.sql``) with the direct-compress caps
+    (≤10 candidate columns, ``src/guc.h:183``): among non-dimension,
+    non-time-typed columns with more than one distinct value, pick the
+    one whose value frequencies segment tuples most EVENLY (lowest
+    population stddev of frequencies — the reference's
+    ``stddev_pop(most_common_freqs)`` criterion), measured on a bounded
+    sample. Returns ``{"columns": [...], "confidence": 0-10,
+    "message": ...}`` like the reference; empty columns when nothing
+    qualifies."""
+    from pyspark.sql import types as T
+
+    exclude = {ht.time_column, ht.row.get("space_column")}
+    cands = [
+        f.name
+        for f in ht._schema().fields
+        if f.name not in exclude
+        and isinstance(
+            f.dataType,
+            (T.StringType, T.LongType, T.IntegerType, T.ShortType, T.BooleanType),
+        )
+    ][:max_candidates]
+    if not cands:
+        return {"columns": [], "confidence": 0, "message": "no candidate columns"}
+    sample = ht.df().select(*cands).limit(sample_rows).cache()
+    try:
+        n = sample.count()
+        best, best_score = None, None
+        for c in cands:
+            counts = [
+                r["cnt"]
+                for r in sample.groupBy(c).agg(F.count(F.lit(1)).alias("cnt")).collect()
+            ]
+            k = len(counts)
+            # n_distinct > 1, and enough rows per segment to batch
+            # (reference targets ~1000 rows/compressed batch)
+            if k < 2 or n / k < 10:
+                continue
+            freqs = [cnt / n for cnt in counts]
+            mean = sum(freqs) / k
+            stddev = (sum((f - mean) ** 2 for f in freqs) / k) ** 0.5
+            if best_score is None or (stddev, c) < best_score:
+                best, best_score = c, (stddev, c)
+        if best is None:
+            return {
+                "columns": [],
+                "confidence": 0,
+                "message": "no column segments the sample evenly",
+            }
+        return {
+            "columns": [best],
+            "confidence": 7,  # stats-only (no index signals in this engine)
+            "message": f"picked {best!r} by frequency evenness on a "
+            f"{n}-row sample",
+        }
+    finally:
+        sample.unpersist()
+
+
 def enable_columnstore(
     ht: Hypertable,
-    segmentby: Sequence[str] = (),
+    segmentby: Union[str, Sequence[str]] = (),
     orderby: Union[str, Sequence[str], None] = None,
 ) -> None:
     """``ALTER TABLE .. SET (timescaledb.compress, compress_segmentby,
-    compress_orderby)`` (src/with_clause/alter_table_with_clause.c:40)."""
+    compress_orderby)`` (src/with_clause/alter_table_with_clause.c:40).
+    ``segmentby="auto"`` runs :func:`get_segmentby_defaults`."""
+    if segmentby == "auto":
+        segmentby = get_segmentby_defaults(ht)["columns"]
+    elif isinstance(segmentby, str):
+        segmentby = [segmentby]
     if orderby is None:
         orderby = [(ht.time_column, "desc")]
     norm = []
