@@ -319,3 +319,34 @@ def test_approx_percentile_macro(ts):
         "SELECT percentile(value, 0.5) AS p FROM events"
     ).collect()[0]
     assert r["p"] == p["p"]
+
+
+def test_sql_stats_column_chunk_skipping(spark, tmp_path):
+    """WHERE bounds on a stat-tracked column (enable_chunk_skipping)
+    prune chunks in the SQL path, like the where_stats API arg: only
+    chunks whose recorded min/max overlap the predicate are scanned."""
+    from pyspark.sql import functions as F
+
+    from timescaledb_spark.plans.inspect import scanned_paths
+
+    s = TSSession(spark, str(tmp_path / "skipsql"))
+    ht = s.create_hypertable("m", "ts", chunk_interval="1 day")
+    # value correlates with day: day d holds values [100d, 100d+24)
+    df = spark.range(5 * 24).select(
+        F.timestamp_micros(
+            (F.lit(1704067200000000) + F.col("id") * 3_600_000_000).cast("long")
+        ).alias("ts"),
+        (F.floor(F.col("id") / 24) * 100 + F.pmod(F.col("id"), F.lit(24))).cast(
+            "double"
+        ).alias("value"),
+    )
+    ht.insert(df)
+    ht.enable_chunk_skipping("value")
+    full = s.sql("SELECT count(*) AS n FROM m").collect()[0]["n"]
+    assert full == 120
+    q = "SELECT count(*) AS n FROM m WHERE value >= 200 AND value < 230"
+    # correctness: rows from day 2 only
+    assert s.sql(q).collect()[0]["n"] == 24
+    # plan shape: the registered view scanned only the overlapping chunk
+    pruned = s.sql(q)
+    assert scanned_paths(pruned) <= 2  # 1 chunk (+1 tolerance for stats)

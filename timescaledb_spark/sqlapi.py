@@ -614,6 +614,43 @@ def extract_time_bounds(sql: str, table: str, col: str, aliases: set[str]):
     return lo, hi
 
 
+def extract_numeric_bounds(sql: str, table: str, col: str, aliases: set[str]):
+    """Conservative (lo, hi) extraction for a NUMERIC stat-tracked
+    column (``enable_chunk_skipping``) from AND-only predicates against
+    numeric literals — drives chunk exclusion via the recorded per-chunk
+    min/max (``chunk_column_stats``, the SQL-path analog of the
+    reference's chunk-skipping ranges). Bounds here are INCLUSIVE on
+    both ends (``where_stats`` overlap test), so a superset range is
+    always safe: the raw predicate stays in the query."""
+    stripped = _strip_strings(sql)
+    if re.search(r"\bor\b", stripped, re.I):
+        return None, None
+    names = [a for a in aliases | {table} if a]
+    if names:
+        quals = "|".join(re.escape(a) for a in names)
+        ref = rf"(?:\b(?:{quals})\s*\.\s*|(?<![\w.])){re.escape(col)}\b"
+    else:
+        ref = rf"(?<![\w.]){re.escape(col)}\b"
+    num = r"([+-]?\d+(?:\.\d+)?)"
+    lo = hi = None
+    for m in re.finditer(ref + rf"\s*(>=|<=|<|>|=)\s*{num}", sql, re.I):
+        op, v = m.group(1), float(m.group(2))
+        if op in (">", ">="):
+            lo = v if lo is None else max(lo, v)
+        elif op in ("<", "<="):
+            hi = v if hi is None else min(hi, v)
+        else:  # =
+            lo = v if lo is None else max(lo, v)
+            hi = v if hi is None else min(hi, v)
+    for m in re.finditer(
+        ref + rf"\s+between\s+{num}\s+and\s+{num}", sql, re.I
+    ):
+        a, b = float(m.group(1)), float(m.group(2))
+        lo = a if lo is None else max(lo, a)
+        hi = b if hi is None else min(hi, b)
+    return lo, hi
+
+
 def extract_space_keys(sql: str, table: str, col: str, aliases: set[str]):
     """Conservative space-key extraction: ``col = lit`` or ``col IN
     (lits)`` in an AND-only query → the literal list; else None. Drives
@@ -724,10 +761,24 @@ def _register_views(ts, sql: str) -> str:
             space_key = extract_space_keys(
                 sql, name, ht.row["space_column"], aliases
             )
+        # stat-tracked columns (enable_chunk_skipping / compress stats):
+        # numeric WHERE bounds additionally exclude chunks whose recorded
+        # min/max cannot overlap — SQL users get the same skipping the
+        # where_stats API argument provides
+        where_stats = None
+        stat_cols = {
+            s["column"]
+            for s in ts.catalog.chunk_column_stats.find(hypertable_id=ht.id)
+        } - {ht.time_column}
+        for sc in sorted(stat_cols):
+            slo, shi = extract_numeric_bounds(sql, name, sc, aliases)
+            if slo is not None or shi is not None:
+                where_stats = where_stats or {}
+                where_stats[sc] = (slo, shi)
         vname = f"_ts_sql_{uid}_{name}"
-        ht.read(start=lo, end=hi, space_key=space_key).createOrReplaceTempView(
-            vname
-        )
+        ht.read(
+            start=lo, end=hi, space_key=space_key, where_stats=where_stats
+        ).createOrReplaceTempView(vname)
         mapping[name] = vname
     for row in ts.catalog.continuous_agg.read():
         if row["name"] not in mapping and _referenced(sql, row["name"]):
