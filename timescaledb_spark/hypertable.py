@@ -1415,6 +1415,7 @@ class Hypertable:
         if del_hooks:
             kept, n_deleted = self._delete_row_triggers(old, cond, del_hooks)
             if n_deleted == 0:
+                kept.unpersist()
                 return 0
         # dynamic partition overwrite only rewrites dirs PRESENT in the
         # output — a chunk whose every row matched the predicate must be
