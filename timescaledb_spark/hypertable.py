@@ -1102,6 +1102,7 @@ class Hypertable:
         matched_update: Optional[dict[str, Union[str, Column]]] = None,
         insert_not_matched: bool = True,
         delete_matched: bool = False,
+        not_matched_by_source: Optional[Sequence[dict]] = None,
     ) -> dict:
         """MERGE INTO over hypertables — the general form behind SQL
         ``MERGE`` and ``INSERT .. ON CONFLICT`` (``test/sql/upsert.sql``,
@@ -1135,9 +1136,42 @@ class Hypertable:
           errors, like PostgreSQL's "MERGE command cannot affect row a
           second time" / ON CONFLICT's "cannot affect row a second
           time" — silently applying both would fan the target row out.
+
+        ``not_matched_by_source`` (PG17 ``WHEN NOT MATCHED BY SOURCE``,
+        ``test/sql/merge_not_matched_by_source.sql``): ordered clauses
+        applied to TARGET rows with no source match — each
+        ``{"condition": sql-over-target-or-None, "action": "delete" |
+        {col: expr}}``; the first clause whose condition holds wins,
+        like PostgreSQL's in-order WHEN evaluation. By-source actions
+        reach EVERY chunk (an unmatched row can live anywhere), so the
+        scan covers the whole table and the gating stats run on the
+        full-width join instead of the narrow projection.
         """
         if delete_matched and matched_update:
             raise ValueError("cannot both UPDATE and DELETE matched rows")
+        nmbs: list[tuple[Optional[str], object]] = []
+        for cl in not_matched_by_source or ():
+            action = cl.get("action")
+            if action != "delete" and not isinstance(action, dict):
+                raise ValueError(
+                    "not_matched_by_source action must be 'delete' or a "
+                    "{column: expr} update dict"
+                )
+            if isinstance(action, dict) and self.time_column in action:
+                raise ValueError(
+                    f"MERGE cannot update the partition column "
+                    f"{self.time_column!r}"
+                )
+            if isinstance(action, dict):
+                bad = set(action) - set(src.columns) - set(
+                    f.name for f in (self._schema().fields if self.row.get("schema_ddl") else [])
+                )
+                if bad:
+                    raise ValueError(
+                        f"unknown column(s) {sorted(bad)} in "
+                        f"not_matched_by_source update"
+                    )
+            nmbs.append((cl.get("condition"), action))
         if matched_update and self.time_column in matched_update:
             raise ValueError(
                 f"MERGE cannot update the partition column "
@@ -1158,10 +1192,14 @@ class Hypertable:
             "rows_deleted": 0,
             "chunks": [],
         }
-        if not affected:
+        if not affected and not nmbs:
             return zeros
         existing = {c["range_start"]: c for c in self.chunks()}
-        hit = [s for s in affected if s in existing]
+        # by-source clauses must see EVERY target row, not only the
+        # chunks the source routes to
+        hit = sorted(existing) if nmbs else [
+            s for s in affected if s in existing
+        ]
         if not hit:
             if not insert_not_matched:
                 return zeros
@@ -1190,68 +1228,108 @@ class Hypertable:
         cond = F.col("target._tchunk") == F.col("excluded._schunk")
         for k in keys:
             cond = cond & (F.col(f"target.{k}") == F.col(f"excluded.{k}"))
+        # per-(chunk, keys) source multiplicity: >1 on a matched pair
+        # means two source rows hit the SAME target row — SQL errors
+        # ("MERGE command cannot affect row a second time")
+        src_w = Window.partitionBy(CHUNK_COL, *keys)
+        if nmbs:
+            ex = new.select(
+                *data_cols,
+                F.col(CHUNK_COL).alias("_schunk"),
+                F.count(F.lit(1)).over(src_w).alias("_smult"),
+                F.lit(True).alias("_sp"),
+            ).alias("excluded")
         j = tgt.join(ex, cond, "full_outer")
         t_here = F.col("target._tp").isNotNull()
         s_here = F.col("excluded._sp").isNotNull()
         is_update = t_here & s_here & F.lit(bool(matched_update))
         is_delete = t_here & s_here & F.lit(bool(delete_matched))
         is_insert = ~t_here & s_here & F.lit(bool(insert_not_matched))
-
-        # the stats pass gates the rewrite (a no-op MERGE must not
-        # rewrite chunks) but only needs key-match info — run it on a
-        # KEY-COLUMNS-ONLY projection of the same join so the shuffle
-        # carries keys + time, not full rows; the full-width join below
-        # executes once, inside the write job
         tcol = self.time_column
-        narrow_cols = list(dict.fromkeys([*keys, tcol]))
-        tgt_k = old.select(
-            *narrow_cols,
-            F.col(CHUNK_COL).alias("_tchunk"),
-            F.lit(True).alias("_tp"),
-        ).alias("target")
-        # per-(chunk, keys) source multiplicity: >1 on a matched pair
-        # means two source rows hit the SAME target row — SQL errors
-        # ("MERGE command cannot affect row a second time"); one extra
-        # window over the (narrow) source side only
-        src_w = Window.partitionBy(CHUNK_COL, *keys)
-        ex_k = new.select(
-            *narrow_cols,
-            F.col(CHUNK_COL).alias("_schunk"),
-            F.count(F.lit(1)).over(src_w).alias("_smult"),
-            F.lit(True).alias("_sp"),
-        ).alias("excluded")
-        jk = tgt_k.join(ex_k, cond, "full_outer")
+
+        # first-matching by-source clause index (PG evaluates WHEN
+        # clauses in order); -1 = no clause applies, row is kept
+        is_nmbs_row = t_here & ~s_here
+        clause_idx = F.lit(-1)
+        if nmbs:
+            expr = None
+            for i, (cnd, _a) in enumerate(nmbs):
+                c = F.expr(cnd) if cnd is not None else F.lit(True)
+                expr = F.when(c, F.lit(i)) if expr is None else expr.when(c, F.lit(i))
+            clause_idx = F.when(is_nmbs_row, expr.otherwise(F.lit(-1))).otherwise(
+                F.lit(-1)
+            )
+        del_idx = [i for i, (_c, a) in enumerate(nmbs) if a == "delete"]
+        upd_idx = [i for i, (_c, a) in enumerate(nmbs) if a != "delete"]
+        nmbs_delete = (
+            clause_idx.isin(del_idx) if del_idx else F.lit(False)
+        )
+        nmbs_update = (
+            clause_idx.isin(upd_idx) if upd_idx else F.lit(False)
+        )
+
+        src_time = self._internal_time_expr(src, F.col(f"excluded.{tcol}"))
         k_ins = ~t_here & s_here & F.lit(bool(insert_not_matched))
         touched = k_ins | (t_here & s_here)
-        counts = jk.agg(
+        aggs = [
             F.sum(k_ins.cast("long")).alias("ins"),
             F.sum((t_here & s_here).cast("long")).alias("matched"),
             F.max(
                 F.when(t_here & s_here, F.col("excluded._smult"))
             ).alias("max_mult"),
-            F.min(
-                F.when(
-                    touched,
-                    self._internal_time_expr(src, F.col(f"excluded.{tcol}")),
-                )
-            ).alias("tmin"),
-            F.max(
-                F.when(
-                    touched,
-                    self._internal_time_expr(src, F.col(f"excluded.{tcol}")),
-                )
-            ).alias("tmax"),
-        ).collect()[0]
+        ]
+        if nmbs:
+            # gating stats need the clause conditions (arbitrary target
+            # columns), so they run on the FULL-WIDTH join; affected
+            # target rows widen the invalidation/frozen range
+            tgt_time = self._internal_time_expr(old, F.col(f"target.{tcol}"))
+            affected_any = touched | nmbs_delete | nmbs_update
+            t_probe = F.when(touched, src_time).otherwise(
+                F.when(nmbs_delete | nmbs_update, tgt_time)
+            )
+            aggs += [
+                F.min(F.when(affected_any, t_probe)).alias("tmin"),
+                F.max(F.when(affected_any, t_probe)).alias("tmax"),
+                F.sum(nmbs_delete.cast("long")).alias("nmbs_del"),
+                F.sum(nmbs_update.cast("long")).alias("nmbs_upd"),
+            ]
+            counts = j.agg(*aggs).collect()[0]
+        else:
+            # the stats pass gates the rewrite (a no-op MERGE must not
+            # rewrite chunks) but only needs key-match info — run it on
+            # a KEY-COLUMNS-ONLY projection of the same join so the
+            # shuffle carries keys + time, not full rows; the full-width
+            # join executes once, inside the write job
+            narrow_cols = list(dict.fromkeys([*keys, tcol]))
+            tgt_k = old.select(
+                *narrow_cols,
+                F.col(CHUNK_COL).alias("_tchunk"),
+                F.lit(True).alias("_tp"),
+            ).alias("target")
+            ex_k = new.select(
+                *narrow_cols,
+                F.col(CHUNK_COL).alias("_schunk"),
+                F.count(F.lit(1)).over(src_w).alias("_smult"),
+                F.lit(True).alias("_sp"),
+            ).alias("excluded")
+            jk = tgt_k.join(ex_k, cond, "full_outer")
+            aggs += [
+                F.min(F.when(touched, src_time)).alias("tmin"),
+                F.max(F.when(touched, src_time)).alias("tmax"),
+            ]
+            counts = jk.agg(*aggs).collect()[0]
         n_matched = int(counts["matched"] or 0)
         n_ins = int(counts["ins"] or 0)
+        n_nmbs_del = int(counts["nmbs_del"] or 0) if nmbs else 0
+        n_nmbs_upd = int(counts["nmbs_upd"] or 0) if nmbs else 0
         if n_matched and int(counts["max_mult"] or 0) > 1:
             raise ValueError(
                 "MERGE command cannot affect row a second time: multiple "
                 "source rows match the same target row on the given keys "
                 "(deduplicate the source on the keys first)"
             )
-        n_upd = n_matched if matched_update else 0
-        n_del = n_matched if delete_matched else 0
+        n_upd = (n_matched if matched_update else 0) + n_nmbs_upd
+        n_del = (n_matched if delete_matched else 0) + n_nmbs_del
         if n_ins == 0 and n_upd == 0 and n_del == 0:
             return zeros
         if counts["tmin"] is not None:
@@ -1262,19 +1340,40 @@ class Hypertable:
             if c not in data_cols:
                 raise ValueError(f"unknown column {c!r} in matched_update")
             upd[c] = F.expr(expr) if isinstance(expr, str) else expr
+
+        def _nmbs_value(c: str):
+            """CASE over the winning clause's update expr for column c."""
+            col = None
+            for i in upd_idx:
+                a = nmbs[i][1]
+                if c in a:
+                    e = a[c]
+                    e = F.expr(e) if isinstance(e, str) else e
+                    col = (
+                        F.when(clause_idx == i, e)
+                        if col is None
+                        else col.when(clause_idx == i, e)
+                    )
+            if col is None:
+                return F.col(f"target.{c}")
+            return col.otherwise(F.col(f"target.{c}"))
+
         out_cols = []
         for c in data_cols:
             col = (
-                F.when(is_delete, F.lit(None))
+                F.when(is_delete | nmbs_delete, F.lit(None))
                 .when(is_update, upd.get(c, F.col(f"target.{c}")))
+                .when(nmbs_update, _nmbs_value(c))
                 .when(t_here, F.col(f"target.{c}"))
                 .otherwise(F.col(f"excluded.{c}"))
             )
             out_cols.append(col.alias(c))
-        out = j.filter((t_here & ~is_delete) | is_insert).select(*out_cols)
+        out = j.filter(
+            (t_here & ~is_delete & ~nmbs_delete) | is_insert
+        ).select(*out_cols)
         out = out.select("*", *self._partition_exprs(out))
 
-        if delete_matched:
+        if delete_matched or n_nmbs_del:
             # a fully-emptied chunk dir is invisible to dynamic overwrite
             survivors = {
                 r[0] for r in out.select(CHUNK_COL).distinct().collect()

@@ -1249,15 +1249,53 @@ def run_merge(ts, q: str) -> DataFrame:
     matched_update = None
     delete_matched = False
     insert_not_matched = False
+    not_matched_by_source: list = []
+
+    def _parse_set(body: str) -> dict:
+        out = {}
+        for item in _split_args(body):
+            col, eq, expr = item.partition("=")
+            if not eq:
+                raise ValueError(f"bad SET item {item!r}")
+            col = _normalize(col.strip()).removeprefix("target.")
+            out[col] = _normalize(rewrite_sql(expr.strip(), ts))
+        return out
+
     for clause in re.split(r"(?i)\bwhen\b", when_part)[1:]:
         clause = clause.strip()
+        # PG17: WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE|DELETE
+        # (test/sql/merge_not_matched_by_source.sql)
+        bm = re.match(
+            r"^not\s+matched\s+by\s+source\s*(?:and\s+(.*?))?\s*then\s+(.*)$",
+            clause,
+            re.I | re.S,
+        )
+        if bm:
+            cnd = _normalize(rewrite_sql(bm.group(1), ts)) if bm.group(1) else None
+            act = bm.group(2).strip()
+            if re.match(r"^delete\s*$", act, re.I):
+                not_matched_by_source.append(
+                    {"condition": cnd, "action": "delete"}
+                )
+            else:
+                um = re.match(r"^update\s+set\s+(.*)$", act, re.I | re.S)
+                if not um:
+                    raise ValueError(
+                        f"unsupported NOT MATCHED BY SOURCE action {act!r}"
+                    )
+                not_matched_by_source.append(
+                    {"condition": cnd, "action": _parse_set(um.group(1))}
+                )
+            continue
         cm = re.match(
-            r"^(not\s+)?matched\s+then\s+(.*)$", clause, re.I | re.S
+            r"^(not\s+)?matched\s+(?:by\s+target\s+)?then\s+(.*)$",
+            clause,
+            re.I | re.S,
         )
         if not cm:
             raise ValueError(f"cannot parse WHEN clause {clause!r}")
         action = cm.group(2).strip()
-        if cm.group(1):  # NOT MATCHED
+        if cm.group(1):  # NOT MATCHED [BY TARGET]
             im = re.match(
                 r"^insert\s*(\*|\(([^)]*)\)\s*values\s*\((.*)\))\s*$",
                 action,
@@ -1281,19 +1319,14 @@ def run_merge(ts, q: str) -> DataFrame:
             um = re.match(r"^update\s+set\s+(.*)$", action, re.I | re.S)
             if not um:
                 raise ValueError(f"unsupported MATCHED action {action!r}")
-            matched_update = {}
-            for item in _split_args(um.group(1)):
-                col, eq, expr = item.partition("=")
-                if not eq:
-                    raise ValueError(f"bad SET item {item!r}")
-                col = _normalize(col.strip()).removeprefix("target.")
-                matched_update[col] = _normalize(rewrite_sql(expr.strip(), ts))
+            matched_update = _parse_set(um.group(1))
     st = ht.merge_into(
         src,
         keys,
         matched_update=matched_update,
         insert_not_matched=insert_not_matched,
         delete_matched=delete_matched,
+        not_matched_by_source=not_matched_by_source or None,
     )
     return _df(
         ts,
