@@ -419,3 +419,67 @@ def q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink).select(
         F.col("win_start").alias("bucket"), "event_type", "n", "sum_v"
     )
+
+
+# ---------------------------------------------------------------------------
+# MERGE .. NOT MATCHED BY SOURCE (test/sql/merge_not_matched_by_source.sql)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_merge_by_source",
+    f"""
+    WITH src AS (
+      SELECT ts, event_id, user_id, event_type, value + 1000 AS value, props
+      FROM events WHERE event_id % 5 = 0
+      UNION ALL
+      SELECT ts, event_id + 10000000 AS event_id, user_id, event_type,
+             value + 5 AS value, props
+      FROM events WHERE event_id % 5 = 1
+    ),
+    kept AS (
+      SELECT t.ts,
+             CASE WHEN s.event_id IS NOT NULL THEN s.value
+                  ELSE -1.0 END AS value
+      FROM events t LEFT JOIN src s ON t.event_id = s.event_id
+      WHERE NOT (s.event_id IS NULL AND t.event_id % 7 = 3)
+      UNION ALL
+      SELECT s.ts, s.value FROM src s
+      WHERE NOT EXISTS (SELECT 1 FROM events t WHERE t.event_id = s.event_id)
+    )
+    SELECT {_bucket_sql(DAY, 'ts')} AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(value) AS sum_v
+    FROM kept GROUP BY 1
+    """,
+)
+def q_merge_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four-clause MERGE with PG17 by-source arms over a multi-chunk
+    hypertable (test/sql/merge_not_matched_by_source.sql): matched rows
+    take the source value, missing sources insert, unmatched targets
+    with event_id%7=3 delete, the rest update to a sentinel — the final
+    daily rollup must equal the oracle's set-algebra restatement."""
+    ts = _scratch(spark, "ts_mrgsrc_")
+    ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+    ev = load_table(spark, sf_dir, "events")
+    ht.insert(ev)
+    src = ev.filter(F.col("event_id") % 5 == 0).withColumn(
+        "value", F.col("value") + F.lit(1000.0)
+    ).unionByName(
+        ev.filter(F.col("event_id") % 5 == 1)
+        .withColumn("event_id", F.col("event_id") + F.lit(10_000_000))
+        .withColumn("value", F.col("value") + F.lit(5.0))
+    )
+    ht.merge_into(
+        src, ["event_id"],
+        matched_update={"value": "excluded.value"},
+        insert_not_matched=True,
+        not_matched_by_source=[
+            {"condition": "target.event_id % 7 = 3", "action": "delete"},
+            {"action": {"value": "-1.0"}},
+        ],
+    )
+    return (
+        ht.read()
+        .groupBy(time_bucket("1 day", "ts").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_v"))
+    )
