@@ -77,3 +77,48 @@ def test_telemetry_report_counts(ts, spark):
     assert rep["num_hypertables"] >= 2  # t + cagg mat table
     assert rep["num_chunks"] >= 1
     assert rep["num_continuous_aggs"] == 1
+
+
+def test_analyze_restores_stats_after_rewrite(ts, spark):
+    """ANALYZE refreshes chunk-skipping stats that in-place rewrites
+    deliberately invalidate (_mark_rewritten drops them so pruning can
+    never use a lying range)."""
+    ht = ts.create_hypertable("an", "ts", chunk_interval="1 day")
+    ht.insert(_rows(spark, 0, 4))
+    ht.insert(_rows(spark, 1, 4))
+    ht.enable_chunk_skipping("v")
+    cat = ts.catalog
+    assert len(cat.chunk_column_stats.find(hypertable_id=ht.id)) == 2
+    # compress then rewrite day 0 -> its stats rows are dropped
+    from timescaledb_spark.compression import compress_chunks, enable_columnstore
+
+    enable_columnstore(ht)
+    compress_chunks(ht)
+    ht.update_where({"v": "v + 1"}, "dev = 0", start=1704067200000000,
+                    end=1704067200000000 + 86_400_000_000)
+    remaining = {
+        r["chunk_id"] for r in cat.chunk_column_stats.find(
+            hypertable_id=ht.id, column="v"
+        )
+    }
+    all_chunks = {c["id"] for c in ht.chunks()}
+    assert remaining < all_chunks  # at least one chunk lost its stats
+    n = ht.analyze()
+    assert n == 2
+    assert {
+        r["chunk_id"] for r in cat.chunk_column_stats.find(
+            hypertable_id=ht.id, column="v"
+        )
+    } == all_chunks
+
+
+def test_sql_analyze_and_vacuum(ts, spark):
+    ht = ts.create_hypertable("va", "ts", chunk_interval="1 day")
+    ht.insert(_rows(spark, 0, 2))
+    ht.enable_chunk_skipping("v")
+    r = ts.sql("ANALYZE va").collect()[0]
+    assert r["stats_rows"] == 1
+    r = ts.sql("VACUUM ANALYZE va").collect()[0]
+    assert r["stats_rows"] == 1
+    r = ts.sql("VACUUM va").collect()[0]  # stats refresh; parquet needs no vacuum
+    assert r["stats_rows"] == 1

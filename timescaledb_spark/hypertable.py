@@ -300,6 +300,9 @@ class Hypertable:
         """``disable_chunk_skipping(rel, col)`` (sql/ddl_api.sql:156):
         drop the per-chunk min/max stats for ``column``."""
         cat = self.ts.catalog
+        cols = [c for c in (self.row.get("skip_columns") or []) if c != column]
+        cat.hypertable.update({"name": self.name}, {"skip_columns": cols})
+        self._refresh()
         n = 0
         for c in self.chunks():
             rows = cat.chunk_column_stats.find(chunk_id=c["id"], column=column)
@@ -308,6 +311,22 @@ class Hypertable:
                     {"chunk_id": c["id"], "column": column}
                 )
                 n += len(rows)
+        return n
+
+    def analyze(self) -> int:
+        """``ANALYZE hypertable`` analog (``test/sql/vacuum.sql``
+        territory; ``src/ts_catalog/chunk_column_stats.c`` refresh):
+        recompute per-chunk min/max for every chunk-skipping column in
+        ONE grouped aggregate over the table. Stats go stale by design
+        after in-place rewrites (``_mark_rewritten`` drops them so a
+        pruned read can never use a lying range); ANALYZE is how they
+        come back without re-running ``enable_chunk_skipping`` per
+        column. Returns the number of (chunk, column) stats rows
+        written."""
+        cols = list(self.row.get("skip_columns") or [])
+        n = 0
+        for c in cols:
+            n += self.enable_chunk_skipping(c)
         return n
 
     def enable_chunk_skipping(self, column: str) -> int:
@@ -326,6 +345,12 @@ class Hypertable:
         df = self._apply_fills(df, chunks)
         if column not in df.columns:
             raise ValueError(f"column {column!r} not in schema")
+        cols = list(self.row.get("skip_columns") or [])
+        if column not in cols:
+            self.ts.catalog.hypertable.update(
+                {"name": self.name}, {"skip_columns": cols + [column]}
+            )
+            self._refresh()
         stats = (
             df.groupBy(CHUNK_COL)
             .agg(F.min(column).alias("mn"), F.max(column).alias("mx"))

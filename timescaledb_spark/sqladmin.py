@@ -859,6 +859,11 @@ def _split_where(tail: str):
 _TRUNCATE_RE = re.compile(
     r"^\s*truncate\s+(?:table\s+)?([A-Za-z_]\w*)\s*$", re.I
 )
+_ANALYZE_RE = re.compile(
+    r"^\s*(?:vacuum\s+(?:full\s+)?)?analyze\s+([A-Za-z_]\w*)\s*$"
+    r"|^\s*vacuum\s+(?:full\s+)?([A-Za-z_]\w*)\s*$",
+    re.I,
+)
 
 
 def match_dml(q: str):
@@ -874,6 +879,9 @@ def match_dml(q: str):
     m = _TRUNCATE_RE.match(q)
     if m:
         return ("truncate", m.group(1), None, None)
+    m = _ANALYZE_RE.match(q)
+    if m:
+        return ("analyze", m.group(1) or m.group(2), None, None)
     return None
 
 
@@ -890,6 +898,12 @@ def run_dml(ts, kind: str, table: str, body, where) -> DataFrame:
         # keep the hypertable; O(chunks), never reads data
         n = ht.truncate()
         return _df(ts, [(n,)], "chunks_dropped bigint")
+    if kind == "analyze":
+        # ANALYZE / VACUUM [ANALYZE] hypertable: refresh chunk-skipping
+        # stats (parquet needs no vacuuming; stats are the part that
+        # goes stale, src/ts_catalog/chunk_column_stats.c)
+        n = ht.analyze()
+        return _df(ts, [(n,)], "stats_rows bigint")
     cond_sql = rewrite_sql(where, ts) if where else "true"
     lo = hi = None
     if where:
