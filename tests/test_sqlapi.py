@@ -133,6 +133,76 @@ def test_bounds_between_and_qualified():
     assert lo == 1704844800 * US and hi == 1705708800 * US + 1
 
 
+def test_bounds_not_disables():
+    """NOT (ts > x) inverts the range — extraction must bail, a
+    pruned-superset claim only holds for un-negated conjuncts."""
+    lo, hi = extract_time_bounds(
+        "SELECT * FROM events WHERE NOT (ts > '2024-01-10')",
+        "events", "ts", set())
+    assert lo is None and hi is None
+
+
+def test_bounds_case_projection_disables():
+    """A comparison inside a SELECT-list CASE is not a filter."""
+    from timescaledb_spark.sqlapi import extract_numeric_bounds
+
+    lo, hi = extract_numeric_bounds(
+        "SELECT sum(CASE WHEN value > 100 THEN 1 END) FROM events",
+        "events", "value", set())
+    assert lo is None and hi is None
+
+
+def test_bounds_boolean_projection_disables():
+    from timescaledb_spark.sqlapi import extract_numeric_bounds
+
+    lo, hi = extract_numeric_bounds(
+        "SELECT value > 100 AS flag FROM events", "events", "value", set())
+    assert lo is None and hi is None
+
+
+def test_bounds_no_where_disables():
+    from timescaledb_spark.sqlapi import extract_numeric_bounds
+
+    lo, hi = extract_numeric_bounds(
+        "SELECT value FROM events", "events", "value", set())
+    assert lo is None and hi is None
+
+
+def test_bounds_is_not_null_still_extracts():
+    """IS NOT NULL never wraps a comparison — must not trip the NOT
+    guard."""
+    lo, hi = extract_time_bounds(
+        "SELECT * FROM events WHERE value IS NOT NULL AND ts >= '2024-01-10'",
+        "events", "ts", set())
+    assert lo == 1704844800 * US
+
+
+def test_bounds_having_disables():
+    from timescaledb_spark.sqlapi import extract_numeric_bounds
+
+    lo, hi = extract_numeric_bounds(
+        "SELECT k, count(*) FROM events WHERE k > 0 GROUP BY k "
+        "HAVING max(value) > 100",
+        "events", "value", set())
+    assert lo is None and hi is None
+
+
+def test_bounds_where_fragment_mode():
+    """Gapfill/DML pass bare WHERE fragments (no SELECT/WHERE keyword)."""
+    lo, hi = extract_time_bounds(
+        "ts >= '2024-01-10' AND ts < '2024-01-20'", "", "ts", set())
+    assert lo == 1704844800 * US and hi == 1705708800 * US
+
+
+def test_space_keys_case_disables():
+    from timescaledb_spark.sqlapi import extract_space_keys
+
+    keys = extract_space_keys(
+        "SELECT sum(CASE WHEN device = 'a' THEN 1 END) FROM events",
+        "events", "device", set())
+    assert keys is None
+
+
 # ---------------------------------------------------------------------------
 # end-to-end vs DuckDB oracle
 # ---------------------------------------------------------------------------

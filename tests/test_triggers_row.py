@@ -120,3 +120,29 @@ def test_invalid_when_rejected(ts):
     ht = ts.create_hypertable("t_bad", "ts", chunk_interval="1 day")
     with pytest.raises(ValueError):
         ht.create_trigger("x", lambda pdf: pdf, when="instead_of")
+
+
+def test_before_trigger_fires_once_with_after_row(ts, spark, tmp_path):
+    """Registering an AFTER ROW observer must not re-execute the
+    BEFORE-row pass (the after pass reads the pinned post-before frame,
+    not a re-run of the upstream DAG): a side-effecting before trigger
+    observes each row exactly once."""
+    import glob
+    import os
+
+    sink = str(tmp_path / "before_fired")
+    os.makedirs(sink, exist_ok=True)
+    ht = ts.create_hypertable("t_once", "ts", chunk_interval="1 day")
+
+    def before(pdf, _sink=sink):
+        import uuid
+
+        with open(os.path.join(_sink, uuid.uuid4().hex), "w") as f:
+            f.write(str(len(pdf)))
+        return pdf
+
+    ht.create_trigger("count_before", before, when="before_row")
+    ht.create_trigger("noop_after", lambda pdf: None, when="after_row")
+    ht.insert(_batch(spark, n=24))
+    fired = sum(int(open(p).read()) for p in glob.glob(f"{sink}/*"))
+    assert fired == 24

@@ -324,10 +324,9 @@ class Hypertable:
         column. Returns the number of (chunk, column) stats rows
         written."""
         cols = list(self.row.get("skip_columns") or [])
-        n = 0
-        for c in cols:
-            n += self.enable_chunk_skipping(c)
-        return n
+        if not cols:
+            return 0
+        return self._recompute_stats(cols)
 
     def enable_chunk_skipping(self, column: str) -> int:
         """``enable_chunk_skipping(rel, col)`` (sql/ddl_api.sql:147;
@@ -335,7 +334,18 @@ class Hypertable:
         a non-partition column so reads can exclude chunks via
         ``read(where_stats=...)``. One aggregate job over the table
         grouped by the chunk directory — no per-chunk loop."""
-        spark = self.ts.spark
+        cols = list(self.row.get("skip_columns") or [])
+        if column not in cols:
+            self.ts.catalog.hypertable.update(
+                {"name": self.name}, {"skip_columns": cols + [column]}
+            )
+            self._refresh()
+        return self._recompute_stats([column])
+
+    def _recompute_stats(self, columns: Sequence[str]) -> int:
+        """One grouped aggregate over the table computing min/max of ALL
+        requested columns at once — analyze() on k skip columns pays one
+        table scan, not k."""
         chunks = self.chunks()
         if not chunks:
             return 0
@@ -343,19 +353,14 @@ class Hypertable:
             *[self._chunk_glob(c) for c in chunks]
         )
         df = self._apply_fills(df, chunks)
-        if column not in df.columns:
-            raise ValueError(f"column {column!r} not in schema")
-        cols = list(self.row.get("skip_columns") or [])
-        if column not in cols:
-            self.ts.catalog.hypertable.update(
-                {"name": self.name}, {"skip_columns": cols + [column]}
-            )
-            self._refresh()
-        stats = (
-            df.groupBy(CHUNK_COL)
-            .agg(F.min(column).alias("mn"), F.max(column).alias("mx"))
-            .collect()
-        )
+        for column in columns:
+            if column not in df.columns:
+                raise ValueError(f"column {column!r} not in schema")
+        aggs = []
+        for i, column in enumerate(columns):
+            aggs.append(F.min(column).alias(f"mn_{i}"))
+            aggs.append(F.max(column).alias(f"mx_{i}"))
+        stats = df.groupBy(CHUNK_COL).agg(*aggs).collect()
         by_start = {c["range_start"]: c for c in chunks}
         cat = self.ts.catalog
         n = 0
@@ -363,22 +368,25 @@ class Hypertable:
             c = by_start.get(r[CHUNK_COL])
             if not c:
                 continue
-            mn, mx = r["mn"], r["mx"]
-            if hasattr(mn, "isoformat"):
-                mn, mx = mn.isoformat(), mx.isoformat()
-            cat.chunk_column_stats.delete({"chunk_id": c["id"], "column": column})
-            cat.chunk_column_stats.append(
-                [
-                    {
-                        "chunk_id": c["id"],
-                        "hypertable_id": self.id,
-                        "column": column,
-                        "min": mn,
-                        "max": mx,
-                    }
-                ]
-            )
-            n += 1
+            for i, column in enumerate(columns):
+                mn, mx = r[f"mn_{i}"], r[f"mx_{i}"]
+                if hasattr(mn, "isoformat"):
+                    mn, mx = mn.isoformat(), mx.isoformat()
+                cat.chunk_column_stats.delete(
+                    {"chunk_id": c["id"], "column": column}
+                )
+                cat.chunk_column_stats.append(
+                    [
+                        {
+                            "chunk_id": c["id"],
+                            "hypertable_id": self.id,
+                            "column": column,
+                            "min": mn,
+                            "max": mx,
+                        }
+                    ]
+                )
+                n += 1
         return n
 
     def set_chunk_time_interval(self, chunk_interval: Union[str, int]) -> None:
@@ -409,7 +417,16 @@ class Hypertable:
             raise ValueError("hypertable has no space dimension")
         if n < 1:
             raise ValueError("num_partitions must be >= 1")
-        self.ts.catalog.hypertable.update(
+        # Chunks recorded before space_n existed were all written with
+        # the CURRENT modulus; pin it on them now, otherwise space-pruned
+        # reads would hash legacy chunks with the NEW modulus and miss
+        # their sub-partition dirs (silent row loss).
+        old = int(self.row["num_partitions"])
+        cat = self.ts.catalog
+        for c in self.chunks():
+            if c.get("space_n") is None:
+                cat.chunk.update({"id": c["id"]}, {"space_n": old})
+        cat.hypertable.update(
             {"name": self.name}, {"num_partitions": int(n)}
         )
         self._refresh()
@@ -688,6 +705,24 @@ class Hypertable:
         have = set(df.columns)
         if want != have:
             raise ValueError(f"schema mismatch: want {sorted(want)}, have {sorted(have)}")
+        # AFTER ROW observers need the exact rows that were written. The
+        # incoming DAG already contains the BEFORE-row trigger passes, so
+        # re-executing it for the after pass would fire side-effecting
+        # before triggers a second time (and a nondeterministic source
+        # could yield different rows than were persisted). Pin the frame:
+        # the write job populates the cache, the after pass reads it back
+        # (MEMORY_AND_DISK — spills, never recomputes, except on executor
+        # loss, the same guarantee Spark gives any cached lineage).
+        pinned = bool(self._hooks("after_row", "insert"))
+        if pinned:
+            df = df.persist()
+        try:
+            return self._insert_pinned(df, cluster)
+        finally:
+            if pinned:
+                df.unpersist()
+
+    def _insert_pinned(self, df: DataFrame, cluster: bool) -> dict:
         internal = self._internal_time_expr(df)
         frozen = [c for c in self.chunks() if c.get("frozen")]
         if frozen:
@@ -750,6 +785,7 @@ class Hypertable:
                 return {"rows": 0, "chunks": []}
         self._reject_null_partition_dir()
         chunks = self._register_chunks_in_range(tmin, tmax)
+        self._invalidate_stats_in_range(tmin, tmax)
         self._capture_invalidation(tmin, tmax)
         stats = {"rows": n, "chunks": chunks}
         self._fire_after_row(df, "insert")
@@ -1047,13 +1083,35 @@ class Hypertable:
         )
 
     def _mark_rewritten(self, chunk_starts: Iterable[int]) -> None:
-        """After an in-place rewrite, a columnstore chunk is back to row
-        form and its skip-index stats are stale."""
+        """After an in-place rewrite a columnstore chunk is back to row
+        form, and the skip-index stats of ANY rewritten chunk are stale
+        (the reference marks them invalid on DML —
+        ``src/ts_catalog/chunk_column_stats.c``,
+        ``ts_chunk_column_stats_set_invalid``). A pruned read must never
+        use a lying min/max, so drop stats unconditionally; ANALYZE
+        restores them."""
         cat = self.ts.catalog
         starts = set(chunk_starts)
         for c in self.chunks():
-            if c["range_start"] in starts and c.get("status") == "columnstore":
+            if c["range_start"] not in starts:
+                continue
+            if c.get("status") == "columnstore":
                 cat.chunk.update({"id": c["id"]}, {"status": "rowstore"})
+            cat.chunk_column_stats.delete({"chunk_id": c["id"]})
+
+    def _invalidate_stats_in_range(self, tmin: int, tmax: int) -> None:
+        """Drop chunk-skipping stats for chunks an INSERT appended into
+        (``src/chunk.c:3571`` ``ts_chunk_column_stats_set_invalid``): the
+        new rows may widen a tracked column's true range, so a recorded
+        min/max would silently exclude the chunk from stat-pruned reads.
+        Freshly-registered chunks have no stats rows, so deleting by
+        range overlap only ever hits pre-existing chunks. No
+        skip-columns guard: compress_chunk records stats too
+        (``compression.py``), and an append into a columnstore chunk
+        must stale those as well."""
+        cat = self.ts.catalog
+        for c in self.chunks():
+            if c["range_start"] <= tmax and c["range_end"] > tmin:
                 cat.chunk_column_stats.delete({"chunk_id": c["id"]})
 
     @_serialized_dml

@@ -552,6 +552,31 @@ def _parse_time_literal(kind: str, val) -> Optional[int]:
         return None
 
 
+def _prunable_region(sql: str) -> Optional[str]:
+    """The slice of ``sql`` in which a ``col OP literal`` occurrence is
+    provably a top-level AND conjunct of the WHERE clause — or None when
+    no such guarantee holds. Bails on OR (disjunct bounds don't
+    intersect), NOT (negated comparison inverts the range), CASE (a
+    projection like ``sum(CASE WHEN value > 100 …)`` is not a filter)
+    and HAVING (post-aggregate predicate). ``IS NOT NULL`` is whitelisted
+    before the NOT check — it never wraps a comparison. For a full query
+    (text contains SELECT) matching is restricted to WHERE-onwards so
+    SELECT-list expressions — e.g. a boolean projection ``value > 100 AS
+    flag`` — can never contribute bounds; a SELECT with no WHERE has no
+    extractable bounds. Callers that pass a bare WHERE-clause fragment
+    (gapfill, DML) get the whole fragment back."""
+    stripped = _strip_strings(sql)
+    cleaned = re.sub(r"\bis\s+not\s+null\b", " ", stripped, flags=re.I)
+    if re.search(r"\b(?:or|not|case|having)\b", cleaned, re.I):
+        return None
+    if re.search(r"\bselect\b", stripped, re.I):
+        m = re.search(r"\bwhere\b", stripped, re.I)
+        if not m:
+            return None
+        return sql[m.start():]
+    return sql
+
+
 def extract_time_bounds(sql: str, table: str, col: str, aliases: set[str]):
     """Conservative (lo_us, hi_us) extraction for ``col`` of ``table``
     from the query text. Returns (None, None) unless the predicates are
@@ -560,8 +585,8 @@ def extract_time_bounds(sql: str, table: str, col: str, aliases: set[str]):
     Pruning with a **superset** range is always safe because the original
     predicates stay in the query; this only narrows the scan's file list.
     """
-    stripped = _strip_strings(sql)
-    if re.search(r"\bor\b", stripped, re.I):
+    sql = _prunable_region(sql)
+    if sql is None:
         return None, None
     names = [a for a in aliases | {table} if a]
     # Either a known qualifier ("tbl." / "alias.") or an unqualified ref
@@ -622,8 +647,8 @@ def extract_numeric_bounds(sql: str, table: str, col: str, aliases: set[str]):
     reference's chunk-skipping ranges). Bounds here are INCLUSIVE on
     both ends (``where_stats`` overlap test), so a superset range is
     always safe: the raw predicate stays in the query."""
-    stripped = _strip_strings(sql)
-    if re.search(r"\bor\b", stripped, re.I):
+    sql = _prunable_region(sql)
+    if sql is None:
         return None, None
     names = [a for a in aliases | {table} if a]
     if names:
@@ -656,8 +681,8 @@ def extract_space_keys(sql: str, table: str, col: str, aliases: set[str]):
     (lits)`` in an AND-only query → the literal list; else None. Drives
     hash-partition (``_space=k``) exclusion, the SQL-path analog of
     ``src/planner/space_constraint.c``."""
-    stripped = _strip_strings(sql)
-    if re.search(r"\bor\b", stripped, re.I):
+    sql = _prunable_region(sql)
+    if sql is None:
         return None
     names = [a for a in aliases | {table} if a]
     if names:
