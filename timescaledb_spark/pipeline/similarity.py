@@ -266,10 +266,17 @@ def pq_train(
     """Train PQ codebooks: split dims into ``m`` subspaces, k-means each
     with ``n_codes`` centroids over a deterministic sample. Returns a
     numpy array of shape (m, n_codes, dim/m)."""
+    rows = corpus.select(vec_col).limit(sample).collect()
+    return _pq_train_numpy([r[0] for r in rows], m, n_codes, iters, seed)
+
+
+def _pq_train_numpy(vectors, m: int, n_codes: int, iters: int, seed: int = 7):
+    """The training body on raw vectors — shared with the DuckDB oracle
+    builder (queries_pipeline._ann_pq_oracle) so the gate's codebooks and
+    the oracle's inlined VALUES are the same bits by construction."""
     import numpy as np
 
-    rows = corpus.select(vec_col).limit(sample).collect()
-    X = _l2_normalize(np.asarray([r[0] for r in rows], dtype=np.float64))
+    X = _l2_normalize(np.asarray(vectors, dtype=np.float64))
     n, dim = X.shape
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")

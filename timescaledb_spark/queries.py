@@ -38,10 +38,13 @@ from .sources import load_table
 ORIGIN_US = 946_857_600_000_000
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLES: dict[str, str] = {}
+# value: SQL string, or a zero-arg callable returning one (resolved at
+# oracle_sql() time — for oracles whose text embeds data-derived
+# constants, e.g. PQ codebooks inlined as VALUES)
+ORACLES: dict[str, object] = {}
 
 
-def query(name: str, oracle: str | None = None):
+def query(name: str, oracle=None):
     def deco(fn):
         QUERIES[name] = fn
         if oracle is not None:
@@ -1304,7 +1307,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     _load_extra_inventories()
-    return _ordered(ORACLES)
+    return _ordered(
+        {k: (v() if callable(v) else v) for k, v in ORACLES.items()}
+    )
 
 
 def _load_extra_inventories() -> None:

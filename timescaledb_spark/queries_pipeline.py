@@ -222,15 +222,99 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.decontaminate(docs, bench, ngram_k=5, min_hits=2)
 
 
-@query("q_ann_pq")  # approximate index: no SQL oracle; rows-only gate +
-                    # recall-vs-bruteforce assertion in tests/test_pq.py
+def _ann_pq_oracle() -> str:
+    """PQ-ANN oracle: the codebooks are deterministic (seed=7, sample =
+    first 512 rows in file order), so train them HERE with the same
+    numpy body the gate uses (similarity._pq_train_numpy), inline them
+    as a VALUES table, and let DuckDB independently re-run the rest of
+    the pipeline — l2-normalize, per-subspace argmin encode, per-query
+    LUT, ADC distance sum, top-k rank. Selection margins measured on
+    this dataset: >=7e-6 between best and 2nd centroid, >=3e-3 between
+    adjacent ranked distances — float summation-order noise (~1e-16)
+    cannot flip any selection, and pq_dist itself passes the 10-digit
+    canon. Lazy (resolved at oracle_sql() time) because the SQL text
+    embeds data-derived constants."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as papq
+
+    from .pipeline.similarity import _pq_train_numpy
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    t = papq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    )
+    vecs = t["embedding"].to_pylist()[:512]
+    books = _pq_train_numpy(vecs, m=16, n_codes=32, iters=8, seed=7)
+    m, n_codes, sub = books.shape
+    vals = ",\n".join(
+        "(%d,%d,%s)" % (j, c, ",".join(repr(float(v)) for v in books[j, c]))
+        for j in range(m)
+        for c in range(n_codes)
+    )
+    dcols = ",".join(f"d{d}" for d in range(sub))
+
+    def sqdist(vec: str, nrm: str) -> str:
+        return " + ".join(
+            f"({vec}[j*{sub}+{d}+1]/{nrm} - d{d})*({vec}[j*{sub}+{d}+1]/{nrm} - d{d})"
+            for d in range(sub)
+        )
+
+    return f"""
+    WITH cb(j, c, {dcols}) AS (VALUES
+    {vals}
+    ),
+    cn AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) = 0
+                  THEN 1.0
+                  ELSE sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+             END AS nrm
+      FROM embeddings
+    ),
+    codes AS (
+      SELECT vec_id, j, c AS code FROM (
+        SELECT cn.vec_id, cb.j, cb.c,
+               row_number() OVER (
+                 PARTITION BY cn.vec_id, cb.j
+                 ORDER BY {sqdist('e', 'nrm')} ASC, cb.c ASC
+               ) AS rn
+        FROM cn CROSS JOIN cb
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT cn.vec_id AS query_id, cb.j, cb.c,
+             {sqdist('e', 'nrm')} AS qd2
+      FROM cn CROSS JOIN cb
+      WHERE cn.vec_id < 5
+    ),
+    adc AS (
+      SELECT l.query_id, k.vec_id AS neighbor_id, sum(l.qd2) AS pq_dist
+      FROM codes k JOIN lut l ON l.j = k.j AND l.c = k.code
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, pq_dist,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY pq_dist ASC, neighbor_id ASC
+             ) AS rank
+      FROM adc WHERE query_id != neighbor_id
+    )
+    SELECT query_id, neighbor_id, pq_dist, rank FROM ranked WHERE rank <= 5
+    """
+
+
+@query("q_ann_pq", _ann_pq_oracle)
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (32x vector compression + ADC scan):
     train codebooks on a bounded sample, encode the corpus to m small
     codes, answer top-k from LUT sums over the codes — the corpus pass
-    never reads the raw vectors. Approximate by construction, so the
-    gate checks execution, and tests/test_pq.py checks recall against
-    the exact baseline."""
+    never reads the raw vectors. Hash-gated against a DuckDB oracle that
+    re-runs encode+ADC from the same (deterministic, inlined) codebooks;
+    tests/test_pq.py additionally checks recall vs the exact baseline."""
     from .pipeline.similarity import knn_pq, pq_encode, pq_train
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -240,14 +324,93 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_pq(codes, queries_df, books, k=5)
 
 
-@query("q_lttb")  # visually-lossy downsample: output is algorithm-defined,
-                  # not SQL-expressible; rows-only gate + exactness tests
-                  # in tests/test_downsample.py
+# LTTB is deterministic, so the oracle replicates the ALGORITHM in a
+# recursive CTE: per series, bucket bounds are numpy's
+# linspace(1, n-1, n_out-1).astype(int64) (same float64 arithmetic:
+# i*((n-2)/22)+1 truncated), and each recursion step picks the
+# max-triangle-area point of bucket k against the previously kept point
+# and the NEXT bucket's average — ties broken by first index, matching
+# np.argmax. Buckets are 2-4 points here, where DuckDB's sequential avg
+# is bitwise-equal to numpy's mean, so the selection is exact.
+_LTTB_ORACLE = """
+WITH RECURSIVE
+pts AS (
+  SELECT user_id, ts, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS i,
+         CAST(epoch_us(ts) AS DOUBLE) AS x,
+         CAST(value AS DOUBLE) AS y
+  FROM events
+),
+ns AS (SELECT user_id, count(*) AS n FROM pts GROUP BY user_id),
+bounds AS (
+  SELECT ns.user_id, g.bi,
+         CAST(trunc(CASE WHEN g.bi = 22 THEN CAST(ns.n - 1 AS DOUBLE)
+              ELSE g.bi * ((ns.n - 2.0) / 22.0) + 1.0 END) AS BIGINT) AS b
+  FROM ns, (SELECT unnest(range(0, 23)) AS bi) g
+  WHERE ns.n > 24
+),
+buckets AS (
+  SELECT b0.user_id, b0.bi AS k, b0.b AS lo, b1.b AS hi,
+         b1.b AS nlo,
+         LEAST(COALESCE(b2.b, ns.n - 1), ns.n - 1) AS nhi,
+         ns.n AS n
+  FROM bounds b0
+  JOIN bounds b1 ON b1.user_id = b0.user_id AND b1.bi = b0.bi + 1
+  LEFT JOIN bounds b2 ON b2.user_id = b0.user_id AND b2.bi = b0.bi + 2
+  JOIN ns ON ns.user_id = b0.user_id
+  WHERE b0.bi <= 21
+),
+avgs AS (
+  SELECT bk.user_id, bk.k, avg(p.x) AS avx, avg(p.y) AS avy
+  FROM buckets bk JOIN pts p
+    ON p.user_id = bk.user_id AND p.i >= bk.nlo AND p.i < bk.nhi
+  GROUP BY bk.user_id, bk.k
+),
+avgs2 AS (
+  SELECT bk.user_id, bk.k,
+         COALESCE(a.avx, pl.x) AS avx, COALESCE(a.avy, pl.y) AS avy
+  FROM buckets bk
+  LEFT JOIN avgs a ON a.user_id = bk.user_id AND a.k = bk.k
+  JOIN pts pl ON pl.user_id = bk.user_id AND pl.i = bk.n - 1
+),
+rec AS (
+  SELECT user_id, 0 AS k, CAST(0 AS BIGINT) AS a FROM ns WHERE n > 24
+  UNION ALL
+  SELECT user_id, k + 1, j FROM (
+    SELECT r.user_id, r.k, p.i AS j,
+           row_number() OVER (
+             PARTITION BY r.user_id
+             ORDER BY abs((pa.x - av.avx) * (p.y - pa.y)
+                        - (pa.x - p.x) * (av.avy - pa.y)) DESC, p.i ASC
+           ) AS rn
+    FROM rec r
+    JOIN pts pa ON pa.user_id = r.user_id AND pa.i = r.a
+    JOIN buckets bk ON bk.user_id = r.user_id AND bk.k = r.k
+    JOIN avgs2 av ON av.user_id = r.user_id AND av.k = r.k
+    JOIN pts p ON p.user_id = r.user_id AND p.i >= bk.lo AND p.i < bk.hi
+    WHERE r.k <= 21
+  ) s WHERE s.rn = 1
+),
+kept AS (
+  SELECT user_id, a AS i FROM rec
+  UNION ALL
+  SELECT user_id, n - 1 AS i FROM ns WHERE n > 24
+  UNION ALL
+  SELECT p.user_id, p.i FROM pts p JOIN ns ON ns.user_id = p.user_id
+  WHERE ns.n <= 24
+)
+SELECT p.user_id, p.ts, p.value
+FROM pts p JOIN kept k ON k.user_id = p.user_id AND k.i = p.i
+"""
+
+
+@query("q_lttb", _LTTB_ORACLE)
 def q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """largest_triangle_three_buckets downsample (toolkit lttb): each
-    user's series reduced to 24 representative points via per-group
-    applyInPandas; first/last kept, interior points maximize triangle
-    area."""
+    user's series reduced to 24 representative points; first/last kept,
+    interior points maximize triangle area. Hash-gated against the
+    recursive-CTE oracle above (exact point selection), plus numpy
+    exactness tests in tests/test_downsample.py."""
     from .pipeline.downsample import lttb
 
     ev = load_table(spark, sf_dir, "events")
