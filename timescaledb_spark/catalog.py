@@ -28,19 +28,79 @@ from typing import Any, Iterable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
+try:  # POSIX only; on other platforms the catalog degrades to the
+    import fcntl  # documented single-process guarantee
+except ImportError:  # pragma: no cover
+    fcntl = None
 
-class JsonlTable:
-    """One catalog table = one JSONL file with atomic replace."""
+
+class ProcessRLock:
+    """Reentrant lock that is exclusive ACROSS PROCESSES, not just
+    threads — the analog of the reference's PostgreSQL row locks (its
+    ~43 isolation specs, e.g. ``tsl/test/isolation/specs/
+    cagg_concurrent_refresh.spec``, all lean on them). In-process
+    reentrancy and serialization come from a ``threading.RLock``; the
+    outermost acquisition additionally takes ``fcntl.flock`` on a
+    sidecar file, so a second DRIVER PROCESS (cron scheduler + ingest
+    job, two notebooks on one warehouse root) serializes its compound
+    catalog transactions against ours instead of interleaving
+    read→replace and losing rows. flock is advisory but every writer in
+    this engine goes through here; it is also released by the kernel on
+    process death, so a crashed driver can never wedge the catalog."""
 
     def __init__(self, path: str):
+        self._path = path
+        self._rlock = threading.RLock()
+        self._depth = 0
+        self._fd: Optional[int] = None
+
+    def acquire(self) -> None:
+        self._rlock.acquire()
+        self._depth += 1
+        if self._depth == 1 and fcntl is not None:
+            os.makedirs(os.path.dirname(self._path), exist_ok=True)
+            fd = os.open(self._path, os.O_CREAT | os.O_RDWR, 0o644)
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX)
+            except OSError:  # filesystem without flock (some NFS): the
+                os.close(fd)  # in-process lock still holds
+                fd = None
+            self._fd = fd
+
+    def release(self) -> None:
+        if self._depth == 1 and self._fd is not None:
+            fcntl.flock(self._fd, fcntl.LOCK_UN)
+            os.close(self._fd)
+            self._fd = None
+        self._depth -= 1
+        self._rlock.release()
+
+    def __enter__(self) -> "ProcessRLock":
+        self.acquire()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.release()
+
+
+class JsonlTable:
+    """One catalog table = one JSONL file with atomic replace. Every
+    operation — reads included, to rule out torn reads of a concurrent
+    append — holds the catalog-wide :class:`ProcessRLock`, so single
+    table ops are atomic across processes and compound transactions
+    (``with catalog.write_lock: find → append → delete``) nest via
+    reentrancy."""
+
+    def __init__(self, path: str, lock: Optional[ProcessRLock] = None):
         self.path = path
-        self._lock = threading.Lock()
+        self._lock = lock if lock is not None else threading.RLock()
 
     def read(self) -> list[dict]:
-        if not os.path.exists(self.path):
-            return []
-        with open(self.path) as f:
-            return [json.loads(line) for line in f if line.strip()]
+        with self._lock:
+            if not os.path.exists(self.path):
+                return []
+            with open(self.path) as f:
+                return [json.loads(line) for line in f if line.strip()]
 
     def append(self, rows: Iterable[dict]) -> None:
         rows = list(rows)
@@ -62,24 +122,32 @@ class JsonlTable:
             os.replace(tmp, self.path)
 
     def update(self, match: dict, changes: dict) -> int:
-        """Update rows where all ``match`` keys equal; returns count."""
-        rows = self.read()
-        n = 0
-        for r in rows:
-            if all(r.get(k) == v for k, v in match.items()):
-                r.update(changes)
-                n += 1
-        if n:
-            self.replace(rows)
-        return n
+        """Update rows where all ``match`` keys equal; returns count.
+        The read→replace pair holds the lock throughout (reentrant), so
+        another process can't interleave between them."""
+        with self._lock:
+            rows = self.read()
+            n = 0
+            for r in rows:
+                if all(r.get(k) == v for k, v in match.items()):
+                    r.update(changes)
+                    n += 1
+            if n:
+                self.replace(rows)
+            return n
 
     def delete(self, match: dict) -> int:
-        rows = self.read()
-        keep = [r for r in rows if not all(r.get(k) == v for k, v in match.items())]
-        n = len(rows) - len(keep)
-        if n:
-            self.replace(keep)
-        return n
+        with self._lock:
+            rows = self.read()
+            keep = [
+                r
+                for r in rows
+                if not all(r.get(k) == v for k, v in match.items())
+            ]
+            n = len(rows) - len(keep)
+            if n:
+                self.replace(keep)
+            return n
 
     def find(self, **match: Any) -> list[dict]:
         return [
@@ -117,35 +185,45 @@ class Catalog:
         self.root = root
         self.dir = os.path.join(root, "_catalog")
         os.makedirs(self.dir, exist_ok=True)
-        self._tables = {
-            t: JsonlTable(os.path.join(self.dir, f"{t}.jsonl")) for t in self.TABLES
-        }
         # Concurrency model (the analog of the reference's row locks on
         # the invalidation threshold, tsl/src/continuous_aggs/
-        # invalidation_threshold.c, and its ~43 isolation specs): ONE
-        # driver process owns the catalog; within it, concurrent threads
-        # (streaming foreachBatch, job scheduler, user calls) serialize
-        # multi-step catalog read-modify-write sections on this lock.
-        # Each JsonlTable already locks single calls; this lock protects
-        # COMPOUND transactions (find -> append -> delete), e.g. refresh
-        # txn-2a draining the hypertable invalidation log while an insert
-        # appends to it. Cross-PROCESS writers are unsupported by design
-        # (single-writer catalog, like a Hive metastore owner).
-        self.write_lock = threading.RLock()
+        # invalidation_threshold.c, and its ~43 isolation specs):
+        # concurrent threads (streaming foreachBatch, job scheduler,
+        # user calls) AND concurrent driver PROCESSES (a cron scheduler
+        # process + an ingest job on the same warehouse root) serialize
+        # catalog access on this lock — thread-side via its RLock,
+        # process-side via fcntl.flock on <root>/_catalog/.lock
+        # (ProcessRLock). Every JsonlTable op holds it (shared
+        # instance), making single ops atomic cross-process; compound
+        # transactions (find -> append -> delete, e.g. refresh txn-2a
+        # draining the invalidation log while an insert appends to it)
+        # wrap it explicitly and nest via reentrancy.
+        self.write_lock = ProcessRLock(os.path.join(self.dir, ".lock"))
+        self._tables = {
+            t: JsonlTable(
+                os.path.join(self.dir, f"{t}.jsonl"), self.write_lock
+            )
+            for t in self.TABLES
+        }
         # Per-hypertable DML locks: Spark append/overwrite jobs stage
         # under ONE <data_dir>/_temporary per output root, so two
         # concurrent write jobs into the same hypertable can clobber
         # each other's task staging. DML (insert/upsert/merge/update/
-        # delete) therefore serializes per hypertable in-process; reads
-        # and DML on OTHER hypertables stay fully concurrent. Lock order
-        # is always ht_lock -> write_lock (never reversed), so the pair
-        # cannot deadlock.
+        # delete) therefore serializes per hypertable — across processes
+        # too (each lock has its own flock file); reads and DML on OTHER
+        # hypertables stay fully concurrent. Lock order is always
+        # ht_lock -> write_lock (never reversed), so the pair cannot
+        # deadlock in-process or across processes.
         self._ht_locks: dict = {}
         self._ht_locks_guard = threading.Lock()
 
-    def ht_lock(self, name: str) -> threading.RLock:
+    def ht_lock(self, name: str) -> ProcessRLock:
+        safe = "".join(c if c.isalnum() or c in "._-" else "_" for c in name)
         with self._ht_locks_guard:
-            return self._ht_locks.setdefault(name, threading.RLock())
+            return self._ht_locks.setdefault(
+                name,
+                ProcessRLock(os.path.join(self.dir, f".lock.ht.{safe}")),
+            )
 
     def table(self, name: str) -> JsonlTable:
         return self._tables[name]
