@@ -70,6 +70,12 @@ def main() -> None:
     t0 = time.perf_counter()
     out["approx_rows"] = ht.approximate_row_count()
     out["approx_count_s"] = round(time.perf_counter() - t0, 2)
+    # warm path: counts were written back to the chunk catalog rows, so
+    # the second call is catalog-only — the pg-stats analog the
+    # reference answers from (sql/size_utils.sql:311)
+    t0 = time.perf_counter()
+    assert ht.approximate_row_count() == out["approx_rows"]
+    out["approx_count_warm_s"] = round(time.perf_counter() - t0, 2)
 
     # chunk-pruned UPDATE touching one week
     t0 = time.perf_counter()

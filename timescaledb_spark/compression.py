@@ -214,15 +214,32 @@ def _compress_chunk_data(
             .collect()[0]
         )
         stats = {c: [row[f"min_{c}"], row[f"max_{c}"]] for c in stat_cols}
+    # row count from the freshly written footers — free relative to the
+    # rewrite, and it keeps approximate_row_count answerable from the
+    # catalog (the reference answers from pg stats, sql/size_utils.sql:311)
+    import pyarrow.parquet as papq
+
+    n_rows = sum(
+        papq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(os.path.join(tmp, "**", "*.parquet"), recursive=True)
+    )
     shutil.rmtree(path)
     os.replace(tmp, path)
-    return {"before": before, "after": _dir_bytes(path), "stats": stats}
+    return {
+        "before": before,
+        "after": _dir_bytes(path),
+        "stats": stats,
+        "n_rows": n_rows,
+    }
 
 
 def _compress_chunk_commit(ht: Hypertable, chunk: dict, data: dict) -> dict:
     """Catalog side of a chunk compression (single-threaded)."""
     cat = ht.ts.catalog
-    cat.chunk.update({"id": chunk["id"]}, {"status": "columnstore"})
+    cat.chunk.update(
+        {"id": chunk["id"]},
+        {"status": "columnstore", "n_rows": data.get("n_rows")},
+    )
     ht._mark_fill_done([chunk["range_start"]])
     cat.chunk_column_stats.delete({"chunk_id": chunk["id"]})
     if data["stats"]:

@@ -394,29 +394,103 @@ def q_alter_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A REAL Structured Streaming query end-to-end: readStream over the
-    events parquet -> watermarked 1-day tumbling windowed_agg -> memory
-    sink under availableNow, then the sink's contents are compared to
-    the batch oracle — streaming and batch must agree exactly on fully
-    replayed data (SURVEY §2.8: tumbling windows == time_bucket)."""
+    """A REAL Structured Streaming query end-to-end, in the
+    SCALE-CORRECT output mode: readStream over the events parquet ->
+    watermarked 1-day tumbling windowed_agg -> memory sink in APPEND
+    mode under availableNow. Complete mode would rematerialize ALL
+    window state every trigger — unbounded at 100 TB; append emits each
+    window exactly once, when the watermark closes it. Because a
+    watermark only advances on a LATER batch, the replay appends two
+    far-future heartbeat files (maxFilesPerTrigger=1 → one batch each):
+    batch 1 closes all but the final real window, batch 2 closes the
+    rest — the streaming analog of an idle-source watermark tick. The
+    sink then holds every real window exactly once and must equal the
+    batch oracle (SURVEY §2.8: tumbling windows == time_bucket)."""
+    import os
+    import shutil
+    import tempfile
     import uuid as _uuid
 
-    from .sources import load_stream
     from .streaming.windows import windowed_agg
 
-    sdf = load_stream(spark, sf_dir, "events")
+    src = os.path.join(sf_dir, "events.parquet")
+    tmp = tempfile.mkdtemp(prefix="stream_win_src_")
+    shutil.copy(src, os.path.join(tmp, "part-000.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(os.path.join(tmp, "part-000.parquet")).schema
+    ts_is_ns = dict(
+        (f.name, f.dataType.simpleString()) for f in schema.fields
+    ).get("ts") == "bigint"
+
+    # two heartbeat rows far past the data (2100-01-01, +1 day); their
+    # own windows never close and are filtered out below
+    from datetime import datetime, timedelta
+
+    sent_ns = 4102444800 * 1_000_000_000
+    day_ns = 86_400 * 1_000_000_000
+    names = [f.name for f in schema.fields]
+
+    def sentinel_row(ts_ns_val):
+        vals = []
+        for f in schema.fields:
+            if f.name == "ts":
+                if ts_is_ns:
+                    vals.append(ts_ns_val)
+                else:  # parquet surfaced TIMESTAMP(_NTZ) directly
+                    vals.append(
+                        datetime(1970, 1, 1)
+                        + timedelta(microseconds=ts_ns_val // 1000)
+                    )
+            elif f.name == "event_type":
+                vals.append("_sentinel")
+            elif f.dataType.simpleString() == "bigint":
+                vals.append(-1)
+            elif f.dataType.simpleString() == "double":
+                vals.append(0.0)
+            else:
+                vals.append("")
+        return tuple(vals)
+
+    for i, ts_val in enumerate((sent_ns, sent_ns + day_ns), start=1):
+        stage = tempfile.mkdtemp(prefix="stream_win_sent_")
+        spark.createDataFrame([sentinel_row(ts_val)], schema).coalesce(
+            1
+        ).write.mode("overwrite").parquet(stage)
+        part = next(
+            p for p in os.listdir(stage) if p.endswith(".parquet")
+        )
+        dst = os.path.join(tmp, f"part-{i:03d}.parquet")
+        shutil.move(os.path.join(stage, part), dst)
+        shutil.rmtree(stage, ignore_errors=True)
+        # FileStreamSource orders batches by mtime: data, then heartbeats
+        os.utime(dst, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
+    os.utime(os.path.join(tmp, "part-000.parquet"), (1_000_000_000, 1_000_000_000))
+
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tmp)
+    )
+    if ts_is_ns:
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        from pyspark.sql import types as T
+
+        sdf = sdf.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     agg = windowed_agg(
-        sdf, "ts",
+        sdf.select(*names), "ts",
         {"n": "cast(count(1) as bigint)", "sum_v": "sum(value)"},
         window="1 day", group_by=("event_type",), watermark="1 hour",
     )
     sink = f"stream_win_{_uuid.uuid4().hex[:8]}"
     q = (
         agg.writeStream.format("memory").queryName(sink)
-        .outputMode("complete").trigger(availableNow=True).start()
+        .outputMode("append").trigger(availableNow=True).start()
     )
     q.awaitTermination()
-    return spark.table(sink).select(
+    return spark.table(sink).filter(
+        F.col("event_type") != "_sentinel"
+    ).select(
         F.col("win_start").alias("bucket"), "event_type", "n", "sum_v"
     )
 
