@@ -63,7 +63,20 @@ def main() -> None:
         "sf": sf,
         "baseline_tier_skipped": skipped,
     }
-    print(json.dumps(out))
+    # stdout line is the driver contract, but long runs can get their
+    # stdout tail-truncated in round artifacts — persist the complete
+    # parsed dict as a first-class file too, so every per-query timing
+    # stays machine-readable (compact separators keep the line small)
+    print(json.dumps(out, separators=(",", ":")))
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_FULL.json"),
+            "w",
+        ) as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: the stdout line still has everything
     spark.stop()
 
 

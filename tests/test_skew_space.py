@@ -1,4 +1,10 @@
-"""Skew utilities (salted agg/join) and space-dimension chunk exclusion."""
+"""Skew utilities (salted agg/join) and space-dimension chunk exclusion.
+
+Probe conclusions these tests pin semantics for (scripts/scale_probe.py,
+50%-hot-key): AQE skew-join splitting matched or beat salted_join every
+round (r6: 2.56s vs 3.08s) — the documented guidance is AQE for joins,
+salting for aggregations whose partial state can't map-side compress
+(r6 measured 3.5x there); see pipeline/skew.py's module docstring."""
 
 import pytest
 from pyspark.sql import functions as F

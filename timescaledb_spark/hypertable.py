@@ -364,32 +364,45 @@ class Hypertable:
         stats = df.groupBy(CHUNK_COL).agg(*aggs).collect()
         by_start = {c["range_start"]: c for c in chunks}
         cat = self.ts.catalog
-        n = 0
+        counts: dict = {}
+        new_stats: list[dict] = []
         for r in stats:
             c = by_start.get(r[CHUNK_COL])
             if not c:
                 continue
-            cat.chunk.update({"id": c["id"]}, {"n_rows": int(r["n_rows"])})
+            counts[c["id"]] = int(r["n_rows"])
             for i, column in enumerate(columns):
                 mn, mx = r[f"mn_{i}"], r[f"mx_{i}"]
                 if hasattr(mn, "isoformat"):
                     mn, mx = mn.isoformat(), mx.isoformat()
-                cat.chunk_column_stats.delete(
-                    {"chunk_id": c["id"], "column": column}
+                new_stats.append(
+                    {
+                        "chunk_id": c["id"],
+                        "hypertable_id": self.id,
+                        "column": column,
+                        "min": mn,
+                        "max": mx,
+                    }
                 )
-                cat.chunk_column_stats.append(
-                    [
-                        {
-                            "chunk_id": c["id"],
-                            "hypertable_id": self.id,
-                            "column": column,
-                            "min": mn,
-                            "max": mx,
-                        }
-                    ]
-                )
-                n += 1
-        return n
+        # ONE compound catalog transaction (a per-chunk update loop is
+        # O(chunks²) bytes — see _stale_chunk_meta)
+        refreshed = {(s["chunk_id"], s["column"]) for s in new_stats}
+        with cat.write_lock:
+            rows = cat.chunk.read()
+            for r in rows:
+                if r.get("id") in counts:
+                    r["n_rows"] = counts[r["id"]]
+            if counts:
+                cat.chunk.replace(rows)
+            srows = cat.chunk_column_stats.read()
+            keep = [
+                s
+                for s in srows
+                if (s.get("chunk_id"), s.get("column")) not in refreshed
+            ]
+            if new_stats or len(keep) != len(srows):
+                cat.chunk_column_stats.replace(keep + new_stats)
+        return len(new_stats)
 
     def set_chunk_time_interval(self, chunk_interval: Union[str, int]) -> None:
         """``set_chunk_time_interval`` (sql/ddl_api.sql:61) — new chunks only."""
@@ -1092,19 +1105,10 @@ class Hypertable:
         ``ts_chunk_column_stats_set_invalid``). A pruned read must never
         use a lying min/max, so drop stats unconditionally; ANALYZE
         restores them."""
-        cat = self.ts.catalog
-        starts = set(chunk_starts)
-        for c in self.chunks():
-            if c["range_start"] not in starts:
-                continue
-            changes: dict = {}
-            if c.get("n_rows") is not None:
-                changes["n_rows"] = None
-            if c.get("status") == "columnstore":
-                changes["status"] = "rowstore"
-            if changes:
-                cat.chunk.update({"id": c["id"]}, changes)
-            cat.chunk_column_stats.delete({"chunk_id": c["id"]})
+        self._stale_chunk_meta(
+            lambda r: r.get("range_start") in set(chunk_starts),
+            downgrade=True,
+        )
 
     def _invalidate_stats_in_range(self, tmin: int, tmax: int) -> None:
         """Drop chunk-skipping stats for chunks an INSERT appended into
@@ -1117,12 +1121,42 @@ class Hypertable:
         (``compression.py``), and an append into a columnstore chunk
         must stale those as well. The catalog row count (``n_rows``,
         backing approximate_row_count) goes stale the same way."""
+        self._stale_chunk_meta(
+            lambda r: r.get("range_start", 0) <= tmax
+            and r.get("range_end", 0) > tmin
+        )
+
+    def _stale_chunk_meta(self, pred, downgrade: bool = False) -> None:
+        """Drop skip stats and recorded row counts for this hypertable's
+        chunks matching ``pred`` — in ONE compound catalog transaction
+        (one read→replace per table). A per-chunk update loop would
+        rewrite the chunk table O(chunks) times: O(chunks²) bytes at
+        2,400 chunks, which measurably dominated MERGE in the scale
+        probe. ``downgrade`` additionally flips columnstore→rowstore
+        (in-place REWRITES only; a plain append into a columnstore chunk
+        keeps its status so recompress_chunk can fold the stragglers)."""
         cat = self.ts.catalog
-        for c in self.chunks():
-            if c["range_start"] <= tmax and c["range_end"] > tmin:
-                cat.chunk_column_stats.delete({"chunk_id": c["id"]})
-                if c.get("n_rows") is not None:
-                    cat.chunk.update({"id": c["id"]}, {"n_rows": None})
+        with cat.write_lock:
+            rows = cat.chunk.read()
+            ids = set()
+            changed = False
+            for r in rows:
+                if r.get("hypertable_id") != self.id or not pred(r):
+                    continue
+                ids.add(r.get("id"))
+                if r.get("n_rows") is not None:
+                    r["n_rows"] = None
+                    changed = True
+                if downgrade and r.get("status") == "columnstore":
+                    r["status"] = "rowstore"
+                    changed = True
+            if changed:
+                cat.chunk.replace(rows)
+            if ids:
+                srows = cat.chunk_column_stats.read()
+                keep = [s for s in srows if s.get("chunk_id") not in ids]
+                if len(keep) != len(srows):
+                    cat.chunk_column_stats.replace(keep)
 
     @_serialized_dml
     def upsert(self, df: DataFrame, keys: Sequence[str]) -> dict:

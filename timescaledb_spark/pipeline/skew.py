@@ -1,13 +1,27 @@
 """Skew-mitigation utilities: salted aggregation and salted joins.
 
-AQE's skew-join splitting (on by default in ``build_spark``) handles
-most cases at runtime; these explicit forms cover the two it can't:
-hot-key aggregation (a single group key receiving a large share of all
-rows — AQE cannot split one reduce key) and broadcast-ineligible joins
-against a skewed key distribution.
+WHICH TOOL FOR WHICH SKEW (measured, scripts/scale_probe.py on a
+50%-hot-key distribution):
 
-Both are pure DataFrame rewrites — no RDDs, no UDFs — so they compose
-with pushdown and codegen.
+- **Joins: prefer AQE.** AQE's skew-join splitting (on by default in
+  ``build_spark``) matched or beat :func:`salted_join` in every probe
+  round (r6: AQE 2.56s vs salted 3.08s; r7: 2.09 vs 1.95 — noise-level)
+  without paying the small-side ×``salt_n`` replication or the manual
+  tuning. Reach for :func:`salted_join` only when AQE is unavailable
+  (stateful streaming joins disable AQE) or the skew is in a
+  broadcast-ineligible non-equi join AQE can't split.
+- **Aggregations: salt when partial aggregation can't compress.** For
+  algebraic aggregates (sum/count/min/max/avg) Spark's map-side partial
+  aggregation already collapses a hot key to one row per task — probe
+  r7 shows plain ≈ salted (0.91s vs 1.00s) for those. :func:`salted_agg`
+  wins when the partial state itself is large or the reduce-side work
+  dominates — count-distinct-style state, collect_list, high-cardinality
+  compound keys under memory pressure (probe r6 measured 3.5×:
+  5.06s → 1.46s under executor-memory pressure). AQE cannot help here
+  at all: one reduce KEY is indivisible for a hash aggregate.
+
+Both forms are pure DataFrame rewrites — no RDDs, no UDFs — so they
+compose with pushdown and codegen.
 """
 
 from __future__ import annotations
