@@ -35,13 +35,7 @@ def _chunk_dir(ht: Hypertable, c: dict) -> str:
     return os.path.join(ht.data_dir, f"{CHUNK_COL}={c['range_start']}")
 
 
-def merge_chunks(ht: Hypertable, starts: Sequence[Union[int, dict]]) -> dict:
-    """``merge_chunks(chunk[])``: combine adjacent chunks into one.
-
-    The chunks must tile a contiguous range (each ``range_end`` equals
-    the next ``range_start``) — same precondition as the reference
-    (``tsl/src/chunk_merge.c`` checks slice adjacency).
-    """
+def _validate_adjacent(ht: Hypertable, starts) -> list[dict]:
     chunks = sorted(
         (_chunk_by_start(ht, s) for s in starts), key=lambda c: c["range_start"]
     )
@@ -53,27 +47,43 @@ def merge_chunks(ht: Hypertable, starts: Sequence[Union[int, dict]]) -> dict:
                 f"chunks not adjacent: [{a['range_start']},{a['range_end']}) then "
                 f"[{b['range_start']},{b['range_end']})"
             )
-    spark = ht.ts.spark
+    return chunks
+
+
+def _merge_rewrite(ht: Hypertable, chunks: list[dict], tmp: str) -> bool:
+    """Heavy phase: clustered rewrite of the source chunks into ``tmp``.
+    Returns False when no source dir has data."""
+    dirs = [_chunk_dir(ht, c) for c in chunks if os.path.isdir(_chunk_dir(ht, c))]
+    if not dirs:
+        return False
+    # per-source-chunk conforming reads: after ALTER TABLE the files
+    # may be at different schema versions, and the merged chunk row is
+    # new (no fill would ever apply again) — materialize now
+    parts = [
+        ht._conform_chunk_df(c, ht._chunk_reader().parquet(_chunk_dir(ht, c)))
+        for c in chunks
+        if os.path.isdir(_chunk_dir(ht, c))
+    ]
+    merged = parts[0]
+    for p_ in parts[1:]:
+        merged = merged.unionByName(p_)
+    merged.write.mode("overwrite").parquet(tmp)
+    return True
+
+
+def _merge_commit(
+    ht: Hypertable, chunks: list[dict], tmp: str, have_data: bool
+) -> dict:
+    """Metadata phase: swap directories and rewrite the catalog rows in
+    one compound transaction."""
     cat = ht.ts.catalog
     target = chunks[0]
-    dirs = [_chunk_dir(ht, c) for c in chunks if os.path.isdir(_chunk_dir(ht, c))]
     merged_dir = _chunk_dir(ht, target)
-    tmp = merged_dir + ".tmp_merge"
-    if dirs:
-        # per-source-chunk conforming reads: after ALTER TABLE the files
-        # may be at different schema versions, and the merged chunk row is
-        # new (no fill would ever apply again) — materialize now
-        parts = [
-            ht._conform_chunk_df(c, ht._chunk_reader().parquet(_chunk_dir(ht, c)))
-            for c in chunks
-            if os.path.isdir(_chunk_dir(ht, c))
-        ]
-        merged = parts[0]
-        for p_ in parts[1:]:
-            merged = merged.unionByName(p_)
-        merged.write.mode("overwrite").parquet(tmp)
-        for d in dirs:
-            shutil.rmtree(d)
+    if have_data:
+        for c in chunks:
+            d = _chunk_dir(ht, c)
+            if os.path.isdir(d):
+                shutil.rmtree(d)
         os.replace(tmp, merged_dir)
     new_row = {
         "id": cat.next_id("chunk"),
@@ -83,11 +93,78 @@ def merge_chunks(ht: Hypertable, starts: Sequence[Union[int, dict]]) -> dict:
         "status": "rowstore",  # merged data is unclustered until recompressed
         "created_at": _time.time(),
     }
-    for c in chunks:
-        cat.chunk.delete({"id": c["id"]})
-        cat.chunk_column_stats.delete({"chunk_id": c["id"]})
-    cat.chunk.append([new_row])
+    with cat.write_lock:
+        for c in chunks:
+            cat.chunk.delete({"id": c["id"]})
+            cat.chunk_column_stats.delete({"chunk_id": c["id"]})
+        cat.chunk.append([new_row])
     return new_row
+
+
+def merge_chunks(ht: Hypertable, starts: Sequence[Union[int, dict]]) -> dict:
+    """``merge_chunks(chunk[])``: combine adjacent chunks into one.
+
+    The chunks must tile a contiguous range (each ``range_end`` equals
+    the next ``range_start``) — same precondition as the reference
+    (``tsl/src/chunk_merge.c`` checks slice adjacency). Holds the
+    hypertable DML lock for the whole operation — correct and simple;
+    :func:`merge_chunks_concurrently` is the online variant.
+    """
+    with ht.ts.catalog.ht_lock(ht.name):
+        chunks = _validate_adjacent(ht, starts)
+        # dot-prefixed: invisible to _scan_chunk_dirs / chunk globs
+        tmp = os.path.join(
+            ht.data_dir, f".tmp_merge_{chunks[0]['range_start']}"
+        )
+        have = _merge_rewrite(ht, chunks, tmp)
+        return _merge_commit(ht, chunks, tmp, have)
+
+
+def merge_chunks_concurrently(
+    ht: Hypertable, starts: Sequence[Union[int, dict]]
+) -> dict:
+    """``merge_chunks_concurrently`` (sql/maintenance_utils.sql:76): the
+    online merge — DML on UNRELATED chunks proceeds while the heavy
+    rewrite runs.
+
+    Three phases, mirroring the reference's lowered lock level:
+
+    1. **freeze** (brief ``ht_lock``): validate adjacency and mark the
+       source chunks frozen — in-flight DML has drained (the lock), and
+       any later write into the merging range is refused by the DML
+       paths' frozen check (``_check_frozen``), exactly like DML into a
+       tiered chunk;
+    2. **rewrite** (NO locks): the clustered merge job writes to a
+       dot-prefixed temp dir invisible to chunk scans — inserts,
+       updates, merges on other chunks run concurrently;
+    3. **commit** (brief ``ht_lock``): swap directories and rewrite the
+       catalog rows in one compound transaction.
+
+    On failure the source chunks are unfrozen and the temp dir removed —
+    the table is exactly as before."""
+    cat = ht.ts.catalog
+    with cat.ht_lock(ht.name):
+        chunks = _validate_adjacent(ht, starts)
+        for c in chunks:
+            if c.get("frozen"):
+                raise PermissionError(
+                    f"chunk [{c['range_start']},{c['range_end']}) is frozen"
+                )
+        for c in chunks:
+            cat.chunk.update({"id": c["id"]}, {"frozen": True})
+    tmp = os.path.join(
+        ht.data_dir, f".tmp_merge_{chunks[0]['range_start']}"
+    )
+    try:
+        have = _merge_rewrite(ht, chunks, tmp)
+        with cat.ht_lock(ht.name):
+            return _merge_commit(ht, chunks, tmp, have)
+    except BaseException:
+        with cat.ht_lock(ht.name):
+            for c in chunks:
+                cat.chunk.update({"id": c["id"]}, {"frozen": False})
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
 
 
 def freeze_chunk(ht: Hypertable, chunk: Union[int, dict]) -> None:

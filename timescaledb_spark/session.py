@@ -123,6 +123,52 @@ class TSSession:
 
         return ContinuousAggregate.get(self, name)
 
+    # -- user-defined aggregates (CREATE AGGREGATE analog, SURVEY §2.7) ----
+    def register_aggregate(self, name: str, fn, return_type: str = None):
+        """``CREATE AGGREGATE`` analog (PostgreSQL lets extensions and
+        users add aggregates; the toolkit itself ships as such): make a
+        user-defined aggregate callable from :meth:`sql` GROUP BY
+        queries (and plain ``df.agg``).
+
+        Two forms:
+
+        - ``register_aggregate("f", plain_fn, "double")`` — ``plain_fn``
+          takes a ``pandas.Series`` (one call per group, Arrow-batched —
+          never row-at-a-time) and returns a scalar; it is wrapped in a
+          grouped-agg ``pandas_udf`` here.
+        - ``register_aggregate("f", udf)`` — an already-decorated
+          grouped-agg ``pandas_udf`` is registered as-is.
+
+        Returns the registered UDF (usable directly in DataFrame code).
+        """
+        udf = fn
+        if getattr(fn, "evalType", None) is None:
+            if return_type is None:
+                raise ValueError(
+                    "return_type is required when registering a plain "
+                    "callable (e.g. 'double')"
+                )
+            import pandas as pd
+            from pyspark.sql.pandas.functions import pandas_udf
+
+            def _agg(v):
+                return fn(v)
+
+            # type hints drive pandas_udf's eval-type inference:
+            # Series -> scalar == SQL_GROUPED_AGG_PANDAS_UDF
+            _agg.__annotations__ = {"v": pd.Series, "return": float}
+            _agg.__name__ = name
+            udf = pandas_udf(_agg, return_type)
+        from pyspark.sql.pandas.functions import PandasUDFType
+
+        if udf.evalType != PandasUDFType.GROUPED_AGG:
+            raise ValueError(
+                "register_aggregate needs a GROUPED_AGG pandas_udf "
+                f"(Series -> scalar); got evalType={udf.evalType}"
+            )
+        self.spark.udf.register(name, udf)
+        return udf
+
     # -- SQL surface (sql/*.sql hyperfunction API) --------------------------
     def sql(self, query: str):
         """TimescaleDB-flavored SQL over this session's tables.

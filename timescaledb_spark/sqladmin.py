@@ -511,11 +511,11 @@ def _rh_add_dimension(ts, argstr: str) -> DataFrame:
     )
 
 
-def _rh_merge_chunks(ts, argstr: str) -> DataFrame:
+def _rh_merge_chunks(ts, argstr: str, concurrently: bool = False) -> DataFrame:
     """``merge_chunks(c1, c2)`` / ``merge_chunks(ARRAY[...])``
-    (tsl/src/chunk.c merge API). ``merge_chunks_concurrently`` maps here
-    too — the engine is single-writer, so the lock-relaxed variant is
-    the same operation."""
+    (tsl/src/chunk.c merge API); ``merge_chunks_concurrently``
+    (sql/maintenance_utils.sql:76) routes to the online variant that
+    freezes only the source chunks so DML on other chunks proceeds."""
     from . import chunkops
 
     raw = argstr.strip()
@@ -525,7 +525,12 @@ def _rh_merge_chunks(ts, argstr: str) -> DataFrame:
     ht = pairs[0][0]
     if any(p[0].name != ht.name for p in pairs):
         raise ValueError("merge_chunks: chunks belong to different hypertables")
-    merged = chunkops.merge_chunks(ht, [p[1] for p in pairs])
+    fn = (
+        chunkops.merge_chunks_concurrently
+        if concurrently
+        else chunkops.merge_chunks
+    )
+    merged = fn(ht, [p[1] for p in pairs])
     return _df(
         ts,
         [(_chunk_sql_name(ht, merged), merged["range_start"], merged["range_end"])],
@@ -674,7 +679,9 @@ def _rh_remove_policies(ts, argstr: str) -> DataFrame:
 RAW_ADMIN_FNS = {
     "add_dimension": _rh_add_dimension,
     "merge_chunks": _rh_merge_chunks,
-    "merge_chunks_concurrently": _rh_merge_chunks,
+    "merge_chunks_concurrently": lambda ts, a: _rh_merge_chunks(
+        ts, a, concurrently=True
+    ),
     "split_chunk": _rh_split_chunk,
     "reorder_chunk": _rh_reorder_chunk,
     "add_job": _rh_add_job,
