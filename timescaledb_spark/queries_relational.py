@@ -1217,3 +1217,296 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion: Q2/Q9/Q11/Q16/Q20 (adapted — the testdata ships no
+# partsupp table, so supply relationships derive from lineitem's
+# (l_partkey, l_suppkey) pairs and supply cost stands in via
+# s_acctbal / p_retailprice; the OPERATOR SHAPES — correlated scalar
+# subqueries, NOT IN anti joins, HAVING over a global scalar — are the
+# canonical ones)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_tpch_q2",
+    """
+    WITH supply AS (
+      SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+      FROM lineitem
+    ),
+    eur AS (
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    )
+    SELECT p.p_partkey, p.p_name, e.s_name, e.n_name,
+           CAST(e.s_acctbal AS DOUBLE) AS s_acctbal
+    FROM part p
+    JOIN supply ps ON p.p_partkey = ps.ps_partkey
+    JOIN eur e ON e.s_suppkey = ps.ps_suppkey
+    WHERE p.p_size < 10 AND p.p_type = 'SMALL'
+      AND e.s_acctbal = (
+        SELECT min(e2.s_acctbal)
+        FROM supply ps2 JOIN eur e2 ON e2.s_suppkey = ps2.ps_suppkey
+        WHERE ps2.ps_partkey = p.p_partkey
+      )
+    """,
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier): the correlated scalar-min
+    subquery decorrelates into a groupBy(part).min + equality join — the
+    standard Catalyst plan; dims broadcast, the distinct supply pairs
+    shuffle once. Float equality is safe: min() returns a STORED
+    s_acctbal, compared against the same stored values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") < 10) & (F.col("p_type") == "SMALL")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supply = li.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).distinct()
+    eur = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    sup_eur = supply.join(
+        F.broadcast(eur), supply.ps_suppkey == eur.s_suppkey
+    )
+    min_cost = sup_eur.groupBy("ps_partkey").agg(
+        F.min("s_acctbal").alias("_min_bal")
+    )
+    return (
+        sup_eur.join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
+        .join(
+            min_cost.withColumnRenamed("ps_partkey", "_mk"),
+            (F.col("p_partkey") == F.col("_mk"))
+            & (F.col("s_acctbal") == F.col("_min_bal")),
+        )
+        .select(
+            "p_partkey", "p_name", "s_name", "n_name",
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q9",
+    """
+    SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             CAST(extract(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount)
+                  - p.p_retailprice * l.l_quantity * 0.01
+                  AS DECIMAL(18,4)) AS amount
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE p.p_name LIKE '%red%'
+    )
+    GROUP BY nation, o_year
+    """,
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit by nation and year): supply cost
+    stands in as 1% of retail price x quantity. Part/supplier/nation
+    broadcast; the one fact-fact join (lineitem->orders) shuffles on the
+    order key. DECIMAL amounts make the grouped sums order-independent
+    across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.01)
+    ).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount").cast("double").alias("sum_profit"))
+    )
+
+
+@query(
+    "q_tpch_q11",
+    """
+    WITH val AS (
+      SELECT l.l_partkey AS ps_partkey,
+             sum(CAST(l.l_extendedprice * l.l_quantity AS DECIMAL(18,4))) AS v
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_3'
+      GROUP BY 1
+    )
+    SELECT ps_partkey, CAST(v AS DOUBLE) AS value
+    FROM val
+    WHERE v * 500 > (SELECT sum(v) FROM val)
+    """,
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock): per-part supply value from one
+    nation's suppliers, HAVING above a fraction of the GLOBAL total —
+    the global scalar broadcasts as a cross join of a 1-row aggregate.
+    The threshold compare is exact: v*500 > total in DECIMAL, no float
+    fraction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    val = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_quantity")).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("v")
+        )
+    )
+    total = val.agg(F.sum("v").alias("_total"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("v") * 500 > F.col("_total"))
+        .select("ps_partkey", F.col("v").cast("double").alias("value"))
+    )
+
+
+@query(
+    "q_tpch_q16",
+    """
+    WITH supply AS (
+      SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+      FROM lineitem
+    )
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM supply ps JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 5, 9, 13)
+      AND ps.ps_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7'
+      )
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (supplier count by part attributes): NOT IN over a
+    subquery plans as a broadcast anti join (the blacklist is tiny and
+    has no NULLs, so anti-join semantics equal NOT IN); distinct
+    supplier counting shuffles once on the group keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 5, 9, 13))
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_name").like("%7")
+    ).select("s_suppkey")
+    supply = li.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).distinct()
+    return (
+        supply.join(
+            F.broadcast(bad),
+            supply.ps_suppkey == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q_tpch_q20",
+    """
+    WITH red AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+    shipped AS (
+      SELECT l_suppkey, l_partkey,
+             sum(CAST(l_quantity AS DECIMAL(18,4))) AS q
+      FROM lineitem JOIN red ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(18,4))) AS tq
+      FROM lineitem JOIN red ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1
+    )
+    SELECT s.s_name, n.n_name
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_5'
+      AND s.s_suppkey IN (
+        SELECT sh.l_suppkey
+        FROM shipped sh JOIN tot t ON sh.l_partkey = t.l_partkey
+        WHERE sh.q * 10 > t.tq * 3
+      )
+    """,
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (excess-share suppliers): a supplier qualifies when its
+    1997 shipped share of any red part exceeds 30% of that part's total
+    — the availqty>half-demand shape with the share computed from
+    lineitem. IN-subquery plans as a semi join; the threshold compare
+    is DECIMAL-exact (q*10 > tq*3, no float fraction)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    red = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("red%")
+    ).select("p_partkey")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_5"
+    )
+    redli = li.join(F.broadcast(red), li.l_partkey == F.col("p_partkey"))
+    qdec = F.col("l_quantity").cast("decimal(18,4)")
+    shipped = redli.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(qdec).alias("q")
+    )
+    tot = redli.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum(qdec).alias("tq")
+    )
+    qualifying = (
+        shipped.join(F.broadcast(tot), F.col("l_partkey") == F.col("_pk"))
+        .filter(F.col("q") * 10 > F.col("tq") * 3)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(
+            F.broadcast(qualifying),
+            s.s_suppkey == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_name", "n_name")
+    )
