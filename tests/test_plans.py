@@ -293,3 +293,33 @@ def test_packing_plan_shape(tsdata, sf_dir):
         "Exchange rangepartitioning"
     )
     assert n_ex <= 1, plan
+
+
+def test_tpch_q2_decorrelated_no_cartesian(tsdata, sf_dir):
+    """Q2's correlated scalar-min must decorrelate: no cartesian
+    product, dims broadcast."""
+    df = queries()["q_tpch_q2"](tsdata, sf_dir)
+    assert cartesian_count(df) == 0
+    assert broadcast_join_count(df) >= 3
+
+
+def test_tpch_q9_broadcasts_dims(tsdata, sf_dir):
+    """Q9: part/supplier/nation broadcast; only lineitem->orders
+    shuffles."""
+    df = queries()["q_tpch_q9"](tsdata, sf_dir)
+    assert cartesian_count(df) == 0
+    assert broadcast_join_count(df) >= 3
+
+
+def test_tpch_q16_anti_join_broadcasts(tsdata, sf_dir):
+    """Q16's NOT IN blacklist must plan as a broadcast anti join, not a
+    shuffled one — the blacklist is tiny."""
+    df = queries()["q_tpch_q16"](tsdata, sf_dir)
+    assert cartesian_count(df) == 0
+    assert broadcast_join_count(df) >= 2
+
+
+def test_tpch_q20_semi_join_no_cartesian(tsdata, sf_dir):
+    df = queries()["q_tpch_q20"](tsdata, sf_dir)
+    assert cartesian_count(df) == 0
+    assert broadcast_join_count(df) >= 3
