@@ -54,14 +54,11 @@ def test_all_queries_analyze(spark, sf_dir):
 #: non-SQL-expressible ops: the driver runs a rows-only check for
 #: these, and their correctness lives in dedicated tests instead —
 #: keep this list deliberate and short, and document WHY per entry
-ROWS_ONLY_EXEMPT = {
-    # approximate by construction (k-means codebooks + ADC ranking);
-    # validated by recall vs exact brute force in tests/test_pq.py
-    "q_ann_pq",
-    # algorithm-defined visual downsample (triangle-area selection);
-    # exactness fixtures in tests/test_downsample.py
-    "q_lttb",
-}
+# empty since round 7: q_ann_pq gained an inlined-codebook ADC oracle
+# and q_lttb a recursive-CTE oracle — every registered query now has a
+# DuckDB oracle; keep the guard so a future oracle-less query must be
+# exempted HERE with a written justification
+ROWS_ONLY_EXEMPT: set = set()
 
 
 def test_every_query_has_oracle_or_documented_exemption():

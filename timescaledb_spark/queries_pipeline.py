@@ -415,3 +415,20 @@ def q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return lttb(ev, "ts", "value", n_out=24, by=["user_id"])
+
+
+@query(
+    "q_dedup_clusters",
+    dedup.dup_clusters_sql(dedup.embedding_dup_pairs_sql(threshold=0.45)),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER resolution: near-dup pairs -> connected
+    components labeled by min id (alternating large-star/small-star,
+    O(log n) map-combined shuffle rounds — no driver-side graph). The
+    oracle recomputes the same pairs and closes them transitively in a
+    recursive CTE. This is the step that lets a pipeline keep exactly
+    one document per duplicate group (A~B, B~C => one keeper, not two
+    pairwise survivors)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_dup_pairs(emb, threshold=0.45)
+    return dedup.dup_clusters(pairs)
