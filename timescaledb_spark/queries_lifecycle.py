@@ -399,99 +399,99 @@ def q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermarked 1-day tumbling windowed_agg -> memory sink in APPEND
     mode under availableNow. Complete mode would rematerialize ALL
     window state every trigger — unbounded at 100 TB; append emits each
-    window exactly once, when the watermark closes it. Because a
-    watermark only advances on a LATER batch, the replay appends two
-    far-future heartbeat files (maxFilesPerTrigger=1 → one batch each):
-    batch 1 closes all but the final real window, batch 2 closes the
-    rest — the streaming analog of an idle-source watermark tick. The
-    sink then holds every real window exactly once and must equal the
-    batch oracle (SURVEY §2.8: tumbling windows == time_bucket)."""
-    import os
-    import shutil
-    import tempfile
+    window exactly once, when the watermark closes it (watermark
+    heartbeats flush the tail — see streaming/replay.py). The sink then
+    holds every real window exactly once and must equal the batch
+    oracle (SURVEY §2.8: tumbling windows == time_bucket)."""
     import uuid as _uuid
 
+    from .streaming.replay import (
+        SENTINEL,
+        heartbeat_stream,
+        run_to_memory_sink,
+    )
     from .streaming.windows import windowed_agg
 
-    src = os.path.join(sf_dir, "events.parquet")
-    tmp = tempfile.mkdtemp(prefix="stream_win_src_")
-    shutil.copy(src, os.path.join(tmp, "part-000.parquet"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(os.path.join(tmp, "part-000.parquet")).schema
-    ts_is_ns = dict(
-        (f.name, f.dataType.simpleString()) for f in schema.fields
-    ).get("ts") == "bigint"
-
-    # two heartbeat rows far past the data (2100-01-01, +1 day); their
-    # own windows never close and are filtered out below
-    from datetime import datetime, timedelta
-
-    sent_ns = 4102444800 * 1_000_000_000
-    day_ns = 86_400 * 1_000_000_000
-    names = [f.name for f in schema.fields]
-
-    def sentinel_row(ts_ns_val):
-        vals = []
-        for f in schema.fields:
-            if f.name == "ts":
-                if ts_is_ns:
-                    vals.append(ts_ns_val)
-                else:  # parquet surfaced TIMESTAMP(_NTZ) directly
-                    vals.append(
-                        datetime(1970, 1, 1)
-                        + timedelta(microseconds=ts_ns_val // 1000)
-                    )
-            elif f.name == "event_type":
-                vals.append("_sentinel")
-            elif f.dataType.simpleString() == "bigint":
-                vals.append(-1)
-            elif f.dataType.simpleString() == "double":
-                vals.append(0.0)
-            else:
-                vals.append("")
-        return tuple(vals)
-
-    for i, ts_val in enumerate((sent_ns, sent_ns + day_ns), start=1):
-        stage = tempfile.mkdtemp(prefix="stream_win_sent_")
-        spark.createDataFrame([sentinel_row(ts_val)], schema).coalesce(
-            1
-        ).write.mode("overwrite").parquet(stage)
-        part = next(
-            p for p in os.listdir(stage) if p.endswith(".parquet")
-        )
-        dst = os.path.join(tmp, f"part-{i:03d}.parquet")
-        shutil.move(os.path.join(stage, part), dst)
-        shutil.rmtree(stage, ignore_errors=True)
-        # FileStreamSource orders batches by mtime: data, then heartbeats
-        os.utime(dst, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
-    os.utime(os.path.join(tmp, "part-000.parquet"), (1_000_000_000, 1_000_000_000))
-
-    sdf = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(tmp)
-    )
-    if ts_is_ns:
-        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    else:
-        from pyspark.sql import types as T
-
-        sdf = sdf.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    sdf = heartbeat_stream(spark, sf_dir, "events")
     agg = windowed_agg(
-        sdf.select(*names), "ts",
+        sdf, "ts",
         {"n": "cast(count(1) as bigint)", "sum_v": "sum(value)"},
         window="1 day", group_by=("event_type",), watermark="1 hour",
     )
     sink = f"stream_win_{_uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory").queryName(sink)
-        .outputMode("append").trigger(availableNow=True).start()
-    )
-    q.awaitTermination()
+    run_to_memory_sink(agg, sink)
     return spark.table(sink).filter(
-        F.col("event_type") != "_sentinel"
+        F.col("event_type") != SENTINEL
     ).select(
         F.col("win_start").alias("bucket"), "event_type", "n", "sum_v"
+    )
+
+
+@query(
+    "q_stream_sessions",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 3 DAY
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 3 DAY AS session_end,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(value) AS sum_v
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+)
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SESSIONIZATION via Spark's built-in session_window —
+    events separated by more than the gap open a new session; a session
+    closes (and emits, append mode) when the watermark passes last_event
+    + gap. The DuckDB oracle is the classic batch gaps-and-islands
+    rewrite (lag > gap -> break, running sum -> session id), proving
+    the streaming operator computes exactly the batch sessions on fully
+    replayed data. Built-in operator, no custom state — the Spark-first
+    shape for session windows."""
+    import uuid as _uuid
+
+    from .streaming.replay import (
+        SENTINEL,
+        heartbeat_stream,
+        run_to_memory_sink,
+    )
+
+    sdf = heartbeat_stream(spark, sf_dir, "events")
+    # heartbeats aggregate too (their user_id is -1, far-future ts, so
+    # they share no session with real rows) and are dropped from the
+    # SINK, not the stream: a pre-aggregation filter would be pushed
+    # below the EventTimeWatermark node by Catalyst and the heartbeats
+    # would never advance the watermark
+    agg = (
+        sdf.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "3 days").alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("value").alias("sum_v"),
+        )
+    )
+    sink = f"stream_sess_{_uuid.uuid4().hex[:8]}"
+    run_to_memory_sink(agg, sink)
+    return spark.table(sink).filter(F.col("user_id") >= 0).select(
+        "user_id",
+        F.col("sw.start").alias("session_start"),
+        F.col("sw.end").alias("session_end"),
+        "n",
+        "sum_v",
     )
 
 
