@@ -357,6 +357,38 @@ def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_hyperloglog",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS exact_distinct,
+           TRUE AS within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
+def q_hyperloglog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Toolkit ``hyperloglog``/``approx_count_distinct`` analog
+    (timescaledb-toolkit hyperloglog; ``distinct_count(hyperloglog(...))``)
+    via Spark's built-in HLL++ aggregate — sketch-based, map-side
+    partial, one tiny shuffle regardless of cardinality (the exact
+    DISTINCT needs a full expand+shuffle of the key space). Sketches
+    differ across engines, so the gate emits the ACCURACY CONTRACT: the
+    exact count (oracle-checkable) plus a boolean asserting the HLL
+    estimate landed within 5% — the oracle's constant TRUE makes any
+    accuracy violation a hash mismatch."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("event_id").cast("long").alias("exact_distinct"),
+        (
+            F.abs(
+                F.approx_count_distinct("event_id", rsd=0.02)
+                - F.countDistinct("event_id")
+            )
+            <= F.countDistinct("event_id") * F.lit(0.05)
+        ).alias("within_5pct"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # sliding windows (§2.8: superset of the reference's tumbling-only)
 # ---------------------------------------------------------------------------
