@@ -37,45 +37,48 @@ def heartbeat_stream(
     one micro-batch per file (data first, then each heartbeat). Returns
     the stream with ``ts`` converted to µs TimestampType, sentinel rows
     included (filter ``event_type != SENTINEL`` after aggregating)."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
     src = os.path.join(sf_dir, f"{table}.parquet")
     tmp = tempfile.mkdtemp(prefix="ts_replay_")
     shutil.copy(src, os.path.join(tmp, "part-000.parquet"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(os.path.join(tmp, "part-000.parquet")).schema
-    ts_is_ns = {
-        f.name: f.dataType.simpleString() for f in schema.fields
-    }.get("ts") == "bigint"
 
-    def sentinel_row(ts_ns_val):
-        vals = []
-        for f in schema.fields:
-            if f.name == "ts":
-                if ts_is_ns:
-                    vals.append(ts_ns_val)
-                else:  # parquet surfaced TIMESTAMP(_NTZ) directly
-                    vals.append(
-                        datetime(1970, 1, 1)
-                        + timedelta(microseconds=ts_ns_val // 1000)
-                    )
-            elif f.name == "event_type":
-                vals.append(SENTINEL)
-            elif f.dataType.simpleString() == "bigint":
-                vals.append(-1)
-            elif f.dataType.simpleString() == "double":
-                vals.append(0.0)
-            else:
-                vals.append("")
-        return tuple(vals)
+    # heartbeat files are written driver-side with pyarrow at the DATA
+    # file's physical schema — no Spark write jobs in the hot path
+    arrow_schema = papq.read_schema(src)
+
+    def sentinel_value(field, ts_ns_val):
+        t = field.type
+        if field.name == "ts":
+            if pa.types.is_timestamp(t):
+                unit = t.unit
+                div = {"s": 10**9, "ms": 10**6, "us": 10**3, "ns": 1}[unit]
+                return pa.scalar(ts_ns_val // div, type=t)
+            return pa.scalar(ts_ns_val, type=t)  # stored as int64 ns
+        if field.name == "event_type":
+            return pa.scalar(SENTINEL, type=t)
+        if pa.types.is_integer(t):
+            return pa.scalar(-1, type=t)
+        if pa.types.is_floating(t):
+            return pa.scalar(0.0, type=t)
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return pa.scalar("", type=t)
+        return pa.scalar(None, type=t)
 
     for i in range(1, n_heartbeats + 1):
-        stage = tempfile.mkdtemp(prefix="ts_replay_hb_")
-        spark.createDataFrame(
-            [sentinel_row(_SENT_NS + (i - 1) * _DAY_NS)], schema
-        ).coalesce(1).write.mode("overwrite").parquet(stage)
-        part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        ts_ns_val = _SENT_NS + (i - 1) * _DAY_NS
+        cols = [
+            pa.array([sentinel_value(f, ts_ns_val)], type=f.type)
+            for f in arrow_schema
+        ]
         dst = os.path.join(tmp, f"part-{i:03d}.parquet")
-        shutil.move(os.path.join(stage, part), dst)
-        shutil.rmtree(stage, ignore_errors=True)
+        papq.write_table(
+            pa.Table.from_arrays(cols, schema=arrow_schema),
+            dst,
+            version="2.6",  # keep ns timestamps ns, matching the data file
+        )
         # FileStreamSource orders batches by mtime: data, then heartbeats
         os.utime(dst, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
     os.utime(
@@ -83,6 +86,10 @@ def heartbeat_stream(
         (1_000_000_000, 1_000_000_000),
     )
 
+    schema = spark.read.parquet(os.path.join(tmp, "part-000.parquet")).schema
+    ts_is_ns = {
+        f.name: f.dataType.simpleString() for f in schema.fields
+    }.get("ts") == "bigint"
     sdf = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -95,14 +102,29 @@ def heartbeat_stream(
     return sdf.select(*[f.name for f in schema.fields])
 
 
-def run_to_memory_sink(agg: DataFrame, sink_name: str) -> None:
+def run_to_memory_sink(
+    agg: DataFrame, sink_name: str, state_partitions: int = 8
+) -> None:
     """Drive an append-mode streaming frame to a memory sink under
-    availableNow and wait for completion."""
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    availableNow and wait for completion.
+
+    Stateful streaming creates one state store per shuffle partition
+    per micro-batch; the replay runs 3 micro-batches, so the batch-mode
+    partition count (sized for table scans) triples its per-partition
+    state overhead here. Temporarily lower it for the stream — this is
+    harness-local tuning; a production stream sizes partitions to state
+    volume, not to this conf's batch default."""
+    spark = agg.sparkSession
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
