@@ -696,6 +696,7 @@ def dup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 30,
+    shuffle_partitions: int = None,
 ) -> DataFrame:
     """Resolve duplicate PAIRS into duplicate CLUSTERS: connected
     components labeled by each component's minimum id — the step a real
@@ -723,7 +724,28 @@ def dup_clusters(
     ``(member, cluster_id)`` with ``cluster_id`` = min id in the
     component (roots map to themselves). Canonical-keeper selection is
     then ``filter(member == cluster_id)`` (see :func:`keep_canonical`).
+
+    ``shuffle_partitions``: optional override for the rounds' shuffles —
+    the edge set is usually orders of magnitude smaller than the corpus
+    (only duplicated docs appear), so a corpus-sized partition count
+    pays per-round scheduling for empty partitions. Size to edge volume;
+    the session conf is restored afterwards.
     """
+    spark = pairs.sparkSession
+    old_parts = None
+    if shuffle_partitions is not None:
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        return _dup_clusters_run(pairs, id_a, id_b, max_iter)
+    finally:
+        if old_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def _dup_clusters_run(
+    pairs: DataFrame, id_a: str, id_b: str, max_iter: int
+) -> DataFrame:
     e = pairs.select(
         F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
     ).filter(F.col("u") != F.col("v")).distinct()
@@ -732,6 +754,11 @@ def dup_clusters(
     e = e.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     ).distinct()
+    # materialize BEFORE the loop: each round references its input
+    # several times (symmetrize union + min join), and an unmaterialized
+    # candidate-pair plan (e.g. the O(n²) cosine crossJoin) would
+    # re-execute once per reference
+    e = e.localCheckpoint(eager=True)
 
     def _large(edges: DataFrame) -> DataFrame:
         """(v, m(u)) for every neighbor v > u, m = min(Γ(u) ∪ {u}).

@@ -431,4 +431,4 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise survivors)."""
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = dedup.embedding_dup_pairs(emb, threshold=0.45)
-    return dedup.dup_clusters(pairs)
+    return dedup.dup_clusters(pairs, shuffle_partitions=8)
