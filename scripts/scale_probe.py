@@ -148,6 +148,43 @@ def main() -> None:
     ).count().count()
     out["skew_join_salted_s"] = round(time.perf_counter() - t0, 2)
 
+    # ---- round-7 operators at scale ------------------------------------
+    # connected components: 1M edges (500k-node chains of length 4 plus
+    # cross links) — worst realistic dedup shape, O(log n) star rounds
+    from timescaledb_spark.pipeline.dedup import dup_clusters
+
+    edges = (
+        spark.range(1_000_000)
+        .select(
+            F.col("id").alias("id_a"),
+            F.when(F.col("id") % 4 == 3, F.col("id") - 3)
+            .otherwise(F.col("id") + 1)
+            .alias("id_b"),
+        )
+    )
+    t0 = time.perf_counter()
+    n_members = dup_clusters(edges).count()
+    out["cc_1m_edges_s"] = round(time.perf_counter() - t0, 2)
+    out["cc_members"] = n_members
+
+    # online chunk merge: DML lock held only for freeze+commit
+    from timescaledb_spark.chunkops import merge_chunks_concurrently
+
+    cs = ht.chunks()[:4]
+    t0 = time.perf_counter()
+    merge_chunks_concurrently(ht, [c["range_start"] for c in cs])
+    out["merge_concurrent_4chunks_s"] = round(time.perf_counter() - t0, 2)
+
+    # UDAF (grouped-agg pandas UDF) over the full 2M rows
+    ts.register_aggregate(
+        "p90_np",
+        lambda v: float(__import__("numpy").quantile(v, 0.9)),
+        "double",
+    )
+    t0 = time.perf_counter()
+    ht.df().groupBy("user_id").agg(F.expr("p90_np(value)")).count()
+    out["udaf_2m_rows_s"] = round(time.perf_counter() - t0, 2)
+
     print(json.dumps(out))
     with open(sys.argv[1] if len(sys.argv) > 1 else "SCALE_PROBE.json", "w") as f:
         json.dump(out, f, indent=1)
