@@ -114,3 +114,73 @@ def test_pruned_read_after_alter_still_prunes(ht):
     pruned = ht.read(start="2024-01-02", end="2024-01-04")
     assert scanned_paths(pruned) == 2
     assert pruned.filter("site = 'eu'").count() == pruned.count()
+
+
+@pytest.fixture()
+def ts(spark, tmp_path):
+    return TSSession(spark, str(tmp_path / "ren"))
+
+
+def _batch(spark, n=48):
+    return spark.range(n).select(
+        F.timestamp_micros(
+            (F.lit(1704067200000000) + F.col("id") * 3600 * 1_000_000).cast(
+                "long"
+            )
+        ).alias("ts"),
+        F.col("id").alias("k"),
+        F.col("id").cast("double").alias("value"),
+    )
+
+
+def test_rename_column_rewrites_and_reads(ts, spark):
+    """ALTER TABLE .. RENAME COLUMN: parquet binds by name, so the
+    rename rewrites chunks once; afterwards reads, inserts, and stat
+    machinery all speak the new name."""
+    ht = ts.create_hypertable("t_ren", "ts", chunk_interval="1 day")
+    ht.insert(_batch(spark, n=48))
+    ht.enable_chunk_skipping("value")
+    ht.rename_column("value", "reading")
+    assert "reading" in ht.df().columns and "value" not in ht.df().columns
+    assert ht.df().agg(F.sum("reading")).collect()[0][0] == sum(
+        float(i) for i in range(48)
+    )
+    # old-name stats are gone; ANALYZE restores under the new name
+    assert ht.row["skip_columns"] == ["reading"]
+    ht.analyze()
+    stats = ts.catalog.chunk_column_stats.find(hypertable_id=ht.id)
+    assert stats and all(s["column"] == "reading" for s in stats)
+    # inserts speak the new schema
+    ht.insert(
+        _batch(spark, n=2).withColumnRenamed("value", "reading")
+    )
+    assert ht.df().count() == 50
+
+
+def test_rename_time_column(ts, spark):
+    ht = ts.create_hypertable("t_ren_t", "ts", chunk_interval="1 day")
+    ht.insert(_batch(spark, n=24))
+    ht.rename_column("ts", "event_time")
+    assert ht.time_column == "event_time"
+    assert ht.read(start="2024-01-01", end="2024-01-02").count() == 24
+    ht.insert(
+        _batch(spark, n=2).withColumnRenamed("ts", "event_time")
+    )
+    assert ht.df().count() == 26
+
+
+def test_rename_conflicts_rejected(ts, spark):
+    ht = ts.create_hypertable("t_ren_x", "ts", chunk_interval="1 day")
+    ht.insert(_batch(spark, n=4))
+    with pytest.raises(ValueError, match="already exists"):
+        ht.rename_column("value", "k")
+    with pytest.raises(ValueError, match="no column"):
+        ht.rename_column("nope", "x")
+
+
+def test_rename_sql_surface(ts, spark):
+    ht = ts.create_hypertable("t_ren_sql", "ts", chunk_interval="1 day")
+    ht.insert(_batch(spark, n=24))
+    ts.sql("ALTER TABLE t_ren_sql RENAME COLUMN value TO v2")
+    got = ts.sql("SELECT sum(v2) AS s FROM t_ren_sql").collect()[0]["s"]
+    assert got == sum(float(i) for i in range(24))

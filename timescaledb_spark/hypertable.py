@@ -921,6 +921,91 @@ class Hypertable:
         self.ts.catalog.hypertable.update({"name": self.name}, changed)
         self.row.update(changed)
 
+    def rename_column(self, old: str, new: str) -> None:
+        """``ALTER TABLE .. RENAME COLUMN`` (PostgreSQL-inherited; the
+        reference propagates the rename to every chunk in the catalog,
+        ``src/process_utility.c``).
+
+        Documented divergence: PG's rename is an O(1) catalog update
+        because names live only in the catalog; parquet binds columns
+        BY NAME (no Iceberg-style field ids), so this rewrites each
+        chunk's files once — one dynamic-partition-overwrite job, the
+        same cost class as a compression pass. An ACID table format with
+        field ids underneath the chunk store would make it free.
+        Runs under the hypertable DML lock; skip stats for the renamed
+        column are dropped (ANALYZE restores them under the new name).
+        """
+        with self.ts.catalog.ht_lock(self.name):
+            self._rename_column_locked(old, new)
+
+    def _rename_column_locked(self, old: str, new: str) -> None:
+        cur = self._schema()
+        names = {f.name for f in cur.fields}
+        if old not in names:
+            raise ValueError(f"no column {old!r}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        if self.ts.catalog.continuous_agg.find(hypertable_id=self.id):
+            # cagg definitions reference columns by SQL text; renaming
+            # underneath them would silently break refresh (the reference
+            # errors similarly for cagg-backing columns)
+            raise ValueError(
+                "cannot rename a column on a hypertable with continuous "
+                "aggregates; drop the caggs first"
+            )
+        chunks = self.chunks()
+        if chunks:
+            df = self._chunk_reader().option("basePath", self.data_dir).parquet(
+                *[self._chunk_glob(c) for c in chunks]
+            )
+            df = self._apply_fills(df, chunks)
+            out = df.withColumnRenamed(old, new)
+            self._affected_chunk_writeback(out)
+        # catalog: schema + every name-referencing field
+        new_schema = T.StructType(
+            [
+                T.StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+                for f in cur.fields
+            ]
+        )
+        changed: dict = {"schema_ddl": new_schema.json(), "schema_evolved": True}
+        if self.row.get("time_column") == old:
+            changed["time_column"] = new
+        if self.row.get("space_column") == old:
+            changed["space_column"] = new
+        skips = self.row.get("skip_columns") or []
+        if old in skips:
+            changed["skip_columns"] = [new if c == old else c for c in skips]
+        acs = self.added_columns()
+        if any(a["name"] == old for a in acs):
+            changed["added_columns"] = [
+                {**a, "name": new} if a["name"] == old else a for a in acs
+            ]
+        cat = self.ts.catalog
+        with cat.write_lock:
+            cat.hypertable.update({"name": self.name}, changed)
+            # stats recorded under the old name are now unreachable
+            cat.chunk_column_stats.delete(
+                {"hypertable_id": self.id, "column": old}
+            )
+            s = cat.compression_settings.find_one(hypertable_id=self.id)
+            if s:
+                cat.compression_settings.update(
+                    {"hypertable_id": self.id},
+                    {
+                        "segmentby": [
+                            new if c == old else c for c in (s.get("segmentby") or [])
+                        ],
+                        "orderby": [
+                            [new if c == old else c, d]
+                            for c, d in (s.get("orderby") or [])
+                        ],
+                    },
+                )
+        self._refresh()
+        # files were just rewritten at the current schema
+        self._mark_fill_done([c["range_start"] for c in chunks])
+
     def _conform_input(self, df: DataFrame) -> DataFrame:
         """Fill added columns absent from an INSERT/UPSERT input with
         their defaults (PG: INSERT without the new column → default)."""

@@ -752,6 +752,11 @@ _ALTER_DROP = re.compile(
     r"([A-Za-z_]\w*)\s*$",
     re.I,
 )
+_ALTER_RENAME = re.compile(
+    r"^\s*alter\s+table\s+([A-Za-z_]\w*)\s+rename\s+(?:column\s+)?"
+    r"([A-Za-z_]\w*)\s+to\s+([A-Za-z_]\w*)\s*$",
+    re.I,
+)
 
 
 def match_alter_column(q: str):
@@ -762,17 +767,28 @@ def match_alter_column(q: str):
     m = _ALTER_DROP.match(q)
     if m:
         return ("drop", m)
+    m = _ALTER_RENAME.match(q)
+    if m:
+        return ("rename", m)
     return None
 
 
 def run_alter_column(ts, kind: str, m) -> DataFrame:
-    """``ALTER TABLE .. ADD/DROP COLUMN`` on a hypertable — lazy schema
-    evolution, no chunk rewrite (hypertable.py add_column/drop_column;
-    reference propagates the DDL to chunks, src/process_utility.c)."""
+    """``ALTER TABLE .. ADD/DROP/RENAME COLUMN`` on a hypertable —
+    add/drop are lazy schema evolution, rename rewrites chunks once
+    (hypertable.py add_column/drop_column/rename_column; reference
+    propagates the DDL to chunks, src/process_utility.c)."""
     ht = ts.get_hypertable(m.group(1))
     if kind == "drop":
         ht.drop_column(m.group(2))
         return _df(ts, [(m.group(2), "dropped")], "column string, action string")
+    if kind == "rename":
+        ht.rename_column(m.group(2), m.group(3))
+        return _df(
+            ts,
+            [(m.group(3), "renamed")],
+            "column string, action string",
+        )
     name, dtype, default_sql = m.group(2), m.group(3).strip(), m.group(4)
     default = None
     if default_sql is not None:
