@@ -184,3 +184,35 @@ def test_rename_sql_surface(ts, spark):
     ts.sql("ALTER TABLE t_ren_sql RENAME COLUMN value TO v2")
     got = ts.sql("SELECT sum(v2) AS s FROM t_ren_sql").collect()[0]["s"]
     assert got == sum(float(i) for i in range(24))
+
+
+def test_rename_hypertable(ts, spark):
+    """ALTER TABLE .. RENAME TO: catalog + directory move, no data
+    rewrite; policy job configs follow the new name."""
+    ht = ts.create_hypertable("t_old", "ts", chunk_interval="1 day")
+    ht.insert(_batch(spark, n=24))
+    ts.jobs.add_retention_policy("t_old", drop_after="90 days")
+    ht.rename_to("t_new")
+    assert ht.name == "t_new"
+    got = ts.get_hypertable("t_new")
+    assert got.df().count() == 24
+    with pytest.raises(Exception):
+        ts.get_hypertable("t_old")
+    jobs = [
+        j for j in ts.catalog.bgw_job.read()
+        if (j.get("config") or {}).get("hypertable") == "t_new"
+    ]
+    assert jobs, "retention policy did not follow the rename"
+    # SQL surface + further DML on the new name
+    ht.insert(_batch(spark, n=2))
+    assert ts.sql("SELECT count(*) AS n FROM t_new").collect()[0]["n"] == 26
+
+
+def test_rename_hypertable_sql_and_conflicts(ts, spark):
+    ht = ts.create_hypertable("t_a", "ts", chunk_interval="1 day")
+    ht.insert(_batch(spark, n=4))
+    ts.create_hypertable("t_b", "ts", chunk_interval="1 day")
+    with pytest.raises(ValueError, match="already exists"):
+        ht.rename_to("t_b")
+    ts.sql("ALTER TABLE t_a RENAME TO t_c")
+    assert ts.sql("SELECT count(*) AS n FROM t_c").collect()[0]["n"] == 4

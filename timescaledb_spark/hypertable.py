@@ -921,6 +921,46 @@ class Hypertable:
         self.ts.catalog.hypertable.update({"name": self.name}, changed)
         self.row.update(changed)
 
+    def rename_to(self, new: str) -> None:
+        """``ALTER TABLE .. RENAME TO`` (PostgreSQL-inherited; the
+        reference updates its catalog and keeps chunks attached,
+        ``src/process_utility.c``). Catalog + directory move — no data
+        rewrite; every name-referencing catalog row follows: policy job
+        configs (``{"hypertable": name}``), cagg source/mat references.
+        """
+        cat = self.ts.catalog
+        old = self.name
+        if new == old:
+            return
+        with cat.ht_lock(old):
+            with cat.write_lock:
+                if cat.hypertable.find_one(name=new) or cat.plain_table.find_one(
+                    name=new
+                ):
+                    raise ValueError(f"table {new!r} already exists")
+                old_dir, new_dir = cat.data_dir(old), cat.data_dir(new)
+                if os.path.isdir(old_dir):
+                    os.makedirs(os.path.dirname(new_dir), exist_ok=True)
+                    os.rename(old_dir, new_dir)
+                cat.hypertable.update({"name": old}, {"name": new})
+                for job in cat.bgw_job.read():
+                    cfg = job.get("config") or {}
+                    if cfg.get("hypertable") == old:
+                        cat.bgw_job.update(
+                            {"id": job["id"]},
+                            {"config": {**cfg, "hypertable": new}},
+                        )
+                for ca in cat.continuous_agg.read():
+                    changes = {}
+                    if ca.get("hypertable_name") == old:
+                        changes["hypertable_name"] = new
+                    if ca.get("mat_table") == old:
+                        changes["mat_table"] = new
+                    if changes:
+                        cat.continuous_agg.update({"name": ca["name"]}, changes)
+        self.row["name"] = new
+        self._refresh()
+
     def rename_column(self, old: str, new: str) -> None:
         """``ALTER TABLE .. RENAME COLUMN`` (PostgreSQL-inherited; the
         reference propagates the rename to every chunk in the catalog,

@@ -757,6 +757,10 @@ _ALTER_RENAME = re.compile(
     r"([A-Za-z_]\w*)\s+to\s+([A-Za-z_]\w*)\s*$",
     re.I,
 )
+_ALTER_RENAME_TABLE = re.compile(
+    r"^\s*alter\s+table\s+([A-Za-z_]\w*)\s+rename\s+to\s+([A-Za-z_]\w*)\s*$",
+    re.I,
+)
 
 
 def match_alter_column(q: str):
@@ -767,6 +771,9 @@ def match_alter_column(q: str):
     m = _ALTER_DROP.match(q)
     if m:
         return ("drop", m)
+    m = _ALTER_RENAME_TABLE.match(q)
+    if m:
+        return ("rename_table", m)
     m = _ALTER_RENAME.match(q)
     if m:
         return ("rename", m)
@@ -782,6 +789,11 @@ def run_alter_column(ts, kind: str, m) -> DataFrame:
     if kind == "drop":
         ht.drop_column(m.group(2))
         return _df(ts, [(m.group(2), "dropped")], "column string, action string")
+    if kind == "rename_table":
+        ht.rename_to(m.group(2))
+        return _df(
+            ts, [(m.group(2), "renamed")], "table string, action string"
+        )
     if kind == "rename":
         ht.rename_column(m.group(2), m.group(3))
         return _df(
