@@ -139,6 +139,43 @@ class Hypertable:
             row["chunk_interval"] = iv.us
         elif isinstance(chunk_interval, int):
             row["chunk_interval"] = chunk_interval
+        # CREATE TABLE → create_hypertable: adopt a declared (schema-only,
+        # zero-row) table's schema, like the reference converting an
+        # existing empty PG table (src/hypertable.c:1444 requires the
+        # table; we also allow schema-less creation for the
+        # DataFrame-first workflow)
+        declared = cat.plain_table.find_one(name=name)
+        if declared and declared.get("path") is None and declared.get(
+            "schema_ddl"
+        ):
+            import json as _json
+
+            schema = T.StructType.fromJson(_json.loads(declared["schema_ddl"]))
+            names = {f.name for f in schema.fields}
+            if time_column not in names:
+                raise ValueError(
+                    f"time column {time_column!r} not in declared columns "
+                    f"{sorted(names)}"
+                )
+            if space_column and space_column not in names:
+                raise ValueError(
+                    f"space column {space_column!r} not in declared columns"
+                )
+            dt = dict((f.name, f.dataType.simpleString()) for f in schema.fields)[
+                time_column
+            ]
+            if dt.startswith("timestamp"):
+                row["time_type"] = "timestamp"
+            elif dt == "date":
+                row["time_type"] = "date"
+            elif dt in ("smallint", "int", "integer", "bigint", "long", "tinyint"):
+                row["time_type"] = "int"
+            else:
+                raise ValueError(
+                    f"invalid type {dt!r} for time column {time_column!r}"
+                )
+            row["schema_ddl"] = declared["schema_ddl"]
+            cat.plain_table.delete({"name": name})
         cat.hypertable.append([row])
         dims = [
             {

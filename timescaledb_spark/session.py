@@ -110,6 +110,14 @@ class TSSession:
         row = self.catalog.plain_table.find_one(name=name)
         if not row:
             raise KeyError(f"no table {name!r}")
+        if row.get("path") is None:
+            # declared via CREATE TABLE, no rows yet — schema-only
+            import json as _json
+
+            from pyspark.sql import types as T
+
+            schema = T.StructType.fromJson(_json.loads(row["schema_ddl"]))
+            return self.spark.createDataFrame([], schema)
         return self.spark.read.parquet(row["path"])
 
     # -- continuous aggregates (tsl/src/continuous_aggs/create.c:600) ------

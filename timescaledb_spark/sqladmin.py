@@ -761,6 +761,114 @@ _ALTER_RENAME_TABLE = re.compile(
     r"^\s*alter\s+table\s+([A-Za-z_]\w*)\s+rename\s+to\s+([A-Za-z_]\w*)\s*$",
     re.I,
 )
+_CREATE_TABLE = re.compile(
+    r"^\s*create\s+table\s+(if\s+not\s+exists\s+)?([A-Za-z_]\w*)\s*"
+    r"\((.*)\)\s*$",
+    re.I | re.S,
+)
+
+# PostgreSQL → Spark type spellings (the reference's schemas are plain
+# PG DDL; anything already a valid Spark type passes through)
+_PG_TYPE_MAP = {
+    "timestamptz": "timestamp",
+    "timestamp with time zone": "timestamp",
+    "timestamp without time zone": "timestamp",
+    "int2": "short",
+    "smallint": "short",
+    "int4": "int",
+    "integer": "int",
+    "serial": "int",
+    "int8": "bigint",
+    "bigserial": "bigint",
+    "real": "float",
+    "float4": "float",
+    "float8": "double",
+    "double precision": "double",
+    "text": "string",
+    "character varying": "string",
+    "varchar": "string",
+    "char": "string",
+    "character": "string",
+    "bool": "boolean",
+    "bytea": "binary",
+    "uuid": "string",
+    "json": "string",
+    "jsonb": "string",
+    "numeric": "decimal(38,18)",
+}
+
+_CONSTRAINT_HEADS = {
+    "primary", "unique", "check", "constraint", "foreign", "exclude",
+}
+_COL_TAIL_KEYWORDS = {
+    "not", "null", "default", "primary", "unique", "references", "check",
+    "collate", "generated", "constraint",
+}
+
+
+def _pg_to_spark_type(pg: str) -> str:
+    s = pg.strip().lower()
+    s = re.sub(r"\s+", " ", s)
+    base = re.sub(r"\s*\(.*\)$", "", s)
+    if base in ("numeric", "decimal") and "(" in s:
+        return s.replace("numeric", "decimal")
+    if base in ("varchar", "char", "character varying", "character", "timestamp", "timestamptz"):
+        # drop length/precision qualifiers PG allows
+        s = base
+    return _PG_TYPE_MAP.get(s, _PG_TYPE_MAP.get(base, s))
+
+
+def match_create_table(q: str):
+    return _CREATE_TABLE.match(q.strip().rstrip(";"))
+
+
+def run_create_table(ts, m) -> DataFrame:
+    """``CREATE TABLE name (col type, ...)`` — the reference workflow's
+    first statement (plain PG DDL; ``create_hypertable`` then converts
+    it). Registers a schema-only declared table; ``create_hypertable``
+    adopts the declared schema so positional ``INSERT .. VALUES`` works
+    before any data exists, exactly like PG. Constraints (PRIMARY KEY,
+    CHECK, REFERENCES ...) are accepted and ignored — parquet has no
+    enforced constraints; the engine's NOT NULL on the time dimension
+    is enforced by create_hypertable itself."""
+    if_not_exists, name, body = bool(m.group(1)), m.group(2), m.group(3)
+    fields = []
+    for item in _split_args(body):
+        toks = item.strip().split()
+        if not toks or toks[0].lower() in _CONSTRAINT_HEADS:
+            continue
+        col = toks[0].strip('"')
+        tt = []
+        for t in toks[1:]:
+            if t.lower() in _COL_TAIL_KEYWORDS:
+                break
+            tt.append(t)
+        if not tt:
+            raise ValueError(f"column {col!r} has no type")
+        fields.append((col, _pg_to_spark_type(" ".join(tt))))
+    if not fields:
+        raise ValueError("CREATE TABLE with no columns")
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromDDL(
+        ", ".join(f"{c} {t}" for c, t in fields)
+    )
+    cat = ts.catalog
+    with cat.write_lock:
+        if cat.hypertable.find_one(name=name) or cat.plain_table.find_one(
+            name=name
+        ):
+            if if_not_exists:
+                return _df(
+                    ts, [(name, 0)], "table string, n_columns int"
+                )
+            raise ValueError(f"table {name!r} already exists")
+        cat.plain_table.append(
+            [{"name": name, "path": None, "schema_ddl": schema.json()}]
+        )
+    return _df(
+        ts, [(name, len(fields))], "table string, n_columns int"
+    )
 
 
 def match_alter_column(q: str):
@@ -1176,6 +1284,12 @@ def run_insert_on_conflict(ts, head: str, keys, set_items) -> DataFrame:
     if collist:
         cols = [c.strip() for c in collist.split(",") if c.strip()]
         src = src.toDF(*cols)
+    elif ht.row.get("schema_ddl"):
+        want = [f.name for f in ht._schema().fields]
+        if len(src.columns) == len(want) and all(
+            re.fullmatch(r"col\d+", c) for c in src.columns
+        ):
+            src = src.toDF(*want)
     if ht.row.get("schema_ddl"):
         sch = {f.name: f.dataType for f in ht._schema().fields}
         from pyspark.sql import functions as _F

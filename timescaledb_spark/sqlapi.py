@@ -857,6 +857,9 @@ def ts_sql(ts, query: str) -> DataFrame:
     adm = sqladmin.match_admin(q)
     if adm:
         return sqladmin.run_admin(ts, adm[0], adm[1])
+    ct = sqladmin.match_create_table(q)
+    if ct:
+        return sqladmin.run_create_table(ts, ct)
     alter = sqladmin.match_alter_compress(q)
     if alter:
         return sqladmin.run_alter_compress(ts, alter[0], alter[1])
@@ -895,6 +898,14 @@ def ts_sql(ts, query: str) -> DataFrame:
                 )
             src = src.toDF(*cols)
         ht = ts.get_hypertable(name)
+        if not collist and ht.row.get("schema_ddl"):
+            # positional INSERT .. VALUES: Spark names the tuple colN;
+            # map onto the declared column order like PG
+            want = [f.name for f in ht._schema().fields]
+            if len(src.columns) == len(want) and all(
+                re.fullmatch(r"col\d+", c) for c in src.columns
+            ):
+                src = src.toDF(*want)
         if ht.row.get("schema_ddl"):
             # PG assignment casts: VALUES literals (e.g. DECIMAL) take the
             # target column's declared type, keeping chunk files uniform
