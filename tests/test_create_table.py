@@ -76,3 +76,49 @@ def test_integer_time_dimension_declared(ts):
     assert ts.sql(
         "SELECT sum(v) AS s FROM counters WHERE tick >= 100"
     ).collect()[0]["s"] == 2.0
+
+
+def test_drop_table_restrict_and_cascade(ts, spark):
+    ts.sql("CREATE TABLE m (ts TIMESTAMP, v DOUBLE)")
+    ht = ts.create_hypertable("m", "ts", chunk_interval="1 day")
+    ts.sql("INSERT INTO m VALUES (TIMESTAMP '2024-01-01', 1.0)")
+    cagg = ts.create_cagg("m_daily", "m", bucket_width="1 day",
+                          aggs={"n": "count(1)"})
+    with pytest.raises(ValueError, match="depend on it"):
+        ht.drop()
+    ts.sql("DROP TABLE m CASCADE")
+    assert ts.catalog.hypertable.find_one(name="m") is None
+    assert ts.catalog.continuous_agg.find_one(name="m_daily") is None
+    assert ts.catalog.chunk.find(hypertable_id=ht.id) == []
+    import os
+    assert not os.path.isdir(ht.data_dir)
+    # name is reusable
+    ts.sql("CREATE TABLE m (ts TIMESTAMP, v DOUBLE)")
+    ts.create_hypertable("m", "ts", chunk_interval="1 day")
+    ts.sql("INSERT INTO m VALUES (TIMESTAMP '2024-02-01', 9.0)")
+    assert ts.sql("SELECT count(*) n FROM m").collect()[0]["n"] == 1
+
+
+def test_drop_table_cleans_policies(ts, spark):
+    ts.sql("CREATE TABLE p (ts TIMESTAMP, v DOUBLE)")
+    ts.create_hypertable("p", "ts", chunk_interval="1 day")
+    ts.sql("INSERT INTO p VALUES (TIMESTAMP '2024-01-01', 1.0)")
+    ts.jobs.add_retention_policy("p", drop_after="30 days")
+    ts.sql("DROP TABLE p")
+    assert not [
+        j for j in ts.catalog.bgw_job.read()
+        if (j.get("config") or {}).get("hypertable") == "p"
+    ]
+
+
+def test_drop_if_exists_and_mv(ts, spark):
+    ts.sql("DROP TABLE IF EXISTS ghost")  # no error
+    with pytest.raises(ValueError, match="no table"):
+        ts.sql("DROP TABLE ghost")
+    ts.sql("CREATE TABLE d (ts TIMESTAMP, v DOUBLE)")
+    ts.create_hypertable("d", "ts", chunk_interval="1 day")
+    ts.sql("INSERT INTO d VALUES (TIMESTAMP '2024-01-01', 1.0)")
+    ts.create_cagg("d_daily", "d", bucket_width="1 day", aggs={"n": "count(1)"})
+    ts.sql("DROP MATERIALIZED VIEW d_daily")
+    assert ts.catalog.continuous_agg.find_one(name="d_daily") is None
+    ts.sql("DROP TABLE d")  # now unblocked

@@ -958,6 +958,45 @@ class Hypertable:
         self.ts.catalog.hypertable.update({"name": self.name}, changed)
         self.row.update(changed)
 
+    def drop(self, cascade: bool = False) -> None:
+        """``DROP TABLE`` on a hypertable (PG-inherited; the reference's
+        event trigger tears down chunks and catalog rows,
+        ``src/process_utility.c``). RESTRICT by default: refuses while
+        continuous aggregates depend on this hypertable; ``cascade=True``
+        drops them first, like PG's ``DROP TABLE .. CASCADE``. Removes
+        every catalog row keyed by this hypertable (chunks, stats,
+        dimensions, compression settings, invalidation protocol state,
+        policy jobs) and deletes the data directory."""
+        import shutil as _sh
+
+        cat = self.ts.catalog
+        with cat.ht_lock(self.name):
+            deps = cat.continuous_agg.find(hypertable_id=self.id)
+            if deps and not cascade:
+                names = sorted(d["name"] for d in deps)
+                raise ValueError(
+                    f"cannot drop {self.name!r}: continuous aggregates "
+                    f"{names} depend on it (use cascade=True / CASCADE)"
+                )
+            for d in deps:
+                from .caggs import ContinuousAggregate
+
+                ContinuousAggregate.get(self.ts, d["name"]).drop()
+            with cat.write_lock:
+                cat.chunk.delete({"hypertable_id": self.id})
+                cat.chunk_column_stats.delete({"hypertable_id": self.id})
+                cat.dimension.delete({"hypertable_id": self.id})
+                cat.compression_settings.delete({"hypertable_id": self.id})
+                cat.invalidation_threshold.delete({"hypertable_id": self.id})
+                cat.hypertable_invalidation_log.delete(
+                    {"hypertable_id": self.id}
+                )
+                for job in cat.bgw_job.read():
+                    if (job.get("config") or {}).get("hypertable") == self.name:
+                        cat.bgw_job.delete({"id": job["id"]})
+                cat.hypertable.delete({"id": self.id})
+            _sh.rmtree(self.data_dir, ignore_errors=True)
+
     def rename_to(self, new: str) -> None:
         """``ALTER TABLE .. RENAME TO`` (PostgreSQL-inherited; the
         reference updates its catalog and keeps chunks attached,

@@ -818,6 +818,59 @@ def _pg_to_spark_type(pg: str) -> str:
     return _PG_TYPE_MAP.get(s, _PG_TYPE_MAP.get(base, s))
 
 
+_DROP_TABLE = re.compile(
+    r"^\s*drop\s+table\s+(if\s+exists\s+)?([A-Za-z_]\w*)\s*"
+    r"(cascade|restrict)?\s*$",
+    re.I,
+)
+_DROP_MV = re.compile(
+    r"^\s*drop\s+materialized\s+view\s+(if\s+exists\s+)?([A-Za-z_]\w*)\s*$",
+    re.I,
+)
+
+
+def match_drop_table(q: str):
+    s = q.strip().rstrip(";")
+    m = _DROP_TABLE.match(s)
+    if m:
+        return ("table", m)
+    m = _DROP_MV.match(s)
+    if m:
+        return ("mv", m)
+    return None
+
+
+def run_drop_table(ts, kind: str, m) -> DataFrame:
+    """``DROP TABLE [IF EXISTS] t [CASCADE]`` /
+    ``DROP MATERIALIZED VIEW [IF EXISTS] v`` — hypertable, plain-table,
+    and continuous-aggregate teardown."""
+    import shutil as _sh
+
+    if_exists, name = bool(m.group(1)), m.group(2)
+    if kind == "mv":
+        from .caggs import ContinuousAggregate
+
+        if not ts.catalog.continuous_agg.find_one(name=name):
+            if if_exists:
+                return _df(ts, [(name, "skipped")], "name string, action string")
+            raise ValueError(f"no continuous aggregate {name!r}")
+        ContinuousAggregate.get(ts, name).drop()
+        return _df(ts, [(name, "dropped")], "name string, action string")
+    cascade = bool(m.group(3)) and m.group(3).lower() == "cascade"
+    if ts.catalog.hypertable.find_one(name=name):
+        ts.get_hypertable(name).drop(cascade=cascade)
+        return _df(ts, [(name, "dropped")], "name string, action string")
+    row = ts.catalog.plain_table.find_one(name=name)
+    if row:
+        ts.catalog.plain_table.delete({"name": name})
+        if row.get("path"):
+            _sh.rmtree(row["path"], ignore_errors=True)
+        return _df(ts, [(name, "dropped")], "name string, action string")
+    if if_exists:
+        return _df(ts, [(name, "skipped")], "name string, action string")
+    raise ValueError(f"no table {name!r}")
+
+
 def match_create_table(q: str):
     return _CREATE_TABLE.match(q.strip().rstrip(";"))
 

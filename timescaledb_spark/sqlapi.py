@@ -860,6 +860,9 @@ def ts_sql(ts, query: str) -> DataFrame:
     ct = sqladmin.match_create_table(q)
     if ct:
         return sqladmin.run_create_table(ts, ct)
+    dr = sqladmin.match_drop_table(q)
+    if dr:
+        return sqladmin.run_drop_table(ts, dr[0], dr[1])
     alter = sqladmin.match_alter_compress(q)
     if alter:
         return sqladmin.run_alter_compress(ts, alter[0], alter[1])
