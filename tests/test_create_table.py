@@ -122,3 +122,23 @@ def test_drop_if_exists_and_mv(ts, spark):
     ts.sql("DROP MATERIALIZED VIEW d_daily")
     assert ts.catalog.continuous_agg.find_one(name="d_daily") is None
     ts.sql("DROP TABLE d")  # now unblocked
+
+
+def test_create_index_maps_to_skip_stats(ts, spark):
+    """CREATE INDEX on a hypertable = the chunk-skipping sparse index;
+    indexing the time dimension is a no-op (range pruning covers it)."""
+    ts.sql("CREATE TABLE ix (ts TIMESTAMP, device INT, v DOUBLE)")
+    ht = ts.create_hypertable("ix", "ts", chunk_interval="1 day")
+    ts.sql(
+        "INSERT INTO ix VALUES (TIMESTAMP '2024-01-01', 1, 1.0), "
+        "(TIMESTAMP '2024-01-02', 2, 2.0)"
+    )
+    ts.sql("CREATE INDEX ix_dev ON ix (device)")
+    assert ht.row.get("skip_columns") is None  # stale local row
+    ht._refresh()
+    assert ht.row["skip_columns"] == ["device"]
+    assert ts.catalog.chunk_column_stats.find(hypertable_id=ht.id)
+    # time index: accepted, no stats added
+    ts.sql("CREATE UNIQUE INDEX ON ix (ts DESC)")
+    ht._refresh()
+    assert ht.row["skip_columns"] == ["device"]

@@ -871,6 +871,46 @@ def run_drop_table(ts, kind: str, m) -> DataFrame:
     raise ValueError(f"no table {name!r}")
 
 
+_CREATE_INDEX = re.compile(
+    r"^\s*create\s+(?:unique\s+)?index\s+(?:concurrently\s+)?"
+    r"(?:if\s+not\s+exists\s+)?(?:[A-Za-z_]\w*\s+)?on\s+([A-Za-z_]\w*)\s*"
+    r"(?:using\s+\w+\s*)?\(([^)]*)\)\s*$",
+    re.I,
+)
+
+
+def match_create_index(q: str):
+    return _CREATE_INDEX.match(q.strip().rstrip(";"))
+
+
+def run_create_index(ts, m) -> DataFrame:
+    """``CREATE INDEX .. ON t (cols)``: parquet has no btrees; the
+    engine's index analog is the per-chunk min/max skip index
+    (``enable_chunk_skipping`` — the reference's chunk_column_stats /
+    sparse indexes, ``sql/sparse_index.sql``), so an index declaration
+    maps to exactly that. The time dimension is always range-pruned, so
+    indexing it is a no-op; DESC/ASC and expression qualifiers are
+    ignored (row-group ordering comes from compression orderby)."""
+    ht = ts.get_hypertable(m.group(1))
+    cols = []
+    for piece in _split_args(m.group(2)):
+        col = piece.strip().split()[0].strip('"')
+        if col.lower() in ("asc", "desc"):
+            continue
+        cols.append(col)
+    made = []
+    for col in cols:
+        if col == ht.time_column:
+            continue  # chunk range pruning already covers the time dim
+        ht.enable_chunk_skipping(col)
+        made.append(col)
+    return _df(
+        ts,
+        [(ht.name, ",".join(made) or "(time index: chunk pruning)")],
+        "hypertable string, skip_columns string",
+    )
+
+
 def match_create_table(q: str):
     return _CREATE_TABLE.match(q.strip().rstrip(";"))
 

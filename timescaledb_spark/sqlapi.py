@@ -863,6 +863,9 @@ def ts_sql(ts, query: str) -> DataFrame:
     dr = sqladmin.match_drop_table(q)
     if dr:
         return sqladmin.run_drop_table(ts, dr[0], dr[1])
+    ci = sqladmin.match_create_index(q)
+    if ci:
+        return sqladmin.run_create_index(ts, ci)
     alter = sqladmin.match_alter_compress(q)
     if alter:
         return sqladmin.run_alter_compress(ts, alter[0], alter[1])
