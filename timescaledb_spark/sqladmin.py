@@ -866,6 +866,14 @@ def run_drop_table(ts, kind: str, m) -> DataFrame:
         if row.get("path"):
             _sh.rmtree(row["path"], ignore_errors=True)
         return _df(ts, [(name, "dropped")], "name string, action string")
+    # not an engine table: a Spark-catalog table the caller manages
+    # through the same session still drops the Spark way
+    try:
+        if ts.spark.catalog.tableExists(name):
+            ts.spark.sql(f"DROP TABLE {name}")
+            return _df(ts, [(name, "dropped")], "name string, action string")
+    except Exception:  # noqa: BLE001 — catalog probe only
+        pass
     if if_exists:
         return _df(ts, [(name, "skipped")], "name string, action string")
     raise ValueError(f"no table {name!r}")
