@@ -809,6 +809,8 @@ _COL_TAIL_KEYWORDS = {
 def _pg_to_spark_type(pg: str) -> str:
     s = pg.strip().lower()
     s = re.sub(r"\s+", " ", s)
+    if s.endswith("[]"):  # PG array spelling
+        return f"array<{_pg_to_spark_type(s[:-2])}>"
     base = re.sub(r"\s*\(.*\)$", "", s)
     if base in ("numeric", "decimal") and "(" in s:
         return s.replace("numeric", "decimal")
