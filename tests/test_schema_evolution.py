@@ -216,3 +216,23 @@ def test_rename_hypertable_sql_and_conflicts(ts, spark):
         ht.rename_to("t_b")
     ts.sql("ALTER TABLE t_a RENAME TO t_c")
     assert ts.sql("SELECT count(*) AS n FROM t_c").collect()[0]["n"] == 4
+
+
+def test_rename_downgrades_columnstore_and_refuses_frozen(ts, spark):
+    from timescaledb_spark.chunkops import freeze_chunk, unfreeze_chunk
+    from timescaledb_spark.compression import compress_chunk, enable_columnstore
+
+    ht = ts.create_hypertable("t_ren_cs", "ts", chunk_interval="1 day")
+    ht.insert(_batch(spark, n=24))
+    enable_columnstore(ht, segmentby=["k"], orderby=[("ts", "asc")])
+    compress_chunk(ht, ht.chunks()[0])
+    assert ht.chunks()[0]["status"] == "columnstore"
+    freeze_chunk(ht, ht.chunks()[0])
+    with pytest.raises(PermissionError, match="frozen"):
+        ht.rename_column("value", "v2")
+    unfreeze_chunk(ht, ht.chunks()[0])
+    ht.rename_column("value", "v2")
+    # rewrite destroyed the clustering: status downgraded, stats dropped
+    assert ht.chunks()[0]["status"] == "rowstore"
+    assert ts.catalog.chunk_column_stats.find(hypertable_id=ht.id) == []
+    assert ht.df().agg(F.sum("v2")).collect()[0][0] == sum(range(24))

@@ -1070,6 +1070,13 @@ class Hypertable:
                 "aggregates; drop the caggs first"
             )
         chunks = self.chunks()
+        if any(c.get("frozen") for c in chunks):
+            # the rewrite would touch frozen chunk dirs — same refusal as
+            # every other write path (freeze_chunk, sql/chunk.sql:45)
+            raise PermissionError(
+                f"hypertable {self.name!r} has frozen chunks; unfreeze "
+                f"before renaming columns"
+            )
         if chunks:
             df = self._chunk_reader().option("basePath", self.data_dir).parquet(
                 *[self._chunk_glob(c) for c in chunks]
@@ -1077,6 +1084,9 @@ class Hypertable:
             df = self._apply_fills(df, chunks)
             out = df.withColumnRenamed(old, new)
             self._affected_chunk_writeback(out)
+            # the rewrite destroys columnstore clustering and stales all
+            # recorded stats — same invalidation as any in-place rewrite
+            self._mark_rewritten([c["range_start"] for c in chunks])
         # catalog: schema + every name-referencing field
         new_schema = T.StructType(
             [
