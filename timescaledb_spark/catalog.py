@@ -58,12 +58,14 @@ class ProcessRLock:
         self._rlock.acquire()
         self._depth += 1
         if self._depth == 1 and fcntl is not None:
-            os.makedirs(os.path.dirname(self._path), exist_ok=True)
-            fd = os.open(self._path, os.O_CREAT | os.O_RDWR, 0o644)
+            fd = None
             try:
+                os.makedirs(os.path.dirname(self._path), exist_ok=True)
+                fd = os.open(self._path, os.O_CREAT | os.O_RDWR, 0o644)
                 fcntl.flock(fd, fcntl.LOCK_EX)
             except OSError:  # filesystem without flock (some NFS): the
-                os.close(fd)  # in-process lock still holds
+                if fd is not None:  # in-process lock still holds
+                    os.close(fd)
                 fd = None
             self._fd = fd
 
