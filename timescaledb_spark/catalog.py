@@ -237,15 +237,19 @@ class Catalog:
         raise AttributeError(name)
 
     def next_id(self, seq: str) -> int:
-        """Monotonic id per sequence name (chunk ids, job ids, …)."""
-        meta = self.table("metadata")
-        row = meta.find_one(key=f"seq_{seq}")
-        nxt = int(row["value"]) + 1 if row else 1
-        if row:
-            meta.update({"key": f"seq_{seq}"}, {"value": nxt})
-        else:
-            meta.append([{"key": f"seq_{seq}", "value": nxt}])
-        return nxt
+        """Monotonic id per sequence name (chunk ids, job ids, …).
+        The read→bump pair holds the catalog lock as ONE transaction —
+        two writers (threads on different hypertables, or two driver
+        processes) must never allocate the same id."""
+        with self.write_lock:
+            meta = self.table("metadata")
+            row = meta.find_one(key=f"seq_{seq}")
+            nxt = int(row["value"]) + 1 if row else 1
+            if row:
+                meta.update({"key": f"seq_{seq}"}, {"value": nxt})
+            else:
+                meta.append([{"key": f"seq_{seq}", "value": nxt}])
+            return nxt
 
     def data_dir(self, hypertable_name: str) -> str:
         return os.path.join(self.root, "data", hypertable_name)

@@ -47,6 +47,13 @@ def _validate_adjacent(ht: Hypertable, starts) -> list[dict]:
                 f"chunks not adjacent: [{a['range_start']},{a['range_end']}) then "
                 f"[{b['range_start']},{b['range_end']})"
             )
+    for c in chunks:
+        if c.get("frozen"):
+            # merges rewrite and delete the source dirs — the freeze
+            # contract (sql/chunk.sql:45) applies like any write path
+            raise PermissionError(
+                f"chunk [{c['range_start']},{c['range_end']}) is frozen"
+            )
     return chunks
 
 
@@ -85,15 +92,15 @@ def _merge_commit(
             if os.path.isdir(d):
                 shutil.rmtree(d)
         os.replace(tmp, merged_dir)
-    new_row = {
-        "id": cat.next_id("chunk"),
-        "hypertable_id": ht.id,
-        "range_start": target["range_start"],
-        "range_end": chunks[-1]["range_end"],
-        "status": "rowstore",  # merged data is unclustered until recompressed
-        "created_at": _time.time(),
-    }
     with cat.write_lock:
+        new_row = {
+            "id": cat.next_id("chunk"),
+            "hypertable_id": ht.id,
+            "range_start": target["range_start"],
+            "range_end": chunks[-1]["range_end"],
+            "status": "rowstore",  # unclustered until recompressed
+            "created_at": _time.time(),
+        }
         for c in chunks:
             cat.chunk.delete({"id": c["id"]})
             cat.chunk_column_stats.delete({"chunk_id": c["id"]})

@@ -111,7 +111,23 @@ class Hypertable:
         num_partitions: Optional[int] = None,
         if_not_exists: bool = False,
     ) -> "Hypertable":
-        """``create_hypertable(rel, by_range(time) [, by_hash(space, n)])``."""
+        """``create_hypertable(rel, by_range(time) [, by_hash(space, n)])``.
+
+        The whole exists-check → id → row/dimension append sequence is
+        ONE catalog transaction: two concurrent create_hypertable calls
+        (threads or processes) must not both pass the check and register
+        duplicate rows over one data dir."""
+        with ts.catalog.write_lock:
+            return cls._create_locked(
+                ts, name, time_column, chunk_interval, space_column,
+                num_partitions, if_not_exists,
+            )
+
+    @classmethod
+    def _create_locked(
+        cls, ts, name, time_column, chunk_interval, space_column,
+        num_partitions, if_not_exists,
+    ) -> "Hypertable":
         cat = ts.catalog
         existing = cat.hypertable.find_one(name=name)
         if existing:
@@ -369,7 +385,13 @@ class Hypertable:
         src/ts_catalog/chunk_column_stats.c): record per-chunk min/max of
         a non-partition column so reads can exclude chunks via
         ``read(where_stats=...)``. One aggregate job over the table
-        grouped by the chunk directory — no per-chunk loop."""
+        grouped by the chunk directory — no per-chunk loop. The column
+        is validated against the declared schema BEFORE it is registered
+        — a typo must not poison skip_columns and fail every later
+        ANALYZE."""
+        if self.row.get("schema_ddl") is not None:
+            if column not in {f.name for f in self._schema().fields}:
+                raise ValueError(f"column {column!r} not in schema")
         cols = list(self.row.get("skip_columns") or [])
         if column not in cols:
             self.ts.catalog.hypertable.update(
@@ -383,7 +405,17 @@ class Hypertable:
         requested columns at once — analyze() on k skip columns pays one
         table scan, not k — plus a per-chunk row count, recorded on the
         chunk catalog row so approximate_row_count answers from the
-        catalog instead of walking footers."""
+        catalog instead of walking footers.
+
+        Holds the hypertable DML lock for scan + write-back: without it
+        a concurrent insert could invalidate the stats mid-scan and this
+        write-back would restore PRE-insert bounds — a lying range that
+        silently excludes the new rows from stat-pruned reads. ANALYZE
+        blocking DML briefly matches the reference's lock behavior."""
+        with self.ts.catalog.ht_lock(self.name):
+            return self._recompute_stats_locked(columns)
+
+    def _recompute_stats_locked(self, columns: Sequence[str]) -> int:
         chunks = self.chunks()
         if not chunks:
             return 0
@@ -1110,6 +1142,10 @@ class Hypertable:
         cat = self.ts.catalog
         with cat.write_lock:
             cat.hypertable.update({"name": self.name}, changed)
+            # dimension metadata names the column too
+            cat.dimension.update(
+                {"hypertable_id": self.id, "column": old}, {"column": new}
+            )
             # stats recorded under the old name are now unreachable
             cat.chunk_column_stats.delete(
                 {"hypertable_id": self.id, "column": old}
@@ -2376,7 +2412,12 @@ class Hypertable:
         with cat.write_lock:
             rows = cat.chunk.read()
             for r in rows:
-                if r.get("id") in counts:
+                # only fill chunks whose count is STILL unknown — a
+                # concurrent insert may have invalidated (or a concurrent
+                # ANALYZE refreshed) the row since the footer walk, and
+                # overwriting would cache a stale pre-insert count that
+                # the self-heal path would then never correct
+                if r.get("id") in counts and r.get("n_rows") is None:
                     r["n_rows"] = counts[r["id"]]
             cat.chunk.replace(rows)
         return total + sum(counts.values())

@@ -569,11 +569,23 @@ def _prunable_region(sql: str) -> Optional[str]:
     cleaned = re.sub(r"\bis\s+not\s+null\b", " ", stripped, flags=re.I)
     if re.search(r"\b(?:or|not|case|having)\b", cleaned, re.I):
         return None
-    if re.search(r"\bselect\b", stripped, re.I):
+    if re.match(r"\s*(?:select|with)\b", stripped, re.I):
+        # full query: only WHERE-onwards can hold filters, and a
+        # subquery anywhere in that region has its OWN WHERE whose
+        # predicates belong to a DIFFERENT table — an unqualified
+        # `value > 100` in `IN (SELECT .. FROM meta WHERE value > 100)`
+        # must never prune the outer hypertable's chunks
         m = re.search(r"\bwhere\b", stripped, re.I)
         if not m:
             return None
-        return sql[m.start():]
+        region = sql[m.start():]
+        if re.search(r"\bselect\b", _strip_strings(region), re.I):
+            return None
+        return region
+    if re.search(r"\bselect\b", stripped, re.I):
+        # WHERE-clause fragment (gapfill/DML callers) containing a
+        # subquery: same cross-table contamination risk — bail
+        return None
     return sql
 
 

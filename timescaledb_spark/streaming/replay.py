@@ -26,6 +26,40 @@ SENTINEL = "_sentinel"
 _SENT_NS = 4102444800 * 1_000_000_000  # 2100-01-01
 _DAY_NS = 86_400 * 1_000_000_000
 
+#: staged replay dirs by (source path, n_heartbeats) — reused across
+#: calls and removed at interpreter exit
+_REPLAY_DIRS: dict = {}
+
+
+def _cleanup_replay_dirs() -> None:  # pragma: no cover — atexit hook
+    for d in _REPLAY_DIRS.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _REPLAY_DIRS.clear()
+
+
+import atexit  # noqa: E402
+
+atexit.register(_cleanup_replay_dirs)
+
+
+def _read_replay_dir(spark: SparkSession, tmp: str, src: str) -> DataFrame:
+    """Build the streaming frame over an already-staged replay dir."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(os.path.join(tmp, "part-000.parquet")).schema
+    ts_is_ns = {
+        f.name: f.dataType.simpleString() for f in schema.fields
+    }.get("ts") == "bigint"
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tmp)
+    )
+    if ts_is_ns:
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        sdf = sdf.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return sdf.select(*[f.name for f in schema.fields])
+
 
 def heartbeat_stream(
     spark: SparkSession,
@@ -41,7 +75,16 @@ def heartbeat_stream(
     import pyarrow.parquet as papq
 
     src = os.path.join(sf_dir, f"{table}.parquet")
+    # the staged dir (a full copy of the source file) is reused across
+    # calls for the same source and removed at interpreter exit —
+    # without this every gate run leaked a copy of the table into /tmp
+    cache_key = (os.path.abspath(src), n_heartbeats)
+    cached = _REPLAY_DIRS.get(cache_key)
+    if cached and os.path.isdir(cached):
+        tmp = cached
+        return _read_replay_dir(spark, tmp, src)
     tmp = tempfile.mkdtemp(prefix="ts_replay_")
+    _REPLAY_DIRS[cache_key] = tmp
     shutil.copy(src, os.path.join(tmp, "part-000.parquet"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
@@ -85,21 +128,7 @@ def heartbeat_stream(
         os.path.join(tmp, "part-000.parquet"),
         (1_000_000_000, 1_000_000_000),
     )
-
-    schema = spark.read.parquet(os.path.join(tmp, "part-000.parquet")).schema
-    ts_is_ns = {
-        f.name: f.dataType.simpleString() for f in schema.fields
-    }.get("ts") == "bigint"
-    sdf = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(tmp)
-    )
-    if ts_is_ns:
-        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    else:
-        sdf = sdf.withColumn("ts", F.col("ts").cast(T.TimestampType()))
-    return sdf.select(*[f.name for f in schema.fields])
+    return _read_replay_dir(spark, tmp, src)
 
 
 def run_to_memory_sink(
