@@ -900,8 +900,17 @@ def run_create_index(ts, m) -> DataFrame:
     sparse indexes, ``sql/sparse_index.sql``), so an index declaration
     maps to exactly that. The time dimension is always range-pruned, so
     indexing it is a no-op; DESC/ASC and expression qualifiers are
-    ignored (row-group ordering comes from compression orderby)."""
-    ht = ts.get_hypertable(m.group(1))
+    ignored (row-group ordering comes from compression orderby). On a
+    plain (non-hypertable) table the statement is accepted and ignored —
+    parquet scans carry row-group stats regardless."""
+    name = m.group(1)
+    if not ts.catalog.hypertable.find_one(name=name):
+        return _df(
+            ts,
+            [(name, "(plain table: parquet row-group stats)")],
+            "hypertable string, skip_columns string",
+        )
+    ht = ts.get_hypertable(name)
     cols = []
     for piece in _split_args(m.group(2)):
         col = piece.strip().split()[0].strip('"')
