@@ -1,0 +1,114 @@
+"""The TimescaleDB getting-started tutorial, run against this engine.
+
+Every statement below is what the reference's own quickstart has a user
+type (CREATE TABLE -> create_hypertable -> INSERT -> hyperfunction
+queries -> columnstore -> continuous aggregate -> policies) — executed
+verbatim through ``ts.sql`` on Spark. Run it:
+
+    python examples/quickstart.py
+"""
+
+import sys
+import tempfile
+
+sys.path.insert(0, ".")
+
+from timescaledb_spark import TSSession, build_spark  # noqa: E402
+
+
+def main() -> None:
+    spark = build_spark(app_name="quickstart")
+    ts = TSSession(spark, tempfile.mkdtemp(prefix="ts_quickstart_"))
+
+    # --- 1. create a hypertable (the reference's first session) --------
+    ts.sql("""
+        CREATE TABLE conditions (
+          time        TIMESTAMPTZ       NOT NULL,
+          location    TEXT              NOT NULL,
+          temperature DOUBLE PRECISION,
+          humidity    DOUBLE PRECISION
+        )
+    """)
+    ts.sql(
+        "SELECT create_hypertable('conditions', 'time', "
+        "chunk_time_interval => INTERVAL '1 day')"
+    )
+
+    # --- 2. insert data ------------------------------------------------
+    ts.sql("""
+        INSERT INTO conditions VALUES
+          (TIMESTAMP '2024-01-01 00:00', 'office',  70.0, 50.0),
+          (TIMESTAMP '2024-01-01 06:00', 'office',  71.5, 51.2),
+          (TIMESTAMP '2024-01-01 12:00', 'garage',  77.0, 65.3),
+          (TIMESTAMP '2024-01-02 03:00', 'office',  68.2, 49.0),
+          (TIMESTAMP '2024-01-02 15:00', 'garage',  78.9, 66.0),
+          (TIMESTAMP '2024-01-03 09:00', 'office',  69.9, 50.5)
+    """)
+
+    # --- 3. hyperfunction queries --------------------------------------
+    print("hourly buckets with bookends:")
+    ts.sql("""
+        SELECT time_bucket(INTERVAL '1 day', time) AS bucket, location,
+               avg(temperature) AS avg_temp,
+               first(temperature, time) AS first_temp,
+               last(temperature, time) AS last_temp
+        FROM conditions
+        WHERE time >= '2024-01-01' AND time < '2024-01-04'
+        GROUP BY bucket, location
+        ORDER BY bucket, location
+    """).show()
+
+    print("gapfilled series with carry-forward:")
+    ts.sql("""
+        SELECT time_bucket_gapfill('6 hours', time) AS bucket, location,
+               locf(avg(temperature)) AS temp
+        FROM conditions
+        WHERE time >= '2024-01-01' AND time < '2024-01-03'
+        GROUP BY bucket, location
+        ORDER BY location, bucket
+    """).show(40)
+
+    # --- 4. columnstore -------------------------------------------------
+    ts.sql(
+        "ALTER TABLE conditions SET (timescaledb.compress, "
+        "timescaledb.compress_segmentby = 'location')"
+    )
+    chunk = ts.sql(
+        "SELECT * FROM timescaledb_information.chunks"
+    ).collect()[0]["chunk_name"]
+    ts.sql(f"SELECT compress_chunk('{chunk}')")
+    print("chunks after compressing the first one:")
+    ts.sql(
+        "SELECT chunk_name, is_compressed "
+        "FROM timescaledb_information.chunks"
+    ).show()
+
+    # --- 5. continuous aggregate + policies ----------------------------
+    ts.sql("""
+        CREATE MATERIALIZED VIEW conditions_daily
+        WITH (timescaledb.continuous) AS
+        SELECT time_bucket('1 day', time) AS bucket, location,
+               avg(temperature) AS avg_temp, count(*) AS n
+        FROM conditions GROUP BY bucket, location
+    """)
+    ts.sql(
+        "CALL refresh_continuous_aggregate('conditions_daily', "
+        "'2024-01-01', '2024-01-04')"
+    )
+    print("materialized daily rollup:")
+    ts.sql(
+        "SELECT * FROM conditions_daily ORDER BY bucket, location"
+    ).show()
+
+    ts.sql(
+        "SELECT add_retention_policy('conditions', "
+        "drop_after => INTERVAL '90 days')"
+    )
+    print("registered jobs:")
+    ts.sql("SELECT * FROM timescaledb_information.jobs").show()
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
