@@ -244,3 +244,33 @@ def test_cagg_join_refresh_convergence(ts, spark):
         for r in cagg.read(realtime=False).collect()
     }
     assert got == expect
+
+
+def test_open_refresh_watermark_tracks_data_not_chunks(ts, spark):
+    """Open-ended refresh must set the watermark at the end of the
+    bucket holding the LAST ROW, not at the chunk's range_end days past
+    the data — otherwise realtime reads hide every later insert below
+    the inflated watermark until the next refresh."""
+    from timescaledb_spark.hypertable import _to_internal
+
+    ht = ts.create_hypertable("wmv", "timec", chunk_interval="7 days")
+    # data through Jan 1 12:00 only, inside a 7-day chunk
+    ht.insert(mk_conditions(spark, n_hours=13, locs=1))
+    cagg = ts.create_cagg(
+        "wmv_daily", "wmv", bucket_width="1 day",
+        aggs={"n": "count(1)"},
+    )
+    cagg.refresh()
+    wm = cagg.watermark()
+    assert wm == _to_internal(BASE + timedelta(days=1))  # Jan 2, not Jan 8
+    # a NEW-bucket insert is visible in realtime immediately
+    ht.insert(
+        spark.createDataFrame(
+            [(BASE + timedelta(days=1, hours=10), "loc_0", 1.0, 2.0)],
+            "timec timestamp, location string, temperature double, humidity double",
+        )
+    )
+    got = cagg.read(realtime=True).filter(
+        F.col("bucket") == BASE + timedelta(days=1)
+    ).collect()
+    assert len(got) == 1 and got[0]["n"] == 1

@@ -312,3 +312,99 @@ def test_gapfill_vs_duckdb_oracle(tsdata, duck):
     FROM j
     """
     assert_match(df, duck, sql)
+
+
+# ---------------------------------------------------------------------------
+# round-7 review regressions: NULL groups, DST, month-path edges, axes
+# ---------------------------------------------------------------------------
+
+def test_null_group_key_fills_like_any_group(spark):
+    """NULL group keys must join null-safely: one row per bucket, gaps
+    filled from the NULL group's own data."""
+    df = spark.createDataFrame(
+        [
+            (None, datetime(2024, 1, 1), 1.0),
+            (None, datetime(2024, 1, 3), 2.0),
+            ("g1", datetime(2024, 1, 1), 5.0),
+        ],
+        "g string, ts timestamp, value double",
+    )
+    out = time_bucket_gapfill(
+        df, "1 day", "ts", datetime(2024, 1, 1), datetime(2024, 1, 4),
+        group_by=["g"], aggs={"v": F.avg("value")}, fill={"v": locf()},
+    ).collect()
+    null_rows = sorted(
+        ((r["bucket"], r["v"]) for r in out if r["g"] is None)
+    )
+    assert null_rows == [
+        (datetime(2024, 1, 1), 1.0),
+        (datetime(2024, 1, 2), 1.0),  # locf carry, not a duplicate pair
+        (datetime(2024, 1, 3), 2.0),
+    ]
+
+
+def test_dst_spring_forward_no_duplicate_bucket(spark):
+    """The nonexistent local hour at spring-forward must not emit a
+    duplicate UTC bucket."""
+    df = spark.createDataFrame(
+        [(datetime(2024, 3, 10, 7, 30), 1.0)], "ts timestamp, value double"
+    )
+    out = time_bucket_gapfill(
+        df, "1 hour", "ts",
+        datetime(2024, 3, 10, 5, 0), datetime(2024, 3, 10, 10, 0),
+        aggs={"v": F.avg("value")}, fill={"v": None},
+        timezone="America/New_York",
+    ).collect()
+    buckets = [r["bucket"] for r in out]
+    assert len(buckets) == len(set(buckets)), buckets
+
+
+def test_month_gapfill_int_and_date_start(spark):
+    from datetime import date as _date
+
+    df = spark.createDataFrame(
+        [(datetime(2024, 2, 10), 5.0)], "ts timestamp, value double"
+    )
+    # int µs start
+    out = time_bucket_gapfill(
+        df, "1 month", "ts", 1704067200000000, datetime(2024, 4, 1),
+        aggs={"v": F.avg("value")}, fill={"v": None},
+    ).collect()
+    assert len(out) == 3
+    # date start/finish
+    out = time_bucket_gapfill(
+        df, "1 month", "ts", _date(2024, 1, 1), _date(2024, 4, 1),
+        aggs={"v": F.avg("value")}, fill={"v": None},
+    ).collect()
+    assert len(out) == 3
+
+
+def test_month_gapfill_rejects_inverted_window(spark):
+    df = spark.createDataFrame(
+        [(datetime(2024, 5, 2), 1.0)], "ts timestamp, value double"
+    )
+    with pytest.raises(ValueError, match="finish must be after"):
+        time_bucket_gapfill(
+            df, "1 month", "ts", datetime(2024, 5, 10), datetime(2024, 5, 1),
+            aggs={"v": F.avg("value")},
+        )
+
+
+def test_month_interpolate_prev_uses_month_axis(spark):
+    """prev/next tuples carry TIMES; on a month spine they must convert
+    to the month index, or the linear weights degenerate."""
+    df = spark.createDataFrame(
+        [(datetime(2024, 3, 15), 5.0)], "ts timestamp, value double"
+    )
+    out = {
+        r["bucket"]: r["v"]
+        for r in time_bucket_gapfill(
+            df, "1 month", "ts", datetime(2024, 1, 1), datetime(2024, 4, 1),
+            aggs={"v": F.avg("value")},
+            fill={"v": interpolate(prev=(datetime(2023, 12, 1), 0.0))},
+        ).collect()
+    }
+    # ramp 0 (Dec) -> 5 (Mar): Jan ~ 5/3, Feb ~ 10/3
+    assert abs(out[datetime(2024, 1, 1)] - 5 / 3) < 1e-9
+    assert abs(out[datetime(2024, 2, 1)] - 10 / 3) < 1e-9
+    assert out[datetime(2024, 3, 1)] == 5.0

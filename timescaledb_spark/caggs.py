@@ -172,13 +172,16 @@ class ContinuousAggregate:
             "mat_table": f"_mat_{name}",
             "created_at": _time.time(),
         }
-        cat.continuous_agg.append([row])
-        # materialization hypertable (create.c:267): bucket column is the
-        # open dimension; chunk interval = 10 buckets (enough to keep
-        # per-range rewrites local) but at least the source's interval
+        # materialization hypertable FIRST (create.c:267): if its name
+        # collides, nothing has been written yet — appending the cagg
+        # row before this left a broken half-created cagg behind on
+        # failure. Bucket column is the open dimension; chunk interval =
+        # 10 buckets (enough to keep per-range rewrites local) but at
+        # least the source's interval.
         nominal_us = iv.us if not iv.months else iv.months * 31 * 86_400_000_000
         mat_interval = max(nominal_us * 10, int(hypertable.row.get("chunk_interval") or 0))
         Hypertable.create(ts, row["mat_table"], bucket_alias, chunk_interval=mat_interval)
+        cat.continuous_agg.append([row])
         # seed: entire range invalid (README "initial state")
         cat.materialization_invalidation_log.append(
             [
@@ -325,9 +328,28 @@ class ContinuousAggregate:
         if lo is None:
             lo = INT64_MIN
         if hi is None:
-            # refresh everything seen so far
-            mx = src.chunks()
-            hi = max((c["range_end"] for c in mx), default=0)
+            # refresh everything seen so far — up to the LAST ROW, not
+            # the last chunk boundary: the watermark becomes the ceil of
+            # this value, and overshooting to the chunk's range_end
+            # (days past the data) would make realtime reads hide every
+            # later insert below it until the next refresh. One max()
+            # over the newest chunk only (reference: watermark tracks
+            # materialized buckets, tsl/src/continuous_aggs/refresh.c).
+            chunks = src.chunks()
+            if not chunks:
+                hi = 0
+            else:
+                newest = chunks[-1]
+                mxrow = (
+                    src.read(start=newest["range_start"])
+                    .agg(F.max(src.time_column).alias("mx"))
+                    .collect()[0]
+                )
+                hi = (
+                    _to_internal(mxrow["mx"]) + 1
+                    if mxrow["mx"] is not None
+                    else newest["range_start"]
+                )
         win_s = self._floor_us(lo)
         if open_end:
             # open-ended refresh covers the (possibly partial) bucket
@@ -497,17 +519,37 @@ class ContinuousAggregate:
         raw_side = raw_agg.filter(F.col(bucket) >= wm_lit)
         return mat_side.unionByName(raw_side)
 
-    def drop(self) -> None:
-        import shutil as _sh
-
+    def drop(self, keep_jobs: bool = False) -> None:
+        """``DROP MATERIALIZED VIEW`` teardown. Refuses while a
+        hierarchical cagg is built on this one (PG RESTRICT — a child
+        would be left with a dangling source); removes every catalog
+        row referencing the cagg, including its refresh-policy jobs
+        (an orphaned job would KeyError on every scheduler tick
+        forever), and routes the mat hypertable through the full
+        Hypertable.drop teardown (dimensions, stats, jobs, dirs).
+        ``keep_jobs`` is for the migrate swap (cagg.alter), where the
+        name-referencing policy must survive and point at the new
+        definition."""
         cat = self.ts.catalog
         mat = self._mat()
+        children = cat.continuous_agg.find(hypertable_name=self.row["mat_table"])
+        if children:
+            names = sorted(c["name"] for c in children)
+            raise ValueError(
+                f"cannot drop cagg {self.name!r}: hierarchical caggs "
+                f"{names} are built on it"
+            )
+        if not keep_jobs:
+            for job in cat.bgw_job.read():
+                cfg = job.get("config") or {}
+                if cfg.get("cagg") == self.name or cfg.get("hypertable") == (
+                    self.row["mat_table"]
+                ):
+                    cat.bgw_job.delete({"id": job["id"]})
         cat.continuous_agg.delete({"id": self.id})
         cat.cagg_watermark.delete({"cagg_id": self.id})
         cat.materialization_invalidation_log.delete({"cagg_id": self.id})
-        cat.hypertable.delete({"name": self.row["mat_table"]})
-        cat.chunk.delete({"hypertable_id": mat.id})
-        _sh.rmtree(mat.data_dir, ignore_errors=True)
+        mat.drop()
 
     # ------------------------------------------------------------- migrate
     def alter(
@@ -585,7 +627,9 @@ class ContinuousAggregate:
             # drop the old cagg + its materialization, then adopt the
             # original name (and mat-table name) for the shadow — one
             # catalog transaction, readers resolve names only through it
-            self.drop()
+            # (jobs survive: the policy must follow the name to the new
+            # definition)
+            self.drop(keep_jobs=True)
             if os.path.isdir(cat.data_dir(new_mat_tmp)):
                 os.rename(cat.data_dir(new_mat_tmp), cat.data_dir(final_mat))
             cat.hypertable.update({"name": new_mat_tmp}, {"name": final_mat})

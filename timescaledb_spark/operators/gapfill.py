@@ -88,6 +88,39 @@ def _local_us(instant_us: int, tz: str) -> int:
     return instant_us + int(dt.utcoffset().total_seconds()) * 1_000_000
 
 
+def _nullsafe_spine_join(
+    spine: DataFrame,
+    bucketed: DataFrame,
+    group_by: list,
+    value_cols: list,
+) -> DataFrame:
+    """Full-outer join of the bucket spine against the aggregated rows.
+    Plain ``on=[cols]`` equi-join never matches NULL group keys, so a
+    group whose key is NULL would emit BOTH an all-gap spine row and an
+    unjoined actual row per bucket; the join is null-safe on the group
+    columns (the reference treats NULL as an ordinary group value)."""
+    if not group_by:
+        return spine.join(bucketed, on=[_BUS], how="full_outer")
+    # the spine derives FROM bucketed (groups = bucketed.select(...)),
+    # so unqualified column refs are an ambiguous self-join — alias both
+    # sides and qualify every reference
+    s, b = spine.alias("_gf_s"), bucketed.alias("_gf_b")
+    cond = F.col(f"_gf_s.{_BUS}") == F.col(f"_gf_b.{_BUS}")
+    for g in group_by:
+        cond = cond & F.col(f"_gf_s.{g}").eqNullSafe(F.col(f"_gf_b.{g}"))
+    j = s.join(b, on=cond, how="full_outer")
+    sel = [
+        F.coalesce(F.col(f"_gf_s.{g}"), F.col(f"_gf_b.{g}")).alias(g)
+        for g in group_by
+    ]
+    sel.append(
+        F.coalesce(F.col(f"_gf_s.{_BUS}"), F.col(f"_gf_b.{_BUS}")).alias(_BUS)
+    )
+    sel += [F.col(f"_gf_b.{c}").alias(c) for c in value_cols]
+    sel.append(F.col("_gf_b._present").alias("_present"))
+    return j.select(*sel)
+
+
 def time_bucket_gapfill(
     df: DataFrame,
     width: Union[str, int],
@@ -177,6 +210,9 @@ def time_bucket_gapfill(
     )
 
     if group_by:
+        # the aggregation feeds BOTH the group spine and the join; cache
+        # so the source isn't scanned and aggregated twice per query
+        bucketed = bucketed.persist()
         groups = bucketed.select(*group_by).distinct()
     else:
         groups = bucketed.sparkSession.range(1).select(F.lit(1).alias("_g")).drop("_g")
@@ -187,10 +223,28 @@ def time_bucket_gapfill(
         ).alias(_BUS),
     )
 
-    joined = spine.join(bucketed, on=group_by + [_BUS], how="full_outer")
-    out = _apply_fills(joined, group_by, list(aggs), fill)
+    joined = _nullsafe_spine_join(spine, bucketed, group_by, list(aggs))
+    if is_ts and timezone is not None:
+        axis_of = lambda v: _local_us(_to_internal(v), timezone)  # noqa: E731
+    else:
+        axis_of = _to_internal
+    out = _apply_fills(joined, group_by, list(aggs), fill, axis_of=axis_of)
 
     if is_ts and timezone is not None:
+        # DST spring-forward: a nonexistent local hour maps to the same
+        # UTC instant as the following hour — drop the phantom spine row
+        # (its local time does not survive a local->UTC->local round
+        # trip), or downstream consumers see duplicate bucket keys
+        exists = (
+            F.unix_micros(
+                F.from_utc_timestamp(
+                    F.to_utc_timestamp(F.timestamp_micros(F.col(_BUS)), timezone),
+                    timezone,
+                )
+            )
+            == F.col(_BUS)
+        )
+        out = out.filter(exists)
         bucket_out = F.to_utc_timestamp(
             F.timestamp_micros(F.col(_BUS)), timezone
         ).alias(bucket_alias)
@@ -210,8 +264,18 @@ def _gapfill_month(
     ``timezone``, the month index is taken in local wall-clock time and
     bucket instants are the local month starts converted back to UTC."""
     def py_midx(v) -> int:
+        if isinstance(v, int):
+            # internal µs (the int time-dimension form never reaches the
+            # month path; ints here are µs since epoch)
+            from datetime import timezone as _tzmod
+
+            v = datetime.fromtimestamp(v / 1_000_000, tz=_tzmod.utc).replace(
+                tzinfo=None
+            )
         if isinstance(v, str):
             v = datetime.fromisoformat(v)
+        if isinstance(v, date) and not isinstance(v, datetime):
+            v = datetime(v.year, v.month, v.day)
         if timezone is not None:
             from datetime import timezone as _tzmod
             from zoneinfo import ZoneInfo
@@ -221,18 +285,35 @@ def _gapfill_month(
             v = v.astimezone(ZoneInfo(timezone))
         return v.year * 12 + v.month - 1
 
+    def month_start_us(midx: int) -> int:
+        """UTC instant of the bucket start for month index ``midx`` —
+        the LOCAL month start when a timezone is set."""
+        y, mo = divmod(midx, 12)
+        naive = datetime(y, mo + 1, 1)
+        if timezone is None:
+            return _to_internal(naive)
+        from zoneinfo import ZoneInfo
+
+        from datetime import timezone as _tzmod
+
+        localized = naive.replace(tzinfo=ZoneInfo(timezone))
+        return int(localized.astimezone(_tzmod.utc).timestamp() * 1_000_000)
+
     m0_raw = py_midx(start)
     w = width_months
     om = DEFAULT_ORIGIN_MONTHS
     b0 = m0_raw - ((m0_raw - om) % w + w) % w
-    # last bucket = largest month-index bucket whose start timestamp < finish
     finish_i = _to_internal(finish)
+    if finish_i is None:
+        raise ValueError("start and finish are required (gapfill_exec.c:390)")
+    if finish_i <= month_start_us(b0):
+        # same contract as the fixed-width path
+        raise ValueError("finish must be after time_bucket(width, start)")
+    # last bucket = largest month-index bucket whose start instant < finish
     m = b0
     while True:
         nxt = m + w
-        y, mo = divmod(nxt, 12)
-        nxt_us = _to_internal(datetime(y, mo + 1, 1))
-        if nxt_us >= finish_i:
+        if month_start_us(nxt) >= finish_i:
             break
         m = nxt
     b_last = m
@@ -248,14 +329,18 @@ def _gapfill_month(
         .withColumn("_present", F.lit(True))
     )
     if group_by:
+        bucketed = bucketed.persist()
         groups = bucketed.select(*group_by).distinct()
     else:
         groups = bucketed.sparkSession.range(1).select(F.lit(1).alias("_g")).drop("_g")
     spine = groups.select(
         "*", F.explode(F.sequence(F.lit(b0), F.lit(b_last), F.lit(w))).alias(_BUS)
     )
-    joined = spine.join(bucketed, on=group_by + [_BUS], how="full_outer")
-    out = _apply_fills(joined, group_by, list(aggs), fill)
+    joined = _nullsafe_spine_join(spine, bucketed, group_by, list(aggs))
+    # interpolate prev/next tuples carry TIMES: the fill axis here is the
+    # MONTH INDEX, so convert them onto it (a raw µs x0 against a ~e2
+    # month-index x degenerates the linear weights)
+    out = _apply_fills(joined, group_by, list(aggs), fill, axis_of=py_midx)
     b = F.col(_BUS)
     bucket_ts = F.make_date(
         F.floor(b / F.lit(12)).cast(T.IntegerType()),
@@ -272,7 +357,14 @@ def _apply_fills(
     group_by: list[str],
     value_cols: list[str],
     fill: dict[str, FillSpec],
+    axis_of=None,
 ) -> DataFrame:
+    """``axis_of``: converts a user-facing prev/next TIME onto the spine
+    axis — internal µs for the plain path, local-wall-clock µs under a
+    timezone, the month index for month widths. Defaults to internal
+    µs."""
+    if axis_of is None:
+        axis_of = _to_internal
     present = F.col("_present").isNotNull() & F.col("_present")
     w = W.partitionBy(*group_by).orderBy(_BUS) if group_by else W.orderBy(_BUS)
     w_upto = w.rowsBetween(W.unboundedPreceding, W.currentRow)
@@ -319,13 +411,13 @@ def _apply_fills(
             prev_t, prev_v = last_actual["t"], last_actual["v"]
             next_t, next_v = next_actual["t"], next_actual["v"]
             if spec.prev is not None:
-                pt = F.lit(_to_internal(spec.prev[0]))
+                pt = F.lit(axis_of(spec.prev[0]))
                 pv = F.lit(spec.prev[1])
                 no_before = last_actual.isNull()
                 prev_t = F.when(no_before, pt).otherwise(prev_t)
                 prev_v = F.when(no_before, pv).otherwise(prev_v)
             if spec.next is not None:
-                nt = F.lit(_to_internal(spec.next[0]))
+                nt = F.lit(axis_of(spec.next[0]))
                 nv = F.lit(spec.next[1])
                 no_after = next_actual.isNull()
                 next_t = F.when(no_after, nt).otherwise(next_t)
