@@ -40,6 +40,22 @@ MAX_FAILURES_MULTIPLIER = 20  # src/bgw/job_stat.c:26
 DEFAULT_RETRY_PERIOD_S = 300.0  # 5 min, sql/job_api.sql defaults
 
 
+def _epoch_seconds(v) -> float:
+    """Absolute time spec (epoch seconds, ISO string, datetime) ->
+    epoch seconds."""
+    from datetime import datetime as _dt, timezone as _tzmod
+
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        return float(v)
+    if isinstance(v, str):
+        v = _dt.fromisoformat(v)
+    if isinstance(v, _dt):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=_tzmod.utc)
+        return v.timestamp()
+    raise ValueError(f"cannot interpret {v!r} as an absolute time")
+
+
 def _seconds(interval: Union[str, int, float, None]) -> Optional[float]:
     """Schedule/offset spec -> wall-clock seconds."""
     if interval is None:
@@ -111,11 +127,26 @@ def _proc_compression(ts, config: dict, now_s: float) -> dict:
 def _proc_refresh_cagg(ts, config: dict, now_s: float) -> dict:
     """``add_continuous_aggregate_policy`` payload
     (tsl/src/bgw_policy/continuous_aggregate_api.c): refresh the sliding
-    window ``[now-start_offset, now-end_offset)``; NULL offset = open end."""
+    window ``[now-start_offset, now-end_offset)``; NULL offset = open
+    end. Integer offsets are OFFSETS on the integer timeline — subtract
+    from the source's ``integer_now`` (reference requirement) so the
+    window actually slides, instead of treating them as absolute times
+    (which would pin a static — usually empty — window forever)."""
     cagg = ts.get_cagg(config["cagg"])
-    now_us = int(now_s * 1_000_000)
-    start = _offset_internal(config.get("start_offset"), now_us)
-    end = _offset_internal(config.get("end_offset"), now_us)
+    start_off = config.get("start_offset")
+    end_off = config.get("end_offset")
+    src = ts.get_hypertable(cagg.row["hypertable_name"])
+    if src.row.get("time_type") == "int":
+        fn = ts.jobs._integer_now.get(src.name)
+        now_i = (
+            fn() if fn else max((c["range_end"] for c in src.chunks()), default=0)
+        )
+        start = None if start_off is None else int(now_i - start_off)
+        end = None if end_off is None else int(now_i - end_off)
+    else:
+        now_us = int(now_s * 1_000_000)
+        start = _offset_internal(start_off, now_us)
+        end = _offset_internal(end_off, now_us)
     ranges = cagg.refresh(start=start, end=end)
     return {"materialized_ranges": len(ranges)}
 
@@ -277,7 +308,13 @@ class JobRegistry:
         if changes:
             cat.bgw_job.update({"id": job_id}, changes)
         if next_start is not None:
-            cat.bgw_job_stat.update({"job_id": job_id}, {"next_start": next_start})
+            # normalize to epoch seconds — a raw timestamp string/datetime
+            # stored here would TypeError against now() on every later
+            # scheduler tick, stalling ALL jobs
+            cat.bgw_job_stat.update(
+                {"job_id": job_id},
+                {"next_start": _epoch_seconds(next_start)},
+            )
         return cat.bgw_job.find_one(id=job_id)
 
     def list(self) -> list[dict]:
@@ -380,15 +417,19 @@ class JobRegistry:
         if ok:
             if job.get("fixed_schedule"):
                 # next slot on the grid anchored at initial_start
-                # (calculate_next_start_on_success_fixed, job_stat.c:282)
-                anchor = float(job.get("initial_start") or finish)
+                # (calculate_next_start_on_success_fixed, job_stat.c:282);
+                # `is None`, not truthiness — an epoch-0 anchor is valid
+                ia = job.get("initial_start")
+                anchor = float(finish if ia is None else ia)
                 if finish < anchor:
                     return anchor
                 k = int((finish - anchor) // interval) + 1
                 return anchor + k * interval
             return finish + interval  # drifting (job_stat.c:292)
-        # failure backoff (calculate_next_start_on_failure, job_stat.c:340)
-        retry = float(job.get("retry_period") or DEFAULT_RETRY_PERIOD_S)
+        # failure backoff (calculate_next_start_on_failure, job_stat.c:340);
+        # `is None`, not truthiness — retry_period=0 means retry NOW
+        rp = job.get("retry_period")
+        retry = float(DEFAULT_RETRY_PERIOD_S if rp is None else rp)
         mult = min(consecutive_failures, MAX_FAILURES_MULTIPLIER)
         backoff = min(retry * mult, MAX_INTERVALS_BACKOFF * interval)
         nxt = finish + backoff
@@ -432,11 +473,24 @@ class JobRegistry:
         schedule_interval: Union[str, int, float],
         if_not_exists: bool = False,
     ) -> int:
+        """A policy is identified by (proc, TARGET), not by its full
+        config: re-adding the same policy with different parameters must
+        error like the reference ('policy already exists'), not silently
+        create a second competing job that remove_*_policy would miss."""
+        target_keys = ("hypertable", "cagg")
+        target = {k: config.get(k) for k in target_keys if k in config}
         for job in self.list():
-            if job["proc"] == proc and job.get("config") == config:
-                if if_not_exists:
-                    return job["id"]
-                raise ValueError(f"policy already exists as job {job['id']}")
+            cfg = job.get("config") or {}
+            if job["proc"] != proc:
+                continue
+            if {k: cfg.get(k) for k in target_keys if k in config} != target:
+                continue
+            if if_not_exists:
+                return job["id"]
+            raise ValueError(
+                f"policy already exists as job {job['id']} "
+                f"(remove it first to change parameters)"
+            )
         return self.add_job(proc, schedule_interval, config=config)
 
     def add_retention_policy(

@@ -179,12 +179,22 @@ def _h_create_hypertable(ts, pos, named):
         kw["space_column"] = named["partitioning_column"].value
         if "number_partitions" in named:
             kw["num_partitions"] = int(named["number_partitions"].value)
-    ht = ts.create_hypertable(name, time_col, **kw)
-    # PG flow: table exists with data, then create_hypertable migrates it
-    # (migrate_data => true). If a plain table of that name is registered,
-    # ingest it.
+    if "if_not_exists" in named:
+        # forward it — idempotent setup scripts rely on the no-op
+        kw["if_not_exists"] = bool(named["if_not_exists"].value)
+    # PG flow: a data-bearing plain table converts via migrate_data=>true
+    # (default in our SQL surface); with migrate_data=>false PG errors
+    # 'table is not empty' — silently shadowing the data behind an empty
+    # hypertable would lose it from every read
     row = ts.catalog.plain_table.find_one(name=name)
-    if row is not None and named.get("migrate_data", _Lit("bool", True)).value:
+    migrate = named.get("migrate_data", _Lit("bool", True)).value
+    if row is not None and row.get("path") is not None and not migrate:
+        raise ValueError(
+            f"table {name!r} is not empty: pass migrate_data => true "
+            f"(src/hypertable.c create_hypertable table-not-empty check)"
+        )
+    ht = ts.create_hypertable(name, time_col, **kw)
+    if row is not None and row.get("path") is not None and migrate:
         ht.insert(ts.spark.read.parquet(row["path"]))
         ts.catalog.plain_table.delete({"name": name})
     return _df(ts, [(ht.id, name, True)], "hypertable_id int, name string, created boolean")
@@ -338,7 +348,11 @@ def _h_add_reorder_policy(ts, pos, named):
 
 def _h_run_job(ts, pos, named):
     res = ts.jobs.run_job(int(pos[0].value))
-    return _df(ts, [(int(pos[0].value), str(res.get("status", "ok")))], "job_id int, status string")
+    # run_job returns success/error, not 'status' — report failures
+    status = "ok" if res.get("success") else f"failed: {res.get('error')}"
+    return _df(
+        ts, [(int(pos[0].value), status)], "job_id int, status string"
+    )
 
 
 def _h_delete_job(ts, pos, named):
@@ -590,7 +604,9 @@ def _rh_add_job(ts, argstr: str) -> DataFrame:
     for a in args[2:]:
         m = _NAMED.match(a)
         if not m:
-            continue
+            # reference parity: reject positional/unparseable extras
+            # instead of silently dropping them
+            raise ValueError(f"add_job: cannot parse argument {a!r}")
         key, rawv = m.group(1).lower(), m.group(2).strip()
         if key == "config":
             kw["config"] = _json.loads(_literal_of(rawv)[1])
@@ -600,6 +616,14 @@ def _rh_add_job(ts, argstr: str) -> DataFrame:
             kw["job_name"] = _literal_of(rawv)[1]
         elif key == "retry_period":
             kw["retry_period"] = _literal_of(rawv)[1]
+        elif key == "initial_start":
+            # anchor of the fixed-schedule grid — dropping it would run
+            # the job immediately on the wrong grid
+            from .jobs import _epoch_seconds
+
+            kw["initial_start"] = _epoch_seconds(_literal_of(rawv)[1])
+        else:
+            raise ValueError(f"add_job: unknown named argument {key!r}")
     job_id = ts.jobs.add_job(proc, interval, **kw)
     return _df(ts, [(job_id,)], "job_id int")
 
@@ -1501,12 +1525,26 @@ def run_merge(ts, q: str) -> DataFrame:
         e = re.sub(rf"\b{re.escape(tname)}\s*\.", "target.", e)
         return e
 
+    def _split_stripped(text: str, pattern: str) -> list[str]:
+        """Split at keyword matches located in the string-stripped form
+        (length-preserving), so literals containing 'and'/'when'
+        survive parsing."""
+        stripped_t = _strip_strings(text)
+        parts, last = [], 0
+        for km in re.finditer(pattern, stripped_t, re.I):
+            parts.append(text[last : km.start()])
+            last = km.end()
+        parts.append(text[last:])
+        return parts
+
+    ident = r"[A-Za-z_]\w*"
     keys = []
-    for part in re.split(r"(?i)\band\b", on_cond):
+    for part in _split_stripped(on_cond, r"\band\b"):
         # reject non-equi operators up front — '>=', '!=', '<>' etc.
         # contain '=' and would otherwise partition into garbage key
         # names that only fail later as an opaque analysis error
-        if re.search(r"[<>!]=|<>|<|>", part):
+        # (checked on the stripped form: literals may contain '<'/'>')
+        if re.search(r"[<>!]=|<>|<|>", _strip_strings(part)):
             raise ValueError(f"MERGE ON must be equality conjunction: {part!r}")
         lhs, eq, rhs = part.partition("=")
         if not eq:
@@ -1514,6 +1552,17 @@ def run_merge(ts, q: str) -> DataFrame:
         lhs, rhs = _normalize(lhs.strip()), _normalize(rhs.strip())
         tgt_side = lhs if lhs.startswith("target.") else rhs
         src_side = rhs if tgt_side is lhs else lhs
+        # both sides must be PLAIN column references: an expression like
+        # upper(s.id) would silently degrade to merging on the raw
+        # column (withColumnRenamed no-op) — wrong rows, no error
+        if not re.fullmatch(rf"target\.{ident}", tgt_side):
+            raise ValueError(
+                f"MERGE ON target side must be a plain column: {part!r}"
+            )
+        if not re.fullmatch(rf"(?:excluded\.)?{ident}", src_side):
+            raise ValueError(
+                f"MERGE ON source side must be a plain column: {part!r}"
+            )
         kt = tgt_side.split(".", 1)[1].strip()
         ks = src_side.split(".", 1)[1].strip() if "." in src_side else src_side
         if kt != ks:
@@ -1536,7 +1585,7 @@ def run_merge(ts, q: str) -> DataFrame:
             out[col] = _normalize(rewrite_sql(expr.strip(), ts))
         return out
 
-    for clause in re.split(r"(?i)\bwhen\b", when_part)[1:]:
+    for clause in _split_stripped(when_part, r"\bwhen\b")[1:]:
         clause = clause.strip()
         # PG17: WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE|DELETE
         # (test/sql/merge_not_matched_by_source.sql)
