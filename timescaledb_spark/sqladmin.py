@@ -929,6 +929,14 @@ def run_create_index(ts, m) -> DataFrame:
     parquet scans carry row-group stats regardless."""
     name = m.group(1)
     if not ts.catalog.hypertable.find_one(name=name):
+        known = ts.catalog.plain_table.find_one(name=name) is not None
+        if not known:
+            try:
+                known = ts.spark.catalog.tableExists(name)
+            except Exception:  # noqa: BLE001 — catalog probe only
+                known = False
+        if not known:
+            raise ValueError(f"no table {name!r}")
         return _df(
             ts,
             [(name, "(plain table: parquet row-group stats)")],
