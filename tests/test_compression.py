@@ -199,3 +199,43 @@ def test_auto_segmentby_empty_when_nothing_qualifies(ts, spark):
     )
     got = get_segmentby_defaults(ht)
     assert got["columns"] == []
+
+
+def test_compress_preserves_space_partition_layout(spark, tmp_path):
+    """Compressing a chunk of a SPACE-partitioned hypertable must keep
+    the _space= subdir layout — flattening it makes multi-chunk basePath
+    reads fail on conflicting partition depths and corrupts later
+    inserts into the chunk."""
+    from timescaledb_spark.session import TSSession
+
+    ts = TSSession(spark, str(tmp_path / "sp"))
+    ht = ts.create_hypertable(
+        "spc", "ts", chunk_interval="1 day",
+        space_column="device", num_partitions=4,
+    )
+    df = spark.range(96).select(
+        F.timestamp_micros(
+            (F.lit(1704067200000000) + F.col("id") * 1_800_000_000)
+            .cast("long")
+        ).alias("ts"),
+        (F.col("id") % 8).cast("int").alias("device"),
+        F.col("id").cast("double").alias("value"),
+    )
+    ht.insert(df)
+    assert len(ht.chunks()) == 2
+    enable_columnstore(ht, segmentby=["device"], orderby=[("ts", "asc")])
+    compress_chunk(ht, ht.chunks()[0])
+    # multi-chunk read across compressed + uncompressed chunks
+    assert ht.df().count() == 96
+    assert ht.read(start="2024-01-01", end="2024-01-03").count() == 96
+    # appends into the compressed chunk still work and are visible
+    ht.insert(
+        spark.createDataFrame(
+            [(datetime(2024, 1, 1, 1, 30), 3, 999.0)],
+            "ts timestamp, device int, value double",
+        )
+    )
+    assert ht.df().count() == 97
+    assert ht.df().filter(F.col("value") == 999.0).count() == 1
+    # per-device pruned read agrees
+    assert ht.df().filter(F.col("device") == 3).count() == 13

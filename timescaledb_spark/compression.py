@@ -39,7 +39,7 @@ from typing import Optional, Sequence, Union
 
 from pyspark.sql import functions as F
 
-from .hypertable import CHUNK_COL, Hypertable
+from .hypertable import CHUNK_COL, SPACE_COL, Hypertable
 
 TARGET_FILE_BYTES = 128 * 1024 * 1024  # one spark input split per file
 
@@ -132,6 +132,17 @@ def enable_columnstore(
             norm.append((parts[0], parts[1].lower() if len(parts) > 1 else "asc"))
         else:
             norm.append((ob[0], ob[1].lower()))
+    if ht.row.get("schema_ddl") is not None:
+        # reference parity: ALTER TABLE .. compress_segmentby errors on
+        # an unknown column; a typo silently skipped at compress time
+        # would drop all clustering and bloom filters without a word
+        known = {f.name for f in ht._schema().fields}
+        for col in list(segmentby) + [c for c, _ in norm]:
+            if col not in known:
+                raise ValueError(
+                    f"column {col!r} not in schema (compress_segmentby/"
+                    f"compress_orderby must name existing columns)"
+                )
     cat = ht.ts.catalog
     cat.compression_settings.delete({"hypertable_id": ht.id})
     cat.compression_settings.append(
@@ -189,42 +200,61 @@ def _compress_chunk_data(
         for c, d in s["orderby"]
         if c in df.columns
     ]
+    live_order = [c for c, _ in s["orderby"] if c in df.columns]
     nfiles = max(1, math.ceil(before / target_file_bytes))
     if segmentby:
         out = df.repartitionByRange(nfiles, *segmentby)
+    elif live_order:
+        out = df.repartitionByRange(nfiles, *[F.col(c) for c in live_order])
     else:
-        out = df.repartitionByRange(nfiles, *[F.col(c) for c, _ in s["orderby"]])
+        out = df.repartition(nfiles)
     out = out.sortWithinPartitions(*[F.col(c) for c in segmentby], *order_cols)
 
     writer = out.write.mode("overwrite")
+    # a space-partitioned hypertable stores _space= subdirs INSIDE each
+    # chunk dir — the rewrite must preserve that layout or later
+    # basePath reads see conflicting partition depths across chunks
+    space = SPACE_COL if ht.row.get("space_column") and SPACE_COL in df.columns else None
+    if space:
+        writer = writer.partitionBy(space)
     for col in segmentby:
         writer = writer.option(f"parquet.bloom.filter.enabled#{col}", "true")
-    tmp = path + ".tmp_columnstore"
-    writer.parquet(tmp)
-    # collect per-chunk column stats for chunk skipping while data is hot
-    stat_cols = list(dict.fromkeys(list(stats_columns) + segmentby))
-    stats = {}
-    if stat_cols:
-        row = (
-            spark.read.parquet(tmp)
-            .agg(
-                *[F.min(c).alias(f"min_{c}") for c in stat_cols],
-                *[F.max(c).alias(f"max_{c}") for c in stat_cols],
+    # dot-prefixed tmp OUTSIDE the _chunk= namespace: a leftover
+    # '_chunk=<start>.tmp_columnstore' dir from a crashed compression
+    # would make _scan_chunk_dirs (run by EVERY insert) fail on
+    # int('<start>.tmp_columnstore') forever
+    tmp = os.path.join(ht.data_dir, f".tmp_columnstore_{chunk['range_start']}")
+    try:
+        writer.parquet(tmp)
+        # collect per-chunk column stats for chunk skipping while hot
+        stat_cols = list(dict.fromkeys(list(stats_columns) + segmentby))
+        stats = {}
+        if stat_cols:
+            row = (
+                spark.read.parquet(tmp)
+                .agg(
+                    *[F.min(c).alias(f"min_{c}") for c in stat_cols],
+                    *[F.max(c).alias(f"max_{c}") for c in stat_cols],
+                )
+                .collect()[0]
             )
-            .collect()[0]
-        )
-        stats = {c: [row[f"min_{c}"], row[f"max_{c}"]] for c in stat_cols}
-    # row count from the freshly written footers — free relative to the
-    # rewrite, and it keeps approximate_row_count answerable from the
-    # catalog (the reference answers from pg stats, sql/size_utils.sql:311)
-    import pyarrow.parquet as papq
+            stats = {c: [row[f"min_{c}"], row[f"max_{c}"]] for c in stat_cols}
+        # row count from the freshly written footers — free relative to
+        # the rewrite; keeps approximate_row_count catalog-answerable
+        # (the reference answers from pg stats, sql/size_utils.sql:311)
+        import pyarrow.parquet as papq
 
-    n_rows = sum(
-        papq.ParquetFile(f).metadata.num_rows
-        for f in glob.glob(os.path.join(tmp, "**", "*.parquet"), recursive=True)
-    )
-    shutil.rmtree(path)
-    os.replace(tmp, path)
+        n_rows = sum(
+            papq.ParquetFile(f).metadata.num_rows
+            for f in glob.glob(
+                os.path.join(tmp, "**", "*.parquet"), recursive=True
+            )
+        )
+        shutil.rmtree(path)
+        os.replace(tmp, path)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     return {
         "before": before,
         "after": _dir_bytes(path),
@@ -293,8 +323,13 @@ def compress_chunk(
         if not matches:
             raise KeyError(f"no chunk starting at {chunk}")
         chunk = matches[0]
-    data = _compress_chunk_data(ht, chunk, stats_columns, target_file_bytes)
-    return _compress_chunk_commit(ht, chunk, data)
+    # the rewrite reads the chunk's files, then rmtree+replace's the dir;
+    # a concurrent insert appending into it between the read and the
+    # swap would be silently deleted — serialize with DML like every
+    # other rewrite path (insert/_recompute_stats/merge all hold it)
+    with ht.ts.catalog.ht_lock(ht.name):
+        data = _compress_chunk_data(ht, chunk, stats_columns, target_file_bytes)
+        return _compress_chunk_commit(ht, chunk, data)
 
 
 def decompress_chunk(ht: Hypertable, chunk: Union[dict, int]) -> None:
@@ -302,7 +337,12 @@ def decompress_chunk(ht: Hypertable, chunk: Union[dict, int]) -> None:
     (sql/maintenance_utils.sql:48): storage format is parquet either way —
     this only flips chunk status so DML paths treat it as rowstore."""
     if isinstance(chunk, int):
-        chunk = next(c for c in ht.chunks() if c["range_start"] == chunk)
+        match = next(
+            (c for c in ht.chunks() if c["range_start"] == chunk), None
+        )
+        if match is None:
+            raise KeyError(f"no chunk starting at {chunk}")
+        chunk = match
     ht.ts.catalog.chunk.update({"id": chunk["id"]}, {"status": "rowstore"})
 
 
@@ -348,19 +388,34 @@ def compress_chunks(
 
 def reorder_chunk(ht: Hypertable, chunk: Union[dict, int], by: Sequence[str]) -> None:
     """``reorder_chunk`` (sql/maintenance_utils.sql:8; tsl/src/reorder.c):
-    CLUSTER-like sorted rewrite by the given key."""
+    CLUSTER-like sorted rewrite by the given key. Serialized with DML
+    (the rewrite deletes the dir it read), space layout preserved, and
+    the staging dir is dot-prefixed + cleaned on failure — the same
+    contract as compress_chunk."""
     if isinstance(chunk, int):
-        chunk = next(c for c in ht.chunks() if c["range_start"] == chunk)
-    spark = ht.ts.spark
-    path = _chunk_path(ht, chunk)
-    df = ht._conform_chunk_df(chunk, ht._chunk_reader().parquet(path))
-    nfiles = max(1, math.ceil(_dir_bytes(path) / TARGET_FILE_BYTES))
-    out = df.repartitionByRange(nfiles, *by).sortWithinPartitions(*by)
-    tmp = path + ".tmp_reorder"
-    out.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    os.replace(tmp, path)
-    ht._mark_fill_done([chunk["range_start"]])
+        match = next(
+            (c for c in ht.chunks() if c["range_start"] == chunk), None
+        )
+        if match is None:
+            raise KeyError(f"no chunk starting at {chunk}")
+        chunk = match
+    with ht.ts.catalog.ht_lock(ht.name):
+        path = _chunk_path(ht, chunk)
+        df = ht._conform_chunk_df(chunk, ht._chunk_reader().parquet(path))
+        nfiles = max(1, math.ceil(_dir_bytes(path) / TARGET_FILE_BYTES))
+        out = df.repartitionByRange(nfiles, *by).sortWithinPartitions(*by)
+        writer = out.write.mode("overwrite")
+        if ht.row.get("space_column") and SPACE_COL in df.columns:
+            writer = writer.partitionBy(SPACE_COL)
+        tmp = os.path.join(ht.data_dir, f".tmp_reorder_{chunk['range_start']}")
+        try:
+            writer.parquet(tmp)
+            shutil.rmtree(path)
+            os.replace(tmp, path)
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        ht._mark_fill_done([chunk["range_start"]])
 
 
 def chunk_compression_stats(ht: Hypertable) -> list[dict]:

@@ -50,7 +50,21 @@ class StreamIngest:
     ):
         self.ht = ht
         self.checkpoint_dir = checkpoint_dir
-        self.stream_id = stream_id or f"stream_{ht.name}"
+        # default stream identity includes the CHECKPOINT location: two
+        # streams into the same hypertable (different sources/
+        # checkpoints) must not collide on (stream_id, batch_id) — a
+        # collision makes the second stream's batches look replayed and
+        # silently drops its data. Batch ids are scoped to a checkpoint,
+        # so the checkpoint is the natural identity.
+        if stream_id is None:
+            import hashlib
+            import os as _os
+
+            ck = hashlib.sha1(
+                _os.path.abspath(checkpoint_dir).encode()
+            ).hexdigest()[:10]
+            stream_id = f"stream_{ht.name}_{ck}"
+        self.stream_id = stream_id
         self.compress_after = compress_after
         self.refresh_caggs = refresh_caggs
 
@@ -65,26 +79,48 @@ class StreamIngest:
         if meta.find_one(**self._seen_key(batch_id)):
             return {"rows": 0, "chunks": [], "replayed": True}
         stats = self.ht.insert(df)
+        # record the completion marker IMMEDIATELY after the insert: a
+        # failure in the optional post-processing below would otherwise
+        # replay the batch and ingest every row twice (both compression
+        # and refresh are safe to re-run; re-inserting is not)
+        meta.append([{**self._seen_key(batch_id), "value": stats["rows"]}])
         if self.compress_after is not None and stats["rows"]:
-            self._compress_completed()
+            self._compress_completed(df)
         if self.refresh_caggs and stats["rows"]:
             self._refresh_watching_caggs()
-        meta.append([{**self._seen_key(batch_id), "value": stats["rows"]}])
         return stats
 
-    def _compress_completed(self) -> None:
+    def _compress_completed(self, batch_df: Optional[DataFrame] = None) -> None:
+        from pyspark.sql import functions as F
+
         from ..compression import compress_chunks
+        from ..hypertable import _to_internal
 
         spec = self.compress_after
-        hold_us = (
-            int(spec)
-            if isinstance(spec, int)
-            else parse_interval(spec).us
-        )
-        ends = [c["range_end"] for c in self.ht.chunks()]
-        if not ends:
-            return
-        cutoff = max(ends) - hold_us
+        if isinstance(spec, int):
+            hold_us = int(spec)
+        else:
+            iv = parse_interval(spec)
+            # months count too (jobs._ht_cutoff parity) — dropping them
+            # made '1 month' a zero hold-off that compressed the
+            # actively-filling chunk on every batch
+            hold_us = iv.us + iv.months * 30 * 86_400_000_000
+        # hold-off is measured from the latest DATA timestamp, not the
+        # newest chunk's range_end (which can sit most of a chunk
+        # interval past the data and compress seconds-old rows)
+        now_i = None
+        if batch_df is not None and self.ht.time_column in batch_df.columns:
+            mx = batch_df.agg(
+                F.max(self.ht.time_column).alias("mx")
+            ).collect()[0]["mx"]
+            if mx is not None:
+                now_i = _to_internal(mx)
+        if now_i is None:
+            ends = [c["range_end"] for c in self.ht.chunks()]
+            if not ends:
+                return
+            now_i = max(ends)
+        cutoff = now_i - hold_us
         compress_chunks(self.ht, older_than=cutoff)
 
     def _refresh_watching_caggs(self) -> None:
