@@ -191,6 +191,13 @@ class Hypertable:
                     f"invalid type {dt!r} for time column {time_column!r}"
                 )
             row["schema_ddl"] = declared["schema_ddl"]
+        # all validation BEFORE any catalog mutation: a failure below a
+        # partial write would leave a half-registered hypertable behind
+        if space_column and (not num_partitions or num_partitions < 1):
+            raise ValueError("space dimension requires num_partitions >= 1")
+        if declared and declared.get("path") is None and declared.get(
+            "schema_ddl"
+        ):
             cat.plain_table.delete({"name": name})
         cat.hypertable.append([row])
         dims = [
@@ -202,8 +209,6 @@ class Hypertable:
             }
         ]
         if space_column:
-            if not num_partitions or num_partitions < 1:
-                raise ValueError("space dimension requires num_partitions >= 1")
             dims.append(
                 {
                     "hypertable_id": ht_id,
@@ -318,7 +323,21 @@ class Hypertable:
             raise ValueError("hypertable already has a space dimension")
         if not num_partitions or num_partitions < 1:
             raise ValueError("num_partitions must be >= 1")
-        spark = self.ts.spark
+        with self.ts.catalog.ht_lock(self.name):
+            self._add_dimension_locked(column, num_partitions)
+
+    def _add_dimension_locked(self, column: str, num_partitions: int) -> None:
+        # rewrites every chunk dir, so it serializes with DML (a
+        # concurrent insert's files would be replaced with the
+        # pre-insert snapshot) and honors the freeze contract; staging
+        # is dot-prefixed so a crash can never leave a dir that breaks
+        # the _chunk= scan every later insert runs
+        for c in self.chunks():
+            if c.get("frozen"):
+                raise PermissionError(
+                    f"chunk [{c['range_start']},{c['range_end']}) of "
+                    f"{self.name!r} is frozen"
+                )
         for c in self.chunks():
             path = self._chunk_glob(c)
             if not os.path.isdir(path):
@@ -329,10 +348,14 @@ class Hypertable:
             out = df.withColumn(
                 SPACE_COL, F.pmod(F.xxhash64(F.col(column)), F.lit(num_partitions))
             )
-            tmp = path + ".tmp_dim"
-            out.write.mode("overwrite").partitionBy(SPACE_COL).parquet(tmp)
-            shutil.rmtree(path)
-            os.replace(tmp, path)
+            tmp = os.path.join(self.data_dir, f".tmp_dim_{c['range_start']}")
+            try:
+                out.write.mode("overwrite").partitionBy(SPACE_COL).parquet(tmp)
+                shutil.rmtree(path)
+                os.replace(tmp, path)
+            except BaseException:
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise
         self.ts.catalog.hypertable.update(
             {"name": self.name},
             {"space_column": column, "num_partitions": num_partitions},
@@ -474,12 +497,19 @@ class Hypertable:
         return len(new_stats)
 
     def set_chunk_time_interval(self, chunk_interval: Union[str, int]) -> None:
-        """``set_chunk_time_interval`` (sql/ddl_api.sql:61) — new chunks only."""
-        us = (
-            chunk_interval
-            if isinstance(chunk_interval, int)
-            else parse_interval(chunk_interval).us
-        )
+        """``set_chunk_time_interval`` (sql/ddl_api.sql:61) — new chunks
+        only. Month-granular and non-positive intervals are rejected like
+        create_hypertable: storing chunk_interval=0 would NULL-route
+        every later insert (pmod by zero)."""
+        if isinstance(chunk_interval, int):
+            us = chunk_interval
+        else:
+            iv = parse_interval(chunk_interval)
+            if iv.months:
+                raise ValueError("month-granular chunk intervals not supported")
+            us = iv.us
+        if us <= 0:
+            raise ValueError(f"chunk interval must be positive, got {us}")
         self.ts.catalog.hypertable.update({"name": self.name}, {"chunk_interval": us})
         self._refresh()
 
@@ -593,8 +623,13 @@ class Hypertable:
         - ``when="after_row"``: ``fn(pandas.DataFrame)`` (or
           ``fn(pdf, chunk_start)`` when chunk-scoped) — observe NEW
           rows after the write lands; the return value is ignored
-          (AFTER ROW semantics). Costs one extra distributed pass over
-          the written batch, not over the table.
+          (AFTER ROW semantics). Fires on insert, upsert, UPDATE
+          (post-assignment rows) and DELETE (the deleted rows; when a
+          BEFORE-row delete trigger is also registered — which can veto
+          rows — only the statement-level ``after`` hook observes the
+          delete). MERGE fires statement-level hooks only. Costs one
+          extra distributed pass over the affected batch, not the
+          table.
         - ``when="after"``: ``fn(hypertable, stats)`` — observe the
           statement (stats include rows + touched chunk starts).
 
@@ -809,10 +844,23 @@ class Hypertable:
     def _insert_pinned(self, df: DataFrame, cluster: bool) -> dict:
         internal = self._internal_time_expr(df)
         frozen = [c for c in self.chunks() if c.get("frozen")]
-        if frozen:
+        fill_defaults = [
+            ac for ac in self.added_columns() if ac["default"] is not None
+        ]
+        prefill = [
+            c
+            for c in self.chunks()
+            if any(self._chunk_needs_fill(c, ac) for ac in fill_defaults)
+        ]
+        if frozen or prefill:
             # frozen chunks must be able to REJECT the write, so stats are
             # needed before any file lands: pay a separate stats scan
-            # (rare — frozen chunks only exist on tiering-style setups)
+            # (rare — frozen chunks only exist on tiering-style setups).
+            # Fill-pending chunks need the range BEFORE the append too:
+            # their defaults must be MATERIALIZED first, or the chunk-
+            # granular read fill would rewrite this batch's explicit
+            # NULLs to the default (PG fast-default semantics: only rows
+            # predating the ADD read the default).
             stats = (
                 df.select(internal.alias("_t"))
                 .agg(
@@ -829,6 +877,13 @@ class Hypertable:
                 return {"rows": 0, "chunks": []}
             self._check_frozen(stats["tmin"], stats["tmax"])
             tmin, tmax, n = stats["tmin"], stats["tmax"], stats["n"]
+            self._materialize_fills(
+                [
+                    c
+                    for c in prefill
+                    if c["range_start"] <= tmax and c["range_end"] > tmin
+                ]
+            )
             obs = None
         else:
             # single-scan ingest: min/max/count ride the write job as
@@ -1206,6 +1261,35 @@ class Hypertable:
             )
         return df
 
+    def _materialize_fills(self, chunks: list) -> None:
+        """One-time rewrite of fill-pending chunks with their defaults
+        materialized (PG's table rewrite for non-fast paths): afterwards
+        the chunk is fill_done and read-time coalescing no longer
+        applies, so rows APPENDED later keep their explicit NULLs."""
+        if not chunks:
+            return
+        for c in chunks:
+            path = self._chunk_glob(c)
+            if not os.path.isdir(path):
+                continue
+            out = self._conform_chunk_df(
+                c, self._chunk_reader().parquet(path)
+            )
+            writer = out.write.mode("overwrite")
+            if self.row.get("space_column") and SPACE_COL in out.columns:
+                writer = writer.partitionBy(SPACE_COL)
+            tmp = os.path.join(
+                self.data_dir, f".tmp_fill_{c['range_start']}"
+            )
+            try:
+                writer.parquet(tmp)
+                shutil.rmtree(path)
+                os.replace(tmp, path)
+            except BaseException:
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise
+        self._mark_fill_done([c["range_start"] for c in chunks])
+
     def _conform_chunk_df(self, chunk: dict, df: DataFrame) -> DataFrame:
         """Single-chunk variant of ``_apply_fills`` for per-chunk rewrite
         paths (compress / reorder / split / merge / add_dimension)."""
@@ -1330,6 +1414,39 @@ class Hypertable:
                     f"{self.name!r} is frozen"
                 )
 
+    def _surviving_space_pairs(self, frame: DataFrame):
+        """(chunk, space) pairs present in ``frame`` — collected BEFORE
+        a writeback (the overwrite invalidates the frame's file
+        snapshot), or None when the table has no space dimension."""
+        if not (self.row.get("space_column") and SPACE_COL in frame.columns):
+            return None
+        return {
+            (r[0], r[1])
+            for r in frame.select(CHUNK_COL, SPACE_COL).distinct().collect()
+        }
+
+    def _drop_doomed_space_dirs(self, pairs, chunk_objs) -> None:
+        """After a delete-bearing rewrite on a SPACE-partitioned table:
+        remove ``_space=`` subdirs of surviving chunks with no pair in
+        ``pairs`` — dynamic partition overwrite never touches a dir
+        absent from its output, so a fully-doomed space bucket would
+        otherwise keep its deleted rows on disk."""
+        if pairs is None:
+            return
+        by_chunk: dict = {}
+        for ch, k in pairs:
+            by_chunk.setdefault(ch, set()).add(k)
+        for c in chunk_objs:
+            cdir = self._chunk_glob(c)
+            if not os.path.isdir(cdir):
+                continue
+            alive = by_chunk.get(c["range_start"], set())
+            for sub in os.listdir(cdir):
+                if not sub.startswith(f"{SPACE_COL}="):
+                    continue
+                if int(sub.split("=", 1)[1]) not in alive:
+                    shutil.rmtree(os.path.join(cdir, sub))
+
     def _affected_chunk_writeback(self, out: DataFrame) -> None:
         """Rewrite exactly the partition dirs present in ``out`` via
         dynamic partition overwrite — the Spark-native analog of the
@@ -1427,6 +1544,16 @@ class Hypertable:
         batch replace, not a row arbiter.
         """
         df = self._fire_before(df)
+        if (
+            self._hooks("before", "insert")
+            or self._hooks("before_row", "insert")
+            or self._hooks("after_row", "insert")
+        ):
+            # upsert runs several actions over this frame (chunk-starts
+            # collect, gating stats, writeback): pin it so side-effecting
+            # before triggers fire ONCE, like _insert_prepared does, and
+            # the after-row pass observes the exact written rows
+            df = df.persist()
         self._ensure_typed(df)
         df = self._conform_input(df)
         new = df.select("*", *self._partition_exprs(df))
@@ -1465,6 +1592,10 @@ class Hypertable:
         chunks = self._register_chunks_in_range(stats["tmin"], stats["tmax"])
         self._capture_invalidation(stats["tmin"], stats["tmax"])
         out_stats = {"rows": stats["n"], "chunks": chunks, "rewritten": hit}
+        # AFTER ROW observers see the incoming (written) rows — df is
+        # pinned above when such hooks exist, so the pass reads the
+        # cache, not a re-run of the before-trigger DAG
+        self._fire_after_row(df, "insert")
         self._fire_after(out_stats)
         return out_stats
 
@@ -1552,6 +1683,11 @@ class Hypertable:
                 f"{self.time_column!r}; delete + re-insert instead"
             )
         src = self._fire_before(src)
+        if self._hooks("before", "insert") or self._hooks("before_row", "insert"):
+            # merge runs multiple actions over the source (distinct
+            # chunks, gating stats, write): pin the post-trigger frame so
+            # side-effecting before triggers fire once
+            src = src.persist()
         self._ensure_typed(src)
         src = self._conform_input(src)
         data_cols = src.columns
@@ -1757,8 +1893,17 @@ class Hypertable:
             ]
         else:
             emptied = []
+        merge_space_pairs = (
+            self._surviving_space_pairs(out)
+            if (delete_matched or n_nmbs_del)
+            else None
+        )
         if not emptied or len(emptied) < len(hit) or n_ins:
             self._affected_chunk_writeback(out)
+            self._drop_doomed_space_dirs(
+                merge_space_pairs,
+                [existing[s] for s in hit if existing[s] not in emptied],
+            )
         for c in emptied:
             path = self._chunk_glob(c)
             if os.path.isdir(path):
@@ -1790,7 +1935,21 @@ class Hypertable:
     ) -> int:
         """UPDATE hypertable SET .. WHERE .. (``test/sql/update.sql``),
         chunk-pruned by ``start``/``end`` then rewritten per affected
-        chunk dir. Returns the number of rows matching ``where``."""
+        chunk dir. Returns the number of rows matching ``where``.
+
+        Assignments to the partition columns are rejected (same rule as
+        merge_into): the rewrite puts rows back in their ORIGINAL chunk
+        dir, so a changed time/space value would strand the row where
+        pruned reads can no longer find it. The reference moves such
+        rows between chunks; here, delete + re-insert expresses it."""
+        part_cols = {self.time_column, self.row.get("space_column")} - {None}
+        bad = part_cols & set(assignments)
+        if bad:
+            raise ValueError(
+                f"cannot UPDATE partition column(s) {sorted(bad)}: the row "
+                f"would be stranded in its old chunk (delete + insert to "
+                f"move rows across chunks)"
+            )
         cond = F.expr(where) if isinstance(where, str) else where
         lo, hi = _to_internal(start), _to_internal(end)
         targets = [
@@ -1836,11 +1995,26 @@ class Hypertable:
             out = changed.unionByName(untouched)
         if mm["lo"] is not None:
             self._check_frozen(mm["lo"], mm["hi"])
+        ar_hooks = self._hooks("after_row", "update")
+        changed_rows = None
+        if ar_hooks:
+            # snapshot BEFORE the overwrite: the frame reads the files
+            # the writeback is about to replace, and the overwrite's
+            # refreshByPath EVICTS caches on those paths — persist()
+            # would silently recompute over the rewritten files, so
+            # localCheckpoint (file-independent materialized blocks) it
+            changed_rows = (
+                out.filter(F.coalesce(cond, F.lit(False)))
+                .drop(CHUNK_COL, SPACE_COL)
+                .localCheckpoint(eager=True)
+            )
         self._affected_chunk_writeback(out)
         self._mark_rewritten([c["range_start"] for c in targets])
         self._mark_fill_done([c["range_start"] for c in targets])
         if mm["lo"] is not None:
             self._capture_invalidation(mm["lo"], mm["hi"])
+        if changed_rows is not None:
+            self._fire_after_row(changed_rows, "update")
         self._fire_after({"rows": n, "op": "update"}, op="update")
         return n
 
@@ -1892,19 +2066,46 @@ class Hypertable:
                 return 0
         # dynamic partition overwrite only rewrites dirs PRESENT in the
         # output — a chunk whose every row matched the predicate must be
-        # dropped explicitly (reference: ts_chunk_drop on empty)
-        survivors = {
-            r[0] for r in kept.select(CHUNK_COL).distinct().collect()
-        }
+        # dropped explicitly (reference: ts_chunk_drop on empty), and on
+        # a space-partitioned table the same applies one level down: a
+        # fully-doomed _space subdir inside a surviving chunk is neither
+        # overwritten nor chunk-dropped, so its rows would survive
+        ar_hooks = [] if del_hooks else self._hooks("after_row", "delete")
+        doomed_rows = None
+        if ar_hooks:
+            # AFTER DELETE ROW observers see the deleted rows; pin +
+            # materialize before the overwrite replaces the files they
+            # read. (With BEFORE-row delete triggers present — which can
+            # veto rows — the statement-level _fire_after is the
+            # observer; per-row firing would misreport vetoed rows.)
+            # localCheckpoint, NOT persist: the writeback's
+            # refreshByPath evicts path-derived caches and a recompute
+            # over the post-delete files would observe nothing
+            doomed_rows = doomed.drop(CHUNK_COL, SPACE_COL).localCheckpoint(
+                eager=True
+            )
+        space_pairs = self._surviving_space_pairs(kept)
+        if space_pairs is not None:
+            survivors = {ch for ch, _k in space_pairs}
+        else:
+            survivors = {
+                r[0] for r in kept.select(CHUNK_COL).distinct().collect()
+            }
         emptied = [c for c in targets if c["range_start"] not in survivors]
         if len(emptied) < len(targets):
             self._affected_chunk_writeback(kept)
+            self._drop_doomed_space_dirs(
+                space_pairs,
+                [c for c in targets if c["range_start"] in survivors],
+            )
         for c in emptied:
             path = self._chunk_glob(c)
             if os.path.isdir(path):
                 shutil.rmtree(path)
             self.ts.catalog.chunk.delete({"id": c["id"]})
         live = [c["range_start"] for c in targets if c not in emptied]
+        if doomed_rows is not None:
+            self._fire_after_row(doomed_rows, "delete")
         self._mark_rewritten(live)
         self._mark_fill_done(live)
         self._capture_invalidation(mm["lo"], mm["hi"])
@@ -2349,10 +2550,22 @@ class Hypertable:
             if hi is not None:
                 cond = cond | (keep >= F.lit(hi))
             kept = df.filter(cond)
-            tmp = path + ".tmp_rewrite"
-            kept.write.mode("overwrite").parquet(tmp)
-            shutil.rmtree(path)
-            os.replace(tmp, path)
+            writer = kept.write.mode("overwrite")
+            if self.row.get("space_column") and SPACE_COL in df.columns:
+                # preserve the _space= subdir layout — a flat rewrite
+                # makes the chunk invisible to space-pruned reads and
+                # mixes partition depths across chunks
+                writer = writer.partitionBy(SPACE_COL)
+            # dot-prefixed staging: a crashed rewrite must never leave a
+            # dir the _chunk= scan (run by every insert) chokes on
+            tmp = os.path.join(self.data_dir, f".tmp_rewrite_{c['range_start']}")
+            try:
+                writer.parquet(tmp)
+                shutil.rmtree(path)
+                os.replace(tmp, path)
+            except BaseException:
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise
             self._mark_fill_done([c["range_start"]])
             n_dropped += 1
         if touched_lo is not None:
