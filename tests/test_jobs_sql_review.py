@@ -106,3 +106,82 @@ def test_create_hypertable_if_not_exists_sql(ts, spark):
     )
     with pytest.raises(ValueError, match="already exists"):
         ts.sql("SELECT create_hypertable('m', 'ts')")
+
+
+# --- sqlapi/sqlgapfill review regressions -----------------------------------
+
+def test_literal_embedded_predicates_never_prune(ts, spark):
+    """Predicate-looking text INSIDE a string literal must not drive
+    chunk exclusion."""
+    ht = _ht(ts, spark)
+    ht.add_column("note", "string")
+    total = ts.sql("SELECT count(*) AS n FROM m").collect()[0]["n"]
+    got = ts.sql(
+        "SELECT count(*) AS n FROM m WHERE note IS NULL "
+        "AND 'ts > ''2030-01-01''' != 'x'"
+    ).collect()[0]["n"]
+    assert got == total
+
+
+def test_string_space_key_prunes(ts, spark):
+    ht = ts.create_hypertable(
+        "sk", "ts", chunk_interval="1 day",
+        space_column="loc", num_partitions=4,
+    )
+    ht.insert(
+        spark.range(24).select(
+            F.timestamp_micros(
+                (F.lit(T0_US) + F.col("id") * 3600 * 1_000_000).cast("long")
+            ).alias("ts"),
+            F.concat(F.lit("loc_"), (F.col("id") % 3).cast("string")).alias("loc"),
+            F.col("id").cast("double").alias("value"),
+        )
+    )
+    got = ts.sql(
+        "SELECT count(*) AS n FROM sk WHERE loc = 'loc_1'"
+    ).collect()[0]["n"]
+    assert got == 8
+
+
+def test_gapfill_group_by_unselected_column_errors(ts, spark):
+    _ht(ts, spark)
+    with pytest.raises(ValueError, match="must appear in the SELECT"):
+        ts.sql(
+            "SELECT time_bucket_gapfill('1 hour', ts) AS b, "
+            "locf(avg(value)) AS a FROM m "
+            "WHERE ts >= '2024-01-01' AND ts < '2024-01-02' "
+            "GROUP BY b, device"
+        )
+
+
+def test_gapfill_alias_qualified_where_bounds(ts, spark):
+    _ht(ts, spark)
+    rows = ts.sql(
+        "SELECT time_bucket_gapfill('1 hour', ts) AS b, k, "
+        "locf(avg(value)) AS a FROM m r "
+        "WHERE r.ts >= '2024-01-01' AND r.ts < '2024-01-02' "
+        "GROUP BY b, k"
+    ).collect()
+    assert len(rows) == 24 * 24  # 24 hourly buckets x 24 distinct k
+
+
+def test_gapfill_group_alias_honored(ts, spark):
+    _ht(ts, spark)
+    rows = ts.sql(
+        "SELECT time_bucket_gapfill('1 hour', ts) AS b, k AS d, "
+        "locf(avg(value)) AS a FROM m "
+        "WHERE ts >= '2024-01-01' AND ts < '2024-01-02' "
+        "GROUP BY b, d ORDER BY d, b"
+    ).collect()
+    assert rows and "d" in rows[0].asDict()
+
+
+def test_backslash_escaped_literal_keeps_macros(ts, spark):
+    _ht(ts, spark)
+    ht = ts.get_hypertable("m")
+    ht.add_column("note", "string")
+    rows = ts.sql(
+        "SELECT time_bucket('1 day', ts) AS b, first(value, ts) AS f "
+        "FROM m WHERE note IS NULL OR note = 'it\\'s' GROUP BY b ORDER BY b"
+    ).collect()
+    assert rows[0]["f"] == 0.0  # min_by semantics, not Spark's first()

@@ -51,11 +51,18 @@ _IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 
 def _skip_string(sql: str, i: int) -> int:
     """``i`` points at a quote char; return index just past the literal
-    (handles '' doubling and backslash-free SQL strings)."""
+    (handles '' doubling AND backslash escapes — Spark's default dialect
+    accepts ``'it\\'s'``, and treating the escaped quote as a
+    terminator inverts the in-string state for the rest of the
+    statement, silently disabling macro expansion after it)."""
     q = sql[i]
     j = i + 1
     while j < len(sql):
-        if sql[j] == q:
+        ch = sql[j]
+        if ch == "\\" and j + 1 < len(sql):
+            j += 2
+            continue
+        if ch == q:
             if q == "'" and j + 1 < len(sql) and sql[j + 1] == "'":
                 j += 2
                 continue
@@ -570,23 +577,64 @@ def _prunable_region(sql: str) -> Optional[str]:
     if re.search(r"\b(?:or|not|case|having)\b", cleaned, re.I):
         return None
     if re.match(r"\s*(?:select|with)\b", stripped, re.I):
-        # full query: only WHERE-onwards can hold filters, and a
-        # subquery anywhere in that region has its OWN WHERE whose
-        # predicates belong to a DIFFERENT table — an unqualified
-        # `value > 100` in `IN (SELECT .. FROM meta WHERE value > 100)`
-        # must never prune the outer hypertable's chunks
+        # full query: a SUBQUERY anywhere (scalar select-list subquery,
+        # derived table, IN (...)) carries its own WHERE whose
+        # predicates belong to a DIFFERENT table and may sit before OR
+        # after the outer WHERE — any second SELECT means the first
+        # WHERE found is not provably the outer one, so bail
+        if len(re.findall(r"\bselect\b", stripped, re.I)) > 1:
+            return None
         m = re.search(r"\bwhere\b", stripped, re.I)
         if not m:
             return None
-        region = sql[m.start():]
-        if re.search(r"\bselect\b", _strip_strings(region), re.I):
-            return None
-        return region
+        return sql[m.start():]
     if re.search(r"\bselect\b", stripped, re.I):
         # WHERE-clause fragment (gapfill/DML callers) containing a
         # subquery: same cross-table contamination risk — bail
         return None
     return sql
+
+
+def _blank_string_contents(sql: str) -> str:
+    """Length-preserving: blank the INSIDES of quoted literals but keep
+    the quote characters, so a pattern's literal alternative still
+    matches while predicate-looking text inside a literal cannot."""
+    out = []
+    i = 0
+    while i < len(sql):
+        ch = sql[i]
+        if ch in "'\"`":
+            j = _skip_string(sql, i)
+            if j - i >= 2:
+                out.append(ch)
+                out.append(" " * (j - i - 2))
+                out.append(sql[j - 1] if sql[j - 1] == ch else " ")
+            else:
+                out.append(" " * (j - i))
+            i = j
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def _finditer_stripped(pat, sql: str):
+    """finditer with match POSITIONS located on the content-blanked form
+    (length-preserving, quotes kept) and groups re-extracted from the
+    raw text — a predicate-looking phrase INSIDE a string literal must
+    never drive chunk pruning, while literal VALUES in real predicates
+    still need the raw text."""
+    blanked = _blank_string_contents(sql)
+    for m in pat.finditer(blanked):
+        m2 = pat.match(sql, m.start(), m.end())
+        if m2:
+            yield m2
+
+
+def _search_stripped(pat, sql: str):
+    for m in _finditer_stripped(pat, sql):
+        return m
+    return None
 
 
 def extract_time_bounds(sql: str, table: str, col: str, aliases: set[str]):
@@ -615,7 +663,7 @@ def extract_time_bounds(sql: str, table: str, col: str, aliases: set[str]):
         re.I,
     )
     lo = hi = None
-    for m in pat.finditer(sql):
+    for m in _finditer_stripped(pat, sql):
         op, lit = m.group(1), m.group(2)
         k, v = _literal_of(lit)
         if k not in ("timestamp", "string"):
@@ -639,7 +687,7 @@ def extract_time_bounds(sql: str, table: str, col: str, aliases: set[str]):
         r"('(?:[^']|'')*'|(?:timestamptz|timestamp|date)\s+'(?:[^']|'')*')",
         re.I,
     )
-    for m in bet.finditer(sql):
+    for m in _finditer_stripped(bet, sql):
         ka, va = _literal_of(m.group(1))
         kb, vb = _literal_of(m.group(2))
         ta = _parse_time_literal(ka, va) if ka else None
@@ -670,7 +718,9 @@ def extract_numeric_bounds(sql: str, table: str, col: str, aliases: set[str]):
         ref = rf"(?<![\w.]){re.escape(col)}\b"
     num = r"([+-]?\d+(?:\.\d+)?)"
     lo = hi = None
-    for m in re.finditer(ref + rf"\s*(>=|<=|<|>|=)\s*{num}", sql, re.I):
+    for m in _finditer_stripped(
+        re.compile(ref + rf"\s*(>=|<=|<|>|=)\s*{num}", re.I), sql
+    ):
         op, v = m.group(1), float(m.group(2))
         if op in (">", ">="):
             lo = v if lo is None else max(lo, v)
@@ -679,8 +729,8 @@ def extract_numeric_bounds(sql: str, table: str, col: str, aliases: set[str]):
         else:  # =
             lo = v if lo is None else max(lo, v)
             hi = v if hi is None else min(hi, v)
-    for m in re.finditer(
-        ref + rf"\s+between\s+{num}\s+and\s+{num}", sql, re.I
+    for m in _finditer_stripped(
+        re.compile(ref + rf"\s+between\s+{num}\s+and\s+{num}", re.I), sql
     ):
         a, b = float(m.group(1)), float(m.group(2))
         lo = a if lo is None else max(lo, a)
@@ -702,13 +752,20 @@ def extract_space_keys(sql: str, table: str, col: str, aliases: set[str]):
         ref = rf"(?:\b(?:{quals})\s*\.\s*|(?<![\w.])){re.escape(col)}\b"
     else:
         ref = rf"(?<![\w.]){re.escape(col)}\b"
-    m = re.search(
-        ref + r"\s*=\s*('(?:[^']|'')*'|[+-]?\d+)\b", sql, re.I
+    # no trailing \b after the quoted alternative: quote→space is not a
+    # word boundary, which silently disabled exclusion for STRING keys
+    m = _search_stripped(
+        re.compile(
+            ref + r"\s*=\s*('(?:[^']|'')*'|[+-]?\d+\b)", re.I
+        ),
+        sql,
     )
     if m:
         k, v = _literal_of(m.group(1))
         return [v] if k is not None else None
-    m = re.search(ref + r"\s+in\s*\(([^()]*)\)", sql, re.I)
+    m = _search_stripped(
+        re.compile(ref + r"\s+in\s*\(([^()]*)\)", re.I), sql
+    )
     if m:
         vals = []
         for piece in _split_args(m.group(1)):
@@ -915,6 +972,44 @@ def ts_sql(ts, query: str) -> DataFrame:
                     f"source produces {len(src.columns)} columns"
                 )
             src = src.toDF(*cols)
+        pt = ts.catalog.plain_table.find_one(name=name)
+        if pt is not None and not ts.catalog.hypertable.find_one(name=name):
+            # INSERT INTO a plain (dimension) table the surface created
+            import json as _json
+            import os as _os
+
+            from pyspark.sql import types as _T
+
+            if pt.get("schema_ddl"):
+                schema = _T.StructType.fromJson(
+                    _json.loads(pt["schema_ddl"])
+                )
+                want = [f.name for f in schema.fields]
+                if collist:
+                    cols = [c.strip() for c in collist.split(",") if c.strip()]
+                    src = src.toDF(*cols)
+                elif len(src.columns) == len(want) and all(
+                    re.fullmatch(r"col\d+", c) for c in src.columns
+                ):
+                    src = src.toDF(*want)
+                src = src.select(
+                    *[
+                        F.col(f.name).cast(f.dataType).alias(f.name)
+                        for f in schema.fields
+                    ]
+                )
+            path = pt.get("path") or _os.path.join(
+                ts.catalog_root, "tables", name
+            )
+            src.write.mode("append").parquet(path)
+            if pt.get("path") is None:
+                ts.catalog.plain_table.update(
+                    {"name": name}, {"path": path}
+                )
+            cnt = ts.spark.read.parquet(path).count()
+            return ts.spark.createDataFrame(
+                [(int(cnt),)], "total_rows bigint"
+            )
         ht = ts.get_hypertable(name)
         if not collist and ht.row.get("schema_ddl"):
             # positional INSERT .. VALUES: Spark names the tuple colN;

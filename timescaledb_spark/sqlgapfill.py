@@ -176,6 +176,8 @@ _FILL_ARG_KEYS = {"prev", "next", "treat_null_as_missing"}
 
 def _parse_fill(name: str, args: list[str]):
     """locf(agg [, prev=>, treat_null_as_missing=>]) / interpolate(agg)."""
+    if not args:
+        raise ValueError(f"{name}() needs an aggregate argument")
     agg = args[0]
     kw: dict = {}
     for a in args[1:]:
@@ -202,6 +204,7 @@ def run_gapfill_statement(ts, q: str) -> DataFrame:
     bucket_alias = "bucket"
     gf = None
     group_by: list[str] = []
+    group_aliases: dict = {}
     aggs: dict = {}
     fills: dict = {}
     for item in items:
@@ -224,6 +227,8 @@ def run_gapfill_statement(ts, q: str) -> DataFrame:
             continue
         if _COLREF.match(expr):
             group_by.append(expr.strip())
+            if alias:
+                group_aliases[expr.split(".")[-1].strip()] = alias
             continue
         if alias is None:
             raise ValueError(f"alias required: {item!r} (use AS)")
@@ -231,6 +236,22 @@ def run_gapfill_statement(ts, q: str) -> DataFrame:
 
     if gf is None:
         raise ValueError("no top-level time_bucket_gapfill call found")
+    # GROUP BY must agree with the SELECT-derived grain: a group column
+    # that is not selected would silently change the aggregation grain
+    # (the operator derives groups from the select list)
+    if cl.get("group by"):
+        sel_names = {g.split(".")[-1].strip() for g in group_by}
+        sel_names.add(bucket_alias)
+        sel_aliases = set(group_aliases.values())
+        for g in _split_select_items(cl["group by"]):
+            gname = g.split(".")[-1].strip()
+            if gname.isdigit():
+                continue  # positional GROUP BY 1, 2 — select-list order
+            if gname not in sel_names and gname not in sel_aliases:
+                raise ValueError(
+                    f"GROUP BY column {g.strip()!r} must appear in the "
+                    f"SELECT list of a time_bucket_gapfill statement"
+                )
     width, time_sql, tz, start, finish = gf
     m = _COLREF.match(time_sql)
     if not m:
@@ -240,7 +261,16 @@ def run_gapfill_statement(ts, q: str) -> DataFrame:
     time_col = m.group(1)
 
     if start is None or finish is None:
-        lo, hi = extract_time_bounds(cl.get("where", ""), "", time_col, set())
+        # the fragment extractor matches only unqualified refs; strip
+        # alias qualifiers from the time column (r.ts -> ts) so the
+        # reference-accepted `WHERE r.ts >= .. AND r.ts < ..` derives
+        # bounds too
+        frag = re.sub(
+            rf"\b\w+\s*\.\s*(?={re.escape(time_col)}\b)",
+            "",
+            cl.get("where", ""),
+        )
+        lo, hi = extract_time_bounds(frag, "", time_col, set())
         start = start if start is not None else lo
         finish = finish if finish is not None else hi
         if start is None or finish is None:
@@ -269,12 +299,22 @@ def run_gapfill_statement(ts, q: str) -> DataFrame:
         bucket_alias=bucket_alias,
         timezone=tz,
     )
+    # honor group-column AS aliases in the output (ORDER BY may use them)
+    for srcname, alias in group_aliases.items():
+        if alias != srcname:
+            out = out.withColumnRenamed(srcname, alias)
     tail = ""
     if cl.get("order by"):
         tail += " ORDER BY " + cl["order by"]
     if cl.get("limit"):
         tail += " LIMIT " + cl["limit"]
     if tail:
-        out.createOrReplaceTempView("_ts_gapfill_out")
-        out = ts.spark.sql("SELECT * FROM _ts_gapfill_out" + tail)
+        # statement-unique view name: a fixed one lets concurrent ts_sql
+        # calls on one SparkSession clobber each other's result
+        from .sqlapi import _VIEW_SEQ
+
+        _VIEW_SEQ[0] += 1
+        vname = f"_ts_gapfill_out_{_VIEW_SEQ[0]}"
+        out.createOrReplaceTempView(vname)
+        out = ts.spark.sql(f"SELECT * FROM {vname}" + tail)
     return out
