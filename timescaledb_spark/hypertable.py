@@ -1544,16 +1544,24 @@ class Hypertable:
         batch replace, not a row arbiter.
         """
         df = self._fire_before(df)
-        if (
+        pinned = bool(
             self._hooks("before", "insert")
             or self._hooks("before_row", "insert")
             or self._hooks("after_row", "insert")
-        ):
+        )
+        if pinned:
             # upsert runs several actions over this frame (chunk-starts
             # collect, gating stats, writeback): pin it so side-effecting
             # before triggers fire ONCE, like _insert_prepared does, and
             # the after-row pass observes the exact written rows
             df = df.persist()
+        try:
+            return self._upsert_pinned(df, keys)
+        finally:
+            if pinned:
+                df.unpersist()
+
+    def _upsert_pinned(self, df: DataFrame, keys: Sequence[str]) -> dict:
         self._ensure_typed(df)
         df = self._conform_input(df)
         new = df.select("*", *self._partition_exprs(df))
@@ -1683,11 +1691,32 @@ class Hypertable:
                 f"{self.time_column!r}; delete + re-insert instead"
             )
         src = self._fire_before(src)
-        if self._hooks("before", "insert") or self._hooks("before_row", "insert"):
+        pinned = bool(
+            self._hooks("before", "insert") or self._hooks("before_row", "insert")
+        )
+        if pinned:
             # merge runs multiple actions over the source (distinct
             # chunks, gating stats, write): pin the post-trigger frame so
             # side-effecting before triggers fire once
             src = src.persist()
+        try:
+            return self._merge_pinned(
+                src, keys, matched_update, insert_not_matched,
+                delete_matched, nmbs,
+            )
+        finally:
+            if pinned:
+                src.unpersist()
+
+    def _merge_pinned(
+        self,
+        src: DataFrame,
+        keys: Sequence[str],
+        matched_update,
+        insert_not_matched: bool,
+        delete_matched: bool,
+        nmbs: list,
+    ) -> dict:
         self._ensure_typed(src)
         src = self._conform_input(src)
         data_cols = src.columns
@@ -2064,53 +2093,57 @@ class Hypertable:
             if n_deleted == 0:
                 kept.unpersist()
                 return 0
-        # dynamic partition overwrite only rewrites dirs PRESENT in the
-        # output — a chunk whose every row matched the predicate must be
-        # dropped explicitly (reference: ts_chunk_drop on empty), and on
-        # a space-partitioned table the same applies one level down: a
-        # fully-doomed _space subdir inside a surviving chunk is neither
-        # overwritten nor chunk-dropped, so its rows would survive
-        ar_hooks = [] if del_hooks else self._hooks("after_row", "delete")
-        doomed_rows = None
-        if ar_hooks:
-            # AFTER DELETE ROW observers see the deleted rows; pin +
-            # materialize before the overwrite replaces the files they
-            # read. (With BEFORE-row delete triggers present — which can
-            # veto rows — the statement-level _fire_after is the
-            # observer; per-row firing would misreport vetoed rows.)
-            # localCheckpoint, NOT persist: the writeback's
-            # refreshByPath evicts path-derived caches and a recompute
-            # over the post-delete files would observe nothing
-            doomed_rows = doomed.drop(CHUNK_COL, SPACE_COL).localCheckpoint(
-                eager=True
-            )
-        space_pairs = self._surviving_space_pairs(kept)
-        if space_pairs is not None:
-            survivors = {ch for ch, _k in space_pairs}
-        else:
-            survivors = {
-                r[0] for r in kept.select(CHUNK_COL).distinct().collect()
-            }
-        emptied = [c for c in targets if c["range_start"] not in survivors]
-        if len(emptied) < len(targets):
-            self._affected_chunk_writeback(kept)
-            self._drop_doomed_space_dirs(
-                space_pairs,
-                [c for c in targets if c["range_start"] in survivors],
-            )
-        for c in emptied:
-            path = self._chunk_glob(c)
-            if os.path.isdir(path):
-                shutil.rmtree(path)
-            self.ts.catalog.chunk.delete({"id": c["id"]})
-        live = [c["range_start"] for c in targets if c not in emptied]
-        if doomed_rows is not None:
-            self._fire_after_row(doomed_rows, "delete")
-        self._mark_rewritten(live)
-        self._mark_fill_done(live)
-        self._capture_invalidation(mm["lo"], mm["hi"])
-        if del_hooks:
-            kept.unpersist()
+        try:
+            # dynamic partition overwrite only rewrites dirs PRESENT in
+            # the output — a chunk whose every row matched the predicate
+            # must be dropped explicitly (reference: ts_chunk_drop on
+            # empty), and on a space-partitioned table the same applies
+            # one level down: a fully-doomed _space subdir inside a
+            # surviving chunk is neither overwritten nor chunk-dropped,
+            # so its rows would survive
+            ar_hooks = [] if del_hooks else self._hooks("after_row", "delete")
+            doomed_rows = None
+            if ar_hooks:
+                # AFTER DELETE ROW observers see the deleted rows; pin +
+                # materialize before the overwrite replaces the files
+                # they read. (With BEFORE-row delete triggers present —
+                # which can veto rows — the statement-level _fire_after
+                # is the observer; per-row firing would misreport vetoed
+                # rows.) localCheckpoint, NOT persist: the writeback's
+                # refreshByPath evicts path-derived caches and a
+                # recompute over the post-delete files would observe
+                # nothing
+                doomed_rows = doomed.drop(CHUNK_COL, SPACE_COL).localCheckpoint(
+                    eager=True
+                )
+            space_pairs = self._surviving_space_pairs(kept)
+            if space_pairs is not None:
+                survivors = {ch for ch, _k in space_pairs}
+            else:
+                survivors = {
+                    r[0] for r in kept.select(CHUNK_COL).distinct().collect()
+                }
+            emptied = [c for c in targets if c["range_start"] not in survivors]
+            if len(emptied) < len(targets):
+                self._affected_chunk_writeback(kept)
+                self._drop_doomed_space_dirs(
+                    space_pairs,
+                    [c for c in targets if c["range_start"] in survivors],
+                )
+            for c in emptied:
+                path = self._chunk_glob(c)
+                if os.path.isdir(path):
+                    shutil.rmtree(path)
+                self.ts.catalog.chunk.delete({"id": c["id"]})
+            live = [c["range_start"] for c in targets if c not in emptied]
+            if doomed_rows is not None:
+                self._fire_after_row(doomed_rows, "delete")
+            self._mark_rewritten(live)
+            self._mark_fill_done(live)
+            self._capture_invalidation(mm["lo"], mm["hi"])
+        finally:
+            if del_hooks:
+                kept.unpersist()
         self._fire_after({"rows": n_deleted, "op": "delete"}, op="delete")
         return n_deleted
 

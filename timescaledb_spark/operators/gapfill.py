@@ -94,7 +94,9 @@ def _nullsafe_spine_join(
     group_by: list,
     value_cols: list,
 ) -> DataFrame:
-    """Full-outer join of the bucket spine against the aggregated rows.
+    """Full-outer join of the bucket spine against the aggregated rows —
+    used only for the ungrouped path (a literal one-row spine source;
+    grouped gapfill uses :func:`_expand_gaps`, which needs no join).
     Plain ``on=[cols]`` equi-join never matches NULL group keys, so a
     group whose key is NULL would emit BOTH an all-gap spine row and an
     unjoined actual row per bucket; the join is null-safe on the group
@@ -119,6 +121,68 @@ def _nullsafe_spine_join(
     sel += [F.col(f"_gf_b.{c}").alias(c) for c in value_cols]
     sel.append(F.col("_gf_b._present").alias("_present"))
     return j.select(*sel)
+
+
+def _expand_gaps(
+    bucketed: DataFrame,
+    group_by: list,
+    value_cols: list,
+    b0: int,
+    b_last: int,
+    w: int,
+) -> DataFrame:
+    """Grouped gap generation WITHOUT a spine join: per group (window
+    ``partitionBy(group) orderBy(bucket)``), each actual bucket row
+    explodes itself plus the gap buckets up to the next actual bucket,
+    clamped to ``[b0, b_last]``; the first row per group also emits the
+    leading gaps ``[b0, first_bucket)``. Output row-set is identical to
+    the spine full-outer join (all spine buckets + actual buckets outside
+    the range pass through, gapfill_exec.c:1061) but costs one window
+    sort instead of a distinct + a null-safe full-outer join — and the
+    fill windows in :func:`_apply_fills` use the same partitioning, so
+    the whole fill phase is a single exchange. NULL group keys need no
+    special-casing: they are ordinary window partition keys.
+
+    All ``_BUS`` values and ``b0`` are aligned to the same ``origin mod
+    w`` grid, so ``greatest``/``least`` clamps stay on the grid. Per-row
+    sequence arrays are bounded by the spine length — the same bound the
+    join formulation's per-group ``sequence()`` spine had."""
+    lb0, lb_last, lw = F.lit(b0), F.lit(b_last), F.lit(w)
+    win = W.partitionBy(*group_by).orderBy(_BUS)
+    bus = F.col(_BUS).cast(T.LongType())
+    # window exprs must be projected before they can feed a generator
+    staged = bucketed.select(
+        *group_by,
+        bus.alias("_gf_self"),
+        F.lead(bus).over(win).alias("_gf_next"),
+        (F.row_number().over(win) == 1).alias("_gf_first"),
+        *value_cols,
+    )
+    self_c, nxt = F.col("_gf_self"), F.col("_gf_next")
+    # leading gaps (first row only): [b0, min(bus - w, b_last)]
+    lead_hi = F.least(self_c - lw, lb_last)
+    # trailing gaps: [max(bus + w, b0), min(next - w (or b_last), b_last)]
+    gap_lo = F.greatest(self_c + lw, lb0)
+    gap_hi = F.least(F.coalesce(nxt - lw, lb_last), lb_last)
+    empty = F.array().cast(T.ArrayType(T.LongType()))
+    buses = F.concat(
+        F.when(
+            F.col("_gf_first") & (lb0 <= lead_hi), F.sequence(lb0, lead_hi, lw)
+        ).otherwise(empty),
+        F.array(self_c),
+        F.when(gap_lo <= gap_hi, F.sequence(gap_lo, gap_hi, lw)).otherwise(empty),
+    )
+    exploded = staged.select(
+        *group_by,
+        "_gf_self",
+        F.explode(buses).alias("_gf_bus"),
+        *value_cols,
+    )
+    present = F.col("_gf_bus") == F.col("_gf_self")
+    sel = [*group_by, F.col("_gf_bus").alias(_BUS)]
+    sel += [F.when(present, F.col(c)).alias(c) for c in value_cols]
+    sel.append(present.alias("_present"))
+    return exploded.select(*sel)
 
 
 def time_bucket_gapfill(
@@ -210,20 +274,15 @@ def time_bucket_gapfill(
     )
 
     if group_by:
-        # the aggregation feeds BOTH the group spine and the join; cache
-        # so the source isn't scanned and aggregated twice per query
-        bucketed = bucketed.persist()
-        groups = bucketed.select(*group_by).distinct()
+        joined = _expand_gaps(bucketed, group_by, list(aggs), b0, b_last, width_i)
     else:
         groups = bucketed.sparkSession.range(1).select(F.lit(1).alias("_g")).drop("_g")
-    spine = groups.select(
-        "*",
-        F.explode(
-            F.sequence(F.lit(b0), F.lit(b_last), F.lit(width_i))
-        ).alias(_BUS),
-    )
-
-    joined = _nullsafe_spine_join(spine, bucketed, group_by, list(aggs))
+        spine = groups.select(
+            F.explode(
+                F.sequence(F.lit(b0), F.lit(b_last), F.lit(width_i))
+            ).alias(_BUS),
+        )
+        joined = _nullsafe_spine_join(spine, bucketed, group_by, list(aggs))
     if is_ts and timezone is not None:
         axis_of = lambda v: _local_us(_to_internal(v), timezone)  # noqa: E731
     else:
@@ -329,14 +388,13 @@ def _gapfill_month(
         .withColumn("_present", F.lit(True))
     )
     if group_by:
-        bucketed = bucketed.persist()
-        groups = bucketed.select(*group_by).distinct()
+        joined = _expand_gaps(bucketed, group_by, list(aggs), b0, b_last, w)
     else:
         groups = bucketed.sparkSession.range(1).select(F.lit(1).alias("_g")).drop("_g")
-    spine = groups.select(
-        "*", F.explode(F.sequence(F.lit(b0), F.lit(b_last), F.lit(w))).alias(_BUS)
-    )
-    joined = _nullsafe_spine_join(spine, bucketed, group_by, list(aggs))
+        spine = groups.select(
+            F.explode(F.sequence(F.lit(b0), F.lit(b_last), F.lit(w))).alias(_BUS)
+        )
+        joined = _nullsafe_spine_join(spine, bucketed, group_by, list(aggs))
     # interpolate prev/next tuples carry TIMES: the fill axis here is the
     # MONTH INDEX, so convert them onto it (a raw µs x0 against a ~e2
     # month-index x degenerates the linear weights)
