@@ -34,6 +34,17 @@ def main() -> None:
         "chunk_time_interval => INTERVAL '1 day')"
     )
 
+    # ... or the modern one-statement form (CREATE TABLE ... WITH
+    # (tsdb.hypertable, ...), src/with_clause/create_table_with_clause.c)
+    ts.sql("""
+        CREATE TABLE conditions_v2 (
+          time        TIMESTAMPTZ       NOT NULL,
+          location    TEXT              NOT NULL,
+          temperature DOUBLE PRECISION
+        ) WITH (tsdb.hypertable, tsdb.partition_column='time',
+                tsdb.chunk_interval='1 day', tsdb.segmentby='location')
+    """)
+
     # --- 2. insert data ------------------------------------------------
     ts.sql("""
         INSERT INTO conditions VALUES

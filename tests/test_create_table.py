@@ -142,3 +142,153 @@ def test_create_index_maps_to_skip_stats(ts, spark):
     ts.sql("CREATE UNIQUE INDEX ON ix (ts DESC)")
     ht._refresh()
     assert ht.row["skip_columns"] == ["device"]
+
+
+def test_create_table_with_hypertable_one_statement(ts):
+    """The modern one-statement form (src/with_clause/
+    create_table_with_clause.c:16): CREATE TABLE ... WITH
+    (tsdb.hypertable, tsdb.partition_column, tsdb.chunk_interval,
+    tsdb.segmentby, tsdb.orderby)."""
+    ts.sql(
+        "CREATE TABLE readings (ts TIMESTAMPTZ NOT NULL, device INT, "
+        "value DOUBLE PRECISION) WITH (tsdb.hypertable, "
+        "tsdb.partition_column='ts', tsdb.chunk_interval='7 days', "
+        "tsdb.segmentby='device', tsdb.orderby='ts desc')"
+    )
+    ht = ts.get_hypertable("readings")
+    assert ht.time_column == "ts"
+    ts.sql("INSERT INTO readings VALUES (TIMESTAMP '2024-01-01', 1, 2.5)")
+    ts.sql("INSERT INTO readings VALUES (TIMESTAMP '2024-01-09', 2, 3.5)")
+    assert len(ht.chunks()) == 2
+    # segmentby/orderby landed in compression settings (columnstore is
+    # on by default in the WITH form, default_val = true)
+    cs = ts.catalog.compression_settings.find_one(hypertable_id=ht.id)
+    assert cs["segmentby"] == ["device"]
+    assert cs["orderby"] == [("ts", "desc")] or cs["orderby"] == [["ts", "desc"]]
+    rows = ts.sql("SELECT device, value FROM readings ORDER BY ts").collect()
+    assert [(r["device"], r["value"]) for r in rows] == [(1, 2.5), (2, 3.5)]
+
+
+def test_create_table_with_columnstore_false(ts):
+    ts.sql(
+        "CREATE TABLE nocs (ts TIMESTAMP NOT NULL, v INT) WITH "
+        "(tsdb.hypertable, tsdb.partition_column='ts', "
+        "tsdb.columnstore=false)"
+    )
+    ht = ts.get_hypertable("nocs")
+    assert ts.catalog.compression_settings.find_one(hypertable_id=ht.id) is None
+
+
+def test_create_table_with_synonyms_and_timescaledb_prefix(ts):
+    ts.sql(
+        "CREATE TABLE syn (ts TIMESTAMP NOT NULL, dev INT, v DOUBLE) WITH "
+        "(timescaledb.hypertable, timescaledb.partitioning_column='ts', "
+        "timescaledb.compress_segmentby='dev')"
+    )
+    ht = ts.get_hypertable("syn")
+    cs = ts.catalog.compression_settings.find_one(hypertable_id=ht.id)
+    assert cs["segmentby"] == ["dev"]
+
+
+def test_create_table_with_errors(ts):
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="partition_column"):
+        ts.sql(
+            "CREATE TABLE e1 (ts TIMESTAMP, v INT) WITH (tsdb.hypertable)"
+        )
+    with _pt.raises(ValueError, match="unrecognized"):
+        ts.sql(
+            "CREATE TABLE e2 (ts TIMESTAMP, v INT) WITH "
+            "(tsdb.hypertable, tsdb.partition_column='ts', tsdb.bogus=1)"
+        )
+    with _pt.raises(ValueError, match="tsdb"):
+        ts.sql(
+            "CREATE TABLE e3 (ts TIMESTAMP, v INT) WITH (fillfactor=70)"
+        )
+    with _pt.raises(ValueError, match="requires tsdb.hypertable"):
+        ts.sql(
+            "CREATE TABLE e4 (ts TIMESTAMP, v INT) WITH "
+            "(tsdb.partition_column='ts')"
+        )
+    with _pt.raises(ValueError, match="not a column"):
+        ts.sql(
+            "CREATE TABLE e5 (ts TIMESTAMP, v INT) WITH "
+            "(tsdb.hypertable, tsdb.partition_column='nope')"
+        )
+
+
+def _mk_events(spark, n=4, dup=False):
+    rows = [("2024-01-0%dT00:00:00" % (i + 1), i, float(i)) for i in range(n)]
+    if dup:
+        rows.append(rows[-1])
+    df = spark.createDataFrame(rows, "ts string, device int, v double")
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_declared_pk_warns_once_on_plain_insert(ts, spark):
+    """Constraint honesty (reference enforces arbiters via PG unique
+    indexes, test/sql/upsert.sql; parquet cannot): plain insert warns
+    once and points at upsert/strict mode."""
+    import warnings as w
+
+    ts.sql(
+        "CREATE TABLE pkt (ts TIMESTAMPTZ NOT NULL, device INT, "
+        "v DOUBLE PRECISION, PRIMARY KEY (ts, device))"
+    )
+    ts.sql("SELECT create_hypertable('pkt', 'ts')")
+    ht = ts.get_hypertable("pkt")
+    assert ht.row["unique_keys"] == [["ts", "device"]]
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        ht.insert(_mk_events(spark))
+        ht.insert(_mk_events(spark))  # second insert: no second warning
+    msgs = [str(r.message) for r in rec if "constraint" in str(r.message)]
+    assert len(msgs) == 1 and "upsert" in msgs[0]
+
+
+def test_strict_constraints_rejects_duplicates(ts, spark):
+    ts.sql(
+        "CREATE TABLE strictt (ts TIMESTAMPTZ NOT NULL, device INT, "
+        "v DOUBLE PRECISION, PRIMARY KEY (ts, device))"
+    )
+    ts.sql("SELECT create_hypertable('strictt', 'ts')")
+    ht = ts.get_hypertable("strictt")
+    # within-batch duplicate
+    with pytest.raises(ValueError, match="unique constraint"):
+        ht.insert(_mk_events(spark, dup=True), strict_constraints=True)
+    # clean batch passes
+    ht.insert(_mk_events(spark), strict_constraints=True)
+    # batch-vs-table conflict
+    with pytest.raises(ValueError, match="already exists"):
+        ht.insert(_mk_events(spark, n=2), strict_constraints=True)
+    # session-wide default
+    ts.strict_constraints = True
+    try:
+        with pytest.raises(ValueError, match="already exists"):
+            ht.insert(_mk_events(spark, n=1))
+    finally:
+        ts.strict_constraints = False
+    # upsert remains the sanctioned arbiter path for the same keys
+    ht.upsert(_mk_events(spark), keys=["ts", "device"])
+    assert ht.read().count() == 4
+
+
+def test_pk_without_partition_column_rejected(ts):
+    """src/indexing.c ts_indexing_verify_columns: unique indexes on a
+    hypertable must include the partition column."""
+    ts.sql(
+        "CREATE TABLE badpk (ts TIMESTAMPTZ NOT NULL, id INT PRIMARY KEY)"
+    )
+    with pytest.raises(ValueError, match="without the column"):
+        ts.sql("SELECT create_hypertable('badpk', 'ts')")
+
+
+def test_with_form_carries_pk(ts, spark):
+    ts.sql(
+        "CREATE TABLE wpk (ts TIMESTAMPTZ NOT NULL, device INT, v DOUBLE, "
+        "UNIQUE (ts, device)) WITH (tsdb.hypertable, "
+        "tsdb.partition_column='ts', tsdb.columnstore=false)"
+    )
+    ht = ts.get_hypertable("wpk")
+    assert ht.row["unique_keys"] == [["ts", "device"]]

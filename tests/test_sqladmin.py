@@ -265,3 +265,65 @@ def test_update_delete_sql(ts_events):
     # full-table DELETE empties and drops every chunk
     ts_events.sql("DELETE FROM events").collect()
     assert ts_events.sql("SELECT show_chunks('events')").count() == 0
+
+
+def test_maintenance_aliases(ts_events):
+    """compact_chunk / rebuild_columnstore / rebuild_sparse_index
+    (sql/maintenance_utils.sql:58-113)."""
+    ts_events.sql(
+        "ALTER TABLE events SET (timescaledb.compress, "
+        "timescaledb.compress_segmentby = 'event_type')"
+    ).collect()
+    chunk = ts_events.sql("SELECT show_chunks('events')").first()["chunk"]
+    # rebuild_columnstore before compression errors (unlike compress_chunk)
+    with pytest.raises(ValueError, match="not a columnstore"):
+        ts_events.sql(f"SELECT rebuild_columnstore('{chunk}')").collect()
+    ts_events.sql(f"SELECT compress_chunk('{chunk}')").collect()
+    ts_events.sql(f"SELECT rebuild_columnstore('{chunk}')").collect()
+    ts_events.sql(f"SELECT compact_chunk('{chunk}')").collect()
+    assert ts_events.sql("SELECT show_chunks('events')").first()["is_compressed"]
+
+    # rebuild_sparse_index: per-chunk ANALYZE of the skip stats
+    ht = ts_events.get_hypertable("events")
+    ht.enable_chunk_skipping("user_id")
+    cid = ht.chunks()[0]["id"]
+    before = ts_events.catalog.chunk_column_stats.find(
+        chunk_id=cid, column="user_id"
+    )
+    assert before
+    # fresh stats + force=false -> no-op
+    assert (
+        ts_events.sql(f"SELECT rebuild_sparse_index('{chunk}')").collect()
+        is not None
+    )
+    # drop the chunk's stats (simulating a rewrite), then rebuild
+    ts_events.catalog.chunk_column_stats.delete(
+        {"chunk_id": cid, "column": "user_id"}
+    )
+    ts_events.sql(f"SELECT rebuild_sparse_index('{chunk}')").collect()
+    after = ts_events.catalog.chunk_column_stats.find(
+        chunk_id=cid, column="user_id"
+    )
+    assert after and after[0]["min"] == before[0]["min"]
+    # force=true recomputes unconditionally (still correct values)
+    ts_events.sql(
+        f"SELECT rebuild_sparse_index('{chunk}', force => true)"
+    ).collect()
+    assert ts_events.catalog.chunk_column_stats.find(
+        chunk_id=cid, column="user_id"
+    )
+
+
+def test_maintenance_aliases_python_api(ts_events):
+    from timescaledb_spark import compression
+
+    ht = ts_events.get_hypertable("events")
+    compression.enable_columnstore(ht, segmentby="event_type")
+    c0 = ht.chunks()[0]
+    compression.compress_chunk(ht, c0)
+    r = compression.compact_chunk(ht, c0["range_start"])
+    assert r["chunk"] == c0["range_start"]
+    r = compression.rebuild_columnstore(ht, c0["range_start"])
+    assert r["chunk"] == c0["range_start"]
+    # no skip columns -> rebuild_sparse_index is a 0-row no-op
+    assert compression.rebuild_sparse_index(ht, c0["range_start"]) == 0

@@ -352,6 +352,71 @@ def recompress_chunk(ht: Hypertable, chunk: Union[dict, int]) -> dict:
     return compress_chunk(ht, chunk)
 
 
+def _chunk_of(ht: Hypertable, chunk: Union[dict, int]) -> dict:
+    if isinstance(chunk, int):
+        match = next(
+            (c for c in ht.chunks() if c["range_start"] == chunk), None
+        )
+        if match is None:
+            raise KeyError(f"no chunk starting at {chunk}")
+        return match
+    return chunk
+
+
+def compact_chunk(
+    ht: Hypertable, chunk: Union[dict, int], max_batches: int = 0
+) -> dict:
+    """``_timescaledb_functions.compact_chunk`` (sql/
+    maintenance_utils.sql:92, ``ts_compact_chunk``): fold small /
+    partially-filled compressed batches back into the clustered layout —
+    the segmentwise recompress. Parquet analog: the sorted clustered
+    rewrite of :func:`recompress_chunk` (row-group packing is the
+    parquet writer's job; ``max_batches`` is accepted for signature
+    parity and ignored)."""
+    return recompress_chunk(ht, _chunk_of(ht, chunk))
+
+
+def rebuild_columnstore(ht: Hypertable, chunk: Union[dict, int]) -> dict:
+    """``_timescaledb_functions.rebuild_columnstore`` (sql/
+    maintenance_utils.sql:58, ``ts_rebuild_columnstore``): full rewrite
+    of a columnstore chunk — errors on a rowstore chunk, unlike
+    compress_chunk's convert semantics."""
+    chunk = _chunk_of(ht, chunk)
+    if chunk.get("status") != "columnstore":
+        raise ValueError(
+            f"chunk starting at {chunk['range_start']} is not a "
+            f"columnstore chunk (use compress_chunk / "
+            f"convert_to_columnstore first)"
+        )
+    return compress_chunk(ht, chunk)
+
+
+def rebuild_sparse_index(
+    ht: Hypertable, chunk: Union[dict, int], force: bool = False
+) -> int:
+    """``_timescaledb_functions.rebuild_sparse_index`` (sql/
+    maintenance_utils.sql:62, ``ts_rebuild_sparse_index``): recompute the
+    chunk's per-column min/max skip stats — the sparse-index analog
+    (parquet bloom filters rebuild with the file rewrite inside the
+    compress paths; the minmax side lives in ``chunk_column_stats``).
+    Scans ONLY the one chunk. With ``force=False`` (the reference
+    default) a chunk whose stats are already present is left alone;
+    ``force=True`` recomputes unconditionally. Returns the number of
+    stats rows written."""
+    chunk = _chunk_of(ht, chunk)
+    cols = list(ht.row.get("skip_columns") or [])
+    if not cols:
+        return 0
+    if not force:
+        have = {
+            s["column"]
+            for s in ht.ts.catalog.chunk_column_stats.find(chunk_id=chunk["id"])
+        }
+        if set(cols) <= have:
+            return 0
+    return ht._recompute_stats(cols, only_chunk_ids={chunk["id"]})
+
+
 def compress_chunks(
     ht: Hypertable,
     older_than=None,

@@ -191,6 +191,32 @@ class Hypertable:
                     f"invalid type {dt!r} for time column {time_column!r}"
                 )
             row["schema_ddl"] = declared["schema_ddl"]
+            uk = declared.get("unique_keys") or []
+            for keys in uk:
+                bad = set(keys) - names
+                if bad:
+                    raise ValueError(
+                        f"unique constraint names unknown column(s) "
+                        f"{sorted(bad)}"
+                    )
+                # reference rule: unique indexes on a hypertable MUST
+                # include the partition column (src/indexing.c
+                # ts_indexing_verify_columns — "cannot create a unique
+                # index without the column ..."): matching rows then
+                # share a time value, which keeps upsert/merge arbiters
+                # and strict-insert checks chunk-local
+                if time_column not in keys or (
+                    space_column and space_column not in keys
+                ):
+                    missing = (
+                        time_column if time_column not in keys else space_column
+                    )
+                    raise ValueError(
+                        f"cannot create a unique index without the column "
+                        f"{missing!r} (used in partitioning)"
+                    )
+            if uk:
+                row["unique_keys"] = uk
         # all validation BEFORE any catalog mutation: a failure below a
         # partial write would leave a half-registered hypertable behind
         if space_column and (not num_partitions or num_partitions < 1):
@@ -423,12 +449,16 @@ class Hypertable:
             self._refresh()
         return self._recompute_stats([column])
 
-    def _recompute_stats(self, columns: Sequence[str]) -> int:
+    def _recompute_stats(
+        self, columns: Sequence[str], only_chunk_ids: Optional[set] = None
+    ) -> int:
         """One grouped aggregate over the table computing min/max of ALL
         requested columns at once — analyze() on k skip columns pays one
         table scan, not k — plus a per-chunk row count, recorded on the
         chunk catalog row so approximate_row_count answers from the
-        catalog instead of walking footers.
+        catalog instead of walking footers. ``only_chunk_ids`` restricts
+        the scan to those chunks (rebuild_sparse_index's per-chunk form —
+        O(one chunk), not O(table)).
 
         Holds the hypertable DML lock for scan + write-back: without it
         a concurrent insert could invalidate the stats mid-scan and this
@@ -436,10 +466,16 @@ class Hypertable:
         silently excludes the new rows from stat-pruned reads. ANALYZE
         blocking DML briefly matches the reference's lock behavior."""
         with self.ts.catalog.ht_lock(self.name):
-            return self._recompute_stats_locked(columns)
+            return self._recompute_stats_locked(columns, only_chunk_ids)
 
-    def _recompute_stats_locked(self, columns: Sequence[str]) -> int:
-        chunks = self.chunks()
+    def _recompute_stats_locked(
+        self, columns: Sequence[str], only_chunk_ids: Optional[set] = None
+    ) -> int:
+        chunks = [
+            c
+            for c in self.chunks()
+            if only_chunk_ids is None or c["id"] in only_chunk_ids
+        ]
         if not chunks:
             return 0
         df = self._chunk_reader().option("basePath", self.data_dir).parquet(
@@ -799,7 +835,12 @@ class Hypertable:
         for t in self._hooks("after", op):
             t["fn"](self, stats)
 
-    def insert(self, df: DataFrame, cluster: bool = True) -> dict:
+    def insert(
+        self,
+        df: DataFrame,
+        cluster: bool = True,
+        strict_constraints: Optional[bool] = None,
+    ) -> dict:
         """Append rows, routing each to its chunk.
 
         The Spark analog of tuple routing in ``ModifyHypertable``
@@ -810,9 +851,95 @@ class Hypertable:
         Also captures continuous-aggregate invalidations: per-batch
         min/max of the time dimension appended to the hypertable
         invalidation log (``tsl/src/continuous_aggs/insert.c:208``).
+
+        Declared PRIMARY KEY / UNIQUE constraints (from ``CREATE TABLE``)
+        are NOT enforced by plain inserts — parquet has no unique
+        indexes, unlike the reference's arbiter (``test/sql/upsert.sql``).
+        A one-time warning points at :meth:`upsert` / ``ON CONFLICT``.
+        ``strict_constraints=True`` (or ``ts.strict_constraints = True``
+        session-wide) validates the batch instead: duplicate keys within
+        the batch or against existing rows raise, at the cost of one
+        chunk-pruned key scan per declared key per insert.
         """
+        strict = (
+            strict_constraints
+            if strict_constraints is not None
+            else bool(getattr(self.ts, "strict_constraints", False))
+        )
+        if self.row.get("unique_keys"):
+            if strict:
+                self._check_unique(df)
+            else:
+                self._warn_unenforced_once()
         df = self._fire_before(df)
         return self._insert_prepared(df, cluster=cluster)
+
+    _warned_unenforced: set = set()
+
+    def _warn_unenforced_once(self) -> None:
+        key = (self.ts.catalog_root, self.name)
+        if key in Hypertable._warned_unenforced:
+            return
+        Hypertable._warned_unenforced.add(key)
+        import warnings
+
+        warnings.warn(
+            f"hypertable {self.name!r} declares PRIMARY KEY/UNIQUE "
+            f"constraints, but plain insert() does not enforce them "
+            f"(no unique indexes over parquet). Use upsert()/"
+            f"ON CONFLICT for arbiter semantics, or pass "
+            f"strict_constraints=True to validate each batch.",
+            stacklevel=3,
+        )
+
+    def _check_unique(self, df: DataFrame) -> None:
+        """strict_constraints insert path: reject batches that would
+        violate a declared unique key — within the batch, and against
+        existing rows (chunk-pruned to the batch's time range; sound
+        because hypertable unique keys must include the partition
+        column, the same rule the reference enforces,
+        src/indexing.c ts_indexing_verify_columns)."""
+        df = self._conform_input(df)
+        mm = df.agg(
+            F.min(self._internal_time_expr(df)).alias("lo"),
+            F.max(self._internal_time_expr(df)).alias("hi"),
+        ).collect()[0]
+        if mm["lo"] is None:
+            return
+        existing = None
+        if self.chunks():
+            existing = self.read(start=int(mm["lo"]), end=int(mm["hi"]) + 1)
+        for keys in self.row["unique_keys"]:
+            dup = (
+                df.groupBy(*keys)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                vals = {k: dup[0][k] for k in keys}
+                raise ValueError(
+                    f"duplicate key value violates unique constraint on "
+                    f"{tuple(keys)}: {vals} appears more than once in the "
+                    f"insert batch"
+                )
+            if existing is not None:
+                hit = (
+                    existing.join(
+                        df.select(*keys).distinct(), list(keys), "left_semi"
+                    )
+                    .select(*keys)
+                    .limit(1)
+                    .collect()
+                )
+                if hit:
+                    vals = {k: hit[0][k] for k in keys}
+                    raise ValueError(
+                        f"duplicate key value violates unique constraint "
+                        f"on {tuple(keys)}: {vals} already exists "
+                        f"(use upsert()/ON CONFLICT to update instead)"
+                    )
 
     @_serialized_dml
     def _insert_prepared(self, df: DataFrame, cluster: bool = True) -> dict:

@@ -255,6 +255,19 @@ def _chunk_op(fn):
             "decompress_chunk": lambda: compression.decompress_chunk(ht, chunk),
             "convert_to_rowstore": lambda: compression.decompress_chunk(ht, chunk),
             "recompress_chunk": lambda: compression.recompress_chunk(ht, chunk),
+            "compact_chunk": lambda: compression.compact_chunk(ht, chunk),
+            "rebuild_columnstore": lambda: compression.rebuild_columnstore(
+                ht, chunk
+            ),
+            "rebuild_sparse_index": lambda: compression.rebuild_sparse_index(
+                ht,
+                chunk,
+                force=bool(
+                    named["force"].value
+                    if "force" in named
+                    else (pos[1].value if len(pos) > 1 else False)
+                ),
+            ),
             "freeze_chunk": lambda: chunkops.freeze_chunk(ht, chunk),
             "unfreeze_chunk": lambda: chunkops.unfreeze_chunk(ht, chunk),
         }
@@ -448,6 +461,9 @@ ADMIN_FNS = {
     "decompress_chunk": _chunk_op("decompress_chunk"),
     "convert_to_rowstore": _chunk_op("convert_to_rowstore"),
     "recompress_chunk": _chunk_op("recompress_chunk"),
+    "compact_chunk": _chunk_op("compact_chunk"),
+    "rebuild_columnstore": _chunk_op("rebuild_columnstore"),
+    "rebuild_sparse_index": _chunk_op("rebuild_sparse_index"),
     "freeze_chunk": _chunk_op("freeze_chunk"),
     "detach_chunk": _h_detach_chunk,
     "attach_chunk": _h_attach_chunk,
@@ -785,11 +801,6 @@ _ALTER_RENAME_TABLE = re.compile(
     r"^\s*alter\s+table\s+([A-Za-z_]\w*)\s+rename\s+to\s+([A-Za-z_]\w*)\s*$",
     re.I,
 )
-_CREATE_TABLE = re.compile(
-    r"^\s*create\s+table\s+(if\s+not\s+exists\s+)?([A-Za-z_]\w*)\s*"
-    r"\((.*)\)\s*$",
-    re.I | re.S,
-)
 
 # PostgreSQL → Spark type spellings (the reference's schemas are plain
 # PG DDL; anything already a valid Spark type passes through)
@@ -962,24 +973,147 @@ def run_create_index(ts, m) -> DataFrame:
     )
 
 
+# WITH (tsdb.*) option synonym sets — arg_names from the reference's
+# create-table with-clause table (src/with_clause/
+# create_table_with_clause.c:16)
+_CT_WITH_SYNONYMS = {
+    "hypertable": "hypertable",
+    "columnstore": "columnstore",
+    "enable_columnstore": "columnstore",
+    "compress": "columnstore",
+    "partition_column": "partition_column",
+    "partitioning_column": "partition_column",
+    "chunk_interval": "chunk_interval",
+    "create_default_indexes": "create_default_indexes",
+    "associated_schema": "associated_schema",
+    "associated_table_prefix": "associated_table_prefix",
+    "segmentby": "segmentby",
+    "segment_by": "segmentby",
+    "compress_segmentby": "segmentby",
+    "orderby": "orderby",
+    "order_by": "orderby",
+    "compress_orderby": "orderby",
+    "compress_index": "sparse_index",
+    "compress_sparse_index": "sparse_index",
+    "index": "sparse_index",
+    "sparse_index": "sparse_index",
+    "direct_compress": "direct_compress",
+    "direct_compress_schedule_interval": "direct_compress_schedule_interval",
+}
+
+
 def match_create_table(q: str):
-    return _CREATE_TABLE.match(q.strip().rstrip(";"))
+    """Parses ``CREATE TABLE [IF NOT EXISTS] name (cols...) [WITH
+    (tsdb.opt [= val], ...)]``. Returns ``(if_not_exists, name,
+    column_body, with_opts)`` or None; ``with_opts`` maps canonical
+    option names (synonyms folded, ``tsdb.``/``timescaledb.`` prefix
+    stripped) to string values — a bare flag parses as ``'true'``, PG
+    boolean-option semantics."""
+    s = q.strip().rstrip(";")
+    m = re.match(
+        r"^\s*create\s+table\s+(if\s+not\s+exists\s+)?([A-Za-z_]\w*)\s*\(",
+        s,
+        re.I,
+    )
+    if m is None:
+        return None
+    # paren-depth scan to the close of the column list: column types nest
+    # parens (decimal(38,18)) and a WITH (...) clause may follow it, so a
+    # single greedy/lazy regex group cannot split the two reliably
+    depth, i = 1, m.end()
+    while i < len(s) and depth:
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+        i += 1
+    if depth:
+        return None
+    body, rest = s[m.end() : i - 1], s[i:].strip()
+    with_opts: dict[str, str] = {}
+    if rest:
+        wm = re.match(r"^with\s*\((.*)\)\s*$", rest, re.I | re.S)
+        if wm is None:
+            return None
+        for item in _split_args(wm.group(1)):
+            item = item.strip()
+            if not item:
+                continue
+            if "=" in item:
+                k, v = item.split("=", 1)
+            else:
+                k, v = item, "true"
+            k = k.strip().lower()
+            for pfx in ("tsdb.", "timescaledb."):
+                if k.startswith(pfx):
+                    k = k[len(pfx) :]
+                    break
+            else:
+                raise ValueError(
+                    f"CREATE TABLE WITH option {k!r} must use the tsdb. "
+                    f"(or timescaledb.) prefix"
+                )
+            canon = _CT_WITH_SYNONYMS.get(k)
+            if canon is None:
+                # reference parity: unrecognized with-clause options error
+                # (with_clause_parser.c), they are never silently ignored
+                raise ValueError(
+                    f"unrecognized CREATE TABLE option tsdb.{k}"
+                )
+            with_opts[canon] = v.strip().strip("'\"")
+    return (bool(m.group(1)), m.group(2), body, with_opts)
 
 
-def run_create_table(ts, m) -> DataFrame:
-    """``CREATE TABLE name (col type, ...)`` — the reference workflow's
-    first statement (plain PG DDL; ``create_hypertable`` then converts
-    it). Registers a schema-only declared table; ``create_hypertable``
-    adopts the declared schema so positional ``INSERT .. VALUES`` works
-    before any data exists, exactly like PG. Constraints (PRIMARY KEY,
-    CHECK, REFERENCES ...) are accepted and ignored — parquet has no
-    enforced constraints; the engine's NOT NULL on the time dimension
-    is enforced by create_hypertable itself."""
-    if_not_exists, name, body = bool(m.group(1)), m.group(2), m.group(3)
+_TRUE = {"true", "on", "1", "yes", "t"}
+
+
+def run_create_table(ts, parsed) -> DataFrame:
+    """``CREATE TABLE name (col type, ...) [WITH (tsdb.hypertable,
+    tsdb.partition_column => ..., ...)]``.
+
+    The plain form is the reference workflow's first statement
+    (``create_hypertable`` then converts it); the WITH form is the
+    modern one-statement creation (src/with_clause/
+    create_table_with_clause.c:16, src/process_utility.c:5956):
+    registering the declared schema, creating the hypertable on
+    ``partition_column``, and enabling columnstore (on by default, like
+    the reference's ``default_val = true``) with any ``segmentby`` /
+    ``orderby`` settings. Constraints (PRIMARY KEY, CHECK, REFERENCES
+    ...) are accepted and ignored — parquet has no enforced constraints;
+    the engine's NOT NULL on the time dimension is enforced by
+    create_hypertable itself."""
+    if_not_exists, name, body, with_opts = parsed
+    is_ht = with_opts.get("hypertable", "false").lower() in _TRUE
+    if with_opts and not is_ht:
+        raise ValueError(
+            "CREATE TABLE ... WITH (tsdb.*) requires tsdb.hypertable "
+            "(src/process_utility.c hypertable option check)"
+        )
+    if is_ht and not with_opts.get("partition_column"):
+        raise ValueError(
+            "tsdb.hypertable requires tsdb.partition_column "
+            "(src/process_utility.c: partition column must be specified)"
+        )
     fields = []
+    unique_keys: list[list[str]] = []
     for item in _split_args(body):
         toks = item.strip().split()
-        if not toks or toks[0].lower() in _CONSTRAINT_HEADS:
+        if not toks:
+            continue
+        low = " ".join(toks).lower()
+        if toks[0].lower() in _CONSTRAINT_HEADS:
+            # table-level PRIMARY KEY (a, b) / UNIQUE (a) / CONSTRAINT
+            # name PRIMARY KEY|UNIQUE (...) — recorded (not enforced by
+            # parquet; insert warns / strict-validates, upsert uses them)
+            km = re.match(
+                r"(?:constraint\s+\w+\s+)?(?:primary\s+key|unique)\s*"
+                r"\(([^)]*)\)",
+                low,
+            )
+            if km:
+                unique_keys.append(
+                    [c.strip().strip('"') for c in km.group(1).split(",")]
+                )
             continue
         col = toks[0].strip('"')
         tt = []
@@ -989,6 +1123,11 @@ def run_create_table(ts, m) -> DataFrame:
             tt.append(t)
         if not tt:
             raise ValueError(f"column {col!r} has no type")
+        tail = " ".join(toks[1 + len(tt):]).lower()
+        if re.search(r"\bprimary\s+key\b", tail) or re.search(
+            r"\bunique\b", tail
+        ):
+            unique_keys.append([col])
         fields.append((col, _pg_to_spark_type(" ".join(tt))))
     if not fields:
         raise ValueError("CREATE TABLE with no columns")
@@ -1008,8 +1147,41 @@ def run_create_table(ts, m) -> DataFrame:
                 )
             raise ValueError(f"table {name!r} already exists")
         cat.plain_table.append(
-            [{"name": name, "path": None, "schema_ddl": schema.json()}]
+            [
+                {
+                    "name": name,
+                    "path": None,
+                    "schema_ddl": schema.json(),
+                    "unique_keys": unique_keys or None,
+                }
+            ]
         )
+    if is_ht:
+        part_col = with_opts["partition_column"]
+        if part_col not in {c for c, _t in fields}:
+            raise ValueError(
+                f"partition column {part_col!r} is not a column of "
+                f"{name!r}"
+            )
+        kw = {}
+        if with_opts.get("chunk_interval"):
+            kw["chunk_interval"] = with_opts["chunk_interval"]
+        ht = ts.create_hypertable(name, part_col, **kw)
+        # columnstore defaults ON in the WITH form (default_val = true,
+        # create_table_with_clause.c:17) — segmentby/orderby flow into
+        # the compression settings like ALTER TABLE .. SET would
+        if with_opts.get("columnstore", "true").lower() in _TRUE:
+            from .compression import enable_columnstore
+
+            seg = [
+                s.strip()
+                for s in with_opts.get("segmentby", "").split(",")
+                if s.strip()
+            ]
+            orderby = with_opts.get("orderby") or None
+            if orderby is not None:
+                orderby = [o.strip() for o in orderby.split(",") if o.strip()]
+            enable_columnstore(ht, segmentby=seg, orderby=orderby)
     return _df(
         ts, [(name, len(fields))], "table string, n_columns int"
     )
