@@ -185,6 +185,55 @@ def main() -> None:
     ht.df().groupBy("user_id").agg(F.expr("p90_np(value)")).count()
     out["udaf_2m_rows_s"] = round(time.perf_counter() - t0, 2)
 
+    # ---- round-8: the two flagship custom operators at scale -----------
+    # gapfill over a ~20M-row frame (big ×10): hourly buckets per
+    # event_type with locf — measures the window+explode gap expansion
+    # at (groups × full-span hours) output cardinality
+    from timescaledb_spark.operators.gapfill import locf, time_bucket_gapfill
+
+    mm2 = big.agg(F.min("ts").alias("mn"), F.max("ts").alias("mx")).collect()[0]
+    gap_in = big.crossJoin(
+        spark.range(10).select(F.col("id").alias("_r2"))
+    ).select("ts", "event_type", (F.col("value") + F.col("_r2")).alias("value"))
+    t0 = time.perf_counter()
+    gf = time_bucket_gapfill(
+        gap_in,
+        "1 hour",
+        "ts",
+        start=mm2["mn"],
+        finish=mm2["mx"],
+        group_by=["event_type"],
+        aggs={"avg_v": F.avg("value")},
+        fill={"avg_v": locf()},
+    )
+    out["gapfill_20m_rows"] = gf.count()
+    out["gapfill_20m_s"] = round(time.perf_counter() - t0, 2)
+
+    # cagg over the 2,400-chunk hypertable: initial refresh vs a dirty
+    # refresh after late data lands in ~1% of the time span — the dirty
+    # pass must be O(dirty range), not O(table)
+    cagg = ts.create_cagg(
+        "big_cagg",
+        ht,
+        bucket_width="1 hour",
+        aggs={"n": "count(*)", "s": "sum(value)"},
+    )
+    t0 = time.perf_counter()
+    cagg.refresh()
+    out["cagg_initial_refresh_s"] = round(time.perf_counter() - t0, 2)
+    lo_us = int(mm2["mn"].timestamp() * 1_000_000)
+    hi_us = int(mm2["mx"].timestamp() * 1_000_000)
+    w_lo = lo_us + int((hi_us - lo_us) * 0.50)
+    w_hi = w_lo + int((hi_us - lo_us) * 0.01)
+    late = big.filter(
+        (F.unix_micros("ts") >= w_lo) & (F.unix_micros("ts") < w_hi)
+    ).withColumn("event_id", F.col("event_id") + F.lit(10_000_000_000))
+    ht.insert(late)
+    t0 = time.perf_counter()
+    ranges = cagg.refresh()
+    out["cagg_refresh_dirty_1pct_s"] = round(time.perf_counter() - t0, 2)
+    out["cagg_dirty_ranges"] = len(ranges)
+
     print(json.dumps(out))
     with open(sys.argv[1] if len(sys.argv) > 1 else "SCALE_PROBE.json", "w") as f:
         json.dump(out, f, indent=1)

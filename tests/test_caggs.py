@@ -274,3 +274,39 @@ def test_open_refresh_watermark_tracks_data_not_chunks(ts, spark):
         F.col("bucket") == BASE + timedelta(days=1)
     ).collect()
     assert len(got) == 1 and got[0]["n"] == 1
+
+
+def test_cagg_window_fn_bucket_locality_check(ts, spark):
+    """r8 hardening (tsl/src/continuous_aggs/common.c:672): bucket-local
+    OVER clauses are accepted cleanly; bucket-spanning ones (no PARTITION
+    BY bucket) are refused — a partial refresh recomputes windows only
+    over dirty ranges, so a cross-bucket window would be wrong."""
+    import warnings as w
+
+    ht = ts.create_hypertable("winck", "timec", chunk_interval="1 day")
+    ht.insert(mk_conditions(spark))
+    with w.catch_warnings():
+        w.simplefilter("error")  # any warning -> test failure
+        cagg = ts.create_cagg(
+            "okwin", ht, bucket_width="1 day",
+            aggs={"n": "count(*)"}, group_by=["location"],
+            window_fns={
+                "r": "rank() OVER (PARTITION BY bucket ORDER BY n DESC)"
+            },
+            enable_window_functions=True,
+        )
+    cagg.refresh()
+    assert cagg.read(realtime=False).count() > 0
+    for bad in (
+        "rank() OVER (ORDER BY n)",                       # no partition
+        "rank() OVER (PARTITION BY location ORDER BY n)", # spans buckets
+        "sum(n) OVER (ORDER BY bucket RANGE BETWEEN UNBOUNDED PRECEDING "
+        "AND CURRENT ROW)",                               # running total
+    ):
+        with pytest.raises(ValueError, match="PARTITION BY the bucket"):
+            ts.create_cagg(
+                "badwin", ht, bucket_width="1 day",
+                aggs={"n": "count(*)"},
+                window_fns={"x": bad},
+                enable_window_functions=True,
+            )

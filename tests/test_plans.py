@@ -323,3 +323,56 @@ def test_tpch_q20_semi_join_no_cartesian(tsdata, sf_dir):
     df = queries()["q_tpch_q20"](tsdata, sf_dir)
     assert cartesian_count(df) == 0
     assert broadcast_join_count(df) >= 3
+
+
+def test_cagg_refresh_scans_only_dirty_chunks(spark, tmp_path, monkeypatch):
+    """Refresh is O(dirty range): every source scan the materialize pass
+    issues must be chunk-pruned to the invalidated chunks, never the
+    whole table (tsl/src/continuous_aggs/materialize.c:442 range-bound
+    materialization)."""
+    from timescaledb_spark.hypertable import Hypertable
+
+    ts = TSSession(spark, str(tmp_path / "cgp"))
+    ht = ts.create_hypertable("m2", "ts", chunk_interval="1 day")
+    df = spark.range(10 * 24).select(
+        F.timestamp_micros(
+            (F.lit(T0_US) + F.col("id") * 3600 * 1_000_000).cast("long")
+        ).alias("ts"),
+        (F.col("id") % 4).cast("int").alias("device"),
+        F.col("id").cast("double").alias("value"),
+    )
+    ht.insert(df)
+    cagg = ts.create_cagg(
+        "cg1", ht, bucket_width="1 hour", aggs={"n": "count(*)"}
+    )
+    cagg.refresh()
+    assert len(ht.chunks()) == 10
+    # late data dirties exactly one chunk (day 3)
+    late = spark.createDataFrame(
+        [("2024-01-03 05:30:00", 9, 1.0)], "ts string, device int, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ht.insert(late)
+
+    reads = []
+    orig = Hypertable.read
+
+    def spy(self, *a, **k):
+        out = orig(self, *a, **k)
+        if self.name == "m2":
+            reads.append(out)
+        return out
+
+    monkeypatch.setattr(Hypertable, "read", spy)
+    ranges = cagg.refresh()
+    assert ranges, "late insert must produce a dirty range"
+    assert reads, "refresh must read the source hypertable"
+    widths = [scanned_paths(r) for r in reads]
+    # max-row probe reads 1 chunk; the dirty materialize scan reads the
+    # invalidated chunk (±1 for a bucket straddling midnight) — a
+    # full-table (10-path) scan here is the O(table) refresh bug
+    assert max(widths) <= 2, f"refresh scanned {widths} chunk paths"
+    # and the result converged
+    got = cagg.read(realtime=False)
+    assert got.filter(
+        (F.col("bucket") == "2024-01-03 05:00:00") & (F.col("n") == 2)
+    ).count() == 1

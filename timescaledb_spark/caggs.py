@@ -47,6 +47,51 @@ INT64_MIN = -(2**63)
 INT64_MAX = 2**63 - 1
 
 
+def _validate_window_fns(window_fns: dict, bucket_alias: str) -> None:
+    """Guarded window-function support, matching the reference's
+    validation behind ``timescaledb.enable_cagg_window_functions``
+    (``tsl/src/continuous_aggs/common.c:672``): a partition that spans
+    buckets gives wrong results after a partial refresh, because each
+    refresh recomputes windows only over its dirty bucket ranges.
+    Spark window frames never cross partition boundaries, so requiring
+    every OVER clause to PARTITION BY the bucket column is exactly the
+    bucket-locality guarantee — ORDER BY and ROWS/RANGE frames are then
+    free within the bucket."""
+    import re
+
+    for col, expr in window_fns.items():
+        overs = re.findall(r"over\s*\(([^()]*)\)", expr, re.I | re.S)
+        if not overs:
+            raise ValueError(
+                f"window_fns[{col!r}] has no OVER clause: {expr!r}"
+            )
+        for ov in overs:
+            pm = re.search(
+                r"partition\s+by\s+(.+?)(?:\border\s+by\b|\brows\b|"
+                r"\brange\b|\bgroups\b|$)",
+                ov,
+                re.I | re.S,
+            )
+            cols = (
+                [
+                    c.strip().strip('"').lower()
+                    for c in pm.group(1).split(",")
+                    if c.strip()
+                ]
+                if pm
+                else []
+            )
+            if bucket_alias.lower() not in cols:
+                raise ValueError(
+                    f"window_fns[{col!r}]: the OVER clause must PARTITION "
+                    f"BY the bucket column {bucket_alias!r} — a window "
+                    f"spanning buckets is recomputed per dirty range on "
+                    f"refresh and would give wrong results "
+                    f"(tsl/src/continuous_aggs/common.c:672, GUC "
+                    f"enable_cagg_window_functions)"
+                )
+
+
 def _pbucket(v: int, w: int, origin: int) -> int:
     # clamp to avoid int64 wraparound at the infinite sentinels
     if v <= INT64_MIN + w:
@@ -129,14 +174,7 @@ class ContinuousAggregate:
                 "(timescaledb.enable_cagg_window_functions, src/guc.c:1031)"
             )
         if window_fns:
-            import warnings
-
-            warnings.warn(
-                "cagg window function support is experimental and may give "
-                "unexpected results if an OVER clause spans buckets "
-                "(tsl/src/continuous_aggs/common.c:672)",
-                stacklevel=2,
-            )
+            _validate_window_fns(window_fns, bucket_alias)
         if isinstance(bucket_width, int):
             # integer time dimension: width in raw internal units
             from .functions.time import Interval

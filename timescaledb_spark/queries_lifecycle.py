@@ -557,3 +557,46 @@ def q_merge_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(time_bucket("1 day", "ts").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_v"))
     )
+
+
+@query(
+    "q_create_table_with",
+    """
+    SELECT CAST(user_id % 10 AS INT) AS cohort,
+           count(*) AS n,
+           sum(value) AS sum_v
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_create_table_with(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern one-statement hypertable DDL
+    (``src/with_clause/create_table_with_clause.c:16``): CREATE TABLE ..
+    WITH (tsdb.hypertable, tsdb.partition_column, tsdb.chunk_interval,
+    tsdb.segmentby), ingest, then the round-8 maintenance aliases over
+    the first chunk (``sql/maintenance_utils.sql:58-113``:
+    compress → compact_chunk → rebuild_columnstore) before aggregating
+    across rowstore + columnstore chunks in one scan."""
+    import tempfile as _tf
+
+    from .compression import compact_chunk, compress_chunk, rebuild_columnstore
+    from .session import TSSession
+
+    ts = TSSession(spark, _tf.mkdtemp(prefix="ts_ctw_"))
+    ts.sql(
+        "CREATE TABLE events (ts TIMESTAMPTZ NOT NULL, user_id BIGINT, "
+        "value DOUBLE PRECISION) WITH (tsdb.hypertable, "
+        "tsdb.partition_column='ts', tsdb.chunk_interval='7 days', "
+        "tsdb.segmentby='user_id', tsdb.orderby='ts desc')"
+    )
+    ht = ts.get_hypertable("events")
+    ht.insert(load_table(spark, sf_dir, "events").select("ts", "user_id", "value"))
+    start = ht.chunks()[0]["range_start"]
+    compress_chunk(ht, start)
+    compact_chunk(ht, start)
+    rebuild_columnstore(ht, start)
+    return (
+        ht.read()
+        .groupBy(F.pmod("user_id", F.lit(10)).cast("int").alias("cohort"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_v"))
+    )
