@@ -264,3 +264,41 @@ def test_policies_v2(ts, spark):
         ts.jobs.remove_policies("pdaily", False, "policy_retention")
     assert ts.jobs.remove_all_policies("pdaily")
     assert ts.jobs.show_policies("pdaily") == []
+
+
+def test_alter_policies(ts, spark):
+    """timescaledb_experimental.alter_policies (policies_v2.c): in-place
+    offset updates on existing v2 policies; missing policy errors unless
+    if_exists."""
+    _seed_events(ts, spark, name="eva", days=5)
+    ts.create_cagg(
+        "adaily", "eva", bucket_width="1 day", aggs={"n": "count(1)"},
+    )
+    ts.jobs.add_policies(
+        "adaily",
+        refresh_start_offset="30 days",
+        refresh_end_offset=None,
+        compress_after="2 days",
+    )
+    assert ts.jobs.alter_policies(
+        "adaily", refresh_start_offset="10 days", compress_after="5 days"
+    )
+    cfg = {
+        p["policy_name"]: p for p in ts.jobs.show_policies("adaily")
+    }
+    assert (
+        cfg["policy_refresh_continuous_aggregate"]["start_offset"]
+        == "10 days"
+    )
+    assert cfg["policy_compression"]["compress_after"] == "5 days"
+    # no retention policy exists -> error, unless if_exists
+    with pytest.raises(ValueError, match="alter_policies"):
+        ts.jobs.alter_policies("adaily", drop_after="90 days")
+    assert not ts.jobs.alter_policies(
+        "adaily", drop_after="90 days", if_exists=True
+    )
+    # SQL surface
+    assert ts.sql(
+        "SELECT alter_policies('adaily', refresh_start_offset => "
+        "INTERVAL '7 days')"
+    ).first()["altered"]

@@ -87,3 +87,28 @@ def test_pil_branch_when_importable(spark):
     )
     row = multimodal.decode_media(df).collect()[0]
     assert (row["width"], row["height"]) == (5, 7)
+
+
+def test_resize_media_roundtrip(spark, sf_dir):
+    """resize_media (round 8): output payloads are structurally real PNG
+    containers at the target dims — decode_media / parse_image_header
+    round-trip without PIL, and the plumbing (schema, no shuffle,
+    payload pruning) is the production shape."""
+    from timescaledb_spark.pipeline import multimodal as mm
+    from timescaledb_spark.sources import load_table
+
+    docs = mm.with_payload(load_table(spark, sf_dir, "documents").limit(50))
+    resized = mm.resize_media(docs, 64, 48)
+    rows = resized.collect()
+    assert len(rows) == 50
+    assert all(r["width"] == 64 and r["height"] == 48 for r in rows)
+    hdr = mm.parse_image_header(bytes(rows[0]["payload"]))
+    assert hdr is not None and hdr[0] == "png" and hdr[1:] == (64, 48)
+    # and through the full decode stage
+    meta = mm.decode_media(resized).collect()
+    assert all(m["width"] == 64 and m["height"] == 48 for m in meta)
+    # determinism: same source -> same payload bytes
+    again = mm.resize_media(docs, 64, 48).collect()
+    assert {(r["doc_id"], bytes(r["payload"])) for r in rows} == {
+        (r["doc_id"], bytes(r["payload"])) for r in again
+    }

@@ -327,3 +327,41 @@ def test_maintenance_aliases_python_api(ts_events):
     assert r["chunk"] == c0["range_start"]
     # no skip columns -> rebuild_sparse_index is a 0-row no-op
     assert compression.rebuild_sparse_index(ht, c0["range_start"]) == 0
+
+
+def test_sql_surface_parity_names(ts_events):
+    """Round-8 SQL-name parity: every remaining public @extschema@
+    function that is in scope (tablespaces/move_chunk/OSM excluded by
+    design) resolves through ts.sql."""
+    ts = ts_events
+    # set_number_partitions needs a space dimension? no — it validates in
+    # the hypertable layer; use set_partitioning_interval + restore +
+    # telemetry + remove_columnstore_policy round-trip
+    ts.sql(
+        "SELECT set_partitioning_interval('events', INTERVAL '14 days')"
+    ).collect()
+    assert (
+        ts.get_hypertable("events").row["chunk_interval"]
+        == 14 * 86_400_000_000
+    )
+    ts.sql("SELECT add_columnstore_policy('events', INTERVAL '30 days')").collect()
+    ts.sql("SELECT remove_columnstore_policy('events')").collect()
+    ts.sql("SELECT timescaledb_pre_restore()").collect()
+    assert ts.catalog.metadata.find_one(key="restoring")["value"] is True
+    ts.sql("SELECT timescaledb_post_restore()").collect()
+    assert ts.catalog.metadata.find_one(key="restoring")["value"] is False
+    import json
+
+    rep = json.loads(
+        ts.sql("SELECT get_telemetry_report()").first()["report"]
+    )
+    assert rep["num_hypertables"] >= 1
+
+
+def test_set_number_partitions_sql(ts, spark):
+    ts.create_hypertable(
+        "spaced", "ts", chunk_interval="7 days",
+        space_column="dev", num_partitions=4,
+    )
+    ts.sql("SELECT set_number_partitions('spaced', 8)").collect()
+    assert ts.get_hypertable("spaced").row["num_partitions"] == 8

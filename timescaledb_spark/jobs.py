@@ -642,6 +642,53 @@ class JobRegistry:
             added = True
         return added
 
+    def alter_policies(
+        self,
+        relation: str,
+        if_exists: bool = False,
+        refresh_start_offset: Union[str, int, None] = None,
+        refresh_end_offset: Union[str, int, None] = None,
+        compress_after: Union[str, int, None] = None,
+        drop_after: Union[str, int, None] = None,
+    ) -> bool:
+        """``timescaledb_experimental.alter_policies``
+        (tsl/src/bgw_policy/policies_v2.c): update the offsets of the
+        cagg's EXISTING v2 policies in place. A missing policy errors
+        unless ``if_exists`` (the reference's if_exists semantics)."""
+        by_proc: dict = {}
+        for j in self._v2_jobs(relation):
+            by_proc.setdefault(j["proc"], j)
+        changed = False
+
+        def _upd(proc: str, updates: dict) -> None:
+            nonlocal changed
+            j = by_proc.get(proc)
+            if j is None:
+                if if_exists:
+                    return
+                raise ValueError(
+                    f"no {proc} policy on {relation!r} "
+                    f"(alter_policies alters existing policies; use "
+                    f"add_policies to create them)"
+                )
+            cfg = dict(j.get("config") or {})
+            cfg.update(updates)
+            self.alter_job(j["id"], config=cfg)
+            changed = True
+
+        if refresh_start_offset is not None or refresh_end_offset is not None:
+            upd = {}
+            if refresh_start_offset is not None:
+                upd["start_offset"] = refresh_start_offset
+            if refresh_end_offset is not None:
+                upd["end_offset"] = refresh_end_offset
+            _upd("policy_refresh_continuous_aggregate", upd)
+        if compress_after is not None:
+            _upd("policy_compression", {"compress_after": compress_after})
+        if drop_after is not None:
+            _upd("policy_retention", {"drop_after": drop_after})
+        return changed
+
     _V2_PROCS = {
         "policy_refresh_continuous_aggregate": "cagg",
         "policy_compression": "hypertable",

@@ -198,3 +198,66 @@ def text_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         lang_id(text_col).alias("lang_guess"),
         doc_fingerprint(text_col).alias("fingerprint"),
     )
+
+
+#: feature-hashing defaults: 3-gram char shingles into 64 buckets via a
+#: polynomial codepoint key — deterministic and engine-portable (ascii/
+#: substring/length behave identically in Spark SQL and DuckDB), unlike
+#: engine hash() builtins.
+FEAT_DIM = 64
+FEAT_N = 3
+
+
+def _feat_bucket(name: str, dim: int) -> str:
+    """(codepoint-polynomial of the 3-gram at position i) % dim — the
+    shared Spark/DuckDB formula body (i is the lambda/comprehension
+    variable in both dialects)."""
+    return (
+        f"(ascii(substring({name}, i, 1)) * 65536 + "
+        f"ascii(substring({name}, i + 1, 1)) * 256 + "
+        f"ascii(substring({name}, i + 2, 1))) % {dim}"
+    )
+
+
+def hash_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = FEAT_DIM,
+) -> DataFrame:
+    """Feature hashing (the 'hashing trick'): bucket counts of character
+    3-grams — the classic cheap featurizer for quality classifiers and
+    near-dup triage over a training corpus. Pure JVM expressions
+    (sequence/transform/explode + one map-combined groupBy), so the only
+    shuffle is the final (id, bucket) count — output is bounded by
+    docs × dim regardless of text length. Returns (id, bucket, cnt)."""
+    grams = F.expr(
+        f"CASE WHEN length({text_col}) >= {FEAT_N} THEN "
+        f"transform(sequence(1, length({text_col}) - {FEAT_N - 1}), "
+        f"i -> {_feat_bucket(text_col, dim)}) "
+        f"ELSE array() END"
+    )
+    return (
+        df.select(F.col(id_col), F.explode(grams).alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hash_features_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = FEAT_DIM,
+) -> str:
+    """DuckDB oracle for :func:`hash_features` (list comprehension +
+    unnest mirrors sequence/transform + explode; an empty list drops the
+    row in both engines)."""
+    return f"""
+    SELECT {id_col}, bucket, count(*) AS cnt FROM (
+        SELECT {id_col},
+               unnest([{_feat_bucket(text_col, dim)}
+                       FOR i IN range(1, greatest(length({text_col}) - {FEAT_N - 1}, 0) + 1)]) AS bucket
+        FROM {table}
+    ) GROUP BY 1, 2
+    """

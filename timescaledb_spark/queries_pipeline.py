@@ -432,3 +432,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = dedup.embedding_dup_pairs(emb, threshold=0.45)
     return dedup.dup_clusters(pairs, shuffle_partitions=8)
+
+
+@query("q_text_hash_features", textproc.hash_features_sql())
+def q_text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing over the corpus (the 'hashing trick' featurizer,
+    round 8): 3-gram codepoint-polynomial buckets, counted per doc — one
+    narrow scan + one map-combined groupBy; output bounded by
+    docs × FEAT_DIM."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textproc.hash_features(docs)

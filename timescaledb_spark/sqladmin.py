@@ -298,9 +298,43 @@ def _h_attach_chunk(ts, pos, named):
 
 def _h_set_chunk_time_interval(ts, pos, named):
     ht = ts.get_hypertable(pos[0].value)
-    iv = named.get("chunk_time_interval") or pos[1]
+    iv = (
+        named.get("chunk_time_interval")
+        or named.get("partition_interval")
+        or pos[1]
+    )
     ht.set_chunk_time_interval(iv.value)
     return _df(ts, [(True,)], "ok boolean")
+
+
+def _h_set_number_partitions(ts, pos, named):
+    """``set_number_partitions(ht, n)`` (sql/ddl_api.sql:77)."""
+    ht = ts.get_hypertable(pos[0].value)
+    n = named.get("number_partitions") or pos[1]
+    ht.set_number_partitions(int(n.value))
+    return _df(ts, [(True,)], "ok boolean")
+
+
+def _h_pre_restore(ts, pos, named):
+    """``timescaledb_pre_restore()`` (sql/restoring.sql): pause job
+    scheduling while a dump loads."""
+    ts.pre_restore()
+    return _df(ts, [(True,)], "ok boolean")
+
+
+def _h_post_restore(ts, pos, named):
+    ts.post_restore()
+    return _df(ts, [(True,)], "ok boolean")
+
+
+def _h_get_telemetry_report(ts, pos, named):
+    """``get_telemetry_report()`` — LOCAL installation-shape report
+    (never transmitted; this engine has no phone-home path)."""
+    import json as _json
+
+    return _df(
+        ts, [(_json.dumps(ts.get_telemetry_report()),)], "report string"
+    )
 
 
 def _h_hypertable_size(ts, pos, named):
@@ -469,6 +503,12 @@ ADMIN_FNS = {
     "attach_chunk": _h_attach_chunk,
     "unfreeze_chunk": _chunk_op("unfreeze_chunk"),
     "set_chunk_time_interval": _h_set_chunk_time_interval,
+    # generic-dimension naming of the same setter (sql/ddl_api.sql:69)
+    "set_partitioning_interval": _h_set_chunk_time_interval,
+    "set_number_partitions": _h_set_number_partitions,
+    "timescaledb_pre_restore": _h_pre_restore,
+    "timescaledb_post_restore": _h_post_restore,
+    "get_telemetry_report": _h_get_telemetry_report,
     "hypertable_size": _h_hypertable_size,
     "chunks_detailed_size": _h_chunks_detailed_size,
     "hypertable_detailed_size": _h_hypertable_detailed_size,
@@ -480,6 +520,8 @@ ADMIN_FNS = {
     "add_reorder_policy": _h_add_reorder_policy,
     "remove_retention_policy": _h_remove_policy("remove_retention_policy"),
     "remove_compression_policy": _h_remove_policy("remove_compression_policy"),
+    # columnstore naming of the same policy (sql/policy_api.sql)
+    "remove_columnstore_policy": _h_remove_policy("remove_compression_policy"),
     "remove_compaction_policy": _h_remove_policy("remove_compaction_policy"),
     "remove_continuous_aggregate_policy": _h_remove_policy(
         "remove_continuous_aggregate_policy"
@@ -701,6 +743,23 @@ def _rh_add_policies(ts, argstr: str) -> DataFrame:
     return _df(ts, [(ok,)], "added boolean")
 
 
+def _rh_alter_policies(ts, argstr: str) -> DataFrame:
+    args = _split_args(argstr)
+    rel = _literal_of(args[0])[1]
+    kw = {}
+    for a in args[1:]:
+        m = _NAMED.match(a)
+        if not m:
+            continue
+        key, rawv = m.group(1).lower(), m.group(2).strip()
+        if key == "if_exists":
+            kw[key] = rawv.lower() == "true"
+        else:
+            kw[key] = _literal_of(rawv)[1]
+    ok = ts.jobs.alter_policies(rel, **kw)
+    return _df(ts, [(ok,)], "altered boolean")
+
+
 def _rh_remove_policies(ts, argstr: str) -> DataFrame:
     args = _split_args(argstr)
     rel = _literal_of(args[0])[1]
@@ -728,6 +787,7 @@ RAW_ADMIN_FNS = {
     "alter_job": _rh_alter_job,
     "set_integer_now_func": _rh_set_integer_now_func,
     "add_policies": _rh_add_policies,
+    "alter_policies": _rh_alter_policies,
     "remove_policies": _rh_remove_policies,
 }
 
