@@ -310,3 +310,20 @@ def test_cagg_window_fn_bucket_locality_check(ts, spark):
                 window_fns={"x": bad},
                 enable_window_functions=True,
             )
+
+
+def test_cagg_window_fn_nested_parens_and_identifier(ts, spark):
+    """Review fix: nested parens inside OVER parse (balanced-paren scan)
+    and identifiers ending in 'over' don't false-match."""
+    ht = ts.create_hypertable("winck2", "timec", chunk_interval="1 day")
+    ht.insert(mk_conditions(spark))
+    cagg = ts.create_cagg(
+        "okwin2", ht, bucket_width="1 day",
+        aggs={"n": "count(*)"}, group_by=["location"],
+        window_fns={
+            "r": "rank() OVER (PARTITION BY bucket ORDER BY coalesce(n, 0) DESC)"
+        },
+        enable_window_functions=True,
+    )
+    cagg.refresh()
+    assert cagg.read(realtime=False).count() > 0

@@ -292,3 +292,58 @@ def test_with_form_carries_pk(ts, spark):
     )
     ht = ts.get_hypertable("wpk")
     assert ht.row["unique_keys"] == [["ts", "device"]]
+
+
+def test_with_form_atomic_on_failure(ts):
+    """Review fix: a failed WITH-form statement leaves no orphaned
+    declared table — the corrected retry succeeds."""
+    with pytest.raises(ValueError, match="not a column"):
+        ts.sql(
+            "CREATE TABLE atomic1 (ts TIMESTAMP NOT NULL, v INT) WITH "
+            "(tsdb.hypertable, tsdb.partition_column='typo')"
+        )
+    # failed unique-key validation inside create_hypertable rolls back too
+    with pytest.raises(ValueError, match="without the column"):
+        ts.sql(
+            "CREATE TABLE atomic1 (ts TIMESTAMP NOT NULL, v INT PRIMARY KEY) "
+            "WITH (tsdb.hypertable, tsdb.partition_column='ts')"
+        )
+    # bad segmentby after hypertable creation rolls the hypertable back
+    with pytest.raises(ValueError, match="not in schema"):
+        ts.sql(
+            "CREATE TABLE atomic1 (ts TIMESTAMP NOT NULL, v INT) WITH "
+            "(tsdb.hypertable, tsdb.partition_column='ts', "
+            "tsdb.segmentby='nope')"
+        )
+    ts.sql(
+        "CREATE TABLE atomic1 (ts TIMESTAMP NOT NULL, v INT) WITH "
+        "(tsdb.hypertable, tsdb.partition_column='ts')"
+    )
+    assert ts.get_hypertable("atomic1").time_column == "ts"
+
+
+def test_with_form_arrow_spelling_and_mixed_case_pk(ts):
+    ts.sql(
+        'CREATE TABLE "MixedPk" (Ts TIMESTAMPTZ NOT NULL, Dev INT, '
+        "v DOUBLE, PRIMARY KEY (Ts, Dev)) WITH (tsdb.hypertable, "
+        "tsdb.partition_column => 'Ts')".replace('"MixedPk"', "mixedpk")
+    )
+    ht = ts.get_hypertable("mixedpk")
+    assert ht.row["unique_keys"] == [["Ts", "Dev"]]
+    assert ht.time_column == "Ts"
+
+
+def test_strict_constraints_null_keys_distinct(ts, spark):
+    """PG default NULLS DISTINCT: NULL keys never conflict."""
+    ts.sql(
+        "CREATE TABLE nullspk (ts TIMESTAMPTZ NOT NULL, device INT, "
+        "v DOUBLE PRECISION, UNIQUE (ts, device))"
+    )
+    ts.sql("SELECT create_hypertable('nullspk', 'ts')")
+    ht = ts.get_hypertable("nullspk")
+    df = spark.createDataFrame(
+        [("2024-01-01T00:00:00", None, 1.0), ("2024-01-01T00:00:00", None, 2.0)],
+        "ts string, device int, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ht.insert(df, strict_constraints=True)  # both NULL-keyed rows accepted
+    assert ht.read().count() == 2

@@ -408,3 +408,22 @@ def test_month_interpolate_prev_uses_month_axis(spark):
     assert abs(out[datetime(2024, 1, 1)] - 5 / 3) < 1e-9
     assert abs(out[datetime(2024, 2, 1)] - 10 / 3) < 1e-9
     assert out[datetime(2024, 3, 1)] == 5.0
+
+
+def test_gapfill_null_time_raises(spark):
+    """gapfill_exec.c:1417 parity: a NULL row time is an error, not a
+    pass-through (and the window gap expansion relies on it)."""
+    import pytest
+    from pyspark.sql import functions as F
+    from timescaledb_spark.operators import time_bucket_gapfill
+
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "a", 1.0), (None, "a", 2.0)],
+        "ts string, g string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    gf = time_bucket_gapfill(
+        df, "1 hour", "ts", start="2024-01-01", finish="2024-01-01 06:00:00",
+        group_by=["g"], aggs={"s": F.sum("v")},
+    )
+    with pytest.raises(Exception, match="ts cannot be NULL"):
+        gf.collect()

@@ -112,3 +112,23 @@ def test_resize_media_roundtrip(spark, sf_dir):
     assert {(r["doc_id"], bytes(r["payload"])) for r in rows} == {
         (r["doc_id"], bytes(r["payload"])) for r in again
     }
+
+
+def test_null_payloads_do_not_kill_tasks(spark):
+    """Review fix: missing media (NULL payload) yields NULL metadata /
+    no frames / NULL resized payload instead of a task-killing
+    TypeError."""
+    from timescaledb_spark.pipeline import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"hello world")), (2, None)],
+        "doc_id long, payload binary",
+    )
+    meta = {r["doc_id"]: r for r in mm.decode_media(df).collect()}
+    assert meta[1]["n_bytes"] == 11 and meta[2]["n_bytes"] is None
+    assert meta[2]["payload_md5"] is None and meta[2]["width"] is None
+    frames = mm.sample_frames(df).collect()
+    assert {r["doc_id"] for r in frames} == {1}
+    rz = {r["doc_id"]: r for r in mm.resize_media(df, 32, 32).collect()}
+    assert rz[1]["width"] == 32 and rz[2]["payload"] is None
+    assert rz[2]["width"] is None and rz[2]["n_bytes"] is None

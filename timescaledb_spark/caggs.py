@@ -59,8 +59,25 @@ def _validate_window_fns(window_fns: dict, bucket_alias: str) -> None:
     free within the bucket."""
     import re
 
+    def _over_bodies(expr: str) -> list[str]:
+        """Balanced-paren extraction of every OVER (...) body — a plain
+        regex can neither span nested parens (ORDER BY coalesce(n, 0))
+        nor avoid false-matching identifiers ending in 'over'."""
+        out = []
+        for m in re.finditer(r"\bover\s*\(", expr, re.I):
+            depth, i = 1, m.end()
+            while i < len(expr) and depth:
+                if expr[i] == "(":
+                    depth += 1
+                elif expr[i] == ")":
+                    depth -= 1
+                i += 1
+            if depth == 0:
+                out.append(expr[m.end() : i - 1])
+        return out
+
     for col, expr in window_fns.items():
-        overs = re.findall(r"over\s*\(([^()]*)\)", expr, re.I | re.S)
+        overs = _over_bodies(expr)
         if not overs:
             raise ValueError(
                 f"window_fns[{col!r}] has no OVER clause: {expr!r}"

@@ -318,11 +318,7 @@ def compress_chunk(
     (compression_chunk_size catalog) and per-chunk column min/max
     (chunk_column_stats) for the skip index.
     """
-    if isinstance(chunk, int):
-        matches = [c for c in ht.chunks() if c["range_start"] == chunk]
-        if not matches:
-            raise KeyError(f"no chunk starting at {chunk}")
-        chunk = matches[0]
+    chunk = _chunk_of(ht, chunk)
     # the rewrite reads the chunk's files, then rmtree+replace's the dir;
     # a concurrent insert appending into it between the read and the
     # swap would be silently deleted — serialize with DML like every
@@ -336,13 +332,7 @@ def decompress_chunk(ht: Hypertable, chunk: Union[dict, int]) -> None:
     """``decompress_chunk`` / ``convert_to_rowstore``
     (sql/maintenance_utils.sql:48): storage format is parquet either way —
     this only flips chunk status so DML paths treat it as rowstore."""
-    if isinstance(chunk, int):
-        match = next(
-            (c for c in ht.chunks() if c["range_start"] == chunk), None
-        )
-        if match is None:
-            raise KeyError(f"no chunk starting at {chunk}")
-        chunk = match
+    chunk = _chunk_of(ht, chunk)
     ht.ts.catalog.chunk.update({"id": chunk["id"]}, {"status": "rowstore"})
 
 

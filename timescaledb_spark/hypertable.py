@@ -866,11 +866,22 @@ class Hypertable:
             if strict_constraints is not None
             else bool(getattr(self.ts, "strict_constraints", False))
         )
+        if self.row.get("unique_keys") and strict:
+            # check-then-write must be one critical section (the DML
+            # lock is reentrant, so _insert_prepared re-acquiring it is
+            # fine) and must validate the POST-trigger rows — the rows
+            # actually written. The frame is pinned: the checks run
+            # 1 + 2·keys actions over it before the write scans it again.
+            with self.ts.catalog.ht_lock(self.name):
+                df = self._fire_before(df)
+                df = df.persist()
+                try:
+                    self._check_unique(df)
+                    return self._insert_prepared(df, cluster=cluster)
+                finally:
+                    df.unpersist()
         if self.row.get("unique_keys"):
-            if strict:
-                self._check_unique(df)
-            else:
-                self._warn_unenforced_once()
+            self._warn_unenforced_once()
         df = self._fire_before(df)
         return self._insert_prepared(df, cluster=cluster)
 
@@ -910,8 +921,14 @@ class Hypertable:
         if self.chunks():
             existing = self.read(start=int(mm["lo"]), end=int(mm["hi"]) + 1)
         for keys in self.row["unique_keys"]:
+            # PG default NULLS DISTINCT semantics: a NULL in any key
+            # column never conflicts — with anything (matching the
+            # against-existing equi-join below, which also skips NULLs)
+            nn = df
+            for k in keys:
+                nn = nn.filter(F.col(k).isNotNull())
             dup = (
-                df.groupBy(*keys)
+                nn.groupBy(*keys)
                 .count()
                 .filter(F.col("count") > 1)
                 .limit(1)
@@ -927,7 +944,7 @@ class Hypertable:
             if existing is not None:
                 hit = (
                     existing.join(
-                        df.select(*keys).distinct(), list(keys), "left_semi"
+                        nn.select(*keys).distinct(), list(keys), "left_semi"
                     )
                     .select(*keys)
                     .limit(1)

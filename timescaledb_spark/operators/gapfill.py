@@ -71,6 +71,21 @@ class interpolate:  # noqa: N801
 FillSpec = Union[locf, interpolate, None]
 
 
+def _null_ts_guard(ts_col: Column, bucket: Column) -> Column:
+    """Reference parity: a NULL row time errors
+    (``gapfill_exec.c:1417`` "ts cannot be NULL") instead of producing a
+    NULL bucket."""
+    return F.when(
+        ts_col.isNull(),
+        F.raise_error(
+            F.lit(
+                "invalid time_bucket_gapfill argument: ts cannot be NULL "
+                "(gapfill_exec.c:1417)"
+            )
+        ),
+    ).otherwise(bucket)
+
+
 def _pbucket(value_us: int, width_us: int, origin_us: int) -> int:
     """Python-side time_bucket (same floor-mod formula)."""
     return value_us - ((value_us - origin_us) % width_us + width_us) % width_us
@@ -267,6 +282,11 @@ def time_bucket_gapfill(
         )
 
     bucket_us = internal - F.pmod(internal - F.lit(origin), F.lit(width_i))
+    # reference parity (gapfill_exec.c:1417): a NULL row time is an
+    # error, not a pass-through — and the window gap expansion below
+    # relies on every bucket being non-NULL (a NULL bucket would sort
+    # first and re-emit the whole spine as leading gaps)
+    bucket_us = _null_ts_guard(internal, bucket_us)
     bucketed = (
         df.groupBy(*group_by, bucket_us.alias(_BUS))
         .agg(*[c.alias(n) for n, c in aggs.items()])
@@ -382,6 +402,7 @@ def _gapfill_month(
         tcol = F.from_utc_timestamp(tcol.cast(T.TimestampType()), timezone)
     midx = F.year(tcol) * F.lit(12) + F.month(tcol) - F.lit(1)
     bmidx = midx - F.pmod(midx - F.lit(om), F.lit(w))
+    bmidx = _null_ts_guard(tcol, bmidx)
     bucketed = (
         df.groupBy(*group_by, bmidx.alias(_BUS))
         .agg(*[c.alias(n) for n, c in aggs.items()])

@@ -139,16 +139,26 @@ def decode_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [_meta(p) for p in pdf["payload"]]
+            # NULL payloads (unfetched/missing media are routine in an
+            # ingest pipeline) yield NULL metadata rather than a
+            # task-killing TypeError
+            metas = [
+                _meta(p) if p is not None else (None, None)
+                for p in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
-                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "n_bytes": pd.Series(
+                        [len(p) if p is not None else None for p in pdf["payload"]],
+                        dtype="object",
+                    ),
                     "payload_md5": [
-                        hashlib.md5(p).hexdigest() for p in pdf["payload"]
+                        hashlib.md5(p).hexdigest() if p is not None else None
+                        for p in pdf["payload"]
                     ],
-                    "width": [m[0] for m in metas],
-                    "height": [m[1] for m in metas],
+                    "width": pd.Series([m[0] for m in metas], dtype="object"),
+                    "height": pd.Series([m[1] for m in metas], dtype="object"),
                 }
             )
 
@@ -190,6 +200,8 @@ def sample_frames(df: DataFrame, id_col: str = "doc_id", stride: int = FRAME_BYT
         for pdf in batches:
             ids, idxs, sigs = [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                if payload is None:
+                    continue  # no frames from missing media
                 n = len(payload)
                 n_frames = max((n + stride - 1) // stride, 1)
                 for i in range(n_frames):
@@ -299,14 +311,25 @@ def resize_media(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = [_resize(p) for p in pdf["payload"]]
+            payloads = [
+                _resize(p) if p is not None else None for p in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
                     "payload": payloads,
-                    "width": width,
-                    "height": height,
-                    "n_bytes": [len(p) for p in payloads],
+                    "width": pd.Series(
+                        [width if p is not None else None for p in payloads],
+                        dtype="object",
+                    ),
+                    "height": pd.Series(
+                        [height if p is not None else None for p in payloads],
+                        dtype="object",
+                    ),
+                    "n_bytes": pd.Series(
+                        [len(p) if p is not None else None for p in payloads],
+                        dtype="object",
+                    ),
                 }
             )
 

@@ -1096,7 +1096,9 @@ def match_create_table(q: str):
         if wm is None:
             return None
         for item in _split_args(wm.group(1)):
-            item = item.strip()
+            # PG storage options use '='; accept the '=>' named-arg
+            # spelling too since both appear in user scripts
+            item = item.strip().replace("=>", "=")
             if not item:
                 continue
             if "=" in item:
@@ -1160,15 +1162,17 @@ def run_create_table(ts, parsed) -> DataFrame:
         toks = item.strip().split()
         if not toks:
             continue
-        low = " ".join(toks).lower()
         if toks[0].lower() in _CONSTRAINT_HEADS:
             # table-level PRIMARY KEY (a, b) / UNIQUE (a) / CONSTRAINT
             # name PRIMARY KEY|UNIQUE (...) — recorded (not enforced by
-            # parquet; insert warns / strict-validates, upsert uses them)
+            # parquet; insert warns / strict-validates, upsert uses
+            # them). Match on the ORIGINAL text: lowercasing here would
+            # break the case-sensitive column comparisons downstream.
             km = re.match(
                 r"(?:constraint\s+\w+\s+)?(?:primary\s+key|unique)\s*"
                 r"\(([^)]*)\)",
-                low,
+                " ".join(toks),
+                re.I,
             )
             if km:
                 unique_keys.append(
@@ -1196,6 +1200,16 @@ def run_create_table(ts, parsed) -> DataFrame:
     schema = T.StructType.fromDDL(
         ", ".join(f"{c} {t}" for c, t in fields)
     )
+    # WITH-form validation BEFORE any catalog mutation (the same rule
+    # create_hypertable follows): a failed one-statement DDL must not
+    # leave an orphaned declared table that blocks the corrected retry
+    if is_ht:
+        part_col = with_opts["partition_column"]
+        if part_col not in {c for c, _t in fields}:
+            raise ValueError(
+                f"partition column {part_col!r} is not a column of "
+                f"{name!r}"
+            )
     cat = ts.catalog
     with cat.write_lock:
         if cat.hypertable.find_one(name=name) or cat.plain_table.find_one(
@@ -1217,16 +1231,16 @@ def run_create_table(ts, parsed) -> DataFrame:
             ]
         )
     if is_ht:
-        part_col = with_opts["partition_column"]
-        if part_col not in {c for c, _t in fields}:
-            raise ValueError(
-                f"partition column {part_col!r} is not a column of "
-                f"{name!r}"
-            )
         kw = {}
         if with_opts.get("chunk_interval"):
             kw["chunk_interval"] = with_opts["chunk_interval"]
-        ht = ts.create_hypertable(name, part_col, **kw)
+        try:
+            ht = ts.create_hypertable(name, part_col, **kw)
+        except Exception:
+            # e.g. a declared unique key missing the partition column —
+            # roll the declared table back so the statement is atomic
+            cat.plain_table.delete({"name": name})
+            raise
         # columnstore defaults ON in the WITH form (default_val = true,
         # create_table_with_clause.c:17) — segmentby/orderby flow into
         # the compression settings like ALTER TABLE .. SET would
@@ -1241,7 +1255,13 @@ def run_create_table(ts, parsed) -> DataFrame:
             orderby = with_opts.get("orderby") or None
             if orderby is not None:
                 orderby = [o.strip() for o in orderby.split(",") if o.strip()]
-            enable_columnstore(ht, segmentby=seg, orderby=orderby)
+            try:
+                enable_columnstore(ht, segmentby=seg, orderby=orderby)
+            except Exception:
+                # statement atomicity: a typo'd segmentby/orderby must
+                # not leave the half-configured hypertable behind
+                ht.drop()
+                raise
     return _df(
         ts, [(name, len(fields))], "table string, n_columns int"
     )
