@@ -327,3 +327,19 @@ def test_cagg_window_fn_nested_parens_and_identifier(ts, spark):
     )
     cagg.refresh()
     assert cagg.read(realtime=False).count() > 0
+
+
+def test_cagg_window_fn_quoted_paren_literal(ts, spark):
+    ht = ts.create_hypertable("winck3", "timec", chunk_interval="1 day")
+    ht.insert(mk_conditions(spark))
+    cagg = ts.create_cagg(
+        "okwin3", ht, bucket_width="1 day",
+        aggs={"n": "count(*)"}, group_by=["location"],
+        window_fns={
+            "r": "rank() OVER (PARTITION BY bucket "
+                 "ORDER BY concat(location, '(') DESC)"
+        },
+        enable_window_functions=True,
+    )
+    cagg.refresh()
+    assert cagg.read(realtime=False).count() > 0

@@ -347,3 +347,46 @@ def test_strict_constraints_null_keys_distinct(ts, spark):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     ht.insert(df, strict_constraints=True)  # both NULL-keyed rows accepted
     assert ht.read().count() == 2
+
+
+def test_pk_null_rejected_unique_null_allowed(ts, spark):
+    """PK implies NOT NULL (strict mode rejects NULL key values);
+    plain UNIQUE keeps PG NULLS DISTINCT."""
+    ts.sql(
+        "CREATE TABLE pknull (ts TIMESTAMPTZ NOT NULL, device INT, "
+        "v DOUBLE PRECISION, PRIMARY KEY (ts, device))"
+    )
+    ts.sql("SELECT create_hypertable('pknull', 'ts')")
+    ht = ts.get_hypertable("pknull")
+    df = spark.createDataFrame(
+        [("2024-01-01T00:00:00", None, 1.0)], "ts string, device int, v double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(ValueError, match="not-null"):
+        ht.insert(df, strict_constraints=True)
+
+
+def test_with_option_value_containing_arrow(ts):
+    """'=>' inside a quoted option VALUE survives; only the separator is
+    normalized."""
+    ts.sql(
+        "CREATE TABLE arrv (ts TIMESTAMP NOT NULL, v INT) WITH "
+        "(tsdb.hypertable, tsdb.partition_column='ts', "
+        "tsdb.associated_table_prefix='pre=>fix')"
+    )
+    assert ts.get_hypertable("arrv").time_column == "ts"
+
+
+def test_strict_insert_does_not_evict_caller_cache(ts, spark):
+    ts.sql(
+        "CREATE TABLE cchk (ts TIMESTAMPTZ NOT NULL, device INT, "
+        "v DOUBLE PRECISION, UNIQUE (ts, device))"
+    )
+    ts.sql("SELECT create_hypertable('cchk', 'ts')")
+    ht = ts.get_hypertable("cchk")
+    df = _mk_events(spark).persist()
+    try:
+        df.count()
+        ht.insert(df, strict_constraints=True)
+        assert df.storageLevel.useMemory  # caller's pin intact
+    finally:
+        df.unpersist()

@@ -59,21 +59,48 @@ def _validate_window_fns(window_fns: dict, bucket_alias: str) -> None:
     free within the bucket."""
     import re
 
+    def _blank_literals(expr: str) -> str:
+        """Replace single-quoted SQL literals ('' escape included) with
+        spaces of equal length, so neither the OVER finder nor the paren
+        scan trips on quoted parens/keywords; offsets are preserved."""
+        out, i, n = list(expr), 0, len(expr)
+        while i < n:
+            if expr[i] == "'":
+                j = i + 1
+                while j < n:
+                    if expr[j] == "'":
+                        if j + 1 < n and expr[j + 1] == "'":
+                            j += 2
+                            continue
+                        break
+                    j += 1
+                for k in range(i, min(j + 1, n)):
+                    out[k] = " "
+                i = j + 1
+            else:
+                i += 1
+        return "".join(out)
+
     def _over_bodies(expr: str) -> list[str]:
         """Balanced-paren extraction of every OVER (...) body — a plain
         regex can neither span nested parens (ORDER BY coalesce(n, 0))
-        nor avoid false-matching identifiers ending in 'over'."""
+        nor avoid false-matching identifiers ending in 'over'; quoted
+        literals are blanked first so "instr(s, '(')" can't unbalance
+        the scan."""
+        blanked = _blank_literals(expr)
         out = []
-        for m in re.finditer(r"\bover\s*\(", expr, re.I):
+        for m in re.finditer(r"\bover\s*\(", blanked, re.I):
             depth, i = 1, m.end()
-            while i < len(expr) and depth:
-                if expr[i] == "(":
+            while i < len(blanked) and depth:
+                if blanked[i] == "(":
                     depth += 1
-                elif expr[i] == ")":
+                elif blanked[i] == ")":
                     depth -= 1
                 i += 1
             if depth == 0:
-                out.append(expr[m.end() : i - 1])
+                # body taken from the BLANKED text: the check below only
+                # reads bare identifiers, never literal contents
+                out.append(blanked[m.end() : i - 1])
         return out
 
     for col, expr in window_fns.items():

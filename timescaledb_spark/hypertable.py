@@ -217,6 +217,8 @@ class Hypertable:
                     )
             if uk:
                 row["unique_keys"] = uk
+                if declared.get("pk_columns"):
+                    row["pk_columns"] = declared["pk_columns"]
         # all validation BEFORE any catalog mutation: a failure below a
         # partial write would leave a half-registered hypertable behind
         if space_column and (not num_partitions or num_partitions < 1):
@@ -873,13 +875,22 @@ class Hypertable:
             # actually written. The frame is pinned: the checks run
             # 1 + 2·keys actions over it before the write scans it again.
             with self.ts.catalog.ht_lock(self.name):
-                df = self._fire_before(df)
-                df = df.persist()
+                pin = self._fire_before(df)
+                # a frame the CALLER already cached must not be re-pinned
+                # (unpersisting after would evict their cache — the
+                # CacheManager matches plans by sameResult, so no wrapper
+                # plan can dodge that); their cache already serves the
+                # multi-action reuse
+                lvl = pin.storageLevel
+                ours = not (lvl.useMemory or lvl.useDisk)
+                if ours:
+                    pin = pin.persist()
                 try:
-                    self._check_unique(df)
-                    return self._insert_prepared(df, cluster=cluster)
+                    self._check_unique(pin)
+                    return self._insert_prepared(pin, cluster=cluster)
                 finally:
-                    df.unpersist()
+                    if ours:
+                        pin.unpersist()
         if self.row.get("unique_keys"):
             self._warn_unenforced_once()
         df = self._fire_before(df)
@@ -911,6 +922,24 @@ class Hypertable:
         column, the same rule the reference enforces,
         src/indexing.c ts_indexing_verify_columns)."""
         df = self._conform_input(df)
+        # PRIMARY KEY implies NOT NULL on its columns — reject NULL key
+        # values BEFORE the NULLS DISTINCT relaxation below (which is
+        # correct for plain UNIQUE but would otherwise let NULL-keyed PK
+        # rows through unchecked)
+        pk_cols = [
+            c for c in (self.row.get("pk_columns") or []) if c in df.columns
+        ]
+        if pk_cols:
+            cond = None
+            for c in pk_cols:
+                cond = F.col(c).isNull() if cond is None else cond | F.col(c).isNull()
+            bad = df.filter(cond).limit(1).collect()
+            if bad:
+                nulls = [c for c in pk_cols if bad[0][c] is None]
+                raise ValueError(
+                    f"null value in column {nulls[0]!r} violates not-null "
+                    f"constraint (PRIMARY KEY columns are NOT NULL)"
+                )
         mm = df.agg(
             F.min(self._internal_time_expr(df)).alias("lo"),
             F.max(self._internal_time_expr(df)).alias("hi"),

@@ -231,11 +231,18 @@ def hash_features(
     (sequence/transform/explode + one map-combined groupBy), so the only
     shuffle is the final (id, bucket) count — output is bounded by
     docs × dim regardless of text length. Returns (id, bucket, cnt)."""
+    # one codepoint pass per row (split+ascii), then O(1) element_at per
+    # gram — the naive per-position form calls substring+ascii 3x per
+    # character and measured ~2x slower at sf0.1
     grams = F.expr(
         f"CASE WHEN length({text_col}) >= {FEAT_N} THEN "
         f"transform(sequence(1, length({text_col}) - {FEAT_N - 1}), "
-        f"i -> {_feat_bucket(text_col, dim)}) "
+        f"i -> (cps[i - 1] * 65536 + cps[i] * 256 + cps[i + 1]) % {dim}) "
         f"ELSE array() END"
+    )
+    df = df.withColumn(
+        "cps",
+        F.expr(f"transform(split({text_col}, ''), c -> ascii(c))"),
     )
     return (
         df.select(F.col(id_col), F.explode(grams).alias("bucket"))

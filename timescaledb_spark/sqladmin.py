@@ -1096,13 +1096,15 @@ def match_create_table(q: str):
         if wm is None:
             return None
         for item in _split_args(wm.group(1)):
-            # PG storage options use '='; accept the '=>' named-arg
-            # spelling too since both appear in user scripts
-            item = item.strip().replace("=>", "=")
+            item = item.strip()
             if not item:
                 continue
-            if "=" in item:
-                k, v = item.split("=", 1)
+            # PG storage options use '='; accept the '=>' named-arg
+            # spelling too. Only the SEPARATOR is normalized — a '=>'
+            # inside a quoted value must survive verbatim.
+            sm = re.match(r"^([A-Za-z_][\w.]*)\s*(?:=>|=)\s*(.*)$", item, re.S)
+            if sm:
+                k, v = sm.group(1), sm.group(2)
             else:
                 k, v = item, "true"
             k = k.strip().lower()
@@ -1158,6 +1160,7 @@ def run_create_table(ts, parsed) -> DataFrame:
         )
     fields = []
     unique_keys: list[list[str]] = []
+    pk_columns: list[str] = []
     for item in _split_args(body):
         toks = item.strip().split()
         if not toks:
@@ -1169,15 +1172,17 @@ def run_create_table(ts, parsed) -> DataFrame:
             # them). Match on the ORIGINAL text: lowercasing here would
             # break the case-sensitive column comparisons downstream.
             km = re.match(
-                r"(?:constraint\s+\w+\s+)?(?:primary\s+key|unique)\s*"
+                r"(?:constraint\s+\w+\s+)?(primary\s+key|unique)\s*"
                 r"\(([^)]*)\)",
                 " ".join(toks),
                 re.I,
             )
             if km:
-                unique_keys.append(
-                    [c.strip().strip('"') for c in km.group(1).split(",")]
-                )
+                cols = [c.strip().strip('"') for c in km.group(2).split(",")]
+                unique_keys.append(cols)
+                if km.group(1).lower().startswith("primary"):
+                    # PK implies NOT NULL on every key column
+                    pk_columns.extend(cols)
             continue
         col = toks[0].strip('"')
         tt = []
@@ -1188,9 +1193,10 @@ def run_create_table(ts, parsed) -> DataFrame:
         if not tt:
             raise ValueError(f"column {col!r} has no type")
         tail = " ".join(toks[1 + len(tt):]).lower()
-        if re.search(r"\bprimary\s+key\b", tail) or re.search(
-            r"\bunique\b", tail
-        ):
+        if re.search(r"\bprimary\s+key\b", tail):
+            unique_keys.append([col])
+            pk_columns.append(col)
+        elif re.search(r"\bunique\b", tail):
             unique_keys.append([col])
         fields.append((col, _pg_to_spark_type(" ".join(tt))))
     if not fields:
@@ -1227,6 +1233,7 @@ def run_create_table(ts, parsed) -> DataFrame:
                     "path": None,
                     "schema_ddl": schema.json(),
                     "unique_keys": unique_keys or None,
+                    "pk_columns": pk_columns or None,
                 }
             ]
         )
