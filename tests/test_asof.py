@@ -88,3 +88,41 @@ def test_invalid_direction(spark):
     l = spark.createDataFrame([(1, 1)], "ts int, lv int")
     with pytest.raises(ValueError):
         asof_join(l, l, on="ts", direction="nearest", right_suffix="_r")
+
+
+def test_asof_null_on_values_never_match(spark):
+    """Review fix: NULL 'on' timestamps are unmatchable on either side
+    (merge_asof rejects null keys; a null-ts right row must not be
+    carried into early left rows)."""
+    from pyspark.sql import functions as F
+
+    from timescaledb_spark.operators import asof_join
+
+    left = spark.createDataFrame(
+        [("2024-01-01 01:00:00",), (None,), ("2024-01-01 03:00:00",)],
+        "ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(None, 99.0), ("2024-01-01 02:00:00", 2.0)], "ts string, v double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = asof_join(left, right, on="ts", direction="backward").collect()
+    got = {str(r["ts"]): r["v"] for r in out}
+    assert got["2024-01-01 01:00:00"] is None  # null right row NOT carried
+    assert got["2024-01-01 03:00:00"] == 2.0
+    assert got["None"] is None  # null left row unmatched
+    fwd = asof_join(left, right, on="ts", direction="forward").collect()
+    gotf = {str(r["ts"]): r["v"] for r in fwd}
+    assert gotf["None"] is None  # not matched to min-ts right row
+
+
+def test_asof_int_on_rejects_interval_tolerance(spark):
+    import pytest as _pt
+
+    from timescaledb_spark.operators import asof_join
+
+    left = spark.createDataFrame([(100,)], "t long")
+    right = spark.createDataFrame([(90, 1.0)], "t long, v double")
+    with _pt.raises(ValueError, match="raw int"):
+        asof_join(left, right, on="t", tolerance="1 second").collect()
+    out = asof_join(left, right, on="t", tolerance=15).collect()
+    assert out[0]["v"] == 1.0

@@ -128,3 +128,77 @@ def test_update_where(ts, spark):
     # other days untouched
     assert ht.read(end="2024-01-02").filter("device = 2 AND value >= 240").count() == 0
     assert ht.df().count() == 3 * 24
+
+
+def test_merge_split_preserve_space_layout(spark, tmp_path):
+    """Review fix: merge/split on a space-partitioned hypertable must
+    keep the _space= layout (recomputed at the current modulus) — a flat
+    rewrite made space-pruned reads silently skip the rewritten chunk —
+    and record space_n on the new chunk rows."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from timescaledb_spark.chunkops import merge_chunks, split_chunk
+    from timescaledb_spark.session import TSSession
+
+    ts = TSSession(spark, str(tmp_path / "sp"))
+    ht = ts.create_hypertable(
+        "sp", "ts", chunk_interval="1 day", space_column="dev",
+        num_partitions=4,
+    )
+    df = spark.range(96).select(
+        F.timestamp_micros(
+            (F.lit(1704067200000000) + F.col("id") * 3600 * 1_000_000).cast("long")
+        ).alias("ts"),
+        (F.col("id") % 8).cast("int").alias("dev"),
+        F.col("id").cast("double").alias("v"),
+    )
+    ht.insert(df)
+    chunks = ht.chunks()
+    assert len(chunks) == 4
+    total = ht.read().count()
+    # pruned read baseline for one device
+    dev_rows = ht.read(space_key=3).filter(F.col("dev") == 3).count()
+    assert dev_rows == 12
+
+    merged = merge_chunks(ht, [c["range_start"] for c in chunks[:2]])
+    assert merged.get("space_n") == 4
+    mdir = os.path.join(ht.data_dir, f"_chunk={merged['range_start']}")
+    assert any(s.startswith("_space=") for s in os.listdir(mdir))
+    assert ht.read().count() == total
+    assert ht.read(space_key=3).filter(F.col("dev") == 3).count() == dev_rows
+
+    halves = split_chunk(
+        ht, merged["range_start"], merged["range_start"] + 86_400_000_000
+    )
+    assert all(r.get("space_n") == 4 for r in halves)
+    assert ht.read().count() == total
+    assert ht.read(space_key=3).filter(F.col("dev") == 3).count() == dev_rows
+    # no stray _chunk=*.tmp_* dirs poisoning the scan
+    assert not [
+        d for d in os.listdir(ht.data_dir) if ".tmp" in d and d.startswith("_chunk=")
+    ]
+
+
+def test_split_refuses_frozen(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    import pytest as _pt
+
+    from timescaledb_spark.chunkops import freeze_chunk, split_chunk
+    from timescaledb_spark.session import TSSession
+
+    ts = TSSession(spark, str(tmp_path / "fz"))
+    ht = ts.create_hypertable("fz", "ts", chunk_interval="1 day")
+    df = spark.range(24).select(
+        F.timestamp_micros(
+            (F.lit(1704067200000000) + F.col("id") * 3600 * 1_000_000).cast("long")
+        ).alias("ts"),
+        F.col("id").cast("double").alias("v"),
+    )
+    ht.insert(df)
+    c = ht.chunks()[0]
+    freeze_chunk(ht, c)
+    with _pt.raises(PermissionError, match="frozen"):
+        split_chunk(ht, c["range_start"], c["range_start"] + 3600_000_000)

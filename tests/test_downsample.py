@@ -97,3 +97,25 @@ def test_timestamp_column(spark):
     out = lttb(df, "ts", "value", n_out=20)
     assert out.count() == 20
     assert dict(out.dtypes)["ts"] == "timestamp"
+
+
+def test_lttb_null_keys_form_one_series(spark):
+    """Review fix: NaN != NaN splitting made every null-key row its own
+    group; null keys must downsample as ONE series."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from timescaledb_spark.pipeline.downsample import lttb
+
+    n = 200
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-01-01", periods=n, freq="min"),
+            "sensor": [None] * n,
+            "v": [float((i * 37) % 101) for i in range(n)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = lttb(df, time_col="ts", value_col="v", n_out=20, by=["sensor"])
+    assert out.count() == 20

@@ -82,3 +82,56 @@ def test_gap_sessions_stream(spark, tmp_path):
     assert rows[0]["n_events"] == 3
     assert rows[0]["session_start"].isoformat() == "2024-01-01T00:00:00"
     assert rows[0]["session_end"].isoformat() == "2024-01-01T00:20:00"
+
+
+def test_session_fn_late_event_forms_own_session():
+    """Review fix: a cross-batch late event earlier than the carried
+    session (beyond the gap) forms its own session; within the gap of
+    the session START it extends the session backwards."""
+    import pandas as pd
+
+    from timescaledb_spark.streaming.windows import _session_fn
+
+    class FakeState:
+        hasTimedOut = False
+
+        def __init__(self, v=None):
+            self._v = v
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+        def remove(self):
+            self._v = None
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    h = 3_600_000_000  # 1h in us
+    base = 1_700_000_000_000_000
+    carried = (base + 2 * h, base + 2 * h + 1_800_000_000, 5)  # 02:00-02:30
+
+    def run(ts_us, state):
+        pdf = pd.DataFrame(
+            {"ts": pd.to_datetime(pd.Series(ts_us, dtype="int64") * 1000)}
+        )
+        return list(_session_fn(("k",), iter([pdf]), state)), state
+
+    # far-earlier late event -> closed as its own singleton session
+    st = FakeState(carried)
+    out, st = run([base], st)
+    assert len(out) == 1 and out[0]["n_events"].tolist() == [1]
+    assert st.get == carried  # carried session unchanged, still open
+    # late event within gap of session START extends it backwards
+    st2 = FakeState(carried)
+    out2, st2 = run([carried[0] - 600_000_000], st2)  # 10 min before start
+    assert out2 == []
+    assert st2.get == (carried[0] - 600_000_000, carried[1], 6)

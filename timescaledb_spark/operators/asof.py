@@ -29,11 +29,22 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 from ..functions.time import parse_interval
 
 
-def _tolerance_us(tolerance: Union[str, int, None]) -> Optional[int]:
+def _tolerance_us(
+    tolerance: Union[str, int, None], on_is_ts: bool = True
+) -> Optional[int]:
     if tolerance is None:
         return None
     if isinstance(tolerance, int):
         return tolerance
+    if not on_is_ts:
+        # an interval string parses to MICROSECONDS, but an integer 'on'
+        # column compares in its own native units — silently mixing the
+        # two under-matches by orders of magnitude (same rule as
+        # rangejoin._width_units)
+        raise ValueError(
+            "asof tolerance for an integer 'on' column must be a raw int "
+            "in the column's units, not an interval string"
+        )
     iv = parse_interval(tolerance)
     if iv.months:
         raise ValueError("asof tolerance must be a fixed-width interval")
@@ -90,7 +101,11 @@ def asof_join(
         ).alias("_r"),
         F.lit(l_tag).alias("_side"),
     )
-    ru = right.select(
+    # NULL 'on' values never match (merge_asof rejects null keys; here
+    # they are unmatchable): a null-ts right row would otherwise sort
+    # nulls-first and its non-null struct would be carried into every
+    # early left row
+    ru = right.filter(F.col(on).isNotNull()).select(
         *[F.col(c) for c in shared],
         packed.alias("_r"),
         F.lit(r_tag).alias("_side"),
@@ -108,11 +123,14 @@ def asof_join(
     carried = F.last(F.col("_r"), ignorenulls=True).over(w)
 
     out = (
-        u.withColumn("_m", carried)
+        # a null-ts LEFT row keeps its place in the output but matches
+        # nothing (under 'forward' desc it would otherwise sort last and
+        # pick up the minimum-timestamp right row)
+        u.withColumn("_m", F.when(F.col(on).isNotNull(), carried))
         .filter(F.col("_side") == F.lit(l_tag))
         .drop("_r", "_side")
     )
-    tol = _tolerance_us(tolerance)
+    tol = _tolerance_us(tolerance, on_is_ts)
     if tol is not None:
         lo = F.col(on)
         ro = F.col("_m._match_on")

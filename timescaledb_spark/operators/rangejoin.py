@@ -122,8 +122,16 @@ def range_join(
 
     # left join: a point may have cell partners that all fail the exact
     # containment check — those rows must collapse to ONE null-extended
-    # row. _rid identifies left rows (stable within this one plan).
-    lid = lpts.withColumn("_rid", F.monotonically_increasing_id()).alias("_rjl")
+    # row. _rid identifies left rows. monotonically_increasing_id is
+    # NONdeterministic across recomputation (a stage retry would hand
+    # the same left row a different id on the probe side than the window
+    # side, duplicating or dropping rows) — localCheckpoint materializes
+    # the ids once so every downstream read sees the same assignment.
+    lid = (
+        lpts.withColumn("_rid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=False)
+        .alias("_rjl")
+    )
     j = lid.join(rint, cond_all, "left")
     keep = contain & rcol("_cell").isNotNull()
     wspec = Window.partitionBy("_rid")

@@ -113,7 +113,11 @@ def lttb(
             if len(pdf) == 0:
                 continue
             keys = pdf[by]
-            grp = (keys != keys.shift()).any(axis=1).cumsum()
+            # NaN-safe group-change test: plain != treats NaN != NaN as
+            # True, splitting a null-key series into one group per row
+            shifted = keys.shift()
+            changed = (keys != shifted) & ~(keys.isna() & shifted.isna())
+            grp = changed.any(axis=1).cumsum()
             last = grp.iloc[-1]
             done_mask = grp != last
             carry = pdf[~done_mask]

@@ -80,17 +80,24 @@ def _session_fn(key, pdf_iter, state: GroupState):
     ts_all: list[int] = []
     for pdf in pdf_iter:
         ts_all.extend((pdf["ts"].astype("int64") // 1000).tolist())
-    ts_all.sort()
-    cur = state.get if state.exists else None  # (start, last, n)
-    closed: list[tuple[int, int, int]] = []
-    for t in ts_all:
-        if cur is None:
-            cur = (t, t, 1)
-        elif t - cur[1] > gap_us:
-            closed.append(cur)
-            cur = (t, t, 1)
+    # interval-merge, with the carried session inserted as an interval in
+    # time order: a cross-batch LATE event (earlier than the carried
+    # session by more than the gap) forms its own session instead of
+    # being silently folded into a session whose window doesn't contain
+    # it; a late event within the gap of the carried START correctly
+    # extends the session backwards
+    items: list[tuple[int, int, int]] = [(t, t, 1) for t in sorted(ts_all)]
+    if state.exists:
+        items.append(tuple(state.get))  # (start, last, n)
+        items.sort(key=lambda x: x[0])
+    merged: list[tuple[int, int, int]] = []
+    for s, l, n in items:
+        if merged and s - merged[-1][1] <= gap_us:
+            ps, pl, pn = merged[-1]
+            merged[-1] = (ps, max(pl, l), pn + n)
         else:
-            cur = (cur[0], max(cur[1], t), cur[2] + 1)
+            merged.append((s, l, n))
+    closed, cur = (merged[:-1], merged[-1]) if merged else ([], None)
     if cur is not None:
         state.update(cur)
         state.setTimeoutDuration(60 * 60 * 1000)  # 1h processing-time flush
