@@ -16,12 +16,17 @@ def ts(spark, tmp_path):
     return TSSession(spark, str(tmp_path / "ts"))
 
 
-def _seed_events(ts, spark, name="ev", days=30):
+def _seed_events(ts, spark, name="ev", days=30, day_offset=0, create=True):
     """Hypertable with one 1-day chunk per day, 24 rows each."""
-    ht = ts.create_hypertable(name, "ts", chunk_interval="1 day")
+    ht = (
+        ts.create_hypertable(name, "ts", chunk_interval="1 day")
+        if create
+        else ts.get_hypertable(name)
+    )
+    base = 1704067200000000 + day_offset * 86_400_000_000
     df = spark.range(days * 24).select(
         F.timestamp_micros(
-            (F.lit(1704067200000000) + F.col("id") * 3600 * 1_000_000).cast("long")
+            (F.lit(base) + F.col("id") * 3600 * 1_000_000).cast("long")
         ).alias("ts"),
         (F.col("id") % 5).cast("int").alias("device"),
         (F.col("id") * 1.5).alias("value"),
@@ -183,16 +188,22 @@ def test_cagg_refresh_policy(ts, spark):
 
 
 def test_reorder_policy(ts, spark):
+    """Reorders COMPLETED chunks only (newest first, one per run): the
+    newest chunk is still receiving inserts — rewriting it would race
+    the writes and permanently mark a still-growing chunk done."""
     ht = _seed_events(ts, spark, name="evo", days=3)
     jid = ts.jobs.add_reorder_policy("evo", order_by=["device", "ts"])
     r1 = ts.jobs.run_job(jid, now=1.0)
     assert r1["success"] and r1["result"]["reordered"] == 1
     r2 = ts.jobs.run_job(jid, now=2.0)
     r3 = ts.jobs.run_job(jid, now=3.0)
+    assert r2["result"]["reordered"] == 1
+    assert r3["result"]["reordered"] == 0  # only the hot chunk remains
+    # once newer data lands, the formerly-newest chunk becomes eligible
+    _seed_events(ts, spark, name="evo", days=1, day_offset=3, create=False)
     r4 = ts.jobs.run_job(jid, now=4.0)
-    assert r2["result"]["reordered"] == 1 and r3["result"]["reordered"] == 1
-    assert r4["result"]["reordered"] == 0  # all done
-    assert ht.df().count() == 3 * 24
+    assert r4["result"]["reordered"] == 1
+    assert ht.df().count() == 4 * 24
 
 
 def test_integer_time_retention(ts, spark):

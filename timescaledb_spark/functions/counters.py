@@ -47,6 +47,10 @@ def counter_agg(
     inc = F.when(prev_v.isNull(), F.lit(0.0)).when(
         step < 0, F.col(value_col)
     ).otherwise(step)
+    # last-row key matches the WINDOW's declared ordering (ts, then the
+    # tiebreak columns) — keying on (_inc, _prev_us) instead would pick
+    # an arbitrary row among duplicate timestamps
+    last_key = F.struct(us, *[F.col(c) for c in tiebreak])
     stepped = df.select(
         *by,
         us.alias("_us"),
@@ -54,17 +58,20 @@ def counter_agg(
         inc.alias("_inc"),
         (step < 0).cast("int").alias("_reset"),
         prev_us.alias("_prev_us"),
+        last_key.alias("_k"),
     )
     span_s = (F.max("_us") - F.min("_us")).cast("double") / 1e6
-    last_key = F.struct(F.col("_us"), F.col("_inc"), F.col("_prev_us"))
+    last_prev = F.max_by(F.col("_prev_us"), F.col("_k"))
+    elapsed_s = (F.max("_us") - last_prev).cast("double") / 1e6
     return stepped.groupBy(*by).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("_inc").alias("delta"),
         F.when(span_s > 0, F.sum("_inc") / span_s).alias("rate"),
+        # zero-elapsed guard: duplicate trailing timestamps would
+        # divide by zero (ANSI mode fails the whole job)
         F.when(
-            F.max_by(F.col("_prev_us"), last_key).isNotNull(),
-            F.max_by(F.col("_inc"), last_key)
-            / ((F.max("_us") - F.max_by(F.col("_prev_us"), last_key)).cast("double") / 1e6),
+            last_prev.isNotNull() & (elapsed_s > 0),
+            F.max_by(F.col("_inc"), F.col("_k")) / elapsed_s,
         ).alias("irate"),
         F.coalesce(F.sum("_reset"), F.lit(0)).alias("num_resets"),
         F.min("_us").alias("first_us"),
@@ -138,6 +145,7 @@ def gauge_agg(
     span_s = (F.max("_us") - F.min("_us")).cast("double") / 1e6
     last_step = F.max_by(F.col("_step"), F.col("_k"))
     last_prev = F.max_by(F.col("_prev_us"), F.col("_k"))
+    elapsed_s = (F.max("_us") - last_prev).cast("double") / 1e6
     delta = F.max_by(F.col("_v"), F.col("_k")) - F.min_by(F.col("_v"), F.col("_k"))
     return stepped.groupBy(*by).agg(
         F.count(F.lit(1)).alias("n"),
@@ -145,8 +153,7 @@ def gauge_agg(
         F.when(span_s > 0, delta / span_s).alias("rate"),
         last_step.alias("idelta"),
         F.when(
-            last_prev.isNotNull(),
-            last_step / ((F.max("_us") - last_prev).cast("double") / 1e6),
+            last_prev.isNotNull() & (elapsed_s > 0), last_step / elapsed_s
         ).alias("irate"),
         F.min("_us").alias("first_us"),
         F.max("_us").alias("last_us"),

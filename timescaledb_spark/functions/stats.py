@@ -82,9 +82,13 @@ def candlestick_agg(
         if volume_col is None
         else (F.col(volume_col) if isinstance(volume_col, str) else volume_col)
     )
-    key = to_unix_microseconds(ts_col) * F.lit(1000)
-    for c in tiebreak:
-        key = key + F.pmod(F.col(c), F.lit(1000))
+    # bookend key: lexicographic struct over (time, tiebreak...) — the
+    # same pattern as gauge_agg. (An arithmetic us*1000+pmod(tb,1000)
+    # key collided across rows, overflowed into the next microsecond
+    # with multiple tiebreak columns, and broke for string tiebreaks.)
+    key = F.struct(
+        to_unix_microseconds(ts_col), *[F.col(c) for c in tiebreak]
+    )
     return df.groupBy(
         *by, time_bucket(bucket_width, ts_col).alias("bucket")
     ).agg(
@@ -113,8 +117,16 @@ def percentile_agg(
     same shape as the toolkit's UddSketch rollup)."""
     v = F.col(value_col)
     cols = []
+    names = set()
     for p in percentiles:
-        name = f"p{int(p * 100):02d}"
+        # digits-of-p naming so distinct percentiles can't collide
+        # (int(p*100) mapped 0.99 and 0.999 both to 'p99'):
+        # 0.5 -> p50, 0.99 -> p99, 0.999 -> p999, 0.025 -> p025
+        frac = f"{p:.10f}".split(".")[1].rstrip("0") or "0"
+        name = "p100" if p >= 1 else f"p{frac.ljust(2, '0')}"
+        if name in names:
+            raise ValueError(f"duplicate percentile {p!r}")
+        names.add(name)
         agg = (
             F.percentile(v, F.lit(float(p)))
             if exact

@@ -162,10 +162,18 @@ def _proc_reorder(ts, config: dict, now_s: float) -> dict:
     done_key = f"reorder_done_{ht.id}"
     row = meta.find_one(key=done_key)
     done = set(row["value"]) if row else set()
+    chunks = ht.chunks()
+    newest = max((c["range_start"] for c in chunks), default=None)
     candidates = [
         c
-        for c in ht.chunks()
-        if c["range_start"] not in done and c.get("status") != "columnstore"
+        for c in chunks
+        if c["range_start"] not in done
+        and c.get("status") != "columnstore"
+        # COMPLETED chunks only: the newest chunk is still receiving
+        # inserts — reordering it would race the writes AND mark it
+        # done, leaving every later row in it unsorted forever (the
+        # reference reorders chunks the insert frontier has left)
+        and c["range_start"] != newest
     ]
     if not candidates:
         return {"reordered": 0}
@@ -203,9 +211,16 @@ def _proc_compaction(ts, config: dict, now_s: float) -> dict:
         ),
         key=lambda c: c["range_start"],
     )
-    max_chunks = int(config.get("max_chunks") or 0)
-    if max_chunks:
-        cands = cands[:max_chunks]
+    # 0 is a validated bound meaning "nothing this run", not unlimited
+    max_chunks = config.get("max_chunks")
+    if max_chunks is not None:
+        cands = cands[: int(max_chunks)]
+    # max_batches bounds per-run work like the reference's
+    # compaction_api.c: treat it as an additional per-run chunk budget
+    # (parquet has no sub-chunk batch granularity to count)
+    max_batches = config.get("max_batches")
+    if max_batches is not None and int(max_batches) > 0:
+        cands = cands[: int(max_batches)]
     for c in cands:
         recompress_chunk(ht, c)
     return {"compacted_chunks": len(cands)}

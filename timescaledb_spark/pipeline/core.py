@@ -135,15 +135,20 @@ def h32_sql(expr: str) -> str:
     return f"('0x' || substr(md5({expr}), 1, 8))::BIGINT"
 
 
-def minhash_signature(shingles: Column, k: int = MINHASH_K) -> list[Column]:
-    """k minhash values over affine permutations of a single 60-bit hash
-    per shingle (classic (a*h+b) mod p universal-hash minhash; the top 32
-    bits of h keep a*h inside int64). The shared ``hashed`` subtree is a
-    plain (non-lambda) argument, so projection-level subexpression
-    elimination evaluates it once per row across all k branches."""
-    hashed = F.transform(
+def shingle_hashes(shingles: Column) -> Column:
+    """Shingle strings -> 60-bit md5 hashes (the shared pre-hash of every
+    minhash path)."""
+    return F.transform(
         shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
     )
+
+
+def minhash_from_hashes(hashed: Column, k: int = MINHASH_K) -> list[Column]:
+    """k minhash values over affine permutations of pre-hashed shingles
+    (classic (a*h+b) mod p universal-hash minhash; the top 32 bits of h
+    keep a*h inside int64). The single definition both
+    :func:`minhash_signature` and the LSH pipeline consume — a change to
+    the permutation scheme lands everywhere at once."""
 
     def _perm(a: int, b: int):
         return lambda h: (F.shiftright(h, 28) * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
@@ -152,6 +157,14 @@ def minhash_signature(shingles: Column, k: int = MINHASH_K) -> list[Column]:
         F.array_min(F.transform(hashed, _perm(a, b))).alias(f"mh{i}")
         for i, (a, b) in enumerate(_mh_params(k))
     ]
+
+
+def minhash_signature(shingles: Column, k: int = MINHASH_K) -> list[Column]:
+    """k minhash values straight from shingle strings. The shared
+    ``hashed`` subtree is a plain (non-lambda) argument, so
+    projection-level subexpression elimination evaluates it once per row
+    across all k branches."""
+    return minhash_from_hashes(shingle_hashes(shingles), k)
 
 
 #: random-hyperplane LSH defaults: 60 sign bits (inside signed int64, same

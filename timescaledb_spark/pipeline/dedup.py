@@ -112,24 +112,14 @@ def minhash_lsh_pairs(
         spread(df.select(id_col, text_col))
         .select(
             F.col(id_col),
-            F.transform(
-                word_shingles(text_col, shingle_k),
-                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
-            ).alias("hl"),
+            core.shingle_hashes(word_shingles(text_col, shingle_k)).alias("hl"),
         )
         .filter(F.size("hl") > 0)
         .cache()
     )
 
-    def _perm(a: int, b: int):
-        return lambda h: (F.shiftright(h, 28) * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
-
     sigs = hl.select(
-        F.col(id_col),
-        *[
-            F.array_min(F.transform(F.col("hl"), _perm(a, b))).alias(f"mh{i}")
-            for i, (a, b) in enumerate(_mh_params(MINHASH_K))
-        ],
+        F.col(id_col), *core.minhash_from_hashes(F.col("hl"), MINHASH_K)
     )
 
     band_cols = []
@@ -647,7 +637,16 @@ def decontaminate(
     the corpus-side explode is the only heavy stage and it is
     embarrassingly parallel.
     """
-    c_grams = _distinct_shingles(corpus, text_col, id_col, ngram_k)
+    # corpus side: RAW exploded grams straight into the broadcast probe —
+    # a corpus-wide distinct() first would hash-shuffle every (id, gram)
+    # pair before a single benchmark gram matched; filtering via the
+    # broadcast join keeps the corpus stage shuffle-free and the
+    # count_distinct below dedups only the (tiny) matching subset
+    c_grams = (
+        spread(corpus.select(id_col, text_col))
+        .select(F.col(id_col), F.explode(word_shingles(text_col, ngram_k)).alias("_s"))
+        .select(F.col(id_col), h60("_s").alias("s"))
+    )
     b_grams = _distinct_shingles(
         benchmark.withColumnRenamed(bench_id_col, "_bid"), text_col, "_bid",
         ngram_k,
@@ -655,7 +654,7 @@ def decontaminate(
     return (
         c_grams.join(F.broadcast(b_grams), "s")
         .groupBy(id_col, "bench_id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .agg(F.count_distinct(F.col("s")).alias("n_shared"))
         .filter(F.col("n_shared") >= min_hits)
     )
 

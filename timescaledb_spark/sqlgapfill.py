@@ -72,7 +72,11 @@ def _clause_positions(q: str) -> dict[str, int]:
                     end = m.end()
                     if end == len(low) or not (low[end].isalnum() or low[end] == "_"):
                         pos[kw] = (i, end)
-                        i = end
+                        # resume AT the keyword end, not past it: the
+                        # i += 1 below would skip the very next char —
+                        # a '(' in 'FROM(SELECT ...' would go uncounted
+                        # and corrupt depth tracking for the whole scan
+                        i = end - 1
                         break
         i += 1
     return pos
@@ -243,15 +247,34 @@ def run_gapfill_statement(ts, q: str) -> DataFrame:
         sel_names = {g.split(".")[-1].strip() for g in group_by}
         sel_names.add(bucket_alias)
         sel_aliases = set(group_aliases.values())
-        for g in _split_select_items(cl["group by"]):
-            gname = g.split(".")[-1].strip()
+        gb_items = [
+            g.split(".")[-1].strip() for g in _split_select_items(cl["group by"])
+        ]
+        positional = any(g.isdigit() for g in gb_items)
+        for gname in gb_items:
             if gname.isdigit():
                 continue  # positional GROUP BY 1, 2 — select-list order
             if gname not in sel_names and gname not in sel_aliases:
                 raise ValueError(
-                    f"GROUP BY column {g.strip()!r} must appear in the "
+                    f"GROUP BY column {gname!r} must appear in the "
                     f"SELECT list of a time_bucket_gapfill statement"
                 )
+        if not positional:
+            # ... and the reverse: a bare SELECT column absent from
+            # GROUP BY is an error in PostgreSQL ("column must appear in
+            # the GROUP BY clause"), not an implicit extra group key —
+            # silently adding it would change the aggregation grain
+            gb_set = set(gb_items)
+            for g in group_by:
+                gname = g.split(".")[-1].strip()
+                if (
+                    gname not in gb_set
+                    and group_aliases.get(gname, gname) not in gb_set
+                ):
+                    raise ValueError(
+                        f"column {g.strip()!r} must appear in the GROUP BY "
+                        f"clause or be used in an aggregate function"
+                    )
     width, time_sql, tz, start, finish = gf
     m = _COLREF.match(time_sql)
     if not m:
