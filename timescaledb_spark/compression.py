@@ -250,8 +250,7 @@ def _compress_chunk_data(
                 os.path.join(tmp, "**", "*.parquet"), recursive=True
             )
         )
-        shutil.rmtree(path)
-        os.replace(tmp, path)
+        _swap_dir(path, tmp)
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
@@ -261,6 +260,26 @@ def _compress_chunk_data(
         "stats": stats,
         "n_rows": n_rows,
     }
+
+
+def _swap_dir(path: str, tmp: str) -> None:
+    """Replace ``path`` with ``tmp`` without a destroy-first window:
+    move the old dir ASIDE (dot-prefixed, invisible to chunk scans),
+    move ``tmp`` in, delete the aside last. ``rmtree(path)`` before
+    ``os.replace`` left a window where a failed rmtree/replace destroyed
+    BOTH copies; here any failure leaves at least one intact copy and
+    restores the original on a failed swap-in."""
+    d, b = os.path.split(path)
+    aside = os.path.join(d, f".old_{b}")
+    if os.path.isdir(aside):
+        shutil.rmtree(aside)
+    os.replace(path, aside)
+    try:
+        os.replace(tmp, path)
+    except BaseException:
+        os.replace(aside, path)
+        raise
+    shutil.rmtree(aside, ignore_errors=True)
 
 
 def _compress_chunk_commit(ht: Hypertable, chunk: dict, data: dict) -> dict:
@@ -432,13 +451,19 @@ def compress_chunks(
         return [compress_chunk(ht, c) for c in cands]
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=min(parallelism, len(cands))) as ex:
-        datas = list(
-            ex.map(
-                lambda c: _compress_chunk_data(ht, c, (), TARGET_FILE_BYTES), cands
+    # same DML serialization compress_chunk takes per chunk: without it
+    # a concurrent late-data insert appending into one of these chunks
+    # between a worker's read and its dir swap would be silently deleted
+    # (the policy job + streaming-ingest combination hits exactly this)
+    with ht.ts.catalog.ht_lock(ht.name):
+        with ThreadPoolExecutor(max_workers=min(parallelism, len(cands))) as ex:
+            datas = list(
+                ex.map(
+                    lambda c: _compress_chunk_data(ht, c, (), TARGET_FILE_BYTES),
+                    cands,
+                )
             )
-        )
-    return [_compress_chunk_commit(ht, c, d) for c, d in zip(cands, datas)]
+        return [_compress_chunk_commit(ht, c, d) for c, d in zip(cands, datas)]
 
 
 def reorder_chunk(ht: Hypertable, chunk: Union[dict, int], by: Sequence[str]) -> None:
@@ -447,13 +472,7 @@ def reorder_chunk(ht: Hypertable, chunk: Union[dict, int], by: Sequence[str]) ->
     (the rewrite deletes the dir it read), space layout preserved, and
     the staging dir is dot-prefixed + cleaned on failure — the same
     contract as compress_chunk."""
-    if isinstance(chunk, int):
-        match = next(
-            (c for c in ht.chunks() if c["range_start"] == chunk), None
-        )
-        if match is None:
-            raise KeyError(f"no chunk starting at {chunk}")
-        chunk = match
+    chunk = _chunk_of(ht, chunk)
     with ht.ts.catalog.ht_lock(ht.name):
         path = _chunk_path(ht, chunk)
         df = ht._conform_chunk_df(chunk, ht._chunk_reader().parquet(path))
@@ -465,8 +484,7 @@ def reorder_chunk(ht: Hypertable, chunk: Union[dict, int], by: Sequence[str]) ->
         tmp = os.path.join(ht.data_dir, f".tmp_reorder_{chunk['range_start']}")
         try:
             writer.parquet(tmp)
-            shutil.rmtree(path)
-            os.replace(tmp, path)
+            _swap_dir(path, tmp)
         except BaseException:
             shutil.rmtree(tmp, ignore_errors=True)
             raise

@@ -99,11 +99,19 @@ class TSSession:
         by name."""
         path = os.path.join(self.catalog_root, "tables", name)
         existing = self.catalog.plain_table.find_one(name=name)
-        if existing and mode == "error":
+        # a schema-only declared table (CREATE TABLE, path=None) is a
+        # valid load target, not a conflict
+        if existing and existing.get("path") is not None and mode == "error":
             raise ValueError(f"table {name!r} already exists")
-        df.write.mode("overwrite").parquet(path)
+        df.write.mode("append" if mode == "append" else "overwrite").parquet(
+            path
+        )
         if not existing:
             self.catalog.plain_table.append([{"name": name, "path": path}])
+        elif existing.get("path") != path:
+            # declared table gains its data path — read_table would
+            # otherwise keep serving the empty schema-only frame forever
+            self.catalog.plain_table.update({"name": name}, {"path": path})
         return path
 
     def read_table(self, name: str):

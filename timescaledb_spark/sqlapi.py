@@ -662,8 +662,18 @@ def extract_time_bounds(sql: str, table: str, col: str, aliases: set[str]):
         r"((?:timestamptz|timestamp|date)\s+'(?:[^']|'')*'|'(?:[^']|'')*')",
         re.I,
     )
+    def _arith_continues(end: int) -> bool:
+        """True when the matched literal is NOT the complete right-hand
+        side — e.g. ``ts >= timestamp '..' - interval '5 days'``: pruning
+        on the bare literal would over-tighten the bound and silently
+        drop rows."""
+        rest = sql[end:].lstrip()
+        return bool(rest) and rest[0] in "+-*/%"
+
     lo = hi = None
     for m in _finditer_stripped(pat, sql):
+        if _arith_continues(m.end()):
+            return None, None
         op, lit = m.group(1), m.group(2)
         k, v = _literal_of(lit)
         if k not in ("timestamp", "string"):
@@ -688,6 +698,8 @@ def extract_time_bounds(sql: str, table: str, col: str, aliases: set[str]):
         re.I,
     )
     for m in _finditer_stripped(bet, sql):
+        if _arith_continues(m.end()):
+            return None, None
         ka, va = _literal_of(m.group(1))
         kb, vb = _literal_of(m.group(2))
         ta = _parse_time_literal(ka, va) if ka else None
@@ -717,10 +729,17 @@ def extract_numeric_bounds(sql: str, table: str, col: str, aliases: set[str]):
     else:
         ref = rf"(?<![\w.]){re.escape(col)}\b"
     num = r"([+-]?\d+(?:\.\d+)?)"
+
+    def _arith_continues(end: int) -> bool:
+        rest = sql[end:].lstrip()
+        return bool(rest) and rest[0] in "+-*/%"
+
     lo = hi = None
     for m in _finditer_stripped(
         re.compile(ref + rf"\s*(>=|<=|<|>|=)\s*{num}", re.I), sql
     ):
+        if _arith_continues(m.end()):
+            return None, None
         op, v = m.group(1), float(m.group(2))
         if op in (">", ">="):
             lo = v if lo is None else max(lo, v)
@@ -732,6 +751,8 @@ def extract_numeric_bounds(sql: str, table: str, col: str, aliases: set[str]):
     for m in _finditer_stripped(
         re.compile(ref + rf"\s+between\s+{num}\s+and\s+{num}", re.I), sql
     ):
+        if _arith_continues(m.end()):
+            return None, None
         a, b = float(m.group(1)), float(m.group(2))
         lo = a if lo is None else max(lo, a)
         hi = b if hi is None else min(hi, b)
@@ -834,41 +855,57 @@ def _sub_table_refs(sql: str, mapping: dict[str, str]) -> str:
     return "".join(out)
 
 
-def _register_views(ts, sql: str) -> str:
+def _register_views(ts, sql: str):
     """Register every engine table referenced in ``sql`` as a temp view
     under a statement-unique name (never clobbering same-named session
     views the caller may own), and rewrite the references. Hypertables
-    get chunk-pruned reads when a time range is extractable. Returns the
-    rewritten SQL."""
+    get chunk-pruned reads when a time range is extractable. Returns
+    ``(rewritten_sql, view_names)`` — the caller drops the views once the
+    statement's DataFrame is analyzed (views resolve into the plan at
+    analysis; keeping them would leak one catalog entry per statement in
+    long-lived drivers)."""
     mapping: dict[str, str] = {}
     _VIEW_SEQ[0] += 1
     uid = _VIEW_SEQ[0]
+    stripped_sql = _strip_strings(sql)
     hts = {r["name"]: r for r in ts.catalog.hypertable.read()}
     for name in hts:
         if not _referenced(sql, name):
             continue
         ht = ts.get_hypertable(name)
         aliases = _table_aliases(sql, name)
-        lo, hi = extract_time_bounds(sql, name, ht.time_column, aliases)
-        space_key = None
-        if ht.row.get("space_column"):
-            space_key = extract_space_keys(
-                sql, name, ht.row["space_column"], aliases
+        # a table appearing MORE THAN ONCE in FROM/JOIN (self-join)
+        # shares this single view across all its aliases — a bound
+        # extracted from one alias must not prune what another alias
+        # scans in full
+        n_refs = len(
+            re.findall(
+                rf"\b(?:from|join)\s+{re.escape(name)}\b", stripped_sql, re.I
             )
-        # stat-tracked columns (enable_chunk_skipping / compress stats):
-        # numeric WHERE bounds additionally exclude chunks whose recorded
-        # min/max cannot overlap — SQL users get the same skipping the
-        # where_stats API argument provides
-        where_stats = None
-        stat_cols = {
-            s["column"]
-            for s in ts.catalog.chunk_column_stats.find(hypertable_id=ht.id)
-        } - {ht.time_column}
-        for sc in sorted(stat_cols):
-            slo, shi = extract_numeric_bounds(sql, name, sc, aliases)
-            if slo is not None or shi is not None:
-                where_stats = where_stats or {}
-                where_stats[sc] = (slo, shi)
+        )
+        if n_refs > 1:
+            lo = hi = space_key = where_stats = None
+        else:
+            lo, hi = extract_time_bounds(sql, name, ht.time_column, aliases)
+            space_key = None
+            if ht.row.get("space_column"):
+                space_key = extract_space_keys(
+                    sql, name, ht.row["space_column"], aliases
+                )
+            # stat-tracked columns (enable_chunk_skipping / compress
+            # stats): numeric WHERE bounds additionally exclude chunks
+            # whose recorded min/max cannot overlap — SQL users get the
+            # same skipping the where_stats API argument provides
+            where_stats = None
+            stat_cols = {
+                s["column"]
+                for s in ts.catalog.chunk_column_stats.find(hypertable_id=ht.id)
+            } - {ht.time_column}
+            for sc in sorted(stat_cols):
+                slo, shi = extract_numeric_bounds(sql, name, sc, aliases)
+                if slo is not None or shi is not None:
+                    where_stats = where_stats or {}
+                    where_stats[sc] = (slo, shi)
         vname = f"_ts_sql_{uid}_{name}"
         ht.read(
             start=lo, end=hi, space_key=space_key, where_stats=where_stats
@@ -884,7 +921,16 @@ def _register_views(ts, sql: str) -> str:
             vname = f"_ts_sql_{uid}_{row['name']}"
             ts.read_table(row["name"]).createOrReplaceTempView(vname)
             mapping[row["name"]] = vname
-    return _sub_table_refs(sql, mapping) if mapping else sql
+    out = _sub_table_refs(sql, mapping) if mapping else sql
+    return out, list(mapping.values())
+
+
+def _drop_views(ts, views) -> None:
+    for v in views:
+        try:
+            ts.spark.catalog.dropTempView(v)
+        except Exception:
+            pass
 
 
 _INFO_VIEWS = (
@@ -962,8 +1008,11 @@ def ts_sql(ts, query: str) -> DataFrame:
     m = _INSERT_RE.match(q)
     if m:
         name, collist, rest = m.group(1), m.group(2), m.group(3)
-        rest = _register_views(ts, rest)
-        src = ts.spark.sql(rewrite_sql(rest, ts))
+        rest, views = _register_views(ts, rest)
+        try:
+            src = ts.spark.sql(rewrite_sql(rest, ts))
+        finally:
+            _drop_views(ts, views)
         if collist:
             cols = [c.strip() for c in collist.split(",") if c.strip()]
             if len(cols) != len(src.columns):
@@ -992,9 +1041,14 @@ def ts_sql(ts, query: str) -> DataFrame:
                     re.fullmatch(r"col\d+", c) for c in src.columns
                 ):
                     src = src.toDF(*want)
+                # PG semantics: columns absent from the INSERT column
+                # list are NULL-filled, not an analysis error
+                have = set(src.columns)
                 src = src.select(
                     *[
-                        F.col(f.name).cast(f.dataType).alias(f.name)
+                        (
+                            F.col(f.name) if f.name in have else F.lit(None)
+                        ).cast(f.dataType).alias(f.name)
                         for f in schema.fields
                     ]
                 )
@@ -1033,9 +1087,14 @@ def ts_sql(ts, query: str) -> DataFrame:
         return ts.spark.createDataFrame(
             [(int(stats["rows"]),)], "rows_inserted bigint"
         )
-    q = _register_views(ts, q)
-    if re.search(r"\btime_bucket_gapfill\b", _strip_strings(q), re.I):
-        from .sqlgapfill import run_gapfill_statement
+    q, views = _register_views(ts, q)
+    try:
+        if re.search(r"\btime_bucket_gapfill\b", _strip_strings(q), re.I):
+            from .sqlgapfill import run_gapfill_statement
 
-        return run_gapfill_statement(ts, q)
-    return ts.spark.sql(rewrite_sql(q, ts))
+            return run_gapfill_statement(ts, q)
+        return ts.spark.sql(rewrite_sql(q, ts))
+    finally:
+        # views resolve into the returned DataFrame's analyzed plan —
+        # dropping them here only bounds the session catalog
+        _drop_views(ts, views)
