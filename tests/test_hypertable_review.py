@@ -146,3 +146,105 @@ def test_add_dimension_refuses_frozen(ts, spark):
     freeze_chunk(ht, ht.chunks()[0])
     with pytest.raises(PermissionError, match="frozen"):
         ht.add_dimension("device", 4)
+
+
+def test_update_where_predicate_snapshot(spark, tmp_path):
+    """Review fix: the WHERE predicate is evaluated ONCE on pre-update
+    rows — a later assignment must not re-resolve it against mutated
+    columns (result depended on dict order)."""
+    from pyspark.sql import functions as F
+
+    from timescaledb_spark.session import TSSession
+
+    ts = TSSession(spark, str(tmp_path / "uw"))
+    ht = ts.create_hypertable("uw", "ts", chunk_interval="1 day")
+    ht.insert(
+        spark.createDataFrame(
+            [("2024-01-01 00:00:00", 5, 0)], "ts string, x int, y int"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    n = ht.update_where({"x": "10", "y": "20"}, "x = 5")
+    assert n == 1
+    r = ht.read().first()
+    assert (r["x"], r["y"]) == (10, 20)
+
+
+def test_update_where_self_referential_triggers(spark, tmp_path):
+    """x = x+1 with WHERE x = 5: the post-assignment frame no longer
+    matches, but the row WAS updated — after-row observers must see it."""
+    from pyspark.sql import functions as F
+
+    from timescaledb_spark.session import TSSession
+
+    ts = TSSession(spark, str(tmp_path / "uw2"))
+    ht = ts.create_hypertable("uw2", "ts", chunk_interval="1 day")
+    ht.insert(
+        spark.createDataFrame(
+            [("2024-01-01 00:00:00", 5)], "ts string, x int"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    import glob
+    import os
+
+    sink = str(tmp_path / "ar_seen")
+    os.makedirs(sink, exist_ok=True)
+
+    def obs(pdf, _sink=sink):
+        import uuid as _u
+
+        with open(os.path.join(_sink, _u.uuid4().hex), "w") as f:
+            f.write(str(len(pdf)))
+
+    ht.create_trigger("obs", obs, when="after_row", ops=("update",))
+    n = ht.update_where({"x": "x + 1"}, "x = 5")
+    assert n == 1 and ht.read().first()["x"] == 6
+    seen = sum(int(open(p).read()) for p in glob.glob(f"{sink}/*"))
+    assert seen == 1
+
+
+def test_upsert_drops_doomed_space_dir(spark, tmp_path):
+    """Review fix: a replaced row whose new version hashes to another
+    space bucket must not leave its stale copy in the old _space dir."""
+    from pyspark.sql import functions as F
+
+    from timescaledb_spark.session import TSSession
+
+    ts = TSSession(spark, str(tmp_path / "us"))
+    ht = ts.create_hypertable(
+        "us", "ts", chunk_interval="1 day", space_column="dev",
+        num_partitions=4,
+    )
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", 1, 0, 1.0)],
+        "ts string, id int, dev int, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ht.insert(df)
+    # replacement row, same key, different space value
+    newdf = spark.createDataFrame(
+        [("2024-01-01 00:00:00", 1, 7, 2.0)],
+        "ts string, id int, dev int, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ht.upsert(newdf, keys=["ts", "id"])
+    rows = ht.read().collect()
+    assert len(rows) == 1 and rows[0]["dev"] == 7 and rows[0]["v"] == 2.0
+
+
+def test_merge_rejects_space_column_update(spark, tmp_path):
+    import pytest as _pt
+
+    from pyspark.sql import functions as F
+
+    from timescaledb_spark.session import TSSession
+
+    ts = TSSession(spark, str(tmp_path / "ms"))
+    ht = ts.create_hypertable(
+        "ms", "ts", chunk_interval="1 day", space_column="dev",
+        num_partitions=4,
+    )
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", 1, 0, 1.0)],
+        "ts string, id int, dev int, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ht.insert(df)
+    with _pt.raises(ValueError, match="partition column"):
+        ht.merge_into(df, ["ts", "id"], matched_update={"dev": "3"})

@@ -32,12 +32,22 @@ def width_bucket(
     v: Union[str, Column], vmin: float, vmax: float, nbuckets: int
 ) -> Column:
     """PostgreSQL ``width_bucket_float8`` as a column expression."""
-    if vmin > vmax:
-        raise ValueError("lower bound cannot exceed upper bound")
+    if vmin >= vmax:
+        # PG parity: 'lower bound cannot equal upper bound' — equality
+        # would make the bucket width zero and misbucket silently
+        raise ValueError("lower bound must be below upper bound")
     col = _c(v).cast(T.DoubleType())
     lo, hi, nb = F.lit(float(vmin)), F.lit(float(vmax)), F.lit(nbuckets)
     return (
         F.when(col.isNull(), F.lit(None).cast(T.IntegerType()))
+        .when(
+            F.isnan(col),
+            # PG raises 'operand ... cannot be NaN'; NaN fails both range
+            # comparisons and would otherwise land silently in bucket 1
+            F.raise_error(F.lit("width_bucket operand cannot be NaN")).cast(
+                T.IntegerType()
+            ),
+        )
         .when(col < lo, F.lit(0))
         .when(col >= hi, F.lit(nbuckets + 1))
         .otherwise(

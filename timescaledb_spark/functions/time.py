@@ -198,6 +198,8 @@ def _bucket_month_expr(
     ts: Column, width_months: int, origin_months: int, as_date: bool = False
 ) -> Column:
     """bucket_month (src/time_bucket.c:157-181): bucket the month index."""
+    if width_months <= 0:
+        raise ValueError("period must be greater than 0")
     midx = _month_index(ts)
     b = midx - F.pmod(midx - F.lit(origin_months), F.lit(width_months))
     year = F.floor(b / F.lit(12)).cast(T.IntegerType())
@@ -231,8 +233,19 @@ def time_bucket(
         off = parse_interval(offset)
         if off.months:
             raise ValueError("month-granular offsets not supported")
+        if timezone is not None:
+            # reference order (ts_timestamptz_timezone_bucket): the
+            # offset applies to the NAIVE LOCAL timestamp, not the UTC
+            # instant — shifting in instant-space first can hop a DST
+            # transition and land one bucket off
+            local = F.from_utc_timestamp(col, timezone)
+            shifted_local = _us_to_ts(_ts_to_us(local) - F.lit(off.us))
+            inner_local = time_bucket(width, shifted_local, origin=origin)
+            return F.to_utc_timestamp(
+                _us_to_ts(_ts_to_us(inner_local) + F.lit(off.us)), timezone
+            )
         shifted = _us_to_ts(_ts_to_us(col) - F.lit(off.us))
-        inner = time_bucket(width, shifted, origin=origin, timezone=timezone)
+        inner = time_bucket(width, shifted, origin=origin)
         return _us_to_ts(_ts_to_us(inner) + F.lit(off.us))
 
     if timezone is not None:
@@ -316,8 +329,18 @@ def time_bucket_sql(
         off = parse_interval(offset)
         if off.months:
             raise ValueError("month-granular offsets not supported")
+        if timezone is not None:
+            # same local-axis offset order as the Column form
+            tz = timezone.replace("'", "''")
+            local = f"from_utc_timestamp(cast(({ts_sql}) as timestamp), '{tz}')"
+            shifted = f"timestamp_micros(unix_micros({local}) - {off.us})"
+            inner = time_bucket_sql(width, shifted, origin=origin)
+            return (
+                f"to_utc_timestamp(timestamp_micros(unix_micros({inner}) "
+                f"+ {off.us}), '{tz}')"
+            )
         shifted = f"timestamp_micros(unix_micros(cast(({ts_sql}) as timestamp)) - {off.us})"
-        inner = time_bucket_sql(width, shifted, origin=origin, timezone=timezone)
+        inner = time_bucket_sql(width, shifted, origin=origin)
         return f"timestamp_micros(unix_micros({inner}) + {off.us})"
 
     if timezone is not None:
@@ -344,6 +367,8 @@ def _bucket_us_sql(ts_sql: str, width_us: int, origin_us: int) -> str:
 
 
 def _bucket_month_sql(ts_sql: str, width_months: int, origin_months: int) -> str:
+    if width_months <= 0:
+        raise ValueError("period must be greater than 0")
     midx = f"(year({ts_sql}) * 12 + month({ts_sql}) - 1)"
     b = f"({midx} - pmod({midx} - {origin_months}, {width_months}))"
     return (

@@ -28,6 +28,23 @@ def _hex_n(col: Column, n: int) -> Column:
     return F.lpad(F.lower(F.hex(col)), n, "0")
 
 
+def _ms_guarded(us: Column) -> Column:
+    """Unix milliseconds for the 48-bit UUIDv7 time field. A negative
+    (pre-1970) or >= 2^48 value would be silently TRUNCATED by the
+    fixed-width hex pad — producing a corrupt UUID that violates the
+    ordering/extraction contracts — so both raise instead."""
+    ms = F.floor(us / F.lit(1000)).cast(T.LongType())
+    return F.when(
+        (ms < 0) | (ms >= F.lit(1 << 48)),
+        F.raise_error(
+            F.lit(
+                "to_uuidv7: timestamp outside the 48-bit unsigned "
+                "millisecond range of RFC 9562 (1970-01-01 .. ~10889 AD)"
+            )
+        ),
+    ).otherwise(ms)
+
+
 def to_uuidv7_boundary(ts: Union[str, Column]) -> Column:
     """Smallest UUIDv7 for a timestamp — zero random bits.
 
@@ -35,7 +52,7 @@ def to_uuidv7_boundary(ts: Union[str, Column]) -> Column:
     as a range-query boundary on UUIDv7 key columns.
     """
     us = F.unix_micros(_c(ts).cast(T.TimestampType()))
-    ms = F.floor(us / F.lit(1000)).cast(T.LongType())
+    ms = _ms_guarded(us)
     sub_us = (us - ms * F.lit(1000)).cast(T.LongType())  # 0..999
     # 12-bit sub-ms field: scaled microsecond remainder (x4096/1000).
     frac = F.floor(sub_us * F.lit(4096) / F.lit(1000)).cast(T.LongType())
@@ -61,7 +78,7 @@ def to_uuidv7(ts: Union[str, Column], seed: Union[str, Column, None] = None) -> 
     extraction contracts.
     """
     us = F.unix_micros(_c(ts).cast(T.TimestampType()))
-    ms = F.floor(us / F.lit(1000)).cast(T.LongType())
+    ms = _ms_guarded(us)
     sub_us = (us - ms * F.lit(1000)).cast(T.LongType())
     frac = F.floor(sub_us * F.lit(4096) / F.lit(1000)).cast(T.LongType())
     h = F.xxhash64(us) if seed is None else F.xxhash64(us, _c(seed))

@@ -1767,7 +1767,15 @@ class Hypertable:
             .collect()[0]
         )
         self._check_frozen(stats["tmin"], stats["tmax"])
+        # a replaced row whose new version hashes to a DIFFERENT space
+        # bucket empties its old (chunk, space) dir — dynamic overwrite
+        # never touches dirs absent from its output, so the stale row
+        # would survive on disk (same sweep the delete/merge paths do)
+        space_pairs = self._surviving_space_pairs(out)
         self._affected_chunk_writeback(out)
+        self._drop_doomed_space_dirs(
+            space_pairs, [existing[s] for s in hit]
+        )
         self._mark_rewritten(hit)
         self._mark_fill_done(hit)
         chunks = self._register_chunks_in_range(stats["tmin"], stats["tmax"])
@@ -1843,11 +1851,13 @@ class Hypertable:
                     "not_matched_by_source action must be 'delete' or a "
                     "{column: expr} update dict"
                 )
-            if isinstance(action, dict) and self.time_column in action:
-                raise ValueError(
-                    f"MERGE cannot update the partition column "
-                    f"{self.time_column!r}"
-                )
+            if isinstance(action, dict):
+                pbad = ({self.time_column, self.row.get("space_column")} - {None}) & set(action)
+                if pbad:
+                    raise ValueError(
+                        f"MERGE cannot update partition column(s) "
+                        f"{sorted(pbad)}"
+                    )
             if isinstance(action, dict):
                 bad = set(action) - set(src.columns) - set(
                     f.name for f in (self._schema().fields if self.row.get("schema_ddl") else [])
@@ -1858,11 +1868,17 @@ class Hypertable:
                         f"not_matched_by_source update"
                     )
             nmbs.append((cl.get("condition"), action))
-        if matched_update and self.time_column in matched_update:
-            raise ValueError(
-                f"MERGE cannot update the partition column "
-                f"{self.time_column!r}; delete + re-insert instead"
-            )
+        if matched_update:
+            pbad = (
+                {self.time_column, self.row.get("space_column")} - {None}
+            ) & set(matched_update)
+            if pbad:
+                raise ValueError(
+                    f"MERGE cannot update partition column(s) "
+                    f"{sorted(pbad)}: the rewritten row would land in a "
+                    f"different chunk/space dir than the one being "
+                    f"overwritten; delete + re-insert instead"
+                )
         src = self._fire_before(src)
         pinned = bool(
             self._hooks("before", "insert") or self._hooks("before_row", "insert")
@@ -2176,10 +2192,16 @@ class Hypertable:
         n = mm["n"]
         if n == 0:
             return 0
-        out = old
+        # snapshot the predicate ONCE on the pre-assignment rows: each
+        # withColumn REPLACES its column, so re-resolving `cond` after an
+        # assignment would evaluate it against post-update values —
+        # later assignments and the trigger/after-row splits would
+        # silently skip rows the original predicate matched
+        out = old.withColumn("_upd_match", F.coalesce(cond, F.lit(False)))
+        mcond = F.col("_upd_match")
         for col, expr in assignments.items():
             val = F.expr(expr) if isinstance(expr, str) else expr
-            out = out.withColumn(col, F.when(cond, val).otherwise(F.col(col)))
+            out = out.withColumn(col, F.when(mcond, val).otherwise(F.col(col)))
         upd_hooks = sorted(
             self._hooks("before_row", "update"), key=lambda t: t["name"]
         )
@@ -2188,12 +2210,13 @@ class Hypertable:
             # rows (post-assignment) and may modify them further; they
             # must return every row (no row-skip on the update path).
             # Untouched rows bypass the Python pass entirely.
-            ccond = F.coalesce(cond, F.lit(False))
-            changed = out.filter(ccond).drop(CHUNK_COL, SPACE_COL)
-            untouched = out.filter(~ccond)
+            changed = out.filter(mcond).drop(CHUNK_COL, SPACE_COL, "_upd_match")
+            untouched = out.filter(~mcond)
             for t in upd_hooks:
                 changed = self._row_trigger_step(changed, t)
-            changed = changed.select("*", *self._partition_exprs(changed))
+            changed = changed.select(
+                "*", F.lit(True).alias("_upd_match"), *self._partition_exprs(changed)
+            )
             out = changed.unionByName(untouched)
         if mm["lo"] is not None:
             self._check_frozen(mm["lo"], mm["hi"])
@@ -2206,10 +2229,11 @@ class Hypertable:
             # would silently recompute over the rewritten files, so
             # localCheckpoint (file-independent materialized blocks) it
             changed_rows = (
-                out.filter(F.coalesce(cond, F.lit(False)))
-                .drop(CHUNK_COL, SPACE_COL)
+                out.filter(mcond)
+                .drop(CHUNK_COL, SPACE_COL, "_upd_match")
                 .localCheckpoint(eager=True)
             )
+        out = out.drop("_upd_match")
         self._affected_chunk_writeback(out)
         self._mark_rewritten([c["range_start"] for c in targets])
         self._mark_fill_done([c["range_start"] for c in targets])
@@ -2765,13 +2789,18 @@ class Hypertable:
             # dot-prefixed staging: a crashed rewrite must never leave a
             # dir the _chunk= scan (run by every insert) chokes on
             tmp = os.path.join(self.data_dir, f".tmp_rewrite_{c['range_start']}")
+            from .compression import _swap_dir
+
             try:
                 writer.parquet(tmp)
-                shutil.rmtree(path)
-                os.replace(tmp, path)
+                _swap_dir(path, tmp)
             except BaseException:
                 shutil.rmtree(tmp, ignore_errors=True)
                 raise
+            # invalidate catalog n_rows / skip stats / columnstore
+            # status like every other rewrite path — stale stats would
+            # keep answering the PRE-delete row count and range
+            self._mark_rewritten([c["range_start"]])
             self._mark_fill_done([c["range_start"]])
             n_dropped += 1
         if touched_lo is not None:

@@ -49,10 +49,23 @@ def scanned_paths(df: DataFrame) -> int:
 
 
 def pushed_filters(df: DataFrame) -> list[str]:
-    """All parquet PushedFilters entries across scans (deduplicated)."""
+    """All parquet PushedFilters entries across scans (deduplicated).
+    Split on TOP-LEVEL commas only — multi-arg filters like
+    ``In(id, [1,2,3])`` carry commas inside their parens/brackets."""
     out: list[str] = []
-    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", _plan(df)):
-        for f in m.group(1).split(", "):
+    for m in re.finditer(r"PushedFilters: \[(.*?)\](?:,|$|\n)", _plan(df)):
+        body, depth, start = m.group(1), 0, 0
+        items = []
+        for i, ch in enumerate(body):
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                items.append(body[start:i].strip())
+                start = i + 1
+        items.append(body[start:].strip())
+        for f in items:
             if f and f not in out:
                 out.append(f)
     return out
@@ -86,5 +99,8 @@ def cartesian_count(df: DataFrame) -> int:
 
 def shuffle_count(df: DataFrame) -> int:
     """Exchange nodes in the plan — every one is a full shuffle of its
-    input; the number to minimize at scale."""
-    return len(re.findall(r"Exchange (?:hash|range|single)partitioning", _plan(df)))
+    input; the number to minimize at scale. Matches every Exchange
+    flavor (hashpartitioning, rangepartitioning, SinglePartition,
+    RoundRobinPartitioning) but not ReusedExchange (no extra shuffle)."""
+    plan = _plan(df)
+    return len(re.findall(r"(?<!Reused)Exchange\s+\w*[Pp]artition", plan))
