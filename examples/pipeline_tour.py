@@ -1,0 +1,87 @@
+"""Training-data pipeline tour: the LLM-curation operators end-to-end.
+
+Runs every major pipeline family against the sf0.001 testdata:
+dedup (exact → MinHash-LSH → cluster resolution), test-set
+decontamination, ANN (brute-force vs IVF), LTTB downsampling, text
+featurization, and multimodal decode/resize — the operators a 100 TB
+curation pipeline chains between ingest and training.
+
+Usage: python examples/pipeline_tour.py  (prints one summary line per stage)
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from timescaledb_spark.session import build_spark  # noqa: E402
+from timescaledb_spark.sources import load_table  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from timescaledb_spark.pipeline import (
+        dedup,
+        downsample,
+        multimodal,
+        similarity,
+        textproc,
+    )
+
+    spark = build_spark(app_name="pipeline_tour")
+    docs = load_table(spark, SF_DIR, "documents")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    events = load_table(spark, SF_DIR, "events")
+
+    # --- 1. exact dedup (hash groupBy — one map-combined shuffle) ------
+    exact = dedup.exact_dedup(docs)
+    print(f"exact content-hash groups: {exact.count()}")
+
+    # --- 2. near-dup via MinHash + banded LSH --------------------------
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.6)
+    n_pairs = pairs.count()
+    print(f"minhash-lsh near-dup pairs (j>=0.6): {n_pairs}")
+
+    # --- 3. duplicate-cluster resolution (large/small-star CC) ---------
+    if n_pairs:
+        members = dedup.dup_clusters(pairs.select("id_a", "id_b"))
+        print(f"cluster members resolved: {members.count()}")
+
+    # --- 4. test-set decontamination -----------------------------------
+    bench = docs.filter(F.col("doc_id") % 100 == 0)
+    dirty = dedup.decontaminate(docs, bench, min_hits=3)
+    print(f"contaminated docs (>=3 shared 5-grams): {dirty.count()}")
+
+    # --- 5. ANN: brute-force baseline vs IVF ---------------------------
+    queries = emb.limit(3)
+    bf = similarity.knn_bruteforce(emb, queries, k=5)
+    ivf = similarity.knn_ivf(emb, queries, k=5)
+    print(f"ann top-k rows: brute={bf.count()} ivf={ivf.count()}")
+
+    # --- 6. LTTB downsample of a series --------------------------------
+    lt = downsample.lttb(
+        events.select("ts", "user_id", "value"),
+        time_col="ts", value_col="value", n_out=50, by=["user_id"],
+    )
+    print(f"lttb points kept: {lt.count()}")
+
+    # --- 7. text featurization (hashing trick) -------------------------
+    feats = textproc.hash_features(docs)
+    print(f"feature-hash (doc, bucket) rows: {feats.count()}")
+
+    # --- 8. multimodal: payload decode + resize ------------------------
+    media = multimodal.with_payload(docs.limit(20))
+    meta = multimodal.decode_media(media)
+    resized = multimodal.resize_media(media, 64, 48)
+    print(
+        f"decoded {meta.count()} payloads; "
+        f"resized dims: {resized.select('width', 'height').first()}"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
