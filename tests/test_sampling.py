@@ -1,0 +1,62 @@
+"""Deterministic sampling operators (round 8): hash_sample /
+stratified_cap / split_assign — portable-hash decisions, stable across
+reruns; corpus-level oracle matches live in the q_sample_* gates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from timescaledb_spark.pipeline.sampling import (
+    hash_sample,
+    split_assign,
+    stratified_cap,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    from timescaledb_spark.sources import load_table
+
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_hash_sample_deterministic_and_salted(docs):
+    a = hash_sample(docs, 0.3)
+    b = hash_sample(docs, 0.3)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0  # identical row set
+    n = docs.count()
+    assert 0.15 * n < a.count() < 0.45 * n  # ~fraction
+    # a different salt decorrelates the selection
+    c = hash_sample(docs, 0.3, salt="other")
+    assert c.exceptAll(a).count() > 0
+    # nested fractions: the 0.1 sample is a subset of the 0.3 sample
+    d = hash_sample(docs, 0.1)
+    assert d.exceptAll(a).count() == 0
+    with pytest.raises(ValueError):
+        hash_sample(docs, 1.5)
+
+
+def test_stratified_cap_bounds_every_group(docs):
+    capped = stratified_cap(docs, by=["lang"], cap=5)
+    per = capped.groupBy("lang").count().collect()
+    assert per and all(r["count"] <= 5 for r in per)
+    # groups smaller than the cap keep all their rows
+    small = docs.groupBy("lang").count().filter(F.col("count") <= 5).collect()
+    for r in small:
+        kept = capped.filter(F.col("lang") == r["lang"]).count()
+        assert kept == r["count"]
+    # deterministic
+    again = stratified_cap(docs, by=["lang"], cap=5)
+    assert capped.exceptAll(again).count() == 0
+
+
+def test_split_assign_disjoint_exhaustive(docs):
+    out = split_assign(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    n = docs.count()
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert sum(counts.values()) == n  # exhaustive, one split per row
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] > counts.get("val", 0)
+    # stability: same assignment on rerun
+    again = split_assign(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert out.exceptAll(again).count() == 0

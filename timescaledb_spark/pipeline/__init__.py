@@ -12,7 +12,8 @@ from .dedup import (
     simhash64,
     simhash_pairs,
 )
-from .multimodal import decode_media, sample_frames, with_payload
+from .multimodal import decode_media, resize_media, sample_frames, with_payload
+from .sampling import hash_sample, split_assign, stratified_cap
 from .similarity import hyperplane_bucket, knn_bruteforce, knn_ivf
 from .textproc import (
     bpe_token_count,

@@ -1,0 +1,158 @@
+"""Deterministic sampling operators for training-data curation.
+
+Published pipelines sample with *deterministic hash* decisions, not
+``rand()``: the same document must make the same cut on every rerun,
+across engines, and under stage retries (a nondeterministic sample
+re-evaluated by a retried Spark task can duplicate or drop rows). The
+hash here is the portable 60-bit md5 from :mod:`.core` — DuckDB computes
+the identical value, so every operator has an exact SQL oracle.
+
+Scale shape: ``hash_sample`` is a pure filter (no shuffle, predicate
+evaluated at scan speed); ``stratified_cap`` is one window over the
+group key (single shuffle on ``by``) — the standard "cap documents per
+domain/language" curation op; ``split_assign`` is a projection.
+
+Reference analog: none (TimescaleDB has no sampling surface) — these
+extend the engine for LLM-data work, like the rest of ``pipeline/``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Union
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .core import h60, h60_sql
+
+#: denominator for hash-fraction decisions: the 60-bit hash is reduced
+#: mod 1e6, giving ~1e-6 fraction granularity
+_DEN = 1_000_000
+
+
+def _key_col(id_col: Union[str, Column], salt: str) -> Column:
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return h60(F.concat(c.cast("string"), F.lit(salt)))
+
+
+def _key_sql(id_expr: str, salt: str) -> str:
+    return h60_sql(f"(CAST({id_expr} AS VARCHAR) || '{salt}')")
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows by id-hash — the same
+    ids survive on every run and engine. ``salt`` decorrelates multiple
+    samples over the same ids (e.g. an eval holdout vs a quality probe).
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    thresh = int(fraction * _DEN)
+    return df.filter(F.pmod(_key_col(id_col, salt), F.lit(_DEN)) < thresh)
+
+
+def hash_sample_sql(
+    table: str = "documents",
+    fraction: float = 0.1,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> str:
+    thresh = int(fraction * _DEN)
+    return (
+        f"SELECT * FROM {table} "
+        f"WHERE ({_key_sql(id_col, salt)} % {_DEN}) < {thresh}"
+    )
+
+
+def stratified_cap(
+    df: DataFrame,
+    by: Sequence[str],
+    cap: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """At most ``cap`` rows per ``by`` group, chosen deterministically by
+    id-hash order (the "cap per domain / per language" rebalancing op).
+    One window shuffle on the group key; ties broken by the id itself so
+    the selection is total-ordered and engine-portable."""
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    w = Window.partitionBy(*by).orderBy(
+        _key_col(id_col, salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("_sc_rn", F.row_number().over(w))
+        .filter(F.col("_sc_rn") <= cap)
+        .drop("_sc_rn")
+    )
+
+
+def stratified_cap_sql(
+    table: str = "documents",
+    by: Sequence[str] = ("lang",),
+    cap: int = 10,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> str:
+    bys = ", ".join(by)
+    return f"""
+    SELECT * EXCLUDE (_sc_rn) FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY {bys}
+            ORDER BY {_key_sql(id_col, salt)}, {id_col}
+        ) AS _sc_rn
+        FROM {table}
+    ) WHERE _sc_rn <= {cap}
+    """
+
+
+def split_assign(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split (train/val/test ...) by id-hash,
+    proportional to ``weights`` — stable across runs, disjoint and
+    exhaustive. Pure projection, no shuffle."""
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    bucket = F.pmod(_key_col(id_col, salt), F.lit(_DEN))
+    acc = 0.0
+    expr = None
+    items = sorted(weights.items())  # deterministic boundary order
+    for name, wgt in items[:-1]:
+        acc += wgt / total
+        cut = int(acc * _DEN)
+        expr = (
+            F.when(bucket < cut, F.lit(name))
+            if expr is None
+            else expr.when(bucket < cut, F.lit(name))
+        )
+    last = items[-1][0]
+    out = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(out_col, out)
+
+
+def split_assign_sql(
+    table: str = "documents",
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split",
+    out_col: str = "split",
+) -> str:
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    bucket = f"({_key_sql(id_col, salt)} % {_DEN})"
+    items = sorted(weights.items())
+    acc, whens = 0.0, []
+    for name, wgt in items[:-1]:
+        acc += wgt / total
+        whens.append(f"WHEN {bucket} < {int(acc * _DEN)} THEN '{name}'")
+    case = "CASE " + " ".join(whens) + f" ELSE '{items[-1][0]}' END"
+    return f"SELECT *, {case} AS {out_col} FROM {table}"

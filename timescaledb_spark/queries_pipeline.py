@@ -442,3 +442,38 @@ def q_text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs × FEAT_DIM."""
     docs = load_table(spark, sf_dir, "documents")
     return textproc.hash_features(docs)
+
+
+@query(
+    "q_sample_stratified",
+    __import__("timescaledb_spark.pipeline.sampling", fromlist=["x"])
+    .stratified_cap_sql(by=("lang", "source"), cap=7)
+    + " ORDER BY doc_id",
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified cap (round 8): at most 7 docs per
+    (lang, source) stratum, chosen by portable id-hash order — the
+    'cap per domain' rebalancing op; one window shuffle on the stratum
+    key."""
+    from .pipeline.sampling import stratified_cap
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_cap(docs, by=["lang", "source"], cap=7)
+
+
+@query(
+    "q_sample_split",
+    __import__("timescaledb_spark.pipeline.sampling", fromlist=["x"])
+    .split_assign_sql(weights={"train": 0.8, "val": 0.1, "test": 0.1})
+    .replace("SELECT *,", "SELECT doc_id,"),
+)
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by id-hash (round 8):
+    stable across runs and engines, disjoint and exhaustive; pure
+    projection — zero shuffle."""
+    from .pipeline.sampling import split_assign
+
+    docs = load_table(spark, sf_dir, "documents")
+    return split_assign(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
