@@ -72,6 +72,19 @@ def main() -> None:
     feats = textproc.hash_features(docs)
     print(f"feature-hash (doc, bucket) rows: {feats.count()}")
 
+    # --- 7b. deterministic sampling: cap-per-stratum + splits ----------
+    from timescaledb_spark.pipeline import sampling
+
+    capped = sampling.stratified_cap(docs, by=["lang"], cap=20)
+    splits = (
+        sampling.split_assign(docs, {"train": 0.9, "val": 0.05, "test": 0.05})
+        .groupBy("split").count().collect()
+    )
+    print(
+        f"stratified cap kept {capped.count()} docs; splits: "
+        + ", ".join(f"{r['split']}={r['count']}" for r in sorted(splits, key=lambda r: r['split']))
+    )
+
     # --- 8. multimodal: payload decode + resize ------------------------
     media = multimodal.with_payload(docs.limit(20))
     meta = multimodal.decode_media(media)

@@ -151,6 +151,23 @@ class JsonlTable:
                 self.replace(keep)
             return n
 
+    def delete_in(self, key: str, values) -> int:
+        """Delete every row whose ``key`` is in ``values`` — ONE
+        read+rewrite regardless of len(values). A per-value delete()
+        loop is O(k·rows) full-file rewrites: dropping 35 chunks from a
+        6,000-row chunk table measured 5.6s of pure catalog I/O
+        (SCALE_PROBE r8 cagg dirty-refresh profile)."""
+        vals = set(values)
+        if not vals:
+            return 0
+        with self._lock:
+            rows = self.read()
+            keep = [r for r in rows if r.get(key) not in vals]
+            n = len(rows) - len(keep)
+            if n:
+                self.replace(keep)
+            return n
+
     def find(self, **match: Any) -> list[dict]:
         return [
             r for r in self.read() if all(r.get(k) == v for k, v in match.items())

@@ -2711,7 +2711,7 @@ class Hypertable:
     ) -> list[int]:
         """Retention: drop whole chunks (sql/ddl_api.sql:89). O(chunks
         dropped) — directory removal, never a row-level delete."""
-        dropped = []
+        dropped, doomed_ids = [], []
         for c in self.show_chunks(
             older_than=older_than,
             newer_than=newer_than,
@@ -2725,8 +2725,11 @@ class Hypertable:
             path = self._chunk_glob(c)
             if os.path.isdir(path):
                 shutil.rmtree(path)
-            self.ts.catalog.chunk.delete({"id": c["id"]})
+            doomed_ids.append(c["id"])
             dropped.append(c["range_start"])
+        # ONE catalog rewrite for the whole batch — a per-chunk delete
+        # loop is O(dropped · chunks) file rewrites
+        self.ts.catalog.chunk.delete_in("id", doomed_ids)
         return dropped
 
     @_serialized_dml
@@ -2748,6 +2751,8 @@ class Hypertable:
         n_dropped = 0
         touched_lo: Optional[int] = None
         touched_hi: Optional[int] = None
+        full_drop_ids: list = []
+        partial_starts: list = []
         for c in self.chunks():
             if hi is not None and c["range_start"] >= hi:
                 continue
@@ -2768,7 +2773,7 @@ class Hypertable:
             if full:
                 if os.path.isdir(path):
                     shutil.rmtree(path)
-                self.ts.catalog.chunk.delete({"id": c["id"]})
+                full_drop_ids.append(c["id"])
                 n_dropped += 1
                 continue
             # partial overlap: rewrite the chunk keeping the complement
@@ -2797,12 +2802,18 @@ class Hypertable:
             except BaseException:
                 shutil.rmtree(tmp, ignore_errors=True)
                 raise
+            partial_starts.append(c["range_start"])
+            n_dropped += 1
+        # batched catalog transactions: per-chunk delete/update loops
+        # are O(touched · chunks) full-file rewrites — 5.6s of catalog
+        # I/O for a 35-chunk drop at 6,000 chunks in the r8 probe
+        self.ts.catalog.chunk.delete_in("id", full_drop_ids)
+        if partial_starts:
             # invalidate catalog n_rows / skip stats / columnstore
             # status like every other rewrite path — stale stats would
             # keep answering the PRE-delete row count and range
-            self._mark_rewritten([c["range_start"]])
-            self._mark_fill_done([c["range_start"]])
-            n_dropped += 1
+            self._mark_rewritten(partial_starts)
+            self._mark_fill_done(partial_starts)
         if touched_lo is not None:
             self._capture_invalidation(touched_lo, touched_hi - 1)
         return n_dropped
