@@ -151,6 +151,24 @@ class JsonlTable:
                 self.replace(keep)
             return n
 
+    def update_in(self, key: str, values, changes: dict) -> int:
+        """Apply ``changes`` to every row whose ``key`` is in ``values``
+        — one read+rewrite regardless of len(values) (the batched form
+        of :meth:`update`, same rationale as :meth:`delete_in`)."""
+        vals = set(values)
+        if not vals:
+            return 0
+        with self._lock:
+            rows = self.read()
+            n = 0
+            for r in rows:
+                if r.get(key) in vals:
+                    r.update(changes)
+                    n += 1
+            if n:
+                self.replace(rows)
+            return n
+
     def delete_in(self, key: str, values) -> int:
         """Delete every row whose ``key`` is in ``values`` — ONE
         read+rewrite regardless of len(values). A per-value delete()

@@ -323,6 +323,64 @@ def _compress_chunk_commit(ht: Hypertable, chunk: dict, data: dict) -> dict:
     }
 
 
+def _compress_commit_batch(ht: Hypertable, items) -> list[dict]:
+    """Batched catalog commit for many compressed chunks — the
+    per-chunk :func:`_compress_chunk_commit` costs ~5 full catalog-file
+    rewrites per chunk, O(k · chunks) for a k-chunk policy backlog. One
+    pass per catalog table instead, holding the write lock across the
+    compound transaction. ``items``: list of (chunk_row, data) pairs."""
+    if not items:
+        return []
+    cat = ht.ts.catalog
+    now = _time.time()
+    by_id = {c["id"]: d for c, d in items}
+    with cat.write_lock:
+        rows = cat.chunk.read()
+        for r in rows:
+            d = by_id.get(r.get("id"))
+            if d is not None:
+                r["status"] = "columnstore"
+                r["n_rows"] = d.get("n_rows")
+        cat.chunk.replace(rows)
+        ht._mark_fill_done([c["range_start"] for c, _ in items])
+        srows = cat.chunk_column_stats.read()
+        keep = [s for s in srows if s.get("chunk_id") not in by_id]
+        new_stats = [
+            {
+                "chunk_id": c["id"],
+                "hypertable_id": ht.id,
+                "column": col,
+                "min": v[0],
+                "max": v[1],
+            }
+            for c, d in items
+            for col, v in (d["stats"] or {}).items()
+        ]
+        if new_stats or len(keep) != len(srows):
+            cat.chunk_column_stats.replace(keep + new_stats)
+        cat.table("metadata").append(
+            [
+                {
+                    "key": f"compression_chunk_size_{c['id']}",
+                    "value": {
+                        "before": d["before"],
+                        "after": d["after"],
+                        "at": now,
+                    },
+                }
+                for c, d in items
+            ]
+        )
+    return [
+        {
+            "chunk": c["range_start"],
+            "before_bytes": d["before"],
+            "after_bytes": d["after"],
+        }
+        for c, d in items
+    ]
+
+
 def compress_chunk(
     ht: Hypertable,
     chunk: Union[dict, int],
@@ -463,7 +521,7 @@ def compress_chunks(
                     cands,
                 )
             )
-        return [_compress_chunk_commit(ht, c, d) for c, d in zip(cands, datas)]
+        return _compress_commit_batch(ht, list(zip(cands, datas)))
 
 
 def reorder_chunk(ht: Hypertable, chunk: Union[dict, int], by: Sequence[str]) -> None:

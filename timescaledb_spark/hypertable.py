@@ -1480,13 +1480,10 @@ class Hypertable:
         """Stamp chunks whose files were just rewritten at current schema."""
         if not self.added_columns():
             return
-        now = _time.time()
         starts = set(chunk_starts)
-        for c in self.chunks():
-            if c["range_start"] in starts:
-                self.ts.catalog.chunk.update(
-                    {"id": c["id"]}, {"fill_done_at": now}
-                )
+        ids = [c["id"] for c in self.chunks() if c["range_start"] in starts]
+        # one catalog rewrite for the whole batch
+        self.ts.catalog.chunk.update_in("id", ids, {"fill_done_at": _time.time()})
 
     def _chunk_reader(self):
         """Parquet reader for chunk dirs: explicit current schema when the
