@@ -138,9 +138,9 @@ def _merge_commit(
         }
         if space_n is not None:
             new_row["space_n"] = space_n
-        for c in chunks:
-            cat.chunk.delete({"id": c["id"]})
-            cat.chunk_column_stats.delete({"chunk_id": c["id"]})
+        ids = [c["id"] for c in chunks]
+        cat.chunk.delete_in("id", ids)
+        cat.chunk_column_stats.delete_in("chunk_id", ids)
         cat.chunk.append([new_row])
     return new_row
 
