@@ -145,7 +145,10 @@ def split_assign_sql(
     id_col: str = "doc_id",
     salt: str = "split",
     out_col: str = "split",
+    projection: str = "*",
 ) -> str:
+    """``projection`` selects the passthrough columns (oracle callers
+    project explicitly rather than string-editing the generated SQL)."""
     weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
     total = sum(weights.values())
     bucket = f"({_key_sql(id_col, salt)} % {_DEN})"
@@ -155,4 +158,4 @@ def split_assign_sql(
         acc += wgt / total
         whens.append(f"WHEN {bucket} < {int(acc * _DEN)} THEN '{name}'")
     case = "CASE " + " ".join(whens) + f" ELSE '{items[-1][0]}' END"
-    return f"SELECT *, {case} AS {out_col} FROM {table}"
+    return f"SELECT {projection}, {case} AS {out_col} FROM {table}"

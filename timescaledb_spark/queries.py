@@ -46,6 +46,12 @@ ORACLES: dict[str, object] = {}
 
 def query(name: str, oracle=None):
     def deco(fn):
+        if name in QUERIES:
+            # a duplicate silently SHADOWS the earlier gate: the first
+            # query and its oracle vanish from the driver surface and
+            # the shared name corrupts gate-rotation history (this
+            # happened to q_stats_agg in r2-r7)
+            raise ValueError(f"duplicate query registration: {name!r}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
@@ -898,8 +904,6 @@ def q_cagg_realtime(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Realtime union view (common.c:1745): materialize only the first half
     of the range; the union of mat + raw-above-watermark must equal the
     full aggregation, with no double-counted boundary bucket."""
-    from datetime import datetime, timedelta, timezone
-
     ts, ht, cagg = _cagg_setup(spark, sf_dir, "q2")
     lo = min(c["range_start"] for c in ht.chunks())
     hi = max(c["range_end"] for c in ht.chunks())
@@ -1305,11 +1309,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return _ordered(QUERIES)
 
 
+_ORACLE_MEMO: dict[str, dict[str, str]] = {}
+
+
 def oracle_sql() -> dict[str, str]:
     _load_extra_inventories()
-    return _ordered(
-        {k: (v() if callable(v) else v) for k, v in ORACLES.items()}
-    )
+    # callable oracles can be expensive (q_ann_pq reads parquet and
+    # trains PQ codebooks to inline them as VALUES) and are invoked by
+    # the driver plus several test modules — memoize per oracle-data
+    # location, since that is the only input the callables consult
+    import os as _os
+
+    key = _os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "")
+    if key not in _ORACLE_MEMO:
+        _ORACLE_MEMO[key] = {
+            k: (v() if callable(v) else v) for k, v in ORACLES.items()
+        }
+    elif len(_ORACLE_MEMO[key]) != len(ORACLES):
+        # late registrations (another inventory module imported since)
+        memo = _ORACLE_MEMO[key]
+        for k, v in ORACLES.items():
+            if k not in memo:
+                memo[k] = v() if callable(v) else v
+    return _ordered(dict(_ORACLE_MEMO[key]))
 
 
 def _load_extra_inventories() -> None:

@@ -464,8 +464,9 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_sample_split",
     __import__("timescaledb_spark.pipeline.sampling", fromlist=["x"])
-    .split_assign_sql(weights={"train": 0.8, "val": 0.1, "test": 0.1})
-    .replace("SELECT *,", "SELECT doc_id,"),
+    .split_assign_sql(
+        weights={"train": 0.8, "val": 0.1, "test": 0.1}, projection="doc_id"
+    ),
 )
 def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment by id-hash (round 8):

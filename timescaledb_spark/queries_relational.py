@@ -572,7 +572,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @query(
-    "q_stats_agg",
+    "q_stats_accum",
     """
     SELECT event_type,
            avg(value) AS avg_v,
@@ -584,7 +584,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY event_type
     """,
 )
-def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_stats_accum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's vectorized accumulator set (avg/stddev/variance in
     sample and population forms, tsl/src/nodes/vector_agg/function/
     float48_accum_single.c) — Spark computes all five from one shared

@@ -13,13 +13,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .queries import ORIGIN_US, query
+from .queries import DAY, ORIGIN_US, query
 from .sources import load_table
 
-DAY = 86_400_000_000
 H6 = 21_600_000_000
 
+#: small bounded cache — a long-lived process cycling SparkSessions or
+#: sf_dirs must not accumulate one ingested warehouse per key forever
 _SQL_SESSIONS: dict[str, object] = {}
+_SQL_SESSIONS_MAX = 4
 
 
 def _sql_session(spark: SparkSession, sf_dir: str):
@@ -27,10 +29,15 @@ def _sql_session(spark: SparkSession, sf_dir: str):
     share one ingest instead of paying it each)."""
     key = f"{id(spark)}:{sf_dir}"
     if key not in _SQL_SESSIONS:
+        import shutil
         import tempfile
 
         from .session import TSSession
 
+        while len(_SQL_SESSIONS) >= _SQL_SESSIONS_MAX:
+            old_key = next(iter(_SQL_SESSIONS))
+            old = _SQL_SESSIONS.pop(old_key)
+            shutil.rmtree(old.catalog_root, ignore_errors=True)
         ts = TSSession(spark, tempfile.mkdtemp(prefix="ts_sqlgate_"))
         ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
         ht.insert(load_table(spark, sf_dir, "events"))

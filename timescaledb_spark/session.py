@@ -54,6 +54,10 @@ def build_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # set up-front (not mid-session by the first events load):
+        # TIMESTAMP(NANOS) parquet columns consistently surface as int64
+        # ns for the whole session — see sources/testdata.py
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )

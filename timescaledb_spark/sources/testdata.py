@@ -5,6 +5,14 @@ vectorized parquet reader rejects; we read them as int64 nanoseconds
 (``spark.sql.legacy.parquet.nanosAsLong``) and convert to µs TimestampType
 — the engine's internal time unit, matching the reference where all open
 dimensions normalize to int64 microseconds (``sql/util_time.sql:49``).
+
+NOTE: ``nanosAsLong`` is a SESSION-WIDE setting and is deliberately left
+enabled after the first events read — the flag is consulted lazily at
+scan time, so restoring it immediately would break the very read it
+enabled. ``build_spark`` sets it up front so sessions built there have
+one consistent behavior for TIMESTAMP(NANOS) parquet (ns columns
+surface as int64 ns); sessions built elsewhere inherit it on first
+events load.
 """
 
 from __future__ import annotations

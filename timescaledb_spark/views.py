@@ -18,9 +18,7 @@ from .hypertable import CHUNK_COL, Hypertable
 
 
 def _df(ts, rows: list[dict], schema: str) -> DataFrame:
-    return ts.spark.createDataFrame(rows, schema=schema) if rows else (
-        ts.spark.createDataFrame([], schema=schema)
-    )
+    return ts.spark.createDataFrame(rows, schema=schema)
 
 
 def hypertables(ts) -> DataFrame:
