@@ -84,3 +84,13 @@ def test_column_collision_rejected(data, spark):
     l, r, _ = data
     with pytest.raises(ValueError):
         range_join(l, r.withColumnRenamed("rv", "pv"), "t", "lo", "hi", width=64, by=["k"])
+
+
+def test_recursive_union_dedups_base(spark):
+    from timescaledb_spark.operators.recursive import recursive_union
+
+    base = spark.createDataFrame([(1,), (1,)], "x int")
+    out = recursive_union(base, lambda f: f.limit(0), union_all=False)
+    assert out.count() == 1  # PG: UNION-distinct dedups the base term
+    out_all = recursive_union(base, lambda f: f.limit(0), union_all=True)
+    assert out_all.count() == 2

@@ -185,3 +185,105 @@ def test_truncate_refuses_frozen_chunk(ts, spark):
 
     with _pt.raises(PermissionError):
         ht.truncate()
+
+
+def test_interval_bound_rejected_on_integer_dim(ts):
+    """Review fix: an INTERVAL older_than on an integer time dimension
+    must error (wall-clock microseconds would match every chunk and
+    silently drop all data)."""
+    from pyspark.sql import functions as F
+
+    ht = ts.create_hypertable("intdim", "k", chunk_interval=100)
+    ht.insert(ts.spark.range(300).select(F.col("id").alias("k")))
+    with pytest.raises(ValueError, match="integer time dimension"):
+        ts.sql("SELECT drop_chunks('intdim', older_than => INTERVAL '1 day')")
+    # absolute integer bound still works
+    dropped = ts.sql("SELECT drop_chunks('intdim', older_than => 100)").count()
+    assert dropped == 1 and ht.df().count() == 200
+
+
+def test_alter_add_column_pg_types(ts):
+    from pyspark.sql import functions as F
+
+    ht = ts.create_hypertable("addty", "ts", chunk_interval="1 day")
+    ht.insert(
+        ts.spark.createDataFrame(
+            [("2024-01-01 00:00:00", 1.0)], "ts string, v double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    ts.sql("ALTER TABLE addty ADD COLUMN note TEXT")
+    ts.sql("ALTER TABLE addty ADD COLUMN cnt INT8 NOT NULL DEFAULT 7")
+    row = ts.get_hypertable("addty").read().first()  # fresh catalog view
+    assert row["note"] is None and row["cnt"] == 7
+
+
+def test_merge_case_when_in_set(ts, spark):
+    from pyspark.sql import functions as F
+
+    ht = ts.create_hypertable("mcase", "ts", chunk_interval="1 day")
+    ht.insert(
+        spark.createDataFrame(
+            [("2024-01-01 00:00:00", 1, 5.0)], "ts string, id int, v double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    ts.create_table(
+        "msrc",
+        spark.createDataFrame(
+            [("2024-01-01 00:00:00", 1, 3.0)], "ts string, id int, v double"
+        ).withColumn("ts", F.col("ts").cast("timestamp")),
+    )
+    ts.sql(
+        "MERGE INTO mcase t USING msrc s ON t.ts = s.ts AND t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET v = CASE WHEN excluded.v > target.v "
+        "THEN excluded.v ELSE target.v END"
+    )
+    assert ht.read().first()["v"] == 5.0  # max(5, 3)
+
+
+def test_merge_insert_values_renamed_source_key(ts, spark):
+    """Review fix: INSERT VALUES referencing the ORIGINAL source column
+    name works when the ON clause maps it to a different target name."""
+    from pyspark.sql import functions as F
+
+    ht = ts.create_hypertable("mren", "ts", chunk_interval="1 day")
+    ht.insert(
+        spark.createDataFrame(
+            [("2024-01-01 00:00:00", 1, 5.0)], "ts string, id int, v double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    ts.create_table(
+        "mrsrc",
+        spark.createDataFrame(
+            [("2024-01-02 00:00:00", 9, 2.0)],
+            "ts string, sensor int, val double",
+        ).withColumn("ts", F.col("ts").cast("timestamp")),
+    )
+    ts.sql(
+        "MERGE INTO mren t USING mrsrc s ON t.ts = s.ts AND t.id = s.sensor "
+        "WHEN NOT MATCHED THEN INSERT (ts, id, v) VALUES (s.ts, s.sensor, s.val)"
+    )
+    rows = {r["id"]: r["v"] for r in ht.read().collect()}
+    assert rows == {1: 5.0, 9: 2.0}
+
+
+def test_alter_job_positional_interval_and_bad_arg(ts):
+    ts.jobs.register_proc("noop2", lambda _ts, _cfg: None)
+    jid = ts.jobs.add_job("noop2", schedule_interval=3600)
+    ts.sql(f"SELECT alter_job({jid}, INTERVAL '2 hours')").collect()
+    job = next(j for j in ts.jobs.list() if j["id"] == jid)
+    assert float(job["schedule_interval"]) == 7200.0
+    with pytest.raises(ValueError, match="cannot parse"):
+        ts.sql(f"SELECT alter_job({jid}, INTERVAL '1 hour', whatever)").collect()
+
+
+def test_copy_text_format_nulls(ts, tmp_path):
+    p = str(tmp_path / "in.tsv")
+    with open(p, "w") as f:
+        f.write("2024-01-01 00:00:00\t\\N\t\"quoted\"\n")
+        f.write("2024-01-02 00:00:00\t2\tplain\n")
+    ts.sql("CREATE TABLE cpt (ts TIMESTAMP NOT NULL, n INT, s TEXT)")
+    ts.sql("SELECT create_hypertable('cpt', 'ts')")
+    ts.sql(f"COPY cpt FROM '{p}'")
+    rows = {str(r["ts"]): (r["n"], r["s"]) for r in ts.get_hypertable("cpt").read().collect()}
+    assert rows["2024-01-01 00:00:00"] == (None, '"quoted"')  # quote is DATA
+    assert rows["2024-01-02 00:00:00"] == (2, "plain")

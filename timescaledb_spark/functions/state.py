@@ -53,7 +53,12 @@ def heartbeat_agg(
     intervals. Returns per group: ``live_us`` (union length),
     ``num_live_ranges`` (disjoint islands), ``first_us``/``last_us``
     and ``n`` heartbeats. ``dead_us`` within the observed span is
-    ``last_us + L - first_us - live_us``."""
+    ``last_us + L - first_us - live_us``.
+
+    ``liveness``: interval string for human units; an INT is raw
+    internal MICROSECONDS (the same convention as ``chunk_interval`` —
+    note this differs from ``parse_interval``'s bare-number-as-seconds
+    rule, so pass a string unless you mean µs)."""
     if isinstance(liveness, int):
         live_us = liveness
     else:

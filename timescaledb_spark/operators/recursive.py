@@ -37,6 +37,11 @@ def recursive_union(
     """
     from functools import reduce
 
+    if not union_all:
+        # UNION-distinct dedups the BASE term too (PG: the working table
+        # starts from the deduplicated base); later frontiers dedup via
+        # subtract against the accumulator
+        base = base.distinct()
     frontier = base.localCheckpoint(eager=True)
     parts = [frontier]
 

@@ -50,10 +50,6 @@ def spread(df: DataFrame, parts: int | None = None) -> DataFrame:
     return df.repartition(n)
 
 
-def _name(c) -> str:
-    """SQL-able name for a column reference (expr strings need a name)."""
-    return c if isinstance(c, str) else c._jc.toString()
-
 
 def h60(col) -> Column:
     """60-bit deterministic hash: int of the first 15 hex chars of md5."""
@@ -126,13 +122,6 @@ def _mh_params(k: int = MINHASH_K) -> list[tuple[int, int]]:
     return out
 
 
-def h32(col) -> Column:
-    """32-bit deterministic hash: int of the first 8 hex chars of md5."""
-    return F.conv(F.substring(F.md5(_col(col)), 1, 8), 16, 10).cast("long")
-
-
-def h32_sql(expr: str) -> str:
-    return f"('0x' || substr(md5({expr}), 1, 8))::BIGINT"
 
 
 def shingle_hashes(shingles: Column) -> Column:

@@ -76,9 +76,20 @@ def _time_arg(ts, ht, val, kind):
         return None
     if kind == "interval":
         iv = parse_interval(val)
-        now_us = int(datetime.now(_tz.utc).timestamp() * 1_000_000)
         if iv.months:
             raise ValueError("month-granular older_than/newer_than not supported")
+        if ht is not None and ht.row.get("time_type") == "int":
+            # reference parity: an INTERVAL bound on an integer time
+            # dimension is an error (pass an integer in the dimension's
+            # units) — wall-clock microseconds against small integer
+            # range_ends would match EVERY chunk and silently drop all
+            # data (policies use integer_now; ad-hoc bounds are absolute)
+            raise ValueError(
+                f"hypertable {ht.name!r} has an integer time dimension: "
+                f"older_than/newer_than must be an integer in the "
+                f"dimension's units, not an interval"
+            )
+        now_us = int(datetime.now(_tz.utc).timestamp() * 1_000_000)
         return now_us - iv.us
     return _to_internal(val)
 
@@ -135,9 +146,11 @@ def _ts_or_us(ht, us: int):
             f for f in ht._schema().fields if f.name == ht.time_column
         )
         if isinstance(f.dataType, (T.TimestampType, T.DateType)):
-            return datetime.fromtimestamp(us / 1_000_000, tz=_tz.utc).replace(
-                tzinfo=None
-            )
+            # integer construction: float µs/1e6 rounds by ~0.4 µs at
+            # present-day magnitudes
+            from datetime import timedelta as _td
+
+            return datetime(1970, 1, 1) + _td(microseconds=int(us))
     except Exception:
         pass
     return us
@@ -693,10 +706,21 @@ def _rh_alter_job(ts, argstr: str) -> DataFrame:
     args = _split_args(argstr)
     job_id = int(_literal_of(args[0])[1])
     changes = {}
-    for a in args[1:]:
+    for i, a in enumerate(args[1:]):
         m = _NAMED.match(a)
         if not m:
-            continue
+            # PG's positional second argument is schedule_interval;
+            # anything else unparseable must RAISE — silently dropping
+            # it reported success without applying the change
+            if i == 0:
+                k, v = _literal_of(a)
+                if k is not None:
+                    changes["schedule_interval"] = v
+                    continue
+            raise ValueError(
+                f"alter_job: cannot parse argument {a!r} (use named "
+                f"arguments, e.g. schedule_interval => INTERVAL '1 hour')"
+            )
         key, rawv = m.group(1).lower(), m.group(2).strip()
         if key == "config":
             changes["config"] = _json.loads(_literal_of(rawv)[1])
@@ -733,7 +757,10 @@ def _rh_add_policies(ts, argstr: str) -> DataFrame:
     for a in args[1:]:
         m = _NAMED.match(a)
         if not m:
-            continue
+            raise ValueError(
+                f"add_policies: cannot parse argument {a!r} (named "
+                f"arguments only)"
+            )
         key, rawv = m.group(1).lower(), m.group(2).strip()
         if key == "if_not_exists":
             kw[key] = rawv.lower() == "true"
@@ -750,7 +777,10 @@ def _rh_alter_policies(ts, argstr: str) -> DataFrame:
     for a in args[1:]:
         m = _NAMED.match(a)
         if not m:
-            continue
+            raise ValueError(
+                f"alter_policies: cannot parse argument {a!r} (named "
+                f"arguments only)"
+            )
         key, rawv = m.group(1).lower(), m.group(2).strip()
         if key == "if_exists":
             kw[key] = rawv.lower() == "true"
@@ -1313,6 +1343,16 @@ def run_alter_column(ts, kind: str, m) -> DataFrame:
             "column string, action string",
         )
     name, dtype, default_sql = m.group(2), m.group(3).strip(), m.group(4)
+    # accept PG type spellings + trailing column constraints, like
+    # CREATE TABLE does (ALTER TABLE t ADD COLUMN note TEXT NOT NULL)
+    toks = dtype.split()
+    tt = []
+    for t in toks:
+        if t.lower() in _COL_TAIL_KEYWORDS:
+            break
+        tt.append(t)
+    if tt:
+        dtype = _pg_to_spark_type(" ".join(tt))
     default = None
     if default_sql is not None:
         k, v = _literal_of(default_sql)
@@ -1765,7 +1805,9 @@ def run_merge(ts, q: str) -> DataFrame:
         raise ValueError("MERGE missing ON clause")
     using_part = rest[: on_m.start()].strip()
     after_on = rest[on_m.end() :]
-    when_m = re.search(r"\bwhen\b", _strip_strings(after_on), re.I)
+    when_m = re.search(
+        r"\bwhen\b(?=\s+(?:not\s+)?matched\b)", _strip_strings(after_on), re.I
+    )
     if when_m is None:
         raise ValueError("MERGE missing WHEN clause")
     on_cond = after_on[: when_m.start()].strip()
@@ -1816,6 +1858,7 @@ def run_merge(ts, q: str) -> DataFrame:
 
     ident = r"[A-Za-z_]\w*"
     keys = []
+    pending_renames: list[tuple[str, str]] = []
     for part in _split_stripped(on_cond, r"\band\b"):
         # reject non-equi operators up front — '>=', '!=', '<>' etc.
         # contain '=' and would otherwise partition into garbage key
@@ -1843,8 +1886,10 @@ def run_merge(ts, q: str) -> DataFrame:
         kt = tgt_side.split(".", 1)[1].strip()
         ks = src_side.split(".", 1)[1].strip() if "." in src_side else src_side
         if kt != ks:
-            # align source column name to the target key name
-            src = src.withColumnRenamed(ks, kt)
+            # align source column name to the target key name — applied
+            # AFTER clause parsing: an INSERT (cols) VALUES (exprs)
+            # projection references the ORIGINAL source names
+            pending_renames.append((ks, kt))
         keys.append(kt)
 
     matched_update = None
@@ -1862,7 +1907,11 @@ def run_merge(ts, q: str) -> DataFrame:
             out[col] = _normalize(rewrite_sql(expr.strip(), ts))
         return out
 
-    for clause in _split_stripped(when_part, r"\bwhen\b")[1:]:
+    # split ONLY at MERGE-clause WHENs: a CASE WHEN inside a SET/VALUES
+    # expression must not fragment the clause list
+    for clause in _split_stripped(
+        when_part, r"\bwhen\b(?=\s+(?:not\s+)?matched\b)"
+    )[1:]:
         clause = clause.strip()
         # PG17: WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE|DELETE
         # (test/sql/merge_not_matched_by_source.sql)
@@ -1921,6 +1970,26 @@ def run_merge(ts, q: str) -> DataFrame:
             if not um:
                 raise ValueError(f"unsupported MATCHED action {action!r}")
             matched_update = _parse_set(um.group(1))
+    for ks, kt in pending_renames:
+        if kt not in src.columns and ks in src.columns:
+            src = src.withColumnRenamed(ks, kt)
+    # clear error instead of an opaque analysis failure: SET expressions
+    # evaluate against the (possibly INSERT-projected) source frame
+    set_exprs = list((matched_update or {}).values()) + [
+        e
+        for cl in not_matched_by_source
+        if isinstance(cl.get("action"), dict)
+        for e in cl["action"].values()
+    ]
+    for e in set_exprs:
+        for ref in re.findall(r"\bexcluded\.([A-Za-z_]\w*)", str(e)):
+            if ref not in src.columns:
+                raise ValueError(
+                    f"MERGE UPDATE SET references excluded.{ref}, which is "
+                    f"not among the source columns after the INSERT column "
+                    f"list projection — include {ref!r} in the INSERT list "
+                    f"or project it in the USING subquery"
+                )
     st = ht.merge_into(
         src,
         keys,
@@ -1959,6 +2028,17 @@ def run_copy(ts, m) -> DataFrame:
         reader = reader.schema(ht._schema())
     delim = opts.get("delimiter", "," if fmt == "csv" else "\t")
     header = opts.get("header", "false").lower() in ("true", "on", "1")
-    src = reader.option("header", header).option("sep", delim).csv(path)
+    reader = reader.option("header", header).option("sep", delim)
+    if fmt == "text":
+        # PG text format: tab-separated, NO quoting (a double quote is
+        # data), \N means NULL — Spark's CSV defaults would strip quotes
+        # and load the literal string '\N'. (PG backslash escapes inside
+        # values beyond \N are not decoded — documented limitation.)
+        reader = (
+            reader.option("quote", "\u0000")
+            .option("nullValue", "\\N")
+            .option("emptyValue", "")
+        )
+    src = reader.csv(path)
     st = ht.insert(src)
     return _df(ts, [(int(st["rows"]),)], "rows_copied bigint")
