@@ -96,13 +96,34 @@ class JsonlTable:
     def __init__(self, path: str, lock: Optional[ProcessRLock] = None):
         self.path = path
         self._lock = lock if lock is not None else threading.RLock()
+        self._cache_key: Optional[tuple] = None
+        self._cache_rows: list[dict] = []
 
     def read(self) -> list[dict]:
+        """Parse-cached read: a 12,000-row chunk table costs ~25ms to
+        re-parse and hot paths (pruning, refresh, DML gating) read it
+        many times per statement. The cache key is the file's
+        (mtime_ns, size), so a rewrite by THIS or ANOTHER process
+        invalidates it. Rows are returned as per-row shallow copies:
+        callers like update() mutate the returned dicts before
+        replace(), and sharing the cached objects would let a mutation
+        WITHOUT a replace corrupt the cache. (Nested values are shared —
+        catalog code replaces nested fields wholesale, never mutates
+        them in place.)"""
         with self._lock:
-            if not os.path.exists(self.path):
+            try:
+                st = os.stat(self.path)
+            except OSError:
+                self._cache_key = None
                 return []
-            with open(self.path) as f:
-                return [json.loads(line) for line in f if line.strip()]
+            key = (st.st_mtime_ns, st.st_size)
+            if key != self._cache_key:
+                with open(self.path) as f:
+                    self._cache_rows = [
+                        json.loads(line) for line in f if line.strip()
+                    ]
+                self._cache_key = key
+            return [dict(r) for r in self._cache_rows]
 
     def append(self, rows: Iterable[dict]) -> None:
         rows = list(rows)
