@@ -1,0 +1,158 @@
+"""Round-8 training-pipeline quality operators: Gopher repetition
+signals, PII redaction, corpus-level line dedup, BM25 retrieval.
+Corpus-scale oracle matches live in the q_text_repetition /
+q_pii_redact / q_dedup_lines / q_bm25 gates; these cover the semantic
+edges the gates can't isolate."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from timescaledb_spark.pipeline.dedup import line_dedup
+from timescaledb_spark.pipeline.search import bm25_topk
+from timescaledb_spark.pipeline.textproc import redact_pii, repetition_signals
+
+
+def _sig_row(spark, text):
+    df = spark.createDataFrame([(text,)], "text string")
+    sig = repetition_signals("text")
+    return df.select(*(c.alias(k) for k, c in sig.items())).collect()[0]
+
+
+def test_repetition_signals_duplicates(spark):
+    r = _sig_row(spark, "aaaa\nbbbb\naaaa\ncccc")
+    assert r["n_lines"] == 4
+    assert r["dup_line_frac"] == pytest.approx(0.25)
+    # the second "aaaa" instance carries 4 of 16 chars
+    assert r["dup_line_char_frac"] == pytest.approx(4 / 16)
+    assert r["dup_para_frac"] == 0.0
+
+
+def test_repetition_signals_paragraphs_and_words(spark):
+    r = _sig_row(spark, "para one\n\npara two\n\npara one")
+    assert r["dup_para_frac"] == pytest.approx(1 / 3)
+    # tokens: para one para two para one -> 3 distinct of 6
+    assert r["frac_unique_words"] == pytest.approx(0.5)
+
+
+def test_repetition_signals_format_lines(spark):
+    r = _sig_row(spark, "- item\n* other\nplain\nto be continued...\nfin")
+    assert r["bullet_line_frac"] == pytest.approx(2 / 5)
+    assert r["ellipsis_line_frac"] == pytest.approx(1 / 5)
+
+
+def test_repetition_signals_empty_text(spark):
+    r = _sig_row(spark, "")
+    assert r["n_lines"] == 1
+    assert r["dup_line_frac"] == 0.0
+    assert r["frac_unique_words"] == 0.0
+
+
+def test_redact_pii_stages(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "write a@b.co or b.c+x@d-e.org now"),
+            (2, "host 192.168.0.1 up, 999.1.2.3 still matches the regex"),
+            (3, "call +4915112345678, (555) 123-4567 or 555-867-5309"),
+            (4, "no pii here"),
+        ],
+        "id long, t string",
+    )
+    pii = redact_pii("t")
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            pii["n_email"].alias("ne"),
+            pii["n_ip"].alias("ni"),
+            pii["n_phone"].alias("np"),
+            pii["redacted"].alias("red"),
+        ).collect()
+    }
+    assert rows[1]["ne"] == 2 and "<EMAIL>" in rows[1]["red"]
+    assert "@" not in rows[1]["red"]
+    assert rows[2]["ni"] == 2 and rows[2]["red"].count("<IP>") == 2
+    assert rows[3]["np"] == 3 and rows[3]["red"].count("<PHONE>") == 3
+    assert rows[4]["red"] == "no pii here"
+    assert (rows[4]["ne"], rows[4]["ni"], rows[4]["np"]) == (0, 0, 0)
+
+
+def test_redact_pii_no_double_count(spark):
+    """An IP already replaced by <IP> must not feed the phone stage."""
+    df = spark.createDataFrame([("ip 10.0.0.7 only",)], "t string")
+    pii = redact_pii("t")
+    r = df.select(
+        pii["n_ip"].alias("ni"), pii["n_phone"].alias("np"),
+        pii["redacted"].alias("red"),
+    ).collect()[0]
+    assert r["ni"] == 1 and r["np"] == 0 and r["red"] == "ip <IP> only"
+
+
+def test_line_dedup_keep_first(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "unique line one\nshared long line\nx"),
+            (2, "shared long line\nunique line two"),
+            (3, "shared long line"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(df, min_len=10).collect()}
+    # doc 1 holds the first occurrence -> keeps everything
+    assert out[1]["n_kept"] == 3
+    assert out[1]["clean"] == "unique line one\nshared long line\nx"
+    # later occurrences of the shared line are dropped
+    assert out[2]["clean"] == "unique line two"
+    assert out[3]["clean"] == "" and out[3]["n_kept"] == 0
+    # every doc survives as a row even when fully emptied
+    assert set(out) == {1, 2, 3}
+
+
+def test_line_dedup_short_lines_bypass(spark):
+    df = spark.createDataFrame(
+        [(1, "short\n\nshort"), (2, "short")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(df, min_len=10).collect()}
+    # short lines (and blanks) always survive, including repeats
+    assert out[1]["clean"] == "short\n\nshort" and out[1]["n_kept"] == 3
+    assert out[2]["clean"] == "short"
+
+
+def test_line_dedup_position_order_restored(spark):
+    text = "\n".join(f"line number {i:04d}" for i in range(40))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = line_dedup(df, min_len=5).collect()[0]
+    assert out["clean"] == text and out["n_kept"] == 40
+
+
+def test_bm25_ranking_and_idf(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "cat cat cat"),
+            (2, "cat dog"),
+            (3, "dog dog dog dog"),
+            (4, "bird"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(df, ["cat"], k=4).collect()
+    ids = [r["doc_id"] for r in out]
+    # highest tf first; zero-tf docs score 0 and tie-break by id
+    assert ids[0] == 1 and ids[1] == 2 and ids[2:] == [3, 4]
+    assert out[2]["score"] == 0.0 == out[3]["score"]
+    # hand-check doc 2's score: N=4, df=2, tf=1, dl=2, avgdl=10/4
+    idf = math.log((4 - 2 + 0.5) / (2 + 0.5) + 1.0)
+    expect = idf * (1 * 2.2) / (1 + 1.2 * (1 - 0.75 + 0.75 * 2 / 2.5))
+    assert out[1]["score"] == pytest.approx(expect, abs=1e-6)
+
+
+def test_bm25_absent_term_and_k(spark):
+    df = spark.createDataFrame(
+        [(i, "word soup here") for i in range(10)],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(df, ["zebra"], k=3).collect()
+    assert len(out) == 3 and all(r["score"] == 0.0 for r in out)
+    assert [r["doc_id"] for r in out] == [0, 1, 2]

@@ -854,3 +854,113 @@ def dup_clusters_sql(pairs_sql: str) -> str:
     SELECT u AS member, CAST(min(l) AS BIGINT) AS cluster_id
     FROM reach GROUP BY u
     """
+
+
+# ---------------------------------------------------------------------------
+# corpus-level line dedup (C4 / CCNet style)
+# ---------------------------------------------------------------------------
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 10,
+) -> DataFrame:
+    """Corpus-wide keep-first line deduplication (the C4 "three-sentence
+    span" / CCNet line-hash filter, simplified to whole lines): any line of
+    at least ``min_len`` characters that occurs anywhere else in the corpus
+    survives only at its first occurrence (lowest ``(doc_id, position)``);
+    shorter lines (blank lines, headings, separators) always survive, which
+    both matches practice and caps the hottest shuffle keys.
+
+    Returns one row per input document:
+    ``(id, n_lines, n_kept, clean)`` where ``clean`` is the document
+    rebuilt from its surviving lines in order.
+
+    Scale shape (100 TB): explode is pipelined with the scan; then exactly
+    three linear shuffles — (1) map-combined ``min(struct(doc, pos))`` per
+    60-bit line hash, (2) an equi-join of the exploded lines against that
+    keeper table on the same hash key (AQE skew-split handles boilerplate
+    lines), (3) the per-document reassembly groupBy. No windows over
+    corpus-wide partitions, no driver-side state.
+    """
+    lines = spread(df.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("pos", "line"),
+    )
+    keepers = (
+        lines.filter(F.length("line") >= min_len)
+        .groupBy(h60("line").alias("lh"))
+        .agg(
+            F.min(
+                F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
+            ).alias("k")
+        )
+    )
+    marked = (
+        lines.withColumn(
+            "lh", F.when(F.length("line") >= min_len, h60("line"))
+        )
+        .join(keepers, "lh", "left")
+        .withColumn(
+            "keep",
+            F.col("lh").isNull()
+            | ((F.col(id_col) == F.col("k.d")) & (F.col("pos") == F.col("k.p"))),
+        )
+    )
+    kept_struct = F.when(
+        F.col("keep"), F.struct(F.col("pos"), F.col("line"))
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["line"],
+                ),
+            ).alias("clean"),
+        )
+    )
+
+
+def line_dedup_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 10,
+) -> str:
+    """DuckDB oracle replaying :func:`line_dedup` exactly: keep-first =
+    ``row_number() OVER (PARTITION BY line ORDER BY doc, pos) = 1`` (the
+    Spark side's ``min(struct(doc, pos))`` keeper), short lines always
+    kept. Gate-shaped output: fingerprint + length instead of the full
+    rebuilt text so the compared rows stay small."""
+    clean = (
+        f"coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) "
+        f"ORDER BY pos), '')"
+    )
+    return f"""
+    WITH lines AS (
+      SELECT {id_col}, pos, arr[pos + 1] AS line
+      FROM (SELECT {id_col}, string_split({text_col}, chr(10)) AS arr
+            FROM {table}) t,
+           LATERAL (SELECT unnest(range(0, len(arr))) AS pos) p
+    ), marked AS (
+      SELECT {id_col}, pos, line,
+             CASE WHEN length(line) < {min_len} THEN TRUE
+                  ELSE row_number() OVER (
+                         PARTITION BY line ORDER BY {id_col}, pos) = 1
+             END AS keep
+      FROM lines
+    )
+    SELECT {id_col},
+           count(*) AS n_lines,
+           sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           length({clean})::INT AS clean_len,
+           substr(md5({clean}), 1, 16) AS clean_fp
+    FROM marked GROUP BY {id_col}
+    """

@@ -268,3 +268,137 @@ def hash_features_sql(
         FROM {table}
     ) GROUP BY 1, 2
     """
+
+
+# ---------------------------------------------------------------------------
+# repetition signals (Gopher-style quality filters)
+# ---------------------------------------------------------------------------
+
+#: leading bullet / list markers (Gopher "lines starting with a bullet")
+BULLET_RE = r"^\s*[-*•·]"
+#: trailing ellipsis (Gopher "lines ending with an ellipsis")
+ELLIPSIS_RE = r"(\.\.\.|…)\s*$"
+
+
+def repetition_signals(name: str) -> dict[str, Column]:
+    """Gopher-style repetition / format signals as pure per-row column
+    expressions (Rae et al. 2021, "Scaling Language Models", table A1):
+
+    - ``dup_line_frac``: fraction of lines that are repeats of an earlier
+      line in the same document.
+    - ``dup_line_char_frac``: fraction of characters contained in those
+      repeated line instances.
+    - ``dup_para_frac``: same at paragraph (blank-line-separated) level.
+    - ``frac_unique_words``: distinct-token / token ratio.
+    - ``bullet_line_frac`` / ``ellipsis_line_frac``: format signals.
+
+    Zero shuffle — a 100 TB corpus filters at scan speed. The paired
+    :func:`repetition_signals_sql` emits the bit-identical DuckDB formula
+    (counts and lengths are set-invariant, so ``array_distinct`` /
+    ``list_distinct`` ordering differences cannot leak into the values).
+    """
+    col = F.col(name)
+    ls = F.split(col, "\n", -1)
+    ps = F.split(col, "\n\n", -1)
+    ws = F.expr(_toks(name))
+    n_lines = F.size(ls)
+    n_paras = F.size(ps)
+    all_chars = F.length(F.array_join(ls, ""))
+    return {
+        "n_lines": n_lines,
+        "dup_line_frac": (n_lines - F.size(F.array_distinct(ls))) / n_lines,
+        "dup_line_char_frac": (
+            all_chars - F.length(F.array_join(F.array_distinct(ls), ""))
+        )
+        / F.greatest(F.lit(1), all_chars),
+        "dup_para_frac": (n_paras - F.size(F.array_distinct(ps))) / n_paras,
+        "frac_unique_words": F.size(F.array_distinct(ws))
+        / F.greatest(F.lit(1), F.size(ws)),
+        "bullet_line_frac": F.size(
+            F.filter(ls, lambda x: x.rlike(BULLET_RE))
+        )
+        / n_lines,
+        "ellipsis_line_frac": F.size(
+            F.filter(ls, lambda x: x.rlike(ELLIPSIS_RE))
+        )
+        / n_lines,
+    }
+
+
+def repetition_signals_sql(name: str) -> dict[str, str]:
+    """DuckDB formulas matching :func:`repetition_signals` bit-exactly."""
+    ls = f"string_split({name}, chr(10))"
+    ps = f"string_split({name}, chr(10) || chr(10))"
+    ws = _toks_duck(name)
+    n_lines = f"len({ls})"
+    n_paras = f"len({ps})"
+    all_chars = f"length(list_aggregate({ls}, 'string_agg', ''))"
+    dedup_chars = f"length(list_aggregate(list_distinct({ls}), 'string_agg', ''))"
+    return {
+        "n_lines": n_lines,
+        "dup_line_frac": f"({n_lines} - len(list_distinct({ls}))) / {n_lines}",
+        "dup_line_char_frac": (
+            f"(coalesce({all_chars}, 0) - coalesce({dedup_chars}, 0))"
+            f" / greatest(1, coalesce({all_chars}, 0))"
+        ),
+        "dup_para_frac": f"({n_paras} - len(list_distinct({ps}))) / {n_paras}",
+        "frac_unique_words": (
+            f"len(list_distinct({ws})) / greatest(1, len({ws}))"
+        ),
+        "bullet_line_frac": (
+            f"len(list_filter({ls}, x -> regexp_matches(x, '{BULLET_RE}')))"
+            f" / {n_lines}"
+        ),
+        "ellipsis_line_frac": (
+            f"len(list_filter({ls}, x -> regexp_matches(x, '{ELLIPSIS_RE}')))"
+            f" / {n_lines}"
+        ),
+    }
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+#: conservative PII patterns, valid under BOTH Java regex (Spark) and RE2
+#: (DuckDB): no lookaround, no backrefs, identical \b/\d/\s semantics.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+\d{8,15}|\(\d{3}\) ?\d{3}-\d{4}|\b\d{3}-\d{3}-\d{4}\b"
+
+_PII_STAGES: tuple[tuple[str, str, str], ...] = (
+    ("email", EMAIL_RE, "<EMAIL>"),
+    ("ip", IPV4_RE, "<IP>"),
+    ("phone", PHONE_RE, "<PHONE>"),
+)
+
+
+def redact_pii(name: str) -> dict[str, Column]:
+    """Regex PII scrubbing as pure column expressions: emails, IPv4
+    addresses, then phone numbers are replaced with typed placeholders,
+    each stage counting its matches on the previous stage's output (so a
+    phone can never double-count digits inside an already-redacted IP).
+
+    Returns ``{"redacted": Column, "n_email": .., "n_ip": .., "n_phone": ..}``.
+    Zero shuffle — redaction runs at scan speed on a 100 TB corpus; the
+    paired :func:`redact_pii_sql` replays the identical stage order in
+    DuckDB ('g' flag — Spark's regexp_replace is always global).
+    """
+    out: dict[str, Column] = {}
+    cur = F.col(name)
+    for key, pat, token in _PII_STAGES:
+        out[f"n_{key}"] = F.regexp_count(cur, F.lit(pat))
+        cur = F.regexp_replace(cur, pat, token)
+    out["redacted"] = cur
+    return out
+
+
+def redact_pii_sql(name: str) -> dict[str, str]:
+    """DuckDB formulas matching :func:`redact_pii` stage-for-stage."""
+    out: dict[str, str] = {}
+    cur = name
+    for key, pat, token in _PII_STAGES:
+        out[f"n_{key}"] = f"len(regexp_extract_all({cur}, '{pat}'))"
+        cur = f"regexp_replace({cur}, '{pat}', '{token}', 'g')"
+    out["redacted"] = cur
+    return out

@@ -478,3 +478,116 @@ def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_assign(
         docs, {"train": 0.8, "val": 0.1, "test": 0.1}
     ).select("doc_id", "split")
+
+
+_REP = textproc.repetition_signals_sql("text")
+_PII_SRC = (
+    "text || ' Contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR) || "
+    "'.7 or call 555-867-5309.'"
+)
+_PII = textproc.redact_pii_sql("t")
+
+
+@query(
+    "q_text_repetition",
+    f"""
+    SELECT doc_id,
+           {_REP['n_lines']} AS n_lines,
+           round({_REP['dup_line_frac']}, 6) AS dup_line_frac,
+           round({_REP['dup_line_char_frac']}, 6) AS dup_line_char_frac,
+           round({_REP['dup_para_frac']}, 6) AS dup_para_frac,
+           round({_REP['frac_unique_words']}, 6) AS frac_unique_words,
+           round({_REP['bullet_line_frac']}, 6) AS bullet_line_frac,
+           round({_REP['ellipsis_line_frac']}, 6) AS ellipsis_line_frac
+    FROM documents
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition / format quality signals (round 8): all
+    per-row array expressions — zero shuffle, scan-speed filtering."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = textproc.repetition_signals("text")
+    return docs.select(
+        "doc_id",
+        sig["n_lines"].alias("n_lines"),
+        F.round(sig["dup_line_frac"], 6).alias("dup_line_frac"),
+        F.round(sig["dup_line_char_frac"], 6).alias("dup_line_char_frac"),
+        F.round(sig["dup_para_frac"], 6).alias("dup_para_frac"),
+        F.round(sig["frac_unique_words"], 6).alias("frac_unique_words"),
+        F.round(sig["bullet_line_frac"], 6).alias("bullet_line_frac"),
+        F.round(sig["ellipsis_line_frac"], 6).alias("ellipsis_line_frac"),
+    )
+
+
+@query(
+    "q_pii_redact",
+    f"""
+    SELECT doc_id,
+           {_PII['n_email']} AS n_email,
+           {_PII['n_ip']} AS n_ip,
+           {_PII['n_phone']} AS n_phone,
+           length({_PII['redacted']})::INT AS redacted_len,
+           substr(md5({_PII['redacted']}), 1, 16) AS redacted_fp
+    FROM (SELECT doc_id, {_PII_SRC} AS t FROM documents)
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII redaction (round 8) over documents augmented with
+    deterministic synthetic PII (email / IPv4 / phone derived from
+    doc_id) so every pattern is exercised; per-row regexp chain, zero
+    shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 or call 555-867-5309."),
+        ).alias("t"),
+    )
+    pii = textproc.redact_pii("t")
+    return aug.select(
+        "doc_id",
+        pii["n_email"].alias("n_email"),
+        pii["n_ip"].alias("n_ip"),
+        pii["n_phone"].alias("n_phone"),
+        F.length(pii["redacted"]).alias("redacted_len"),
+        F.substring(F.md5(pii["redacted"]), 1, 16).alias("redacted_fp"),
+    )
+
+
+@query("q_dedup_lines", dedup.line_dedup_sql())
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level keep-first line dedup (round 8, C4/CCNet style):
+    explode → keeper-agg → hash-join → reassemble; three linear
+    map-combined shuffles, short lines bypass the hot keys."""
+    out = dedup.line_dedup(load_table(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        F.length("clean").alias("clean_len"),
+        F.substring(F.md5("clean"), 1, 16).alias("clean_fp"),
+    )
+
+
+_BM25_TERMS = ["data", "model", "training", "quality", "zebra"]
+
+
+@query("q_bm25", __import__(
+    "timescaledb_spark.pipeline.search", fromlist=["x"]
+).bm25_topk_sql(_BM25_TERMS, k=25))
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-25 retrieval (round 8): one bounded stats pass
+    (N, Σdl, per-term df — O(|terms|) driver state, the IVF-centroid
+    pattern), then scoring is a pure projection + TakeOrderedAndProject
+    top-k; ranked on 6-decimal-rounded scores so cross-engine float
+    folds cannot reorder the cut."""
+    from .pipeline.search import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_TERMS, k=25)
