@@ -46,20 +46,19 @@ def bm25_topk(
         F.col(id_col), tokens(text_col).alias("w")
     )
     base = base.withColumn("dl", F.size("w"))
+    # ONE stats pass: corpus size, total length, and every term's doc
+    # frequency ride a single partial/final aggregation — no explode, no
+    # extra shuffle beyond the one-row agg exchange
     st = base.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sdl")
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("sdl"),
+        *(
+            F.sum(F.array_contains("w", t).cast("long")).alias(f"df_{i}")
+            for i, t in enumerate(terms)
+        ),
     ).collect()[0]
     n_docs, sum_dl = int(st["n"]), int(st["sdl"] or 0)
-    dfreq = {
-        r["t"]: int(r["df"])
-        for r in base.select(
-            F.col(id_col), F.explode(F.array_distinct("w")).alias("t")
-        )
-        .filter(F.col("t").isin(list(terms)))
-        .groupBy("t")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .collect()
-    }
+    dfreq = {t: int(st[f"df_{i}"] or 0) for i, t in enumerate(terms)}
     # avgdl from two exact integers: bit-identical across engines
     avgdl = F.lit(float(sum_dl)) / F.lit(float(n_docs))
     score = F.lit(0.0)
