@@ -234,6 +234,39 @@ def main() -> None:
     out["cagg_refresh_dirty_1pct_s"] = round(time.perf_counter() - t0, 2)
     out["cagg_dirty_ranges"] = len(ranges)
 
+    # ---- round-8: text-pipeline operators at corpus scale --------------
+    # documents × MULT (~50k-500k docs): replicated docs share every line
+    # (worst-case boilerplate for the keeper join) except one unique
+    # trailer line per copy, so the dedup has both hot and cold keys
+    docs = load_table(spark, SF_DIR, "documents")
+    big_docs = docs.crossJoin(
+        spark.range(MULT).select(F.col("id").alias("_rep"))
+    ).select(
+        (F.col("doc_id") + F.col("_rep") * F.lit(1_000_000_000)).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit("\nunique trailer line for copy "),
+            F.col("_rep").cast("string"), F.lit(" of doc "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    n_docs_big = docs.count() * MULT
+    out["textcorpus_docs"] = n_docs_big
+
+    from timescaledb_spark.pipeline.dedup import line_dedup
+    from timescaledb_spark.pipeline.search import bm25_topk
+
+    t0 = time.perf_counter()
+    ld = line_dedup(big_docs)
+    kept = ld.agg(
+        F.sum("n_kept").alias("k"), F.sum("n_lines").alias("n")
+    ).collect()[0]
+    out["line_dedup_docs_s"] = round(time.perf_counter() - t0, 2)
+    out["line_dedup_kept_frac"] = round(kept["k"] / max(kept["n"], 1), 4)
+
+    t0 = time.perf_counter()
+    bm25_topk(big_docs, ["data", "model", "training", "quality"], k=25).collect()
+    out["bm25_docs_s"] = round(time.perf_counter() - t0, 2)
+
     print(json.dumps(out))
     with open(sys.argv[1] if len(sys.argv) > 1 else "SCALE_PROBE.json", "w") as f:
         json.dump(out, f, indent=1)

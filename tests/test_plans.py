@@ -376,3 +376,31 @@ def test_cagg_refresh_scans_only_dirty_chunks(spark, tmp_path, monkeypatch):
     assert got.filter(
         (F.col("bucket") == "2024-01-03 05:00:00") & (F.col("n") == 2)
     ).count() == 1
+
+
+def test_quality_signals_zero_shuffle(tsdata, sf_dir):
+    """Repetition signals and PII redaction are pure projections — a
+    100 TB corpus must filter at scan speed with no exchange at all."""
+    for name in ("q_text_repetition", "q_pii_redact"):
+        df = queries()[name](tsdata, sf_dir)
+        assert shuffle_count(df) == 0, name
+        assert cartesian_count(df) == 0, name
+
+
+def test_line_dedup_shuffle_budget(tsdata, sf_dir):
+    """Corpus line dedup: spread + keeper agg + join + reassembly — at
+    most 4 linear exchanges and never a cartesian product."""
+    df = queries()["q_dedup_lines"](tsdata, sf_dir)
+    assert shuffle_count(df) <= 4
+    assert cartesian_count(df) == 0
+    assert "text" in read_schema_columns(df)
+
+
+def test_bm25_topk_plan(tsdata, sf_dir):
+    """BM25 scoring is a projection + TakeOrderedAndProject (per-partition
+    heaps): one spread exchange, no global sort, no cartesian."""
+    df = queries()["q_bm25"](tsdata, sf_dir)
+    assert shuffle_count(df) <= 1
+    assert cartesian_count(df) == 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
