@@ -156,3 +156,87 @@ def test_bm25_absent_term_and_k(spark):
     out = bm25_topk(df, ["zebra"], k=3).collect()
     assert len(out) == 3 and all(r["score"] == 0.0 for r in out)
     assert [r["doc_id"] for r in out] == [0, 1, 2]
+
+
+HOSTILE_TEXTS = [
+    "",
+    "\n",
+    "\n\n\n",
+    "a\r\nb\r\na",                      # CR kept inside lines (split is \n only)
+    "café déjà-vu café\ncafé déjà-vu café",  # accents, dup long line
+    "• bullet\n- dash\n* star\n· dot",
+    "tab\tand  spaces   here",
+    "ends with ellipsis…\nends with dots...\nno",
+    "line with 'quote' and \\backslash\\ and |pipe|",
+    "𝕦𝕟𝕚𝕔𝕠𝕕𝕖 𝕞𝕒𝕥𝕙 𝕤𝕪𝕞𝕓𝕠𝕝𝕤 beyond the BMP 😀😀",
+    "x@y.zz then 1.2.3.4.5 then +123456789 end",
+    "255.255.255.255\n0.0.0.0\n1.2.3",
+    "(123) 456-7890 and (12) 456-7890 and 123-456-7890",
+    "repeat me now\nrepeat me now\nrepeat me now\nshort",
+]
+
+
+def test_quality_ops_cross_engine_hostile(spark):
+    """The repetition / PII / line-dedup formulas must agree with their
+    DuckDB oracles on hostile inputs (unicode beyond the BMP, CRLF, regex
+    metacharacters, boundary IPs/phones) — not just on the driver corpus."""
+    import duckdb
+
+    from .oracle import canon_rows, duck_rows, spark_rows
+    from timescaledb_spark.pipeline.dedup import line_dedup_sql
+    from timescaledb_spark.pipeline.textproc import (
+        redact_pii_sql,
+        repetition_signals_sql,
+    )
+
+    rows = [(i, t) for i, t in enumerate(HOSTILE_TEXTS)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+
+    # repetition signals (rounded like the gate)
+    sig = repetition_signals("text")
+    sdf = df.select(
+        "doc_id",
+        *(F.round(c, 6).alias(k) for k, c in sig.items() if k != "n_lines"),
+        sig["n_lines"].alias("n_lines"),
+    )
+    rsql = repetition_signals_sql("text")
+    dsql = "SELECT doc_id, " + ", ".join(
+        f"round({v}, 6) AS {k}" for k, v in rsql.items() if k != "n_lines"
+    ) + f", {rsql['n_lines']} AS n_lines FROM documents"
+    scols, srows = spark_rows(sdf)
+    dcols, drows = duck_rows(con, dsql)
+    assert canon_rows(scols, srows) == canon_rows(dcols, drows)
+
+    # pii redaction
+    pii = redact_pii("text")
+    sdf = df.select(
+        "doc_id",
+        pii["n_email"].alias("n_email"),
+        pii["n_ip"].alias("n_ip"),
+        pii["n_phone"].alias("n_phone"),
+        pii["redacted"].alias("redacted"),
+    )
+    psql = redact_pii_sql("text")
+    dsql = (
+        f"SELECT doc_id, {psql['n_email']} AS n_email, {psql['n_ip']} AS n_ip, "
+        f"{psql['n_phone']} AS n_phone, {psql['redacted']} AS redacted "
+        "FROM documents"
+    )
+    scols, srows = spark_rows(sdf)
+    dcols, drows = duck_rows(con, dsql)
+    assert canon_rows(scols, srows) == canon_rows(dcols, drows)
+
+    # corpus line dedup (gate shape)
+    from timescaledb_spark.pipeline.dedup import line_dedup
+
+    out = line_dedup(df).select(
+        "doc_id", "n_lines", "n_kept",
+        F.length("clean").alias("clean_len"),
+        F.substring(F.md5("clean"), 1, 16).alias("clean_fp"),
+    )
+    scols, srows = spark_rows(out)
+    dcols, drows = duck_rows(con, line_dedup_sql())
+    assert canon_rows(scols, srows) == canon_rows(dcols, drows)
