@@ -2,6 +2,7 @@
 
 from datetime import datetime
 
+import pytest
 from pyspark.sql import functions as F
 
 from timescaledb_spark.functions import (
@@ -176,3 +177,79 @@ def test_decontaminate_small_fixture(spark):
     # raising min_hits drops the weaker overlap
     strict = decontaminate(corpus, bench, ngram_k=3, min_hits=got[(1, 100)])
     assert {r["doc_id"] for r in strict.collect()} == {1}
+
+
+def test_interpolated_average_cross_bucket(spark):
+    """A value carried across a bucket boundary must weight BOTH buckets
+    (the toolkit interpolated_average contract) — the naive per-bucket
+    time_weight would miss the carried-in portion entirely."""
+    from timescaledb_spark.functions.counters import interpolated_average
+
+    us = 1_000_000
+    h = 3600 * us
+    rows = [
+        # t=30min v=10 -> holds until t=90min (spans the 1h boundary)
+        (1, h // 2, 10.0),
+        (2, h + h // 2, 20.0),   # t=90min v=20 -> holds until t=120min
+        (3, 2 * h, 0.0),         # terminator at t=120min (no weight)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, us long, value double"
+    ).select("event_id", F.timestamp_micros("us").alias("ts"), "value")
+    out = {
+        r["bucket"].minute + r["bucket"].hour * 60: r
+        for r in interpolated_average(
+            df, "1 hour", "ts", "value", tiebreak=["event_id"]
+        ).collect()
+    }
+    # bucket 0: only [30min, 60min) covered, all at v=10
+    assert out[0]["tw_avg"] == pytest.approx(10.0)
+    # bucket 1: [60,90) at v=10 carried in, [90,120) at v=20
+    assert out[60]["tw_avg"] == pytest.approx(15.0)
+    assert out[60]["n_segments"] == 2
+    # terminator contributes no third bucket
+    assert set(out) == {0, 60}
+
+
+def test_interpolated_average_equals_time_weight_within_span(spark):
+    """Weighted-recombining the per-bucket averages reproduces the
+    whole-group time_weight integral (conservation property)."""
+    import random
+
+    from timescaledb_spark.functions.counters import (
+        interpolated_average,
+        time_weighted_avg,
+    )
+
+    rnd = random.Random(7)
+    us = 1_000_000
+    rows = [
+        (i, rnd.randrange(0, 6 * 3600 * us), float(rnd.randrange(100)))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, us long, value double"
+    ).select("event_id", F.timestamp_micros("us").alias("ts"), "value")
+    whole = time_weighted_avg(df, "ts", "value", tiebreak=["event_id"]).collect()[0]
+    parts = interpolated_average(
+        df, "30 minutes", "ts", "value", tiebreak=["event_id"]
+    ).collect()
+    # recombine: sum(avg_b * covered_b) / sum(covered_b); covered is not
+    # returned, so recompute it as sum over segments — instead verify via
+    # integral equality: sum(avg*cover) where cover = n/a -> use exact
+    # integral from the operator's own internals by re-deriving weights
+    span_lo = min(t for _, t, _ in rows)
+    span_hi = max(t for _, t, _ in rows)
+    h = 1800 * us
+    covered = {}
+    for b in range(span_lo // h * h, span_hi // h * h + h, h):
+        lo, hi = max(b, span_lo), min(b + h, span_hi)
+        if hi > lo:
+            covered[b // h] = hi - lo
+    integral = sum(
+        r["tw_avg"] * covered[int(r["bucket"].timestamp() * us) // h]
+        for r in parts
+    )
+    assert integral / (span_hi - span_lo) == pytest.approx(
+        whole["tw_avg"], rel=1e-9
+    )

@@ -158,3 +158,83 @@ def gauge_agg(
         F.min("_us").alias("first_us"),
         F.max("_us").alias("last_us"),
     )
+
+
+def interpolated_average(
+    df: DataFrame,
+    bucket_width,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    by: Sequence[str] = (),
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Bucketed time-weighted average with cross-bucket LOCF
+    interpolation — the toolkit two-step ``time_bucket + time_weight``
+    rolled up through ``interpolated_average(tws, start, width, prev,
+    next)`` (timescaledb-toolkit docs; the reference core has no analog,
+    the toolkit extension provides it).
+
+    Semantics: the samples of each ``by`` group define one global LOCF
+    step function; each bucket's average is the integral of that step
+    function over the bucket divided by the covered duration (a bucket
+    fully inside the sample span divides by the full width; the first
+    and last buckets divide by their partial coverage — exactly the
+    toolkit's ``prev``/``next``-aware behavior). A value carried across
+    a bucket boundary therefore contributes to BOTH buckets, which the
+    naive per-bucket time_weight gets wrong.
+
+    Plan: one window (``lead``) per group, then each LOCF segment
+    explodes over the buckets it overlaps (bounded by segment span /
+    width) and a single map-combined groupBy sums ``value × overlap``.
+    All overlap arithmetic is exact int64 microseconds — only the final
+    division is floating point, so the DuckDB oracle matches bit-exactly.
+    Positive timestamps only for the bucket index (integer DIV truncates
+    toward zero in Spark but floors in DuckDB; they agree for us ≥ 0).
+
+    Returns (by…, bucket, tw_avg, n_samples).
+    """
+    from .time import parse_interval, to_timestamp_micros
+
+    iv = parse_interval(bucket_width)
+    if iv.months:
+        raise ValueError("interpolated_average needs a fixed-width bucket")
+    width = iv.us
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(
+        *_order_cols(ts_col, tiebreak)
+    )
+    us = to_unix_microseconds(ts_col)
+    seg = df.select(
+        *by,
+        us.alias("_us"),
+        F.col(value_col).alias("_v"),
+        F.lead(us).over(w).alias("_nxt"),
+    ).filter(F.col("_nxt") > F.col("_us"))
+    wl = F.lit(width).cast("long")
+    b0 = F.expr(f"(_us DIV {width}) * {width}")
+    b1 = F.expr(f"((_nxt - 1) DIV {width}) * {width}")
+    ex = seg.select(
+        *by,
+        "_us",
+        "_v",
+        "_nxt",
+        F.explode(F.sequence(b0, b1, F.lit(width).cast("long"))).alias("_b"),
+    )
+    overlap = F.least(F.col("_nxt"), F.col("_b") + wl) - F.greatest(
+        F.col("_us"), F.col("_b")
+    )
+    return (
+        ex.groupBy(*by, F.col("_b"))
+        .agg(
+            (
+                F.sum(F.col("_v") * overlap.cast("double"))
+                / F.sum(overlap.cast("double"))
+            ).alias("tw_avg"),
+            F.count(F.lit(1)).alias("n_segments"),
+        )
+        .select(
+            *by,
+            to_timestamp_micros(F.col("_b")).alias("bucket"),
+            "tw_avg",
+            "n_segments",
+        )
+    )

@@ -1343,3 +1343,42 @@ def _load_extra_inventories() -> None:
         queries_relational,
         queries_sql,
     )
+
+
+@query(
+    "q_interpolated_avg",
+    """
+    WITH seg AS (
+      SELECT event_type, epoch_us(ts) AS us, value AS v,
+             lead(epoch_us(ts)) OVER w AS nxt
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ), s2 AS (
+      SELECT * FROM seg WHERE nxt > us
+    ), ex AS (
+      SELECT event_type, us, v, nxt,
+             unnest(range((us // 3600000000) * 3600000000,
+                          ((nxt - 1) // 3600000000) * 3600000000 + 1,
+                          3600000000)) AS b
+      FROM s2
+    )
+    SELECT event_type,
+           make_timestamp(b) AS bucket,
+           sum(v * CAST(least(nxt, b + 3600000000) - greatest(us, b) AS DOUBLE))
+             / sum(CAST(least(nxt, b + 3600000000) - greatest(us, b) AS DOUBLE))
+             AS tw_avg,
+           CAST(count(*) AS BIGINT) AS n_segments
+    FROM ex GROUP BY 1, 2
+    """,
+)
+def q_interpolated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Toolkit interpolated_average (time_weight rolled across bucket
+    boundaries): hourly LOCF time-weighted average per event_type where
+    values carried over a boundary weight BOTH buckets; one window + a
+    bounded segment-explode + one map-combined groupBy."""
+    from .functions.counters import interpolated_average
+
+    ev = load_table(spark, sf_dir, "events")
+    return interpolated_average(
+        ev, "1 hour", "ts", "value", by=["event_type"], tiebreak=["event_id"]
+    )
