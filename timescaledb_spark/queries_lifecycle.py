@@ -600,3 +600,34 @@ def q_create_table_with(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.pmod("user_id", F.lit(10)).cast("int").alias("cohort"))
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_v"))
     )
+
+
+@query(
+    "q_stream_dedup",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming first-arrival dedup (round 8): readStream ->
+    dropDuplicatesWithinWatermark on (user_id, event_type) -> memory
+    sink in APPEND mode under availableNow. State is one row per
+    in-horizon key and expires with the watermark — the scale-correct
+    streaming analog of exact_dedup (an unbounded dropDuplicates would
+    grow state forever at 100 TB/day). Only the key columns are
+    emitted, so replay order cannot leak into the compared values; the
+    oracle is the batch DISTINCT."""
+    import uuid as _uuid
+
+    from .streaming.dedup import stream_dedup
+    from .streaming.replay import SENTINEL, heartbeat_stream, run_to_memory_sink
+
+    sdf = heartbeat_stream(spark, sf_dir, "events")
+    ded = stream_dedup(
+        sdf.select("ts", "user_id", "event_type"),
+        ["user_id", "event_type"],
+        delay="365 days",
+    ).select("user_id", "event_type")
+    sink = f"stream_dedup_{_uuid.uuid4().hex[:8]}"
+    run_to_memory_sink(ded, sink)
+    return spark.table(sink).filter(F.col("event_type") != SENTINEL)
