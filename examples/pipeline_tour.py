@@ -85,6 +85,24 @@ def main() -> None:
         + ", ".join(f"{r['split']}={r['count']}" for r in sorted(splits, key=lambda r: r['split']))
     )
 
+    # --- 7c. quality filtering: repetition + PII + line dedup + BM25 ---
+    from timescaledb_spark.pipeline import search
+
+    sig = textproc.repetition_signals("text")
+    clean = docs.filter(
+        (sig["dup_line_frac"] < 0.3) & (sig["frac_unique_words"] > 0.2)
+    )
+    pii = textproc.redact_pii("text")
+    redacted = docs.select("doc_id", pii["redacted"].alias("text"))
+    ld = dedup.line_dedup(docs)
+    kept = ld.agg(F.sum("n_kept").alias("k"), F.sum("n_lines").alias("n")).first()
+    hits = search.bm25_topk(docs, ["data", "model"], k=5)
+    print(
+        f"quality-pass docs: {clean.count()}; redacted rows: {redacted.count()}; "
+        f"line-dedup kept {kept['k']}/{kept['n']} lines; "
+        f"bm25 top doc: {hits.first()['doc_id']}"
+    )
+
     # --- 8. multimodal: payload decode + resize ------------------------
     media = multimodal.with_payload(docs.limit(20))
     meta = multimodal.decode_media(media)

@@ -253,3 +253,66 @@ def test_interpolated_average_equals_time_weight_within_span(spark):
     assert integral / (span_hi - span_lo) == pytest.approx(
         whole["tw_avg"], rel=1e-9
     )
+
+
+def test_interpolated_delta_boundary_split_and_reset(spark):
+    """A counter segment crossing the bucket edge splits its increase
+    linearly between the buckets, and a reset (drop) counts the
+    post-reset value as the increase — prometheus semantics."""
+    from timescaledb_spark.functions.counters import interpolated_delta
+
+    us = 1_000_000
+    h = 3600 * us
+    rows = [
+        (1, h // 2, 0.0),        # t=30m   c=0
+        (2, h + h // 2, 100.0),  # t=90m   c=100 (segment spans the edge)
+        (3, h + h // 2 + 600 * us, 20.0),  # t=100m reset: 100 -> 20
+        (4, 2 * h, 50.0),        # t=120m  c=50 (adjusted 150)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, us long, value double"
+    ).select("event_id", F.timestamp_micros("us").alias("ts"), "value")
+    out = {
+        r["bucket"].hour * 60 + r["bucket"].minute: r
+        for r in interpolated_delta(
+            df, "1 hour", "ts", "value", tiebreak=["event_id"]
+        ).collect()
+    }
+    # bucket 0: [30m, 60m) is half of the 0->100 segment's span -> +50
+    assert out[0]["delta"] == pytest.approx(50.0)
+    # bucket 1: rest of that segment (+50), reset step (+20 post-reset
+    # value), then 20->50 (+30) -> 100 total
+    assert out[60]["delta"] == pytest.approx(100.0)
+    # rate divides by covered seconds: bucket 0 covers 30 minutes
+    assert out[0]["rate"] == pytest.approx(50.0 / 1800)
+    # total increase conserved: 100 (ramp) + 20 (post-reset) + 30
+    assert sum(r["delta"] for r in out.values()) == pytest.approx(150.0)
+
+
+def test_interpolated_delta_matches_counter_agg_total(spark):
+    """Summing per-bucket interpolated deltas reproduces counter_agg's
+    whole-span delta (conservation under bucketing)."""
+    import random
+
+    from timescaledb_spark.functions.counters import (
+        counter_agg,
+        interpolated_delta,
+    )
+
+    rnd = random.Random(11)
+    us = 1_000_000
+    t, v, rows = 0, 0.0, []
+    for i in range(300):
+        t += rnd.randrange(1, 30 * 60) * us
+        v = v + rnd.randrange(10) if rnd.random() > 0.05 else float(rnd.randrange(5))
+        rows.append((i, t, float(v)))
+    df = spark.createDataFrame(
+        rows, "event_id long, us long, value double"
+    ).select("event_id", F.timestamp_micros("us").alias("ts"), "value")
+    whole = counter_agg(df, "ts", "value", tiebreak=["event_id"]).collect()[0]
+    parts = interpolated_delta(
+        df, "45 minutes", "ts", "value", tiebreak=["event_id"]
+    ).collect()
+    assert sum(r["delta"] for r in parts) == pytest.approx(
+        whole["delta"], rel=1e-9
+    )

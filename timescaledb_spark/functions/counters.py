@@ -238,3 +238,111 @@ def interpolated_average(
             "n_segments",
         )
     )
+
+
+def interpolated_delta(
+    df: DataFrame,
+    bucket_width,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    by: Sequence[str] = (),
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Bucketed counter delta/rate with linear interpolation at bucket
+    edges (toolkit ``counter_agg → interpolated_delta`` /
+    ``interpolated_rate``; the reference core has no analog, the toolkit
+    extension provides it).
+
+    Semantics: samples are first reset-adjusted (a drop to a smaller
+    value adds the previous value to a running compensation — prometheus
+    counter semantics, matching :func:`counter_agg`), which makes the
+    adjusted series monotone. Adjacent samples then define linear
+    segments; each bucket's delta is the telescoped sum of the segment
+    portions inside it, i.e. the interpolated counter value at the
+    bucket's edges — a segment crossing a boundary splits its increase
+    between the two buckets instead of crediting it all to the sample's
+    bucket. ``rate`` divides by the covered duration (partial for the
+    first/last buckets — the toolkit's ``prev``/``next``-aware shape).
+
+    Plan: two windows per group (reset prefix-sum + lead), one bounded
+    segment-explode, one map-combined groupBy. Edge interpolation uses
+    exact int64 µs offsets; only the value interpolation is float, with
+    identical operand order in the DuckDB oracle.
+
+    Returns (by…, bucket, delta, rate, n_segments).
+    """
+    from .time import parse_interval, to_timestamp_micros
+
+    iv = parse_interval(bucket_width)
+    if iv.months:
+        raise ValueError("interpolated_delta needs a fixed-width bucket")
+    width = iv.us
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(
+        *_order_cols(ts_col, tiebreak)
+    )
+    us = to_unix_microseconds(ts_col)
+    # two-step reset adjustment (a window fn can't nest inside a
+    # windowed aggregate): lag first, then the compensation prefix-sum.
+    # The tiebreak must survive into every window: with duplicate
+    # timestamps the lag/lead chains pair different samples otherwise.
+    lagged = df.select(
+        *by,
+        us.alias("_us"),
+        *[F.col(c).alias(f"_tb_{i}") for i, c in enumerate(tiebreak)],
+        F.col(value_col).alias("_v"),
+        F.lag(value_col).over(w).alias("_pv"),
+    )
+    w2 = Window.partitionBy(*[F.col(c) for c in by]).orderBy(
+        F.col("_us"), *[F.col(f"_tb_{i}") for i in range(len(tiebreak))]
+    )
+    comp = F.sum(
+        F.when(F.col("_v") < F.col("_pv"), F.col("_pv")).otherwise(F.lit(0.0))
+    ).over(w2.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    adj = lagged.select(
+        *by,
+        "_us",
+        *[f"_tb_{i}" for i in range(len(tiebreak))],
+        (F.col("_v") + comp).alias("_va"),
+    )
+    seg = adj.select(
+        *by,
+        F.col("_us").alias("_t1"),
+        F.col("_va").alias("_v1"),
+        F.lead("_us").over(w2).alias("_t2"),
+        F.lead("_va").over(w2).alias("_v2"),
+    ).filter(F.col("_t2") > F.col("_t1"))
+    wl = F.lit(width).cast("long")
+    b0 = F.expr(f"(_t1 DIV {width}) * {width}")
+    b1 = F.expr(f"((_t2 - 1) DIV {width}) * {width}")
+    ex = seg.select(
+        *by,
+        "_t1",
+        "_v1",
+        "_t2",
+        "_v2",
+        F.explode(F.sequence(b0, b1, wl)).alias("_b"),
+    )
+    lo = F.greatest(F.col("_t1"), F.col("_b"))
+    hi = F.least(F.col("_t2"), F.col("_b") + wl)
+    span = (F.col("_t2") - F.col("_t1")).cast("double")
+    dv = F.col("_v2") - F.col("_v1")
+    v_lo = F.col("_v1") + dv * (lo - F.col("_t1")).cast("double") / span
+    v_hi = F.col("_v1") + dv * (hi - F.col("_t1")).cast("double") / span
+    return (
+        ex.groupBy(*by, F.col("_b"))
+        .agg(
+            F.sum(v_hi - v_lo).alias("delta"),
+            (
+                F.sum(v_hi - v_lo)
+                / (F.sum((hi - lo).cast("double")) / F.lit(1e6))
+            ).alias("rate"),
+            F.count(F.lit(1)).alias("n_segments"),
+        )
+        .select(
+            *by,
+            to_timestamp_micros(F.col("_b")).alias("bucket"),
+            "delta",
+            "rate",
+            "n_segments",
+        )
+    )

@@ -1382,3 +1382,61 @@ def q_interpolated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interpolated_average(
         ev, "1 hour", "ts", "value", by=["event_type"], tiebreak=["event_id"]
     )
+
+
+@query(
+    "q_interpolated_rate",
+    """
+    WITH l AS (
+      SELECT event_type, ts, event_id, epoch_us(ts) AS us, value,
+             lag(value) OVER w AS pv
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ), adj AS (
+      SELECT event_type, us, event_id,
+             value + sum(CASE WHEN value < pv THEN pv ELSE 0.0 END)
+               OVER (PARTITION BY event_type ORDER BY us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS va
+      FROM l
+    ), seg AS (
+      SELECT event_type, us AS t1, va AS v1,
+             lead(us) OVER w2 AS t2, lead(va) OVER w2 AS v2
+      FROM adj
+      WINDOW w2 AS (PARTITION BY event_type ORDER BY us, event_id)
+    ), s2 AS (
+      SELECT * FROM seg WHERE t2 > t1
+    ), ex AS (
+      SELECT event_type, t1, v1, t2, v2,
+             unnest(range((t1 // 3600000000) * 3600000000,
+                          ((t2 - 1) // 3600000000) * 3600000000 + 1,
+                          3600000000)) AS b
+      FROM s2
+    )
+    SELECT event_type,
+           make_timestamp(b) AS bucket,
+           sum((v1 + (v2 - v1) * CAST(least(t2, b + 3600000000) - t1 AS DOUBLE)
+                  / CAST(t2 - t1 AS DOUBLE))
+             - (v1 + (v2 - v1) * CAST(greatest(t1, b) - t1 AS DOUBLE)
+                  / CAST(t2 - t1 AS DOUBLE))) AS delta,
+           sum((v1 + (v2 - v1) * CAST(least(t2, b + 3600000000) - t1 AS DOUBLE)
+                  / CAST(t2 - t1 AS DOUBLE))
+             - (v1 + (v2 - v1) * CAST(greatest(t1, b) - t1 AS DOUBLE)
+                  / CAST(t2 - t1 AS DOUBLE)))
+             / (sum(CAST(least(t2, b + 3600000000) - greatest(t1, b) AS DOUBLE))
+                / 1e6) AS rate,
+           CAST(count(*) AS BIGINT) AS n_segments
+    FROM ex GROUP BY 1, 2
+    """,
+)
+def q_interpolated_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Toolkit counter_agg -> interpolated_delta/interpolated_rate:
+    hourly reset-adjusted counter deltas where a segment crossing the
+    bucket boundary splits its increase between the buckets by linear
+    interpolation; two windows + a bounded segment-explode + one
+    map-combined groupBy."""
+    from .functions.counters import interpolated_delta
+
+    ev = load_table(spark, sf_dir, "events")
+    return interpolated_delta(
+        ev, "1 hour", "ts", "value", by=["event_type"], tiebreak=["event_id"]
+    )
