@@ -189,7 +189,9 @@ def test_quality_ops_cross_engine_hostile(spark):
         repetition_signals_sql,
     )
 
-    rows = [(i, t) for i, t in enumerate(HOSTILE_TEXTS)]
+    rows = [(i, t) for i, t in enumerate(HOSTILE_TEXTS)] + [
+        (len(HOSTILE_TEXTS), None)  # NULL text must not drop the doc
+    ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     con = duckdb.connect()
     con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
@@ -240,3 +242,29 @@ def test_quality_ops_cross_engine_hostile(spark):
     scols, srows = spark_rows(out)
     dcols, drows = duck_rows(con, line_dedup_sql())
     assert canon_rows(scols, srows) == canon_rows(dcols, drows)
+
+
+def test_line_dedup_null_text_survives(spark):
+    """A NULL text document keeps its output row (treated as empty)."""
+    df = spark.createDataFrame(
+        [(1, "real line of text here"), (2, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(df).collect()}
+    assert set(out) == {1, 2}
+    assert out[2]["clean"] == "" and out[2]["n_lines"] == 1
+
+
+def test_bm25_term_normalization(spark):
+    """Raw query terms normalize through the corpus tokenizer: case and
+    punctuation cannot silently zero every score."""
+    df = spark.createDataFrame(
+        [(1, "the model works"), (2, "no match here")],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(df, ["Model!"], k=1).collect()
+    assert out[0]["doc_id"] == 1 and out[0]["score"] > 0
+    # multi-token phrases expand; unindexable terms raise
+    assert bm25_topk(df, ["the model"], k=1).collect()[0]["doc_id"] == 1
+    with pytest.raises(ValueError):
+        bm25_topk(df, ["!!!"], k=1)

@@ -160,6 +160,23 @@ def gauge_agg(
     )
 
 
+
+def _explode_buckets(seg: DataFrame, by: Sequence[str], width: int, extra: Sequence[str]) -> DataFrame:
+    """Explode each ``[_t1, _t2)`` segment over the fixed-width buckets
+    it overlaps (``_b`` = bucket start, µs). Positive timestamps only:
+    Spark's ``DIV`` truncates toward zero while DuckDB's ``//`` floors —
+    they agree for t ≥ 0, which every oracle relies on."""
+    b0 = F.expr(f"(_t1 DIV {width}) * {width}")
+    b1 = F.expr(f"((_t2 - 1) DIV {width}) * {width}")
+    return seg.select(
+        *by,
+        "_t1",
+        "_t2",
+        *extra,
+        F.explode(F.sequence(b0, b1, F.lit(width).cast("long"))).alias("_b"),
+    )
+
+
 def interpolated_average(
     df: DataFrame,
     bucket_width,
@@ -191,7 +208,7 @@ def interpolated_average(
     Positive timestamps only for the bucket index (integer DIV truncates
     toward zero in Spark but floors in DuckDB; they agree for us ≥ 0).
 
-    Returns (by…, bucket, tw_avg, n_samples).
+    Returns (by…, bucket, tw_avg, n_segments).
     """
     from .time import parse_interval, to_timestamp_micros
 
@@ -205,22 +222,14 @@ def interpolated_average(
     us = to_unix_microseconds(ts_col)
     seg = df.select(
         *by,
-        us.alias("_us"),
+        us.alias("_t1"),
         F.col(value_col).alias("_v"),
-        F.lead(us).over(w).alias("_nxt"),
-    ).filter(F.col("_nxt") > F.col("_us"))
+        F.lead(us).over(w).alias("_t2"),
+    ).filter(F.col("_t2") > F.col("_t1"))
     wl = F.lit(width).cast("long")
-    b0 = F.expr(f"(_us DIV {width}) * {width}")
-    b1 = F.expr(f"((_nxt - 1) DIV {width}) * {width}")
-    ex = seg.select(
-        *by,
-        "_us",
-        "_v",
-        "_nxt",
-        F.explode(F.sequence(b0, b1, F.lit(width).cast("long"))).alias("_b"),
-    )
-    overlap = F.least(F.col("_nxt"), F.col("_b") + wl) - F.greatest(
-        F.col("_us"), F.col("_b")
+    ex = _explode_buckets(seg, by, width, ["_v"])
+    overlap = F.least(F.col("_t2"), F.col("_b") + wl) - F.greatest(
+        F.col("_t1"), F.col("_b")
     )
     return (
         ex.groupBy(*by, F.col("_b"))
@@ -265,7 +274,10 @@ def interpolated_delta(
     first/last buckets — the toolkit's ``prev``/``next``-aware shape).
 
     Plan: two windows per group (reset prefix-sum + lead), one bounded
-    segment-explode, one map-combined groupBy. Edge interpolation uses
+    segment-explode, one map-combined groupBy. Increases between
+    equal-timestamp samples (zero-duration segments) are not
+    attributable to any interval and are dropped — the toolkit rejects
+    duplicate timestamps outright. Edge interpolation uses
     exact int64 µs offsets; only the value interpolation is float, with
     identical operand order in the DuckDB oracle.
 
@@ -312,16 +324,7 @@ def interpolated_delta(
         F.lead("_va").over(w2).alias("_v2"),
     ).filter(F.col("_t2") > F.col("_t1"))
     wl = F.lit(width).cast("long")
-    b0 = F.expr(f"(_t1 DIV {width}) * {width}")
-    b1 = F.expr(f"((_t2 - 1) DIV {width}) * {width}")
-    ex = seg.select(
-        *by,
-        "_t1",
-        "_v1",
-        "_t2",
-        "_v2",
-        F.explode(F.sequence(b0, b1, wl)).alias("_b"),
-    )
+    ex = _explode_buckets(seg, by, width, ["_v1", "_v2"])
     lo = F.greatest(F.col("_t1"), F.col("_b"))
     hi = F.least(F.col("_t2"), F.col("_b") + wl)
     span = (F.col("_t2") - F.col("_t1")).cast("double")

@@ -878,16 +878,22 @@ def line_dedup(
     ``(id, n_lines, n_kept, clean)`` where ``clean`` is the document
     rebuilt from its surviving lines in order.
 
-    Scale shape (100 TB): explode is pipelined with the scan; then exactly
-    three linear shuffles — (1) map-combined ``min(struct(doc, pos))`` per
-    60-bit line hash, (2) an equi-join of the exploded lines against that
-    keeper table on the same hash key (AQE skew-split handles boilerplate
-    lines), (3) the per-document reassembly groupBy. No windows over
+    Scale shape (100 TB): explode is pipelined with the scan; then four
+    linear shuffles — (0) the ``spread`` round-robin that decouples
+    per-line work from the source split count, (1) map-combined
+    ``min(struct(doc, pos))`` per 60-bit line hash, (2) an equi-join of
+    the exploded lines against that keeper table on the same hash key
+    (AQE skew-split handles boilerplate lines), (3) the per-document
+    reassembly groupBy. No windows over
     corpus-wide partitions, no driver-side state.
     """
+    # NULL text explodes to zero rows and would silently drop the doc;
+    # coalesce keeps the one-row-per-document contract (NULL == empty)
     lines = spread(df.select(id_col, text_col)).select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1)
+        ).alias("pos", "line"),
     )
     keepers = (
         lines.filter(F.length("line") >= min_len)
@@ -946,7 +952,7 @@ def line_dedup_sql(
     return f"""
     WITH lines AS (
       SELECT {id_col}, pos, arr[pos + 1] AS line
-      FROM (SELECT {id_col}, string_split({text_col}, chr(10)) AS arr
+      FROM (SELECT {id_col}, string_split(coalesce({text_col}, ''), chr(10)) AS arr
             FROM {table}) t,
            LATERAL (SELECT unnest(range(0, len(arr))) AS pos) p
     ), marked AS (

@@ -23,12 +23,30 @@ top-k.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, functions as F
 
-from .core import spread, tokens, tokens_sql
+from .core import TOKEN_RE, spread, tokens, tokens_sql
 
 K1 = 1.2
 B = 0.75
+
+
+def _normalize_terms(terms: list[str]) -> list[str]:
+    """Query terms must live in the same space as the tokenizer output
+    (lowercase [a-z0-9] runs) — a raw \"Model\" or \"U.S.\" would
+    otherwise silently score 0 everywhere. Multi-token inputs expand to
+    their tokens; duplicates keep first position."""
+    out: list[str] = []
+    for t in terms:
+        toks = re.findall(TOKEN_RE, t.lower())
+        if not toks:
+            raise ValueError(f"query term {t!r} has no indexable tokens")
+        for tok in toks:
+            if tok not in out:
+                out.append(tok)
+    return out
 
 
 def bm25_topk(
@@ -42,6 +60,7 @@ def bm25_topk(
 
     Returns ``(id, dl, score)`` ordered by ``(score DESC, id)``.
     """
+    terms = _normalize_terms(list(terms))
     base = spread(df.select(id_col, text_col)).select(
         F.col(id_col), tokens(text_col).alias("w")
     )
@@ -95,6 +114,7 @@ def bm25_topk_sql(
     same tokenizer, same ``(N - df + 0.5) / (df + 0.5) + 1`` idf input,
     same operand order in the tf saturation term, same 6-decimal round
     before ranking."""
+    terms = _normalize_terms(list(terms))
     parts = []
     for t in terms:
         esc = t.replace("'", "''")

@@ -338,8 +338,7 @@ def repetition_signals_sql(name: str) -> dict[str, str]:
         "n_lines": n_lines,
         "dup_line_frac": f"({n_lines} - len(list_distinct({ls}))) / {n_lines}",
         "dup_line_char_frac": (
-            f"(coalesce({all_chars}, 0) - coalesce({dedup_chars}, 0))"
-            f" / greatest(1, coalesce({all_chars}, 0))"
+            f"({all_chars} - {dedup_chars}) / greatest(1, {all_chars})"
         ),
         "dup_para_frac": f"({n_paras} - len(list_distinct({ps}))) / {n_paras}",
         "frac_unique_words": (

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .pipeline import dedup, multimodal, similarity, textproc
+from .pipeline import dedup, multimodal, search, similarity, textproc
 from .queries import query
 from .sources import load_table
 
@@ -578,9 +578,7 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TERMS = ["data", "model", "training", "quality", "zebra"]
 
 
-@query("q_bm25", __import__(
-    "timescaledb_spark.pipeline.search", fromlist=["x"]
-).bm25_topk_sql(_BM25_TERMS, k=25))
+@query("q_bm25", search.bm25_topk_sql(_BM25_TERMS, k=25))
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-25 retrieval (round 8): one bounded stats pass
     (N, Σdl, per-term df — O(|terms|) driver state, the IVF-centroid
