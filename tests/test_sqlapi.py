@@ -2,6 +2,7 @@
 chunk pruning, and the gapfill statement path."""
 
 import os
+import re
 import tempfile
 
 import pytest
@@ -462,3 +463,38 @@ def test_insert_partial_columns_into_declared_table(ts):
     ts.sql("INSERT INTO dims (id) VALUES (1)").collect()
     r = ts.sql("SELECT * FROM dims").first()
     assert r["id"] == 1 and r["name"] is None and r["w"] is None
+
+
+# ---------------------------------------------------------------------------
+# EXPLAIN (plan transparency: ChunkAppend "chunks excluded" analog)
+# ---------------------------------------------------------------------------
+
+
+def test_explain_reports_chunk_exclusion(ts):
+    out = ts.sql(
+        "EXPLAIN SELECT count(*) AS n FROM events "
+        "WHERE ts >= '2024-01-10' AND ts < '2024-01-20'"
+    ).collect()
+    lines = [r["plan_line"] for r in out]
+    hdr = [l for l in lines if l.startswith("Hypertable events:")]
+    assert len(hdr) == 1
+    m = re.search(r"total=(\d+) scanned=(\d+) excluded=(\d+)", hdr[0])
+    total, scanned, excluded = (int(g) for g in m.groups())
+    assert total == scanned + excluded
+    assert 0 < scanned < total  # the time predicate pruned something
+    # the physical plan itself is included
+    assert any("HashAggregate" in l or "Scan parquet" in l for l in lines)
+
+
+def test_explain_unfiltered_scans_everything(ts):
+    hdr = [
+        r["plan_line"]
+        for r in ts.sql("EXPLAIN SELECT count(*) AS n FROM events").collect()
+        if r["plan_line"].startswith("Hypertable events:")
+    ][0]
+    assert "excluded=0" in hdr
+
+
+def test_explain_refuses_dml(ts):
+    with pytest.raises(ValueError, match="SELECT/WITH"):
+        ts.sql("EXPLAIN DELETE FROM events WHERE ts < '2024-01-02'")

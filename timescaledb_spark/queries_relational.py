@@ -1542,3 +1542,46 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_name", "n_name")
     )
+
+
+@query(
+    "q_hll_rollup",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS exact_distinct,
+           TRUE AS within_5pct
+    FROM events GROUP BY 1
+    """,
+)
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup-able distinct-count sketches (toolkit
+    ``hyperloglog -> rollup -> distinct_count``, the cagg-with-sketch
+    pattern): hourly ``hll_sketch_agg`` partials are UNIONED into daily
+    estimates — the sketch algebra (union of sketches == sketch of the
+    union) that a finished ``approx_count_distinct`` number cannot
+    provide, and the reason a cagg can serve distinct counts at any
+    coarser grain without rescanning raw data. Gate emits the accuracy
+    contract like q_hyperloglog: exact daily count (oracle-checked) plus
+    a boolean asserting the rolled-up estimate lands within 5%."""
+    from .functions.time import time_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(time_bucket("1 hour", "ts").alias("h")).agg(
+        F.hll_sketch_agg("event_id").alias("sk")
+    )
+    daily_est = hourly.groupBy(
+        time_bucket("1 day", "h").alias("day")
+    ).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = ev.groupBy(time_bucket("1 day", "ts").alias("day")).agg(
+        F.countDistinct("event_id").cast("long").alias("exact_distinct")
+    )
+    return exact.join(F.broadcast(daily_est), "day").select(
+        "day",
+        "exact_distinct",
+        (
+            F.abs(F.col("est") - F.col("exact_distinct"))
+            <= F.col("exact_distinct") * F.lit(0.05)
+        ).alias("within_5pct"),
+    )

@@ -964,10 +964,88 @@ _INSERT_RE = re.compile(
 )
 
 
+
+
+def _scanned_chunk_dirs(df) -> "set[str] | None":
+    """Chunk dirs the plan's file scans will actually read, from the
+    scans' real file indexes (the rendered plan truncates path lists)."""
+    try:
+        out: set[str] = set()
+        # sparkPlan, not executedPlan: AQE wraps the whole tree in one
+        # AdaptiveSparkPlanExec leaf that hides the scans
+        leaves = df._jdf.queryExecution().sparkPlan().collectLeaves()
+        for i in range(leaves.size()):
+            n = leaves.apply(i)
+            if not hasattr(n, "relation"):
+                continue
+            try:
+                files = n.relation().location().inputFiles()
+            except Exception:
+                continue
+            for f in files:
+                f = re.sub(r"^file:(//)?", "", str(f))
+                if "/_chunk=" in f:
+                    root, chunk = f.split("/_chunk=", 1)
+                    out.add(root + "/_chunk=" + chunk.split("/", 1)[0])
+        return out
+    except Exception:
+        return None
+
+
+def _run_explain(ts, inner: str) -> DataFrame:
+    """``EXPLAIN <select>`` — the reference's plan transparency surface
+    (ChunkAppend rows print "Chunks excluded during startup: N",
+    tsl/src/nodes/chunk_append/explain.c). Returns one row per physical
+    plan line, prefixed by a per-hypertable chunk-exclusion summary
+    derived from the scan's file index. Read-only: only SELECT/WITH
+    statements are explainable (our EXPLAIN never executes the plan;
+    DML here would have to run to be planned)."""
+    if not re.match(r"(?is)^(select|with)\b", inner.strip()):
+        raise ValueError(
+            "EXPLAIN supports SELECT/WITH statements only "
+            "(DML/admin statements execute eagerly in this engine)"
+        )
+    df = ts_sql(ts, inner)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    header: list[str] = []
+    scanned = _scanned_chunk_dirs(df)
+    if scanned is None:
+        # fallback: the rendered plan truncates its file list, so this
+        # undercounts — only used if the py4j walk fails
+        scanned = set(
+            re.findall(r"(?:file:)?(/[^,\]\s]*?/_chunk=[^/,\]\s]+)", plan)
+        )
+    if scanned:
+        by_root: dict[str, int] = {}
+        for p in scanned:
+            by_root[p.split("/_chunk=")[0]] = by_root.get(
+                p.split("/_chunk=")[0], 0
+            ) + 1
+        for row in ts.catalog.hypertable.read():
+            name = row.get("name")
+            try:
+                ht = ts.get_hypertable(name)
+            except Exception:
+                continue
+            root = ht.data_dir.rstrip("/")
+            n_scanned = by_root.get(root, 0)
+            if root in by_root:
+                total = len(ht.chunks())
+                header.append(
+                    f"Hypertable {name}: chunks total={total} "
+                    f"scanned={n_scanned} excluded={total - n_scanned}"
+                )
+    lines = header + plan.rstrip("\n").split("\n")
+    return ts.spark.createDataFrame([(l,) for l in lines], "plan_line string")
+
 def ts_sql(ts, query: str) -> DataFrame:
     """Run a TimescaleDB-flavored SQL statement. See module docstring."""
     q = query.strip().rstrip(";").strip()
     from . import sqladmin
+
+    ex = re.match(r"(?is)^explain\s+(.*)$", q)
+    if ex:
+        return _run_explain(ts, ex.group(1))
 
     adm = sqladmin.match_admin(q)
     if adm:
