@@ -316,3 +316,46 @@ def test_interpolated_delta_matches_counter_agg_total(spark):
     assert sum(r["delta"] for r in parts) == pytest.approx(
         whole["delta"], rel=1e-9
     )
+
+
+def test_freq_sketch_bounds_under_pressure(spark):
+    """With capacity far below the distinct-key count, every merged
+    count is a valid lower bound within N/capacity of the truth, and
+    the dominant heavy hitter still surfaces at rank 1."""
+    import random
+
+    from timescaledb_spark.functions.stats import freq_sketch_topn
+
+    rnd = random.Random(3)
+    rows = [("hot",)] * 3000 + [("warm",)] * 800 + [
+        (f"cold_{rnd.randrange(5000)}",) for _ in range(6000)
+    ]
+    rnd.shuffle(rows)
+    df = spark.createDataFrame(rows, "v string").repartition(8)
+    got = {
+        r["v"]: r["freq_lb"]
+        for r in freq_sketch_topn(df, "v", n=5, capacity=32).collect()
+    }
+    n_total = len(rows)
+    # 8 partitions x (N_p / 32) total undercount budget = N/32 overall
+    budget = n_total / 32
+    assert "hot" in got and got["hot"] <= 3000 and got["hot"] >= 3000 - budget
+    top = max(got, key=lambda k: got[k])
+    assert top == "hot"
+    truth = {"hot": 3000, "warm": 800}
+    for v, lb in got.items():
+        true = truth.get(v, rows.count((v,)))
+        assert lb <= true <= lb + budget
+
+
+def test_freq_sketch_exact_when_capacity_suffices(spark):
+    """capacity >= distinct keys -> merged lower bounds equal exact
+    counts (the q_freq_sketch gate's contract)."""
+    from timescaledb_spark.functions.stats import freq_sketch_topn, topn
+
+    df = spark.createDataFrame(
+        [(i, f"k{i % 7}") for i in range(10_000)], "id long, v string"
+    ).repartition(16)
+    sk = {r["v"]: r["freq_lb"] for r in freq_sketch_topn(df, "v", n=7, capacity=16).collect()}
+    ex = {r["v"]: r["freq"] for r in topn(df, "v", n=7).collect()}
+    assert sk == ex

@@ -157,3 +157,92 @@ def topn(
         .filter(F.col("rank") <= n)
         .drop("rank")
     )
+
+
+def freq_sketch_topn(
+    df: DataFrame,
+    col: str,
+    n: int = 10,
+    capacity: int = 256,
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Approximate heavy hitters via per-partition Misra–Gries sketches
+    (the toolkit ``freq_agg``/``topn_agg`` SpaceSaving family, and the
+    scale path behind :func:`topn`): each partition keeps at most
+    ``capacity`` counters per group, so the shuffle moves
+    ``partitions × capacity`` rows regardless of key cardinality —
+    :func:`topn`'s exact groupBy moves one row per distinct key, which
+    at billions of URLs/shingles dominates the job. Partial sketches
+    merge by summing lower bounds (the Misra–Gries union: summed counts
+    undercount any value by at most ``N / capacity`` in total, Agarwal
+    et al., "Mergeable Summaries", PODS'12).
+
+    Returns the top ``n`` values per group by merged lower-bound count:
+    ``(by…, col, freq_lb)``. Any value with true frequency >
+    ``N / capacity`` is guaranteed to surface; counts are lower bounds
+    (``freq_lb ≤ true ≤ freq_lb + N/capacity``). Use :func:`topn` when
+    key cardinality is shuffle-friendly — this when it is not.
+
+    Python runs per *distinct value per batch*, not per row: batch
+    counts come from pandas ``value_counts`` (C speed) and only the
+    unique values touch the Misra–Gries dict.
+    """
+    from pyspark.sql import Window
+
+    by = list(by)
+    fields = ", ".join(
+        f"`{c}` {df.schema[c].dataType.simpleString()}" for c in by + [col]
+    )
+    out_schema = f"{fields}, freq_lb long"
+
+    def sketch(batches):
+        import pandas as pd
+
+        state: dict = {}  # group key tuple -> {value: count}
+        for pdf in batches:
+            grouped = (
+                pdf.groupby(by, dropna=False, sort=False)
+                if by
+                else [((), pdf)]
+            )
+            for key, g in grouped:
+                if by and not isinstance(key, tuple):
+                    key = (key,)
+                mg = state.setdefault(key, {})
+                for v, c in g[col].value_counts(dropna=False).items():
+                    c = int(c)
+                    if v in mg:
+                        mg[v] += c
+                    elif len(mg) < capacity:
+                        mg[v] = c
+                    else:
+                        # decrement-all by the smaller of (new count,
+                        # current min) — the batched Misra-Gries step
+                        m = min(mg.values())
+                        d = min(c, m)
+                        c -= d
+                        mg = {
+                            k: nc for k, nc in ((k, x - d) for k, x in mg.items()) if nc > 0
+                        }
+                        if c > 0 and len(mg) < capacity:
+                            mg[v] = c
+                        state[key] = mg
+        rows = []
+        for key, mg in state.items():
+            for v, c in mg.items():
+                rows.append((*key, v, c))
+        yield pd.DataFrame(rows, columns=[*by, col, "freq_lb"])
+
+    partials = df.select(*by, col).mapInPandas(sketch, out_schema)
+    merged = partials.groupBy(*by, col).agg(F.sum("freq_lb").alias("freq_lb"))
+    order = [F.col("freq_lb").desc(), F.col(col).asc()]
+    if not by:
+        # global top-n: TakeOrderedAndProject (per-partition heaps), not
+        # an all-to-one window
+        return merged.orderBy(*order).limit(n)
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(*order)
+    return (
+        merged.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .drop("rank")
+    )

@@ -1440,3 +1440,24 @@ def q_interpolated_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interpolated_delta(
         ev, "1 hour", "ts", "value", by=["event_type"], tiebreak=["event_id"]
     )
+
+
+@query(
+    "q_freq_sketch",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS freq_lb
+    FROM events GROUP BY 1
+    ORDER BY freq_lb DESC, event_type LIMIT 3
+    """,
+)
+def q_freq_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Toolkit freq_agg/topn_agg via per-partition Misra-Gries sketches
+    (the shuffle-capped scale path behind exact topn): with capacity >=
+    the distinct-key count the sketch never decrements, so its merged
+    lower bounds EQUAL the exact counts and the oracle is plain
+    count(*) top-n — the documented exactness condition this gate
+    pins."""
+    from .functions.stats import freq_sketch_topn
+
+    ev = load_table(spark, sf_dir, "events")
+    return freq_sketch_topn(ev, "event_type", n=3, capacity=64)
