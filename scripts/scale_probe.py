@@ -267,6 +267,24 @@ def main() -> None:
     bm25_topk(big_docs, ["data", "model", "training", "quality"], k=25).collect()
     out["bm25_docs_s"] = round(time.perf_counter() - t0, 2)
 
+    # heavy hitters at high cardinality: 10M rows over ~1M distinct keys
+    # with a few planted heavy keys — the Misra-Gries path's shuffle is
+    # partitions x capacity rows; exact topn shuffles every distinct key
+    from timescaledb_spark.functions.stats import freq_sketch_topn, topn
+
+    hh = spark.range(10_000_000).select(
+        F.when(F.col("id") % 10 < 2, F.concat(F.lit("hot_"), ((F.col("id") / 10).cast("long") % 5).cast("string")))
+        .otherwise(F.concat(F.lit("cold_"), (F.col("id") % 1_000_000).cast("string")))
+        .alias("v")
+    )
+    t0 = time.perf_counter()
+    sk = {r["v"] for r in freq_sketch_topn(hh, "v", n=5, capacity=256).collect()}
+    out["freq_sketch_10m_1mkeys_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    ex = {r["v"] for r in topn(hh, "v", n=5).collect()}
+    out["freq_exact_10m_1mkeys_s"] = round(time.perf_counter() - t0, 2)
+    out["freq_sketch_topn_match"] = sk == ex
+
     print(json.dumps(out))
     with open(sys.argv[1] if len(sys.argv) > 1 else "SCALE_PROBE.json", "w") as f:
         json.dump(out, f, indent=1)

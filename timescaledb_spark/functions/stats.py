@@ -149,9 +149,12 @@ def topn(
     from pyspark.sql import Window
 
     counts = df.groupBy(*by, col).agg(F.count(F.lit(1)).alias("freq"))
-    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(
-        F.col("freq").desc(), F.col(col).asc()
-    )
+    order = [F.col("freq").desc(), F.col(col).asc()]
+    if not by:
+        # global top-n is TakeOrderedAndProject (per-partition heaps),
+        # not an all-rows-to-one-partition window
+        return counts.orderBy(*order).limit(n)
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(*order)
     return (
         counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= n)
@@ -210,23 +213,16 @@ def freq_sketch_topn(
                     key = (key,)
                 mg = state.setdefault(key, {})
                 for v, c in g[col].value_counts(dropna=False).items():
-                    c = int(c)
-                    if v in mg:
-                        mg[v] += c
-                    elif len(mg) < capacity:
-                        mg[v] = c
-                    else:
-                        # decrement-all by the smaller of (new count,
-                        # current min) — the batched Misra-Gries step
-                        m = min(mg.values())
-                        d = min(c, m)
-                        c -= d
-                        mg = {
-                            k: nc for k, nc in ((k, x - d) for k, x in mg.items()) if nc > 0
-                        }
-                        if c > 0 and len(mg) < capacity:
-                            mg[v] = c
-                        state[key] = mg
+                    mg[v] = mg.get(v, 0) + int(c)
+                if len(mg) > capacity:
+                    # batched Misra-Gries trim: subtract the
+                    # (capacity+1)-th largest count from everything and
+                    # drop the non-positive remainder — one O(u log u)
+                    # cut per batch instead of a rebuild per new value
+                    cut = sorted(mg.values(), reverse=True)[capacity]
+                    state[key] = {
+                        k: x - cut for k, x in mg.items() if x > cut
+                    }
         rows = []
         for key, mg in state.items():
             for v, c in mg.items():
