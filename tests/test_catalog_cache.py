@@ -46,6 +46,28 @@ def test_cache_sees_external_rewrite(tmp_path):
     assert t.read() == [{"id": 123}]
 
 
+def test_same_tick_same_size_rewrite_not_stale(tmp_path):
+    """Advice fix (r9): Linux mtime has ~ms granularity, so a same-size
+    rewrite within one clock tick leaves the (mtime_ns, size) key
+    unchanged — writes must invalidate the cache explicitly, or read()
+    serves the pre-write snapshot and the next update() resurrects it.
+    os.utime pins the stat key to make the collision deterministic."""
+    t = _mk(tmp_path, n=3)
+    t.read()
+    st = os.stat(t.path)
+    # replacement rows are byte-for-byte the same length as the
+    # originals ({"id": 0, "v": 0} -> {"id": 0, "v": 7}), so pinning
+    # mtime back reproduces the exact (mtime_ns, size) collision
+    t.replace([{"id": 0, "v": 7}, {"id": 1, "v": 8}, {"id": 2, "v": 9}])
+    os.utime(t.path, ns=(st.st_atime_ns, st.st_mtime_ns))
+    assert os.stat(t.path).st_size == st.st_size  # collision is real
+    assert t.read()[0]["v"] == 7
+    t.update({"id": 1}, {"v": -8})
+    os.utime(t.path, ns=(st.st_atime_ns, st.st_mtime_ns))
+    rows = t.read()
+    assert rows[1]["v"] == -8 and rows[0]["v"] == 7
+
+
 def test_cache_handles_file_removal(tmp_path):
     t = _mk(tmp_path)
     assert t.read()

@@ -245,6 +245,20 @@ def test_compaction_policy(ts, spark):
     assert ts.jobs.list() == []
 
 
+def test_compaction_max_chunks_zero_is_unlimited(ts, spark):
+    """Advice fix (r9): max_chunks=0 keeps the reference's 'unlimited'
+    default — a stored 0 config must compact everything, not nothing."""
+    from timescaledb_spark.compression import enable_columnstore
+
+    ht = _seed_events(ts, spark, name="evz", days=5)
+    enable_columnstore(ht, segmentby=["device"], orderby=["ts"])
+    jid = ts.jobs.add_compaction_policy("evz", max_chunks=0)
+    r = ts.jobs.run_job(jid, now=1.0)
+    assert r["success"] and r["result"]["compacted_chunks"] == 5
+    assert all(c["status"] == "columnstore" for c in ht.chunks())
+    ts.jobs.remove_compaction_policy("evz")
+
+
 def test_policies_v2(ts, spark):
     _seed_events(ts, spark, name="evp", days=5)
     ts.create_cagg(

@@ -404,3 +404,36 @@ def test_bm25_topk_plan(tsdata, sf_dir):
     assert cartesian_count(df) == 0
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_shuffle_count_excludes_reused_exchange(spark):
+    """Advice fix (r9): a ReusedExchange line renders as
+    ``ReusedExchange [...], Exchange hashpartitioning(...)`` — the
+    embedded child text must not count as a second shuffle."""
+    from timescaledb_spark.plans.inspect import _plan
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        agg = (
+            spark.range(100)
+            .select((F.col("id") % 7).alias("k"), F.col("id").alias("v"))
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"))
+        )
+        df = agg.alias("a").join(agg.alias("b"), "k")
+        plan = _plan(df)
+        assert "ReusedExchange" in plan  # the join reuses the agg shuffle
+        # one real Exchange feeds both SMJ sides; the reuse is free
+        assert shuffle_count(df) == 1
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)

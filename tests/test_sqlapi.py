@@ -450,6 +450,34 @@ def test_self_join_not_pruned_by_one_alias(ts):
     assert rows == want  # every late row still finds its b-side match
 
 
+def test_comma_self_join_not_pruned(ts):
+    """Advice fix (r9): the comma-list self-join spelling must disable
+    pruning just like the JOIN spelling — the old counter only saw
+    `from|join <name>` and pruned the shared view from a's bound."""
+    rows = ts.sql(
+        "SELECT count(*) AS n FROM events a, events b "
+        "WHERE a.event_id = b.event_id AND a.ts >= TIMESTAMP '2024-01-20'"
+    ).first()["n"]
+    want = ts.sql(
+        "SELECT count(*) AS n FROM events WHERE ts >= TIMESTAMP '2024-01-20'"
+    ).first()["n"]
+    assert rows == want
+
+
+def test_select_list_comma_does_not_disable_pruning(ts):
+    """The comma branch of the self-join counter must not misfire on a
+    qualified column ref after a select-list comma — pruning stays on."""
+    from timescaledb_spark.plans.inspect import scanned_paths
+
+    df = ts.sql(
+        "SELECT max(events.value) AS m, min(events.value), events.user_id "
+        "FROM events WHERE events.ts >= TIMESTAMP '2024-01-25' "
+        "GROUP BY events.user_id"
+    )
+    full = ts.sql("SELECT count(*) FROM events")
+    assert scanned_paths(df) < scanned_paths(full)
+
+
 def test_temp_views_are_dropped(ts):
     before = {v.name for v in ts.spark.catalog.listTables() if v.isTemporary}
     for _ in range(3):

@@ -134,6 +134,12 @@ class JsonlTable:
             with open(self.path, "a") as f:
                 for r in rows:
                     f.write(json.dumps(r, default=str) + "\n")
+            # mtime has ~ms granularity on Linux: a same-size rewrite
+            # within one clock tick would leave the (mtime_ns, size)
+            # cache key unchanged and read() would serve stale rows —
+            # so writes invalidate the cache explicitly, never relying
+            # on the stat key alone.
+            self._cache_key = None
 
     def replace(self, rows: Iterable[dict]) -> None:
         with self._lock:
@@ -143,6 +149,7 @@ class JsonlTable:
                 for r in rows:
                     f.write(json.dumps(r, default=str) + "\n")
             os.replace(tmp, self.path)
+            self._cache_key = None  # see append(): stat key is too coarse
 
     def update(self, match: dict, changes: dict) -> int:
         """Update rows where all ``match`` keys equal; returns count.

@@ -211,9 +211,11 @@ def _proc_compaction(ts, config: dict, now_s: float) -> dict:
         ),
         key=lambda c: c["range_start"],
     )
-    # 0 is a validated bound meaning "nothing this run", not unlimited
+    # max_chunks=0 means "unlimited" (matching the reference's
+    # compaction_api.c default and policies stored before the bound was
+    # enforced — a stored 0 must keep compacting, not silently stop)
     max_chunks = config.get("max_chunks")
-    if max_chunks is not None:
+    if max_chunks is not None and int(max_chunks) > 0:
         cands = cands[: int(max_chunks)]
     # max_batches bounds per-run work like the reference's
     # compaction_api.c: treat it as an additional per-run chunk budget

@@ -101,6 +101,17 @@ def shuffle_count(df: DataFrame) -> int:
     """Exchange nodes in the plan — every one is a full shuffle of its
     input; the number to minimize at scale. Matches every Exchange
     flavor (hashpartitioning, rangepartitioning, SinglePartition,
-    RoundRobinPartitioning) but not ReusedExchange (no extra shuffle)."""
-    plan = _plan(df)
-    return len(re.findall(r"(?<!Reused)Exchange\s+\w*[Pp]artition", plan))
+    RoundRobinPartitioning) but not ReusedExchange (no extra shuffle).
+
+    Matched per line, anchored past the tree-drawing prefix: a
+    ReusedExchange line renders as ``ReusedExchange [...], Exchange
+    hashpartitioning(...)`` — the embedded child text after the comma
+    must not count as a second shuffle."""
+    n = 0
+    for line in _plan(df).splitlines():
+        head = re.match(r"^[^A-Za-z]*(\w+)", line)
+        if head and head.group(1) == "Exchange" and re.search(
+            r"\bExchange\s+\w*[Pp]artition", line
+        ):
+            n += 1
+    return n

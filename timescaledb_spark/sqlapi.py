@@ -803,7 +803,7 @@ def _table_aliases(sql: str, table: str) -> set[str]:
     stripped = _strip_strings(sql)
     out = set()
     for m in re.finditer(
-        rf"\b(?:from|join)\s+{re.escape(table)}\b(?:\s+as)?\s*([A-Za-z_]\w*)?",
+        rf"(?:\b(?:from|join)\s+|,\s*){re.escape(table)}\b(?!\s*\.)(?:\s+as)?\s*([A-Za-z_]\w*)?",
         stripped,
         re.I,
     ):
@@ -874,13 +874,18 @@ def _register_views(ts, sql: str):
             continue
         ht = ts.get_hypertable(name)
         aliases = _table_aliases(sql, name)
-        # a table appearing MORE THAN ONCE in FROM/JOIN (self-join)
-        # shares this single view across all its aliases — a bound
-        # extracted from one alias must not prune what another alias
-        # scans in full
+        # a table appearing MORE THAN ONCE as a relation (self-join,
+        # including the comma-list spelling `FROM t a, t b`) shares this
+        # single view across all its aliases — a bound extracted from
+        # one alias must not prune what another alias scans in full.
+        # The comma branch can also match commas in select lists / IN
+        # lists; overcounting only disables pruning (conservative),
+        # undercounting would silently drop chunks.
         n_refs = len(
             re.findall(
-                rf"\b(?:from|join)\s+{re.escape(name)}\b", stripped_sql, re.I
+                rf"(?:\b(?:from|join)\s+|,\s*){re.escape(name)}\b(?!\s*\.)",
+                stripped_sql,
+                re.I,
             )
         )
         if n_refs > 1:
