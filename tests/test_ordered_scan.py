@@ -1,0 +1,145 @@
+"""Ordered-append analog: time-ordered hypertable reads with no global
+sort (src/planner/expand_hypertable.c:1024, should_chunk_append
+src/planner/planner.c:1018, golden test/sql/plan_ordered_append.sql).
+
+The plan contract: catalog-ordered per-chunk local sorts unioned in time
+order — ZERO Exchange nodes, every Sort node non-global — so "stream me
+the range in order" never pays a range-partition shuffle.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from timescaledb_spark.plans.inspect import _plan, scanned_paths, shuffle_count
+from timescaledb_spark.session import TSSession
+from timescaledb_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def ts(spark, tmp_path_factory, sf_dir):
+    s = TSSession(spark, str(tmp_path_factory.mktemp("ts_ordered")))
+    ht = s.create_hypertable("events", "ts", chunk_interval="3 days")
+    ht.insert(load_table(spark, sf_dir, "events"))
+    return s
+
+
+def _assert_no_global_sort_no_exchange(df):
+    assert shuffle_count(df) == 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # Sort nodes render "Sort [expr ASC ...], <global>, 0" — every one
+    # must be local (global=false)
+    for line in plan.splitlines():
+        if "Sort [" in line:
+            assert "], false," in line, f"global sort leaked: {line}"
+
+
+def test_asc_ordering_full_table(ts):
+    ht = ts.get_hypertable("events")
+    df = ht.read_ordered()
+    _assert_no_global_sort_no_exchange(df)
+    rows = df.collect()
+    assert len(rows) == ht.df().count()
+    tss = [r["ts"] for r in rows]
+    assert all(tss[i] <= tss[i + 1] for i in range(len(tss) - 1))
+
+
+def test_desc_and_bounds(ts):
+    ht = ts.get_hypertable("events")
+    df = ht.read_ordered(start="2024-01-05", end="2024-01-25", desc=True)
+    _assert_no_global_sort_no_exchange(df)
+    # pruning: fewer chunk dirs listed than the full scan
+    assert scanned_paths(df) < scanned_paths(ht.df())
+    rows = df.collect()
+    assert len(rows) == ht.read(start="2024-01-05", end="2024-01-25").count()
+    tss = [r["ts"] for r in rows]
+    assert all(tss[i] >= tss[i + 1] for i in range(len(tss) - 1))
+
+
+def test_plan_cap_batching_keeps_order(ts):
+    ht = ts.get_hypertable("events")
+    df = ht.read_ordered(plan_cap=3)  # forces multi-chunk scan groups
+    _assert_no_global_sort_no_exchange(df)
+    tss = [r["ts"] for r in df.collect()]
+    assert len(tss) == ht.df().count()
+    assert all(tss[i] <= tss[i + 1] for i in range(len(tss) - 1))
+
+
+def test_column_projection_reaches_scan(ts):
+    from timescaledb_spark.plans.inspect import read_schema_columns
+
+    ht = ts.get_hypertable("events")
+    df = ht.read_ordered(columns=["ts", "event_id"])
+    assert df.columns == ["ts", "event_id"]
+    assert set(read_schema_columns(df)) == {"ts", "event_id"}
+
+
+def test_overlapping_chunks_fall_back_to_global_sort(spark, sf_dir, tmp_path):
+    """attach/merge of a foreign-range dir can break disjointness; the
+    ordered read must then fall back to a correct global sort (the
+    reference likewise drops ordered append on overlapping constraints)."""
+    s = TSSession(spark, str(tmp_path / "ts_ov"))
+    ht = s.create_hypertable("events", "ts", chunk_interval="7 days")
+    ht.insert(load_table(spark, sf_dir, "events"))
+    chunks = ht.chunks()
+    assert len(chunks) >= 2
+    # widen the first chunk's recorded range past its neighbor's start —
+    # catalog overlap with unchanged (still-disjoint) data
+    s.catalog.chunk.update(
+        {"id": chunks[0]["id"]},
+        {"range_end": chunks[1]["range_start"] + 1},
+    )
+    df = ht.read_ordered()
+    tss = [r["ts"] for r in df.collect()]
+    assert len(tss) == ht.df().count()
+    assert all(tss[i] <= tss[i + 1] for i in range(len(tss) - 1))
+    assert shuffle_count(df) >= 1  # the defensive global sort path
+
+
+def test_added_column_fill_visible_in_ordered_read(spark, sf_dir, tmp_path):
+    s = TSSession(spark, str(tmp_path / "ts_fill"))
+    ht = s.create_hypertable("events", "ts", chunk_interval="7 days")
+    ht.insert(load_table(spark, sf_dir, "events"))
+    ht.add_column("grade", "string", default="ok")
+    df = ht.read_ordered(plan_cap=2)  # batched groups exercise _apply_fills
+    assert df.filter(F.col("grade") != "ok").count() == 0
+    assert df.count() == ht.df().count()
+
+
+def test_sql_order_by_time_routes_to_ordered_scan(ts):
+    df = ts.sql("SELECT * FROM events ORDER BY ts")
+    _assert_no_global_sort_no_exchange(df)
+    tss = [r["ts"] for r in df.collect()]
+    assert all(tss[i] <= tss[i + 1] for i in range(len(tss) - 1))
+
+
+def test_sql_ordered_scan_reapplies_where_verbatim(ts):
+    df = ts.sql(
+        "SELECT ts, event_id FROM events e "
+        "WHERE e.ts >= TIMESTAMP '2024-01-10' AND e.value > 100 "
+        "ORDER BY e.ts DESC"
+    )
+    _assert_no_global_sort_no_exchange(df)
+    want = ts.sql(
+        "SELECT count(*) AS n FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-10' AND value > 100"
+    ).first()["n"]
+    rows = df.collect()
+    assert len(rows) == want
+    tss = [r["ts"] for r in rows]
+    assert all(tss[i] >= tss[i + 1] for i in range(len(tss) - 1))
+
+
+def test_sql_non_matching_shapes_take_normal_path(ts):
+    # LIMIT plans as TakeOrderedAndProject (already optimal)
+    plan = _plan(ts.sql("SELECT * FROM events ORDER BY ts LIMIT 5"))
+    assert "TakeOrderedAndProject" in plan
+    # ORDER BY a non-time column needs the real global sort
+    df = ts.sql("SELECT * FROM events ORDER BY value")
+    assert shuffle_count(df) >= 1
+    assert df.count() == ts.get_hypertable("events").df().count()
+    # aggregates never match the ordered-scan shape
+    n = ts.sql(
+        "SELECT event_type, count(*) AS n FROM events "
+        "GROUP BY event_type ORDER BY event_type"
+    ).count()
+    assert n > 0

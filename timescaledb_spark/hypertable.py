@@ -2547,6 +2547,117 @@ class Hypertable:
             df = df.drop(CHUNK_COL, SPACE_COL)
         return df
 
+    def read_ordered(
+        self,
+        start: Union[int, str, datetime, None] = None,
+        end: Union[int, str, datetime, None] = None,
+        desc: bool = False,
+        columns: Optional[Sequence[str]] = None,
+        plan_cap: int = 512,
+    ) -> DataFrame:
+        """Time-ordered read with NO global sort — the ordered-append
+        analog (``src/planner/expand_hypertable.c:1024``
+        ``ts_plan_expand_hypertable_chunks`` ordered-append path,
+        ``should_chunk_append`` ``src/planner/planner.c:1018``, golden
+        ``test/sql/plan_ordered_append.sql``): chunks are time-disjoint,
+        so ``ORDER BY time`` needs only (a) chunks visited in catalog
+        time order and (b) each chunk locally sorted. The plan is a
+        union of per-chunk single-partition sorted scans concatenated in
+        catalog order — union partition order IS row order for
+        ``collect()`` / ``toLocalIterator()`` / ordered file writes, and
+        there is **zero Exchange**: no range-partition shuffle, no
+        driver-side merge. A 100 TB "stream me the range in order" read
+        costs per-chunk local sorts (each bounded by chunk_interval,
+        which sizing guidance already keeps memory-fit) instead of
+        sampling + range-shuffling the whole table.
+
+        Within-chunk sort is one task per scan group — the price of
+        cross-partition order without an exchange; parallelism comes
+        from the number of groups (the reference streams chunks
+        strictly sequentially, so this is already a superset of its
+        parallelism).
+
+        ``plan_cap`` bounds the union width: beyond it, consecutive
+        chunks are batched into one multi-dir scan per group (still
+        sorted as a unit), keeping the driver-side plan O(plan_cap)
+        regardless of chunk count.
+
+        Falls back to a global sort iff chunk ranges overlap — possible
+        only through ``attach_chunk`` of a foreign-range directory
+        (split/merge preserve disjointness), mirroring the reference
+        dropping ordered append when chunk constraints overlap.
+
+        ``columns`` optionally projects early so column pruning reaches
+        every per-chunk scan.
+        """
+        spark = self.ts.spark
+        lo, hi = _to_internal(start), _to_internal(end)
+        chunks = [
+            c
+            for c in self.chunks()
+            if (hi is None or c["range_start"] < hi)
+            and (lo is None or c["range_end"] > lo)
+        ]
+        tcol = self.time_column
+        order_col = F.col(tcol).desc() if desc else F.col(tcol).asc()
+        if not chunks:
+            df = spark.createDataFrame([], self._schema_or_empty())
+            return df.select(*columns) if columns else df
+        overlapping = any(
+            chunks[i]["range_end"] > chunks[i + 1]["range_start"]
+            for i in range(len(chunks) - 1)
+        )
+        if overlapping:
+            df = self.read(start=start, end=end)
+            if columns:
+                df = df.select(*columns)
+            return df.orderBy(order_col)
+        # batch consecutive chunks so the union stays O(plan_cap) wide;
+        # a group spans a contiguous time range, so sorting the group as
+        # one partition preserves global order across group boundaries
+        per = max(1, -(-len(chunks) // plan_cap))
+        groups = [chunks[i : i + per] for i in range(0, len(chunks), per)]
+        if desc:
+            groups = groups[::-1]
+        reader = self._chunk_reader()
+        ts_typed = self._time_is_timestamp()
+        parts: list[DataFrame] = []
+        for g in groups:
+            # basePath read so _chunk is available: _apply_fills needs it
+            # to default only rows of chunks predating an ADD COLUMN
+            # (a multi-chunk group mixes fill-pending and fill-done rows)
+            cdf = reader.option("basePath", self.data_dir).parquet(
+                *[self._chunk_glob(c) for c in g]
+            )
+            cdf = self._apply_fills(cdf, g).drop(CHUNK_COL, SPACE_COL)
+            # boundary groups straddling [lo, hi) get the row filter
+            # (pushed to the scan); interior groups scan filter-free —
+            # the ConstraintAwareAppend shape
+            if lo is not None and g[0]["range_start"] < lo:
+                cdf = cdf.filter(
+                    F.col(tcol) >= F.timestamp_micros(F.lit(lo))
+                    if ts_typed
+                    else self._internal_expr_on(cdf) >= F.lit(lo)
+                )
+            if hi is not None and g[-1]["range_end"] > hi:
+                cdf = cdf.filter(
+                    F.col(tcol) < F.timestamp_micros(F.lit(hi))
+                    if ts_typed
+                    else self._internal_expr_on(cdf) < F.lit(hi)
+                )
+            if columns:
+                cdf = cdf.select(*columns)
+            parts.append(cdf.coalesce(1).sortWithinPartitions(order_col))
+        # balanced union tree: a 512-deep linear union strains the
+        # analyzer's recursion; a tree is O(log n) deep. Union preserves
+        # child partition order, so concatenation order = time order.
+        while len(parts) > 1:
+            parts = [
+                parts[i].union(parts[i + 1]) if i + 1 < len(parts) else parts[i]
+                for i in range(0, len(parts), 2)
+            ]
+        return parts[0]
+
     def last_point(
         self,
         by: Union[str, Sequence[str]],

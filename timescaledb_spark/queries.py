@@ -818,6 +818,53 @@ def q_last_point(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_ordered_scan",
+    """
+    SELECT 'head' AS part, ts, event_id, value FROM (
+      SELECT ts, event_id, value FROM events
+      WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-25'
+      ORDER BY ts LIMIT 100)
+    UNION ALL
+    SELECT 'tail' AS part, ts, event_id, value FROM (
+      SELECT ts, event_id, value FROM events
+      WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-25'
+      ORDER BY ts DESC LIMIT 100)
+    """,
+)
+def q_ordered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-append analog (src/planner/expand_hypertable.c:1024,
+    should_chunk_append planner.c:1018, golden
+    test/sql/plan_ordered_append.sql): time-ordered hypertable read with
+    NO global sort — catalog-ordered per-chunk local sorts unioned in
+    time order, zero Exchange. The gate takes the first 100 rows off the
+    ascending stream and the first 100 off the descending stream
+    (collect order = union partition order), so a broken ordering
+    changes the row SET and fails the order-insensitive hash compare."""
+    import tempfile
+
+    from .session import TSSession
+
+    root = tempfile.mkdtemp(prefix="ts_ordered_")
+    ts = TSSession(spark, root)
+    ht = ts.create_hypertable("events", "ts", chunk_interval="3 days")
+    ht.insert(load_table(spark, sf_dir, "events"))
+    cols = ["ts", "event_id", "value"]
+    head = (
+        ht.read_ordered(start="2024-01-05", end="2024-01-25", columns=cols)
+        .limit(100)
+        .select(F.lit("head").alias("part"), *cols)
+    )
+    tail = (
+        ht.read_ordered(
+            start="2024-01-05", end="2024-01-25", desc=True, columns=cols
+        )
+        .limit(100)
+        .select(F.lit("tail").alias("part"), *cols)
+    )
+    return head.unionByName(tail)
+
+
+@query(
     "q_bucket_date",
     """
     SELECT DATE '1970-01-01'

@@ -1043,6 +1043,70 @@ def _run_explain(ts, inner: str) -> DataFrame:
     lines = header + plan.rstrip("\n").split("\n")
     return ts.spark.createDataFrame([(l,) for l in lines], "plan_line string")
 
+_ORDERED_SCAN_RE = re.compile(
+    r"(?is)^select\s+"
+    r"(?P<cols>\*|[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s+"
+    r"from\s+(?P<tbl>[A-Za-z_]\w*)"
+    r"(?:\s+(?:as\s+)?(?!where\b|order\b)(?P<alias>[A-Za-z_]\w*))?"
+    r"(?:\s+where\s+(?P<where>.*?))?"
+    r"\s+order\s+by\s+(?P<ocol>[A-Za-z_]\w*(?:\s*\.\s*[A-Za-z_]\w*)?)"
+    r"(?:\s+(?P<dir>asc|desc))?\s*$"
+)
+
+
+def _try_ordered_scan(ts, q: str):
+    """Ordered-append detection for SQL (`should_chunk_append`,
+    src/planner/planner.c:1018; golden test/sql/plan_ordered_append.sql):
+    an unbounded ``SELECT cols FROM <hypertable> [WHERE ...] ORDER BY
+    <time> [ASC|DESC]`` routes to :meth:`Hypertable.read_ordered` —
+    catalog-ordered per-chunk sorted scans, zero Exchange — instead of
+    Catalyst's sample + range-partition global sort. The shape is
+    deliberately narrow (single table, simple select list, no LIMIT —
+    LIMIT already plans as TakeOrderedAndProject); anything else, or any
+    analysis failure of the re-applied WHERE, returns None and takes the
+    normal path. The WHERE is re-applied verbatim as a filter (pushed
+    through the local sorts by Catalyst), so the extracted time bounds
+    only need to be a pruning superset, never exact."""
+    m = _ORDERED_SCAN_RE.match(q)
+    if m is None:
+        return None
+    name = m.group("tbl")
+    if not ts.catalog.hypertable.find_one(name=name):
+        return None
+    ht = ts.get_hypertable(name)
+    alias = m.group("alias")
+    ocol = re.sub(r"\s", "", m.group("ocol"))
+    if "." in ocol:
+        qual, ocol = ocol.split(".", 1)
+        if qual.lower() not in {name.lower(), (alias or "").lower()}:
+            return None
+    if ocol.lower() != ht.time_column.lower():
+        return None
+    desc = (m.group("dir") or "asc").lower() == "desc"
+    where = m.group("where")
+    lo = hi = None
+    wtext = None
+    if where is not None:
+        aliases = _table_aliases(q, name) | ({alias} if alias else set())
+        lo, hi = extract_time_bounds(q, name, ht.time_column, aliases)
+        wtext = where
+        for qn in {alias, name} - {None}:
+            wtext = re.sub(
+                rf"\b{re.escape(qn)}\s*\.\s*", "", wtext, flags=re.I
+            )
+    df = ht.read_ordered(start=lo, end=hi, desc=desc)
+    try:
+        if wtext is not None:
+            df = df.filter(F.expr(wtext))
+        cols = m.group("cols").strip()
+        if cols != "*":
+            df = df.select(*[c.strip() for c in cols.split(",")])
+        df.schema  # force analysis; unsupported expressions fall back
+    except Exception:
+        return None
+    return df
+
+
 def ts_sql(ts, query: str) -> DataFrame:
     """Run a TimescaleDB-flavored SQL statement. See module docstring."""
     q = query.strip().rstrip(";").strip()
@@ -1170,6 +1234,9 @@ def ts_sql(ts, query: str) -> DataFrame:
         return ts.spark.createDataFrame(
             [(int(stats["rows"]),)], "rows_inserted bigint"
         )
+    ordered = _try_ordered_scan(ts, q)
+    if ordered is not None:
+        return ordered
     q, views = _register_views(ts, q)
     try:
         if re.search(r"\btime_bucket_gapfill\b", _strip_strings(q), re.I):
