@@ -526,3 +526,39 @@ def test_explain_unfiltered_scans_everything(ts):
 def test_explain_refuses_dml(ts):
     with pytest.raises(ValueError, match="SELECT/WITH"):
         ts.sql("EXPLAIN DELETE FROM events WHERE ts < '2024-01-02'")
+
+
+def test_explain_realtime_cagg_header(spark, sf_dir, tmp_path):
+    """r9 (VERDICT #4): EXPLAIN over a realtime cagg annotates the
+    mat/raw union split with the baked watermark literal and reports
+    chunk exclusion on BOTH sides (parity with the reference's cagg
+    EXPLAIN goldens, tsl/test/sql/cagg_union_view.sql)."""
+    from timescaledb_spark.session import TSSession
+    from timescaledb_spark.sources import load_table
+
+    s = TSSession(spark, str(tmp_path / "ts_cagg_explain"))
+    ht = s.create_hypertable("events", "ts", chunk_interval="7 days")
+    ht.insert(load_table(spark, sf_dir, "events"))
+    s.create_cagg(
+        "ev_daily", "events", bucket_width="1 day", aggs={"n": "count(1)"}
+    )
+    s.get_cagg("ev_daily").refresh()
+    lines = [
+        r["plan_line"]
+        for r in s.sql("EXPLAIN SELECT * FROM ev_daily").collect()
+    ]
+    hdr = [l for l in lines if l.startswith("Cagg ev_daily")]
+    assert len(hdr) == 1
+    assert "realtime union" in hdr[0]
+    assert re.search(r"watermark \d{4}-\d{2}-\d{2} ", hdr[0])
+    assert "bucket < watermark" in hdr[0] and ">= watermark" in hdr[0]
+    # both sides carry a chunk-exclusion triple
+    assert len(re.findall(r"total=\d+ scanned=\d+ excluded=\d+", hdr[0])) == 2
+    # materialized-only mode is annotated distinctly
+    s.get_cagg("ev_daily").set_materialized_only(True)
+    hdr2 = [
+        r["plan_line"]
+        for r in s.sql("EXPLAIN SELECT * FROM ev_daily").collect()
+        if r["plan_line"].startswith("Cagg ev_daily")
+    ]
+    assert len(hdr2) == 1 and "materialized-only" in hdr2[0]

@@ -618,7 +618,11 @@ class ContinuousAggregate:
             wm_lit = F.timestamp_micros(F.lit(wm_i))
         else:
             wm_lit = F.lit(wm_i)
-        mat_side = mat_df.filter(F.col(bucket) < wm_lit)
+        # chunk-prune the mat side by the watermark too (normally a
+        # no-op — materialization stops at the watermark — but after a
+        # watermark rollback or retention on the raw table it excludes
+        # whole mat chunks); the row filter stays for the boundary chunk
+        mat_side = mat.read(end=wm_i).filter(F.col(bucket) < wm_lit)
         raw_side = raw_agg.filter(F.col(bucket) >= wm_lit)
         return mat_side.unionByName(raw_side)
 

@@ -168,6 +168,7 @@ def freq_sketch_topn(
     n: int = 10,
     capacity: int = 256,
     by: Sequence[str] = (),
+    repartition_groups: bool = False,
 ) -> DataFrame:
     """Approximate heavy hitters via per-partition Misra–Gries sketches
     (the toolkit ``freq_agg``/``topn_agg`` SpaceSaving family, and the
@@ -189,10 +190,26 @@ def freq_sketch_topn(
     Python runs per *distinct value per batch*, not per row: batch
     counts come from pandas ``value_counts`` (C speed) and only the
     unique values touch the Misra–Gries dict.
+
+    **Per-task memory bound**: the sketch state is one dict per group
+    seen in the task's partition, so a task holds up to
+    ``groups_in_partition × capacity`` counters. With the default
+    random input partitioning, EVERY group can appear in EVERY
+    partition — a high-cardinality ``by`` (say millions of users) makes
+    each task's state ``|groups| × capacity``, which is unbounded in
+    the input. Pass ``repartition_groups=True`` to hash-partition on
+    ``by`` first: each group then lands in exactly one task and the
+    state is ``|groups| / shuffle_partitions × capacity`` counters per
+    task — the extra exchange is the price of the bound. (The ungrouped
+    path needs neither: its state is a single ``capacity``-dict.) For
+    high-cardinality ``by`` with shuffle-friendly VALUE cardinality,
+    exact :func:`topn` is usually the better tool anyway.
     """
     from pyspark.sql import Window
 
     by = list(by)
+    if repartition_groups and by:
+        df = df.repartition(*[F.col(c) for c in by])
     fields = ", ".join(
         f"`{c}` {df.schema[c].dataType.simpleString()}" for c in by + [col]
     )

@@ -1020,8 +1020,8 @@ def _run_explain(ts, inner: str) -> DataFrame:
         scanned = set(
             re.findall(r"(?:file:)?(/[^,\]\s]*?/_chunk=[^/,\]\s]+)", plan)
         )
+    by_root: dict[str, int] = {}
     if scanned:
-        by_root: dict[str, int] = {}
         for p in scanned:
             by_root[p.split("/_chunk=")[0]] = by_root.get(
                 p.split("/_chunk=")[0], 0
@@ -1040,6 +1040,47 @@ def _run_explain(ts, inner: str) -> DataFrame:
                     f"Hypertable {name}: chunks total={total} "
                     f"scanned={n_scanned} excluded={total - n_scanned}"
                 )
+    # realtime-cagg transparency (parity with the reference's cagg
+    # EXPLAIN goldens, tsl/test/sql/cagg_union_view.sql): annotate the
+    # mat/raw union split and the baked watermark literal, with chunk
+    # exclusion reported on BOTH sides
+    for row in ts.catalog.continuous_agg.read():
+        name = row.get("name")
+        if not _referenced(inner, name):
+            continue
+        try:
+            cg = ts.get_cagg(name)
+        except Exception:
+            continue
+        if cg.row.get("materialized_only", False):
+            header.append(
+                f"Cagg {name}: materialized-only "
+                f"(mat hypertable {row['mat_table']})"
+            )
+            continue
+        wm = cg.watermark()
+        if wm is None:
+            wm_txt = "-infinity (never refreshed)"
+        elif cg.row.get("time_is_timestamp"):
+            from datetime import timezone as _tz
+
+            wm_txt = datetime.fromtimestamp(
+                wm / 1_000_000, tz=_tz.utc
+            ).strftime("%Y-%m-%d %H:%M:%S+00")
+        else:
+            wm_txt = str(wm)
+
+        def _side(ht) -> str:
+            total = len(ht.chunks())
+            n = by_root.get(ht.data_dir.rstrip("/"), 0)
+            return f"chunks total={total} scanned={n} excluded={total - n}"
+
+        header.append(
+            f"Cagg {name} (realtime union, watermark {wm_txt}): "
+            f"mat[{row['mat_table']}] bucket < watermark — "
+            f"{_side(cg._mat())}; raw[{cg._source().name}] time >= "
+            f"watermark — {_side(cg._source())}"
+        )
     lines = header + plan.rstrip("\n").split("\n")
     return ts.spark.createDataFrame([(l,) for l in lines], "plan_line string")
 
