@@ -992,6 +992,11 @@ class Hypertable:
         """insert() after BEFORE triggers — callers that already fired
         them (merge_into's pure-insert path) enter here."""
         self._ensure_typed(df)
+        # columns the CALLER provided (vs. conform-added literal
+        # defaults) — only these can carry NULLs into an added column,
+        # which is what decides whether fill-pending chunks must be
+        # materialized before the append (see _insert_pinned)
+        user_cols = set(df.columns)
         df = self._conform_input(df)
         want = {f.name for f in self._schema().fields}
         have = set(df.columns)
@@ -1009,21 +1014,33 @@ class Hypertable:
         if pinned:
             df = df.persist()
         try:
-            return self._insert_pinned(df, cluster)
+            return self._insert_pinned(df, cluster, user_cols)
         finally:
             if pinned:
                 df.unpersist()
 
-    def _insert_pinned(self, df: DataFrame, cluster: bool) -> dict:
+    def _insert_pinned(
+        self, df: DataFrame, cluster: bool, user_cols: Optional[set] = None
+    ) -> dict:
         internal = self._internal_time_expr(df)
         frozen = [c for c in self.chunks() if c.get("frozen")]
         fill_defaults = [
             ac for ac in self.added_columns() if ac["default"] is not None
         ]
+        # materialization is only needed when the BATCH can carry a NULL
+        # in a fill-pending added column (the read-time fill would wrongly
+        # default it). Conform-added columns are non-null literals, so
+        # only user-provided added columns qualify — and for those the
+        # pre-scan below checks whether any NULL actually occurs.
+        nullable_acs = [
+            ac
+            for ac in fill_defaults
+            if user_cols is None or ac["name"] in user_cols
+        ]
         prefill = [
             c
             for c in self.chunks()
-            if any(self._chunk_needs_fill(c, ac) for ac in fill_defaults)
+            if any(self._chunk_needs_fill(c, ac) for ac in nullable_acs)
         ]
         if frozen or prefill:
             # frozen chunks must be able to REJECT the write, so stats are
@@ -1035,12 +1052,21 @@ class Hypertable:
             # NULLs to the default (PG fast-default semantics: only rows
             # predating the ADD read the default).
             stats = (
-                df.select(internal.alias("_t"))
+                df.select(
+                    internal.alias("_t"),
+                    *[F.col(ac["name"]) for ac in nullable_acs],
+                )
                 .agg(
                     F.min("_t").alias("tmin"),
                     F.max("_t").alias("tmax"),
                     F.count(F.lit(1)).alias("n"),
                     F.count_if(F.col("_t").isNull()).alias("nulls"),
+                    *[
+                        F.count_if(F.col(ac["name"]).isNull()).alias(
+                            f"_acn_{i}"
+                        )
+                        for i, ac in enumerate(nullable_acs)
+                    ],
                 )
                 .collect()[0]
             )
@@ -1050,11 +1076,26 @@ class Hypertable:
                 return {"rows": 0, "chunks": []}
             self._check_frozen(stats["tmin"], stats["tmax"])
             tmin, tmax, n = stats["tmin"], stats["tmax"], stats["n"]
+            # keep only the fill columns that DO carry NULLs in this
+            # batch; if none do, the chunk files can stay unrewritten —
+            # read-time fill remains correct (new rows are non-null, old
+            # rows still coalesce to the default)
+            null_acs = {
+                nullable_acs[i]["name"]
+                for i in range(len(nullable_acs))
+                if int(stats[f"_acn_{i}"] or 0) > 0
+            }
             self._materialize_fills(
                 [
                     c
                     for c in prefill
-                    if c["range_start"] <= tmax and c["range_end"] > tmin
+                    if c["range_start"] <= tmax
+                    and c["range_end"] > tmin
+                    and any(
+                        self._chunk_needs_fill(c, ac)
+                        for ac in nullable_acs
+                        if ac["name"] in null_acs
+                    )
                 ]
             )
             obs = None
@@ -2619,7 +2660,25 @@ class Hypertable:
         groups = [chunks[i : i + per] for i in range(0, len(chunks), per)]
         if desc:
             groups = groups[::-1]
-        reader = self._chunk_reader()
+        # resolve the file schema ONCE: per-group schema inference reads
+        # parquet footers per scan — at a 12k-chunk catalog that is
+        # thousands of sequential driver-side footer reads before the
+        # first row moves (measured 5x the whole plan-build cost)
+        if self.row.get("schema_ddl"):
+            file_schema = self._schema()
+        else:
+            file_schema = spark.read.parquet(
+                self._chunk_glob(chunks[0])
+            ).schema
+        reader = spark.read.schema(
+            T.StructType(
+                [
+                    f
+                    for f in file_schema.fields
+                    if f.name not in (CHUNK_COL, SPACE_COL)
+                ]
+            )
+        )
         ts_typed = self._time_is_timestamp()
         parts: list[DataFrame] = []
         for g in groups:

@@ -34,6 +34,16 @@ def stream_dedup(
     the caller if survivor-row identity must stay deterministic across
     replays: *which* duplicate arrives first depends on micro-batch
     order, the key set does not.
+
+    **State size = distinct keys arriving within one ``delay`` horizon**
+    (one state-store row per key, expired when the event-time watermark
+    passes the key's first arrival + ``delay``). The default 90 days is
+    the conservative training-corpus setting — size it consciously:
+    at K new distinct keys/day the store holds ~K × delay_days rows
+    (e.g. 10M keys/day × 90 days = 900M rows spread over the shuffle
+    partitions). Shorter ``delay`` = less state, but duplicates farther
+    apart than ``delay`` re-emit. Probed in SCALE_PROBE_r9:
+    10M-key state builds and is evicted on watermark advance.
     """
     return sdf.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
         list(keys)
