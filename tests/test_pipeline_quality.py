@@ -268,3 +268,72 @@ def test_bm25_term_normalization(spark):
     assert bm25_topk(df, ["the model"], k=1).collect()[0]["doc_id"] == 1
     with pytest.raises(ValueError):
         bm25_topk(df, ["!!!"], k=1)
+
+
+def test_chargram_lm_ranks_indomain_above_gibberish(spark):
+    """CCNet contract: documents resembling the training corpus score a
+    higher avg log-prob than character gibberish."""
+    from timescaledb_spark.pipeline.quality_lm import (
+        chargram_logprob,
+        train_chargram_lm,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog again and again")
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    model = train_chargram_lm(corpus)
+    probe = spark.createDataFrame(
+        [(100, "the quick brown fox jumps"),
+         (101, "zq xv jk qz wx kj zzqqxx vkwjz")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["avg_logp"] for r in
+           chargram_logprob(probe, model).collect()}
+    assert got[100] > got[101]
+
+
+def test_chargram_lm_short_docs_excluded_and_backoff(spark):
+    """Docs shorter than the order after normalization are excluded;
+    grams unseen at training back off to ln(1/ALPHABET), never NULL."""
+    import math
+
+    from timescaledb_spark.pipeline.quality_lm import (
+        ALPHABET,
+        chargram_logprob,
+        train_chargram_lm,
+    )
+
+    model = train_chargram_lm(
+        spark.createDataFrame([(1, "aaaa bbbb")], "doc_id long, text string")
+    )
+    probe = spark.createDataFrame(
+        [(1, "zz"), (2, "zzzz")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in chargram_logprob(probe, model).collect()}
+    assert set(rows) == {2}  # "zz" has no trigram
+    assert rows[2]["avg_logp"] == pytest.approx(
+        round(math.log(1.0 / ALPHABET), 6)
+    )
+
+
+def test_chargram_lm_plan_shape(spark, sf_dir):
+    """Scoring joins the model by BROADCAST (the ≤50k-row model never
+    shuffles the corpus) and contains no cartesian product; the per-doc
+    aggregation map-combines (exploded grams collapse before the
+    exchange)."""
+    from timescaledb_spark.pipeline.quality_lm import (
+        chargram_logprob,
+        train_chargram_lm,
+    )
+    from timescaledb_spark.plans.inspect import (
+        broadcast_join_count,
+        cartesian_count,
+    )
+    from timescaledb_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = chargram_logprob(docs, train_chargram_lm(docs))
+    assert broadcast_join_count(out) >= 1
+    assert cartesian_count(out) == 0

@@ -1,0 +1,170 @@
+"""Character-ngram language-model perplexity scoring — the CCNet-style
+quality filter (Wenzek et al., "CCNet: Extracting High Quality
+Monolingual Datasets from Web Crawl Data", LREC 2020: documents are
+ranked by LM perplexity and the tail is dropped; Gopher/The Pile use the
+same shape with KenLM). No external LM library exists in this
+environment, so the model is a self-contained add-one-smoothed char
+n-gram LM over the shared pipeline tokenizer alphabet — the plumbing
+(train pass → broadcastable model → scoring pass) is exactly the
+production shape; swap the probability table for a KenLM export when one
+is available.
+
+Scale design:
+- **Training** is one explode + map-combined groupBy. The model space is
+  bounded by the alphabet (``[a-z0-9 ]`` → ≤ 37^order grams, ~50k for
+  trigrams), so partial aggregation collapses per-partition and the
+  shuffle moves ``partitions × |grams|`` rows no matter the corpus size.
+  Context counts DERIVE from the gram counts (group by prefix) — the
+  corpus is scanned once.
+- **Scoring** is one explode + a broadcast join against the ≤50k-row
+  model + a map-combined per-doc aggregation: a doc's exploded grams
+  stay in its input partition, so the partial agg collapses them to one
+  row per doc before the exchange — shuffle is O(docs), never O(chars).
+- Everything is JVM-side Column expressions (no Python in the hot path);
+  counts are exact integers in both engines, so ``ln()`` sees identical
+  rational inputs and 6-decimal rounding makes scores hash-comparable
+  (the same cross-engine float fold BM25 uses).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .core import spread, tokens, tokens_sql
+
+#: ``[a-z0-9 ]`` — 26 letters + 10 digits + space, the add-one
+#: smoothing denominator ``V`` (alphabet of the normalized text)
+ALPHABET = 37
+
+
+def _norm(col) -> Column:
+    """Normalized text: pipeline tokens joined by single spaces — reuses
+    the proven cross-engine tokenizer, so unicode case folding and
+    whitespace classes can never diverge between engines."""
+    return F.array_join(tokens(col), " ")
+
+
+def _norm_sql(expr: str) -> str:
+    return f"array_to_string({tokens_sql(expr)}, ' ')"
+
+
+def char_ngrams(col, n: int = 3) -> Column:
+    """All character n-grams of the normalized text (empty array when
+    shorter than ``n``). The normalized string is BOUND as a lambda
+    variable before the per-index lambda slices it — referencing the
+    normalization directly inside the lambda would re-evaluate it per
+    gram (no CSE across lambda scopes; same trick as word_shingles)."""
+
+    def _grams(t: Column) -> Column:
+        ln = F.length(t)
+        g = F.transform(
+            F.sequence(F.lit(1), ln - (n - 1)),
+            lambda i: t.substr(i, F.lit(n)),
+        )
+        return F.when(ln >= n, g).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(_norm(col)), _grams), 1)
+
+
+def _char_ngrams_sql(expr: str, n: int = 3) -> str:
+    t = _norm_sql(expr)
+    return (
+        f"CASE WHEN length({t}) >= {n} THEN "
+        f"[substr({t}, i, {n}) FOR i IN range(1, length({t}) - {n} + 2)] "
+        f"ELSE [] END"
+    )
+
+
+def train_chargram_lm(
+    df: DataFrame, text_col: str = "text", order: int = 3
+) -> DataFrame:
+    """Train the add-one-smoothed char n-gram LM: returns the model as a
+    small DataFrame ``(g, logp)`` with
+    ``logp = ln((count(g) + 1) / (count(prefix(g)) + ALPHABET))``.
+
+    ≤ ``ALPHABET^order`` rows (~50k for trigrams) — persist or save it;
+    scoring broadcasts it. One corpus scan.
+    """
+    grams = spread(df.select(text_col)).select(
+        F.explode(char_ngrams(text_col, order)).alias("g")
+    )
+    c_gram = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c_g"))
+    c_ctx = c_gram.groupBy(
+        F.substring("g", 1, order - 1).alias("ctx")
+    ).agg(F.sum("c_g").alias("c_ctx"))
+    return c_gram.join(
+        c_ctx, F.substring(c_gram["g"], 1, order - 1) == c_ctx["ctx"]
+    ).select(
+        "g",
+        F.log(
+            (F.col("c_g").cast("double") + F.lit(1.0))
+            / (F.col("c_ctx").cast("double") + F.lit(float(ALPHABET)))
+        ).alias("logp"),
+    )
+
+
+def chargram_logprob(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    order: int = 3,
+) -> DataFrame:
+    """Score documents against a trained model: returns
+    ``(id, n_grams, avg_logp)`` where ``avg_logp`` is the mean ln-prob
+    of the doc's char n-grams (higher = more in-domain; CCNet keeps the
+    head of this ranking). Docs with no grams (shorter than ``order``
+    after normalization) are excluded, like CCNet's length floor.
+
+    Grams unseen at training time back off to ``ln(1/ALPHABET)`` — the
+    add-one floor for an unseen context.
+    """
+    grams = spread(df.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(char_ngrams(text_col, order)).alias("g")
+    )
+    floor = F.lit(math.log(1.0 / ALPHABET))
+    return (
+        grams.join(F.broadcast(model), "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(
+                F.sum(F.coalesce(F.col("logp"), floor))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_logp"),
+        )
+    )
+
+
+def chargram_logprob_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    order: int = 3,
+) -> str:
+    """DuckDB oracle replaying train-on-corpus + score-corpus
+    literal-for-literal: identical tokenizer normalization, identical
+    integer counts feeding ``ln()``, identical 6-decimal round."""
+    grams = _char_ngrams_sql(text_col, order)
+    return f"""
+    WITH g AS (
+      SELECT {id_col}, unnest({grams}) AS g FROM {table}
+    ), c_gram AS (
+      SELECT g, count(*) AS c_g FROM g GROUP BY g
+    ), c_ctx AS (
+      SELECT substr(g, 1, {order - 1}) AS ctx, sum(c_g) AS c_ctx
+      FROM c_gram GROUP BY 1
+    ), model AS (
+      SELECT g, ln((c_g + 1.0) / (c_ctx + {ALPHABET}.0)) AS logp
+      FROM c_gram JOIN c_ctx ON substr(c_gram.g, 1, {order - 1}) = c_ctx.ctx
+    )
+    SELECT {id_col},
+           CAST(count(*) AS BIGINT) AS n_grams,
+           round(sum(coalesce(m.logp, ln(1.0 / {ALPHABET}))) / count(*), 6)
+             AS avg_logp
+    FROM g LEFT JOIN model m USING (g)
+    GROUP BY {id_col}
+    """

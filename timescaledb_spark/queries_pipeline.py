@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .pipeline import dedup, multimodal, search, similarity, textproc
+from .pipeline import dedup, multimodal, quality_lm, search, similarity, textproc
 from .queries import query
 from .sources import load_table
 
@@ -589,3 +589,17 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bm25_topk(docs, _BM25_TERMS, k=25)
+
+
+@query("q_text_perplexity", quality_lm.chargram_logprob_sql())
+def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram LM perplexity scoring (round 9; CCNet, Wenzek 2020:
+    rank documents by LM log-prob and cut the tail). Self-train on the
+    corpus (one scan: model space bounded by the 37-char alphabet so the
+    count shuffle is partitions x |grams|), broadcast the <=50k-row
+    model, score per doc with a map-combined O(docs) aggregation."""
+    from .pipeline.quality_lm import chargram_logprob, train_chargram_lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = train_chargram_lm(docs)
+    return chargram_logprob(docs, model)
