@@ -60,3 +60,53 @@ def test_split_assign_disjoint_exhaustive(docs):
     # stability: same assignment on rerun
     again = split_assign(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
     assert out.exceptAll(again).count() == 0
+
+
+def test_source_mix_epochs_and_fractions(spark):
+    """rate r emits floor(r) full copies + a ~frac hash-sample; rate 0
+    and unlisted sources drop; decisions are deterministic."""
+    from timescaledb_spark.pipeline.sampling import source_mix
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 3 == 0 else ("b" if i % 3 == 1 else "c"))
+         for i in range(3000)],
+        "doc_id long, src string",
+    )
+    out = source_mix(df, "src", {"a": 2.0, "b": 0.5, "c": 0.0})
+    rows = out.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["src"], []).append(r)
+    assert set(by_src) == {"a", "b"}
+    # a: exactly 2 full copies of all 1000 rows (epochs 0 and 1)
+    assert len(by_src["a"]) == 2000
+    assert {r["epoch"] for r in by_src["a"]} == {0, 1}
+    # b: ~50% of 1000, all epoch 0
+    assert 400 <= len(by_src["b"]) <= 600
+    assert {r["epoch"] for r in by_src["b"]} == {0}
+    # deterministic across invocations
+    again = sorted((r["doc_id"], r["epoch"]) for r in
+                   source_mix(df, "src", {"a": 2.0, "b": 0.5, "c": 0.0})
+                   .collect())
+    assert again == sorted((r["doc_id"], r["epoch"]) for r in rows)
+
+
+def test_source_mix_fractional_epochs_decorrelated(spark):
+    """The fractional copy of epoch k samples a different id subset than
+    epoch k-1 (per-epoch salt), so 1.5 epochs is not 'full + same half
+    again'."""
+    from timescaledb_spark.pipeline.sampling import source_mix
+
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(2000)], "doc_id long, src string"
+    )
+    out = source_mix(df, "src", {"a": 1.5}).collect()
+    e0 = {r["doc_id"] for r in out if r["epoch"] == 0}
+    e1 = {r["doc_id"] for r in out if r["epoch"] == 1}
+    assert len(e0) == 2000  # full epoch
+    assert 800 <= len(e1) <= 1200  # ~half
+    # rates must be validated
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        source_mix(df, "src", {"a": -1.0})

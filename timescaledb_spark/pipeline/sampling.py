@@ -139,6 +139,127 @@ def split_assign(
     return df.withColumn(out_col, out)
 
 
+def source_mix(
+    df: DataFrame,
+    source_col: str,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Epoch-weighted source mixing — the training-recipe operator
+    (GPT-3 / Llama style: each source is seen ``rate`` epochs per pass,
+    e.g. Wikipedia 3.4, CommonCrawl 0.44; Brown et al. 2020 Table 2.2).
+
+    ``rates[source] = r`` emits ``floor(r)`` full copies of every row of
+    that source plus a deterministic id-hash sample of the fractional
+    remainder; sources absent from ``rates`` (or rated 0) are dropped.
+    Output adds ``epoch_col`` (0-based copy index) so downstream
+    shuffling can interleave copies. Deterministic: the same ids make
+    the same cut every run and engine (stage-retry-safe — ``rand()``
+    would duplicate/drop under retries); the fractional decision is
+    salted with the epoch index so copy k's sample is decorrelated from
+    copy k−1's.
+
+    Scale shape: a projection + bounded ``explode`` (≤ ``ceil(max
+    rate)`` rows out per row in) + a scan-speed filter — no shuffle, no
+    driver state.
+    """
+    import math as _math
+
+    for s, r in rates.items():
+        if r < 0:
+            raise ValueError(f"rate for source {s!r} must be >= 0")
+    kept = {s: float(r) for s, r in rates.items() if r > 0}
+    if not kept:
+        return df.limit(0).withColumn(epoch_col, F.lit(0))
+    src = F.col(source_col)
+
+    def _case(vals: dict[str, int]) -> Column:
+        expr = None
+        for s, v in sorted(vals.items()):
+            cond = src == F.lit(s)
+            expr = (
+                F.when(cond, F.lit(v))
+                if expr is None
+                else expr.when(cond, F.lit(v))
+            )
+        return expr.otherwise(F.lit(0))
+
+    n_copies = _case({s: int(_math.ceil(r)) for s, r in kept.items()})
+    frac_cut = _case(
+        {s: int((r - _math.floor(r)) * _DEN) for s, r in kept.items()}
+    )
+    full = _case({s: int(_math.floor(r)) for s, r in kept.items()})
+    out = (
+        df.withColumn("_mx_n", n_copies)
+        .filter(F.col("_mx_n") > 0)
+        .select(
+            "*",
+            F.explode(
+                F.sequence(F.lit(0), F.col("_mx_n") - 1)
+            ).alias(epoch_col),
+        )
+        .drop("_mx_n")
+    )
+    bucket = F.pmod(
+        h60(
+            F.concat(
+                F.col(id_col).cast("string"),
+                F.lit(f":{salt}:"),
+                F.col(epoch_col).cast("string"),
+            )
+        ),
+        F.lit(_DEN),
+    )
+    return out.filter((F.col(epoch_col) < full) | (bucket < frac_cut))
+
+
+def source_mix_sql(
+    table: str = "documents",
+    source_expr: str = "src",
+    rates: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    epoch_col: str = "epoch",
+    projection: str = "*",
+) -> str:
+    """DuckDB oracle replaying :func:`source_mix` decision-for-decision
+    (same ceil/floor/fraction splits, same salted 60-bit hash)."""
+    import math as _math
+
+    rates = rates or {}
+    kept = {s: float(r) for s, r in rates.items() if r > 0}
+
+    def _case(vals: dict[str, int]) -> str:
+        whens = " ".join(
+            f"WHEN '{s}' THEN {v}" for s, v in sorted(vals.items())
+        )
+        return f"(CASE {source_expr} {whens} ELSE 0 END)"
+
+    n_copies = _case({s: int(_math.ceil(r)) for s, r in kept.items()})
+    frac_cut = _case(
+        {s: int((r - _math.floor(r)) * _DEN) for s, r in kept.items()}
+    )
+    full = _case({s: int(_math.floor(r)) for s, r in kept.items()})
+    bucket = (
+        h60_sql(
+            f"(CAST({id_col} AS VARCHAR) || ':{salt}:' || "
+            f"CAST({epoch_col} AS VARCHAR))"
+        )
+        + f" % {_DEN}"
+    )
+    return f"""
+    SELECT {projection}
+    FROM (
+      SELECT *, unnest(range(0, {n_copies})) AS {epoch_col}
+      FROM {table}
+      WHERE {n_copies} > 0
+    )
+    WHERE {epoch_col} < {full} OR ({bucket}) < {frac_cut}
+    """
+
+
 def split_assign_sql(
     table: str = "documents",
     weights: dict[str, float] | None = None,

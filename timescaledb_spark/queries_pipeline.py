@@ -603,3 +603,29 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     model = train_chargram_lm(docs)
     return chargram_logprob(docs, model)
+
+
+_MIX_RATES = {"src0": 2.5, "src1": 1.0, "src2": 0.4, "src3": 0.0}
+
+
+@query(
+    "q_source_mix",
+    __import__("timescaledb_spark.pipeline.sampling", fromlist=["x"])
+    .source_mix_sql(
+        source_expr="source",
+        rates=_MIX_RATES,
+        projection="doc_id, source, epoch",
+    ),
+)
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-weighted source mixing (round 9; the GPT-3/Llama training
+    recipe: each source seen `rate` epochs — full copies for floor(r)
+    plus a deterministic id-hash sample of the remainder, salted per
+    epoch). Projection + bounded explode + scan-speed filter: zero
+    shuffle, zero driver state."""
+    from .pipeline.sampling import source_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_mix(docs, "source", _MIX_RATES).select(
+        "doc_id", "source", "epoch"
+    )
