@@ -143,3 +143,70 @@ def test_sql_non_matching_shapes_take_normal_path(ts):
         "GROUP BY event_type ORDER BY event_type"
     ).count()
     assert n > 0
+
+
+def test_ordered_scan_space_partitioned(spark, sf_dir, tmp_path):
+    """Space-partitioned hypertables nest _space=k dirs inside each
+    chunk; the ordered read must still produce one sorted stream with
+    no exchange (space subdirs collapse into the per-group sort)."""
+    s = TSSession(spark, str(tmp_path / "ts_ord_space"))
+    ht = s.create_hypertable("events", "ts", chunk_interval="7 days")
+    ht.add_dimension("user_id", num_partitions=4)
+    ht.insert(load_table(spark, sf_dir, "events"))
+    df = ht.read_ordered()
+    _assert_no_global_sort_no_exchange(df)
+    rows = df.collect()
+    assert len(rows) == ht.df().count()
+    tss = [r["ts"] for r in rows]
+    assert all(tss[i] <= tss[i + 1] for i in range(len(tss) - 1))
+    assert "_space" not in df.columns and "_chunk" not in df.columns
+
+
+def test_sql_ordered_scan_literal_with_qualifier_lookalike(ts):
+    """Review fix (r9): the qualifier strip must not rewrite the inside
+    of string literals — 'error' prefixed with the alias name pattern
+    must survive verbatim."""
+    # event_type values include 'error'; build a predicate whose literal
+    # contains "<alias>." text
+    want = ts.sql(
+        "SELECT count(*) AS n FROM events WHERE event_type = 'error'"
+    ).first()["n"]
+    assert want > 0
+    rows = ts.sql(
+        "SELECT * FROM events e WHERE e.event_type = 'error' ORDER BY e.ts"
+    ).collect()
+    assert len(rows) == want
+    # literal containing the alias-dot pattern is preserved, not mangled
+    # into a different (non-matching) string
+    n2 = ts.sql(
+        "SELECT * FROM events e WHERE e.event_type != 'e. g. x' "
+        "ORDER BY e.ts"
+    ).count()
+    assert n2 == ts.get_hypertable("events").df().count()
+
+
+def test_sql_column_named_like_table_keeps_pruning(ts):
+    """Review fix (r9): a select-list comma before a column spelled like
+    the table name must not count as a self-join reference (which would
+    silently disable chunk pruning)."""
+    from timescaledb_spark.plans.inspect import scanned_paths
+
+    df = ts.sql(
+        "SELECT ts, events.value FROM events "
+        "WHERE events.ts >= TIMESTAMP '2024-01-25'"
+    )
+    assert scanned_paths(df) < scanned_paths(
+        ts.sql("SELECT count(*) FROM events")
+    )
+
+
+def test_explain_ordered_scan_shows_union_no_range_sort(ts):
+    """Review fix (r9): EXPLAIN must report the plan ts.sql actually
+    executes — the ordered route's union of local sorts, not a
+    range-partition global sort."""
+    lines = [
+        r["plan_line"]
+        for r in ts.sql("EXPLAIN SELECT * FROM events ORDER BY ts").collect()
+    ]
+    assert not any("rangepartitioning" in l for l in lines)
+    assert any(l.strip().startswith("Union") for l in lines)

@@ -599,20 +599,17 @@ class ContinuousAggregate:
         mat = self._mat()
         wm = self.watermark()
         bucket = self.row["bucket_alias"]
-        if mat.row.get("schema_ddl") is None:
-            mat_df = None
-        else:
-            mat_df = mat.read()
+        has_mat = mat.row.get("schema_ddl") is not None
         if not realtime:
-            if mat_df is None:
+            if not has_mat:
                 raise ValueError(f"cagg {self.name!r} never refreshed")
-            return mat_df
+            return mat.read()
 
         src = self._source()
         wm_i = wm if wm is not None else INT64_MIN
         raw = src.read(start=wm_i if wm is not None else None)
         raw_agg = self._aggregate(raw)
-        if mat_df is None:
+        if not has_mat:
             return raw_agg
         if self.row["time_is_timestamp"]:
             wm_lit = F.timestamp_micros(F.lit(wm_i))

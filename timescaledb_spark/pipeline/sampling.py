@@ -230,6 +230,13 @@ def source_mix_sql(
 
     rates = rates or {}
     kept = {s: float(r) for s, r in rates.items() if r > 0}
+    if not kept:
+        # mirror source_mix(): every source rated 0 (or no rates) yields
+        # an empty frame — a zero-WHEN CASE would be a parse error
+        return (
+            f"SELECT {projection} FROM "
+            f"(SELECT *, 0 AS {epoch_col} FROM {table}) WHERE false"
+        )
 
     def _case(vals: dict[str, int]) -> str:
         whens = " ".join(

@@ -798,20 +798,59 @@ def extract_space_keys(sql: str, table: str, col: str, aliases: set[str]):
     return None
 
 
+_NOT_ALIAS = frozenset(
+    "on where group order join inner left right full cross limit having "
+    "using union lateral intersect except qualify window from select as "
+    "and or not asc desc".split()
+)
+
+_FROM_END_RE = re.compile(
+    r"\b(?:where|group|order|having|limit|union|intersect|except|"
+    r"qualify|window)\b",
+    re.I,
+)
+
+
+def _from_spans(stripped: str) -> list[tuple[int, int]]:
+    """Character spans of FROM lists (each ``FROM`` to the next clause
+    keyword). The comma form of a table reference (``FROM t a, t b``)
+    only counts inside one of these — a comma in a select list must not
+    look like a relation reference."""
+    spans = []
+    for m in re.finditer(r"\bfrom\b", stripped, re.I):
+        e = _FROM_END_RE.search(stripped, m.end())
+        spans.append((m.start(), e.start() if e else len(stripped)))
+    return spans
+
+
+def _relation_refs(stripped: str, table: str):
+    """Matches of ``table`` used as a relation: after FROM/JOIN anywhere,
+    or after a comma INSIDE a FROM list. Yields (match, alias_group)."""
+    spans = _from_spans(stripped)
+    pat_fj = re.compile(
+        rf"\b(?:from|join)\s+{re.escape(table)}\b(?!\s*\.)"
+        rf"(?:\s+as)?\s*([A-Za-z_]\w*)?",
+        re.I,
+    )
+    pat_comma = re.compile(
+        rf",\s*{re.escape(table)}\b(?!\s*\.)(?:\s+as)?\s*([A-Za-z_]\w*)?",
+        re.I,
+    )
+    for m in pat_fj.finditer(stripped):
+        yield m
+    for m in pat_comma.finditer(stripped):
+        if any(a <= m.start() < b for a, b in spans):
+            yield m
+
+
 def _table_aliases(sql: str, table: str) -> set[str]:
-    """Aliases under which ``table`` appears in FROM/JOIN clauses."""
+    """Aliases under which ``table`` appears as a relation (FROM/JOIN or
+    a FROM-list comma join)."""
     stripped = _strip_strings(sql)
     out = set()
-    for m in re.finditer(
-        rf"(?:\b(?:from|join)\s+|,\s*){re.escape(table)}\b(?!\s*\.)(?:\s+as)?\s*([A-Za-z_]\w*)?",
-        stripped,
-        re.I,
-    ):
+    for m in _relation_refs(stripped, table):
         a = m.group(1)
-        if a and a.lower() not in (
-            "on", "where", "group", "order", "join", "inner", "left", "right",
-            "full", "cross", "limit", "having", "using", "union", "lateral",
-        ):
+        if a and a.lower() not in _NOT_ALIAS:
             out.add(a)
     return out
 
@@ -878,16 +917,12 @@ def _register_views(ts, sql: str):
         # including the comma-list spelling `FROM t a, t b`) shares this
         # single view across all its aliases — a bound extracted from
         # one alias must not prune what another alias scans in full.
-        # The comma branch can also match commas in select lists / IN
-        # lists; overcounting only disables pruning (conservative),
-        # undercounting would silently drop chunks.
-        n_refs = len(
-            re.findall(
-                rf"(?:\b(?:from|join)\s+|,\s*){re.escape(name)}\b(?!\s*\.)",
-                stripped_sql,
-                re.I,
-            )
-        )
+        # _relation_refs restricts the comma form to FROM lists, so a
+        # select-list column named like the table cannot falsely
+        # disable pruning; inside a FROM list overcounting only
+        # disables pruning (conservative), undercounting would
+        # silently drop chunks.
+        n_refs = sum(1 for _ in _relation_refs(stripped_sql, name))
         if n_refs > 1:
             lo = hi = space_key = where_stats = None
         else:
@@ -1084,6 +1119,44 @@ def _run_explain(ts, inner: str) -> DataFrame:
     lines = header + plan.rstrip("\n").split("\n")
     return ts.spark.createDataFrame([(l,) for l in lines], "plan_line string")
 
+def _strip_qualifiers(text: str, names) -> str:
+    """Remove ``name.`` qualifier prefixes OUTSIDE string literals (a
+    naive regex would rewrite the inside of ``'e.g. test'`` and silently
+    change the filter's meaning). Character walk mirroring
+    :func:`_sub_table_refs`: strings are skipped verbatim; an identifier
+    in ``names`` followed by a dot is dropped along with the dot."""
+    low = {n.lower() for n in names}
+    out: list[str] = []
+    i = 0
+    while i < len(text):
+        ch = text[i]
+        if ch in "'\"`":
+            j = _skip_string(text, i)
+            out.append(text[i:j])
+            i = j
+            continue
+        m = _IDENT.match(text, i)
+        if m:
+            word = m.group(0)
+            prev = text[i - 1] if i > 0 else ""
+            if word.lower() in low and prev != ".":
+                k = m.end()
+                while k < len(text) and text[k] in " \t\n":
+                    k += 1
+                if k < len(text) and text[k] == ".":
+                    k += 1
+                    while k < len(text) and text[k] in " \t\n":
+                        k += 1
+                    i = k  # drop "name ." — resume at the column name
+                    continue
+            out.append(word)
+            i = m.end()
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 _ORDERED_SCAN_RE = re.compile(
     r"(?is)^select\s+"
     r"(?P<cols>\*|[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s+"
@@ -1130,11 +1203,7 @@ def _try_ordered_scan(ts, q: str):
     if where is not None:
         aliases = _table_aliases(q, name) | ({alias} if alias else set())
         lo, hi = extract_time_bounds(q, name, ht.time_column, aliases)
-        wtext = where
-        for qn in {alias, name} - {None}:
-            wtext = re.sub(
-                rf"\b{re.escape(qn)}\s*\.\s*", "", wtext, flags=re.I
-            )
+        wtext = _strip_qualifiers(where, {alias, name} - {None})
     df = ht.read_ordered(start=lo, end=hi, desc=desc)
     try:
         if wtext is not None:
