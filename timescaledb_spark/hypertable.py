@@ -2621,7 +2621,11 @@ class Hypertable:
         ``plan_cap`` bounds the union width: beyond it, consecutive
         chunks are batched into one multi-dir scan per group (still
         sorted as a unit), keeping the driver-side plan O(plan_cap)
-        regardless of chunk count.
+        regardless of chunk count. Plan build remains O(chunks) in
+        driver-side directory listings (as is the reference's planner
+        walk over all chunks) — measured ~45s at 12k chunks before the
+        first row moves; bound it with ``start``/``end`` when streaming
+        a range rather than the whole table.
 
         Falls back to a global sort iff chunk ranges overlap — possible
         only through ``attach_chunk`` of a foreign-range directory
