@@ -84,3 +84,74 @@ def test_topn_with_tie(spark):
     got = [(r["k"], r["freq"]) for r in topn(df, "k", n=2).collect()]
     # tie between b and c at 3 -> value order breaks it
     assert got == [("a", 5), ("b", 3)]
+
+
+def test_ddsketch_relative_error_bound(spark):
+    """DDSketch guarantee (Masson VLDB'19 §2.1): every quantile estimate
+    is within alpha relative error of an actual order statistic."""
+    import random
+
+    from timescaledb_spark.functions.ddsketch import (
+        ddsketch,
+        ddsketch_quantiles,
+    )
+
+    rnd = random.Random(7)
+    vals = [rnd.lognormvariate(3, 1.5) for _ in range(20_000)]
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    got = ddsketch_quantiles(
+        ddsketch(df, "value", alpha=0.01), [0.5, 0.9, 0.99], alpha=0.01
+    ).collect()[0]
+    svals = sorted(vals)
+    for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+        exact = svals[max(1, -(-int(q * len(svals) // 1))) - 1]
+        # compare against the disc order stat at the same rank rule
+        import math
+
+        rank = max(1, math.ceil(q * len(svals)))
+        exact = svals[rank - 1]
+        assert abs(got[col] - exact) <= 0.0101 * exact, (q, got[col], exact)
+
+
+def test_ddsketch_merge_is_lossless(spark):
+    """Union of sketches == sketch of the union — quantiles from rolled
+    partials equal quantiles from one global sketch exactly."""
+    from pyspark.sql import functions as F
+
+    from timescaledb_spark.functions.ddsketch import (
+        ddsketch,
+        ddsketch_quantiles,
+        ddsketch_rollup,
+    )
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 7).alias("part"),
+        (F.col("id") % 997 + 1).cast("double").alias("value"),
+    )
+    parts = ddsketch(df, "value", by=["part"])
+    rolled = ddsketch_rollup(parts, by=[])
+    direct = ddsketch(df, "value")
+    a = ddsketch_quantiles(rolled, [0.5, 0.95]).collect()[0]
+    b = ddsketch_quantiles(direct, [0.5, 0.95]).collect()[0]
+    assert (a["n"], a["p50"], a["p95"]) == (b["n"], b["p50"], b["p95"])
+
+
+def test_ddsketch_zero_and_negative(spark):
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import PythonException
+
+    from timescaledb_spark.functions.ddsketch import (
+        ddsketch,
+        ddsketch_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [(0.0,)] * 60 + [(10.0,)] * 40, "value double"
+    )
+    got = ddsketch_quantiles(ddsketch(df, "value"), [0.5, 0.99]).collect()[0]
+    assert got["p50"] == 0.0  # zero bucket answers the median
+    assert abs(got["p99"] - 10.0) <= 0.11
+    neg = spark.createDataFrame([(-1.0,)], "value double")
+    with pytest.raises(Exception, match="negative"):
+        ddsketch(neg, "value").collect()

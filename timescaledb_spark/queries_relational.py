@@ -1585,3 +1585,73 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("exact_distinct") * F.lit(0.05)
         ).alias("within_5pct"),
     )
+
+
+@query(
+    "q_ddsketch_rollup",
+    lambda: """
+    WITH est AS ({est_sql}),
+    ex AS (
+      SELECT event_type,
+             quantile_cont(value, 0.5) AS e50,
+             quantile_cont(value, 0.95) AS e95,
+             quantile_cont(value, 0.99) AS e99
+      FROM events GROUP BY 1
+    )
+    SELECT est.event_type,
+           CAST(n AS BIGINT) AS n,
+           p50, p95, p99,
+           abs(p50 - e50) <= 0.025 * e50 AS ok50,
+           abs(p95 - e95) <= 0.025 * e95 AS ok95,
+           abs(p99 - e99) <= 0.025 * e99 AS ok99
+    FROM est JOIN ex ON est.event_type = ex.event_type
+    """.format(
+        est_sql=__import__(
+            "timescaledb_spark.functions.ddsketch", fromlist=["x"]
+        ).ddsketch_quantiles_sql(
+            "events", "value", by=("event_type",), qs=(0.5, 0.95, 0.99)
+        )
+    ),
+)
+def q_ddsketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup-able quantile sketches (round 9; toolkit uddsketch ->
+    rollup -> approx_percentile; DDSketch, Masson VLDB'19): hourly
+    log-bucketed sketch partials MERGE into per-event-type quantiles —
+    the mergeable-percentile algebra a finished p95 cannot provide, so a
+    cagg can serve p95 at any coarser grain without rescanning raw
+    data. The DuckDB oracle replays the sketch math estimate-for-
+    estimate (unlike HLL whose estimator is JVM-internal), plus an
+    accuracy contract vs exact quantiles (alpha=1% sketch, 2.5% bound
+    absorbing the disc-vs-interpolated definition gap)."""
+    from .functions.ddsketch import (
+        ddsketch,
+        ddsketch_quantiles,
+        ddsketch_rollup,
+    )
+    from .functions.time import time_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ddsketch(
+        ev.select(
+            time_bucket("1 hour", "ts").alias("h"), "event_type", "value"
+        ),
+        "value",
+        by=["h", "event_type"],
+    )
+    rolled = ddsketch_rollup(hourly, by=["event_type"])
+    est = ddsketch_quantiles(rolled, [0.5, 0.95, 0.99], by=["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("e50"),
+        F.expr("percentile(value, 0.95)").alias("e95"),
+        F.expr("percentile(value, 0.99)").alias("e99"),
+    )
+    return est.join(F.broadcast(exact), "event_type").select(
+        "event_type",
+        "n",
+        "p50",
+        "p95",
+        "p99",
+        (F.abs(F.col("p50") - F.col("e50")) <= 0.025 * F.col("e50")).alias("ok50"),
+        (F.abs(F.col("p95") - F.col("e95")) <= 0.025 * F.col("e95")).alias("ok95"),
+        (F.abs(F.col("p99") - F.col("e99")) <= 0.025 * F.col("e99")).alias("ok99"),
+    )
