@@ -103,6 +103,21 @@ def main() -> None:
         f"bm25 top doc: {hits.first()['doc_id']}"
     )
 
+    # --- 7d. LM perplexity filter + training-mix recipe (round 9) -----
+    from timescaledb_spark.pipeline import quality_lm
+
+    model = quality_lm.train_chargram_lm(docs)
+    scored = quality_lm.chargram_logprob(docs, model)
+    cut = scored.approxQuantile("avg_logp", [0.1], 0.0)[0]
+    mixed = sampling.source_mix(
+        docs, "source", {"src0": 2.0, "src1": 1.0, "src2": 0.5}
+    )
+    print(
+        f"perplexity filter drops bottom decile below avg_logp {cut:.3f} "
+        f"({scored.filter(F.col('avg_logp') < cut).count()} docs); "
+        f"2.0/1.0/0.5-epoch mix emits {mixed.count()} rows"
+    )
+
     # --- 8. multimodal: payload decode + resize ------------------------
     media = multimodal.with_payload(docs.limit(20))
     meta = multimodal.decode_media(media)
