@@ -629,3 +629,29 @@ def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_mix(docs, "source", _MIX_RATES).select(
         "doc_id", "source", "epoch"
     )
+
+
+@query(
+    "q_asap_smooth",
+    __import__("timescaledb_spark.pipeline.smoothing", fromlist=["x"])
+    .asap_smooth_sql(
+        table="events",
+        time_col="ts",
+        value_col="value",
+        id_cols="user_id",
+        resolution=24,
+    ),
+)
+def q_asap_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASAP smoothing (round 9; toolkit asap_smooth, Rong & Bailis
+    VLDB'17): per-user series bucketed to 24 trailing points, then the
+    roughness-minimizing kurtosis-preserving moving-average window is
+    SEARCHED as part of the plan — candidate windows explode over the
+    downsampled points only, trailing averages via an rn-range join,
+    argmin on 6dp-rounded metrics so the oracle's selection can't drift.
+    The chosen window `w` is part of the output, so the hash gates the
+    search itself, not just the smoothing math."""
+    from .pipeline.smoothing import asap_smooth
+
+    ev = load_table(spark, sf_dir, "events")
+    return asap_smooth(ev, "ts", "value", resolution=24, by=["user_id"])
