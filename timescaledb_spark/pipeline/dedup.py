@@ -970,3 +970,195 @@ def line_dedup_sql(
            substr(md5({clean}), 1, 16) AS clean_fp
     FROM marked GROUP BY {id_col}
     """
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-then-dedup over embeddings
+# ---------------------------------------------------------------------------
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.45,
+    centroid_stride: int = 50,
+    centroids: DataFrame = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): partition the
+    corpus into centroid clusters, then remove semantic near-duplicates
+    WITHIN each cluster only — the scale move that turns the O(n²)
+    near-dup search into Σ O(|cluster|²) with no cross-cluster pairs.
+
+    Output: one row per input vector — ``(id_col, centroid_id,
+    is_kept)``. A vector is dropped iff some SAME-CLUSTER vector with a
+    smaller id has cosine ≥ ``threshold`` (keep-first, deterministic).
+
+    Centroids default to every ``centroid_stride``-th vector (the same
+    deterministic oracle-replicable choice as ``knn_ivf``); pass
+    ``centroids`` (``centroid_id``, ``cvec``) — e.g. k-means refined via
+    ``kmeans_refine`` — in production.
+
+    100 TB shape: centroids BROADCAST; assignment is a map-side argmax
+    (``max_by`` partial agg — the shuffle carries one row per vector);
+    the self-join exchanges the corpus ONCE on the cluster key; within a
+    cluster the pair scan is bounded by cluster size (choose
+    n_centroids ≈ n/avg_cluster to cap it — SemDeDup's paper setting).
+    The assignment frame feeds both join sides, so it is materialized
+    (``localCheckpoint``) rather than recomputed; in a real pipeline
+    this is the step where you'd WRITE the cluster-partitioned layout
+    and get the co-located self-join for free on read.
+    """
+    from .core import cosine
+
+    if centroids is None:
+        centroids = df.filter(
+            F.pmod(F.col(id_col), F.lit(centroid_stride)) == 0
+        ).select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec"))
+
+    base = spread(df.select(id_col, vec_col))
+    scored = base.crossJoin(F.broadcast(centroids)).select(
+        base[id_col],
+        base[vec_col],
+        F.col("centroid_id"),
+        cosine(base[vec_col], F.col("cvec")).alias("ccos"),
+    )
+    assigned = scored.groupBy(id_col).agg(
+        # argmax with the oracle's tie-break (ccos DESC, centroid_id ASC),
+        # partial-aggregated map-side; the vector rides along — it is
+        # constant within the group so any representative is exact
+        F.max_by(
+            "centroid_id",
+            F.struct(F.col("ccos").alias("s"), (-F.col("centroid_id")).alias("nid")),
+        ).alias("centroid_id"),
+        F.first(vec_col).alias(vec_col),
+    )
+    if materialize:
+        assigned = assigned.localCheckpoint(eager=True)
+
+    right = assigned.select(
+        F.col(id_col).alias("_b_id"),
+        F.col("centroid_id").alias("_b_cid"),
+        F.col(vec_col).alias("_b_vec"),
+    )
+    dropped = (
+        assigned.join(
+            right,
+            (F.col("centroid_id") == F.col("_b_cid"))
+            & (F.col(id_col) < F.col("_b_id")),
+        )
+        .filter(cosine(F.col(vec_col), F.col("_b_vec")) >= F.lit(threshold))
+        .select(F.col("_b_id").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return assigned.join(dropped, id_col, "left").select(
+        id_col,
+        "centroid_id",
+        F.coalesce(~F.col("_dropped"), F.lit(True)).alias("is_kept"),
+    )
+
+
+def semantic_dedup_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.45,
+    centroid_stride: int = 50,
+) -> str:
+    c_assign = cosine_sql(f"v.{vec_col}", "cn.cvec")
+    c_pair = cosine_sql(f"a.{vec_col}", f"b.{vec_col}")
+    return f"""
+    WITH cents AS (
+      SELECT {id_col} AS centroid_id, {vec_col} AS cvec
+      FROM {table} WHERE {id_col} % {centroid_stride} = 0
+    ),
+    assign AS (
+      SELECT {id_col}, {vec_col}, centroid_id FROM (
+        SELECT v.{id_col}, v.{vec_col}, cn.centroid_id,
+               row_number() OVER (PARTITION BY v.{id_col}
+                 ORDER BY {c_assign} DESC, cn.centroid_id ASC) AS crank
+        FROM {table} v CROSS JOIN cents cn
+      ) WHERE crank = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT b.{id_col}
+      FROM assign a JOIN assign b
+        ON a.centroid_id = b.centroid_id AND a.{id_col} < b.{id_col}
+      WHERE {c_pair} >= {threshold}
+    )
+    SELECT a.{id_col}, a.centroid_id,
+           (d.{id_col} IS NULL) AS is_kept
+    FROM assign a LEFT JOIN dropped d ON a.{id_col} = d.{id_col}
+    """
+
+
+def kmeans_refine(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 5,
+) -> DataFrame:
+    """Lloyd-refine seed ``centroids`` (``centroid_id``, ``cvec``) over
+    the corpus — the production centroid source for ``semantic_dedup``
+    (seed with the deterministic stride pick, refine, dedup).
+
+    Per iteration: broadcast the centroids, map-side cosine argmax
+    assignment (one corpus-row shuffle), then the new means via
+    ``posexplode`` + a map-combined (cluster, dim) average — the
+    element-wise array mean Spark lacks as a builtin, kept JVM-side.
+    Centroids are collected per round (k × dim doubles — codebook-sized
+    driver state, same bound as the ANN-PQ codebooks). Empty clusters
+    keep their previous centroid.
+    """
+    from .core import cosine
+
+    k_seed = {r["centroid_id"]: list(r["cvec"]) for r in centroids.collect()}
+    base = spread(df.select(id_col, vec_col))
+    spark = df.sparkSession
+    cur = k_seed
+    for _ in range(max(0, iters)):
+        cent_df = spark.createDataFrame(
+            [(cid, [float(x) for x in v]) for cid, v in sorted(cur.items())],
+            f"centroid_id long, cvec array<double>",
+        )
+        assigned = (
+            base.crossJoin(F.broadcast(cent_df))
+            .select(
+                base[id_col],
+                base[vec_col],
+                F.col("centroid_id"),
+                cosine(base[vec_col], F.col("cvec")).alias("ccos"),
+            )
+            .groupBy(id_col)
+            .agg(
+                F.max_by(
+                    "centroid_id",
+                    F.struct(
+                        F.col("ccos").alias("s"),
+                        (-F.col("centroid_id")).alias("nid"),
+                    ),
+                ).alias("centroid_id"),
+                F.first(vec_col).alias(vec_col),
+            )
+        )
+        means = (
+            assigned.select(
+                "centroid_id", F.posexplode(F.col(vec_col)).alias("pos", "x")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        nxt = dict(cur)  # empty clusters keep their previous centroid
+        upd: dict = {}
+        for r in means:
+            upd.setdefault(r["centroid_id"], {})[r["pos"]] = r["m"]
+        for cid, dims in upd.items():
+            nxt[cid] = [dims[i] for i in range(len(dims))]
+        cur = nxt
+    return spark.createDataFrame(
+        [(cid, [float(x) for x in v]) for cid, v in sorted(cur.items())],
+        f"centroid_id long, cvec array<double>",
+    )

@@ -655,3 +655,18 @@ def q_asap_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return asap_smooth(ev, "ts", "value", resolution=24, by=["user_id"])
+
+
+@query(
+    "q_semantic_dedup",
+    dedup.semantic_dedup_sql(threshold=0.45, centroid_stride=50),
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup cluster-then-dedup (round 9; Abbas et al. 2023): assign
+    every embedding to its nearest deterministic centroid (broadcast +
+    map-side argmax), then drop same-cluster keep-first near-dups — the
+    Σ|cluster|² scale shape that replaces the corpus-wide O(n²) pair
+    scan. The hash gates assignment AND the drop decisions (full
+    (id, centroid, is_kept) output)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.semantic_dedup(emb, threshold=0.45, centroid_stride=50)
