@@ -31,6 +31,7 @@ and file count per chunk is sized from bytes, not hardcoded.
 from __future__ import annotations
 
 import glob
+import json
 import math
 import os
 import shutil
@@ -40,6 +41,11 @@ from typing import Optional, Sequence, Union
 from pyspark.sql import functions as F
 
 from .hypertable import CHUNK_COL, SPACE_COL, Hypertable
+
+# cap on per-chunk recorded segment values: above this a DISTINCT read
+# falls back to scanning the chunk (the same "index jump stops paying"
+# regime where the reference's SkipScan loses to a seq scan)
+SEGMENT_VALUES_CAP = 1024
 
 TARGET_FILE_BYTES = 128 * 1024 * 1024  # one spark input split per file
 
@@ -229,16 +235,47 @@ def _compress_chunk_data(
         # collect per-chunk column stats for chunk skipping while hot
         stat_cols = list(dict.fromkeys(list(stats_columns) + segmentby))
         stats = {}
+        seg_values: dict = {}
         if stat_cols:
             row = (
                 spark.read.parquet(tmp)
                 .agg(
                     *[F.min(c).alias(f"min_{c}") for c in stat_cols],
                     *[F.max(c).alias(f"max_{c}") for c in stat_cols],
+                    # SkipScan analog: the segment keys of a columnstore
+                    # chunk ARE its distinct values — record them (capped)
+                    # so SELECT DISTINCT <segmentby> answers from the
+                    # catalog with zero scan (tsl/src/nodes/skip_scan/).
+                    # slice caps the DRIVER transfer; the executor-side
+                    # set is bounded by the same low-cardinality
+                    # assumption segment compression already makes.
+                    *[
+                        F.slice(
+                            F.sort_array(F.collect_set(F.col(c))),
+                            1,
+                            SEGMENT_VALUES_CAP + 1,
+                        ).alias(f"dv_{c}")
+                        for c in segmentby
+                    ],
+                    *[
+                        F.max(F.col(c).isNull()).alias(f"dvn_{c}")
+                        for c in segmentby
+                    ],
                 )
                 .collect()[0]
             )
             stats = {c: [row[f"min_{c}"], row[f"max_{c}"]] for c in stat_cols}
+            for c in segmentby:
+                vals = row[f"dv_{c}"]
+                if vals is not None and len(vals) <= SEGMENT_VALUES_CAP:
+                    try:  # catalog is JSONL — only JSON-clean types persist
+                        json.dumps(list(vals))
+                    except TypeError:
+                        continue
+                    seg_values[c] = {
+                        "values": list(vals),
+                        "has_null": bool(row[f"dvn_{c}"]),
+                    }
         # row count from the freshly written footers — free relative to
         # the rewrite; keeps approximate_row_count catalog-answerable
         # (the reference answers from pg stats, sql/size_utils.sql:311)
@@ -258,6 +295,7 @@ def _compress_chunk_data(
         "before": before,
         "after": _dir_bytes(path),
         "stats": stats,
+        "segment_values": seg_values,
         "n_rows": n_rows,
     }
 
@@ -282,6 +320,31 @@ def _swap_dir(path: str, tmp: str) -> None:
     shutil.rmtree(aside, ignore_errors=True)
 
 
+def _stats_rows(ht: Hypertable, chunk: dict, data: dict) -> list[dict]:
+    """chunk_column_stats rows for one compressed chunk: min/max for
+    every stats column, plus the recorded segment values (the DISTINCT
+    SkipScan analog) on segmentby columns. Riding on the stats rows
+    means every existing invalidation path (_mark_rewritten, insert
+    staleness, rename, disable_chunk_skipping) retires the distinct
+    list together with the min/max — a modified chunk falls back to
+    being scanned, never answered from a lying catalog."""
+    seg = data.get("segment_values") or {}
+    rows = []
+    for col, v in (data["stats"] or {}).items():
+        r = {
+            "chunk_id": chunk["id"],
+            "hypertable_id": ht.id,
+            "column": col,
+            "min": v[0],
+            "max": v[1],
+        }
+        if col in seg:
+            r["distinct_values"] = seg[col]["values"]
+            r["distinct_has_null"] = seg[col]["has_null"]
+        rows.append(r)
+    return rows
+
+
 def _compress_chunk_commit(ht: Hypertable, chunk: dict, data: dict) -> dict:
     """Catalog side of a chunk compression (single-threaded)."""
     cat = ht.ts.catalog
@@ -292,18 +355,7 @@ def _compress_chunk_commit(ht: Hypertable, chunk: dict, data: dict) -> dict:
     ht._mark_fill_done([chunk["range_start"]])
     cat.chunk_column_stats.delete({"chunk_id": chunk["id"]})
     if data["stats"]:
-        cat.chunk_column_stats.append(
-            [
-                {
-                    "chunk_id": chunk["id"],
-                    "hypertable_id": ht.id,
-                    "column": c,
-                    "min": v[0],
-                    "max": v[1],
-                }
-                for c, v in data["stats"].items()
-            ]
-        )
+        cat.chunk_column_stats.append(_stats_rows(ht, chunk, data))
     cat.table("metadata").append(
         [
             {
@@ -345,17 +397,7 @@ def _compress_commit_batch(ht: Hypertable, items) -> list[dict]:
         ht._mark_fill_done([c["range_start"] for c, _ in items])
         srows = cat.chunk_column_stats.read()
         keep = [s for s in srows if s.get("chunk_id") not in by_id]
-        new_stats = [
-            {
-                "chunk_id": c["id"],
-                "hypertable_id": ht.id,
-                "column": col,
-                "min": v[0],
-                "max": v[1],
-            }
-            for c, d in items
-            for col, v in (d["stats"] or {}).items()
-        ]
+        new_stats = [r for c, d in items for r in _stats_rows(ht, c, d)]
         if new_stats or len(keep) != len(srows):
             cat.chunk_column_stats.replace(keep + new_stats)
         cat.table("metadata").append(

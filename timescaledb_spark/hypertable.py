@@ -2821,6 +2821,78 @@ class Hypertable:
             return spark.createDataFrame([], self._schema_or_empty())
         return spark.createDataFrame(found_rows, self._schema())
 
+    def distinct_values(self, column: str) -> DataFrame:
+        """Plain ``SELECT DISTINCT column`` — the generic SkipScan analog
+        (``tsl/src/nodes/skip_scan/planner.c:576``; ``last_point`` covers
+        the DISTINCT ON shape).
+
+        A parquet scan cannot jump to the next distinct key the way the
+        reference's index loose scan does, so the skip structure is the
+        CATALOG: ``compress_chunk`` records each columnstore chunk's
+        distinct segmentby values while the rewrite is hot (they are the
+        chunk's segment keys — already materialized, capped at
+        ``compression.SEGMENT_VALUES_CAP``). A chunk covered by a
+        recorded list contributes ZERO I/O; only uncovered chunks
+        (rowstore, modified-since-compress — every DML invalidation path
+        drops the stats row — over-cap, or a non-segmentby column) are
+        scanned, and that scan is a column-pruned per-chunk DISTINCT
+        whose shuffle carries only the distinct values. Fully compressed
+        hypertable ⇒ the answer is a catalog read with no Spark job over
+        data at all — O(segments), the SkipScan cost profile.
+
+        ``self.distinct_values_stats`` records covered/scanned chunk
+        counts for plan assertions.
+        """
+        spark = self.ts.spark
+        field = next(
+            (f for f in self._schema().fields if f.name == column), None
+        )
+        if field is None:
+            raise ValueError(f"column {column!r} not in schema")
+        chunks = self.chunks()
+        srows = self.ts.catalog.chunk_column_stats.find(
+            hypertable_id=self.id, column=column
+        )
+        recorded = {
+            s["chunk_id"]: s
+            for s in srows
+            if s.get("distinct_values") is not None
+        }
+        vals: set = set()
+        has_null = False
+        uncovered = []
+        for c in chunks:
+            s = recorded.get(c["id"])
+            # a recorded list is only trusted on a chunk still in
+            # columnstore form — any rewrite downgraded the status and
+            # dropped the stats row, but belt over suspenders here
+            if s is not None and c.get("status") == "columnstore":
+                vals.update(s["distinct_values"])
+                has_null = has_null or bool(s.get("distinct_has_null"))
+            else:
+                uncovered.append(c)
+        self.distinct_values_stats = {
+            "total_chunks": len(chunks),
+            "covered_chunks": len(chunks) - len(uncovered),
+            "scanned_chunks": len(uncovered),
+        }
+        out_schema = T.StructType([field])
+        catalog_df = spark.createDataFrame(
+            [(v,) for v in sorted(vals)] + ([(None,)] if has_null else []),
+            out_schema,
+        )
+        if not uncovered:
+            return catalog_df
+        scanned = (
+            self._chunk_reader()
+            .option("basePath", self.data_dir)
+            .parquet(*[self._chunk_glob(c) for c in uncovered])
+        )
+        scanned = self._apply_fills(scanned, uncovered).select(column)
+        if not vals and not has_null:
+            return scanned.distinct()
+        return scanned.union(catalog_df).distinct()
+
     def _internal_expr_on(self, df: DataFrame) -> Column:
         return self._internal_time_expr(df)
 

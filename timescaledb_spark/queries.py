@@ -1508,3 +1508,42 @@ def q_freq_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return freq_sketch_topn(ev, "event_type", n=3, capacity=64)
+
+
+@query(
+    "q_distinct_skipscan",
+    """
+    SELECT DISTINCT event_type FROM (
+      SELECT event_type FROM events
+      UNION ALL
+      SELECT 'x_' || event_type AS event_type FROM events WHERE event_id < 40
+    )
+    """,
+)
+def q_distinct_skipscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic DISTINCT SkipScan analog (round 9; tsl/src/nodes/
+    skip_scan/planner.c:576 — the plain `SELECT DISTINCT key` shape that
+    last_point's DISTINCT ON walk doesn't cover): compress_chunk records
+    each columnstore chunk's segment keys in the catalog, so DISTINCT
+    over compressed chunks is a catalog read with zero I/O; a post-
+    compression insert invalidates exactly the chunks it touched, which
+    are then the ONLY chunks scanned. This gate exercises the mixed
+    path: full compress, then new rows with new values land in a few
+    chunks — the result must still equal DISTINCT over everything."""
+    import tempfile
+
+    from .compression import compress_chunks, enable_columnstore
+    from .session import TSSession
+
+    root = tempfile.mkdtemp(prefix="ts_skipscan_")
+    ts = TSSession(spark, root)
+    ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+    ev = load_table(spark, sf_dir, "events")
+    ht.insert(ev)
+    enable_columnstore(ht, segmentby=["event_type"], orderby=[("ts", "asc")])
+    compress_chunks(ht)
+    extra = ev.filter(F.col("event_id") < 40).withColumn(
+        "event_type", F.concat(F.lit("x_"), F.col("event_type"))
+    )
+    ht.insert(extra)
+    return ht.distinct_values("event_type")

@@ -1217,6 +1217,33 @@ def _try_ordered_scan(ts, q: str):
     return df
 
 
+_DISTINCT_SCAN_RE = re.compile(
+    r"(?is)^select\s+distinct\s+(?P<col>[A-Za-z_]\w*)\s+"
+    r"from\s+(?P<tbl>[A-Za-z_]\w*)\s*$"
+)
+
+
+def _try_distinct_skipscan(ts, q: str):
+    """Generic DISTINCT SkipScan detection (tsl/src/nodes/skip_scan/
+    planner.c:576): ``SELECT DISTINCT <col> FROM <hypertable>`` routes
+    to :meth:`Hypertable.distinct_values` — columnstore chunks answer
+    from their recorded segment keys (zero I/O), only uncovered chunks
+    scan. Deliberately narrow (one bare column, no WHERE/aliases);
+    anything else takes the normal full-scan DISTINCT path, which is
+    correct just not skip-accelerated."""
+    m = _DISTINCT_SCAN_RE.match(q)
+    if m is None:
+        return None
+    name = m.group("tbl")
+    if not ts.catalog.hypertable.find_one(name=name):
+        return None
+    ht = ts.get_hypertable(name)
+    try:
+        return ht.distinct_values(m.group("col"))
+    except ValueError:
+        return None  # unknown column: let the normal path raise its error
+
+
 def ts_sql(ts, query: str) -> DataFrame:
     """Run a TimescaleDB-flavored SQL statement. See module docstring."""
     q = query.strip().rstrip(";").strip()
@@ -1347,6 +1374,9 @@ def ts_sql(ts, query: str) -> DataFrame:
     ordered = _try_ordered_scan(ts, q)
     if ordered is not None:
         return ordered
+    skipscan = _try_distinct_skipscan(ts, q)
+    if skipscan is not None:
+        return skipscan
     q, views = _register_views(ts, q)
     try:
         if re.search(r"\btime_bucket_gapfill\b", _strip_strings(q), re.I):
