@@ -118,6 +118,21 @@ def main() -> None:
         f"2.0/1.0/0.5-epoch mix emits {mixed.count()} rows"
     )
 
+    # --- 7e. semantic dedup + ASAP smoothing (round 9) -----------------
+    from timescaledb_spark.pipeline import smoothing
+
+    sd = dedup.semantic_dedup(emb, threshold=0.45, centroid_stride=50)
+    n_drop = sd.filter(~F.col("is_kept")).count()
+    sm = smoothing.asap_smooth(
+        events, "ts", "value", resolution=24, by=["user_id"]
+    )
+    w_dist = sm.select("user_id", "w").distinct().groupBy("w").count().collect()
+    print(
+        f"semdedup dropped {n_drop} near-dup vectors within clusters; "
+        "asap windows chosen: "
+        + ", ".join(f"w={r['w']}x{r['count']}" for r in sorted(w_dist, key=lambda r: r["w"]))
+    )
+
     # --- 8. multimodal: payload decode + resize ------------------------
     media = multimodal.with_payload(docs.limit(20))
     meta = multimodal.decode_media(media)

@@ -364,6 +364,69 @@ def main() -> None:
     out["ordered_scan_full_s"] = round(time.perf_counter() - t0, 2)
     out["ordered_scan_first_ts"] = str(first_ts)
 
+    # ---- round-9: ASAP smoothing at 2M rows / 10k series --------------
+    # the search must stay bounded by groups x resolution x candidates:
+    # the only full-data pass is the bucketing groupBy
+    from timescaledb_spark.pipeline.smoothing import asap_smooth
+
+    series = spark.range(2_000_000).select(
+        (F.col("id") % 10_000).alias("uid"),
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + (F.col("id") / 10_000).cast("long") * 60_000_000
+        ).alias("ts"),
+        (F.sin(F.col("id") / 7.0) * 10 + F.sin(F.col("id") * 13.0)).alias("value"),
+    )
+    t0 = time.perf_counter()
+    n_asap = asap_smooth(series, "ts", "value", resolution=24, by=["uid"]).count()
+    out["asap_2m_10kseries_s"] = round(time.perf_counter() - t0, 2)
+    out["asap_out_rows"] = n_asap
+
+    # ---- round-9: SemDeDup at 100k x 64-dim vectors -------------------
+    # cluster-then-dedup: assignment is 100k x 128 broadcast argmax; the
+    # within-cluster pair scan is Sigma|cluster|^2 ~ n * avg_cluster,
+    # vs n^2/2 = 5e9 pairs brute force
+    from timescaledb_spark.pipeline.dedup import semantic_dedup
+
+    vecs = spark.range(100_000).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: F.sin(F.col("id") % 997 * i / 9.0) + F.sin(F.col("id") * i / 1001.0) * 0.05,
+        ).alias("embedding"),
+    )
+    t0 = time.perf_counter()
+    sd = semantic_dedup(
+        vecs, threshold=0.995, centroid_stride=781  # ~128 centroids
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("is_kept").cast("long")).alias("kept"),
+    ).collect()[0]
+    out["semdedup_100k_s"] = round(time.perf_counter() - t0, 2)
+    out["semdedup_kept_frac"] = round(sd["kept"] / sd["n"], 4)
+
+    # ---- round-9: DISTINCT SkipScan catalog-vs-scan -------------------
+    # ~30 compressed chunks: the catalog path must answer with no data
+    # job; the full-scan DISTINCT is the comparison bar
+    from timescaledb_spark.compression import compress_chunks as _cc
+    from timescaledb_spark.compression import enable_columnstore as _ec
+
+    ht4 = ts.create_hypertable("bigseg", "ts", chunk_interval="30 days")
+    ht4.insert(big)
+    _ec(ht4, segmentby=["event_type"], orderby=[("ts", "asc")])
+    t0 = time.perf_counter()
+    _cc(ht4)
+    out["skipscan_compress_chunks_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    n_dv = ht4.distinct_values("event_type").count()
+    out["skipscan_catalog_s"] = round(time.perf_counter() - t0, 2)
+    st4 = ht4.distinct_values_stats
+    out["skipscan_covered"] = st4["covered_chunks"]
+    out["skipscan_scanned"] = st4["scanned_chunks"]
+    t0 = time.perf_counter()
+    n_scan = ht4.df().select("event_type").distinct().count()
+    out["skipscan_fullscan_s"] = round(time.perf_counter() - t0, 2)
+    out["skipscan_match"] = n_dv == n_scan
+
     print(json.dumps(out))
     with open(sys.argv[1] if len(sys.argv) > 1 else "SCALE_PROBE.json", "w") as f:
         json.dump(out, f, indent=1)
