@@ -103,3 +103,10 @@ def test_kmeans_refine_empty_cluster_keeps_seed(spark):
     ref = kmeans_refine(df, seed, iters=2)
     cents = {r["centroid_id"]: r["cvec"] for r in ref.collect()}
     assert cents[1] == [-1.0, 0.0]  # nothing assigned -> unchanged
+
+
+def test_empty_stride_pick_raises(spark):
+    df = _mkdf(spark, [[1.0, 0.0], [0.0, 1.0]])
+    df = df.withColumn("vec_id", df.vec_id + 1)  # ids 1,2: no id % 50 == 0
+    with pytest.raises(ValueError, match="centroid"):
+        semantic_dedup(df, centroid_stride=50)

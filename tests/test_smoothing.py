@@ -114,3 +114,25 @@ def test_candidate_validation(spark):
         asap_smooth(df, resolution=24, candidates=(0, 2))
     with pytest.raises(ValueError):
         asap_smooth(df, resolution=24, candidates=(13,))  # > resolution/2
+
+
+def test_degenerate_candidate_cannot_win(spark):
+    """A candidate window equal to the populated-bucket count yields one
+    smoothed point (NULL/NaN roughness, NaN kurtosis) — it must lose the
+    selection, in both engines (review finding r9)."""
+    # 4 populated buckets (resolution=24 but only 4 distinct times),
+    # candidates include w=4 == bucket count
+    pdf = pd.DataFrame(
+        {
+            "t_us": np.array([0, 1, 2, 3], dtype=np.int64) * 3_600_000_000,
+            "v": [1.0, 9.0, 2.0, 8.0],
+        }
+    )
+    df = spark.createDataFrame(pdf).selectExpr(
+        "timestamp_micros(t_us) AS ts", "v AS value"
+    )
+    out = asap_smooth(
+        df, "ts", "value", resolution=24, by=[], candidates=(1, 2, 3, 4)
+    ).toPandas()
+    assert len(out) > 0
+    assert out.w.iloc[0] < 4  # the single-point candidate lost

@@ -2572,18 +2572,7 @@ class Hypertable:
         # reaches the parquet scan as a PushedFilter → row-group skipping,
         # the analog of the reference's per-batch minmax sparse index
         # (tsl/src/compression/batch_metadata_builder_minmax.c).
-        dt = dict(df.dtypes).get(self.time_column, "")
-        if dt.startswith("timestamp"):
-            tcol = F.col(self.time_column)
-            if lo is not None:
-                df = df.filter(tcol >= F.timestamp_micros(F.lit(lo)))
-            if hi is not None:
-                df = df.filter(tcol < F.timestamp_micros(F.lit(hi)))
-        else:
-            if lo is not None:
-                df = df.filter(self._internal_expr_on(df) >= F.lit(lo))
-            if hi is not None:
-                df = df.filter(self._internal_expr_on(df) < F.lit(hi))
+        df = self._time_bound_filter(df, lo, hi)
         if not with_partition_cols:
             df = df.drop(CHUNK_COL, SPACE_COL)
         return df
@@ -2683,7 +2672,6 @@ class Hypertable:
                 ]
             )
         )
-        ts_typed = self._time_is_timestamp()
         parts: list[DataFrame] = []
         for g in groups:
             # basePath read so _chunk is available: _apply_fills needs it
@@ -2696,18 +2684,11 @@ class Hypertable:
             # boundary groups straddling [lo, hi) get the row filter
             # (pushed to the scan); interior groups scan filter-free —
             # the ConstraintAwareAppend shape
-            if lo is not None and g[0]["range_start"] < lo:
-                cdf = cdf.filter(
-                    F.col(tcol) >= F.timestamp_micros(F.lit(lo))
-                    if ts_typed
-                    else self._internal_expr_on(cdf) >= F.lit(lo)
-                )
-            if hi is not None and g[-1]["range_end"] > hi:
-                cdf = cdf.filter(
-                    F.col(tcol) < F.timestamp_micros(F.lit(hi))
-                    if ts_typed
-                    else self._internal_expr_on(cdf) < F.lit(hi)
-                )
+            cdf = self._time_bound_filter(
+                cdf,
+                lo if lo is not None and g[0]["range_start"] < lo else None,
+                hi if hi is not None and g[-1]["range_end"] > hi else None,
+            )
             if columns:
                 cdf = cdf.select(*columns)
             parts.append(cdf.coalesce(1).sortWithinPartitions(order_col))
@@ -2892,6 +2873,28 @@ class Hypertable:
         if not vals and not has_null:
             return scanned.distinct()
         return scanned.union(catalog_df).distinct()
+
+    def _time_bound_filter(self, df, lo, hi) -> DataFrame:
+        """Row-level ``lo <= time < hi`` against a TYPED literal (not
+        unix_micros arithmetic) so the predicate reaches the parquet
+        scan as a PushedFilter -> row-group skipping — the analog of the
+        reference's per-batch minmax sparse index
+        (tsl/src/compression/batch_metadata_builder_minmax.c). The one
+        place this recipe lives; read() and read_ordered() both use it.
+        """
+        dt = dict(df.dtypes).get(self.time_column, "")
+        if dt.startswith("timestamp"):
+            tcol = F.col(self.time_column)
+            if lo is not None:
+                df = df.filter(tcol >= F.timestamp_micros(F.lit(lo)))
+            if hi is not None:
+                df = df.filter(tcol < F.timestamp_micros(F.lit(hi)))
+        else:
+            if lo is not None:
+                df = df.filter(self._internal_expr_on(df) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(self._internal_expr_on(df) < F.lit(hi))
+        return df
 
     def _internal_expr_on(self, df: DataFrame) -> Column:
         return self._internal_time_expr(df)

@@ -1015,6 +1015,13 @@ def semantic_dedup(
         centroids = df.filter(
             F.pmod(F.col(id_col), F.lit(centroid_stride)) == 0
         ).select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec"))
+        # an id space with no stride hits (filtered/offset ids) would
+        # otherwise assign NOTHING and silently return an empty corpus
+        if not centroids.take(1):
+            raise ValueError(
+                f"centroid_stride={centroid_stride} selects no centroids "
+                f"from {id_col!r}; pass centroids= explicitly"
+            )
 
     base = spread(df.select(id_col, vec_col))
     scored = base.crossJoin(F.broadcast(centroids)).select(
@@ -1115,7 +1122,9 @@ def kmeans_refine(
     from .core import cosine
 
     k_seed = {r["centroid_id"]: list(r["cvec"]) for r in centroids.collect()}
-    base = spread(df.select(id_col, vec_col))
+    # the loop re-references base every iteration (crossJoin + argmax +
+    # means); without a lineage cut each round re-runs the source scan
+    base = spread(df.select(id_col, vec_col)).localCheckpoint(eager=True)
     spark = df.sparkSession
     cur = k_seed
     for _ in range(max(0, iters)):

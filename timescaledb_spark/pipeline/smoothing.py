@@ -73,18 +73,23 @@ def asap_smooth(
         # the guaranteed-eligible fallback
         cands = [1] + cands
 
-    gw = Window.partitionBy(*by) if by else Window.partitionBy(F.lit(0))
     src = df.select(
         *by,
         F.unix_micros(F.col(time_col)).alias("_t"),
         F.col(value_col).cast("double").alias("_v"),
     )
-    src = (
-        src.withColumn("_tmin", F.min("_t").over(gw))
-        .withColumn("_tmax", F.max("_t").over(gw))
-        .withColumn("_step", F.expr(f"((_tmax - _tmin) DIV {int(resolution)}) + 1"))
-        .withColumn("_k", F.expr("(_t - _tmin) DIV _step"))
+    # per-series span via a map-combined aggregate joined back — NOT a
+    # window over the raw rows, which would shuffle the full dataset
+    # (and funnel an ungrouped series through one task). The span frame
+    # is one row per series; AQE broadcasts it when small, and with no
+    # `by` it is a single row broadcast explicitly.
+    ext = src.groupBy(*by).agg(
+        F.min("_t").alias("_tmin"), F.max("_t").alias("_tmax")
     )
+    src = src.join(ext, on=by) if by else src.crossJoin(F.broadcast(ext))
+    src = src.withColumn(
+        "_step", F.expr(f"((_tmax - _tmin) DIV {int(resolution)}) + 1")
+    ).withColumn("_k", F.expr("(_t - _tmin) DIV _step"))
     pts = src.groupBy(*by, "_k").agg(
         F.avg("_v").alias("_v"),
         F.min("_tmin").alias("_tmin"),
@@ -132,14 +137,25 @@ def asap_smooth(
     metrics = metrics.withColumn(
         "_kurt0", F.max(F.when(F.col("_w") == 1, F.col("_kurt"))).over(k0w)
     )
+    # degenerate candidates (window == populated-bucket count ⇒ a single
+    # smoothed point: NULL/NaN roughness, NaN kurtosis) must lose, not
+    # win by NULL-sorting-first / NaN >= NaN; both engines apply the
+    # same explicit guards so the selection can't diverge
     eligible = metrics.filter(
-        (F.col("_w") == 1) | (F.col("_kurt") >= F.col("_kurt0"))
+        (F.col("_w") == 1)
+        | (
+            F.col("_rough").isNotNull()
+            & ~F.isnan("_rough")
+            & F.col("_kurt").isNotNull()
+            & ~F.isnan("_kurt")
+            & (F.col("_kurt") >= F.col("_kurt0"))
+        )
     )
     pick = eligible.withColumn(
         "_pick",
         F.row_number().over(
             (Window.partitionBy(*by) if by else Window.partitionBy(F.lit(0))).orderBy(
-                "_rough", "_w"
+                F.col("_rough").asc_nulls_last(), "_w"
             )
         ),
     ).filter(F.col("_pick") == 1)
@@ -228,8 +244,12 @@ withbase AS (
 pick AS (
   SELECT {g}, w AS cw FROM (
     SELECT {g}, w,
-           row_number() OVER (PARTITION BY {g} ORDER BY rough, w) AS prn
-    FROM withbase WHERE w = 1 OR kurt >= kurt0
+           row_number() OVER (
+             PARTITION BY {g} ORDER BY rough ASC NULLS LAST, w) AS prn
+    FROM withbase
+    WHERE w = 1 OR (rough IS NOT NULL AND NOT isnan(rough)
+                    AND kurt IS NOT NULL AND NOT isnan(kurt)
+                    AND kurt >= kurt0)
   ) WHERE prn = 1
 )
 SELECT f.{g}, f.w,
