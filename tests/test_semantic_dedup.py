@@ -110,3 +110,18 @@ def test_empty_stride_pick_raises(spark):
     df = df.withColumn("vec_id", df.vec_id + 1)  # ids 1,2: no id % 50 == 0
     with pytest.raises(ValueError, match="centroid"):
         semantic_dedup(df, centroid_stride=50)
+
+
+def test_zero_norm_vector_is_similar_to_nothing(spark):
+    """ANSI mode must not abort on a zero embedding (probe finding r9):
+    cosine yields NULL (DuckDB x/0.0 parity), so the zero vector is
+    kept and drops nothing."""
+    vecs = [[1.0, 0.0], [1.0, 0.001], [0.0, 0.0]]
+    out = (
+        semantic_dedup(_mkdf(spark, vecs), threshold=0.9, centroid_stride=10)
+        .toPandas()
+        .set_index("vec_id")
+    )
+    assert len(out) == 3
+    assert out.loc[2, "is_kept"]  # zero vector: near-dup of nothing
+    assert not out.loc[1, "is_kept"]  # real near-dups still drop

@@ -259,3 +259,87 @@ def freq_sketch_topn(
         .filter(F.col("rank") <= n)
         .drop("rank")
     )
+
+
+def max_n(
+    df: DataFrame,
+    col: str,
+    n: int = 5,
+    by: Sequence[str] = (),
+    desc: bool = True,
+) -> DataFrame:
+    """Toolkit ``max_n(value, n)`` / ``min_n``: the ``n`` LARGEST (or
+    smallest) values per group, one row per kept value (the toolkit's
+    ``into_values`` form). Distinct from :func:`topn`, which ranks by
+    frequency; this ranks by the value itself.
+
+    Scale shape mirrors :func:`topn`: global = TakeOrderedAndProject
+    (per-partition heaps, never an all-rows window); grouped = one
+    shuffle into a ranked window, output bounded by ``groups × n``.
+    Ties keep every tying row up to rank ``n`` deterministically via
+    row_number (value ordering only, stable across engines when the
+    caller's value column has no exact duplicates — add a tiebreak
+    column to ``by`` otherwise).
+    """
+    from pyspark.sql import Window
+
+    src = df.select(*by, col)
+    order = [F.col(col).desc() if desc else F.col(col).asc()]
+    if not by:
+        return src.orderBy(*order).limit(n)
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(*order)
+    return (
+        src.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .drop("rank")
+    )
+
+
+def min_n(
+    df: DataFrame, col: str, n: int = 5, by: Sequence[str] = ()
+) -> DataFrame:
+    """Toolkit ``min_n``: see :func:`max_n`."""
+    return max_n(df, col, n, by, desc=False)
+
+
+def max_n_by(
+    df: DataFrame,
+    col: str,
+    payload: Sequence[str],
+    n: int = 5,
+    by: Sequence[str] = (),
+    desc: bool = True,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Toolkit ``max_n_by(value, data, n)`` / ``min_n_by``: the ``n``
+    largest values per group WITH their accompanying payload columns
+    (``into_values(...)`` with DATA). ``tiebreak`` columns make the
+    selection deterministic when values collide — the same composite-
+    key requirement the bookend aggregates document.
+    """
+    from pyspark.sql import Window
+
+    src = df.select(*by, col, *[c for c in payload if c != col])
+    order = [F.col(col).desc() if desc else F.col(col).asc()] + [
+        F.col(c).asc() for c in tiebreak
+    ]
+    if not by:
+        return src.orderBy(*order).limit(n)
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(*order)
+    return (
+        src.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .drop("rank")
+    )
+
+
+def min_n_by(
+    df: DataFrame,
+    col: str,
+    payload: Sequence[str],
+    n: int = 5,
+    by: Sequence[str] = (),
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Toolkit ``min_n_by``: see :func:`max_n_by`."""
+    return max_n_by(df, col, payload, n, by, desc=False, tiebreak=tiebreak)

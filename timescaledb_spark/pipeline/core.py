@@ -263,7 +263,11 @@ def cosine(a: Column, b: Column) -> Column:
     dot = F.aggregate(F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
     na = F.sqrt(F.aggregate(F.transform(da, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
     nb = F.sqrt(F.aggregate(F.transform(db, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
-    return dot / (na * nb)
+    # try_divide: a zero-norm vector yields NULL (not an ANSI
+    # DIVIDE_BY_ZERO abort) — exactly DuckDB's x/0.0 semantics, so
+    # threshold filters treat zero vectors as similar-to-nothing in
+    # both engines
+    return F.try_divide(dot, na * nb)
 
 
 def cosine_sql(a: str, b: str) -> str:

@@ -473,7 +473,9 @@ def embedding_dup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos_sim"),
+            # try_divide: zero-norm vectors are similar-to-nothing
+            # (NULL), matching DuckDB x/0.0 — not an ANSI abort
+            F.try_divide(dot, F.col("a.nrm") * F.col("b.nrm")).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

@@ -188,7 +188,11 @@ def asap_smooth_sql(
 ) -> str:
     """DuckDB oracle replicating the FULL ASAP search (bucketing,
     candidate moving averages, roughness/kurtosis selection) with the
-    same integer-µs math, rounded metrics, and tie-breaks."""
+    same integer-µs math, rounded metrics, and tie-breaks.
+
+    ``id_cols`` supports a single series column (the gate shape); the
+    DataFrame side (`asap_smooth`) accepts arbitrary ``by`` tuples.
+    """
     cands = sorted({int(w) for w in candidates})
     if 1 not in cands:
         cands = [1] + cands

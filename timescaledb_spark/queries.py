@@ -1547,3 +1547,29 @@ def q_distinct_skipscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ht.insert(extra)
     return ht.distinct_values("event_type")
+
+
+@query(
+    "q_max_n_by",
+    """
+    SELECT event_type, value, ts, event_id
+    FROM events
+    QUALIFY row_number() OVER (
+      PARTITION BY event_type ORDER BY value DESC, event_id ASC
+    ) <= 5
+    """,
+)
+def q_max_n_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Toolkit max_n_by (round 9; the largest-VALUES family, distinct
+    from the frequency topn): per event type, the 5 largest readings
+    with their timestamp and id payload. Grouped path = one shuffle
+    into a ranked window, output bounded by groups x n; the global
+    form is TakeOrderedAndProject. event_id tiebreak keeps the
+    selection deterministic across engines."""
+    from .functions.stats import max_n_by
+
+    ev = load_table(spark, sf_dir, "events")
+    return max_n_by(
+        ev, "value", ["ts", "event_id"], n=5, by=["event_type"],
+        tiebreak=["event_id"],
+    )
