@@ -395,8 +395,12 @@ def main() -> None:
         ).alias("embedding"),
     )
     t0 = time.perf_counter()
+    # k ~ n/100 (SemDeDup paper regime): 1000 clusters of ~100 keeps the
+    # within-cluster pair scan at Sigma|c|^2 ~ n * 100 / 2 = 5M pairs;
+    # an under-clustered k=128 run measured 208s from 39M pairs — the
+    # cluster-count dial IS the scale contract, so the probe uses it
     sd = semantic_dedup(
-        vecs, threshold=0.995, centroid_stride=781  # ~128 centroids
+        vecs, threshold=0.995, centroid_stride=100  # ~1000 centroids
     ).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("is_kept").cast("long")).alias("kept"),
@@ -419,6 +423,12 @@ def main() -> None:
     t0 = time.perf_counter()
     n_dv = ht4.distinct_values("event_type").count()
     out["skipscan_catalog_s"] = round(time.perf_counter() - t0, 2)
+    # warm: the cold number is dominated by the first catalog JSONL
+    # parse + one literal-frame job; steady-state is the honest
+    # "O(segments), zero data I/O" figure
+    t0 = time.perf_counter()
+    ht4.distinct_values("event_type").count()
+    out["skipscan_catalog_warm_s"] = round(time.perf_counter() - t0, 2)
     st4 = ht4.distinct_values_stats
     out["skipscan_covered"] = st4["covered_chunks"]
     out["skipscan_scanned"] = st4["scanned_chunks"]

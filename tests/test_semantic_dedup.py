@@ -125,3 +125,23 @@ def test_zero_norm_vector_is_similar_to_nothing(spark):
     assert len(out) == 3
     assert out.loc[2, "is_kept"]  # zero vector: near-dup of nothing
     assert not out.loc[1, "is_kept"]  # real near-dups still drop
+
+
+def test_numpy_assignment_matches_expr(spark):
+    """The production Arrow-batched matmul path assigns and dedups
+    identically to the oracle-exact expression path on well-separated
+    data (ulp score differences can't flip these argmaxes)."""
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(0, 1, (60, 8))
+    vecs[7] = vecs[3] * 1.0001  # a planted near-dup pair
+    df = _mkdf(spark, vecs)
+    a = (
+        semantic_dedup(df, threshold=0.98, centroid_stride=20, assign="expr")
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    b = (
+        semantic_dedup(df, threshold=0.98, centroid_stride=20, assign="numpy")
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert not a.loc[7, "is_kept"] or not a.loc[3, "is_kept"]
