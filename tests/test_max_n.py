@@ -39,3 +39,18 @@ def test_max_n_by_payload(spark):
 def test_min_n_by(spark):
     out = min_n_by(_df(spark), "v", ["tag"], n=1, by=["g"]).toPandas()
     assert set(zip(out.g, out.v)) == {("a", 1.0), ("b", 10.0)}
+
+
+def test_max_n_by_tiebreak_outside_payload(spark):
+    # tiebreak column not in payload must still order (and ride along)
+    out = max_n_by(_df(spark), "v", [], n=1, by=["g"], tiebreak=["tag"])
+    pdf = out.toPandas()
+    assert "tag" in pdf.columns
+    assert set(zip(pdf.g, pdf.v)) == {("a", 5.0), ("b", 50.0)}
+
+
+def test_max_n_by_payload_overlapping_by(spark):
+    # a payload column duplicating a `by` column must not duplicate output cols
+    out = max_n_by(_df(spark), "v", ["g", "tag"], n=1, by=["g"]).toPandas()
+    assert list(out.columns).count("g") == 1
+    assert set(zip(out.g, out.tag)) == {("a", "x"), ("b", "Y")}

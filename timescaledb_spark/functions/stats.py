@@ -315,11 +315,16 @@ def max_n_by(
     largest values per group WITH their accompanying payload columns
     (``into_values(...)`` with DATA). ``tiebreak`` columns make the
     selection deterministic when values collide — the same composite-
-    key requirement the bookend aggregates document.
+    key requirement the bookend aggregates document. Tiebreak columns
+    ride along in the output when not already part of the payload.
     """
     from pyspark.sql import Window
 
-    src = df.select(*by, col, *[c for c in payload if c != col])
+    cols = list(by) + [col]
+    for c in list(payload) + list(tiebreak):
+        if c not in cols:
+            cols.append(c)
+    src = df.select(*cols)
     order = [F.col(col).desc() if desc else F.col(col).asc()] + [
         F.col(c).asc() for c in tiebreak
     ]
