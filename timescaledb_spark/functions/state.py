@@ -41,6 +41,113 @@ def state_durations(
     )
 
 
+def state_timeline(
+    df: DataFrame,
+    ts_col: str = "ts",
+    state_col: str = "state",
+    by: Sequence[str] = (),
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """``state_agg(ts, state)`` → ``state_timeline()``: consecutive
+    samples in the same state compress to one period row
+    (``by``…, ``state``, ``start_us``, ``end_us``, ``n``). A period
+    ends where the next one starts (LOCF holding, like
+    :func:`state_durations`); the final period ends at its last
+    observed sample, so its tail holds for zero time — the two
+    accessors agree: ``sum(end_us - start_us) == duration_us``.
+
+    Scale shape: one exchange on the ``by`` keys feeds both window
+    functions (run-change marker + next-sample lead over the same
+    spec), then a map-combined groupBy on (by, island) whose output is
+    bounded by the number of state CHANGES, not samples. NULL states
+    merge into NULL runs (IS DISTINCT FROM semantics, both engines).
+    """
+    w = (
+        Window.partitionBy(*[F.col(c) for c in by])
+        .orderBy(F.col(ts_col), *[F.col(c) for c in tiebreak])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wrow = Window.partitionBy(*[F.col(c) for c in by]).orderBy(
+        F.col(ts_col), *[F.col(c) for c in tiebreak]
+    )
+    us = to_unix_microseconds(ts_col)
+    keep = list(by) + [ts_col]
+    for c in tiebreak:
+        if c not in keep:
+            keep.append(c)
+    marked = df.select(
+        *keep,
+        F.col(state_col).alias("state"),
+        us.alias("_us"),
+        F.lead(us).over(wrow).alias("_nxt"),
+        F.when(
+            F.lag(F.col(state_col)).over(wrow).eqNullSafe(F.col(state_col)),
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .alias("_chg"),
+    )
+    rows = marked.select(
+        *by,
+        "state",
+        "_us",
+        "_nxt",
+        F.sum("_chg").over(w).alias("_isl"),
+    )
+    # within an island _nxt is strictly increasing, so max(_nxt) is the
+    # next island's first sample; the final island's max(_nxt) is its
+    # own last sample (or NULL for a 1-row island) — coalesce closes it
+    # at the last observation, matching duration_in's zero-width tail
+    return (
+        rows.groupBy(*by, "_isl")
+        .agg(
+            F.min("state").alias("state"),
+            F.min("_us").alias("start_us"),
+            F.coalesce(F.max("_nxt"), F.max("_us")).alias("end_us"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .drop("_isl")
+    )
+
+
+def state_periods(
+    df: DataFrame,
+    state,
+    ts_col: str = "ts",
+    state_col: str = "state",
+    by: Sequence[str] = (),
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """``state_periods(agg, state)``: the timeline restricted to one
+    state value — every (start_us, end_us) interval spent in it."""
+    tl = state_timeline(df, ts_col, state_col, by, tiebreak)
+    return tl.filter(F.col("state").eqNullSafe(F.lit(state))).drop("state")
+
+
+def state_at(
+    df: DataFrame,
+    at,
+    ts_col: str = "ts",
+    state_col: str = "state",
+    by: Sequence[str] = (),
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """``state_at(agg, ts)``: the state in effect at ``at`` — the state
+    of the last sample at-or-before it (LOCF), per group. Groups whose
+    first sample is after ``at`` produce no row (the toolkit returns
+    NULL there; absent-row is the relational spelling). One filter +
+    map-combined ``max_by`` — no window, no sort."""
+    key = F.struct(
+        to_unix_microseconds(ts_col).alias("u"),
+        *[F.col(c).alias(f"t{i}") for i, c in enumerate(tiebreak)],
+    )
+    return (
+        df.filter(F.col(ts_col) <= F.lit(at).cast("timestamp"))
+        .groupBy(*by)
+        .agg(F.max_by(F.col(state_col), key).alias("state"))
+    )
+
+
 def heartbeat_agg(
     df: DataFrame,
     ts_col: str = "ts",

@@ -348,6 +348,46 @@ def q_state_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_state_timeline",
+    """
+    WITH s AS (
+      SELECT user_id, event_id, event_type AS state, epoch_us(ts) AS us,
+             lead(epoch_us(ts)) OVER w AS nxt,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), i AS (
+      SELECT *, sum(chg) OVER (
+        PARTITION BY user_id ORDER BY us, event_id
+        ROWS UNBOUNDED PRECEDING
+      ) AS isl
+      FROM s
+    )
+    SELECT user_id, min(state) AS state,
+           CAST(min(us) AS BIGINT) AS start_us,
+           CAST(coalesce(max(nxt), max(us)) AS BIGINT) AS end_us,
+           CAST(count(*) AS BIGINT) AS n
+    FROM i GROUP BY user_id, isl
+    """,
+)
+def q_state_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """state_agg -> state_timeline (toolkit accessor family, round 9):
+    per user, consecutive same-state samples compress to (state,
+    start_us, end_us) period rows under LOCF holding — output bounded
+    by state CHANGES, not samples. One exchange feeds both window
+    passes; the island groupBy is map-combined. Completes the
+    state_agg accessor set alongside duration_in (q_state_agg),
+    state_periods, and state_at."""
+    from .functions.state import state_timeline
+
+    ev = load_table(spark, sf_dir, "events")
+    return state_timeline(
+        ev, "ts", "event_type", by=["user_id"], tiebreak=["event_id"]
+    )
+
+
+@query(
     "q_heartbeat",
     """
     WITH s AS (
