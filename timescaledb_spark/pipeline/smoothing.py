@@ -29,10 +29,15 @@ never leaves the cluster and no step is driver-side.
 
 Cross-engine exactness (the DuckDB oracle replicates the full search):
 all bucket math is exact int64 µs (`DIV` == `//` for non-negative);
-Spark ``kurtosis`` == DuckDB ``kurtosis_pop`` (population excess — ulp-
-identical, verified); float metrics and outputs are rounded to 6
-decimals in BOTH engines before any comparison/ordering so ulp noise
-can't flip the argmin (see q_bm25's rounded-rank trick).
+values quantize to 10^-round_to units at the scan so BOTH averaging
+stages are exact integer sums with one final float division — the
+smoothed doubles are bit-identical across engines (order-dependent
+float sums previously straddled the output rounding's half boundary on
+w=8 windows); Spark ``kurtosis`` == DuckDB ``kurtosis_pop``
+(population excess — ulp-identical, verified); float metrics are
+rounded to 6 decimals in BOTH engines before any comparison/ordering
+so residual ulp noise can't flip the argmin (q_bm25's rounded-rank
+trick).
 """
 
 from __future__ import annotations
@@ -73,10 +78,20 @@ def asap_smooth(
         # the guaranteed-eligible fallback
         cands = [1] + cands
 
+    # values quantize to 10^-round_to units (int64) at the scan: every
+    # later mean is then an exact integer sum with ONE final float
+    # division, so both engines produce bit-identical doubles — float
+    # sum order can otherwise straddle the round-half boundary of the
+    # output rounding (observed: w=8 windows landing on x.xxxxxx5).
+    # floor(x*scale + 0.5) instead of round(): no engine tie-rule
+    # exposure, deterministic for negatives too.
+    scale = 10 ** int(round_to)
     src = df.select(
         *by,
         F.unix_micros(F.col(time_col)).alias("_t"),
-        F.col(value_col).cast("double").alias("_v"),
+        F.floor(
+            F.col(value_col).cast("double") * F.lit(float(scale)) + F.lit(0.5)
+        ).alias("_vu"),
     )
     # per-series span via a map-combined aggregate joined back — NOT a
     # window over the raw rows, which would shuffle the full dataset
@@ -90,8 +105,12 @@ def asap_smooth(
     src = src.withColumn(
         "_step", F.expr(f"((_tmax - _tmin) DIV {int(resolution)}) + 1")
     ).withColumn("_k", F.expr("(_t - _tmin) DIV _step"))
+    # bucket mean re-quantized to the same integer grid: exact int sum,
+    # one division, floor(+0.5) — identical in both engines
     pts = src.groupBy(*by, "_k").agg(
-        F.avg("_v").alias("_v"),
+        F.floor(
+            F.sum("_vu").cast("double") / F.count("_vu") + F.lit(0.5)
+        ).alias("_v"),
         F.min("_tmin").alias("_tmin"),
         F.min("_step").alias("_step"),
     )
@@ -119,8 +138,14 @@ def asap_smooth(
         right["_rn2"].between(left["_rn"] - left["_w"] + F.lit(1), left["_rn"])
     ]
     joined = left.join(right, on)
+    # moving average from the exact integer window sum — the single
+    # (sum / count) / scale division chain is bit-identical cross-engine
     sm = joined.groupBy(*by, "_w", "_k", "_rn", "_tmin", "_step").agg(
-        F.avg("_v2").alias("_s")
+        (
+            F.sum("_v2").cast("double")
+            / F.count("_v2")
+            / F.lit(float(scale))
+        ).alias("_s")
     )
     # only complete windows participate in metrics and output
     full = sm.filter(F.col("_rn") >= F.col("_w"))
@@ -166,13 +191,21 @@ def asap_smooth(
     out_on = [full[c] == chosen[f"_c_{c}"] for c in by] + [
         full["_w"] == chosen["_cw"]
     ]
+    # output rounding as floor(x*scale+0.5)/scale, NOT engine round():
+    # Spark's round() decimal-rounds the double's shortest string repr
+    # (BigDecimal.valueOf) while DuckDB rounds the binary value — they
+    # disagree when the shortest repr sits exactly on the half boundary
+    # (observed on exact int-sum/2 and /8 window means)
     out = full.join(chosen, out_on).select(
         *[full[c] for c in by],
         full["_w"].alias("w"),
         F.timestamp_micros(
             full["_tmin"] + full["_k"] * full["_step"]
         ).alias("bucket_ts"),
-        F.round(full["_s"], round_to).alias("smoothed"),
+        (
+            F.floor(full["_s"] * F.lit(float(scale)) + F.lit(0.5))
+            / F.lit(float(scale))
+        ).alias("smoothed"),
     )
     return out
 
@@ -197,26 +230,29 @@ def asap_smooth_sql(
     if 1 not in cands:
         cands = [1] + cands
     g = id_cols
+    scale = 10 ** int(round_to)
     cand_list = ", ".join(f"({w})" for w in cands)
     return f"""
 WITH src AS (
-  SELECT {g}, epoch_us({time_col}) AS t, CAST({value_col} AS DOUBLE) AS v
+  SELECT {g}, epoch_us({time_col}) AS t,
+         CAST(floor(CAST({value_col} AS DOUBLE) * {scale} + 0.5) AS BIGINT) AS vu
   FROM {table}
 ),
 ext AS (
-  SELECT {g}, t, v,
+  SELECT {g}, t, vu,
          min(t) OVER (PARTITION BY {g}) AS tmin,
          max(t) OVER (PARTITION BY {g}) AS tmax
   FROM src
 ),
 stepped AS (
-  SELECT {g}, t, v, tmin,
+  SELECT {g}, t, vu, tmin,
          ((tmax - tmin) // {resolution}) + 1 AS step
   FROM ext
 ),
 pts0 AS (
   SELECT {g}, (t - tmin) // step AS k,
-         avg(v) AS v, min(tmin) AS tmin, min(step) AS step
+         CAST(floor(CAST(sum(vu) AS DOUBLE) / count(vu) + 0.5) AS BIGINT) AS v,
+         min(tmin) AS tmin, min(step) AS step
   FROM stepped GROUP BY {g}, (t - tmin) // step
 ),
 pts AS (
@@ -225,7 +261,8 @@ pts AS (
 ),
 cand(w) AS (VALUES {cand_list}),
 sm AS (
-  SELECT p.{g}, c.w, p.k, p.rn, p.tmin, p.step, avg(p2.v) AS s
+  SELECT p.{g}, c.w, p.k, p.rn, p.tmin, p.step,
+         CAST(sum(p2.v) AS DOUBLE) / count(p2.v) / {scale} AS s
   FROM pts p CROSS JOIN cand c
   JOIN pts p2 ON p2.{g} = p.{g}
              AND p2.rn BETWEEN p.rn - c.w + 1 AND p.rn
@@ -258,6 +295,6 @@ pick AS (
 )
 SELECT f.{g}, f.w,
        make_timestamp(f.tmin + f.k * f.step) AS bucket_ts,
-       round(f.s, {round_to}) AS smoothed
+       floor(f.s * {scale} + 0.5) / {scale} AS smoothed
 FROM fullw f JOIN pick ON pick.{g} = f.{g} AND pick.cw = f.w
 """
