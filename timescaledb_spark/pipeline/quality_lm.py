@@ -124,16 +124,30 @@ def chargram_logprob(
     grams = spread(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(char_ngrams(text_col, order)).alias("g")
     )
-    floor = F.lit(math.log(1.0 / ALPHABET))
+    # per-gram log-probs quantize to 1e-9 int64 units so the per-doc
+    # mean is an exact integer sum with one final division chain —
+    # order-dependent float sums can straddle the output rounding's
+    # half boundary (the ASAP lesson), and engine round() itself
+    # diverges on shortest-repr ties, so the output rounds via
+    # floor(x*1e6+0.5)/1e6 spelled identically in the DuckDB oracle
+    floor_lit = F.lit(math.log(1.0 / ALPHABET))
+    lq = F.floor(
+        F.coalesce(F.col("logp"), floor_lit) * F.lit(1.0e9) + F.lit(0.5)
+    )
     return (
         grams.join(F.broadcast(model), "g", "left")
+        .select(F.col(id_col), lq.alias("_lq"))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
-            F.round(
-                F.sum(F.coalesce(F.col("logp"), floor))
-                / F.count(F.lit(1)),
-                6,
+            (
+                F.floor(
+                    F.sum("_lq").cast("double")
+                    / F.count(F.lit(1))
+                    / F.lit(1.0e3)
+                    + F.lit(0.5)
+                )
+                / F.lit(1.0e6)
             ).alias("avg_logp"),
         )
     )
@@ -147,7 +161,9 @@ def chargram_logprob_sql(
 ) -> str:
     """DuckDB oracle replaying train-on-corpus + score-corpus
     literal-for-literal: identical tokenizer normalization, identical
-    integer counts feeding ``ln()``, identical 6-decimal round."""
+    integer counts feeding ``ln()``, the same Python-literal unseen-gram
+    floor, per-gram 1e-9 int quantization (exact sums), and the
+    engine-neutral ``floor(x*1e6+0.5)/1e6`` output rounding."""
     grams = _char_ngrams_sql(text_col, order)
     return f"""
     WITH g AS (
@@ -163,8 +179,10 @@ def chargram_logprob_sql(
     )
     SELECT {id_col},
            CAST(count(*) AS BIGINT) AS n_grams,
-           round(sum(coalesce(m.logp, ln(1.0 / {ALPHABET}))) / count(*), 6)
-             AS avg_logp
+           floor(CAST(sum(CAST(floor(
+                 coalesce(m.logp, {math.log(1.0 / ALPHABET)!r}) * 1000000000.0
+                 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / count(*) / 1000.0 + 0.5) / 1000000.0 AS avg_logp
     FROM g LEFT JOIN model m USING (g)
     GROUP BY {id_col}
     """
