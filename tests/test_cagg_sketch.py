@@ -1,0 +1,231 @@
+"""Sketch-state continuous aggregates (round 10): the mat table stores
+MERGEABLE partials — DDSketch bucket-count maps, or Spark's binary HLL
+states via plain ``hll_sketch_agg`` in ``aggs`` — so one hourly cagg
+serves percentiles / distinct counts at any coarser grain without
+rescanning raw data. The toolkit ``percentile_agg`` / ``uddsketch`` /
+``hll`` rollup-inside-a-cagg idiom; partial-vs-finalized
+materialization discussion in ``tsl/src/continuous_aggs/finalize.c``.
+"""
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from timescaledb_spark.session import TSSession
+from timescaledb_spark.sources import load_table
+
+
+def _mk(spark, sf_dir, prefix, **cagg_kw):
+    ts = TSSession(spark, tempfile.mkdtemp(prefix=prefix))
+    ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+    ht.insert(load_table(spark, sf_dir, "events"))
+    kw = dict(
+        bucket_width="1 hour",
+        aggs={},
+        group_by=["event_type"],
+        sketches={"sk": {"value": "value", "alpha": 0.01}},
+    )
+    kw.update(cagg_kw)
+    cagg = ts.create_cagg("sk_cagg", ht, **kw)
+    return ts, ht, cagg
+
+
+def _rows(df, keys):
+    return {tuple(r[k] for k in keys): r for r in df.collect()}
+
+
+class TestDDSketchCagg:
+    def test_mat_stores_map_states(self, spark, sf_dir):
+        _, _, cagg = _mk(spark, sf_dir, "ts_sk_mat_")
+        cagg.refresh()
+        mat = cagg.read(realtime=False)
+        assert dict(mat.dtypes)["sk"] == "map<int,bigint>"
+        # every state's counts sum to the bucket's row count
+        ev = load_table(spark, sf_dir, "events")
+        n_rows = ev.count()
+        total = mat.select(
+            F.aggregate(
+                F.map_values("sk"), F.lit(0).cast("long"), lambda a, x: a + x
+            ).alias("c")
+        ).agg(F.sum("c")).collect()[0][0]
+        assert total == n_rows
+
+    def test_quantiles_equal_raw_built_sketch_any_grain(self, spark, sf_dir):
+        """Lossless merge (Masson VLDB'19 §2.3): day-grain quantiles from
+        stored hourly states == sketch built directly from raw rows."""
+        from timescaledb_spark.functions.ddsketch import (
+            ddsketch,
+            ddsketch_quantiles,
+        )
+        from timescaledb_spark.functions.time import time_bucket
+
+        _, _, cagg = _mk(spark, sf_dir, "ts_sk_grain_")
+        cagg.refresh()
+        ev = load_table(spark, sf_dir, "events")
+        for grain, expr in (("1 day", "1 day"), ("all", None)):
+            got = cagg.quantiles([0.5, 0.95], grain=grain)
+            if expr is None:
+                raw = ddsketch(ev, "value", by=["event_type"])
+                want = ddsketch_quantiles(raw, [0.5, 0.95], by=["event_type"])
+                keys = ["event_type"]
+            else:
+                raw = ddsketch(
+                    ev.select(
+                        time_bucket(expr, "ts").alias("b"), "event_type", "value"
+                    ),
+                    "value",
+                    by=["b", "event_type"],
+                )
+                want = ddsketch_quantiles(
+                    raw, [0.5, 0.95], by=["b", "event_type"]
+                ).withColumnRenamed("b", "bucket")
+                keys = ["bucket", "event_type"]
+            g, w = _rows(got, keys), _rows(want, keys)
+            assert set(g) == set(w) and g
+            for k in g:
+                assert (g[k]["n"], g[k]["p50"], g[k]["p95"]) == (
+                    w[k]["n"], w[k]["p50"], w[k]["p95"]
+                ), k
+
+    def test_realtime_union_merges_mat_and_raw_states(self, spark, sf_dir):
+        """Partial refresh: a day straddling the watermark merges
+        mat-side hourly states with raw-computed ones — result must be
+        identical to the fully-refreshed answer."""
+        _, ht, cagg = _mk(spark, sf_dir, "ts_sk_rt_")
+        lo = min(c["range_start"] for c in ht.chunks())
+        hi = max(c["range_end"] for c in ht.chunks())
+        cagg.refresh(start=lo, end=lo + (hi - lo) // 2)
+        partial = _rows(
+            cagg.quantiles([0.5, 0.95], grain="1 day", realtime=True),
+            ["bucket", "event_type"],
+        )
+        cagg.refresh()
+        full = _rows(
+            cagg.quantiles([0.5, 0.95], grain="1 day", realtime=False),
+            ["bucket", "event_type"],
+        )
+        assert set(partial) == set(full) and partial
+        for k in full:
+            assert (partial[k]["p50"], partial[k]["p95"]) == (
+                full[k]["p50"], full[k]["p95"]
+            ), k
+
+    def test_late_data_refresh_equals_recompute(self, spark, sf_dir):
+        """Refresh-vs-recompute property: late rows re-dirty their
+        buckets; after re-refresh the stored states equal a from-scratch
+        cagg over the full data."""
+        ts = TSSession(spark, tempfile.mkdtemp(prefix="ts_sk_late_"))
+        ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+        ev = load_table(spark, sf_dir, "events")
+        ht.insert(ev.filter(F.pmod("event_id", F.lit(10)) != 0))
+        cagg = ts.create_cagg(
+            "late_sk", ht, bucket_width="1 hour", aggs={},
+            group_by=["event_type"],
+            sketches={"sk": {"value": "value", "alpha": 0.01}},
+        )
+        cagg.refresh()
+        ht.insert(ev.filter(F.pmod("event_id", F.lit(10)) == 0))
+        cagg.refresh()
+        got = _rows(
+            cagg.quantiles([0.5, 0.9], grain="1 day", realtime=False),
+            ["bucket", "event_type"],
+        )
+        ts2 = TSSession(spark, tempfile.mkdtemp(prefix="ts_sk_late2_"))
+        ht2 = ts2.create_hypertable("events", "ts", chunk_interval="7 days")
+        ht2.insert(ev)
+        cagg2 = ts2.create_cagg(
+            "late_sk2", ht2, bucket_width="1 hour", aggs={},
+            group_by=["event_type"],
+            sketches={"sk": {"value": "value", "alpha": 0.01}},
+        )
+        cagg2.refresh()
+        want = _rows(
+            cagg2.quantiles([0.5, 0.9], grain="1 day", realtime=False),
+            ["bucket", "event_type"],
+        )
+        assert got.keys() == want.keys() and got
+        for k in want:
+            assert (got[k]["n"], got[k]["p50"], got[k]["p90"]) == (
+                want[k]["n"], want[k]["p50"], want[k]["p90"]
+            ), k
+
+    def test_mixed_aggs_and_sketch(self, spark, sf_dir):
+        """Regular finalized aggs and sketch states coexist in one mat
+        row (null-safe 1:1 join of the two grouped frames)."""
+        _, _, cagg = _mk(
+            spark, sf_dir, "ts_sk_mixed_",
+            aggs={"n": "count(*)", "sum_v": "sum(value)"},
+        )
+        cagg.refresh()
+        mat = cagg.read(realtime=False)
+        ev = load_table(spark, sf_dir, "events")
+        want = ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+        got = mat.groupBy("event_type").agg(F.sum("n").alias("n")).collect()
+        assert {r["event_type"]: r["n"] for r in got} == {
+            r["event_type"]: r["n"] for r in want
+        }
+        # sketch column n agrees with the finalized count per bucket row
+        bad = mat.select(
+            "n",
+            F.aggregate(
+                F.map_values("sk"), F.lit(0).cast("long"), lambda a, x: a + x
+            ).alias("skn"),
+        ).filter("n != skn").count()
+        assert bad == 0
+
+    def test_errors(self, spark, sf_dir):
+        ts = TSSession(spark, tempfile.mkdtemp(prefix="ts_sk_err_"))
+        ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+        ht.insert(load_table(spark, sf_dir, "events"))
+        with pytest.raises(ValueError, match="collides"):
+            ts.create_cagg(
+                "bad1", ht, bucket_width="1 hour",
+                aggs={"n": "count(*)"}, group_by=["event_type"],
+                sketches={"n": {"value": "value"}},
+            )
+        with pytest.raises(ValueError, match="value"):
+            ts.create_cagg(
+                "bad2", ht, bucket_width="1 hour", aggs={},
+                sketches={"sk": {"alpha": 0.5}},
+            )
+        plain = ts.create_cagg(
+            "plain", ht, bucket_width="1 hour", aggs={"n": "count(*)"},
+        )
+        with pytest.raises(ValueError, match="no sketch columns"):
+            plain.quantiles([0.5])
+
+
+class TestHLLCagg:
+    def test_hll_states_in_aggs_rollup(self, spark, sf_dir):
+        """Spark's binary HLL states need no engine support: a cagg with
+        ``hll_sketch_agg(user_id)`` stores mergeable binaries; any-grain
+        distinct counts come from ``hll_union_agg`` +
+        ``hll_sketch_estimate`` over the realtime view."""
+        ts = TSSession(spark, tempfile.mkdtemp(prefix="ts_hll_cagg_"))
+        ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+        ht.insert(load_table(spark, sf_dir, "events"))
+        cagg = ts.create_cagg(
+            "hll_c", ht, bucket_width="1 hour",
+            aggs={"users_hll": "hll_sketch_agg(user_id)",
+                  "n": "count(*)"},
+        )
+        lo = min(c["range_start"] for c in ht.chunks())
+        hi = max(c["range_end"] for c in ht.chunks())
+        cagg.refresh(start=lo, end=lo + (hi - lo) // 2)
+        est = (
+            cagg.read(realtime=True)
+            .agg(
+                F.expr(
+                    "hll_sketch_estimate(hll_union_agg(users_hll))"
+                ).alias("du")
+            )
+            .collect()[0]["du"]
+        )
+        exact = (
+            load_table(spark, sf_dir, "events")
+            .select("user_id").distinct().count()
+        )
+        assert abs(est - exact) <= max(2, 0.05 * exact)

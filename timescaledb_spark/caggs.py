@@ -33,6 +33,7 @@ only touches overlapping mat chunks.
 from __future__ import annotations
 
 import json
+import math
 import os
 import time as _time
 from datetime import datetime, timezone as _tz
@@ -167,6 +168,7 @@ class ContinuousAggregate:
         join: Optional[dict] = None,
         window_fns: Optional[dict[str, str]] = None,
         enable_window_functions: bool = False,
+        sketches: Optional[dict[str, dict]] = None,
     ) -> "ContinuousAggregate":
         """``CREATE MATERIALIZED VIEW .. WITH (timescaledb.continuous)``
         (``tsl/src/continuous_aggs/create.c:600``).
@@ -193,6 +195,21 @@ class ContinuousAggregate:
         that span buckets give unexpected results after partial refresh,
         because each refresh recomputes windows only over its dirty
         ranges. Keep every OVER clause partitioned by the bucket column.
+        ``sketches``: output column -> ``{"value": <expr>, "alpha": a}``:
+        the mat table stores a mergeable DDSketch STATE
+        (``map<int,bigint>`` of log-bucket -> count) per (bucket, group)
+        instead of a finished number — the toolkit
+        ``percentile_agg``/``uddsketch``-inside-a-cagg idiom
+        (timescaledb-toolkit rollup; partial-vs-finalized discussion in
+        ``tsl/src/continuous_aggs/finalize.c``). Because bucket counts
+        ADD losslessly (Masson VLDB'19 §2.3), :meth:`quantiles` can then
+        serve p50/p95/p99 at ANY coarser grain — day/month/whole-table —
+        by merging the stored hourly states, never rescanning raw data;
+        the realtime view unions mat-side states below the watermark
+        with raw-side states computed above it. Spark's binary HLL
+        states need no special support: put ``hll_sketch_agg(col)`` in
+        ``aggs`` and merge with ``hll_union_agg`` at read (see
+        ``tests/test_cagg_sketch.py``).
         """
         if isinstance(hypertable, str):
             hypertable = Hypertable.get(ts, hypertable)
@@ -219,6 +236,21 @@ class ContinuousAggregate:
             )
         if window_fns:
             _validate_window_fns(window_fns, bucket_alias)
+        if sketches:
+            from .functions.ddsketch import _gamma
+
+            taken = set(aggs) | set(group_by) | {bucket_alias}
+            for col, spec in sketches.items():
+                if col in taken:
+                    raise ValueError(
+                        f"sketch column {col!r} collides with an agg/"
+                        f"group/bucket column"
+                    )
+                if "value" not in spec:
+                    raise ValueError(
+                        f"sketches[{col!r}] needs a 'value' expression"
+                    )
+                _gamma(float(spec.get("alpha", 0.01)))  # validates range
         if isinstance(bucket_width, int):
             # integer time dimension: width in raw internal units
             from .functions.time import Interval
@@ -251,6 +283,7 @@ class ContinuousAggregate:
             "where": where,
             "join": join,
             "window_fns": window_fns,
+            "sketches": sketches,
             "mat_table": f"_mat_{name}",
             "created_at": _time.time(),
         }
@@ -358,7 +391,8 @@ class ContinuousAggregate:
 
     def _aggregate(self, raw: DataFrame) -> DataFrame:
         """The 'partial view' query:
-        [join dim] + [where] + bucket + group_by + aggs + [window_fns]."""
+        [join dim] + [where] + bucket + group_by + aggs + [sketch
+        states] + [window_fns]."""
         j = self.row.get("join")
         if j:
             dim = self.ts.read_table(j["table"])
@@ -369,12 +403,75 @@ class ContinuousAggregate:
         if self.row.get("where"):
             raw = raw.filter(F.expr(self.row["where"]))
         exprs = [F.expr(e).alias(n) for n, e in self.row["aggs"].items()]
-        agg = raw.groupBy(
-            self._bucket_expr(raw), *self.row["group_by"]
-        ).agg(*exprs)
+        keys = [self.row["bucket_alias"], *self.row["group_by"]]
+        agg = None
+        if exprs or not self.row.get("sketches"):
+            agg = raw.groupBy(
+                self._bucket_expr(raw), *self.row["group_by"]
+            ).agg(*exprs)
+        for col, spec in (self.row.get("sketches") or {}).items():
+            sk = self._sketch_state(raw, col, spec)
+            if agg is None:
+                agg = sk
+                continue
+            # null-safe equi-join: group keys can hold NULLs, and both
+            # sides aggregate the same rows over the same keys, so the
+            # join is 1:1; AQE sees two pre-aggregated (small) sides
+            cond = None
+            for k in keys:
+                c = agg[k].eqNullSafe(sk[k])
+                cond = c if cond is None else cond & c
+            agg = agg.join(sk, cond).drop(sk[self.row["bucket_alias"]])
+            for k in self.row["group_by"]:
+                agg = agg.drop(sk[k])
         for col, expr in (self.row.get("window_fns") or {}).items():
             agg = agg.withColumn(col, F.expr(expr))
         return agg
+
+    def _sketch_state(self, raw: DataFrame, col: str, spec: dict) -> DataFrame:
+        """DDSketch STATE per (bucket, group): ``map<int,bigint>`` of
+        log-bucket -> count. Two map-combined groupBys: the first
+        collapses rows to (keys, log-bucket) counts BEFORE the exchange
+        (shuffle = keys x ~2k sketch buckets regardless of row count,
+        functions/ddsketch.py contract), the second packs each group's
+        buckets into one deterministic sorted map entry. No raw row
+        survives past the first partial aggregation."""
+        from .functions.ddsketch import ZERO_BUCKET, _gamma
+
+        g = _gamma(float(spec.get("alpha", 0.01)))
+        v = F.expr(spec["value"]).cast("double")
+        sb = (
+            F.when(
+                v < 0,
+                F.raise_error(
+                    F.lit(
+                        f"cagg sketch {col!r}: negative values are not "
+                        f"supported (DDSketch positive store + zero "
+                        f"bucket, like uddsketch)"
+                    )
+                ).cast("int"),
+            )
+            .when(v == 0, F.lit(ZERO_BUCKET))
+            .otherwise(
+                F.ceil(F.log(v) / F.lit(math.log(g))).cast("int")
+            )
+        )
+        per_bucket = (
+            raw.select(
+                self._bucket_expr(raw),
+                *self.row["group_by"],
+                sb.alias("_sb"),
+            )
+            .groupBy(self.row["bucket_alias"], *self.row["group_by"], "_sb")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+        )
+        return per_bucket.groupBy(
+            self.row["bucket_alias"], *self.row["group_by"]
+        ).agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("_sb", "_cnt")))
+            ).alias(col)
+        )
 
     def set_materialized_only(self, flag: bool) -> None:
         """``ALTER MATERIALIZED VIEW .. SET (timescaledb.materialized_only
@@ -623,6 +720,81 @@ class ContinuousAggregate:
         raw_side = raw_agg.filter(F.col(bucket) >= wm_lit)
         return mat_side.unionByName(raw_side)
 
+    # ------------------------------------------------- sketch accessors
+    def quantiles(
+        self,
+        qs: Sequence[float],
+        sketch_col: Optional[str] = None,
+        grain: Optional[str] = None,
+        group_by: Optional[Sequence[str]] = None,
+        realtime: Optional[bool] = None,
+    ) -> DataFrame:
+        """Serve quantiles from the stored DDSketch states — the toolkit
+        ``approx_percentile(q, rollup(percentile_agg))`` idiom: merge
+        the per-bucket states to ``grain`` (any coarser bucket width;
+        ``None`` = the cagg's own grain, ``"all"`` = one global sketch)
+        and extract estimates. Lossless merge (bucket counts add,
+        Masson VLDB'19 §2.3) means a day-grain answer from hourly
+        states is IDENTICAL to a sketch built from raw rows — the
+        property the oracle gate checks. Never rescans raw data below
+        the watermark; above it the realtime union computes raw-side
+        states over the un-materialized tail only.
+
+        Output: ``(bucket?, group_by…, n, p50, p95, …)`` with the same
+        naming/rounding as :func:`functions.ddsketch.ddsketch_quantiles`.
+        """
+        from .functions.ddsketch import ddsketch_quantiles
+        from .functions.time import time_bucket
+
+        sketches = self.row.get("sketches") or {}
+        if not sketches:
+            raise ValueError(
+                f"cagg {self.name!r} has no sketch columns (pass "
+                f"sketches= to create_cagg)"
+            )
+        if sketch_col is None:
+            if len(sketches) > 1:
+                raise ValueError(
+                    f"cagg {self.name!r} has several sketches "
+                    f"{sorted(sketches)}; pass sketch_col"
+                )
+            sketch_col = next(iter(sketches))
+        if sketch_col not in sketches:
+            raise KeyError(f"no sketch column {sketch_col!r}")
+        alpha = float(sketches[sketch_col].get("alpha", 0.01))
+        bucket = self.row["bucket_alias"]
+        gb = list(self.row["group_by"] if group_by is None else group_by)
+
+        df = self.read(realtime=realtime)
+        if grain == "all":
+            keys = gb
+        elif grain is not None:
+            if not self.row["time_is_timestamp"]:
+                from .functions.time import time_bucket_int
+
+                df = df.withColumn(
+                    bucket, time_bucket_int(int(grain), bucket)
+                )
+            else:
+                df = df.withColumn(bucket, time_bucket(grain, bucket))
+            keys = [bucket, *gb]
+        else:
+            keys = [bucket, *gb]
+        # explode states -> (keys, sketch-bucket, cnt); merge = sum —
+        # output is keys x ~2k buckets rows, never raw-sized. Keys are
+        # renamed internally: the sketch frame contract reserves
+        # "bucket"/"cnt", and the cagg's own bucket_alias defaults to
+        # "bucket" too.
+        tmp = [f"_qk{i}" for i in range(len(keys))]
+        flat = df.select(
+            *[F.col(k).alias(t) for k, t in zip(keys, tmp)],
+            F.explode(F.col(sketch_col)).alias("bucket", "cnt"),
+        ).groupBy(*tmp, "bucket").agg(F.sum("cnt").alias("cnt"))
+        out = ddsketch_quantiles(flat, list(qs), by=tmp, alpha=alpha)
+        for k, t in zip(keys, tmp):
+            out = out.withColumnRenamed(t, k)
+        return out
+
     def drop(self, keep_jobs: bool = False) -> None:
         """``DROP MATERIALIZED VIEW`` teardown. Refuses while a
         hierarchical cagg is built on this one (PG RESTRICT — a child
@@ -721,6 +893,7 @@ class ContinuousAggregate:
             join=self.row.get("join"),
             window_fns=self.row.get("window_fns"),
             enable_window_functions=bool(self.row.get("window_fns")),
+            sketches=self.row.get("sketches"),
         )
         if refresh:
             new.refresh()

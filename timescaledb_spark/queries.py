@@ -1031,6 +1031,59 @@ def q_cagg_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cagg_sketch",
+    lambda: """
+    SELECT b_day AS bucket, event_type, CAST(n AS BIGINT) AS n, p50, p95
+    FROM ({est})
+    """.format(
+        est=__import__(
+            "timescaledb_spark.functions.ddsketch", fromlist=["x"]
+        ).ddsketch_quantiles_sql(
+            f"""(SELECT {_bucket_sql(DAY, 'ts')} AS b_day,
+                        event_type, value FROM events) s""",
+            "value",
+            by=("b_day", "event_type"),
+            qs=(0.5, 0.95),
+        )
+    ),
+)
+def q_cagg_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-STATE continuous aggregate (round 10; the toolkit
+    ``percentile_agg``-inside-a-cagg idiom — mat table stores mergeable
+    partials, ``tsl/src/continuous_aggs/finalize.c`` partial-vs-final
+    discussion): an HOURLY cagg stores DDSketch states
+    (map<log-bucket, count>) per event_type; only the first half of the
+    range is materialized, so serving DAILY p50/p95 must (a) merge
+    stored hourly states below the watermark with raw-computed states
+    above it (realtime union), and (b) roll 24 hourly states into each
+    day. Bucket counts add losslessly (Masson VLDB'19 §2.3), so the
+    result is bit-identical to the oracle's sketch built directly from
+    raw rows at day grain — the property that makes sketch caggs
+    correct at any serving grain with zero raw rescans below the
+    watermark."""
+    import tempfile
+
+    from .session import TSSession
+
+    root = tempfile.mkdtemp(prefix="ts_cagg_sk_")
+    ts = TSSession(spark, root)
+    ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+    ht.insert(load_table(spark, sf_dir, "events"))
+    cagg = ts.create_cagg(
+        "qsk",
+        ht,
+        bucket_width="1 hour",
+        aggs={},
+        group_by=["event_type"],
+        sketches={"sk_value": {"value": "value", "alpha": 0.01}},
+    )
+    lo = min(c["range_start"] for c in ht.chunks())
+    hi = max(c["range_end"] for c in ht.chunks())
+    cagg.refresh(start=lo, end=lo + (hi - lo) // 2)
+    return cagg.quantiles([0.5, 0.95], grain="1 day", realtime=True)
+
+
+@query(
     "q_cagg_monthly",
     """
     SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS bucket,
