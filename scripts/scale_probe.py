@@ -348,12 +348,18 @@ def main() -> None:
         and r3["rows"] <= 2000
     )
 
-    # ---- round-9: ordered scan over the many-chunk hypertable ---------
-    # catalog-ordered per-chunk sorted scans, union width capped at
-    # plan_cap scan groups — the no-global-sort ordered read must hold
-    # at the 12k-chunk metadata shape
+    # ---- round-9/10: ordered scan over the many-chunk hypertable ------
+    # catalog-ordered per-chunk sorted scans — the no-global-sort
+    # ordered read must hold at the 12k-chunk metadata shape. Round 10:
+    # catalog stats populated first (the documented pre-export ANALYZE),
+    # groups row-budgeted, arrow merge-append engine auto-selected at
+    # this width — plan build must be O(1), not O(chunks) driver-side
+    # listings (r9: 45.3s first-rows at 12k chunks; target <10s).
     from timescaledb_spark.plans.inspect import shuffle_count as _shc
 
+    t0 = time.perf_counter()
+    ht.approximate_row_count()
+    out["ordered_scan_analyze_s"] = round(time.perf_counter() - t0, 2)
     t0 = time.perf_counter()
     odf = ht.read_ordered(plan_cap=256)
     out["ordered_scan_shuffles"] = _shc(odf)
@@ -363,6 +369,7 @@ def main() -> None:
     out["ordered_scan_rows"] = odf.count()
     out["ordered_scan_full_s"] = round(time.perf_counter() - t0, 2)
     out["ordered_scan_first_ts"] = str(first_ts)
+    out["ordered_scan_plan"] = dict(ht.last_ordered_plan_info)
 
     # ---- round-9: ASAP smoothing at 2M rows / 10k series --------------
     # the search must stay bounded by groups x resolution x candidates:

@@ -113,3 +113,89 @@ def test_sql_route(spark, ht):
     # non-matching shapes take the normal path and stay correct
     n = ht.ts.sql("SELECT DISTINCT dev FROM ev WHERE v > 50").count()
     assert 0 < n <= 5
+
+
+# ---------------------------------------------------------------------------
+# Composite (multi-column) DISTINCT from recorded segment-key tuples
+# (round 10; the reference's SkipScan over any ordered index prefix,
+# tsl/src/nodes/skip_scan/planner.c:576 — tuples subsume prefixes AND
+# subsets by projection).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def ht2(spark, tmp_path):
+    ts = TSSession(spark, str(tmp_path / "cat2"))
+    ht = ts.create_hypertable("ev2", "ts", chunk_interval="7 days")
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(range(0, 28 * 24, 7), unit="h"),
+            "dev": [f"d{i % 5}" for i in range(96)],
+            "site": [f"s{i % 3}" for i in range(96)],
+            "v": [float(i) for i in range(96)],
+        }
+    )
+    ht.insert(spark.createDataFrame(pdf))
+    enable_columnstore(ht, segmentby=["dev", "site"], orderby=[("ts", "asc")])
+    return ht
+
+
+def _expected_pairs(ht, cols):
+    return sorted(tuple(r) for r in ht.df().select(*cols).distinct().collect())
+
+
+def test_multi_distinct_catalog_only(spark, ht2):
+    compress_chunks(ht2)
+    out = ht2.distinct_values(["dev", "site"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in plan  # zero I/O: a literal frame
+    assert sorted(tuple(r) for r in out.collect()) == _expected_pairs(
+        ht2, ["dev", "site"]
+    )
+    st = ht2.distinct_values_stats
+    assert st["scanned_chunks"] == 0
+
+
+def test_multi_distinct_subset_and_reorder(spark, ht2):
+    compress_chunks(ht2)
+    # subset projection: single columns answered from tuples too is NOT
+    # required (per-column lists already cover them) — but a reordered
+    # pair must project correctly
+    out = ht2.distinct_values(["site", "dev"])
+    assert out.columns == ["site", "dev"]
+    assert sorted(tuple(r) for r in out.collect()) == _expected_pairs(
+        ht2, ["site", "dev"]
+    )
+    assert ht2.distinct_values_stats["scanned_chunks"] == 0
+
+
+def test_multi_distinct_dml_invalidation(spark, ht2):
+    compress_chunks(ht2)
+    extra = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "ts": [pd.Timestamp("2024-01-02")],
+                "dev": ["d9"],
+                "site": ["s9"],
+                "v": [1.0],
+            }
+        )
+    )
+    ht2.insert(extra)
+    out = ht2.distinct_values(["dev", "site"])
+    got = sorted(tuple(r) for r in out.collect())
+    assert ("d9", "s9") in got
+    assert got == _expected_pairs(ht2, ["dev", "site"])
+    st = ht2.distinct_values_stats
+    assert st["scanned_chunks"] >= 1  # touched chunk re-scanned
+    assert st["covered_chunks"] >= 1  # untouched chunks stay catalog
+
+
+def test_multi_distinct_non_segmentby_falls_back(spark, ht2):
+    compress_chunks(ht2)
+    out = ht2.distinct_values(["dev", "v"])  # v is not a segmentby col
+    assert ht2.distinct_values_stats["covered_chunks"] == 0
+    assert sorted(tuple(r) for r in out.collect()) == _expected_pairs(
+        ht2, ["dev", "v"]
+    )

@@ -154,3 +154,29 @@ def test_last_point_matches_window_model(spark, data, keys):
         .collect()
     }
     assert got == exp
+
+
+def test_last_point_large_key_universe_falls_back(ts, spark):
+    """Above max_collect_keys the catalog walk (driver-side result
+    accumulation) must be skipped for the distributed groupBy path —
+    proven here with a lowered threshold so the key DataFrame trips it."""
+    rows = [
+        (T0 + d * DAY + k, k, float(d * 10 + k))
+        for d in range(5)
+        for k in range(8)
+    ]
+    ht, df = _mk(ts, spark, rows)
+    keys = spark.createDataFrame([(k,) for k in range(8)], "k int")
+    got = {
+        (r["k"], r["ts"], r["v"])
+        for r in ht.last_point(by="k", keys=keys, max_collect_keys=3).collect()
+    }
+    assert ht.last_point_stats["mode"] == "group_by_fallback"
+    assert got == _expect(df)
+    # under the threshold the walk runs and matches too
+    got2 = {
+        (r["k"], r["ts"], r["v"])
+        for r in ht.last_point(by="k", keys=keys, max_collect_keys=100).collect()
+    }
+    assert ht.last_point_stats["mode"] == "catalog_walk"
+    assert got2 == _expect(df)

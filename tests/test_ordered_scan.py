@@ -210,3 +210,106 @@ def test_explain_ordered_scan_shows_union_no_range_sort(ts):
     ]
     assert not any("rangepartitioning" in l for l in lines)
     assert any(l.strip().startswith("Union") for l in lines)
+
+
+# ---------------------------------------------------------------------------
+# Arrow merge-append engine (round 10): the many-chunk path. Forced via
+# engine="arrow" at test scale; every property must match the JVM union
+# engine bit-for-bit since auto-selection switches silently at >128
+# groups.
+# ---------------------------------------------------------------------------
+
+
+def _rows_key(rows):
+    return [tuple(r) for r in rows]
+
+
+def test_arrow_engine_matches_jvm_full_table(ts):
+    ht = ts.get_hypertable("events")
+    jvm = ht.read_ordered(engine="jvm").collect()
+    arrow = ht.read_ordered(engine="arrow").collect()
+    assert ht.last_ordered_plan_info["engine"] == "arrow"
+    tss = [r["ts"] for r in arrow]
+    assert all(tss[i] <= tss[i + 1] for i in range(len(tss) - 1))
+    # same multiset of rows; order may differ only within equal
+    # timestamps (tie order is unspecified in both engines)
+    assert sorted(_rows_key(jvm)) == sorted(_rows_key(arrow))
+
+
+def test_arrow_engine_zero_exchange(ts):
+    ht = ts.get_hypertable("events")
+    df = ht.read_ordered(engine="arrow")
+    assert shuffle_count(df) == 0
+
+
+def test_arrow_engine_bounds_and_desc(ts):
+    ht = ts.get_hypertable("events")
+    df = ht.read_ordered(
+        start="2024-01-05", end="2024-01-25", desc=True, engine="arrow"
+    )
+    rows = df.collect()
+    assert len(rows) == ht.read(start="2024-01-05", end="2024-01-25").count()
+    tss = [r["ts"] for r in rows]
+    assert all(tss[i] >= tss[i + 1] for i in range(len(tss) - 1))
+
+
+def test_arrow_engine_column_projection(ts):
+    ht = ts.get_hypertable("events")
+    df = ht.read_ordered(columns=["event_id", "value"], engine="arrow")
+    assert df.columns == ["event_id", "value"]
+    assert df.count() == ht.df().count()
+    # projection that EXCLUDES the time column still sorts by it
+    full = ht.read_ordered(columns=["ts", "event_id"], engine="arrow").collect()
+    tss = [r["ts"] for r in full]
+    assert all(tss[i] <= tss[i + 1] for i in range(len(tss) - 1))
+
+
+def test_arrow_engine_added_column_fill(spark, sf_dir, tmp_path):
+    s = TSSession(spark, str(tmp_path / "ts_arrow_fill"))
+    ht = s.create_hypertable("events", "ts", chunk_interval="7 days")
+    ev = load_table(spark, sf_dir, "events")
+    ht.insert(ev.filter(F.col("event_id") % 2 == 0))
+    ht.add_column("grade", "string", default="ok")
+    ht.insert(
+        ev.filter(F.col("event_id") % 2 == 1).withColumn(
+            "grade", F.lit("new")
+        )
+    )
+    df = ht.read_ordered(engine="arrow")
+    got = {r["grade"] for r in df.select("grade").distinct().collect()}
+    assert got == {"ok", "new"}
+    assert df.count() == ht.df().count()
+
+
+def test_arrow_engine_space_partitioned(spark, sf_dir, tmp_path):
+    s = TSSession(spark, str(tmp_path / "ts_arrow_space"))
+    ht = s.create_hypertable("events", "ts", chunk_interval="7 days")
+    ht.add_dimension("user_id", num_partitions=4)
+    ht.insert(load_table(spark, sf_dir, "events"))
+    df = ht.read_ordered(engine="arrow")
+    rows = df.collect()
+    assert len(rows) == ht.df().count()
+    tss = [r["ts"] for r in rows]
+    assert all(tss[i] <= tss[i + 1] for i in range(len(tss) - 1))
+
+
+def test_row_budget_splits_groups(ts):
+    """rows_per_group caps a single task's sort: with catalog stats
+    populated, a tiny budget must split the fixed-width groups."""
+    ht = ts.get_hypertable("events")
+    ht.approximate_row_count()  # populate n_rows stats
+    ht.read_ordered(plan_cap=2)  # width-2 target → huge groups
+    wide = ht.last_ordered_plan_info
+    ht.read_ordered(plan_cap=2, rows_per_group=100)
+    tight = ht.last_ordered_plan_info
+    assert tight["groups"] > wide["groups"]
+    assert tight["max_rows_per_group_est"] is not None
+    assert (
+        tight["max_rows_per_group_est"] <= wide["max_rows_per_group_est"]
+    )
+    # order still holds through row-split groups
+    tss = [
+        r["ts"]
+        for r in ht.read_ordered(plan_cap=2, rows_per_group=100).collect()
+    ]
+    assert all(tss[i] <= tss[i + 1] for i in range(len(tss) - 1))

@@ -46,6 +46,10 @@ from .hypertable import CHUNK_COL, SPACE_COL, Hypertable
 # falls back to scanning the chunk (the same "index jump stops paying"
 # regime where the reference's SkipScan loses to a seq scan)
 SEGMENT_VALUES_CAP = 1024
+# chunk_column_stats sentinel "column" holding the distinct tuples of the
+# FULL segmentby key (composite DISTINCT SkipScan, round 10); never a
+# real column name, so min/max consumers skip it via find(column=<name>)
+SEGMENT_TUPLES_KEY = "__segment_tuples__"
 
 TARGET_FILE_BYTES = 128 * 1024 * 1024  # one spark input split per file
 
@@ -261,6 +265,29 @@ def _compress_chunk_data(
                         F.max(F.col(c).isNull()).alias(f"dvn_{c}")
                         for c in segmentby
                     ],
+                    # composite SkipScan (round 10): the full segmentby
+                    # TUPLE list answers DISTINCT over ANY subset of the
+                    # segmentby columns by projection (the reference
+                    # builds SkipScan paths for every ordered index
+                    # prefix, tsl/src/nodes/skip_scan/planner.c:576;
+                    # recorded tuples subsume prefixes AND subsets)
+                    *(
+                        [
+                            F.slice(
+                                F.sort_array(
+                                    F.collect_set(
+                                        F.struct(
+                                            *[F.col(c) for c in segmentby]
+                                        )
+                                    )
+                                ),
+                                1,
+                                SEGMENT_VALUES_CAP + 1,
+                            ).alias("dv__tuples")
+                        ]
+                        if len(segmentby) >= 2
+                        else []
+                    ),
                 )
                 .collect()[0]
             )
@@ -276,6 +303,19 @@ def _compress_chunk_data(
                         "values": list(vals),
                         "has_null": bool(row[f"dvn_{c}"]),
                     }
+            if len(segmentby) >= 2:
+                tuples = row["dv__tuples"]
+                if tuples is not None and len(tuples) <= SEGMENT_VALUES_CAP:
+                    as_lists = [list(t) for t in tuples]
+                    try:
+                        json.dumps(as_lists)
+                    except TypeError:
+                        as_lists = None
+                    if as_lists is not None:
+                        seg_values[SEGMENT_TUPLES_KEY] = {
+                            "values": as_lists,
+                            "columns": list(segmentby),
+                        }
         # row count from the freshly written footers — free relative to
         # the rewrite; keeps approximate_row_count catalog-answerable
         # (the reference answers from pg stats, sql/size_utils.sql:311)
@@ -342,6 +382,19 @@ def _stats_rows(ht: Hypertable, chunk: dict, data: dict) -> list[dict]:
             r["distinct_values"] = seg[col]["values"]
             r["distinct_has_null"] = seg[col]["has_null"]
         rows.append(r)
+    if SEGMENT_TUPLES_KEY in seg:
+        # composite segment-key tuples ride the same stats rows so every
+        # invalidation path (DML staleness, decompress, rename, disable)
+        # retires them together with the per-column lists
+        rows.append(
+            {
+                "chunk_id": chunk["id"],
+                "hypertable_id": ht.id,
+                "column": SEGMENT_TUPLES_KEY,
+                "columns": seg[SEGMENT_TUPLES_KEY]["columns"],
+                "distinct_values": seg[SEGMENT_TUPLES_KEY]["values"],
+            }
+        )
     return rows
 
 

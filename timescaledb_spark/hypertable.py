@@ -2584,6 +2584,8 @@ class Hypertable:
         desc: bool = False,
         columns: Optional[Sequence[str]] = None,
         plan_cap: int = 512,
+        rows_per_group: Optional[int] = 8_000_000,
+        engine: str = "auto",
     ) -> DataFrame:
         """Time-ordered read with NO global sort — the ordered-append
         analog (``src/planner/expand_hypertable.c:1024``
@@ -2607,14 +2609,42 @@ class Hypertable:
         strictly sequentially, so this is already a superset of its
         parallelism).
 
-        ``plan_cap`` bounds the union width: beyond it, consecutive
-        chunks are batched into one multi-dir scan per group (still
-        sorted as a unit), keeping the driver-side plan O(plan_cap)
-        regardless of chunk count. Plan build remains O(chunks) in
-        driver-side directory listings (as is the reference's planner
-        walk over all chunks) — measured ~45s at 12k chunks before the
-        first row moves; bound it with ``start``/``end`` when streaming
-        a range rather than the whole table.
+        Scan-group sizing (round 10): consecutive chunks are batched so
+        that (a) the union stays at most ``plan_cap`` wide AND (b) no
+        group's catalog row count exceeds ``rows_per_group`` — a group
+        is one task's sort, so this caps single-task memory at any
+        table size instead of letting a fixed width put table/plan_cap
+        bytes in one task. Row counts come from catalog ``n_rows``
+        (populated by :meth:`approximate_row_count`, self-healing);
+        chunks with no recorded count are estimated at the table's
+        known-chunk average, and when NO counts are recorded the
+        grouping falls back to pure width — run
+        ``approximate_row_count()`` before a big ordered export to get
+        the row bound. When both constraints conflict (row budget wants
+        more than ``plan_cap`` groups), the row budget wins and the
+        union goes wider: ``plan_cap`` is the width the fixed-width
+        batching targets, not a hard ceiling on correctness-critical
+        memory bounds.
+
+        ``engine``: ``"jvm"`` builds the per-group scan union above —
+        whole-stage-codegen scans, zero Python, but plan build is
+        O(groups) driver-side reader calls and the serialized plan
+        carries one scan node per group (measured: 10s build + 6 MiB
+        task binaries at 3000 chunks / 512 groups). ``"arrow"`` builds
+        ONE tiny plan instead: group specs are parallelized 1:1 onto
+        partitions (partition i = time-order group i) and each task
+        reads its chunks' files with pyarrow datasets, sorts the group,
+        and streams Arrow batches back — plan build is O(1), file
+        listing is distributed to executors, and the zero-Exchange
+        contract is unchanged (``mapInArrow`` over an exact-partitioned
+        input has no shuffle). ``"auto"`` (default) picks arrow when
+        the plan would exceed 128 groups — the crossover where the
+        JVM plan-build cost dominates; the 12k-chunk first-rows probe
+        (SCALE_PROBE x100) dropped ~45s → ~2s on the switch.
+
+        The executed grouping is recorded in
+        ``self.last_ordered_plan_info`` (``groups``,
+        ``max_rows_per_group_est``, ``engine``) for probes.
 
         Falls back to a global sort iff chunk ranges overlap — possible
         only through ``attach_chunk`` of a foreign-range directory
@@ -2646,13 +2676,25 @@ class Hypertable:
             if columns:
                 df = df.select(*columns)
             return df.orderBy(order_col)
-        # batch consecutive chunks so the union stays O(plan_cap) wide;
-        # a group spans a contiguous time range, so sorting the group as
-        # one partition preserves global order across group boundaries
-        per = max(1, -(-len(chunks) // plan_cap))
-        groups = [chunks[i : i + per] for i in range(0, len(chunks), per)]
+        # batch consecutive chunks so the union stays ~plan_cap wide AND
+        # no group exceeds the row budget; a group spans a contiguous
+        # time range, so sorting the group as one partition preserves
+        # global order across group boundaries
+        groups, max_rows_est = self._ordered_groups(
+            chunks, plan_cap, rows_per_group
+        )
         if desc:
             groups = groups[::-1]
+        use_arrow = bool(self.row.get("schema_ddl")) and (
+            engine == "arrow" or (engine == "auto" and len(groups) > 128)
+        )
+        self.last_ordered_plan_info = {
+            "groups": len(groups),
+            "max_rows_per_group_est": max_rows_est,
+            "engine": "arrow" if use_arrow else "jvm",
+        }
+        if use_arrow:
+            return self._read_ordered_arrow(groups, lo, hi, columns, desc)
         # resolve the file schema ONCE: per-group schema inference reads
         # parquet footers per scan — at a 12k-chunk catalog that is
         # thousands of sequential driver-side footer reads before the
@@ -2702,12 +2744,243 @@ class Hypertable:
             ]
         return parts[0]
 
+    def _ordered_groups(
+        self,
+        chunks: list[dict],
+        plan_cap: int,
+        rows_per_group: Optional[int],
+    ) -> tuple[list[list[dict]], Optional[int]]:
+        """Batch consecutive chunks into ordered scan groups: at most
+        ``ceil(chunks/plan_cap)`` chunks per group (the width target)
+        and — when catalog ``n_rows`` stats exist — at most
+        ``rows_per_group`` estimated rows per group (the single-task
+        sort-memory bound). Returns (groups, est_max_rows_per_group);
+        the estimate is None when no chunk has a recorded count."""
+        per = max(1, -(-len(chunks) // plan_cap))
+        known = [
+            int(c["n_rows"]) for c in chunks if c.get("n_rows") is not None
+        ]
+        if not known or rows_per_group is None:
+            return (
+                [chunks[i : i + per] for i in range(0, len(chunks), per)],
+                None,
+            )
+        avg = sum(known) / len(known)
+        est = lambda c: (  # noqa: E731
+            float(c["n_rows"]) if c.get("n_rows") is not None else avg
+        )
+        groups: list[list[dict]] = []
+        cur: list[dict] = []
+        cur_rows = 0.0
+        for c in chunks:
+            nr = est(c)
+            if cur and (len(cur) >= per or cur_rows + nr > rows_per_group):
+                groups.append(cur)
+                cur, cur_rows = [], 0.0
+            cur.append(c)
+            cur_rows += nr
+        if cur:
+            groups.append(cur)
+        max_est = int(max(sum(est(c) for c in g) for g in groups))
+        return groups, max_est
+
+    def _read_ordered_arrow(
+        self,
+        groups: list[list[dict]],
+        lo: Optional[int],
+        hi: Optional[int],
+        columns: Optional[Sequence[str]],
+        desc: bool,
+    ) -> DataFrame:
+        """Arrow merge-append engine for :meth:`read_ordered` at
+        many-chunk catalogs. ONE O(1)-size plan: group specs are
+        parallelized exactly one per partition in time order, and each
+        task reads its own chunks' parquet with pyarrow datasets
+        (listing happens IN the executor — the driver never lists a
+        directory), applies added-column fills, filters boundary rows
+        against the internal µs bounds, sorts the group, and streams
+        Arrow batches. Partition order = group order = time order, with
+        zero Exchange — the reference's per-chunk ordered append
+        (``src/planner/expand_hypertable.c:1024``) with the chunk walk
+        pushed down to the workers.
+
+        Data crosses the JVM↔Arrow boundary once (the cost vs the JVM
+        scan-union engine), which is the right trade exactly when the
+        driver-side O(groups) plan build dominates — large catalogs /
+        ordered exports, the use this engine is auto-selected for."""
+        import json as _json
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        spark = self.ts.spark
+        schema = self._schema()
+        data_fields = [
+            f for f in schema.fields if f.name not in (CHUNK_COL, SPACE_COL)
+        ]
+        tcol = self.time_column
+        out_names = [f.name for f in data_fields]
+        if columns:
+            out_names = list(columns)
+        # the sort needs the time column even when it's not projected
+        read_names = list(out_names)
+        if tcol not in read_names:
+            read_names.append(tcol)
+        out_struct = T.StructType(
+            [next(f for f in data_fields if f.name == n) for n in out_names]
+        )
+        arrow_schema = to_arrow_schema(out_struct)
+        read_arrow = to_arrow_schema(
+            T.StructType(
+                [next(f for f in data_fields if f.name == n) for n in read_names]
+            )
+        )
+        target_types = {f.name: f.type for f in read_arrow}
+        acs = [
+            ac for ac in self.added_columns() if ac["default"] is not None
+        ]
+
+        specs = []
+        for g in groups:
+            chs = []
+            for c in g:
+                fills = {
+                    ac["name"]: ac["default"]
+                    for ac in acs
+                    if self._chunk_needs_fill(c, ac)
+                    and ac["name"] in read_names
+                }
+                chs.append({"dir": self._chunk_glob(c), "fill": fills})
+            specs.append(
+                _json.dumps(
+                    {
+                        "chunks": chs,
+                        # boundary groups get the row filter; interior
+                        # groups scan filter-free (ConstraintAwareAppend)
+                        "lo": lo
+                        if lo is not None and g[0]["range_start"] < lo
+                        else None,
+                        "hi": hi
+                        if hi is not None and g[-1]["range_end"] > hi
+                        else None,
+                    }
+                )
+            )
+        # exact 1:1 spec -> partition (parallelize slices N items into N
+        # ordered slices), so output partition order is time order
+        rdd = spark.sparkContext.parallelize([(s,) for s in specs], len(specs))
+        sdf = spark.createDataFrame(rdd, "spec string")
+        usecs_day = USECS_PER_DAY
+
+        def _merge_append(batches):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            import pyarrow.dataset as pds
+
+            def to_internal(col):
+                ty = col.type
+                if pa.types.is_timestamp(ty):
+                    if ty.unit != "us":
+                        col = col.cast(pa.timestamp("us", tz=ty.tz))
+                    return col.cast(pa.int64())
+                if pa.types.is_date(ty):
+                    return pc.multiply(
+                        col.cast(pa.int32()).cast(pa.int64()),
+                        pa.scalar(usecs_day, pa.int64()),
+                    )
+                return col.cast(pa.int64())
+
+            for b in batches:
+                for sj in b.column("spec").to_pylist():
+                    spec = _json.loads(sj)
+                    tabs = []
+                    for ch in spec["chunks"]:
+                        # default discovery skips "_"-prefixed paths —
+                        # which would silently drop _space=k subdirs of
+                        # space-partitioned chunks; keep ignoring only
+                        # Spark's marker files
+                        dset = pds.dataset(
+                            ch["dir"],
+                            format="parquet",
+                            ignore_prefixes=[
+                                ".",
+                                "_SUCCESS",
+                                "_metadata",
+                                "_common_metadata",
+                                "_started",
+                                "_committed",
+                            ],
+                        )
+                        missing = [
+                            n
+                            for n in read_names
+                            if n not in dset.schema.names
+                        ]
+                        if missing:
+                            # inference inspects one fragment: a mixed
+                            # pre/post-ADD-COLUMN chunk dir may hide the
+                            # added column from the dataset schema even
+                            # though newer files carry real values.
+                            # Widen the schema; the scanner then reads
+                            # real values where present and null-fills
+                            # only the files that truly lack the column.
+                            dset = pds.dataset(
+                                dset.files,
+                                format="parquet",
+                                schema=pa.schema(
+                                    list(dset.schema)
+                                    + [
+                                        pa.field(n, target_types[n])
+                                        for n in missing
+                                    ]
+                                ),
+                            )
+                        t = dset.to_table(columns=read_names)
+                        for name, dflt in (ch.get("fill") or {}).items():
+                            i = t.column_names.index(name)
+                            arr = t.column(i)
+                            t = t.set_column(
+                                i,
+                                name,
+                                pc.fill_null(
+                                    arr, pa.scalar(dflt).cast(arr.type)
+                                ),
+                            )
+                        tabs.append(t.select(read_names))
+                    if not tabs:
+                        continue
+                    tab = pa.concat_tables(
+                        tabs, promote_options="permissive"
+                    )
+                    if spec["lo"] is not None or spec["hi"] is not None:
+                        tv = to_internal(
+                            tab.column(tab.column_names.index(tcol))
+                        )
+                        mask = None
+                        if spec["lo"] is not None:
+                            mask = pc.greater_equal(tv, spec["lo"])
+                        if spec["hi"] is not None:
+                            m2 = pc.less(tv, spec["hi"])
+                            mask = m2 if mask is None else pc.and_(mask, m2)
+                        tab = tab.filter(mask)
+                    idx = pc.sort_indices(
+                        tab,
+                        sort_keys=[
+                            (tcol, "descending" if desc else "ascending")
+                        ],
+                    )
+                    tab = tab.take(idx).select(out_names).cast(arrow_schema)
+                    for rb in tab.to_batches(max_chunksize=1 << 16):
+                        yield rb
+
+        return sdf.mapInArrow(_merge_append, out_struct)
+
     def last_point(
         self,
         by: Union[str, Sequence[str]],
         tiebreak: Sequence[str] = (),
         keys=None,
         batch_chunks: int = 4,
+        max_collect_keys: int = 1_000_000,
     ) -> DataFrame:
         """Latest row per key — ``SELECT DISTINCT ON (by) * ORDER BY by,
         time DESC`` — the SkipScan analog (``tsl/src/nodes/skip_scan/
@@ -2732,8 +3005,12 @@ class Hypertable:
 
         Per-batch results are collected driver-side; volume is bounded
         by key cardinality (the final result size), like the catalog
-        metadata ops. ``self.last_point_stats`` records
-        ``chunks_scanned``/``total_chunks`` for plan assertions.
+        metadata ops — the catalog walk is therefore only for key
+        universes that FIT on the driver. Above ``max_collect_keys``
+        (default 1M) the walk is skipped automatically and the
+        distributed ``groupBy().agg(max_by)`` fallback runs instead
+        (one shuffle of (key, row) pairs, result stays executor-side);
+        ``self.last_point_stats["mode"]`` records which path ran.
         """
         by = [by] if isinstance(by, str) else list(by)
         spark = self.ts.spark
@@ -2757,14 +3034,26 @@ class Hypertable:
             self.last_point_stats["chunks_scanned"] = [
                 c["range_start"] for c in chunks
             ]
+            self.last_point_stats["mode"] = "group_by_fallback"
             return _agg(self.df())
 
         if isinstance(keys, DataFrame):
-            remaining = {tuple(r) for r in keys.select(*by).distinct().collect()}
+            kdf = keys.select(*by).distinct()
+            if kdf.limit(max_collect_keys + 1).count() > max_collect_keys:
+                # key universe too large to accumulate driver-side: the
+                # distributed path — semi-join the keys, one grouped
+                # max_by shuffle, result never touches the driver
+                self.last_point_stats["chunks_scanned"] = [
+                    c["range_start"] for c in chunks
+                ]
+                self.last_point_stats["mode"] = "group_by_fallback"
+                return _agg(self.df().join(kdf, on=by, how="left_semi"))
+            remaining = {tuple(r) for r in kdf.collect()}
         else:
             remaining = {
                 k if isinstance(k, tuple) else (k,) for k in keys
             }
+        self.last_point_stats["mode"] = "catalog_walk"
         found_rows: list = []
         i, batch = 0, max(1, int(batch_chunks))
         while i < len(chunks) and remaining:
@@ -2802,10 +3091,12 @@ class Hypertable:
             return spark.createDataFrame([], self._schema_or_empty())
         return spark.createDataFrame(found_rows, self._schema())
 
-    def distinct_values(self, column: str) -> DataFrame:
-        """Plain ``SELECT DISTINCT column`` — the generic SkipScan analog
-        (``tsl/src/nodes/skip_scan/planner.c:576``; ``last_point`` covers
-        the DISTINCT ON shape).
+    def distinct_values(
+        self, column: Union[str, Sequence[str]]
+    ) -> DataFrame:
+        """Plain ``SELECT DISTINCT column[, column…]`` — the generic
+        SkipScan analog (``tsl/src/nodes/skip_scan/planner.c:576``;
+        ``last_point`` covers the DISTINCT ON shape).
 
         A parquet scan cannot jump to the next distinct key the way the
         reference's index loose scan does, so the skip structure is the
@@ -2821,23 +3112,41 @@ class Hypertable:
         hypertable ⇒ the answer is a catalog read with no Spark job over
         data at all — O(segments), the SkipScan cost profile.
 
+        Multi-column form (round 10): ``distinct_values(["a", "b"])``
+        answers ``SELECT DISTINCT a, b`` from the recorded segment-key
+        TUPLES when the requested columns are a subset of the chunk's
+        segmentby — ``compress_chunk`` records the full composite
+        segment keys (the reference builds SkipScan paths for every
+        ordered index prefix; recorded tuples subsume prefixes and
+        subsets by projection). Coverage and invalidation rules are the
+        same as the single-column form.
+
         ``self.distinct_values_stats`` records covered/scanned chunk
         counts for plan assertions.
         """
+        from .compression import SEGMENT_TUPLES_KEY
+
         spark = self.ts.spark
-        field = next(
-            (f for f in self._schema().fields if f.name == column), None
-        )
-        if field is None:
-            raise ValueError(f"column {column!r} not in schema")
+        cols = [column] if isinstance(column, str) else list(column)
+        fields = []
+        for c in cols:
+            field = next(
+                (f for f in self._schema().fields if f.name == c), None
+            )
+            if field is None:
+                raise ValueError(f"column {c!r} not in schema")
+            fields.append(field)
+        multi = len(cols) > 1
         chunks = self.chunks()
         srows = self.ts.catalog.chunk_column_stats.find(
-            hypertable_id=self.id, column=column
+            hypertable_id=self.id,
+            column=SEGMENT_TUPLES_KEY if multi else cols[0],
         )
         recorded = {
             s["chunk_id"]: s
             for s in srows
             if s.get("distinct_values") is not None
+            and (not multi or set(cols) <= set(s.get("columns") or []))
         }
         vals: set = set()
         has_null = False
@@ -2848,8 +3157,16 @@ class Hypertable:
             # columnstore form — any rewrite downgraded the status and
             # dropped the stats row, but belt over suspenders here
             if s is not None and c.get("status") == "columnstore":
-                vals.update(s["distinct_values"])
-                has_null = has_null or bool(s.get("distinct_has_null"))
+                if multi:
+                    # project the full segment tuples onto the request
+                    idx = [s["columns"].index(col) for col in cols]
+                    vals.update(
+                        tuple(t[i] for i in idx)
+                        for t in s["distinct_values"]
+                    )
+                else:
+                    vals.update(s["distinct_values"])
+                    has_null = has_null or bool(s.get("distinct_has_null"))
             else:
                 uncovered.append(c)
         self.distinct_values_stats = {
@@ -2857,11 +3174,16 @@ class Hypertable:
             "covered_chunks": len(chunks) - len(uncovered),
             "scanned_chunks": len(uncovered),
         }
-        out_schema = T.StructType([field])
-        catalog_df = spark.createDataFrame(
-            [(v,) for v in sorted(vals)] + ([(None,)] if has_null else []),
-            out_schema,
-        )
+        out_schema = T.StructType(fields)
+        if multi:
+            rows = sorted(
+                vals, key=lambda t: tuple((v is None, v) for v in t)
+            )
+        else:
+            rows = [(v,) for v in sorted(vals)] + (
+                [(None,)] if has_null else []
+            )
+        catalog_df = spark.createDataFrame(rows, out_schema)
         if not uncovered:
             return catalog_df
         scanned = (
@@ -2869,8 +3191,8 @@ class Hypertable:
             .option("basePath", self.data_dir)
             .parquet(*[self._chunk_glob(c) for c in uncovered])
         )
-        scanned = self._apply_fills(scanned, uncovered).select(column)
-        if not vals and not has_null:
+        scanned = self._apply_fills(scanned, uncovered).select(*cols)
+        if not rows:
             return scanned.distinct()
         return scanned.union(catalog_df).distinct()
 

@@ -1643,6 +1643,50 @@ def q_distinct_skipscan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_distinct_multi",
+    """
+    SELECT DISTINCT event_type, seg FROM (
+      SELECT event_type, CAST(user_id % 8 AS BIGINT) AS seg FROM events
+      UNION ALL
+      SELECT 'x_' || event_type AS event_type,
+             CAST(user_id % 8 AS BIGINT) AS seg
+      FROM events WHERE event_id < 40
+    )
+    """,
+)
+def q_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite DISTINCT SkipScan (round 10; the reference accelerates
+    multi-key DISTINCT over any ordered index prefix,
+    tsl/src/nodes/skip_scan/planner.c:576): compress_chunk records each
+    columnstore chunk's distinct segmentby TUPLES, so
+    ``SELECT DISTINCT a, b`` over compressed chunks is answered from
+    the catalog with zero I/O — post-compression inserts invalidate
+    exactly the chunks they touch, which become the only scanned ones.
+    Mixed path exercised like q_distinct_skipscan."""
+    import tempfile
+
+    from .compression import compress_chunks, enable_columnstore
+    from .session import TSSession
+
+    root = tempfile.mkdtemp(prefix="ts_skipmulti_")
+    ts = TSSession(spark, root)
+    ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "seg", (F.col("user_id") % 8).cast("long")
+    )
+    ht.insert(ev)
+    enable_columnstore(
+        ht, segmentby=["event_type", "seg"], orderby=[("ts", "asc")]
+    )
+    compress_chunks(ht)
+    extra = ev.filter(F.col("event_id") < 40).withColumn(
+        "event_type", F.concat(F.lit("x_"), F.col("event_type"))
+    )
+    ht.insert(extra)
+    return ht.distinct_values(["event_type", "seg"])
+
+
+@query(
     "q_max_n_by",
     """
     SELECT event_type, value, ts, event_id
