@@ -42,6 +42,30 @@ def main() -> None:
     # registry order drifts as queries are added)
     warm = qs.get("q_bucket_hourly") or next(iter(qs.values()))
     warm(spark, SF_DIR).collect()
+    # ... and the WRITE path: committer + insert codegen class-loading
+    # costs ~2s once per session, and since gates run alphabetically the
+    # whole tax used to land on q_alter_schema (first lifecycle gate) —
+    # a JIT-warmup artifact, not a query cost. One tiny throwaway
+    # hypertable insert+alter+read pays it up front for every engine run
+    # equally.
+    import tempfile as _tf
+
+    from pyspark.sql import functions as _F
+
+    from timescaledb_spark.session import TSSession as _TS
+
+    _wts = _TS(spark, _tf.mkdtemp(prefix="ts_bench_warm_"))
+    _wht = _wts.create_hypertable("warm", "ts", chunk_interval="7 days")
+    _wdf = spark.range(100).select(
+        _F.timestamp_micros(
+            (_F.lit(1704067200000000) + _F.col("id") * 864000000).cast("long")
+        ).alias("ts"),
+        _F.col("id").alias("v"),
+    )
+    _wht.insert(_wdf)
+    _wht.add_column("w", "string", default="x")
+    _wht.insert(_wdf.withColumn("w", _F.lit("y")))
+    _wht.read().agg(_F.count(_F.lit(1))).collect()
 
     times: dict[str, float] = {}
     for name, fn in sorted(qs.items()):
