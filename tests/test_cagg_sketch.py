@@ -229,3 +229,54 @@ class TestHLLCagg:
             .select("user_id").distinct().count()
         )
         assert abs(est - exact) <= max(2, 0.05 * exact)
+
+
+class TestSketchSQLRoute:
+    """SQL serving idiom: approx_percentile(p, rollup(sk)) FROM <cagg>
+    routes to ContinuousAggregate.quantiles (sqlapi round 10)."""
+
+    def test_sql_daily_rollup_matches_accessor(self, spark, sf_dir):
+        ts, _, cagg = _mk(spark, sf_dir, "ts_sk_sql_")
+        cagg.refresh()
+        df = ts.sql(
+            "SELECT time_bucket('1 day', bucket) AS day, event_type, "
+            "approx_percentile(0.5, rollup(sk)) AS med, "
+            "approx_percentile(0.95, rollup(sk)) AS p95 "
+            "FROM sk_cagg GROUP BY 1, 2"
+        )
+        assert df.columns == ["day", "event_type", "med", "p95"]
+        py = cagg.quantiles([0.5, 0.95], grain="1 day").select(
+            F.col("bucket").alias("day"),
+            "event_type",
+            F.col("p50").alias("med"),
+            "p95",
+        )
+        assert sorted(map(tuple, df.collect())) == sorted(
+            map(tuple, py.collect())
+        )
+
+    def test_sql_global_and_per_group(self, spark, sf_dir):
+        ts, _, cagg = _mk(spark, sf_dir, "ts_sk_sqlg_")
+        cagg.refresh()
+        g = ts.sql(
+            "SELECT approx_percentile(0.9, rollup(sk)) AS p90 FROM sk_cagg"
+        ).collect()
+        assert len(g) == 1 and g[0]["p90"] > 0
+        per = ts.sql(
+            "SELECT event_type, approx_percentile(0.9, rollup(sk)) AS p90 "
+            "FROM sk_cagg GROUP BY event_type"
+        )
+        assert per.columns == ["event_type", "p90"]
+        assert per.count() == 5
+
+    def test_sql_unsupported_shapes_fall_through(self, spark, sf_dir):
+        ts, _, cagg = _mk(spark, sf_dir, "ts_sk_sqlf_")
+        cagg.refresh()
+        # WHERE present -> no route; normal path must raise (rollup over
+        # a map column is not a valid Spark aggregate), not silently
+        # answer wrong
+        with pytest.raises(Exception):
+            ts.sql(
+                "SELECT approx_percentile(0.9, rollup(sk)) AS p90 "
+                "FROM sk_cagg WHERE event_type = 'click'"
+            ).collect()

@@ -199,3 +199,13 @@ def test_multi_distinct_non_segmentby_falls_back(spark, ht2):
     assert sorted(tuple(r) for r in out.collect()) == _expected_pairs(
         ht2, ["dev", "v"]
     )
+
+
+def test_sql_route_multi_column(spark, ht2):
+    compress_chunks(ht2)
+    out = ht2.ts.sql("SELECT DISTINCT dev, site FROM ev2")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in plan
+    assert sorted(tuple(r) for r in out.collect()) == _expected_pairs(
+        ht2, ["dev", "site"]
+    )

@@ -1218,19 +1218,21 @@ def _try_ordered_scan(ts, q: str):
 
 
 _DISTINCT_SCAN_RE = re.compile(
-    r"(?is)^select\s+distinct\s+(?P<col>[A-Za-z_]\w*)\s+"
+    r"(?is)^select\s+distinct\s+"
+    r"(?P<cols>[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s+"
     r"from\s+(?P<tbl>[A-Za-z_]\w*)\s*$"
 )
 
 
 def _try_distinct_skipscan(ts, q: str):
     """Generic DISTINCT SkipScan detection (tsl/src/nodes/skip_scan/
-    planner.c:576): ``SELECT DISTINCT <col> FROM <hypertable>`` routes
-    to :meth:`Hypertable.distinct_values` — columnstore chunks answer
-    from their recorded segment keys (zero I/O), only uncovered chunks
-    scan. Deliberately narrow (one bare column, no WHERE/aliases);
-    anything else takes the normal full-scan DISTINCT path, which is
-    correct just not skip-accelerated."""
+    planner.c:576): ``SELECT DISTINCT <col>[, <col>…] FROM
+    <hypertable>`` routes to :meth:`Hypertable.distinct_values` —
+    columnstore chunks answer from their recorded segment keys (single
+    column) or segment-key tuples (multi column, round 10) with zero
+    I/O; only uncovered chunks scan. Deliberately narrow (bare columns,
+    no WHERE/aliases); anything else takes the normal full-scan
+    DISTINCT path, which is correct just not skip-accelerated."""
     m = _DISTINCT_SCAN_RE.match(q)
     if m is None:
         return None
@@ -1238,10 +1240,115 @@ def _try_distinct_skipscan(ts, q: str):
     if not ts.catalog.hypertable.find_one(name=name):
         return None
     ht = ts.get_hypertable(name)
+    cols = [c.strip() for c in m.group("cols").split(",")]
     try:
-        return ht.distinct_values(m.group("col"))
+        return ht.distinct_values(cols[0] if len(cols) == 1 else cols)
     except ValueError:
         return None  # unknown column: let the normal path raise its error
+
+
+def _try_sketch_quantiles(ts, q: str):
+    """The toolkit sketch-cagg serving idiom in SQL —
+    ``SELECT [time_bucket('1 day', bucket) | bucket,] group…,
+    approx_percentile(p, rollup(<sketch col>)) AS a… FROM <sketch cagg>
+    [GROUP BY …]`` — routed to :meth:`ContinuousAggregate.quantiles`:
+    stored DDSketch states merge to the requested grain (lossless,
+    Masson VLDB'19 §2.3) and the realtime union computes raw-side
+    states only above the watermark. Matches only caggs created with
+    ``sketches=``; WHERE/HAVING/ORDER/LIMIT fall through (and the
+    normal path rejects rollup() over a sketch column with a clear
+    analysis error)."""
+    from .functions.ddsketch import _qname
+    from .sqlgapfill import (
+        _alias_of,
+        _clauses_of,
+        _head_call,
+        _split_select_items,
+    )
+
+    if not re.search(r"\brollup\s*\(", _strip_strings(q), re.I):
+        return None
+    try:
+        cl = _clauses_of(q)
+    except ValueError:
+        return None
+    if any(cl.get(k) for k in ("where", "having", "order by", "limit")):
+        return None
+    frm = (cl.get("from") or "").strip()
+    if not re.fullmatch(r"[A-Za-z_]\w*", frm):
+        return None
+    crow = ts.catalog.continuous_agg.find_one(name=frm)
+    if crow is None or not crow.get("sketches"):
+        return None
+    balias = crow["bucket_alias"]
+    groups = list(crow.get("group_by") or [])
+    sel: list = []  # ordered (kind, out_alias, payload)
+    qs_list: list[float] = []
+    sketch_col = None
+    grain = None
+    has_bucket = False
+    for item in _split_select_items(cl["select"]):
+        expr, alias = _alias_of(item)
+        head = _head_call(expr, {"approx_percentile", "time_bucket"})
+        if head and head[0] == "approx_percentile":
+            args = head[1]
+            if len(args) != 2:
+                return None
+            try:
+                p = float(args[0])
+            except ValueError:
+                return None
+            inner = _inner_call(args[1], "rollup")
+            if inner is None or len(inner) != 1:
+                return None
+            col = inner[0].strip()
+            if col not in crow["sketches"] or sketch_col not in (None, col):
+                return None
+            sketch_col = col
+            if p not in qs_list:
+                qs_list.append(p)
+            sel.append(("q", alias or _qname(p), p))
+        elif head and head[0] == "time_bucket":
+            if len(head[1]) != 2 or has_bucket:
+                return None
+            wk, wv = _literal_of(head[1][0])
+            if head[1][1].strip().split(".")[-1].strip() != balias:
+                return None
+            grain = int(wv) if wk == "int" else str(wv)
+            has_bucket = True
+            sel.append(("b", alias or balias, None))
+        else:
+            name = expr.strip().split(".")[-1].strip()
+            if not re.fullmatch(r"[A-Za-z_]\w*", name):
+                return None
+            if name == balias and not has_bucket:
+                has_bucket = True
+                sel.append(("b", alias or name, None))
+            elif name in groups:
+                sel.append(("g", alias or name, name))
+            else:
+                return None
+    if not qs_list:
+        return None
+    want_groups = [p for k, _a, p in sel if k == "g"]
+    try:
+        qd = ts.get_cagg(frm).quantiles(
+            qs_list,
+            sketch_col=sketch_col,
+            grain=grain if has_bucket else "all",
+            group_by=want_groups,
+        )
+    except (KeyError, ValueError):
+        return None
+    cols = []
+    for kind, out_alias, payload in sel:
+        if kind == "b":
+            cols.append(F.col(balias).alias(out_alias))
+        elif kind == "g":
+            cols.append(F.col(payload).alias(out_alias))
+        else:
+            cols.append(F.col(_qname(payload)).alias(out_alias))
+    return qd.select(*cols)
 
 
 def ts_sql(ts, query: str) -> DataFrame:
@@ -1377,6 +1484,9 @@ def ts_sql(ts, query: str) -> DataFrame:
     skipscan = _try_distinct_skipscan(ts, q)
     if skipscan is not None:
         return skipscan
+    sketchq = _try_sketch_quantiles(ts, q)
+    if sketchq is not None:
+        return sketchq
     q, views = _register_views(ts, q)
     try:
         if re.search(r"\btime_bucket_gapfill\b", _strip_strings(q), re.I):
