@@ -313,3 +313,25 @@ def test_row_budget_splits_groups(ts):
         for r in ht.read_ordered(plan_cap=2, rows_per_group=100).collect()
     ]
     assert all(tss[i] <= tss[i + 1] for i in range(len(tss) - 1))
+
+
+def test_arrow_engine_over_compressed_chunks(spark, sf_dir, tmp_path):
+    """compress_chunk rewrites chunk dirs as sorted parquet; the arrow
+    merge-append engine must read columnstore chunks identically."""
+    from timescaledb_spark.compression import (
+        compress_chunks,
+        enable_columnstore,
+    )
+
+    s = TSSession(spark, str(tmp_path / "ts_arrow_cmp"))
+    ht = s.create_hypertable("events", "ts", chunk_interval="7 days")
+    ht.insert(load_table(spark, sf_dir, "events"))
+    enable_columnstore(
+        ht, segmentby=["event_type"], orderby=[("ts", "asc")]
+    )
+    compress_chunks(ht)
+    jvm = ht.read_ordered(engine="jvm").collect()
+    arrow = ht.read_ordered(engine="arrow").collect()
+    tss = [r["ts"] for r in arrow]
+    assert all(tss[i] <= tss[i + 1] for i in range(len(tss) - 1))
+    assert sorted(_rows_key(jvm)) == sorted(_rows_key(arrow))
