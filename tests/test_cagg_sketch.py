@@ -280,3 +280,118 @@ class TestSketchSQLRoute:
                 "SELECT approx_percentile(0.9, rollup(sk)) AS p90 "
                 "FROM sk_cagg WHERE event_type = 'click'"
             ).collect()
+
+
+class TestHierarchicalSketchCagg:
+    """cagg-on-cagg over sketch states (tsl/test/sql/cagg_on_cagg.sql ×
+    the toolkit rollup idiom): the daily child's states are lossless
+    merges of the hourly parent's stored states — never a raw rescan."""
+
+    def test_daily_child_equals_parent_grain_rollup(self, spark, sf_dir):
+        ts, ht, hourly = _mk(spark, sf_dir, "ts_sk_hier_")
+        hourly.refresh()
+        daily = ts.create_cagg(
+            "sk_daily",
+            "_mat_sk_cagg",
+            bucket_width="1 day",
+            aggs={},
+            group_by=["event_type"],
+            sketches={"sk_d": {"rollup_of": "sk"}},
+        )
+        daily.refresh()
+        # inherited alpha
+        assert daily.row["sketches"]["sk_d"]["alpha"] == 0.01
+        got = daily.quantiles([0.5, 0.95], realtime=False)
+        want = hourly.quantiles([0.5, 0.95], grain="1 day")
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+    def test_late_data_flows_parent_to_child(self, spark, sf_dir):
+        ts, ht, hourly = _mk(spark, sf_dir, "ts_sk_hier2_")
+        hourly.refresh()
+        daily = ts.create_cagg(
+            "sk_daily2",
+            "_mat_sk_cagg",
+            bucket_width="1 day",
+            aggs={},
+            group_by=["event_type"],
+            sketches={"sk_d": {"rollup_of": "sk"}},
+        )
+        daily.refresh()
+        late = spark.createDataFrame(
+            [("2024-01-03 05:30:00", 999999, 7, "click", 12345.0, "{}")],
+            "ts string, event_id long, user_id long, event_type string, "
+            "value double, props string",
+        ).select(
+            F.col("ts").cast("timestamp"), "event_id", "user_id",
+            "event_type", "value", "props",
+        )
+        ht.insert(late)
+        hourly.refresh()
+        daily.refresh()
+        got = daily.quantiles([0.95], realtime=False)
+        want = hourly.quantiles([0.95], grain="1 day")
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+
+class TestSketchRank:
+    """approx_percentile_rank — the inverse accessor, served from the
+    stored states (same merge rules as quantiles)."""
+
+    def test_rank_matches_exact_fraction_within_alpha(self, spark, sf_dir):
+        ts, ht, cagg = _mk(spark, sf_dir, "ts_sk_rank_")
+        cagg.refresh()
+        probe = 50.0
+        got = {
+            r["event_type"]: r["rank"]
+            for r in cagg.rank(probe, grain="all").collect()
+        }
+        raw = ht.df()
+        exact = {
+            r["event_type"]: r["f"]
+            for r in raw.groupBy("event_type")
+            .agg(
+                (
+                    F.sum((F.col("value") <= probe).cast("long"))
+                    / F.count(F.lit(1))
+                ).alias("f")
+            )
+            .collect()
+        }
+        for et, f in exact.items():
+            # bucket-boundary tolerance: values within alpha of the probe
+            # can land either side of the probe's bucket
+            assert abs(got[et] - f) < 0.05, (et, got[et], f)
+
+    def test_rank_monotone_and_bounds(self, spark, sf_dir):
+        ts, _, cagg = _mk(spark, sf_dir, "ts_sk_rank2_")
+        cagg.refresh()
+        r0 = cagg.rank(0.0, grain="all").collect()
+        rbig = cagg.rank(1e12, grain="all").collect()
+        rmid = cagg.rank(30.0, grain="all").collect()
+        by = lambda rows: {r["event_type"]: r["rank"] for r in rows}  # noqa: E731
+        b0, bm, bb = by(r0), by(rmid), by(rbig)
+        for et in bb:
+            assert 0.0 <= b0[et] <= bm[et] <= bb[et] == 1.0
+
+    def test_sql_rank_route(self, spark, sf_dir):
+        ts, _, cagg = _mk(spark, sf_dir, "ts_sk_rank3_")
+        cagg.refresh()
+        df = ts.sql(
+            "SELECT event_type, "
+            "approx_percentile(0.5, rollup(sk)) AS med, "
+            "approx_percentile_rank(50.0, rollup(sk)) AS frac_le_50 "
+            "FROM sk_cagg GROUP BY event_type"
+        )
+        assert df.columns == ["event_type", "med", "frac_le_50"]
+        rows = df.collect()
+        assert len(rows) == 5
+        py = {
+            r["event_type"]: r["rank"]
+            for r in cagg.rank(50.0, grain="all").collect()
+        }
+        for r in rows:
+            assert r["frac_le_50"] == py[r["event_type"]]

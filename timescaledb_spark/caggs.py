@@ -240,17 +240,37 @@ class ContinuousAggregate:
             from .functions.ddsketch import _gamma
 
             taken = set(aggs) | set(group_by) | {bucket_alias}
+            norm: dict[str, dict] = {}
             for col, spec in sketches.items():
                 if col in taken:
                     raise ValueError(
                         f"sketch column {col!r} collides with an agg/"
                         f"group/bucket column"
                     )
-                if "value" not in spec:
+                spec = dict(spec)
+                if "rollup_of" in spec:
+                    # hierarchical sketch cagg (cagg_on_cagg.sql over
+                    # toolkit rollup): the child's state is a lossless
+                    # merge of the PARENT's stored states — inherit the
+                    # parent sketch's alpha so quantile extraction uses
+                    # the same gamma
+                    if "alpha" not in spec:
+                        prow = ts.catalog.continuous_agg.find_one(
+                            mat_table=hypertable.name
+                        )
+                        psk = ((prow or {}).get("sketches") or {}).get(
+                            spec["rollup_of"]
+                        )
+                        if psk is not None:
+                            spec["alpha"] = psk.get("alpha", 0.01)
+                elif "value" not in spec:
                     raise ValueError(
-                        f"sketches[{col!r}] needs a 'value' expression"
+                        f"sketches[{col!r}] needs a 'value' expression "
+                        f"(or 'rollup_of' for a hierarchical rollup)"
                     )
                 _gamma(float(spec.get("alpha", 0.01)))  # validates range
+                norm[col] = spec
+            sketches = norm
         if isinstance(bucket_width, int):
             # integer time dimension: width in raw internal units
             from .functions.time import Interval
@@ -438,6 +458,30 @@ class ContinuousAggregate:
         survives past the first partial aggregation."""
         from .functions.ddsketch import ZERO_BUCKET, _gamma
 
+        src = spec.get("rollup_of")
+        if src:
+            # hierarchical rollup: merge the parent's stored states —
+            # explode (keys, map) -> (keys, log-bucket, cnt), sum. Bucket
+            # counts ADD losslessly (Masson VLDB'19 §2.3), so the child
+            # state is bit-identical to one built from the raw rows.
+            per_bucket = (
+                raw.select(
+                    self._bucket_expr(raw),
+                    *self.row["group_by"],
+                    F.explode(F.col(src)).alias("_sb", "_c"),
+                )
+                .groupBy(
+                    self.row["bucket_alias"], *self.row["group_by"], "_sb"
+                )
+                .agg(F.sum("_c").alias("_cnt"))
+            )
+            return per_bucket.groupBy(
+                self.row["bucket_alias"], *self.row["group_by"]
+            ).agg(
+                F.map_from_entries(
+                    F.array_sort(F.collect_list(F.struct("_sb", "_cnt")))
+                ).alias(col)
+            )
         g = _gamma(float(spec.get("alpha", 0.01)))
         v = F.expr(spec["value"]).cast("double")
         sb = (
@@ -744,6 +788,51 @@ class ContinuousAggregate:
         naming/rounding as :func:`functions.ddsketch.ddsketch_quantiles`.
         """
         from .functions.ddsketch import ddsketch_quantiles
+
+        flat, keys, tmp, alpha = self._merged_sketch(
+            sketch_col, grain, group_by, realtime
+        )
+        out = ddsketch_quantiles(flat, list(qs), by=tmp, alpha=alpha)
+        for k, t in zip(keys, tmp):
+            out = out.withColumnRenamed(t, k)
+        return out
+
+    def rank(
+        self,
+        value: float,
+        sketch_col: Optional[str] = None,
+        grain: Optional[str] = None,
+        group_by: Optional[Sequence[str]] = None,
+        realtime: Optional[bool] = None,
+        out: str = "rank",
+    ) -> DataFrame:
+        """``approx_percentile_rank(value, rollup(...))`` — the inverse
+        accessor: fraction of ingested values ≤ ``value`` per
+        bucket/group, served from the stored states under the same
+        merge/grain/realtime rules as :meth:`quantiles`."""
+        from .functions.ddsketch import ddsketch_rank
+
+        flat, keys, tmp, alpha = self._merged_sketch(
+            sketch_col, grain, group_by, realtime
+        )
+        res = ddsketch_rank(flat, value, by=tmp, alpha=alpha, out=out)
+        for k, t in zip(keys, tmp):
+            res = res.withColumnRenamed(t, k)
+        return res
+
+    def _merged_sketch(
+        self,
+        sketch_col: Optional[str],
+        grain: Optional[str],
+        group_by: Optional[Sequence[str]],
+        realtime: Optional[bool],
+    ):
+        """Shared state-merge for the sketch accessors: resolve the
+        sketch column, re-bucket to ``grain``, explode states →
+        (keys, sketch-bucket, cnt) and sum — output is keys × ~2k
+        bucket rows, never raw-sized. Keys are renamed internally: the
+        sketch frame contract reserves "bucket"/"cnt", and the cagg's
+        own bucket_alias defaults to "bucket" too."""
         from .functions.time import time_bucket
 
         sketches = self.row.get("sketches") or {}
@@ -780,20 +869,12 @@ class ContinuousAggregate:
             keys = [bucket, *gb]
         else:
             keys = [bucket, *gb]
-        # explode states -> (keys, sketch-bucket, cnt); merge = sum —
-        # output is keys x ~2k buckets rows, never raw-sized. Keys are
-        # renamed internally: the sketch frame contract reserves
-        # "bucket"/"cnt", and the cagg's own bucket_alias defaults to
-        # "bucket" too.
         tmp = [f"_qk{i}" for i in range(len(keys))]
         flat = df.select(
             *[F.col(k).alias(t) for k, t in zip(keys, tmp)],
             F.explode(F.col(sketch_col)).alias("bucket", "cnt"),
         ).groupBy(*tmp, "bucket").agg(F.sum("cnt").alias("cnt"))
-        out = ddsketch_quantiles(flat, list(qs), by=tmp, alpha=alpha)
-        for k, t in zip(keys, tmp):
-            out = out.withColumnRenamed(t, k)
-        return out
+        return flat, keys, tmp, alpha
 
     def drop(self, keep_jobs: bool = False) -> None:
         """``DROP MATERIALIZED VIEW`` teardown. Refuses while a

@@ -189,3 +189,35 @@ def ddsketch_quantiles_sql(
     SELECT {by_pfx}max(n) AS n, {", ".join(q_cols)}
     FROM cu{f" GROUP BY {bys}" if by else ""}
     """
+
+
+def _rank_bucket(value: float, g: float) -> int:
+    """Bucket index of a probe value — the same ceil'd log mapping the
+    sketch builder uses, computed driver-side for the literal probe."""
+    if value < 0:
+        raise ValueError("ddsketch rank probe must be non-negative")
+    if value == 0:
+        return ZERO_BUCKET
+    return int(math.ceil(math.log(value) / math.log(g)))
+
+
+def ddsketch_rank(
+    sketch: DataFrame,
+    value: float,
+    by: Sequence[str] = (),
+    alpha: float = DEFAULT_ALPHA,
+    out: str = "rank",
+) -> DataFrame:
+    """``approx_percentile_rank`` (toolkit inverse accessor): the
+    fraction of ingested values ≤ ``value``, answered from the sketch —
+    counts of buckets at or below the probe's bucket over the total,
+    rounded to 6 decimals. One grouped conditional sum over the (tiny)
+    sketch; never touches raw data, exact given the bucket mapping so a
+    DuckDB oracle replay matches bit-for-bit."""
+    b = _rank_bucket(float(value), _gamma(alpha))
+    frac = F.sum(
+        F.when(F.col("bucket") <= F.lit(b), F.col("cnt")).otherwise(F.lit(0))
+    ) / F.sum("cnt")
+    return sketch.groupBy(*by).agg(
+        F.round(frac.cast("double"), 6).alias(out)
+    )

@@ -1284,13 +1284,20 @@ def _try_sketch_quantiles(ts, q: str):
     groups = list(crow.get("group_by") or [])
     sel: list = []  # ordered (kind, out_alias, payload)
     qs_list: list[float] = []
+    ranks: list[float] = []
     sketch_col = None
     grain = None
     has_bucket = False
     for item in _split_select_items(cl["select"]):
         expr, alias = _alias_of(item)
-        head = _head_call(expr, {"approx_percentile", "time_bucket"})
-        if head and head[0] == "approx_percentile":
+        head = _head_call(
+            expr,
+            {"approx_percentile", "approx_percentile_rank", "time_bucket"},
+        )
+        if head and head[0] in (
+            "approx_percentile",
+            "approx_percentile_rank",
+        ):
             args = head[1]
             if len(args) != 2:
                 return None
@@ -1305,6 +1312,11 @@ def _try_sketch_quantiles(ts, q: str):
             if col not in crow["sketches"] or sketch_col not in (None, col):
                 return None
             sketch_col = col
+            if head[0] == "approx_percentile_rank":
+                if p not in ranks:
+                    ranks.append(p)
+                sel.append(("r", alias or f"rank_{len(ranks)}", p))
+                continue
             if p not in qs_list:
                 qs_list.append(p)
             sel.append(("q", alias or _qname(p), p))
@@ -1328,16 +1340,43 @@ def _try_sketch_quantiles(ts, q: str):
                 sel.append(("g", alias or name, name))
             else:
                 return None
-    if not qs_list:
+    if not qs_list and not ranks:
         return None
     want_groups = [p for k, _a, p in sel if k == "g"]
+    eff_grain = grain if has_bucket else "all"
+    keys_out = ([balias] if has_bucket else []) + want_groups
     try:
-        qd = ts.get_cagg(frm).quantiles(
-            qs_list,
-            sketch_col=sketch_col,
-            grain=grain if has_bucket else "all",
-            group_by=want_groups,
-        )
+        cagg = ts.get_cagg(frm)
+        qd = None
+        if qs_list:
+            qd = cagg.quantiles(
+                qs_list,
+                sketch_col=sketch_col,
+                grain=eff_grain,
+                group_by=want_groups,
+            )
+        for i, v in enumerate(ranks):
+            rdf = cagg.rank(
+                v,
+                sketch_col=sketch_col,
+                grain=eff_grain,
+                group_by=want_groups,
+                out=f"_rk{i}",
+            )
+            if qd is None:
+                qd = rdf
+            elif not keys_out:
+                qd = qd.crossJoin(rdf)  # both sides are exactly one row
+            else:
+                # null-safe equi-join: both accessors aggregate the same
+                # states over the same keys, so this is 1:1
+                cond = None
+                for k in keys_out:
+                    c = qd[k].eqNullSafe(rdf[k])
+                    cond = c if cond is None else cond & c
+                qd = qd.join(rdf, cond)
+                for k in keys_out:
+                    qd = qd.drop(rdf[k])
     except (KeyError, ValueError):
         return None
     cols = []
@@ -1346,6 +1385,10 @@ def _try_sketch_quantiles(ts, q: str):
             cols.append(F.col(balias).alias(out_alias))
         elif kind == "g":
             cols.append(F.col(payload).alias(out_alias))
+        elif kind == "r":
+            cols.append(
+                F.col(f"_rk{ranks.index(payload)}").alias(out_alias)
+            )
         else:
             cols.append(F.col(_qname(payload)).alias(out_alias))
     return qd.select(*cols)
