@@ -63,6 +63,23 @@ def main() -> None:
         end_offset=None,
         schedule_interval=15,
     )
+    # round 10: a policy-driven SKETCH cagg soaks alongside — its mat
+    # state must stay bounded (buckets × ~2k sketch entries), refreshes
+    # must stay O(dirty), and p95 serving from stored states must stay
+    # flat while raw rows grow
+    ts.create_cagg(
+        "soak_sketch",
+        "soak",
+        bucket_width="30 seconds",
+        aggs={},
+        sketches={"skv": {"value": "v", "alpha": 0.01}},
+    )
+    ts.jobs.add_continuous_aggregate_policy(
+        "soak_sketch",
+        start_offset=None,
+        end_offset=None,
+        schedule_interval=15,
+    )
 
     # ingest stream: rate source mapped onto the hypertable schema —
     # event time = wall clock, so new 30s chunks appear continuously
@@ -122,6 +139,17 @@ def main() -> None:
         tick["catalog_read_ms"] = round(
             (time.perf_counter() - t0) * 1000, 1
         )
+        # serve a whole-table p95 from the sketch cagg's stored states —
+        # latency must stay flat while raw rows grow (never a raw
+        # rescan below the watermark)
+        t0 = time.perf_counter()
+        p = (
+            ts.get_cagg("soak_sketch")
+            .quantiles([0.95], grain="all", realtime=False)
+            .collect()
+        )
+        tick["sketch_p95_s"] = round(time.perf_counter() - t0, 2)
+        tick["sketch_p95"] = p[0]["p95"] if p else None
         samples.append(tick)
 
     ingest_q.stop()
@@ -131,6 +159,14 @@ def main() -> None:
     out["soak_rows_ingested"] = ht.approximate_row_count()
     out["soak_final_chunks"] = len(ht.chunks())
     out["soak_cagg_rows"] = ts.get_cagg("soak_minutely").read().count()
+    # sketch-state boundedness: rows = buckets, entries per row ≤ ~2k
+    sk_mat = ts.get_cagg("soak_sketch").read(realtime=False)
+    srow = sk_mat.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.max(F.size("skv")).alias("max_entries"),
+    ).collect()[0]
+    out["soak_sketch_mat_rows"] = srow["rows"]
+    out["soak_sketch_max_entries_per_state"] = srow["max_entries"]
 
     state_series = [s["state_rows"] for s in samples if s.get("state_rows")]
     cache_series = [s["cached_rdds"] for s in samples]

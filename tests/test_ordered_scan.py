@@ -335,3 +335,19 @@ def test_arrow_engine_over_compressed_chunks(spark, sf_dir, tmp_path):
     tss = [r["ts"] for r in arrow]
     assert all(tss[i] <= tss[i + 1] for i in range(len(tss) - 1))
     assert sorted(_rows_key(jvm)) == sorted(_rows_key(arrow))
+
+
+def test_arrow_engine_integer_time_dimension(spark, tmp_path):
+    """Integer open dimension: internal units are the raw ints; the
+    arrow worker's bound filter and sort must agree with the JVM path."""
+    s = TSSession(spark, str(tmp_path / "ts_arrow_int"))
+    ht = s.create_hypertable("m", "t", chunk_interval=1000)
+    df = spark.range(0, 10_000, 3).select(
+        F.col("id").alias("t"), (F.col("id") % 7).alias("v")
+    )
+    ht.insert(df)
+    jvm = ht.read_ordered(start=2500, end=7500, engine="jvm").collect()
+    arrow = ht.read_ordered(start=2500, end=7500, engine="arrow").collect()
+    assert [r["t"] for r in arrow] == sorted(r["t"] for r in arrow)
+    assert sorted(_rows_key(jvm)) == sorted(_rows_key(arrow))
+    assert all(2500 <= r["t"] < 7500 for r in arrow)
