@@ -395,3 +395,84 @@ class TestSketchRank:
         }
         for r in rows:
             assert r["frac_le_50"] == py[r["event_type"]]
+
+
+class TestSketchSQLCreate:
+    """Full SQL round-trip: CREATE MATERIALIZED VIEW with toolkit sketch
+    aggregates (percentile_agg / uddsketch / hierarchical rollup) maps
+    to sketches=, then approx_percentile serves from the states."""
+
+    def test_create_with_percentile_agg(self, spark, sf_dir):
+        ts = TSSession(spark, tempfile.mkdtemp(prefix="ts_sk_ddl_"))
+        ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+        ht.insert(load_table(spark, sf_dir, "events"))
+        ts.sql(
+            "CREATE MATERIALIZED VIEW sk_sql WITH (timescaledb.continuous)"
+            " AS SELECT time_bucket('1 hour', ts) AS bucket, event_type, "
+            "percentile_agg(value) AS sk FROM events GROUP BY 1, 2"
+        )
+        cagg = ts.get_cagg("sk_sql")
+        assert cagg.row["sketches"] == {"sk": {"value": "value"}}
+        served = ts.sql(
+            "SELECT event_type, approx_percentile(0.5, rollup(sk)) AS med "
+            "FROM sk_sql GROUP BY event_type"
+        )
+        want = cagg.quantiles([0.5], grain="all").select(
+            "event_type", F.col("p50").alias("med")
+        )
+        assert sorted(map(tuple, served.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+    def test_create_uddsketch_and_hierarchical_rollup(self, spark, sf_dir):
+        ts = TSSession(spark, tempfile.mkdtemp(prefix="ts_sk_ddl2_"))
+        ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+        ht.insert(load_table(spark, sf_dir, "events"))
+        ts.sql(
+            "CREATE MATERIALIZED VIEW sk_h WITH (timescaledb.continuous)"
+            " AS SELECT time_bucket('1 hour', ts) AS bucket, event_type, "
+            "uddsketch(200, 0.05, value) AS sk FROM events GROUP BY 1, 2"
+        )
+        hourly = ts.get_cagg("sk_h")
+        assert hourly.row["sketches"]["sk"]["alpha"] == 0.05
+        ts.sql(
+            "CREATE MATERIALIZED VIEW sk_hd WITH (timescaledb.continuous)"
+            " AS SELECT time_bucket('1 day', bucket) AS bucket, "
+            "event_type, rollup(sk) AS sk_d FROM sk_h GROUP BY 1, 2"
+        )
+        daily = ts.get_cagg("sk_hd")
+        assert daily.row["sketches"]["sk_d"] == {
+            "rollup_of": "sk",
+            "alpha": 0.05,
+        }
+        got = daily.quantiles([0.9], realtime=False)
+        want = hourly.quantiles([0.9], grain="1 day")
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+
+class TestSketchServingBounds:
+    def test_start_end_bucket_aligned(self, spark, sf_dir):
+        ts, ht, cagg = _mk(spark, sf_dir, "ts_sk_rng_")
+        cagg.refresh()
+        bounded = cagg.quantiles(
+            [0.5], grain="all", start="2024-01-03", end="2024-01-10"
+        )
+        # model: rebuild from raw rows restricted to the same window
+        from timescaledb_spark.functions.ddsketch import (
+            ddsketch,
+            ddsketch_quantiles,
+        )
+
+        raw = ht.df().filter(
+            (F.col("ts") >= "2024-01-03") & (F.col("ts") < "2024-01-10")
+        )
+        want = ddsketch_quantiles(
+            ddsketch(raw, "value", by=["event_type"]),
+            [0.5],
+            by=["event_type"],
+        )
+        assert sorted(map(tuple, bounded.collect())) == sorted(
+            map(tuple, want.collect())
+        )

@@ -772,6 +772,8 @@ class ContinuousAggregate:
         grain: Optional[str] = None,
         group_by: Optional[Sequence[str]] = None,
         realtime: Optional[bool] = None,
+        start=None,
+        end=None,
     ) -> DataFrame:
         """Serve quantiles from the stored DDSketch states — the toolkit
         ``approx_percentile(q, rollup(percentile_agg))`` idiom: merge
@@ -790,7 +792,7 @@ class ContinuousAggregate:
         from .functions.ddsketch import ddsketch_quantiles
 
         flat, keys, tmp, alpha = self._merged_sketch(
-            sketch_col, grain, group_by, realtime
+            sketch_col, grain, group_by, realtime, start, end
         )
         out = ddsketch_quantiles(flat, list(qs), by=tmp, alpha=alpha)
         for k, t in zip(keys, tmp):
@@ -805,6 +807,8 @@ class ContinuousAggregate:
         group_by: Optional[Sequence[str]] = None,
         realtime: Optional[bool] = None,
         out: str = "rank",
+        start=None,
+        end=None,
     ) -> DataFrame:
         """``approx_percentile_rank(value, rollup(...))`` — the inverse
         accessor: fraction of ingested values ≤ ``value`` per
@@ -813,7 +817,7 @@ class ContinuousAggregate:
         from .functions.ddsketch import ddsketch_rank
 
         flat, keys, tmp, alpha = self._merged_sketch(
-            sketch_col, grain, group_by, realtime
+            sketch_col, grain, group_by, realtime, start, end
         )
         res = ddsketch_rank(flat, value, by=tmp, alpha=alpha, out=out)
         for k, t in zip(keys, tmp):
@@ -826,6 +830,8 @@ class ContinuousAggregate:
         grain: Optional[str],
         group_by: Optional[Sequence[str]],
         realtime: Optional[bool],
+        start=None,
+        end=None,
     ):
         """Shared state-merge for the sketch accessors: resolve the
         sketch column, re-bucket to ``grain``, explode states →
@@ -855,6 +861,20 @@ class ContinuousAggregate:
         gb = list(self.row["group_by"] if group_by is None else group_by)
 
         df = self.read(realtime=realtime)
+        # serving bounds ("p95 of the last 7 days"): filter whole parent
+        # buckets BEFORE the merge — [start, end) on the bucket column,
+        # so the window is bucket-aligned like the reference's cagg
+        # range semantics
+        if start is not None or end is not None:
+            bc = F.col(bucket)
+            if self.row["time_is_timestamp"]:
+                conv = lambda v: F.lit(v).cast("timestamp")  # noqa: E731
+            else:
+                conv = lambda v: F.lit(int(v))  # noqa: E731
+            if start is not None:
+                df = df.filter(bc >= conv(start))
+            if end is not None:
+                df = df.filter(bc < conv(end))
         if grain == "all":
             keys = gb
         elif grain is not None:

@@ -1565,8 +1565,38 @@ def run_create_cagg(ts, m) -> DataFrame:
     bucket_alias = "bucket"
     group_by: list[str] = []
     aggs: dict[str, str] = {}
+    sketches: dict[str, dict] = {}
     for item in items:
         expr, alias = _alias_of(item)
+        skh = _head_call(expr, {"percentile_agg", "uddsketch", "rollup"})
+        if skh:
+            # toolkit sketch aggregates inside the cagg definition —
+            # materialize a mergeable DDSketch STATE instead of a
+            # finished number (caggs.py sketches=; the
+            # percentile_agg-inside-a-cagg idiom). rollup(col) defines a
+            # hierarchical child over a parent sketch cagg's mat column.
+            if alias is None:
+                raise ValueError(f"cagg sketch needs AS alias: {item!r}")
+            fn, args = skh
+            if fn == "percentile_agg":
+                if len(args) != 1:
+                    raise ValueError("percentile_agg(value)")
+                sketches[alias] = {"value": _rw(args[0].strip(), ts)}
+            elif fn == "uddsketch":
+                # uddsketch(size, max_error, value): size is the
+                # toolkit's bucket cap — log-bucket maps are inherently
+                # bounded here, so only max_error carries over
+                if len(args) != 3:
+                    raise ValueError("uddsketch(size, max_error, value)")
+                sketches[alias] = {
+                    "value": _rw(args[2].strip(), ts),
+                    "alpha": float(args[1]),
+                }
+            else:  # rollup
+                if len(args) != 1:
+                    raise ValueError("rollup(sketch_column)")
+                sketches[alias] = {"rollup_of": args[0].strip().split(".")[-1]}
+            continue
         head = _head_call(expr, {"time_bucket"})
         if head:
             if bucket is not None:
@@ -1609,6 +1639,14 @@ def run_create_cagg(ts, m) -> DataFrame:
     ht_name, ht_alias, join_tbl, j_alias, join_cond = jm.groups()
     quals = {q for q in (ht_name, ht_alias, join_tbl, j_alias) if q}
     aggs = {k: _strip_quals(v, quals) for k, v in aggs.items()}
+    sketches = {
+        k: (
+            {**v, "value": _strip_quals(v["value"], quals)}
+            if "value" in v
+            else v
+        )
+        for k, v in sketches.items()
+    }
     join = None
     if join_tbl:
         how = "left" if re.search(r"\bleft\b", from_clause, re.I) else "inner"
@@ -1639,6 +1677,7 @@ def run_create_cagg(ts, m) -> DataFrame:
         where=where,
         join=join,
         materialized_only=mat_only,
+        sketches=sketches or None,
     )
     if not (m.group("data") or "").strip():  # WITH DATA is the PG default
         cagg.refresh()
