@@ -115,13 +115,18 @@ def continuous_aggregates(ts) -> DataFrame:
                 "bucket_width": c["bucket_width_us"],
                 "watermark": wm.get("watermark") if wm else None,
                 "materialization_hypertable_name": c["mat_table"],
+                # round 10: mat table stores mergeable partials for
+                # these columns (the toolkit finalized=false idiom)
+                "sketch_columns": sorted(c.get("sketches") or {}),
             }
         )
     return _df(
         ts,
         rows,
         "view_name string, hypertable_name string, materialized_only boolean, "
-        "bucket_width long, watermark long, materialization_hypertable_name string",
+        "bucket_width long, watermark long, "
+        "materialization_hypertable_name string, "
+        "sketch_columns array<string>",
     )
 
 
