@@ -118,6 +118,24 @@ def main() -> None:
     print("registered jobs:")
     ts.sql("SELECT * FROM timescaledb_information.jobs").show()
 
+    # --- 6. sketch-state cagg (toolkit percentile_agg idiom) -----------
+    # mat table stores mergeable DDSketch states; approx_percentile +
+    # rollup serves any-grain percentiles with no raw rescan
+    ts.sql("""
+        CREATE MATERIALIZED VIEW conditions_hourly_sk
+        WITH (timescaledb.continuous) AS
+        SELECT time_bucket('1 hour', time) AS bucket, location,
+               percentile_agg(temperature) AS sk
+        FROM conditions GROUP BY bucket, location
+    """)
+    print("daily p50/p95 served from hourly sketch states:")
+    ts.sql(
+        "SELECT time_bucket('1 day', bucket) AS day, location, "
+        "approx_percentile(0.5, rollup(sk)) AS p50, "
+        "approx_percentile(0.95, rollup(sk)) AS p95 "
+        "FROM conditions_hourly_sk GROUP BY 1, 2"
+    ).show(6)
+
     spark.stop()
 
 
