@@ -351,3 +351,67 @@ def test_arrow_engine_integer_time_dimension(spark, tmp_path):
     assert [r["t"] for r in arrow] == sorted(r["t"] for r in arrow)
     assert sorted(_rows_key(jvm)) == sorted(_rows_key(arrow))
     assert all(2500 <= r["t"] < 7500 for r in arrow)
+
+
+def test_arrow_engine_unknown_column_raises(ts):
+    ht = ts.get_hypertable("events")
+    with pytest.raises(ValueError, match="unknown column"):
+        ht.read_ordered(columns=["nope"], engine="arrow")
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_T0 = 1704067200000000
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    n=st.integers(50, 400),
+    interval_h=st.sampled_from([1, 3, 24]),
+    desc=st.booleans(),
+    lo_h=st.one_of(st.none(), st.integers(0, 48)),
+    span_h=st.integers(1, 72),
+    cap=st.sampled_from([2, 5, 512]),
+    budget=st.sampled_from([10, 1000, None]),
+)
+def test_arrow_jvm_engines_agree_property(
+    spark, tmp_path_factory, n, interval_h, desc, lo_h, span_h, cap, budget
+):
+    """Property: for random data spreads, chunk widths, bounds, widths
+    and row budgets, the arrow merge-append engine and the JVM scan
+    union return the same multiset of rows in correct time order."""
+    import uuid as _uuid
+
+    s = TSSession(
+        spark, str(tmp_path_factory.mktemp(f"ts_prop_{_uuid.uuid4().hex[:6]}"))
+    )
+    ht = s.create_hypertable(
+        "p", "ts", chunk_interval=f"{interval_h} hours"
+    )
+    df = spark.range(n).select(
+        F.timestamp_micros(
+            (
+                F.lit(_T0)
+                + (F.col("id") * 977) % (96 * 3600) * 1_000_000
+            ).cast("long")
+        ).alias("ts"),
+        (F.col("id") % 13).alias("k"),
+    )
+    ht.insert(df)
+    ht.approximate_row_count()
+    start = None if lo_h is None else _T0 + lo_h * 3600 * 1_000_000
+    end = None if lo_h is None else start + span_h * 3600 * 1_000_000
+    kw = dict(
+        start=start, end=end, desc=desc, plan_cap=cap, rows_per_group=budget
+    )
+    jvm = ht.read_ordered(engine="jvm", **kw).collect()
+    arrow = ht.read_ordered(engine="arrow", **kw).collect()
+    tss = [r["ts"] for r in arrow]
+    ordered = (
+        all(tss[i] >= tss[i + 1] for i in range(len(tss) - 1))
+        if desc
+        else all(tss[i] <= tss[i + 1] for i in range(len(tss) - 1))
+    )
+    assert ordered
+    assert sorted(_rows_key(jvm)) == sorted(_rows_key(arrow))

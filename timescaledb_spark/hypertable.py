@@ -2820,6 +2820,12 @@ class Hypertable:
         tcol = self.time_column
         out_names = [f.name for f in data_fields]
         if columns:
+            known = set(out_names)
+            bad = [c for c in columns if c not in known]
+            if bad:
+                raise ValueError(
+                    f"unknown column(s) {bad} in read_ordered(columns=)"
+                )
             out_names = list(columns)
         # the sort needs the time column even when it's not projected
         read_names = list(out_names)
