@@ -476,3 +476,107 @@ class TestSketchServingBounds:
         assert sorted(map(tuple, bounded.collect())) == sorted(
             map(tuple, want.collect())
         )
+
+
+class TestCounterCagg:
+    """Counter-state caggs: mergeable counter partials in the mat
+    table, any-grain reset-adjusted serving (the toolkit
+    delta(rollup(counter_agg)) idiom)."""
+
+    def _mk_counter(self, spark, sf_dir, prefix, **kw):
+        ts = TSSession(spark, tempfile.mkdtemp(prefix=prefix))
+        ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "cv", F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("double")
+        )
+        ht.insert(ev)
+        cagg = ts.create_cagg(
+            "cnt_c",
+            ht,
+            bucket_width="1 hour",
+            aggs={},
+            group_by=["event_type"],
+            counters={"cnt": {"value": "cv", "tiebreak": ["event_id"]}},
+            **kw,
+        )
+        return ts, ht, cagg
+
+    def test_any_grain_equals_raw_counter_agg(self, spark, sf_dir):
+        from timescaledb_spark.functions.counters import counter_agg
+
+        ts, ht, cagg = self._mk_counter(spark, sf_dir, "ts_cnt_")
+        cagg.refresh()
+        got = {
+            (r["bucket"], r["event_type"]): (
+                r["n"], r["delta"], r["num_resets"]
+            )
+            for r in cagg.counter_at_grain(grain="1 day").collect()
+        }
+        raw = ht.df().withColumn("day", F.date_trunc("day", F.col("ts")))
+        want = {
+            (r["day"], r["event_type"]): (
+                r["n"], r["delta"], r["num_resets"]
+            )
+            for r in counter_agg(
+                raw, ts_col="ts", value_col="cv",
+                by=["day", "event_type"], tiebreak=["event_id"],
+            ).collect()
+        }
+        assert got == want
+
+    def test_realtime_union_and_bounds(self, spark, sf_dir):
+        from timescaledb_spark.functions.counters import counter_agg
+
+        ts, ht, cagg = self._mk_counter(spark, sf_dir, "ts_cnt_rt_")
+        lo = min(c["range_start"] for c in ht.chunks())
+        hi = max(c["range_end"] for c in ht.chunks())
+        cagg.refresh(start=lo, end=lo + (hi - lo) // 2)
+        got = {
+            r["event_type"]: (r["n"], r["delta"])
+            for r in cagg.counter_at_grain(
+                grain="all", realtime=True
+            ).collect()
+        }
+        want = {
+            r["event_type"]: (r["n"], r["delta"])
+            for r in counter_agg(
+                ht.df(), ts_col="ts", value_col="cv",
+                by=["event_type"], tiebreak=["event_id"],
+            ).collect()
+        }
+        assert got == want
+        # bucket-aligned serving bounds
+        b = cagg.counter_at_grain(
+            grain="all", start="2024-01-03", end="2024-01-10"
+        )
+        raw = ht.df().filter(
+            (F.col("ts") >= "2024-01-03") & (F.col("ts") < "2024-01-10")
+        )
+        wantb = {
+            r["event_type"]: (r["n"], r["delta"], r["num_resets"])
+            for r in counter_agg(
+                raw, ts_col="ts", value_col="cv",
+                by=["event_type"], tiebreak=["event_id"],
+            ).collect()
+        }
+        gotb = {
+            r["event_type"]: (r["n"], r["delta"], r["num_resets"])
+            for r in b.collect()
+        }
+        assert gotb == wantb
+
+    def test_sql_create_counter_cagg(self, spark, sf_dir):
+        ts = TSSession(spark, tempfile.mkdtemp(prefix="ts_cnt_sql_"))
+        ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+        ht.insert(load_table(spark, sf_dir, "events"))
+        ts.sql(
+            "CREATE MATERIALIZED VIEW cnt_sql WITH "
+            "(timescaledb.continuous) AS "
+            "SELECT time_bucket('1 hour', ts) AS bucket, event_type, "
+            "counter_agg(ts, value) AS cnt FROM events GROUP BY 1, 2"
+        )
+        cagg = ts.get_cagg("cnt_sql")
+        assert cagg.row["counters"] == {"cnt": {"value": "value"}}
+        out = cagg.counter_at_grain(grain="1 day")
+        assert out.count() > 0
+        assert {"n", "delta", "rate", "num_resets"} <= set(out.columns)

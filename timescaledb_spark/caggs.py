@@ -169,6 +169,7 @@ class ContinuousAggregate:
         window_fns: Optional[dict[str, str]] = None,
         enable_window_functions: bool = False,
         sketches: Optional[dict[str, dict]] = None,
+        counters: Optional[dict[str, dict]] = None,
     ) -> "ContinuousAggregate":
         """``CREATE MATERIALIZED VIEW .. WITH (timescaledb.continuous)``
         (``tsl/src/continuous_aggs/create.c:600``).
@@ -210,6 +211,20 @@ class ContinuousAggregate:
         states need no special support: put ``hll_sketch_agg(col)`` in
         ``aggs`` and merge with ``hll_union_agg`` at read (see
         ``tests/test_cagg_sketch.py``).
+        ``counters``: output column -> ``{"value": <expr>,
+        "tiebreak": [cols…]}``: the mat table stores a mergeable
+        COUNTER partial per (bucket, group) — ``struct(n, first_us,
+        last_us, first_val, last_val, delta, num_resets)`` with
+        prometheus reset semantics (the toolkit
+        ``rollup(counter_agg(...))`` idiom). Because cagg buckets
+        partition time disjointly, merging two adjacent partials needs
+        only the one boundary step (reset-adjusted ``B.first_val −
+        A.last_val``), so :meth:`counter_at_grain` serves exact
+        delta/rate/resets at ANY coarser grain from the stored
+        partials — identical to ``counter_agg`` over the raw rows of
+        that grain, with zero raw rescans below the watermark.
+        ``tiebreak`` columns break equal-timestamp ordering like
+        ``counter_agg``'s.
         """
         if isinstance(hypertable, str):
             hypertable = Hypertable.get(ts, hypertable)
@@ -271,6 +286,23 @@ class ContinuousAggregate:
                 _gamma(float(spec.get("alpha", 0.01)))  # validates range
                 norm[col] = spec
             sketches = norm
+        if counters:
+            taken = (
+                set(aggs)
+                | set(group_by)
+                | {bucket_alias}
+                | set(sketches or {})
+            )
+            for col, spec in counters.items():
+                if col in taken:
+                    raise ValueError(
+                        f"counter column {col!r} collides with another "
+                        f"output column"
+                    )
+                if "value" not in spec:
+                    raise ValueError(
+                        f"counters[{col!r}] needs a 'value' expression"
+                    )
         if isinstance(bucket_width, int):
             # integer time dimension: width in raw internal units
             from .functions.time import Interval
@@ -304,6 +336,7 @@ class ContinuousAggregate:
             "join": join,
             "window_fns": window_fns,
             "sketches": sketches,
+            "counters": counters,
             "mat_table": f"_mat_{name}",
             "created_at": _time.time(),
         }
@@ -424,13 +457,20 @@ class ContinuousAggregate:
             raw = raw.filter(F.expr(self.row["where"]))
         exprs = [F.expr(e).alias(n) for n, e in self.row["aggs"].items()]
         keys = [self.row["bucket_alias"], *self.row["group_by"]]
+        partials = [
+            (col, spec, self._sketch_state)
+            for col, spec in (self.row.get("sketches") or {}).items()
+        ] + [
+            (col, spec, self._counter_state)
+            for col, spec in (self.row.get("counters") or {}).items()
+        ]
         agg = None
-        if exprs or not self.row.get("sketches"):
+        if exprs or not partials:
             agg = raw.groupBy(
                 self._bucket_expr(raw), *self.row["group_by"]
             ).agg(*exprs)
-        for col, spec in (self.row.get("sketches") or {}).items():
-            sk = self._sketch_state(raw, col, spec)
+        for col, spec, builder in partials:
+            sk = builder(raw, col, spec)
             if agg is None:
                 agg = sk
                 continue
@@ -516,6 +556,193 @@ class ContinuousAggregate:
                 F.array_sort(F.collect_list(F.struct("_sb", "_cnt")))
             ).alias(col)
         )
+
+    def _counter_state(self, raw: DataFrame, col: str, spec: dict) -> DataFrame:
+        """Mergeable COUNTER partial per (bucket, group):
+        ``struct(n, first_us, last_us, first_val, last_val, delta,
+        num_resets)`` with prometheus reset semantics inside the bucket
+        (functions/counters.py:counter_agg decomposition). One window
+        over (bucket, group) ordered by (time, tiebreak…) computes the
+        within-bucket reset-adjusted increments; the grouped pack is a
+        single exchange. Boundary steps between buckets are NOT counted
+        here — merging adjacent partials adds exactly one boundary step
+        (``counter_at_grain``), which is what makes any-grain serving
+        equal to ``counter_agg`` over the raw rows of that grain."""
+        from pyspark.sql import Window
+
+        balias = self.row["bucket_alias"]
+        gb = list(self.row["group_by"])
+        tb = list(spec.get("tiebreak") or ())
+        v = F.expr(spec["value"]).cast("double")
+        us = self._raw_time_us(raw)
+        stepped = raw.select(
+            self._bucket_expr(raw),
+            *gb,
+            *[F.col(c).alias(f"_tb{i}") for i, c in enumerate(tb)],
+            us.alias("_us"),
+            v.alias("_v"),
+        )
+        order = [F.col("_us").asc()] + [
+            F.col(f"_tb{i}").asc() for i in range(len(tb))
+        ]
+        w = Window.partitionBy(balias, *gb).orderBy(*order)
+        prev = F.lag("_v").over(w)
+        step = F.col("_v") - prev
+        inc = (
+            F.when(prev.isNull(), F.lit(0.0))
+            .when(step < 0, F.col("_v"))
+            .otherwise(step)
+        )
+        key = F.struct(F.col("_us"), *[F.col(f"_tb{i}") for i in range(len(tb))])
+        stepped = stepped.select(
+            balias,
+            *gb,
+            "_us",
+            "_v",
+            inc.alias("_inc"),
+            (step < 0).cast("int").alias("_reset"),
+            key.alias("_k"),
+        )
+        return stepped.groupBy(balias, *gb).agg(
+            F.struct(
+                F.count(F.lit(1)).alias("n"),
+                F.min("_us").alias("first_us"),
+                F.max("_us").alias("last_us"),
+                F.min_by(F.col("_v"), F.col("_k")).alias("first_val"),
+                F.max_by(F.col("_v"), F.col("_k")).alias("last_val"),
+                F.sum("_inc").alias("delta"),
+                F.coalesce(F.sum("_reset"), F.lit(0)).alias("num_resets"),
+            ).alias(col)
+        )
+
+    def _raw_time_us(self, raw: DataFrame):
+        """int64 internal units of the cagg's time column on ``raw``."""
+        tcol = self.row["time_column"]
+        if self.row["time_is_timestamp"]:
+            dt = dict(raw.dtypes).get(tcol, "timestamp")
+            if dt == "date":
+                return (
+                    F.datediff(
+                        F.col(tcol), F.lit("1970-01-01").cast("date")
+                    ).cast("long")
+                    * F.lit(86_400_000_000)
+                )
+            return F.unix_micros(F.col(tcol).cast("timestamp"))
+        return F.col(tcol).cast("long")
+
+    def counter_at_grain(
+        self,
+        counter_col: Optional[str] = None,
+        grain: Optional[str] = None,
+        group_by: Optional[Sequence[str]] = None,
+        realtime: Optional[bool] = None,
+        start=None,
+        end=None,
+    ) -> DataFrame:
+        """Serve reset-adjusted counter results at any coarser grain
+        from the stored partials — the toolkit
+        ``delta(rollup(counter_agg(...)))`` idiom. Merging consecutive
+        bucket partials within each target bucket adds each boundary
+        step once (reset-adjusted), so the result equals
+        ``counter_agg`` over the raw rows of the target grain exactly;
+        no raw rescan below the watermark. ``start``/``end`` filter
+        whole parent buckets (bucket-aligned ``[start, end)``).
+
+        Output: ``(bucket?, group…, n, delta, rate, num_resets,
+        first_us, last_us)``; ``grain=None`` keeps the cagg's own grain,
+        ``"all"`` collapses to one row per group."""
+        from pyspark.sql import Window
+
+        from .functions.time import time_bucket
+
+        counters = self.row.get("counters") or {}
+        if not counters:
+            raise ValueError(
+                f"cagg {self.name!r} has no counter columns (pass "
+                f"counters= to create_cagg)"
+            )
+        if counter_col is None:
+            if len(counters) > 1:
+                raise ValueError(
+                    f"cagg {self.name!r} has several counters "
+                    f"{sorted(counters)}; pass counter_col"
+                )
+            counter_col = next(iter(counters))
+        if counter_col not in counters:
+            raise KeyError(f"no counter column {counter_col!r}")
+        bucket = self.row["bucket_alias"]
+        gb = list(self.row["group_by"] if group_by is None else group_by)
+
+        df = self.read(realtime=realtime)
+        if start is not None or end is not None:
+            bc = F.col(bucket)
+            if self.row["time_is_timestamp"]:
+                conv = lambda x: F.lit(x).cast("timestamp")  # noqa: E731
+            else:
+                conv = lambda x: F.lit(int(x))  # noqa: E731
+            if start is not None:
+                df = df.filter(bc >= conv(start))
+            if end is not None:
+                df = df.filter(bc < conv(end))
+        src_bucket = F.col(bucket)
+        if grain == "all":
+            tgt = F.lit(0)
+            keys: list = list(gb)
+        elif grain is not None:
+            if not self.row["time_is_timestamp"]:
+                from .functions.time import time_bucket_int
+
+                tgt = time_bucket_int(int(grain), bucket)
+            else:
+                tgt = time_bucket(grain, bucket)
+            keys = [bucket, *gb]
+        else:
+            tgt = src_bucket
+            keys = [bucket, *gb]
+        st = F.col("_st")
+        d = df.select(
+            tgt.alias("_tgt"),
+            src_bucket.alias("_src"),
+            *gb,
+            F.col(counter_col).alias("_st"),
+        )
+        # one boundary step per adjacent pair of parent buckets inside a
+        # target bucket: reset-adjusted first-vs-previous-last
+        w = Window.partitionBy("_tgt", *gb).orderBy(F.col("_src").asc())
+        prev_last = F.lag(st["last_val"]).over(w)
+        bstep = st["first_val"] - prev_last
+        binc = (
+            F.when(prev_last.isNull(), F.lit(0.0))
+            .when(bstep < 0, st["first_val"])
+            .otherwise(bstep)
+        )
+        d = d.select(
+            "_tgt",
+            *gb,
+            st.alias("_st"),
+            binc.alias("_binc"),
+            (bstep < 0).cast("int").alias("_breset"),
+        )
+        span_s = (
+            F.max(st["last_us"]) - F.min(st["first_us"])
+        ).cast("double") / 1e6
+        out = d.groupBy("_tgt", *gb).agg(
+            F.sum(st["n"]).alias("n"),
+            (F.sum(st["delta"]) + F.sum("_binc")).alias("delta"),
+            F.when(
+                span_s > 0,
+                (F.sum(st["delta"]) + F.sum("_binc")) / span_s,
+            ).alias("rate"),
+            (
+                F.sum(st["num_resets"])
+                + F.coalesce(F.sum("_breset"), F.lit(0))
+            ).alias("num_resets"),
+            F.min(st["first_us"]).alias("first_us"),
+            F.max(st["last_us"]).alias("last_us"),
+        )
+        if grain == "all":
+            return out.drop("_tgt")
+        return out.withColumnRenamed("_tgt", bucket)
 
     def set_materialized_only(self, flag: bool) -> None:
         """``ALTER MATERIALIZED VIEW .. SET (timescaledb.materialized_only
@@ -995,6 +1222,7 @@ class ContinuousAggregate:
             window_fns=self.row.get("window_fns"),
             enable_window_functions=bool(self.row.get("window_fns")),
             sketches=self.row.get("sketches"),
+            counters=self.row.get("counters"),
         )
         if refresh:
             new.refresh()

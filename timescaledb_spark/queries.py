@@ -1084,6 +1084,70 @@ def q_cagg_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cagg_counter",
+    """
+    WITH s AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+             event_type,
+             floor(value * 1000000 + 0.5) AS v, ts, event_id
+      FROM events
+    ), st AS (
+      SELECT bucket, event_type, v,
+             lag(v) OVER (
+               PARTITION BY bucket, event_type ORDER BY ts, event_id
+             ) AS prev
+      FROM s
+    )
+    SELECT bucket, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(CASE WHEN prev IS NULL THEN 0
+                    WHEN v < prev THEN v ELSE v - prev END) AS delta,
+           CAST(sum(CASE WHEN v < prev THEN 1 ELSE 0 END) AS BIGINT)
+             AS num_resets
+    FROM st GROUP BY 1, 2
+    """,
+)
+def q_cagg_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counter-STATE continuous aggregate (round 10; the toolkit
+    ``delta(rollup(counter_agg(...)))`` idiom): an HOURLY cagg stores
+    mergeable counter partials (first/last value+time, within-bucket
+    reset-adjusted delta, reset count) per event_type; only the first
+    half of the range is materialized, so serving DAILY delta must
+    (a) union mat-side partials below the watermark with raw-computed
+    partials above it, and (b) merge 24 hourly partials per day —
+    each bucket boundary contributes exactly one reset-adjusted step,
+    which makes the served delta/resets IDENTICAL to counter_agg over
+    the raw rows of each day (the decomposition the oracle replays).
+    Values are quantized to integer-valued doubles so sums are exact
+    in any order cross-engine."""
+    import tempfile
+
+    from .session import TSSession
+
+    root = tempfile.mkdtemp(prefix="ts_cagg_cnt_")
+    ts = TSSession(spark, root)
+    ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "cv", F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("double")
+    )
+    ht.insert(ev)
+    cagg = ts.create_cagg(
+        "qcnt",
+        ht,
+        bucket_width="1 hour",
+        aggs={},
+        group_by=["event_type"],
+        counters={"cnt": {"value": "cv", "tiebreak": ["event_id"]}},
+    )
+    lo = min(c["range_start"] for c in ht.chunks())
+    hi = max(c["range_end"] for c in ht.chunks())
+    cagg.refresh(start=lo, end=lo + (hi - lo) // 2)
+    return cagg.counter_at_grain(grain="1 day", realtime=True).select(
+        "bucket", "event_type", "n", "delta", "num_resets"
+    )
+
+
+@query(
     "q_cagg_monthly",
     """
     SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS bucket,

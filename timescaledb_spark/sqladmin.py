@@ -1566,8 +1566,22 @@ def run_create_cagg(ts, m) -> DataFrame:
     group_by: list[str] = []
     aggs: dict[str, str] = {}
     sketches: dict[str, dict] = {}
+    counters: dict[str, dict] = {}
     for item in items:
         expr, alias = _alias_of(item)
+        cnh = _head_call(expr, {"counter_agg"})
+        if cnh:
+            # toolkit counter_agg inside the cagg definition — store a
+            # mergeable counter PARTIAL (caggs.py counters=;
+            # rollup(counter_agg) idiom). counter_agg(ts, value): the
+            # time argument must be the bucketed time column.
+            if alias is None:
+                raise ValueError(f"cagg counter needs AS alias: {item!r}")
+            args = cnh[1]
+            if len(args) != 2:
+                raise ValueError("counter_agg(ts, value)")
+            counters[alias] = {"value": _rw(args[1].strip(), ts)}
+            continue
         skh = _head_call(expr, {"percentile_agg", "uddsketch", "rollup"})
         if skh:
             # toolkit sketch aggregates inside the cagg definition —
@@ -1647,6 +1661,10 @@ def run_create_cagg(ts, m) -> DataFrame:
         )
         for k, v in sketches.items()
     }
+    counters = {
+        k: {**v, "value": _strip_quals(v["value"], quals)}
+        for k, v in counters.items()
+    }
     join = None
     if join_tbl:
         how = "left" if re.search(r"\bleft\b", from_clause, re.I) else "inner"
@@ -1678,6 +1696,7 @@ def run_create_cagg(ts, m) -> DataFrame:
         join=join,
         materialized_only=mat_only,
         sketches=sketches or None,
+        counters=counters or None,
     )
     if not (m.group("data") or "").strip():  # WITH DATA is the PG default
         cagg.refresh()
