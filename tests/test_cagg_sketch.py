@@ -580,3 +580,113 @@ class TestCounterCagg:
         out = cagg.counter_at_grain(grain="1 day")
         assert out.count() > 0
         assert {"n", "delta", "rate", "num_resets"} <= set(out.columns)
+
+
+class TestGaugeStatsCagg:
+    """Gauge + stats moments partials: the remaining toolkit rollup
+    families, same merge machinery as counters/sketches."""
+
+    def _mk2(self, spark, sf_dir, prefix):
+        ts = TSSession(spark, tempfile.mkdtemp(prefix=prefix))
+        ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "cv", F.floor(F.col("value") * 1e2 + F.lit(0.5)).cast("double")
+        )
+        ht.insert(ev)
+        cagg = ts.create_cagg(
+            "gs_c",
+            ht,
+            bucket_width="1 hour",
+            aggs={},
+            group_by=["event_type"],
+            gauges={"g": {"value": "cv", "tiebreak": ["event_id"]}},
+            stats_aggs={"st": {"value": "cv"}},
+        )
+        return ts, ht, cagg
+
+    def test_gauge_any_grain_equals_raw(self, spark, sf_dir):
+        from timescaledb_spark.functions.counters import gauge_agg
+
+        ts, ht, cagg = self._mk2(spark, sf_dir, "ts_gs_")
+        cagg.refresh()
+        got = {
+            (r["bucket"], r["event_type"]): (
+                r["n"], r["delta"], r["idelta"],
+                round(r["rate"] or 0, 9), round(r["irate"] or 0, 9),
+            )
+            for r in cagg.gauge_at_grain(grain="1 day").collect()
+        }
+        raw = ht.df().withColumn("day", F.date_trunc("day", F.col("ts")))
+        want = {
+            (r["day"], r["event_type"]): (
+                r["n"], r["delta"], r["idelta"],
+                round(r["rate"] or 0, 9), round(r["irate"] or 0, 9),
+            )
+            for r in gauge_agg(
+                raw, ts_col="ts", value_col="cv",
+                by=["day", "event_type"], tiebreak=["event_id"],
+            ).collect()
+        }
+        assert got == want
+
+    def test_stats_any_grain_matches_builtins(self, spark, sf_dir):
+        ts, ht, cagg = self._mk2(spark, sf_dir, "ts_gs2_")
+        cagg.refresh()
+        got = {
+            r["event_type"]: (
+                r["n"], r["sum"], round(r["avg"], 6),
+                round(r["stddev"], 4), r["min"], r["max"],
+            )
+            for r in cagg.stats_at_grain(grain="all").collect()
+        }
+        want = {
+            r["event_type"]: (
+                r["n"], r["s"], round(r["a"], 6),
+                round(r["sd"], 4), r["mn"], r["mx"],
+            )
+            for r in ht.df()
+            .groupBy("event_type")
+            .agg(
+                F.count("cv").alias("n"),
+                F.sum("cv").alias("s"),
+                F.avg("cv").alias("a"),
+                F.stddev_samp("cv").alias("sd"),
+                F.min("cv").alias("mn"),
+                F.max("cv").alias("mx"),
+            )
+            .collect()
+        }
+        assert got == want
+
+    def test_stats_single_sample_stddev_null(self, spark, sf_dir):
+        ts = TSSession(spark, tempfile.mkdtemp(prefix="ts_gs3_"))
+        ht = ts.create_hypertable("one", "ts", chunk_interval="1 day")
+        ht.insert(
+            spark.createDataFrame(
+                [("2024-01-01 00:00:00", 5.0)], "ts string, v double"
+            ).select(F.col("ts").cast("timestamp"), "v")
+        )
+        cagg = ts.create_cagg(
+            "one_c", ht, bucket_width="1 hour", aggs={},
+            stats_aggs={"st": {"value": "v"}},
+        )
+        cagg.refresh()
+        r = cagg.stats_at_grain(grain="all").collect()[0]
+        assert r["n"] == 1 and r["stddev"] is None and r["variance"] is None
+
+    def test_sql_create_gauge_and_stats(self, spark, sf_dir):
+        ts = TSSession(spark, tempfile.mkdtemp(prefix="ts_gs4_"))
+        ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+        ht.insert(load_table(spark, sf_dir, "events"))
+        ts.sql(
+            "CREATE MATERIALIZED VIEW gs_sql WITH "
+            "(timescaledb.continuous) AS "
+            "SELECT time_bucket('1 hour', ts) AS bucket, event_type, "
+            "gauge_agg(ts, value) AS g, stats_agg(value) AS st "
+            "FROM events GROUP BY 1, 2"
+        )
+        cagg = ts.get_cagg("gs_sql")
+        assert cagg.row["gauges"] == {"g": {"value": "value"}}
+        assert cagg.row["stats_aggs"] == {"st": {"value": "value"}}
+        assert cagg.gauge_at_grain(grain="1 day").count() > 0
+        assert cagg.stats_at_grain(grain="1 day").count() > 0

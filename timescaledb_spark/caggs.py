@@ -170,6 +170,8 @@ class ContinuousAggregate:
         enable_window_functions: bool = False,
         sketches: Optional[dict[str, dict]] = None,
         counters: Optional[dict[str, dict]] = None,
+        gauges: Optional[dict[str, dict]] = None,
+        stats_aggs: Optional[dict[str, dict]] = None,
     ) -> "ContinuousAggregate":
         """``CREATE MATERIALIZED VIEW .. WITH (timescaledb.continuous)``
         (``tsl/src/continuous_aggs/create.c:600``).
@@ -225,6 +227,16 @@ class ContinuousAggregate:
         that grain, with zero raw rescans below the watermark.
         ``tiebreak`` columns break equal-timestamp ordering like
         ``counter_agg``'s.
+        ``gauges``: like ``counters`` but for metrics that may
+        legitimately decrease (toolkit ``gauge_agg``): the partial also
+        records the last step and its elapsed time, so
+        :meth:`gauge_at_grain` serves delta/rate AND idelta/irate at
+        any grain, boundary steps included.
+        ``stats_aggs``: output column -> ``{"value": <expr>}``: a
+        moments partial ``struct(n, s, s2, mn, mx)`` (toolkit 1-D
+        ``stats_agg``); :meth:`stats_at_grain` merges by fieldwise
+        add/min/max and serves n/sum/avg/stddev/variance/min/max at
+        any grain.
         """
         if isinstance(hypertable, str):
             hypertable = Hypertable.get(ts, hypertable)
@@ -286,22 +298,24 @@ class ContinuousAggregate:
                 _gamma(float(spec.get("alpha", 0.01)))  # validates range
                 norm[col] = spec
             sketches = norm
-        if counters:
-            taken = (
-                set(aggs)
-                | set(group_by)
-                | {bucket_alias}
-                | set(sketches or {})
-            )
-            for col, spec in counters.items():
+        taken = set(aggs) | set(group_by) | {bucket_alias} | set(
+            sketches or {}
+        )
+        for kind, d in (
+            ("counter", counters),
+            ("gauge", gauges),
+            ("stats", stats_aggs),
+        ):
+            for col, spec in (d or {}).items():
                 if col in taken:
                     raise ValueError(
-                        f"counter column {col!r} collides with another "
+                        f"{kind} column {col!r} collides with another "
                         f"output column"
                     )
+                taken.add(col)
                 if "value" not in spec:
                     raise ValueError(
-                        f"counters[{col!r}] needs a 'value' expression"
+                        f"{kind} partial {col!r} needs a 'value' expression"
                     )
         if isinstance(bucket_width, int):
             # integer time dimension: width in raw internal units
@@ -337,6 +351,8 @@ class ContinuousAggregate:
             "window_fns": window_fns,
             "sketches": sketches,
             "counters": counters,
+            "gauges": gauges,
+            "stats_aggs": stats_aggs,
             "mat_table": f"_mat_{name}",
             "created_at": _time.time(),
         }
@@ -463,6 +479,12 @@ class ContinuousAggregate:
         ] + [
             (col, spec, self._counter_state)
             for col, spec in (self.row.get("counters") or {}).items()
+        ] + [
+            (col, spec, self._gauge_state)
+            for col, spec in (self.row.get("gauges") or {}).items()
+        ] + [
+            (col, spec, self._stats_state)
+            for col, spec in (self.row.get("stats_aggs") or {}).items()
         ]
         agg = None
         if exprs or not partials:
@@ -743,6 +765,260 @@ class ContinuousAggregate:
         if grain == "all":
             return out.drop("_tgt")
         return out.withColumnRenamed("_tgt", bucket)
+
+    def _gauge_state(self, raw: DataFrame, col: str, spec: dict) -> DataFrame:
+        """Mergeable GAUGE partial per (bucket, group): like the counter
+        partial but without resets, plus ``last_step``/``last_prev_us``
+        (the final within-bucket step and the time of the sample before
+        the last) so idelta/irate survive the rollup — a single-sample
+        bucket's step comes from the previous bucket's last value at
+        merge time."""
+        from pyspark.sql import Window
+
+        balias = self.row["bucket_alias"]
+        gb = list(self.row["group_by"])
+        tb = list(spec.get("tiebreak") or ())
+        v = F.expr(spec["value"]).cast("double")
+        us = self._raw_time_us(raw)
+        stepped = raw.select(
+            self._bucket_expr(raw),
+            *gb,
+            *[F.col(c).alias(f"_tb{i}") for i, c in enumerate(tb)],
+            us.alias("_us"),
+            v.alias("_v"),
+        )
+        order = [F.col("_us").asc()] + [
+            F.col(f"_tb{i}").asc() for i in range(len(tb))
+        ]
+        w = Window.partitionBy(balias, *gb).orderBy(*order)
+        key = F.struct(F.col("_us"), *[F.col(f"_tb{i}") for i in range(len(tb))])
+        stepped = stepped.select(
+            balias,
+            *gb,
+            "_us",
+            "_v",
+            (F.col("_v") - F.lag("_v").over(w)).alias("_step"),
+            F.lag("_us").over(w).alias("_prev_us"),
+            key.alias("_k"),
+        )
+        return stepped.groupBy(balias, *gb).agg(
+            F.struct(
+                F.count(F.lit(1)).alias("n"),
+                F.min("_us").alias("first_us"),
+                F.max("_us").alias("last_us"),
+                F.min_by(F.col("_v"), F.col("_k")).alias("first_val"),
+                F.max_by(F.col("_v"), F.col("_k")).alias("last_val"),
+                F.max_by(F.col("_step"), F.col("_k")).alias("last_step"),
+                F.max_by(F.col("_prev_us"), F.col("_k")).alias(
+                    "last_prev_us"
+                ),
+            ).alias(col)
+        )
+
+    def gauge_at_grain(
+        self,
+        gauge_col: Optional[str] = None,
+        grain: Optional[str] = None,
+        group_by: Optional[Sequence[str]] = None,
+        realtime: Optional[bool] = None,
+        start=None,
+        end=None,
+    ) -> DataFrame:
+        """Serve gauge results at any coarser grain from the stored
+        partials (toolkit ``delta(rollup(gauge_agg(...)))``):
+        delta = last − first value of the target bucket, idelta/irate =
+        the final step (falling back to the bucket-boundary step when
+        the last parent bucket holds a single sample) — identical to
+        ``gauge_agg`` over the raw rows of the target grain.
+
+        Output: ``(bucket?, group…, n, delta, rate, idelta, irate,
+        first_us, last_us)``."""
+        from pyspark.sql import Window
+
+        d, keys_gb, bucket, grain_all = self._partial_frame(
+            "gauges", gauge_col, grain, group_by, realtime, start, end
+        )
+        st = F.col("_st")
+        w = Window.partitionBy("_tgt", *keys_gb).orderBy(F.col("_src").asc())
+        prev_last_val = F.lag(st["last_val"]).over(w)
+        prev_last_us = F.lag(st["last_us"]).over(w)
+        cand_idelta = F.coalesce(
+            st["last_step"], st["first_val"] - prev_last_val
+        )
+        cand_prev_us = F.coalesce(st["last_prev_us"], prev_last_us)
+        d = d.select(
+            "_tgt",
+            *keys_gb,
+            "_src",
+            st.alias("_st"),
+            cand_idelta.alias("_cid"),
+            cand_prev_us.alias("_cpu"),
+        )
+        first_key = F.min_by(
+            F.struct(st["first_val"].alias("v")), F.col("_src")
+        )
+        last_key = F.max_by(
+            F.struct(
+                st["last_val"].alias("v"),
+                F.col("_cid").alias("cid"),
+                F.col("_cpu").alias("cpu"),
+            ),
+            F.col("_src"),
+        )
+        span_s = (
+            F.max(st["last_us"]) - F.min(st["first_us"])
+        ).cast("double") / 1e6
+        out = d.groupBy("_tgt", *keys_gb).agg(
+            F.sum(st["n"]).alias("n"),
+            (last_key["v"] - first_key["v"]).alias("delta"),
+            F.when(
+                span_s > 0,
+                (last_key["v"] - first_key["v"]) / span_s,
+            ).alias("rate"),
+            last_key["cid"].alias("idelta"),
+            F.when(
+                last_key["cpu"].isNotNull()
+                & ((F.max(st["last_us"]) - last_key["cpu"]) > 0),
+                last_key["cid"]
+                / (
+                    (F.max(st["last_us"]) - last_key["cpu"]).cast("double")
+                    / 1e6
+                ),
+            ).alias("irate"),
+            F.min(st["first_us"]).alias("first_us"),
+            F.max(st["last_us"]).alias("last_us"),
+        )
+        if grain_all:
+            return out.drop("_tgt")
+        return out.withColumnRenamed("_tgt", bucket)
+
+    def _stats_state(self, raw: DataFrame, col: str, spec: dict) -> DataFrame:
+        """Mergeable 1-D STATS partial per (bucket, group):
+        ``struct(n, s, s2, mn, mx)`` — raw moments, the classical
+        parallel-aggregation decomposition (also how Spark's own
+        partial aggregates merge)."""
+        v = F.expr(spec["value"]).cast("double")
+        return (
+            raw.select(
+                self._bucket_expr(raw), *self.row["group_by"], v.alias("_v")
+            )
+            .groupBy(self.row["bucket_alias"], *self.row["group_by"])
+            .agg(
+                F.struct(
+                    F.count("_v").alias("n"),
+                    F.sum("_v").alias("s"),
+                    F.sum(F.col("_v") * F.col("_v")).alias("s2"),
+                    F.min("_v").alias("mn"),
+                    F.max("_v").alias("mx"),
+                ).alias(col)
+            )
+        )
+
+    def stats_at_grain(
+        self,
+        stats_col: Optional[str] = None,
+        grain: Optional[str] = None,
+        group_by: Optional[Sequence[str]] = None,
+        realtime: Optional[bool] = None,
+        start=None,
+        end=None,
+    ) -> DataFrame:
+        """Serve 1-D statistics at any coarser grain from the stored
+        moments partials (toolkit ``rollup(stats_agg(...))``
+        accessors): fieldwise add/min/max merge, then
+        n/sum/avg/stddev/variance (sample)/min/max extraction."""
+        d, keys_gb, bucket, grain_all = self._partial_frame(
+            "stats_aggs", stats_col, grain, group_by, realtime, start, end
+        )
+        st = F.col("_st")
+        n = F.sum(st["n"])
+        s = F.sum(st["s"])
+        s2 = F.sum(st["s2"])
+        # sample variance; clamp tiny negative float residue, keep NULL
+        # (not 0) for n <= 1 like stddev_samp
+        var = F.when(
+            n > 1, F.greatest((s2 - s * s / n) / (n - F.lit(1)), F.lit(0.0))
+        )
+        out = d.groupBy("_tgt", *keys_gb).agg(
+            n.alias("n"),
+            s.alias("sum"),
+            F.when(n > 0, s / n).alias("avg"),
+            F.sqrt(var).alias("stddev"),
+            var.alias("variance"),
+            F.min(st["mn"]).alias("min"),
+            F.max(st["mx"]).alias("max"),
+        )
+        if grain_all:
+            return out.drop("_tgt")
+        return out.withColumnRenamed("_tgt", bucket)
+
+    def _partial_frame(
+        self,
+        kind: str,
+        col: Optional[str],
+        grain,
+        group_by,
+        realtime,
+        start,
+        end,
+    ):
+        """Shared serving scaffold for the partial-state accessors:
+        resolve the partial column, apply bucket-aligned bounds,
+        compute the target bucket, and return
+        ``(frame(_tgt, group…, _src, _st), group_cols, bucket_alias,
+        grain_is_all)``."""
+        from .functions.time import time_bucket
+
+        d = self.row.get(kind) or {}
+        if not d:
+            raise ValueError(
+                f"cagg {self.name!r} has no {kind} columns (pass "
+                f"{kind}= to create_cagg)"
+            )
+        if col is None:
+            if len(d) > 1:
+                raise ValueError(
+                    f"cagg {self.name!r} has several {kind} "
+                    f"{sorted(d)}; pass the column name"
+                )
+            col = next(iter(d))
+        if col not in d:
+            raise KeyError(f"no {kind} column {col!r}")
+        bucket = self.row["bucket_alias"]
+        gb = list(self.row["group_by"] if group_by is None else group_by)
+        df = self.read(realtime=realtime)
+        if start is not None or end is not None:
+            bc = F.col(bucket)
+            if self.row["time_is_timestamp"]:
+                conv = lambda x: F.lit(x).cast("timestamp")  # noqa: E731
+            else:
+                conv = lambda x: F.lit(int(x))  # noqa: E731
+            if start is not None:
+                df = df.filter(bc >= conv(start))
+            if end is not None:
+                df = df.filter(bc < conv(end))
+        if grain == "all":
+            tgt = F.lit(0)
+        elif grain is not None:
+            if not self.row["time_is_timestamp"]:
+                from .functions.time import time_bucket_int
+
+                tgt = time_bucket_int(int(grain), bucket)
+            else:
+                tgt = time_bucket(grain, bucket)
+        else:
+            tgt = F.col(bucket)
+        return (
+            df.select(
+                tgt.alias("_tgt"),
+                *gb,
+                F.col(bucket).alias("_src"),
+                F.col(col).alias("_st"),
+            ),
+            gb,
+            bucket,
+            grain == "all",
+        )
 
     def set_materialized_only(self, flag: bool) -> None:
         """``ALTER MATERIALIZED VIEW .. SET (timescaledb.materialized_only
@@ -1223,6 +1499,8 @@ class ContinuousAggregate:
             enable_window_functions=bool(self.row.get("window_fns")),
             sketches=self.row.get("sketches"),
             counters=self.row.get("counters"),
+            gauges=self.row.get("gauges"),
+            stats_aggs=self.row.get("stats_aggs"),
         )
         if refresh:
             new.refresh()

@@ -1148,6 +1148,131 @@ def q_cagg_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cagg_gauge",
+    """
+    WITH s AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+             event_type,
+             floor(value * 1000000 + 0.5) AS v,
+             epoch_us(ts) AS us, ts, event_id
+      FROM events
+    ), o AS (
+      SELECT *,
+             row_number() OVER (
+               PARTITION BY bucket, event_type
+               ORDER BY ts DESC, event_id DESC
+             ) AS rn_d,
+             row_number() OVER (
+               PARTITION BY bucket, event_type
+               ORDER BY ts ASC, event_id ASC
+             ) AS rn_a,
+             lag(v) OVER (
+               PARTITION BY bucket, event_type ORDER BY ts, event_id
+             ) AS prev
+      FROM s
+    )
+    SELECT bucket, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           max(CASE WHEN rn_d = 1 THEN v END)
+             - max(CASE WHEN rn_a = 1 THEN v END) AS delta,
+           max(CASE WHEN rn_d = 1 THEN v - prev END) AS idelta
+    FROM o GROUP BY 1, 2
+    """,
+)
+def q_cagg_gauge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gauge-STATE continuous aggregate (round 10; toolkit
+    ``delta(rollup(gauge_agg(...)))``): hourly partials record
+    first/last value+time AND the final within-bucket step, so daily
+    serving recovers delta (= last − first of the day) and idelta
+    (= the day's final step — falling back to the bucket-boundary step
+    when the day's last hour holds one sample) exactly, identical to
+    ``gauge_agg`` over each day's raw rows. Half-materialized range
+    exercises the realtime union. Values quantized to integer-valued
+    doubles (exact cross-engine in any order)."""
+    import tempfile
+
+    from .session import TSSession
+
+    root = tempfile.mkdtemp(prefix="ts_cagg_gauge_")
+    ts = TSSession(spark, root)
+    ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "cv", F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("double")
+    )
+    ht.insert(ev)
+    cagg = ts.create_cagg(
+        "qgauge",
+        ht,
+        bucket_width="1 hour",
+        aggs={},
+        group_by=["event_type"],
+        gauges={"g": {"value": "cv", "tiebreak": ["event_id"]}},
+    )
+    lo = min(c["range_start"] for c in ht.chunks())
+    hi = max(c["range_end"] for c in ht.chunks())
+    cagg.refresh(start=lo, end=lo + (hi - lo) // 2)
+    return cagg.gauge_at_grain(grain="1 day", realtime=True).select(
+        "bucket", "event_type", "n", "delta", "idelta"
+    )
+
+
+@query(
+    "q_cagg_stats",
+    """
+    WITH s AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+             event_type, floor(value * 100 + 0.5) AS v
+      FROM events
+    )
+    SELECT bucket, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(v) AS sum,
+           sum(v) / count(*) AS avg,
+           CASE WHEN count(*) > 1 THEN
+             sqrt(greatest(
+               (sum(v*v) - sum(v)*sum(v)/count(*)) / (count(*) - 1), 0))
+           END AS stddev
+    FROM s GROUP BY 1, 2
+    """,
+)
+def q_cagg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-STATE continuous aggregate (round 10; toolkit
+    ``rollup(stats_agg(...))`` accessors): hourly moments partials
+    (n, Σx, Σx², min, max) merge fieldwise to any grain; daily
+    n/sum/avg/stddev served from them equals the same naive-moments
+    formula over each day's raw rows. Values are quantized so every
+    moment stays an exactly-representable integer (Σx² bounded well
+    under 2^53) — sums are then exact in ANY order on both engines and
+    the final division/sqrt are IEEE-deterministic, making the oracle
+    comparison bit-stable."""
+    import tempfile
+
+    from .session import TSSession
+
+    root = tempfile.mkdtemp(prefix="ts_cagg_stats_")
+    ts = TSSession(spark, root)
+    ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "cv", F.floor(F.col("value") * 1e2 + F.lit(0.5)).cast("double")
+    )
+    ht.insert(ev)
+    cagg = ts.create_cagg(
+        "qstats",
+        ht,
+        bucket_width="1 hour",
+        aggs={},
+        group_by=["event_type"],
+        stats_aggs={"st": {"value": "cv"}},
+    )
+    lo = min(c["range_start"] for c in ht.chunks())
+    hi = max(c["range_end"] for c in ht.chunks())
+    cagg.refresh(start=lo, end=lo + (hi - lo) // 2)
+    return cagg.stats_at_grain(grain="1 day", realtime=True).select(
+        "bucket", "event_type", "n", "sum", "avg", "stddev"
+    )
+
+
+@query(
     "q_cagg_monthly",
     """
     SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS bucket,

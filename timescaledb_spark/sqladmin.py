@@ -1567,20 +1567,33 @@ def run_create_cagg(ts, m) -> DataFrame:
     aggs: dict[str, str] = {}
     sketches: dict[str, dict] = {}
     counters: dict[str, dict] = {}
+    gauges: dict[str, dict] = {}
+    stats_aggs: dict[str, dict] = {}
     for item in items:
         expr, alias = _alias_of(item)
-        cnh = _head_call(expr, {"counter_agg"})
+        cnh = _head_call(expr, {"counter_agg", "gauge_agg", "stats_agg"})
         if cnh:
-            # toolkit counter_agg inside the cagg definition — store a
-            # mergeable counter PARTIAL (caggs.py counters=;
-            # rollup(counter_agg) idiom). counter_agg(ts, value): the
-            # time argument must be the bucketed time column.
+            # toolkit partial aggregates inside the cagg definition —
+            # store a mergeable PARTIAL (caggs.py counters=/gauges=/
+            # stats_aggs=; the rollup(counter_agg/gauge_agg/stats_agg)
+            # idiom). counter_agg/gauge_agg(ts, value): the time
+            # argument must be the bucketed time column; stats_agg is
+            # the 1-D form stats_agg(value).
             if alias is None:
-                raise ValueError(f"cagg counter needs AS alias: {item!r}")
-            args = cnh[1]
+                raise ValueError(f"cagg partial needs AS alias: {item!r}")
+            fn, args = cnh
+            if fn == "stats_agg":
+                if len(args) != 1:
+                    raise ValueError(
+                        "only 1-D stats_agg(value) is supported in "
+                        "cagg partials"
+                    )
+                stats_aggs[alias] = {"value": _rw(args[0].strip(), ts)}
+                continue
             if len(args) != 2:
-                raise ValueError("counter_agg(ts, value)")
-            counters[alias] = {"value": _rw(args[1].strip(), ts)}
+                raise ValueError(f"{fn}(ts, value)")
+            dest = counters if fn == "counter_agg" else gauges
+            dest[alias] = {"value": _rw(args[1].strip(), ts)}
             continue
         skh = _head_call(expr, {"percentile_agg", "uddsketch", "rollup"})
         if skh:
@@ -1665,6 +1678,14 @@ def run_create_cagg(ts, m) -> DataFrame:
         k: {**v, "value": _strip_quals(v["value"], quals)}
         for k, v in counters.items()
     }
+    gauges = {
+        k: {**v, "value": _strip_quals(v["value"], quals)}
+        for k, v in gauges.items()
+    }
+    stats_aggs = {
+        k: {**v, "value": _strip_quals(v["value"], quals)}
+        for k, v in stats_aggs.items()
+    }
     join = None
     if join_tbl:
         how = "left" if re.search(r"\bleft\b", from_clause, re.I) else "inner"
@@ -1697,6 +1718,8 @@ def run_create_cagg(ts, m) -> DataFrame:
         materialized_only=mat_only,
         sketches=sketches or None,
         counters=counters or None,
+        gauges=gauges or None,
+        stats_aggs=stats_aggs or None,
     )
     if not (m.group("data") or "").strip():  # WITH DATA is the PG default
         cagg.refresh()

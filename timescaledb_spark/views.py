@@ -118,6 +118,11 @@ def continuous_aggregates(ts) -> DataFrame:
                 # round 10: mat table stores mergeable partials for
                 # these columns (the toolkit finalized=false idiom)
                 "sketch_columns": sorted(c.get("sketches") or {}),
+                "partial_columns": sorted(
+                    list(c.get("counters") or {})
+                    + list(c.get("gauges") or {})
+                    + list(c.get("stats_aggs") or {})
+                ),
             }
         )
     return _df(
@@ -126,7 +131,7 @@ def continuous_aggregates(ts) -> DataFrame:
         "view_name string, hypertable_name string, materialized_only boolean, "
         "bucket_width long, watermark long, "
         "materialization_hypertable_name string, "
-        "sketch_columns array<string>",
+        "sketch_columns array<string>, partial_columns array<string>",
     )
 
 
