@@ -690,3 +690,33 @@ class TestGaugeStatsCagg:
         assert cagg.row["stats_aggs"] == {"st": {"value": "value"}}
         assert cagg.gauge_at_grain(grain="1 day").count() > 0
         assert cagg.stats_at_grain(grain="1 day").count() > 0
+
+
+def test_distinct_at_grain_accessor(spark, sf_dir):
+    """HLL serving sugar: distinct_at_grain over an hll_sketch_agg aggs
+    column matches the manual union+estimate read at every grain."""
+    ts = TSSession(spark, tempfile.mkdtemp(prefix="ts_hll_acc_"))
+    ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+    ht.insert(load_table(spark, sf_dir, "events"))
+    cagg = ts.create_cagg(
+        "hll_a", ht, bucket_width="1 hour",
+        aggs={"uh": "hll_sketch_agg(user_id)"},
+        group_by=["event_type"],
+    )
+    cagg.refresh()
+    got = {
+        r["event_type"]: r["approx_distinct"]
+        for r in cagg.distinct_at_grain("uh", grain="all").collect()
+    }
+    want = {
+        r["event_type"]: r["du"]
+        for r in cagg.read()
+        .groupBy("event_type")
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(uh))").alias("du"))
+        .collect()
+    }
+    assert got == want
+    daily = cagg.distinct_at_grain("uh", grain="1 day")
+    assert daily.count() > 0 and "bucket" in daily.columns
+    with pytest.raises(KeyError):
+        cagg.distinct_at_grain("nope")

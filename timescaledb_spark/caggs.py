@@ -967,8 +967,6 @@ class ContinuousAggregate:
         compute the target bucket, and return
         ``(frame(_tgt, group…, _src, _st), group_cols, bucket_alias,
         grain_is_all)``."""
-        from .functions.time import time_bucket
-
         d = self.row.get(kind) or {}
         if not d:
             raise ValueError(
@@ -984,6 +982,49 @@ class ContinuousAggregate:
             col = next(iter(d))
         if col not in d:
             raise KeyError(f"no {kind} column {col!r}")
+        return self._partial_frame_for_col(
+            col, grain, group_by, realtime, start, end
+        )
+
+    def distinct_at_grain(
+        self,
+        hll_col: str,
+        grain: Optional[str] = None,
+        group_by: Optional[Sequence[str]] = None,
+        realtime: Optional[bool] = None,
+        start=None,
+        end=None,
+        out: str = "approx_distinct",
+    ) -> DataFrame:
+        """Serve approximate distinct counts at any coarser grain from a
+        stored HLL column (an ``aggs`` entry built with
+        ``hll_sketch_agg(col)``) — the toolkit
+        ``distinct_count(rollup(hll(...)))`` idiom via Spark's native
+        ``hll_union_agg`` + ``hll_sketch_estimate``. Same grain /
+        bounds / realtime rules as the other partial accessors."""
+        if hll_col not in (self.row.get("aggs") or {}):
+            raise KeyError(
+                f"{hll_col!r} is not an aggs column of cagg {self.name!r}"
+            )
+        # reuse the shared scaffold by treating the HLL aggs column as
+        # the partial payload
+        d, keys_gb, bucket, grain_all = self._partial_frame_for_col(
+            hll_col, grain, group_by, realtime, start, end
+        )
+        out_df = d.groupBy("_tgt", *keys_gb).agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(_st))").alias(out)
+        )
+        if grain_all:
+            return out_df.drop("_tgt")
+        return out_df.withColumnRenamed("_tgt", bucket)
+
+    def _partial_frame_for_col(
+        self, col: str, grain, group_by, realtime, start, end
+    ):
+        """:meth:`_partial_frame` body for an explicit column name (no
+        kind-dict resolution)."""
+        from .functions.time import time_bucket
+
         bucket = self.row["bucket_alias"]
         gb = list(self.row["group_by"] if group_by is None else group_by)
         df = self.read(realtime=realtime)
