@@ -136,6 +136,25 @@ def main() -> None:
         "FROM conditions_hourly_sk GROUP BY 1, 2"
     ).show(6)
 
+    # --- 7. gauge + stats partials (toolkit gauge_agg / stats_agg) -----
+    ts.sql("""
+        CREATE MATERIALIZED VIEW conditions_hourly_gs
+        WITH (timescaledb.continuous) AS
+        SELECT time_bucket('1 hour', time) AS bucket, location,
+               gauge_agg(time, temperature) AS g,
+               stats_agg(temperature) AS st
+        FROM conditions GROUP BY bucket, location
+    """)
+    gs = ts.get_cagg("conditions_hourly_gs")
+    print("whole-range temperature swing (gauge delta) per location:")
+    gs.gauge_at_grain("g", grain="all").select(
+        "location", "n", "delta", "idelta"
+    ).show()
+    print("daily avg/stddev served from hourly moments partials:")
+    gs.stats_at_grain("st", grain="1 day").select(
+        "bucket", "location", "n", "avg", "stddev"
+    ).show(6)
+
     spark.stop()
 
 

@@ -720,3 +720,27 @@ def test_distinct_at_grain_accessor(spark, sf_dir):
     assert daily.count() > 0 and "bucket" in daily.columns
     with pytest.raises(KeyError):
         cagg.distinct_at_grain("nope")
+
+
+def test_gauge_all_grain_with_dual_partials_and_projection(spark, sf_dir):
+    """Regression (round 10): a gauge + stats dual-partial cagg, served
+    at grain='all' WITH a column projection on top, tripped Spark
+    4.1.2's RemoveRedundantAliases into an unresolved plan when the
+    serving aggregate bundled components into aliased-field structs.
+    The per-component min_by/max_by rewrite must keep this green."""
+    ts = TSSession(spark, tempfile.mkdtemp(prefix="ts_gdual_"))
+    ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+    ht.insert(load_table(spark, sf_dir, "events"))
+    cagg = ts.create_cagg(
+        "gdual", ht, bucket_width="1 hour", aggs={},
+        group_by=["event_type"],
+        gauges={"g": {"value": "value"}},
+        stats_aggs={"st": {"value": "value"}},
+    )
+    cagg.refresh()
+    rows = (
+        cagg.gauge_at_grain("g", grain="all")
+        .select("event_type", "n", "delta", "idelta")
+        .collect()
+    )
+    assert len(rows) == 5 and all(r["n"] > 0 for r in rows)

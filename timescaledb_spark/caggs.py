@@ -707,8 +707,10 @@ class ContinuousAggregate:
             if end is not None:
                 df = df.filter(bc < conv(end))
         src_bucket = F.col(bucket)
+        grain_all = grain == "all"
+        tcols = [] if grain_all else ["_tgt"]
         if grain == "all":
-            tgt = F.lit(0)
+            tgt = None
             keys: list = list(gb)
         elif grain is not None:
             if not self.row["time_is_timestamp"]:
@@ -723,14 +725,14 @@ class ContinuousAggregate:
             keys = [bucket, *gb]
         st = F.col("_st")
         d = df.select(
-            tgt.alias("_tgt"),
+            *([] if tgt is None else [tgt.alias("_tgt")]),
             src_bucket.alias("_src"),
             *gb,
             F.col(counter_col).alias("_st"),
         )
         # one boundary step per adjacent pair of parent buckets inside a
         # target bucket: reset-adjusted first-vs-previous-last
-        w = Window.partitionBy("_tgt", *gb).orderBy(F.col("_src").asc())
+        w = Window.partitionBy(*tcols, *gb).orderBy(F.col("_src").asc())
         prev_last = F.lag(st["last_val"]).over(w)
         bstep = st["first_val"] - prev_last
         binc = (
@@ -739,7 +741,7 @@ class ContinuousAggregate:
             .otherwise(bstep)
         )
         d = d.select(
-            "_tgt",
+            *tcols,
             *gb,
             st.alias("_st"),
             binc.alias("_binc"),
@@ -748,7 +750,7 @@ class ContinuousAggregate:
         span_s = (
             F.max(st["last_us"]) - F.min(st["first_us"])
         ).cast("double") / 1e6
-        out = d.groupBy("_tgt", *gb).agg(
+        out = d.groupBy(*tcols, *gb).agg(
             F.sum(st["n"]).alias("n"),
             (F.sum(st["delta"]) + F.sum("_binc")).alias("delta"),
             F.when(
@@ -762,8 +764,8 @@ class ContinuousAggregate:
             F.min(st["first_us"]).alias("first_us"),
             F.max(st["last_us"]).alias("last_us"),
         )
-        if grain == "all":
-            return out.drop("_tgt")
+        if grain_all:
+            return out
         return out.withColumnRenamed("_tgt", bucket)
 
     def _gauge_state(self, raw: DataFrame, col: str, spec: dict) -> DataFrame:
@@ -838,8 +840,9 @@ class ContinuousAggregate:
         d, keys_gb, bucket, grain_all = self._partial_frame(
             "gauges", gauge_col, grain, group_by, realtime, start, end
         )
+        tcols = [] if grain_all else ["_tgt"]
         st = F.col("_st")
-        w = Window.partitionBy("_tgt", *keys_gb).orderBy(F.col("_src").asc())
+        w = Window.partitionBy(*tcols, *keys_gb).orderBy(F.col("_src").asc())
         prev_last_val = F.lag(st["last_val"]).over(w)
         prev_last_us = F.lag(st["last_us"]).over(w)
         cand_idelta = F.coalesce(
@@ -847,41 +850,40 @@ class ContinuousAggregate:
         )
         cand_prev_us = F.coalesce(st["last_prev_us"], prev_last_us)
         d = d.select(
-            "_tgt",
+            *tcols,
             *keys_gb,
             "_src",
             st.alias("_st"),
             cand_idelta.alias("_cid"),
             cand_prev_us.alias("_cpu"),
         )
-        first_key = F.min_by(
-            F.struct(st["first_val"].alias("v")), F.col("_src")
-        )
-        last_key = F.max_by(
-            F.struct(
-                st["last_val"].alias("v"),
-                F.col("_cid").alias("cid"),
-                F.col("_cpu").alias("cpu"),
-            ),
-            F.col("_src"),
-        )
+        # per-component min_by/max_by keyed on the parent bucket (_src,
+        # unique within the target group → all components come from one
+        # row). NO struct bundling here: an aliased-field struct inside
+        # an aggregate over the dual-partial join trips Spark's
+        # RemoveRedundantAliases into an unresolved plan (observed on
+        # 4.1.2 with a projection on top).
+        first_v = F.min_by(st["first_val"], F.col("_src"))
+        last_v = F.max_by(st["last_val"], F.col("_src"))
+        last_cid = F.max_by(F.col("_cid"), F.col("_src"))
+        last_cpu = F.max_by(F.col("_cpu"), F.col("_src"))
         span_s = (
             F.max(st["last_us"]) - F.min(st["first_us"])
         ).cast("double") / 1e6
-        out = d.groupBy("_tgt", *keys_gb).agg(
+        out = d.groupBy(*tcols, *keys_gb).agg(
             F.sum(st["n"]).alias("n"),
-            (last_key["v"] - first_key["v"]).alias("delta"),
+            (last_v - first_v).alias("delta"),
             F.when(
                 span_s > 0,
-                (last_key["v"] - first_key["v"]) / span_s,
+                (last_v - first_v) / span_s,
             ).alias("rate"),
-            last_key["cid"].alias("idelta"),
+            last_cid.alias("idelta"),
             F.when(
-                last_key["cpu"].isNotNull()
-                & ((F.max(st["last_us"]) - last_key["cpu"]) > 0),
-                last_key["cid"]
+                last_cpu.isNotNull()
+                & ((F.max(st["last_us"]) - last_cpu) > 0),
+                last_cid
                 / (
-                    (F.max(st["last_us"]) - last_key["cpu"]).cast("double")
+                    (F.max(st["last_us"]) - last_cpu).cast("double")
                     / 1e6
                 ),
             ).alias("irate"),
@@ -889,7 +891,7 @@ class ContinuousAggregate:
             F.max(st["last_us"]).alias("last_us"),
         )
         if grain_all:
-            return out.drop("_tgt")
+            return out
         return out.withColumnRenamed("_tgt", bucket)
 
     def _stats_state(self, raw: DataFrame, col: str, spec: dict) -> DataFrame:
@@ -930,6 +932,7 @@ class ContinuousAggregate:
         d, keys_gb, bucket, grain_all = self._partial_frame(
             "stats_aggs", stats_col, grain, group_by, realtime, start, end
         )
+        tcols = [] if grain_all else ["_tgt"]
         st = F.col("_st")
         n = F.sum(st["n"])
         s = F.sum(st["s"])
@@ -939,7 +942,7 @@ class ContinuousAggregate:
         var = F.when(
             n > 1, F.greatest((s2 - s * s / n) / (n - F.lit(1)), F.lit(0.0))
         )
-        out = d.groupBy("_tgt", *keys_gb).agg(
+        out = d.groupBy(*tcols, *keys_gb).agg(
             n.alias("n"),
             s.alias("sum"),
             F.when(n > 0, s / n).alias("avg"),
@@ -949,7 +952,7 @@ class ContinuousAggregate:
             F.max(st["mx"]).alias("max"),
         )
         if grain_all:
-            return out.drop("_tgt")
+            return out
         return out.withColumnRenamed("_tgt", bucket)
 
     def _partial_frame(
@@ -1011,11 +1014,12 @@ class ContinuousAggregate:
         d, keys_gb, bucket, grain_all = self._partial_frame_for_col(
             hll_col, grain, group_by, realtime, start, end
         )
-        out_df = d.groupBy("_tgt", *keys_gb).agg(
+        tcols = [] if grain_all else ["_tgt"]
+        out_df = d.groupBy(*tcols, *keys_gb).agg(
             F.expr("hll_sketch_estimate(hll_union_agg(_st))").alias(out)
         )
         if grain_all:
-            return out_df.drop("_tgt")
+            return out_df
         return out_df.withColumnRenamed("_tgt", bucket)
 
     def _partial_frame_for_col(
@@ -1039,8 +1043,20 @@ class ContinuousAggregate:
             if end is not None:
                 df = df.filter(bc < conv(end))
         if grain == "all":
-            tgt = F.lit(0)
-        elif grain is not None:
+            # no constant target column: a literal group/partition key
+            # trips Catalyst's RemoveRedundantAliases into an unresolved
+            # plan (observed on the gauge accessor) and adds nothing
+            return (
+                df.select(
+                    *gb,
+                    F.col(bucket).alias("_src"),
+                    F.col(col).alias("_st"),
+                ),
+                gb,
+                bucket,
+                True,
+            )
+        if grain is not None:
             if not self.row["time_is_timestamp"]:
                 from .functions.time import time_bucket_int
 
@@ -1058,7 +1074,7 @@ class ContinuousAggregate:
             ),
             gb,
             bucket,
-            grain == "all",
+            False,
         )
 
     def set_materialized_only(self, flag: bool) -> None:
