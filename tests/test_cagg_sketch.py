@@ -269,6 +269,55 @@ class TestSketchSQLRoute:
         assert per.columns == ["event_type", "p90"]
         assert per.count() == 5
 
+    def test_sql_group_by_not_in_select_falls_through(self, spark, sf_dir):
+        """ADVICE r10: valid SQL need not select the grouped column —
+        ``GROUP BY event_type`` without selecting it must NOT route to
+        the global-row accessor; the normal path raises loudly."""
+        ts, _, cagg = _mk(spark, sf_dir, "ts_sk_sqlgb_")
+        cagg.refresh()
+        with pytest.raises(Exception):
+            ts.sql(
+                "SELECT approx_percentile(0.5, rollup(sk)) AS med "
+                "FROM sk_cagg GROUP BY event_type"
+            ).collect()
+        # grouping by a non-key column also falls through
+        with pytest.raises(Exception):
+            ts.sql(
+                "SELECT event_type, "
+                "approx_percentile(0.5, rollup(sk)) AS med "
+                "FROM sk_cagg GROUP BY bucket"
+            ).collect()
+        # selected keys WITHOUT any GROUP BY: not a valid aggregate
+        # query — must not route either
+        with pytest.raises(Exception):
+            ts.sql(
+                "SELECT event_type, "
+                "approx_percentile(0.5, rollup(sk)) AS med FROM sk_cagg"
+            ).collect()
+
+    def test_sql_group_by_alias_and_expr_forms(self, spark, sf_dir):
+        ts, _, cagg = _mk(spark, sf_dir, "ts_sk_sqlal_")
+        cagg.refresh()
+        # GROUP BY by output alias and by the same time_bucket call
+        for gb in (
+            "day, event_type",
+            "time_bucket('1 day', bucket), event_type",
+        ):
+            df = ts.sql(
+                "SELECT time_bucket('1 day', bucket) AS day, event_type, "
+                "approx_percentile(0.5, rollup(sk)) AS med "
+                f"FROM sk_cagg GROUP BY {gb}"
+            )
+            assert df.columns == ["day", "event_type", "med"]
+            assert df.count() > 0
+        # a DIFFERENT re-bucket width in GROUP BY is not the same key
+        with pytest.raises(Exception):
+            ts.sql(
+                "SELECT time_bucket('1 day', bucket) AS day, "
+                "approx_percentile(0.5, rollup(sk)) AS med "
+                "FROM sk_cagg GROUP BY time_bucket('2 days', bucket)"
+            ).collect()
+
     def test_sql_unsupported_shapes_fall_through(self, spark, sf_dir):
         ts, _, cagg = _mk(spark, sf_dir, "ts_sk_sqlf_")
         cagg.refresh()

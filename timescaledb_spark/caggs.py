@@ -172,6 +172,8 @@ class ContinuousAggregate:
         counters: Optional[dict[str, dict]] = None,
         gauges: Optional[dict[str, dict]] = None,
         stats_aggs: Optional[dict[str, dict]] = None,
+        time_weights: Optional[dict[str, dict]] = None,
+        candlesticks: Optional[dict[str, dict]] = None,
     ) -> "ContinuousAggregate":
         """``CREATE MATERIALIZED VIEW .. WITH (timescaledb.continuous)``
         (``tsl/src/continuous_aggs/create.c:600``).
@@ -237,6 +239,30 @@ class ContinuousAggregate:
         ``stats_agg``); :meth:`stats_at_grain` merges by fieldwise
         add/min/max and serves n/sum/avg/stddev/variance/min/max at
         any grain.
+        ``time_weights``: output column -> ``{"value": <expr>,
+        "method": "locf" | "linear", "tiebreak": [cols…]}``: a
+        mergeable TIME-WEIGHT partial per (bucket, group) —
+        ``struct(n, first_us, first_val, last_us, last_val,
+        integral)`` where ``integral`` is the within-bucket integral
+        of the LOCF (or linear) interpolant in µs·value (the toolkit
+        ``time_weight('LOCF', ts, value)`` decomposition). Merging
+        two adjacent partials adds exactly one boundary segment
+        (``A.last → B.first``), so :meth:`time_weighted_at_grain`
+        serves the exact time-weighted average of ANY coarser grain
+        from the stored partials — identical to ``time_weight →
+        average`` over the raw rows of that grain, zero raw rescans
+        below the watermark (the toolkit
+        ``average(rollup(time_weight(...)))`` idiom).
+        ``candlesticks``: output column -> ``{"price": <expr>,
+        "volume": <expr> | None, "tiebreak": [cols…]}``: a mergeable
+        OHLC partial per (bucket, group) — ``struct(n, first_us,
+        last_us, open, high, low, close, volume, pv)`` (toolkit
+        ``candlestick_agg``; ``pv`` = Σ price×volume for vwap).
+        open/close merge by the earliest/latest parent bucket
+        (buckets partition time disjointly), high/low/volume/pv merge
+        by max/min/sum, so :meth:`candlestick_at_grain` serves exact
+        OHLC/volume/vwap at any grain — the toolkit
+        ``rollup(candlestick_agg(...))`` idiom.
         """
         if isinstance(hypertable, str):
             hypertable = Hypertable.get(ts, hypertable)
@@ -305,6 +331,7 @@ class ContinuousAggregate:
             ("counter", counters),
             ("gauge", gauges),
             ("stats", stats_aggs),
+            ("time_weight", time_weights),
         ):
             for col, spec in (d or {}).items():
                 if col in taken:
@@ -317,6 +344,25 @@ class ContinuousAggregate:
                     raise ValueError(
                         f"{kind} partial {col!r} needs a 'value' expression"
                     )
+                if kind == "time_weight":
+                    method = str(spec.get("method", "locf")).lower()
+                    if method not in ("locf", "linear"):
+                        raise ValueError(
+                            f"time_weight {col!r}: method must be 'locf' "
+                            f"or 'linear', got {spec.get('method')!r}"
+                        )
+        for col, spec in (candlesticks or {}).items():
+            if col in taken:
+                raise ValueError(
+                    f"candlestick column {col!r} collides with another "
+                    f"output column"
+                )
+            taken.add(col)
+            if "price" not in spec:
+                raise ValueError(
+                    f"candlestick partial {col!r} needs a 'price' "
+                    f"expression"
+                )
         if isinstance(bucket_width, int):
             # integer time dimension: width in raw internal units
             from .functions.time import Interval
@@ -353,6 +399,8 @@ class ContinuousAggregate:
             "counters": counters,
             "gauges": gauges,
             "stats_aggs": stats_aggs,
+            "time_weights": time_weights,
+            "candlesticks": candlesticks,
             "mat_table": f"_mat_{name}",
             "created_at": _time.time(),
         }
@@ -485,6 +533,12 @@ class ContinuousAggregate:
         ] + [
             (col, spec, self._stats_state)
             for col, spec in (self.row.get("stats_aggs") or {}).items()
+        ] + [
+            (col, spec, self._timeweight_state)
+            for col, spec in (self.row.get("time_weights") or {}).items()
+        ] + [
+            (col, spec, self._candlestick_state)
+            for col, spec in (self.row.get("candlesticks") or {}).items()
         ]
         agg = None
         if exprs or not partials:
@@ -492,6 +546,11 @@ class ContinuousAggregate:
                 self._bucket_expr(raw), *self.row["group_by"]
             ).agg(*exprs)
         for col, spec, builder in partials:
+            # every builder is null-aware internally: it emits a row
+            # for EVERY (bucket, group) of the raw rows, with a NULL
+            # state when the partial's inputs are all NULL (strict PG
+            # aggregate semantics) — so this join chain is always 1:1
+            # and inner, the r10-proven plan shape
             sk = builder(raw, col, spec)
             if agg is None:
                 agg = sk
@@ -526,28 +585,43 @@ class ContinuousAggregate:
             # explode (keys, map) -> (keys, log-bucket, cnt), sum. Bucket
             # counts ADD losslessly (Masson VLDB'19 §2.3), so the child
             # state is bit-identical to one built from the raw rows.
+            # explode_outer: a NULL parent state (strict-NULL group)
+            # yields a NULL _sb row, so the group row survives into the
+            # child with a NULL state instead of vanishing
             per_bucket = (
                 raw.select(
                     self._bucket_expr(raw),
                     *self.row["group_by"],
-                    F.explode(F.col(src)).alias("_sb", "_c"),
+                    F.explode_outer(F.col(src)).alias("_sb", "_c"),
                 )
                 .groupBy(
                     self.row["bucket_alias"], *self.row["group_by"], "_sb"
                 )
                 .agg(F.sum("_c").alias("_cnt"))
             )
+            ent = F.when(
+                F.col("_sb").isNotNull(), F.struct("_sb", "_cnt")
+            )
             return per_bucket.groupBy(
                 self.row["bucket_alias"], *self.row["group_by"]
             ).agg(
-                F.map_from_entries(
-                    F.array_sort(F.collect_list(F.struct("_sb", "_cnt")))
+                F.when(
+                    F.count("_sb") > 0,
+                    F.map_from_entries(
+                        F.array_sort(F.collect_list(ent))
+                    ),
                 ).alias(col)
             )
         g = _gamma(float(spec.get("alpha", 0.01)))
         v = F.expr(spec["value"]).cast("double")
+        # strict-aggregate NULL semantics (percentile_agg skips NULLs):
+        # NULL values get a NULL log-bucket, which is dropped before the
+        # map pack (a NULL key would crash map_from_entries) — but the
+        # (bucket, group) row itself survives, with a NULL state when
+        # ALL its inputs are NULL
         sb = (
-            F.when(
+            F.when(v.isNull(), F.lit(None).cast("int"))
+            .when(
                 v < 0,
                 F.raise_error(
                     F.lit(
@@ -571,11 +645,18 @@ class ContinuousAggregate:
             .groupBy(self.row["bucket_alias"], *self.row["group_by"], "_sb")
             .agg(F.count(F.lit(1)).alias("_cnt"))
         )
+        # collect_list skips NULL elements, so the NULL-bucket row
+        # (NULL-input samples) never reaches the map; nullif turns an
+        # all-NULL group's empty map into a NULL state
+        ent = F.when(
+            F.col("_sb").isNotNull(), F.struct("_sb", "_cnt")
+        )
         return per_bucket.groupBy(
             self.row["bucket_alias"], *self.row["group_by"]
         ).agg(
-            F.map_from_entries(
-                F.array_sort(F.collect_list(F.struct("_sb", "_cnt")))
+            F.when(
+                F.count("_sb") > 0,
+                F.map_from_entries(F.array_sort(F.collect_list(ent))),
             ).alias(col)
         )
 
@@ -608,33 +689,68 @@ class ContinuousAggregate:
             F.col(f"_tb{i}").asc() for i in range(len(tb))
         ]
         w = Window.partitionBy(balias, *gb).orderBy(*order)
-        prev = F.lag("_v").over(w)
+        # strict-aggregate NULL semantics (counter_agg skips NULLs): the
+        # previous sample is the last NON-NULL value before this row —
+        # lag() would let one NULL sample break two increments — and
+        # NULL samples themselves contribute no increment/reset/count
+        prev = F.last("_v", ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        )
         step = F.col("_v") - prev
         inc = (
-            F.when(prev.isNull(), F.lit(0.0))
+            F.when(F.col("_v").isNull(), F.lit(None).cast("double"))
+            .when(prev.isNull(), F.lit(0.0))
             .when(step < 0, F.col("_v"))
             .otherwise(step)
         )
-        key = F.struct(F.col("_us"), *[F.col(f"_tb{i}") for i in range(len(tb))])
+        # bookend key is NULL for NULL samples so min_by/max_by skip them
+        key = F.when(
+            F.col("_v").isNotNull(),
+            F.struct(
+                F.col("_us"), *[F.col(f"_tb{i}") for i in range(len(tb))]
+            ),
+        )
         stepped = stepped.select(
             balias,
             *gb,
             "_us",
             "_v",
             inc.alias("_inc"),
-            (step < 0).cast("int").alias("_reset"),
+            F.when(F.col("_v").isNotNull(), (step < 0).cast("int")).alias(
+                "_reset"
+            ),
             key.alias("_k"),
         )
-        return stepped.groupBy(balias, *gb).agg(
-            F.struct(
-                F.count(F.lit(1)).alias("n"),
-                F.min("_us").alias("first_us"),
-                F.max("_us").alias("last_us"),
-                F.min_by(F.col("_v"), F.col("_k")).alias("first_val"),
-                F.max_by(F.col("_v"), F.col("_k")).alias("last_val"),
-                F.sum("_inc").alias("delta"),
-                F.coalesce(F.sum("_reset"), F.lit(0)).alias("num_resets"),
-            ).alias(col)
+        # aggregate FLAT fields, then assemble the struct in a plain
+        # projection: an aliased-field struct inside the aggregate trips
+        # Spark 4.1.2's RemoveRedundantAliases into an unresolved plan
+        # under a dual-partial join + projection (round-10 regression,
+        # d42cb25)
+        us_nn = F.when(F.col("_v").isNotNull(), F.col("_us"))
+        flat = stepped.groupBy(balias, *gb).agg(
+            F.count("_v").alias("_f_n"),
+            F.min(us_nn).alias("_f_first_us"),
+            F.max(us_nn).alias("_f_last_us"),
+            F.min_by(F.col("_v"), F.col("_k")).alias("_f_first_val"),
+            F.max_by(F.col("_v"), F.col("_k")).alias("_f_last_val"),
+            F.sum("_inc").alias("_f_delta"),
+            F.coalesce(F.sum("_reset"), F.lit(0)).alias("_f_resets"),
+        )
+        return flat.select(
+            balias,
+            *gb,
+            F.when(
+                F.col("_f_n") > 0,
+                F.struct(
+                    F.col("_f_n").alias("n"),
+                    F.col("_f_first_us").alias("first_us"),
+                    F.col("_f_last_us").alias("last_us"),
+                    F.col("_f_first_val").alias("first_val"),
+                    F.col("_f_last_val").alias("last_val"),
+                    F.col("_f_delta").alias("delta"),
+                    F.col("_f_resets").alias("num_resets"),
+                ),
+            ).alias(col),
         )
 
     def _raw_time_us(self, raw: DataFrame):
@@ -692,6 +808,7 @@ class ContinuousAggregate:
             counter_col = next(iter(counters))
         if counter_col not in counters:
             raise KeyError(f"no counter column {counter_col!r}")
+        self._require_full_group_by(group_by, "counter")
         bucket = self.row["bucket_alias"]
         gb = list(self.row["group_by"] if group_by is None else group_by)
 
@@ -724,12 +841,15 @@ class ContinuousAggregate:
             tgt = src_bucket
             keys = [bucket, *gb]
         st = F.col("_st")
+        # strict rollup: skip NULL states (all-NULL-input groups); the
+        # filter sits after the rename select, not on the mat read —
+        # see _partial_frame_for_col
         d = df.select(
             *([] if tgt is None else [tgt.alias("_tgt")]),
             src_bucket.alias("_src"),
             *gb,
             F.col(counter_col).alias("_st"),
-        )
+        ).filter(F.col("_st").isNotNull())
         # one boundary step per adjacent pair of parent buckets inside a
         # target bucket: reset-adjusted first-vs-previous-last
         w = Window.partitionBy(*tcols, *gb).orderBy(F.col("_src").asc())
@@ -793,28 +913,54 @@ class ContinuousAggregate:
             F.col(f"_tb{i}").asc() for i in range(len(tb))
         ]
         w = Window.partitionBy(balias, *gb).orderBy(*order)
-        key = F.struct(F.col("_us"), *[F.col(f"_tb{i}") for i in range(len(tb))])
+        # strict NULL semantics (gauge_agg skips NULLs): the previous
+        # sample is the last NON-NULL one, its time the matching masked
+        # time — same reasoning as _counter_state
+        wp = w.rowsBetween(Window.unboundedPreceding, -1)
+        us_nn = F.when(F.col("_v").isNotNull(), F.col("_us"))
+        prev_v = F.last("_v", ignorenulls=True).over(wp)
+        prev_us = F.last(us_nn, ignorenulls=True).over(wp)
+        key = F.when(
+            F.col("_v").isNotNull(),
+            F.struct(
+                F.col("_us"), *[F.col(f"_tb{i}") for i in range(len(tb))]
+            ),
+        )
         stepped = stepped.select(
             balias,
             *gb,
             "_us",
             "_v",
-            (F.col("_v") - F.lag("_v").over(w)).alias("_step"),
-            F.lag("_us").over(w).alias("_prev_us"),
+            (F.col("_v") - prev_v).alias("_step"),
+            prev_us.alias("_prev_us"),
             key.alias("_k"),
         )
-        return stepped.groupBy(balias, *gb).agg(
-            F.struct(
-                F.count(F.lit(1)).alias("n"),
-                F.min("_us").alias("first_us"),
-                F.max("_us").alias("last_us"),
-                F.min_by(F.col("_v"), F.col("_k")).alias("first_val"),
-                F.max_by(F.col("_v"), F.col("_k")).alias("last_val"),
-                F.max_by(F.col("_step"), F.col("_k")).alias("last_step"),
-                F.max_by(F.col("_prev_us"), F.col("_k")).alias(
-                    "last_prev_us"
+        # flat aggregate + struct-in-projection (see _counter_state)
+        us_nn2 = F.when(F.col("_v").isNotNull(), F.col("_us"))
+        flat = stepped.groupBy(balias, *gb).agg(
+            F.count("_v").alias("_f_n"),
+            F.min(us_nn2).alias("_f_first_us"),
+            F.max(us_nn2).alias("_f_last_us"),
+            F.min_by(F.col("_v"), F.col("_k")).alias("_f_first_val"),
+            F.max_by(F.col("_v"), F.col("_k")).alias("_f_last_val"),
+            F.max_by(F.col("_step"), F.col("_k")).alias("_f_last_step"),
+            F.max_by(F.col("_prev_us"), F.col("_k")).alias("_f_last_prev"),
+        )
+        return flat.select(
+            balias,
+            *gb,
+            F.when(
+                F.col("_f_n") > 0,
+                F.struct(
+                    F.col("_f_n").alias("n"),
+                    F.col("_f_first_us").alias("first_us"),
+                    F.col("_f_last_us").alias("last_us"),
+                    F.col("_f_first_val").alias("first_val"),
+                    F.col("_f_last_val").alias("last_val"),
+                    F.col("_f_last_step").alias("last_step"),
+                    F.col("_f_last_prev").alias("last_prev_us"),
                 ),
-            ).alias(col)
+            ).alias(col),
         )
 
     def gauge_at_grain(
@@ -837,6 +983,7 @@ class ContinuousAggregate:
         first_us, last_us)``."""
         from pyspark.sql import Window
 
+        self._require_full_group_by(group_by, "gauge")
         d, keys_gb, bucket, grain_all = self._partial_frame(
             "gauges", gauge_col, grain, group_by, realtime, start, end
         )
@@ -900,20 +1047,36 @@ class ContinuousAggregate:
         parallel-aggregation decomposition (also how Spark's own
         partial aggregates merge)."""
         v = F.expr(spec["value"]).cast("double")
-        return (
+        # strict NULL semantics: the moments already skip NULLs (count/
+        # sum/min/max are null-skipping); an all-NULL group's state is
+        # NULL instead of struct(0, NULL, …), consistent with the other
+        # partial families — and the group's row always survives
+        flat = (
             raw.select(
                 self._bucket_expr(raw), *self.row["group_by"], v.alias("_v")
             )
             .groupBy(self.row["bucket_alias"], *self.row["group_by"])
             .agg(
-                F.struct(
-                    F.count("_v").alias("n"),
-                    F.sum("_v").alias("s"),
-                    F.sum(F.col("_v") * F.col("_v")).alias("s2"),
-                    F.min("_v").alias("mn"),
-                    F.max("_v").alias("mx"),
-                ).alias(col)
+                F.count("_v").alias("_f_n"),
+                F.sum("_v").alias("_f_s"),
+                F.sum(F.col("_v") * F.col("_v")).alias("_f_s2"),
+                F.min("_v").alias("_f_mn"),
+                F.max("_v").alias("_f_mx"),
             )
+        )
+        return flat.select(
+            self.row["bucket_alias"],
+            *self.row["group_by"],
+            F.when(
+                F.col("_f_n") > 0,
+                F.struct(
+                    F.col("_f_n").alias("n"),
+                    F.col("_f_s").alias("s"),
+                    F.col("_f_s2").alias("s2"),
+                    F.col("_f_mn").alias("mn"),
+                    F.col("_f_mx").alias("mx"),
+                ),
+            ).alias(col),
         )
 
     def stats_at_grain(
@@ -954,6 +1117,305 @@ class ContinuousAggregate:
         if grain_all:
             return out
         return out.withColumnRenamed("_tgt", bucket)
+
+    def _timeweight_state(
+        self, raw: DataFrame, col: str, spec: dict
+    ) -> DataFrame:
+        """Mergeable TIME-WEIGHT partial per (bucket, group):
+        ``struct(n, first_us, last_us, first_val, last_val, integral)``
+        — ``integral`` is the within-bucket integral of the LOCF (or
+        linear) interpolant in µs·value, i.e. Σ over consecutive
+        non-null sample pairs of ``v1·Δt`` (LOCF) or ``(v1+v2)/2·Δt``
+        (linear). Cagg buckets partition time disjointly, so merging
+        adjacent partials adds exactly one boundary segment each (the
+        :meth:`counter_at_grain` merge shape) — which makes
+        :meth:`time_weighted_at_grain` equal to the toolkit
+        ``average(rollup(time_weight(...)))`` over the raw rows of the
+        target grain. Strict NULL semantics like the other families
+        (functions/counters.py:time_weighted_avg is the raw-scan
+        analog)."""
+        from pyspark.sql import Window
+
+        balias = self.row["bucket_alias"]
+        gb = list(self.row["group_by"])
+        tb = list(spec.get("tiebreak") or ())
+        method = str(spec.get("method", "locf")).lower()
+        v = F.expr(spec["value"]).cast("double")
+        us = self._raw_time_us(raw)
+        stepped = raw.select(
+            self._bucket_expr(raw),
+            *gb,
+            *[F.col(c).alias(f"_tb{i}") for i, c in enumerate(tb)],
+            us.alias("_us"),
+            v.alias("_v"),
+        )
+        order = [F.col("_us").asc()] + [
+            F.col(f"_tb{i}").asc() for i in range(len(tb))
+        ]
+        w = Window.partitionBy(balias, *gb).orderBy(*order)
+        wp = w.rowsBetween(Window.unboundedPreceding, -1)
+        us_nn = F.when(F.col("_v").isNotNull(), F.col("_us"))
+        prev_v = F.last("_v", ignorenulls=True).over(wp)
+        prev_us = F.last(us_nn, ignorenulls=True).over(wp)
+        dt = (F.col("_us") - prev_us).cast("double")
+        if method == "linear":
+            seg = (prev_v + F.col("_v")) / F.lit(2.0) * dt
+        else:
+            seg = prev_v * dt
+        # a NULL sample closes no segment (its span folds into the next
+        # non-null sample's segment — prev_us skips NULLs)
+        seg = F.when(F.col("_v").isNotNull(), seg)
+        key = F.when(
+            F.col("_v").isNotNull(),
+            F.struct(
+                F.col("_us"), *[F.col(f"_tb{i}") for i in range(len(tb))]
+            ),
+        )
+        stepped = stepped.select(
+            balias,
+            *gb,
+            "_us",
+            "_v",
+            seg.alias("_seg"),
+            key.alias("_k"),
+        )
+        flat = stepped.groupBy(balias, *gb).agg(
+            F.count("_v").alias("_f_n"),
+            F.min(F.when(F.col("_v").isNotNull(), F.col("_us"))).alias(
+                "_f_first_us"
+            ),
+            F.max(F.when(F.col("_v").isNotNull(), F.col("_us"))).alias(
+                "_f_last_us"
+            ),
+            F.min_by(F.col("_v"), F.col("_k")).alias("_f_first_val"),
+            F.max_by(F.col("_v"), F.col("_k")).alias("_f_last_val"),
+            F.coalesce(F.sum("_seg"), F.lit(0.0)).alias("_f_integral"),
+        )
+        return flat.select(
+            balias,
+            *gb,
+            F.when(
+                F.col("_f_n") > 0,
+                F.struct(
+                    F.col("_f_n").alias("n"),
+                    F.col("_f_first_us").alias("first_us"),
+                    F.col("_f_last_us").alias("last_us"),
+                    F.col("_f_first_val").alias("first_val"),
+                    F.col("_f_last_val").alias("last_val"),
+                    F.col("_f_integral").alias("integral"),
+                ),
+            ).alias(col),
+        )
+
+    def time_weighted_at_grain(
+        self,
+        tw_col: Optional[str] = None,
+        grain: Optional[str] = None,
+        group_by: Optional[Sequence[str]] = None,
+        realtime: Optional[bool] = None,
+        start=None,
+        end=None,
+    ) -> DataFrame:
+        """Serve exact time-weighted averages at any coarser grain from
+        the stored partials — the toolkit
+        ``average(rollup(time_weight(...)))`` idiom. Merging the
+        consecutive parent partials inside each target bucket adds one
+        interpolated boundary segment per adjacent pair (LOCF:
+        ``A.last_val·Δt``; linear: ``(A.last_val+B.first_val)/2·Δt``),
+        so the result equals ``time_weight → average`` over the raw
+        rows of the target grain exactly; a single-sample target bucket
+        returns that value (matching
+        functions/counters.py:time_weighted_avg).
+
+        Output: ``(bucket?, group…, tw_avg, n, first_us, last_us)``."""
+        from pyspark.sql import Window
+
+        tws = self.row.get("time_weights") or {}
+        if not tws:
+            raise ValueError(
+                f"cagg {self.name!r} has no time_weight columns (pass "
+                f"time_weights= to create_cagg)"
+            )
+        if tw_col is None:
+            if len(tws) > 1:
+                raise ValueError(
+                    f"cagg {self.name!r} has several time_weights "
+                    f"{sorted(tws)}; pass tw_col"
+                )
+            tw_col = next(iter(tws))
+        if tw_col not in tws:
+            raise KeyError(f"no time_weight column {tw_col!r}")
+        # LOCF/linear boundary segments are only meaningful within one
+        # series — same mergeability constraint as counters/gauges
+        self._require_full_group_by(group_by, "time_weighted")
+        method = str(tws[tw_col].get("method", "locf")).lower()
+        d, keys_gb, bucket, grain_all = self._partial_frame_for_col(
+            tw_col, grain, group_by, realtime, start, end
+        )
+        tcols = [] if grain_all else ["_tgt"]
+        st = F.col("_st")
+        w = Window.partitionBy(*tcols, *keys_gb).orderBy(F.col("_src").asc())
+        prev_last_val = F.lag(st["last_val"]).over(w)
+        prev_last_us = F.lag(st["last_us"]).over(w)
+        bdt = (st["first_us"] - prev_last_us).cast("double")
+        if method == "linear":
+            bseg = (prev_last_val + st["first_val"]) / F.lit(2.0) * bdt
+        else:
+            bseg = prev_last_val * bdt
+        d = d.select(
+            *tcols,
+            *keys_gb,
+            "_src",
+            st.alias("_st"),
+            F.coalesce(bseg, F.lit(0.0)).alias("_bseg"),
+        )
+        span = (F.max(st["last_us"]) - F.min(st["first_us"])).cast("double")
+        integral = F.sum(st["integral"]) + F.sum("_bseg")
+        out = d.groupBy(*tcols, *keys_gb).agg(
+            F.when(span > 0, integral / span)
+            .otherwise(F.min_by(st["first_val"], F.col("_src")))
+            .alias("tw_avg"),
+            F.sum(st["n"]).alias("n"),
+            F.min(st["first_us"]).alias("first_us"),
+            F.max(st["last_us"]).alias("last_us"),
+        )
+        if grain_all:
+            return out
+        return out.withColumnRenamed("_tgt", bucket)
+
+    def _candlestick_state(
+        self, raw: DataFrame, col: str, spec: dict
+    ) -> DataFrame:
+        """Mergeable OHLC partial per (bucket, group): ``struct(n,
+        first_us, last_us, open, high, low, close, volume, pv)`` —
+        open/close are bookends on (time, tiebreak…), high/low/volume/
+        pv are plain min/max/sums (``pv`` = Σ price·volume, so vwap
+        survives the rollup). The toolkit ``candlestick_agg``
+        decomposition (functions/stats.py:candlestick_agg is the
+        raw-scan analog); every field merges losslessly across
+        adjacent buckets, making :meth:`candlestick_at_grain` exact at
+        any grain. Strict NULL semantics: NULL prices are skipped."""
+        balias = self.row["bucket_alias"]
+        gb = list(self.row["group_by"])
+        tb = list(spec.get("tiebreak") or ())
+        p = F.expr(spec["price"]).cast("double")
+        vol_expr = spec.get("volume")
+        vol = (
+            F.lit(1.0)
+            if vol_expr is None
+            else F.expr(vol_expr).cast("double")
+        )
+        us = self._raw_time_us(raw)
+        base = raw.select(
+            self._bucket_expr(raw),
+            *gb,
+            *[F.col(c).alias(f"_tb{i}") for i, c in enumerate(tb)],
+            us.alias("_us"),
+            p.alias("_p"),
+            vol.alias("_vol"),
+        )
+        key = F.when(
+            F.col("_p").isNotNull(),
+            F.struct(
+                F.col("_us"), *[F.col(f"_tb{i}") for i in range(len(tb))]
+            ),
+        )
+        base = base.select(
+            balias, *gb, "_us", "_p",
+            F.when(F.col("_p").isNotNull(), F.col("_vol")).alias("_vol"),
+            key.alias("_k"),
+        )
+        us_nn = F.when(F.col("_p").isNotNull(), F.col("_us"))
+        flat = base.groupBy(balias, *gb).agg(
+            F.count("_p").alias("_f_n"),
+            F.min(us_nn).alias("_f_first_us"),
+            F.max(us_nn).alias("_f_last_us"),
+            F.min_by(F.col("_p"), F.col("_k")).alias("_f_open"),
+            F.max(F.col("_p")).alias("_f_high"),
+            F.min(F.col("_p")).alias("_f_low"),
+            F.max_by(F.col("_p"), F.col("_k")).alias("_f_close"),
+            F.sum("_vol").alias("_f_volume"),
+            F.sum(F.col("_p") * F.col("_vol")).alias("_f_pv"),
+        )
+        return flat.select(
+            balias,
+            *gb,
+            F.when(
+                F.col("_f_n") > 0,
+                F.struct(
+                    F.col("_f_n").alias("n"),
+                    F.col("_f_first_us").alias("first_us"),
+                    F.col("_f_last_us").alias("last_us"),
+                    F.col("_f_open").alias("open"),
+                    F.col("_f_high").alias("high"),
+                    F.col("_f_low").alias("low"),
+                    F.col("_f_close").alias("close"),
+                    F.col("_f_volume").alias("volume"),
+                    F.col("_f_pv").alias("pv"),
+                ),
+            ).alias(col),
+        )
+
+    def candlestick_at_grain(
+        self,
+        candle_col: Optional[str] = None,
+        grain: Optional[str] = None,
+        group_by: Optional[Sequence[str]] = None,
+        realtime: Optional[bool] = None,
+        start=None,
+        end=None,
+    ) -> DataFrame:
+        """Serve exact OHLC/volume/vwap at any coarser grain from the
+        stored partials — the toolkit ``rollup(candlestick_agg(...))``
+        idiom. Parent buckets partition time disjointly, so the target
+        bucket's open comes from its EARLIEST parent partial and its
+        close from the LATEST (keyed on the partial's own first/last
+        sample time — ``_src`` is unique per parent bucket within a
+        group); high/low/volume/pv merge commutatively, so subset
+        ``group_by`` regrouping is allowed (unlike counters/gauges,
+        nothing here depends on a single series' ordering beyond the
+        disjoint buckets).
+
+        Output: ``(bucket?, group…, open, high, low, close, volume,
+        vwap, n, first_us, last_us)``."""
+        d, keys_gb, bucket, grain_all = self._partial_frame(
+            "candlesticks", candle_col, grain, group_by, realtime, start, end
+        )
+        tcols = [] if grain_all else ["_tgt"]
+        st = F.col("_st")
+        out = d.groupBy(*tcols, *keys_gb).agg(
+            F.min_by(st["open"], st["first_us"]).alias("open"),
+            F.max(st["high"]).alias("high"),
+            F.min(st["low"]).alias("low"),
+            F.max_by(st["close"], st["last_us"]).alias("close"),
+            F.sum(st["volume"]).alias("volume"),
+            (F.sum(st["pv"]) / F.sum(st["volume"])).alias("vwap"),
+            F.sum(st["n"]).alias("n"),
+            F.min(st["first_us"]).alias("first_us"),
+            F.max(st["last_us"]).alias("last_us"),
+        )
+        if grain_all:
+            return out
+        return out.withColumnRenamed("_tgt", bucket)
+
+    def _require_full_group_by(self, group_by, kind: str) -> None:
+        """Counter/gauge partials are only mergeable WITHIN one series:
+        regrouping on a subset of the cagg's group columns would merge
+        partials from different series into one ordered-by-``_src``
+        window, making the boundary-step/lag math nondeterministic
+        (several partials share each parent bucket) and semantically
+        wrong. Sketch/stats/HLL partials are commutative states, so
+        their accessors keep free regrouping."""
+        if group_by is None:
+            return
+        missing = [c for c in self.row["group_by"] if c not in set(group_by)]
+        if missing:
+            raise ValueError(
+                f"{kind}_at_grain(group_by=...) must include every "
+                f"group column of cagg {self.name!r} (missing "
+                f"{missing}): {kind} partials are only mergeable "
+                f"within a single series"
+            )
 
     def _partial_frame(
         self,
@@ -1042,6 +1504,12 @@ class ContinuousAggregate:
                 df = df.filter(bc >= conv(start))
             if end is not None:
                 df = df.filter(bc < conv(end))
+        # strict rollup semantics: a NULL state (a group whose partial
+        # inputs were all NULL) is skipped at merge time, like the
+        # toolkit's strict rollup() aggregate. Filter AFTER the rename
+        # select — a filter on the raw state column between the mat
+        # read and the select trips Spark 4.1.2's RemoveRedundantAliases
+        # into an unresolved plan (same bug family as d42cb25).
         if grain == "all":
             # no constant target column: a literal group/partition key
             # trips Catalyst's RemoveRedundantAliases into an unresolved
@@ -1051,7 +1519,7 @@ class ContinuousAggregate:
                     *gb,
                     F.col(bucket).alias("_src"),
                     F.col(col).alias("_st"),
-                ),
+                ).filter(F.col("_st").isNotNull()),
                 gb,
                 bucket,
                 True,
@@ -1071,7 +1539,7 @@ class ContinuousAggregate:
                 *gb,
                 F.col(bucket).alias("_src"),
                 F.col(col).alias("_st"),
-            ),
+            ).filter(F.col("_st").isNotNull()),
             gb,
             bucket,
             False,
@@ -1558,6 +2026,8 @@ class ContinuousAggregate:
             counters=self.row.get("counters"),
             gauges=self.row.get("gauges"),
             stats_aggs=self.row.get("stats_aggs"),
+            time_weights=self.row.get("time_weights"),
+            candlesticks=self.row.get("candlesticks"),
         )
         if refresh:
             new.refresh()

@@ -1569,6 +1569,7 @@ def run_create_cagg(ts, m) -> DataFrame:
     counters: dict[str, dict] = {}
     gauges: dict[str, dict] = {}
     stats_aggs: dict[str, dict] = {}
+    partial_time_args: list[tuple[str, str, str]] = []
     for item in items:
         expr, alias = _alias_of(item)
         cnh = _head_call(expr, {"counter_agg", "gauge_agg", "stats_agg"})
@@ -1594,6 +1595,14 @@ def run_create_cagg(ts, m) -> DataFrame:
                 raise ValueError(f"{fn}(ts, value)")
             dest = counters if fn == "counter_agg" else gauges
             dest[alias] = {"value": _rw(args[1].strip(), ts)}
+            # the ordering argument must be the cagg's time column —
+            # validated against the time_bucket call after the SELECT
+            # loop (the bucket item may appear later in the list).
+            # NOTE: SQL partials order by time only; equal-timestamp
+            # rows need the Python API's tiebreak= option.
+            partial_time_args.append(
+                (fn, alias, args[0].strip().split(".")[-1].strip())
+            )
             continue
         skh = _head_call(expr, {"percentile_agg", "uddsketch", "rollup"})
         if skh:
@@ -1651,6 +1660,15 @@ def run_create_cagg(ts, m) -> DataFrame:
             "cagg defining query must bucket by time_bucket "
             "(continuous_aggs/common.c cagg_validate_query)"
         )
+    for fn, alias, targ in partial_time_args:
+        # counter/gauge partials order samples by their first argument;
+        # silently accepting a non-time column would store partials
+        # ordered by the wrong dimension
+        if targ != bucket[1]:
+            raise ValueError(
+                f"{fn} for {alias!r} must order by the cagg's time "
+                f"column {bucket[1]!r}, got {targ!r}"
+            )
 
     # FROM: hypertable [alias] [JOIN table [alias] ON cond]
     from_clause = cl["from"].strip()

@@ -1342,6 +1342,60 @@ def _try_sketch_quantiles(ts, q: str):
                 return None
     if not qs_list and not ranks:
         return None
+    # the GROUP BY clause must name exactly the bucket/group items of
+    # the SELECT list (by position, alias, or bare name) — grouping
+    # inferred from SELECT alone silently answers e.g.
+    # ``SELECT approx_percentile(...) FROM csk GROUP BY loc`` (valid
+    # SQL need not select the grouped column) with one global row; any
+    # other grouping falls through so the normal path errors loudly
+    key_idx = [i for i, (k, _a, _p) in enumerate(sel) if k in ("b", "g")]
+    gb_clause = (cl.get("group by") or "").strip()
+    if gb_clause:
+        matched: set = set()
+        for it in _split_select_items(gb_clause):
+            it = it.strip()
+            hit = None
+            if re.fullmatch(r"\d+", it):
+                pos = int(it) - 1
+                if 0 <= pos < len(sel) and sel[pos][0] in ("b", "g"):
+                    hit = pos
+            else:
+                bh = _head_call(it, {"time_bucket"})
+                if bh is not None:
+                    # GROUP BY time_bucket(w, bucket): must be the same
+                    # call as the SELECT's re-bucket item
+                    if (
+                        len(bh[1]) == 2
+                        and grain is not None
+                        and bh[1][1].strip().split(".")[-1].strip()
+                        == balias
+                    ):
+                        wk, wv = _literal_of(bh[1][0])
+                        w = int(wv) if wk == "int" else str(wv)
+                        if w == grain:
+                            hit = next(
+                                (i for i in key_idx if sel[i][0] == "b"),
+                                None,
+                            )
+                else:
+                    name = it.split(".")[-1].strip()
+                    for i in key_idx:
+                        kind, out_alias, payload = sel[i]
+                        if kind == "g" and name in (payload, out_alias):
+                            hit = i
+                            break
+                        if kind == "b" and name in (balias, out_alias):
+                            hit = i
+                            break
+            if hit is None:
+                return None
+            matched.add(hit)
+        if matched != set(key_idx):
+            return None
+    elif key_idx:
+        # bucket/group columns selected without a GROUP BY: not a valid
+        # aggregate query — let the normal path raise its analysis error
+        return None
     want_groups = [p for k, _a, p in sel if k == "g"]
     eff_grain = grain if has_bucket else "all"
     keys_out = ([balias] if has_bucket else []) + want_groups
