@@ -975,6 +975,170 @@ def line_dedup_sql(
 
 
 # ---------------------------------------------------------------------------
+# exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better" — the suffix-array ExactSubstr dedup,
+# re-expressed as a bucketed fixed-length n-gram sort, never all-pairs)
+# ---------------------------------------------------------------------------
+
+
+def substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    length: int = 40,
+    stride: int = 1,
+) -> DataFrame:
+    """Corpus-wide exact-substring duplicate detection: a document is a
+    substring-duplicate when it shares a ≥``length``-character span with
+    an EARLIER document (keep-first by ``(doc_id, position)``, the same
+    keeper discipline as :func:`line_dedup`). This is the suffix-array
+    ExactSubstr criterion of Lee et al. 2022 realized by other means: a
+    span of ≥ ``length`` chars is shared iff some fixed-length window
+    (gram) of it is shared, so grouping all grams by content finds every
+    such span with zero pairwise comparisons — the distributed analog of
+    sorting the suffix array.
+
+    ``stride`` > 1 samples window starts (the final window is always
+    included so the tail is covered); the detection guarantee weakens to
+    spans of ≥ ``length + stride − 1`` chars that start at a sampled
+    offset of the earlier document — the standard index-side sampling
+    trade (use stride 1 for the exact guarantee).
+
+    Returns one row per input document:
+    ``(id, n_grams, n_dup_grams, dup_frac, keep)`` — ``n_dup_grams``
+    counts grams first seen in an earlier document, ``keep`` is True when
+    there are none (documents shorter than ``length`` have no grams and
+    always survive).
+
+    Scale shape (100 TB): grams explode pipelined with the scan, each
+    reduced to a 60-bit hash immediately — shuffle volume is
+    Σ(len_i/stride) × ~24 bytes (id + pos + hash), the same class as
+    :func:`line_dedup`'s line shuffle. Then three linear shuffles: (1)
+    map-combined ``min(struct(doc, pos))`` keeper per gram hash, (2) an
+    equi-join of the grams against the keeper table on the hash (AQE
+    skew-split absorbs boilerplate grams), (3) the per-document stats
+    groupBy. No suffix array materialization, no all-pairs join, no
+    driver-side state."""
+    if length < 2:
+        raise ValueError("substring_dedup needs length >= 2")
+    if stride < 1:
+        raise ValueError("substring_dedup needs stride >= 1")
+    base = spread(df.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_t"),
+    )
+    n_starts = F.length("_t") - F.lit(length) + 1
+    pos_seq = F.when(
+        n_starts > 0,
+        F.array_distinct(
+            F.concat(
+                F.sequence(
+                    F.lit(0), n_starts - 1, F.lit(stride).cast("int")
+                ),
+                F.array(n_starts - 1),
+            )
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = base.select(
+        F.col(id_col),
+        F.col("_t"),
+        F.explode(pos_seq).alias("pos"),
+    ).select(
+        F.col(id_col),
+        F.col("pos"),
+        h60(F.col("_t").substr(F.col("pos") + 1, F.lit(length))).alias(
+            "gh"
+        ),
+    )
+    keepers = grams.groupBy("gh").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
+        ).alias("k")
+    )
+    marked = grams.join(keepers, "gh").withColumn(
+        "dup", (F.col("k.d") < F.col(id_col)).cast("long")
+    )
+    stats = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("dup").alias("n_dup_grams"),
+    )
+    return (
+        df.select(id_col)
+        .join(stats, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("n_dup_grams"), F.lit(0)).alias(
+                "n_dup_grams"
+            ),
+            F.when(
+                F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+                F.coalesce(F.col("n_dup_grams"), F.lit(0)).cast("double")
+                / F.col("n_grams").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+            (F.coalesce(F.col("n_dup_grams"), F.lit(0)) == 0).alias(
+                "keep"
+            ),
+        )
+    )
+
+
+def substring_dedup_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    length: int = 40,
+    stride: int = 1,
+) -> str:
+    """DuckDB oracle replaying :func:`substring_dedup` exactly: the same
+    sampled window starts (range + forced final window), grams grouped by
+    content, keep-first = ``min(doc, pos)`` per gram (``first_value``
+    over the same ordering), identical per-document stats. Grouping is by
+    the raw gram here vs the 60-bit hash on the Spark side — identical
+    absent md5-prefix collisions, the :func:`line_dedup` precedent."""
+    return f"""
+    WITH base AS (
+      SELECT {id_col}, coalesce({text_col}, '') AS t FROM {table}
+    ), grams AS (
+      SELECT {id_col}, pos, substr(t, pos + 1, {length}) AS g
+      FROM (
+        SELECT {id_col}, t,
+               CAST(length(t) - {length} + 1 AS BIGINT) AS n_starts
+        FROM base
+      ) b,
+      LATERAL (
+        SELECT DISTINCT unnest(
+          list_append(range(0, greatest(n_starts, 0), {stride}),
+                      n_starts - 1)
+        ) AS pos
+      ) p
+      WHERE n_starts > 0 AND pos >= 0
+    ), marked AS (
+      SELECT {id_col}, pos,
+             CASE WHEN first_value({id_col}) OVER (
+                    PARTITION BY g ORDER BY {id_col}, pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                  ) < {id_col} THEN 1 ELSE 0 END AS dup
+      FROM grams
+    ), stats AS (
+      SELECT {id_col}, count(*) AS n_grams,
+             CAST(sum(dup) AS BIGINT) AS n_dup_grams
+      FROM marked GROUP BY {id_col}
+    )
+    SELECT d.{id_col},
+           coalesce(s.n_grams, 0) AS n_grams,
+           coalesce(s.n_dup_grams, 0) AS n_dup_grams,
+           CASE WHEN coalesce(s.n_grams, 0) > 0
+                THEN coalesce(s.n_dup_grams, 0)::DOUBLE / s.n_grams
+                ELSE 0.0 END AS dup_frac,
+           coalesce(s.n_dup_grams, 0) = 0 AS keep
+    FROM {table} d LEFT JOIN stats s USING ({id_col})
+    """
+
+
+# ---------------------------------------------------------------------------
 # SemDeDup: cluster-then-dedup over embeddings
 # ---------------------------------------------------------------------------
 

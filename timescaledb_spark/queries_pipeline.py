@@ -116,6 +116,19 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash64(load_table(spark, sf_dir, "documents"))
 
 
+@query("q_dedup_substring", dedup.substring_dedup_sql(length=30))
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2022 ExactSubstr, round 11):
+    flags documents sharing a ≥30-char span with an earlier document via
+    a bucketed fixed-length gram sort — the suffix-array criterion with
+    zero pairwise comparisons. Keep-first keeper = min(doc, pos), the
+    line_dedup discipline; the oracle replays the identical window set
+    and keeper ordering."""
+    return dedup.substring_dedup(
+        load_table(spark, sf_dir, "documents"), length=30
+    )
+
+
 @query("q_dedup_embedding", dedup.embedding_dup_pairs_sql())
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (brute-force verification tier)."""
