@@ -151,6 +151,63 @@ class TestTimeWeightCagg:
             )
 
 
+class TestSQLCreate:
+    def test_cmv_time_weight_and_candlestick(self, spark):
+        """SQL CREATE MATERIALIZED VIEW with time_weight('LOCF', ts, v)
+        and candlestick_agg(ts, p, vol) — round-trips into the partial
+        families and serves through the Python accessors."""
+        ts = TSSession(spark, tempfile.mkdtemp(prefix="ts_tw_sql_"))
+        ht = ts.create_hypertable("m", "ts", chunk_interval="1 day")
+        ht.insert(
+            spark.createDataFrame(
+                [
+                    (_ts(1, 0, 0), "a", 10.0),
+                    (_ts(1, 1, 30), "a", 20.0),
+                    (_ts(1, 2, 0), "a", 40.0),
+                ],
+                "ts timestamp, dev string, v double",
+            )
+        )
+        ts.sql(
+            "CREATE MATERIALIZED VIEW twc WITH (timescaledb.continuous) "
+            "AS SELECT time_bucket('1 hour', ts) AS bucket, dev, "
+            "time_weight('LOCF', ts, v) AS tw, "
+            "candlestick_agg(ts, v) AS ohlc "
+            "FROM m GROUP BY 1, 2"
+        )
+        cagg = ts.get_cagg("twc")
+        assert cagg.row["time_weights"]["tw"]["method"] == "locf"
+        assert "ohlc" in cagg.row["candlesticks"]
+        out = cagg.time_weighted_at_grain("tw", grain="1 day").collect()
+        assert out[0]["tw_avg"] == pytest.approx((10 * 90 + 20 * 30) / 120)
+        candle = cagg.candlestick_at_grain("ohlc", grain="1 day").collect()
+        assert (candle[0]["open"], candle[0]["close"]) == (10.0, 40.0)
+
+    def test_cmv_time_weight_bad_args_rejected(self, spark):
+        ts = TSSession(spark, tempfile.mkdtemp(prefix="ts_tw_sqlbad_"))
+        ht = ts.create_hypertable("m", "ts", chunk_interval="1 day")
+        ht.insert(
+            spark.createDataFrame(
+                [(_ts(1, 0), "a", 1.0)], "ts timestamp, dev string, v double"
+            )
+        )
+        with pytest.raises(ValueError, match="method"):
+            ts.sql(
+                "CREATE MATERIALIZED VIEW bad1 WITH "
+                "(timescaledb.continuous) AS SELECT "
+                "time_bucket('1 hour', ts) AS bucket, "
+                "time_weight('step', ts, v) AS tw FROM m GROUP BY 1"
+            )
+        # ordering argument must be the cagg's time column
+        with pytest.raises(ValueError, match="time"):
+            ts.sql(
+                "CREATE MATERIALIZED VIEW bad2 WITH "
+                "(timescaledb.continuous) AS SELECT "
+                "time_bucket('1 hour', ts) AS bucket, "
+                "candlestick_agg(v, v) AS c FROM m GROUP BY 1"
+            )
+
+
 class TestCandlestickCagg:
     def test_ohlc_merge_matches_raw(self, spark, sf_dir):
         """Served daily OHLC/volume/vwap from hourly partials equals

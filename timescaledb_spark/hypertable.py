@@ -2685,8 +2685,8 @@ class Hypertable:
         )
         if desc:
             groups = groups[::-1]
-        use_arrow = bool(self.row.get("schema_ddl")) and (
-            engine == "arrow" or (engine == "auto" and len(groups) > 128)
+        use_arrow = engine == "arrow" or (
+            engine == "auto" and len(groups) > 128
         )
         self.last_ordered_plan_info = {
             "groups": len(groups),
@@ -2694,7 +2694,18 @@ class Hypertable:
             "engine": "arrow" if use_arrow else "jvm",
         }
         if use_arrow:
-            return self._read_ordered_arrow(groups, lo, hi, columns, desc)
+            if self.row.get("schema_ddl"):
+                arrow_file_schema = self._schema()
+            else:
+                # adopted tables without recorded DDL (raw directory
+                # adoption, pre-DDL-recording catalogs) keep the
+                # O(1)-plan engine: infer the schema from ONE parquet
+                # footer via pyarrow — a single driver-side footer
+                # read, not a Spark inference job over every chunk
+                arrow_file_schema = self._infer_chunk_schema(chunks[0])
+            return self._read_ordered_arrow(
+                groups, lo, hi, columns, desc, schema=arrow_file_schema
+            )
         # resolve the file schema ONCE: per-group schema inference reads
         # parquet footers per scan — at a 12k-chunk catalog that is
         # thousands of sequential driver-side footer reads before the
@@ -2784,6 +2795,16 @@ class Hypertable:
         max_est = int(max(sum(est(c) for c in g) for g in groups))
         return groups, max_est
 
+    def _infer_chunk_schema(self, chunk: dict) -> T.StructType:
+        """Spark schema of one chunk directory from a single parquet
+        footer (pyarrow dataset — no Spark job, no per-chunk listing):
+        the ``schema_ddl``-free fallback for the Arrow ordered engine."""
+        import pyarrow.dataset as pads
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        d = pads.dataset(self._chunk_glob(chunk), format="parquet")
+        return from_arrow_schema(d.schema)
+
     def _read_ordered_arrow(
         self,
         groups: list[list[dict]],
@@ -2791,6 +2812,7 @@ class Hypertable:
         hi: Optional[int],
         columns: Optional[Sequence[str]],
         desc: bool,
+        schema: Optional[T.StructType] = None,
     ) -> DataFrame:
         """Arrow merge-append engine for :meth:`read_ordered` at
         many-chunk catalogs. ONE O(1)-size plan: group specs are
@@ -2813,7 +2835,8 @@ class Hypertable:
         from pyspark.sql.pandas.types import to_arrow_schema
 
         spark = self.ts.spark
-        schema = self._schema()
+        if schema is None:
+            schema = self._schema()
         data_fields = [
             f for f in schema.fields if f.name not in (CHUNK_COL, SPACE_COL)
         ]
@@ -3098,7 +3121,9 @@ class Hypertable:
         return spark.createDataFrame(found_rows, self._schema())
 
     def distinct_values(
-        self, column: Union[str, Sequence[str]]
+        self,
+        column: Union[str, Sequence[str]],
+        max_collect_tuples: int = 1_000_000,
     ) -> DataFrame:
         """Plain ``SELECT DISTINCT column[, column…]`` — the generic
         SkipScan analog (``tsl/src/nodes/skip_scan/planner.c:576``;
@@ -3128,7 +3153,19 @@ class Hypertable:
         same as the single-column form.
 
         ``self.distinct_values_stats`` records covered/scanned chunk
-        counts for plan assertions.
+        counts (and the chosen ``path``) for plan assertions.
+
+        Driver-memory guard (round 11): the catalog walk unions up to
+        ``covered_chunks × SEGMENT_VALUES_CAP`` (1024) recorded
+        values/tuples BEFORE dedup — bounded by the answer for the
+        single-column form, but the composite form can transiently
+        exceed it. When that pre-dedup total would exceed
+        ``max_collect_tuples``, the method falls back to the
+        distributed scan path for every chunk (``path =
+        "scan_fallback"``), the same discipline as
+        ``last_point(max_collect_keys=)``; the scan's shuffle carries
+        only the distinct values, so the fallback stays
+        result-bounded executor-side.
         """
         from .compression import SEGMENT_TUPLES_KEY
 
@@ -3154,6 +3191,16 @@ class Hypertable:
             if s.get("distinct_values") is not None
             and (not multi or set(cols) <= set(s.get("columns") or []))
         }
+        # pre-dedup accumulation budget: the recorded lists are already
+        # in driver memory (catalog rows), so summing their lengths is
+        # free — what the guard caps is the UNION set built below
+        covered_est = sum(
+            len(s["distinct_values"])
+            for c in chunks
+            for s in (recorded.get(c["id"]),)
+            if s is not None and c.get("status") == "columnstore"
+        )
+        force_scan = covered_est > max_collect_tuples
         vals: set = set()
         has_null = False
         uncovered = []
@@ -3162,7 +3209,7 @@ class Hypertable:
             # a recorded list is only trusted on a chunk still in
             # columnstore form — any rewrite downgraded the status and
             # dropped the stats row, but belt over suspenders here
-            if s is not None and c.get("status") == "columnstore":
+            if not force_scan and s is not None and c.get("status") == "columnstore":
                 if multi:
                     # project the full segment tuples onto the request
                     idx = [s["columns"].index(col) for col in cols]
@@ -3179,6 +3226,16 @@ class Hypertable:
             "total_chunks": len(chunks),
             "covered_chunks": len(chunks) - len(uncovered),
             "scanned_chunks": len(uncovered),
+            "path": (
+                "scan_fallback"
+                if force_scan
+                else (
+                    "catalog"
+                    if not uncovered
+                    else ("hybrid" if vals or has_null else "scan")
+                )
+            ),
+            "covered_tuples_pre_dedup": covered_est,
         }
         out_schema = T.StructType(fields)
         if multi:

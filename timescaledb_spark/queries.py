@@ -1273,6 +1273,150 @@ def q_cagg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cagg_timeweight",
+    """
+    WITH s AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+             event_type, floor(value) AS v,
+             epoch_us(ts) AS us, ts, event_id
+      FROM events
+    ), seg AS (
+      SELECT bucket, event_type, v, us,
+             lead(us) OVER (
+               PARTITION BY bucket, event_type ORDER BY ts, event_id
+             ) AS nxt
+      FROM s
+    )
+    SELECT bucket, event_type,
+           CASE WHEN max(us) - min(us) > 0 THEN
+             sum(v * (nxt - us)) FILTER (WHERE nxt IS NOT NULL)
+               / (max(us) - min(us))
+           ELSE min(v) END AS tw_avg,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seg GROUP BY 1, 2
+    """,
+)
+def q_cagg_timeweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weight-STATE continuous aggregate (round 11; the toolkit
+    ``average(rollup(time_weight('LOCF', ...)))`` idiom): hourly
+    partials store (bookends, within-bucket LOCF integral) per
+    event_type; only the first half of the range is materialized, so
+    serving DAILY time-weighted averages must (a) union mat-side
+    partials with raw-computed ones above the watermark and (b) merge
+    24 hourly partials per day, adding one LOCF boundary segment per
+    adjacent pair — a value set in one hour carries across every
+    following empty boundary, which per-bucket time_weight gets wrong.
+    The result is IDENTICAL to time_weight -> average over each day's
+    raw rows (the decomposition the oracle replays). Values quantized
+    to integers so every v·Δt_µs product and their sums stay exactly
+    representable — bit-stable in any order cross-engine, one final
+    IEEE division."""
+    import tempfile
+
+    from .session import TSSession
+
+    root = tempfile.mkdtemp(prefix="ts_cagg_tw_")
+    ts = TSSession(spark, root)
+    ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "qv", F.floor(F.col("value")).cast("double")
+    )
+    ht.insert(ev)
+    cagg = ts.create_cagg(
+        "qtw",
+        ht,
+        bucket_width="1 hour",
+        aggs={},
+        group_by=["event_type"],
+        time_weights={"tw": {"value": "qv", "tiebreak": ["event_id"]}},
+    )
+    lo = min(c["range_start"] for c in ht.chunks())
+    hi = max(c["range_end"] for c in ht.chunks())
+    cagg.refresh(start=lo, end=lo + (hi - lo) // 2)
+    return cagg.time_weighted_at_grain(grain="1 day", realtime=True).select(
+        "bucket", "event_type", "tw_avg", "n"
+    )
+
+
+@query(
+    "q_cagg_candle",
+    """
+    WITH s AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+             event_type, floor(value * 100) AS p,
+             CAST(user_id % 50 + 1 AS DOUBLE) AS vol, ts, event_id
+      FROM events
+    ), o AS (
+      SELECT *,
+             row_number() OVER (
+               PARTITION BY bucket, event_type
+               ORDER BY ts ASC, event_id ASC
+             ) AS rn_a,
+             row_number() OVER (
+               PARTITION BY bucket, event_type
+               ORDER BY ts DESC, event_id DESC
+             ) AS rn_d
+      FROM s
+    )
+    SELECT bucket, event_type,
+           max(CASE WHEN rn_a = 1 THEN p END) AS open,
+           max(p) AS high,
+           min(p) AS low,
+           max(CASE WHEN rn_d = 1 THEN p END) AS close,
+           sum(vol) AS volume,
+           sum(p * vol) / sum(vol) AS vwap,
+           CAST(count(*) AS BIGINT) AS n
+    FROM o GROUP BY 1, 2
+    """,
+)
+def q_cagg_candle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candlestick-STATE continuous aggregate (round 11; the toolkit
+    ``rollup(candlestick_agg(...))`` financial idiom): hourly OHLC
+    partials merge to exact DAILY candles — open from the earliest
+    parent bucket, close from the latest, high/low/volume/Σp·v
+    commutatively — identical to candlestick_agg over each day's raw
+    rows. Half-materialized range exercises the realtime union. Prices
+    and volumes quantized to integer-valued doubles so the vwap
+    numerator/denominator sums are exact in any order cross-engine."""
+    import tempfile
+
+    from .session import TSSession
+
+    root = tempfile.mkdtemp(prefix="ts_cagg_candle_")
+    ts = TSSession(spark, root)
+    ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("cp", F.floor(F.col("value") * 100).cast("double"))
+        .withColumn(
+            "cvol", (F.col("user_id") % 50 + 1).cast("double")
+        )
+    )
+    ht.insert(ev)
+    cagg = ts.create_cagg(
+        "qcandle",
+        ht,
+        bucket_width="1 hour",
+        aggs={},
+        group_by=["event_type"],
+        candlesticks={
+            "ohlc": {
+                "price": "cp",
+                "volume": "cvol",
+                "tiebreak": ["event_id"],
+            }
+        },
+    )
+    lo = min(c["range_start"] for c in ht.chunks())
+    hi = max(c["range_end"] for c in ht.chunks())
+    cagg.refresh(start=lo, end=lo + (hi - lo) // 2)
+    return cagg.candlestick_at_grain(grain="1 day", realtime=True).select(
+        "bucket", "event_type", "open", "high", "low", "close",
+        "volume", "vwap", "n",
+    )
+
+
+@query(
     "q_cagg_monthly",
     """
     SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS bucket,

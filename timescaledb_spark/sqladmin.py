@@ -1569,9 +1569,51 @@ def run_create_cagg(ts, m) -> DataFrame:
     counters: dict[str, dict] = {}
     gauges: dict[str, dict] = {}
     stats_aggs: dict[str, dict] = {}
+    time_weights: dict[str, dict] = {}
+    candlesticks: dict[str, dict] = {}
     partial_time_args: list[tuple[str, str, str]] = []
     for item in items:
         expr, alias = _alias_of(item)
+        twh = _head_call(expr, {"time_weight", "candlestick_agg"})
+        if twh:
+            # toolkit time-weight / candlestick partials in the cagg
+            # definition (caggs.py time_weights=/candlesticks=; the
+            # average(rollup(time_weight(...))) and
+            # rollup(candlestick_agg(...)) idioms)
+            if alias is None:
+                raise ValueError(f"cagg partial needs AS alias: {item!r}")
+            fn, args = twh
+            if fn == "time_weight":
+                # time_weight('LOCF' | 'Linear', ts, value)
+                if len(args) != 3:
+                    raise ValueError("time_weight(method, ts, value)")
+                mk, mv = _literal_of(args[0])
+                if mk != "string" or str(mv).lower() not in (
+                    "locf",
+                    "linear",
+                ):
+                    raise ValueError(
+                        "time_weight method must be the literal 'LOCF' "
+                        "or 'Linear'"
+                    )
+                time_weights[alias] = {
+                    "value": _rw(args[2].strip(), ts),
+                    "method": str(mv).lower(),
+                }
+                partial_time_args.append(
+                    (fn, alias, args[1].strip().split(".")[-1].strip())
+                )
+            else:  # candlestick_agg(ts, price[, volume])
+                if len(args) not in (2, 3):
+                    raise ValueError("candlestick_agg(ts, price[, volume])")
+                spec = {"price": _rw(args[1].strip(), ts)}
+                if len(args) == 3:
+                    spec["volume"] = _rw(args[2].strip(), ts)
+                candlesticks[alias] = spec
+                partial_time_args.append(
+                    (fn, alias, args[0].strip().split(".")[-1].strip())
+                )
+            continue
         cnh = _head_call(expr, {"counter_agg", "gauge_agg", "stats_agg"})
         if cnh:
             # toolkit partial aggregates inside the cagg definition —
@@ -1704,6 +1746,22 @@ def run_create_cagg(ts, m) -> DataFrame:
         k: {**v, "value": _strip_quals(v["value"], quals)}
         for k, v in stats_aggs.items()
     }
+    time_weights = {
+        k: {**v, "value": _strip_quals(v["value"], quals)}
+        for k, v in time_weights.items()
+    }
+    candlesticks = {
+        k: {
+            **v,
+            "price": _strip_quals(v["price"], quals),
+            **(
+                {"volume": _strip_quals(v["volume"], quals)}
+                if "volume" in v
+                else {}
+            ),
+        }
+        for k, v in candlesticks.items()
+    }
     join = None
     if join_tbl:
         how = "left" if re.search(r"\bleft\b", from_clause, re.I) else "inner"
@@ -1738,6 +1796,8 @@ def run_create_cagg(ts, m) -> DataFrame:
         counters=counters or None,
         gauges=gauges or None,
         stats_aggs=stats_aggs or None,
+        time_weights=time_weights or None,
+        candlesticks=candlesticks or None,
     )
     if not (m.group("data") or "").strip():  # WITH DATA is the PG default
         cagg.refresh()

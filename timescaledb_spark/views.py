@@ -122,6 +122,8 @@ def continuous_aggregates(ts) -> DataFrame:
                     list(c.get("counters") or {})
                     + list(c.get("gauges") or {})
                     + list(c.get("stats_aggs") or {})
+                    + list(c.get("time_weights") or {})
+                    + list(c.get("candlesticks") or {})
                 ),
             }
         )
