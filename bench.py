@@ -92,15 +92,22 @@ def main() -> None:
     # parsed dict as a first-class file too, so every per-query timing
     # stays machine-readable (compact separators keep the line small)
     print(json.dumps(out, separators=(",", ":")))
-    try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_FULL.json"),
-            "w",
-        ) as f:
-            json.dump(out, f, indent=1, sort_keys=True)
-    except OSError:
-        pass  # read-only checkout: the stdout line still has everything
+    here = os.path.dirname(os.path.abspath(__file__))
+    # per-round archive (r10 VERDICT item 7): BENCH_FULL.json is the
+    # latest-run scratch copy (gitignored — any sf, any iteration);
+    # SPARK_GRAFT_BENCH_TAG=r11 ALSO writes BENCH_FULL_r11.json, the
+    # committed per-gate record, so cross-round per-gate comparison
+    # never depends on the driver's truncated stdout capture
+    targets = [os.path.join(here, "BENCH_FULL.json")]
+    tag = os.environ.get("SPARK_GRAFT_BENCH_TAG")
+    if tag:
+        targets.append(os.path.join(here, f"BENCH_FULL_{tag}.json"))
+    for path in targets:
+        try:
+            with open(path, "w") as f:
+                json.dump(out, f, indent=1, sort_keys=True)
+        except OSError:
+            pass  # read-only checkout: stdout still has everything
     spark.stop()
 
 

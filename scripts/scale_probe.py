@@ -234,6 +234,37 @@ def main() -> None:
     out["cagg_refresh_dirty_1pct_s"] = round(time.perf_counter() - t0, 2)
     out["cagg_dirty_ranges"] = len(ranges)
 
+    # ---- round-11: time-weight + candlestick partial families at the
+    # same many-chunk catalog: one refresh materializes BOTH partials
+    # (each is one window + one aggregate over the raw scan), and
+    # serving any grain is a state-merge over mat rows only — timed
+    # separately so the O(states) serve cost is visible next to the
+    # O(raw) refresh cost
+    twc = ts.create_cagg(
+        "big_twc",
+        ht,
+        bucket_width="1 hour",
+        aggs={},
+        group_by=["event_type"],
+        time_weights={"tw": {"value": "value", "tiebreak": ["event_id"]}},
+        candlesticks={
+            "ohlc": {"price": "value", "tiebreak": ["event_id"]}
+        },
+    )
+    t0 = time.perf_counter()
+    twc.refresh()
+    out["tw_candle_cagg_refresh_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    out["tw_serve_day_rows"] = twc.time_weighted_at_grain(
+        grain="1 day", realtime=False
+    ).count()
+    out["tw_serve_day_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    out["candle_serve_day_rows"] = twc.candlestick_at_grain(
+        grain="1 day", realtime=False
+    ).count()
+    out["candle_serve_day_s"] = round(time.perf_counter() - t0, 2)
+
     # ---- round-8: text-pipeline operators at corpus scale --------------
     # documents × MULT (~50k-500k docs): replicated docs share every line
     # (worst-case boilerplate for the keeper join) except one unique
@@ -262,6 +293,25 @@ def main() -> None:
     ).collect()[0]
     out["line_dedup_docs_s"] = round(time.perf_counter() - t0, 2)
     out["line_dedup_kept_frac"] = round(kept["k"] / max(kept["n"], 1), 4)
+
+    # round-11: exact-substring dedup at corpus scale. Shuffle volume =
+    # Σ(len_i / stride) × ~24 B (id + pos + 60-bit hash) — stride 8
+    # samples window starts (detection guarantee: spans ≥ L+7 starting
+    # at sampled offsets), the documented index-side trade; the
+    # replicated corpus makes every replica share its whole body with
+    # copy 0, so the keeper join sees worst-case hot grams
+    from timescaledb_spark.pipeline.dedup import substring_dedup
+
+    t0 = time.perf_counter()
+    sd = substring_dedup(big_docs, length=40, stride=8)
+    flagged = sd.agg(
+        F.sum((~F.col("keep")).cast("long")).alias("f"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    out["substring_dedup_docs_s"] = round(time.perf_counter() - t0, 2)
+    out["substring_dedup_flagged_frac"] = round(
+        flagged["f"] / max(flagged["n"], 1), 4
+    )
 
     t0 = time.perf_counter()
     bm25_topk(big_docs, ["data", "model", "training", "quality"], k=25).collect()

@@ -557,14 +557,19 @@ class ContinuousAggregate:
                 continue
             # null-safe equi-join: group keys can hold NULLs, and both
             # sides aggregate the same rows over the same keys, so the
-            # join is 1:1; AQE sees two pre-aggregated (small) sides
+            # join is 1:1; AQE sees two pre-aggregated (small) sides.
+            # Dataset aliases (SubqueryAlias) disambiguate the shared
+            # raw lineage — agg[k]/sk[k] can resolve to the SAME
+            # attribute past two partials, making drop(sk[k]) a no-op
+            # (duplicate key columns), while a rename Project on top of
+            # the partial's struct aggregate trips Spark 4.1.2's
+            # RemoveRedundantAliases (d42cb25)
+            l, r = agg.alias("_pl"), sk.alias("_pr")
             cond = None
             for k in keys:
-                c = agg[k].eqNullSafe(sk[k])
+                c = F.col(f"_pl.{k}").eqNullSafe(F.col(f"_pr.{k}"))
                 cond = c if cond is None else cond & c
-            agg = agg.join(sk, cond).drop(sk[self.row["bucket_alias"]])
-            for k in self.row["group_by"]:
-                agg = agg.drop(sk[k])
+            agg = l.join(r, cond).select("_pl.*", F.col(f"_pr.{col}"))
         for col, expr in (self.row.get("window_fns") or {}).items():
             agg = agg.withColumn(col, F.expr(expr))
         return agg
@@ -1269,15 +1274,34 @@ class ContinuousAggregate:
             st.alias("_st"),
             F.coalesce(bseg, F.lit(0.0)).alias("_bseg"),
         )
-        span = (F.max(st["last_us"]) - F.min(st["first_us"])).cast("double")
-        integral = F.sum(st["integral"]) + F.sum("_bseg")
-        out = d.groupBy(*tcols, *keys_gb).agg(
-            F.when(span > 0, integral / span)
-            .otherwise(F.min_by(st["first_val"], F.col("_src")))
-            .alias("tw_avg"),
-            F.sum(st["n"]).alias("n"),
-            F.min(st["first_us"]).alias("first_us"),
-            F.max(st["last_us"]).alias("last_us"),
+        # flat aggregate + compute-in-projection (the state builders'
+        # discipline): a when/otherwise around aggregates inside agg()
+        # trips Spark 4.1.2's RemoveRedundantAliases under the
+        # multi-partial join + projection shape (d42cb25 family)
+        flat = d.groupBy(*tcols, *keys_gb).agg(
+            (F.sum(st["integral"]) + F.sum("_bseg")).alias("_f_integral"),
+            F.min_by(st["first_val"], F.col("_src")).alias("_f_first_val"),
+            F.sum(st["n"]).alias("_f_n"),
+            F.min(st["first_us"]).alias("_f_first_us"),
+            F.max(st["last_us"]).alias("_f_last_us"),
+        )
+        # nullif/coalesce instead of when/otherwise: pruning a CaseWhen
+        # output column through this union+window+aggregate stack is
+        # exactly what flips RemoveRedundantAliases into an unresolved
+        # plan on 4.1.2 (isolated empirically — projecting the sibling
+        # plain columns is fine); x / NULL is NULL under ANSI, so the
+        # semantics are identical
+        span = (F.col("_f_last_us") - F.col("_f_first_us")).cast("double")
+        out = flat.select(
+            *tcols,
+            *keys_gb,
+            F.coalesce(
+                F.col("_f_integral") / F.nullif(span, F.lit(0.0)),
+                F.col("_f_first_val"),
+            ).alias("tw_avg"),
+            F.col("_f_n").alias("n"),
+            F.col("_f_first_us").alias("first_us"),
+            F.col("_f_last_us").alias("last_us"),
         )
         if grain_all:
             return out

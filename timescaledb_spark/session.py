@@ -68,6 +68,38 @@ def build_spark(
     return spark
 
 
+_BROKEN_RULES = (
+    # Spark 4.1.2: RemoveRedundantAliases flips a resolved plan into an
+    # unresolved one (PLAN_VALIDATION_FAILED_RULE_IN_BATCH) when a
+    # CaseWhen/coalesce output column is pruned through a
+    # union + window + aggregate stack — the exact shape of every
+    # partial-cagg serving accessor over the realtime union. Hit four
+    # times across rounds 10-11 (gauge serving at grain='all',
+    # dual-partial projections, time_weighted_at_grain); per-plan
+    # restructuring fixed individual shapes but new accessors keep
+    # re-tripping it, so the rule is excluded session-wide. The rule is
+    # purely cosmetic (drops redundant Alias nodes); exclusion does not
+    # change physical plans' shuffles/scans.
+    "org.apache.spark.sql.catalyst.optimizer.RemoveRedundantAliases",
+)
+
+
+def _exclude_broken_optimizer_rules(spark: SparkSession) -> None:
+    """Append the known-broken optimizer rules to the session's
+    ``spark.sql.optimizer.excludedRules`` (runtime-settable). Called
+    from ``TSSession.__init__`` so the guard applies to ANY session the
+    engine is handed — including harnesses that build their own."""
+    key = "spark.sql.optimizer.excludedRules"
+    try:
+        cur = spark.conf.get(key, "") or ""
+    except Exception:
+        cur = ""
+    have = {r.strip() for r in cur.split(",") if r.strip()}
+    missing = [r for r in _BROKEN_RULES if r not in have]
+    if missing:
+        spark.conf.set(key, ",".join(sorted(have | set(missing))))
+
+
 class TSSession:
     """Engine session: SparkSession + catalog root.
 
@@ -83,6 +115,7 @@ class TSSession:
         self.spark = spark
         self.catalog_root = catalog_root
         self.catalog = Catalog(spark, catalog_root)
+        _exclude_broken_optimizer_rules(spark)
 
     # -- hypertable lifecycle (src/hypertable.c:1444 create_hypertable) ----
     def create_hypertable(self, name, time_column, **kw):

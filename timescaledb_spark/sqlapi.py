@@ -1247,6 +1247,64 @@ def _try_distinct_skipscan(ts, q: str):
         return None  # unknown column: let the normal path raise its error
 
 
+def _group_by_matches_select_keys(cl, sel, balias, grain) -> bool:
+    """Validate a partial-serving route's GROUP BY (ADVICE r10): the
+    clause must name exactly the bucket/group items of the SELECT list
+    — by 1-based position, output alias, bare name, or the identical
+    ``time_bucket`` call. Grouping inferred from SELECT alone silently
+    answers e.g. ``SELECT approx_percentile(...) FROM csk GROUP BY
+    loc`` (valid SQL need not select the grouped column) with one
+    global row; any other grouping must fall through so the normal
+    path errors loudly."""
+    from .sqlgapfill import _head_call, _split_select_items
+
+    key_idx = [i for i, (k, _a, _p) in enumerate(sel) if k in ("b", "g")]
+    gb_clause = (cl.get("group by") or "").strip()
+    if not gb_clause:
+        # bucket/group columns selected without a GROUP BY: not a
+        # valid aggregate query
+        return not key_idx
+    matched: set = set()
+    for it in _split_select_items(gb_clause):
+        it = it.strip()
+        hit = None
+        if re.fullmatch(r"\d+", it):
+            pos = int(it) - 1
+            if 0 <= pos < len(sel) and sel[pos][0] in ("b", "g"):
+                hit = pos
+        else:
+            bh = _head_call(it, {"time_bucket"})
+            if bh is not None:
+                # GROUP BY time_bucket(w, bucket): must be the same
+                # call as the SELECT's re-bucket item
+                if (
+                    len(bh[1]) == 2
+                    and grain is not None
+                    and bh[1][1].strip().split(".")[-1].strip() == balias
+                ):
+                    wk, wv = _literal_of(bh[1][0])
+                    w = int(wv) if wk == "int" else str(wv)
+                    if w == grain:
+                        hit = next(
+                            (i for i in key_idx if sel[i][0] == "b"),
+                            None,
+                        )
+            else:
+                name = it.split(".")[-1].strip()
+                for i in key_idx:
+                    kind, out_alias, payload = sel[i]
+                    if kind == "g" and name in (payload, out_alias):
+                        hit = i
+                        break
+                    if kind == "b" and name in (balias, out_alias):
+                        hit = i
+                        break
+        if hit is None:
+            return False
+        matched.add(hit)
+    return matched == set(key_idx)
+
+
 def _try_sketch_quantiles(ts, q: str):
     """The toolkit sketch-cagg serving idiom in SQL —
     ``SELECT [time_bucket('1 day', bucket) | bucket,] group…,
@@ -1342,59 +1400,7 @@ def _try_sketch_quantiles(ts, q: str):
                 return None
     if not qs_list and not ranks:
         return None
-    # the GROUP BY clause must name exactly the bucket/group items of
-    # the SELECT list (by position, alias, or bare name) — grouping
-    # inferred from SELECT alone silently answers e.g.
-    # ``SELECT approx_percentile(...) FROM csk GROUP BY loc`` (valid
-    # SQL need not select the grouped column) with one global row; any
-    # other grouping falls through so the normal path errors loudly
-    key_idx = [i for i, (k, _a, _p) in enumerate(sel) if k in ("b", "g")]
-    gb_clause = (cl.get("group by") or "").strip()
-    if gb_clause:
-        matched: set = set()
-        for it in _split_select_items(gb_clause):
-            it = it.strip()
-            hit = None
-            if re.fullmatch(r"\d+", it):
-                pos = int(it) - 1
-                if 0 <= pos < len(sel) and sel[pos][0] in ("b", "g"):
-                    hit = pos
-            else:
-                bh = _head_call(it, {"time_bucket"})
-                if bh is not None:
-                    # GROUP BY time_bucket(w, bucket): must be the same
-                    # call as the SELECT's re-bucket item
-                    if (
-                        len(bh[1]) == 2
-                        and grain is not None
-                        and bh[1][1].strip().split(".")[-1].strip()
-                        == balias
-                    ):
-                        wk, wv = _literal_of(bh[1][0])
-                        w = int(wv) if wk == "int" else str(wv)
-                        if w == grain:
-                            hit = next(
-                                (i for i in key_idx if sel[i][0] == "b"),
-                                None,
-                            )
-                else:
-                    name = it.split(".")[-1].strip()
-                    for i in key_idx:
-                        kind, out_alias, payload = sel[i]
-                        if kind == "g" and name in (payload, out_alias):
-                            hit = i
-                            break
-                        if kind == "b" and name in (balias, out_alias):
-                            hit = i
-                            break
-            if hit is None:
-                return None
-            matched.add(hit)
-        if matched != set(key_idx):
-            return None
-    elif key_idx:
-        # bucket/group columns selected without a GROUP BY: not a valid
-        # aggregate query — let the normal path raise its analysis error
+    if not _group_by_matches_select_keys(cl, sel, balias, grain):
         return None
     want_groups = [p for k, _a, p in sel if k == "g"]
     eff_grain = grain if has_bucket else "all"
@@ -1446,6 +1452,167 @@ def _try_sketch_quantiles(ts, q: str):
         else:
             cols.append(F.col(_qname(payload)).alias(out_alias))
     return qd.select(*cols)
+
+
+# accessor fn (toolkit name) -> served column, per partial family
+_PARTIAL_ACCESSORS = {
+    "counters": {
+        "delta": "delta",
+        "rate": "rate",
+        "num_resets": "num_resets",
+        "num_vals": "n",
+    },
+    "gauges": {
+        "delta": "delta",
+        "rate": "rate",
+        "idelta": "idelta",
+        "irate": "irate",
+        "num_vals": "n",
+    },
+    "stats_aggs": {
+        "average": "avg",
+        "stddev": "stddev",
+        "variance": "variance",
+        "sum": "sum",
+        "num_vals": "n",
+        "min_val": "min",
+        "max_val": "max",
+    },
+    "time_weights": {"average": "tw_avg", "num_vals": "n"},
+    "candlesticks": {
+        "open": "open",
+        "high": "high",
+        "low": "low",
+        "close": "close",
+        "volume": "volume",
+        "vwap": "vwap",
+        "num_vals": "n",
+    },
+}
+_PARTIAL_METHOD = {
+    "counters": "counter_at_grain",
+    "gauges": "gauge_at_grain",
+    "stats_aggs": "stats_at_grain",
+    "time_weights": "time_weighted_at_grain",
+    "candlesticks": "candlestick_at_grain",
+}
+_ALL_ACCESSOR_FNS = frozenset(
+    fn for d in _PARTIAL_ACCESSORS.values() for fn in d
+)
+
+
+def _try_partial_accessors(ts, q: str):
+    """The toolkit rollup-serving idiom in SQL for the non-sketch
+    partial families — ``SELECT [time_bucket(w, bucket) | bucket,]
+    group…, delta(rollup(cnt)) AS d, rate(rollup(cnt)) AS r … FROM
+    <partial cagg> GROUP BY …`` — routed to the matching
+    ``*_at_grain`` accessor (counter/gauge/stats/time-weight/
+    candlestick): stored partials merge to the requested grain, the
+    realtime union computes raw-side partials only above the
+    watermark. Same GROUP BY discipline as the sketch route; all
+    rollup() calls must target ONE partial column (one state-merge per
+    query); WHERE/HAVING/ORDER/LIMIT fall through, and the normal path
+    rejects rollup() over a struct column with a clear analysis
+    error."""
+    from .sqlgapfill import (
+        _alias_of,
+        _clauses_of,
+        _head_call,
+        _split_select_items,
+    )
+
+    if not re.search(r"\brollup\s*\(", _strip_strings(q), re.I):
+        return None
+    try:
+        cl = _clauses_of(q)
+    except ValueError:
+        return None
+    if any(cl.get(k) for k in ("where", "having", "order by", "limit")):
+        return None
+    frm = (cl.get("from") or "").strip()
+    if not re.fullmatch(r"[A-Za-z_]\w*", frm):
+        return None
+    crow = ts.catalog.continuous_agg.find_one(name=frm)
+    if crow is None:
+        return None
+    balias = crow["bucket_alias"]
+    groups = list(crow.get("group_by") or [])
+    sel: list = []  # ordered (kind, out_alias, payload)
+    family = None
+    part_col = None
+    grain = None
+    has_bucket = False
+    n_acc = 0
+    for item in _split_select_items(cl["select"]):
+        expr, alias = _alias_of(item)
+        head = _head_call(expr, _ALL_ACCESSOR_FNS | {"time_bucket"})
+        if head and head[0] in _ALL_ACCESSOR_FNS:
+            fn, args = head
+            if len(args) != 1:
+                return None
+            inner = _inner_call(args[0], "rollup")
+            if inner is None or len(inner) != 1:
+                return None
+            col = inner[0].strip().split(".")[-1].strip()
+            fam = next(
+                (
+                    f
+                    for f in _PARTIAL_ACCESSORS
+                    if col in (crow.get(f) or {})
+                ),
+                None,
+            )
+            if fam is None:
+                return None
+            if family not in (None, fam) or part_col not in (None, col):
+                return None
+            if fn not in _PARTIAL_ACCESSORS[fam]:
+                return None
+            family, part_col = fam, col
+            n_acc += 1
+            sel.append(("a", alias or fn, _PARTIAL_ACCESSORS[fam][fn]))
+        elif head and head[0] == "time_bucket":
+            if len(head[1]) != 2 or has_bucket:
+                return None
+            wk, wv = _literal_of(head[1][0])
+            if head[1][1].strip().split(".")[-1].strip() != balias:
+                return None
+            grain = int(wv) if wk == "int" else str(wv)
+            has_bucket = True
+            sel.append(("b", alias or balias, None))
+        else:
+            name = expr.strip().split(".")[-1].strip()
+            if not re.fullmatch(r"[A-Za-z_]\w*", name):
+                return None
+            if name == balias and not has_bucket:
+                has_bucket = True
+                sel.append(("b", alias or name, None))
+            elif name in groups:
+                sel.append(("g", alias or name, name))
+            else:
+                return None
+    if not n_acc:
+        return None
+    if not _group_by_matches_select_keys(cl, sel, balias, grain):
+        return None
+    want_groups = [p for k, _a, p in sel if k == "g"]
+    eff_grain = grain if has_bucket else "all"
+    try:
+        cagg = ts.get_cagg(frm)
+        served = getattr(cagg, _PARTIAL_METHOD[family])(
+            part_col, grain=eff_grain, group_by=want_groups
+        )
+    except (KeyError, ValueError):
+        return None
+    cols = []
+    for kind, out_alias, payload in sel:
+        if kind == "b":
+            cols.append(F.col(balias).alias(out_alias))
+        elif kind == "g":
+            cols.append(F.col(payload).alias(out_alias))
+        else:
+            cols.append(F.col(payload).alias(out_alias))
+    return served.select(*cols)
 
 
 def ts_sql(ts, query: str) -> DataFrame:
@@ -1584,6 +1751,9 @@ def ts_sql(ts, query: str) -> DataFrame:
     sketchq = _try_sketch_quantiles(ts, q)
     if sketchq is not None:
         return sketchq
+    partialq = _try_partial_accessors(ts, q)
+    if partialq is not None:
+        return partialq
     q, views = _register_views(ts, q)
     try:
         if re.search(r"\btime_bucket_gapfill\b", _strip_strings(q), re.I):
