@@ -327,12 +327,41 @@ class ContinuousAggregate:
         taken = set(aggs) | set(group_by) | {bucket_alias} | set(
             sketches or {}
         )
+        def _check_rollup(kind_key: str, col: str, spec: dict) -> dict:
+            # hierarchical child over a parent's stored partials
+            # (cagg_on_cagg.sql × the toolkit rollup idiom): the child
+            # bucket's state is the ordered/commutative merge of the
+            # parent's states — inherits the parent spec's method so
+            # serving uses the same interpolation
+            prow = cat.continuous_agg.find_one(mat_table=hypertable.name)
+            pspec = ((prow or {}).get(kind_key) or {}).get(
+                spec["rollup_of"]
+            )
+            if pspec is None:
+                raise ValueError(
+                    f"rollup_of={spec['rollup_of']!r}: the source "
+                    f"hypertable is not a cagg mat table with a "
+                    f"{kind_key} column of that name"
+                )
+            out = dict(spec)
+            if kind_key == "time_weights" and "method" not in out:
+                out["method"] = pspec.get("method", "locf")
+            return out
+
+        kind_keys = {
+            "counter": "counters",
+            "gauge": "gauges",
+            "stats": "stats_aggs",
+            "time_weight": "time_weights",
+        }
+        norm_families: dict[str, dict] = {}
         for kind, d in (
             ("counter", counters),
             ("gauge", gauges),
             ("stats", stats_aggs),
             ("time_weight", time_weights),
         ):
+            normd: dict[str, dict] = {}
             for col, spec in (d or {}).items():
                 if col in taken:
                     raise ValueError(
@@ -340,9 +369,13 @@ class ContinuousAggregate:
                         f"output column"
                     )
                 taken.add(col)
-                if "value" not in spec:
+                if "rollup_of" in spec:
+                    spec = _check_rollup(kind_keys[kind], col, spec)
+                elif "value" not in spec:
                     raise ValueError(
-                        f"{kind} partial {col!r} needs a 'value' expression"
+                        f"{kind} partial {col!r} needs a 'value' "
+                        f"expression (or 'rollup_of' for a hierarchical "
+                        f"rollup)"
                     )
                 if kind == "time_weight":
                     method = str(spec.get("method", "locf")).lower()
@@ -351,6 +384,13 @@ class ContinuousAggregate:
                             f"time_weight {col!r}: method must be 'locf' "
                             f"or 'linear', got {spec.get('method')!r}"
                         )
+                normd[col] = spec
+            norm_families[kind_keys[kind]] = normd or None
+        counters = norm_families["counters"]
+        gauges = norm_families["gauges"]
+        stats_aggs = norm_families["stats_aggs"]
+        time_weights = norm_families["time_weights"]
+        norm_c: dict[str, dict] = {}
         for col, spec in (candlesticks or {}).items():
             if col in taken:
                 raise ValueError(
@@ -358,11 +398,15 @@ class ContinuousAggregate:
                     f"output column"
                 )
             taken.add(col)
-            if "price" not in spec:
+            if "rollup_of" in spec:
+                spec = _check_rollup("candlesticks", col, spec)
+            elif "price" not in spec:
                 raise ValueError(
                     f"candlestick partial {col!r} needs a 'price' "
-                    f"expression"
+                    f"expression (or 'rollup_of')"
                 )
+            norm_c[col] = spec
+        candlesticks = norm_c or None
         if isinstance(bucket_width, int):
             # integer time dimension: width in raw internal units
             from .functions.time import Interval
@@ -676,6 +720,8 @@ class ContinuousAggregate:
         here — merging adjacent partials adds exactly one boundary step
         (``counter_at_grain``), which is what makes any-grain serving
         equal to ``counter_agg`` over the raw rows of that grain."""
+        if spec.get("rollup_of"):
+            return self._merge_counter_states(raw, col, spec["rollup_of"])
         from pyspark.sql import Window
 
         balias = self.row["bucket_alias"]
@@ -900,6 +946,8 @@ class ContinuousAggregate:
         the last) so idelta/irate survive the rollup — a single-sample
         bucket's step comes from the previous bucket's last value at
         merge time."""
+        if spec.get("rollup_of"):
+            return self._merge_gauge_states(raw, col, spec["rollup_of"])
         from pyspark.sql import Window
 
         balias = self.row["bucket_alias"]
@@ -1051,6 +1099,8 @@ class ContinuousAggregate:
         ``struct(n, s, s2, mn, mx)`` — raw moments, the classical
         parallel-aggregation decomposition (also how Spark's own
         partial aggregates merge)."""
+        if spec.get("rollup_of"):
+            return self._merge_stats_states(raw, col, spec["rollup_of"])
         v = F.expr(spec["value"]).cast("double")
         # strict NULL semantics: the moments already skip NULLs (count/
         # sum/min/max are null-skipping); an all-NULL group's state is
@@ -1141,6 +1191,13 @@ class ContinuousAggregate:
         analog)."""
         from pyspark.sql import Window
 
+        if spec.get("rollup_of"):
+            return self._merge_timeweight_states(
+                raw,
+                col,
+                spec["rollup_of"],
+                str(spec.get("method", "locf")).lower(),
+            )
         balias = self.row["bucket_alias"]
         gb = list(self.row["group_by"])
         tb = list(spec.get("tiebreak") or ())
@@ -1319,6 +1376,10 @@ class ContinuousAggregate:
         raw-scan analog); every field merges losslessly across
         adjacent buckets, making :meth:`candlestick_at_grain` exact at
         any grain. Strict NULL semantics: NULL prices are skipped."""
+        if spec.get("rollup_of"):
+            return self._merge_candlestick_states(
+                raw, col, spec["rollup_of"]
+            )
         balias = self.row["bucket_alias"]
         gb = list(self.row["group_by"])
         tb = list(spec.get("tiebreak") or ())
@@ -1421,6 +1482,282 @@ class ContinuousAggregate:
         if grain_all:
             return out
         return out.withColumnRenamed("_tgt", bucket)
+
+    # --------------------------- hierarchical state merges (rollup_of)
+    def _rollup_frame(self, raw: DataFrame, src: str):
+        """(child-bucket, group…, _src, _st) over the PARENT cagg's
+        stored states — the input of every hierarchical merge. ``_src``
+        is the parent bucket in internal µs (the ordering key; parent
+        buckets partition time disjointly). NULL parent states are KEPT
+        and masked downstream so an all-NULL child group still gets a
+        row with a NULL state (strict semantics, like the raw
+        builders)."""
+        balias = self.row["bucket_alias"]
+        gb = list(self.row["group_by"])
+        return (
+            raw.select(
+                self._bucket_expr(raw),
+                *gb,
+                self._raw_time_us(raw).alias("_src"),
+                F.col(src).alias("_st"),
+            ),
+            balias,
+            gb,
+        )
+
+    def _merge_counter_states(
+        self, raw: DataFrame, col: str, src: str
+    ) -> DataFrame:
+        """Child counter state = ordered merge of the parent's states:
+        each adjacent non-null pair contributes ONE reset-adjusted
+        boundary step (the :meth:`counter_at_grain` math, emitted as a
+        STATE struct so the child can itself be rolled up / served at
+        any grain)."""
+        from pyspark.sql import Window
+
+        d, balias, gb = self._rollup_frame(raw, src)
+        st = F.col("_st")
+        w = Window.partitionBy(balias, *gb).orderBy(F.col("_src").asc())
+        wp = w.rowsBetween(Window.unboundedPreceding, -1)
+        prev_last = F.last(
+            F.when(st.isNotNull(), st["last_val"]), ignorenulls=True
+        ).over(wp)
+        bstep = st["first_val"] - prev_last
+        binc = (
+            F.when(st.isNull(), F.lit(None).cast("double"))
+            .when(prev_last.isNull(), F.lit(0.0))
+            .when(bstep < 0, st["first_val"])
+            .otherwise(bstep)
+        )
+        d = d.select(
+            balias,
+            *gb,
+            "_st",
+            binc.alias("_binc"),
+            F.when(st.isNotNull(), (bstep < 0).cast("int")).alias(
+                "_breset"
+            ),
+            F.when(st.isNotNull(), F.col("_src")).alias("_k"),
+        )
+        flat = d.groupBy(balias, *gb).agg(
+            F.count("_st").alias("_f_nn"),
+            F.sum(st["n"]).alias("_f_n"),
+            F.min(st["first_us"]).alias("_f_first_us"),
+            F.max(st["last_us"]).alias("_f_last_us"),
+            F.min_by(st["first_val"], F.col("_k")).alias("_f_first_val"),
+            F.max_by(st["last_val"], F.col("_k")).alias("_f_last_val"),
+            (
+                F.sum(st["delta"])
+                + F.coalesce(F.sum("_binc"), F.lit(0.0))
+            ).alias("_f_delta"),
+            (
+                F.sum(st["num_resets"])
+                + F.coalesce(F.sum("_breset"), F.lit(0))
+            ).alias("_f_resets"),
+        )
+        return flat.select(
+            balias,
+            *gb,
+            F.when(
+                F.col("_f_nn") > 0,
+                F.struct(
+                    F.col("_f_n").alias("n"),
+                    F.col("_f_first_us").alias("first_us"),
+                    F.col("_f_last_us").alias("last_us"),
+                    F.col("_f_first_val").alias("first_val"),
+                    F.col("_f_last_val").alias("last_val"),
+                    F.col("_f_delta").alias("delta"),
+                    F.col("_f_resets").alias("num_resets"),
+                ),
+            ).alias(col),
+        )
+
+    def _merge_gauge_states(
+        self, raw: DataFrame, col: str, src: str
+    ) -> DataFrame:
+        """Child gauge state: bookends merge by earliest/latest parent;
+        the merged last step falls back to the boundary step into the
+        last parent when that parent holds a single sample — exactly
+        :meth:`gauge_at_grain`'s candidates, stored as a state."""
+        from pyspark.sql import Window
+
+        d, balias, gb = self._rollup_frame(raw, src)
+        st = F.col("_st")
+        w = Window.partitionBy(balias, *gb).orderBy(F.col("_src").asc())
+        wp = w.rowsBetween(Window.unboundedPreceding, -1)
+        prev_last_val = F.last(
+            F.when(st.isNotNull(), st["last_val"]), ignorenulls=True
+        ).over(wp)
+        prev_last_us = F.last(
+            F.when(st.isNotNull(), st["last_us"]), ignorenulls=True
+        ).over(wp)
+        cand_step = F.coalesce(
+            st["last_step"], st["first_val"] - prev_last_val
+        )
+        cand_prev = F.coalesce(st["last_prev_us"], prev_last_us)
+        d = d.select(
+            balias,
+            *gb,
+            "_st",
+            cand_step.alias("_cs"),
+            cand_prev.alias("_cp"),
+            F.when(st.isNotNull(), F.col("_src")).alias("_k"),
+        )
+        flat = d.groupBy(balias, *gb).agg(
+            F.count("_st").alias("_f_nn"),
+            F.sum(st["n"]).alias("_f_n"),
+            F.min(st["first_us"]).alias("_f_first_us"),
+            F.max(st["last_us"]).alias("_f_last_us"),
+            F.min_by(st["first_val"], F.col("_k")).alias("_f_first_val"),
+            F.max_by(st["last_val"], F.col("_k")).alias("_f_last_val"),
+            F.max_by(F.col("_cs"), F.col("_k")).alias("_f_last_step"),
+            F.max_by(F.col("_cp"), F.col("_k")).alias("_f_last_prev"),
+        )
+        return flat.select(
+            balias,
+            *gb,
+            F.when(
+                F.col("_f_nn") > 0,
+                F.struct(
+                    F.col("_f_n").alias("n"),
+                    F.col("_f_first_us").alias("first_us"),
+                    F.col("_f_last_us").alias("last_us"),
+                    F.col("_f_first_val").alias("first_val"),
+                    F.col("_f_last_val").alias("last_val"),
+                    F.col("_f_last_step").alias("last_step"),
+                    F.col("_f_last_prev").alias("last_prev_us"),
+                ),
+            ).alias(col),
+        )
+
+    def _merge_stats_states(
+        self, raw: DataFrame, col: str, src: str
+    ) -> DataFrame:
+        """Child stats state: fieldwise add/min/max — moments merge
+        commutatively (the classical parallel decomposition)."""
+        d, balias, gb = self._rollup_frame(raw, src)
+        st = F.col("_st")
+        flat = d.groupBy(balias, *gb).agg(
+            F.count("_st").alias("_f_nn"),
+            F.sum(st["n"]).alias("_f_n"),
+            F.sum(st["s"]).alias("_f_s"),
+            F.sum(st["s2"]).alias("_f_s2"),
+            F.min(st["mn"]).alias("_f_mn"),
+            F.max(st["mx"]).alias("_f_mx"),
+        )
+        return flat.select(
+            balias,
+            *gb,
+            F.when(
+                F.col("_f_nn") > 0,
+                F.struct(
+                    F.col("_f_n").alias("n"),
+                    F.col("_f_s").alias("s"),
+                    F.col("_f_s2").alias("s2"),
+                    F.col("_f_mn").alias("mn"),
+                    F.col("_f_mx").alias("mx"),
+                ),
+            ).alias(col),
+        )
+
+    def _merge_timeweight_states(
+        self, raw: DataFrame, col: str, src: str, method: str
+    ) -> DataFrame:
+        """Child time-weight state: Σ parent integrals + one
+        interpolated boundary segment per adjacent non-null pair (the
+        :meth:`time_weighted_at_grain` merge, stored as a state)."""
+        from pyspark.sql import Window
+
+        d, balias, gb = self._rollup_frame(raw, src)
+        st = F.col("_st")
+        w = Window.partitionBy(balias, *gb).orderBy(F.col("_src").asc())
+        wp = w.rowsBetween(Window.unboundedPreceding, -1)
+        prev_last_val = F.last(
+            F.when(st.isNotNull(), st["last_val"]), ignorenulls=True
+        ).over(wp)
+        prev_last_us = F.last(
+            F.when(st.isNotNull(), st["last_us"]), ignorenulls=True
+        ).over(wp)
+        bdt = (st["first_us"] - prev_last_us).cast("double")
+        if method == "linear":
+            bseg = (prev_last_val + st["first_val"]) / F.lit(2.0) * bdt
+        else:
+            bseg = prev_last_val * bdt
+        d = d.select(
+            balias,
+            *gb,
+            "_st",
+            F.when(st.isNotNull(), F.coalesce(bseg, F.lit(0.0))).alias(
+                "_bseg"
+            ),
+            F.when(st.isNotNull(), F.col("_src")).alias("_k"),
+        )
+        flat = d.groupBy(balias, *gb).agg(
+            F.count("_st").alias("_f_nn"),
+            F.sum(st["n"]).alias("_f_n"),
+            F.min(st["first_us"]).alias("_f_first_us"),
+            F.max(st["last_us"]).alias("_f_last_us"),
+            F.min_by(st["first_val"], F.col("_k")).alias("_f_first_val"),
+            F.max_by(st["last_val"], F.col("_k")).alias("_f_last_val"),
+            (
+                F.sum(st["integral"])
+                + F.coalesce(F.sum("_bseg"), F.lit(0.0))
+            ).alias("_f_integral"),
+        )
+        return flat.select(
+            balias,
+            *gb,
+            F.when(
+                F.col("_f_nn") > 0,
+                F.struct(
+                    F.col("_f_n").alias("n"),
+                    F.col("_f_first_us").alias("first_us"),
+                    F.col("_f_last_us").alias("last_us"),
+                    F.col("_f_first_val").alias("first_val"),
+                    F.col("_f_last_val").alias("last_val"),
+                    F.col("_f_integral").alias("integral"),
+                ),
+            ).alias(col),
+        )
+
+    def _merge_candlestick_states(
+        self, raw: DataFrame, col: str, src: str
+    ) -> DataFrame:
+        """Child OHLC state: open/close by earliest/latest parent
+        sample time (unique within a child bucket — parents partition
+        time), the rest fieldwise."""
+        d, balias, gb = self._rollup_frame(raw, src)
+        st = F.col("_st")
+        flat = d.groupBy(balias, *gb).agg(
+            F.count("_st").alias("_f_nn"),
+            F.sum(st["n"]).alias("_f_n"),
+            F.min(st["first_us"]).alias("_f_first_us"),
+            F.max(st["last_us"]).alias("_f_last_us"),
+            F.min_by(st["open"], st["first_us"]).alias("_f_open"),
+            F.max(st["high"]).alias("_f_high"),
+            F.min(st["low"]).alias("_f_low"),
+            F.max_by(st["close"], st["last_us"]).alias("_f_close"),
+            F.sum(st["volume"]).alias("_f_volume"),
+            F.sum(st["pv"]).alias("_f_pv"),
+        )
+        return flat.select(
+            balias,
+            *gb,
+            F.when(
+                F.col("_f_nn") > 0,
+                F.struct(
+                    F.col("_f_n").alias("n"),
+                    F.col("_f_first_us").alias("first_us"),
+                    F.col("_f_last_us").alias("last_us"),
+                    F.col("_f_open").alias("open"),
+                    F.col("_f_high").alias("high"),
+                    F.col("_f_low").alias("low"),
+                    F.col("_f_close").alias("close"),
+                    F.col("_f_volume").alias("volume"),
+                    F.col("_f_pv").alias("pv"),
+                ),
+            ).alias(col),
+        )
 
     def _require_full_group_by(self, group_by, kind: str) -> None:
         """Counter/gauge partials are only mergeable WITHIN one series:

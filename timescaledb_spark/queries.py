@@ -1273,6 +1273,73 @@ def q_cagg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cagg_hier_counter",
+    """
+    WITH s AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+             event_type,
+             floor(value * 1000000 + 0.5) AS v, ts, event_id
+      FROM events
+    ), st AS (
+      SELECT bucket, event_type, v,
+             lag(v) OVER (
+               PARTITION BY bucket, event_type ORDER BY ts, event_id
+             ) AS prev
+      FROM s
+    )
+    SELECT bucket, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(CASE WHEN prev IS NULL THEN 0
+                    WHEN v < prev THEN v ELSE v - prev END) AS delta,
+           CAST(sum(CASE WHEN v < prev THEN 1 ELSE 0 END) AS BIGINT)
+             AS num_resets
+    FROM st GROUP BY 1, 2
+    """,
+)
+def q_cagg_hier_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical counter cagg (round 11; cagg-on-cagg × the toolkit
+    rollup idiom): a DAILY child cagg stores ORDERED MERGES of the
+    hourly parent's counter states — each adjacent parent pair adds one
+    reset-adjusted boundary step, so the child's stored states (and
+    anything served from them) are IDENTICAL to counter partials built
+    from the raw rows at day grain; the oracle replays exactly that
+    decomposition. Two refresh generations, zero raw rescans in the
+    child's refresh (it reads only the parent's mat table)."""
+    import tempfile
+
+    from .session import TSSession
+
+    root = tempfile.mkdtemp(prefix="ts_cagg_hierc_")
+    ts = TSSession(spark, root)
+    ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "cv", F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("double")
+    )
+    ht.insert(ev)
+    hourly = ts.create_cagg(
+        "qhc_h",
+        ht,
+        bucket_width="1 hour",
+        aggs={},
+        group_by=["event_type"],
+        counters={"cnt": {"value": "cv", "tiebreak": ["event_id"]}},
+    )
+    hourly.refresh()
+    daily = ts.create_cagg(
+        "qhc_d",
+        "_mat_qhc_h",
+        bucket_width="1 day",
+        aggs={},
+        group_by=["event_type"],
+        counters={"cnt_d": {"rollup_of": "cnt"}},
+    )
+    daily.refresh()
+    return daily.counter_at_grain("cnt_d", realtime=False).select(
+        "bucket", "event_type", "n", "delta", "num_resets"
+    )
+
+
+@query(
     "q_cagg_timeweight",
     """
     WITH s AS (

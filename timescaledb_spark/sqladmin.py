@@ -1571,6 +1571,7 @@ def run_create_cagg(ts, m) -> DataFrame:
     stats_aggs: dict[str, dict] = {}
     time_weights: dict[str, dict] = {}
     candlesticks: dict[str, dict] = {}
+    rollups: dict[str, str] = {}  # alias -> parent partial column
     partial_time_args: list[tuple[str, str, str]] = []
     for item in items:
         expr, alias = _alias_of(item)
@@ -1670,10 +1671,12 @@ def run_create_cagg(ts, m) -> DataFrame:
                     "value": _rw(args[2].strip(), ts),
                     "alpha": float(args[1]),
                 }
-            else:  # rollup
+            else:  # rollup — family resolved against the parent cagg
+                # after the FROM clause is known (sketch kept as the
+                # fallback for pre-r11 compatibility)
                 if len(args) != 1:
-                    raise ValueError("rollup(sketch_column)")
-                sketches[alias] = {"rollup_of": args[0].strip().split(".")[-1]}
+                    raise ValueError("rollup(partial_column)")
+                rollups[alias] = args[0].strip().split(".")[-1]
             continue
         head = _head_call(expr, {"time_bucket"})
         if head:
@@ -1781,6 +1784,29 @@ def run_create_cagg(ts, m) -> DataFrame:
         if crow is None:
             raise
         ht = ts.get_hypertable(crow["mat_table"])
+    if rollups:
+        # route each rollup(col) to the family the PARENT cagg stores
+        # that column under (sketch fallback keeps pre-r11 behavior for
+        # hll-in-aggs parents)
+        prow = ts.catalog.continuous_agg.find_one(mat_table=ht.name) or {}
+        fam_dicts = {
+            "sketches": sketches,
+            "counters": counters,
+            "gauges": gauges,
+            "stats_aggs": stats_aggs,
+            "time_weights": time_weights,
+            "candlesticks": candlesticks,
+        }
+        for alias, src_col in rollups.items():
+            fam = next(
+                (
+                    f
+                    for f in fam_dicts
+                    if src_col in (prow.get(f) or {})
+                ),
+                "sketches",
+            )
+            fam_dicts[fam][alias] = {"rollup_of": src_col}
     cagg = ts.create_cagg(
         name,
         ht,
