@@ -80,6 +80,23 @@ def main() -> None:
         end_offset=None,
         schedule_interval=15,
     )
+    # round 11: a policy-driven TIME-WEIGHT + CANDLESTICK cagg soaks
+    # alongside — within-bucket window states must refresh O(dirty) and
+    # whole-table serving from the states must stay flat
+    ts.create_cagg(
+        "soak_twc",
+        "soak",
+        bucket_width="30 seconds",
+        aggs={},
+        time_weights={"tw": {"value": "v", "tiebreak": ["k"]}},
+        candlesticks={"ohlc": {"price": "v"}},
+    )
+    ts.jobs.add_continuous_aggregate_policy(
+        "soak_twc",
+        start_offset=None,
+        end_offset=None,
+        schedule_interval=15,
+    )
 
     # ingest stream: rate source mapped onto the hypertable schema —
     # event time = wall clock, so new 30s chunks appear continuously
@@ -150,6 +167,20 @@ def main() -> None:
         )
         tick["sketch_p95_s"] = round(time.perf_counter() - t0, 2)
         tick["sketch_p95"] = p[0]["p95"] if p else None
+        # whole-table time-weighted average from stored partials —
+        # same flatness contract as the sketch serve
+        t0 = time.perf_counter()
+        tw = (
+            ts.get_cagg("soak_twc")
+            .time_weighted_at_grain("tw", grain="all", realtime=False)
+            .collect()
+        )
+        tick["tw_serve_s"] = round(time.perf_counter() - t0, 2)
+        tick["tw_avg"] = (
+            round(tw[0]["tw_avg"], 3)
+            if tw and tw[0]["tw_avg"] is not None
+            else None
+        )
         samples.append(tick)
 
     ingest_q.stop()
@@ -167,6 +198,11 @@ def main() -> None:
     ).collect()[0]
     out["soak_sketch_mat_rows"] = srow["rows"]
     out["soak_sketch_max_entries_per_state"] = srow["max_entries"]
+    # tw/candle mat boundedness: exactly one fixed-size state row per
+    # bucket regardless of raw row count
+    out["soak_twc_mat_rows"] = (
+        ts.get_cagg("soak_twc").read(realtime=False).count()
+    )
 
     state_series = [s["state_rows"] for s in samples if s.get("state_rows")]
     cache_series = [s["cached_rdds"] for s in samples]

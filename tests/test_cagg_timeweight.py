@@ -151,6 +151,77 @@ class TestTimeWeightCagg:
             )
 
 
+class TestInterpolatedServe:
+    def test_empty_gap_bucket_filled(self, spark):
+        """A value set before an empty day carries into it — the
+        defining interpolated_average behavior per-bucket time_weight
+        gets wrong."""
+        rows = [
+            (_ts(1, 6, 0), "a", 10.0),
+            (_ts(3, 6, 0), "a", 30.0),  # day 2 has NO samples
+        ]
+        _, _, cagg = _mk_manual(
+            spark, rows, time_weights={"tw": {"value": "v"}}
+        )
+        out = {
+            r["bucket"].day: r["tw_avg"]
+            for r in cagg.interpolated_average_at_grain(
+                grain="1 day"
+            ).collect()
+        }
+        assert set(out) == {1, 2, 3}
+        assert out[1] == pytest.approx(10.0)   # 10 holds from 06:00
+        assert out[2] == pytest.approx(10.0)   # carried across the gap
+        assert out[3] == pytest.approx(10.0)   # until 06:00, then ends
+
+    def test_matches_raw_interpolated_average(self, spark, sf_dir):
+        from timescaledb_spark.functions.counters import (
+            interpolated_average,
+        )
+
+        ts = TSSession(spark, tempfile.mkdtemp(prefix="ts_twi_"))
+        ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "qv", F.floor(F.col("value")).cast("double")
+        )
+        ht.insert(ev)
+        cagg = ts.create_cagg(
+            "twi", ht, bucket_width="1 hour", aggs={},
+            group_by=["event_type"],
+            time_weights={"tw": {"value": "qv", "tiebreak": ["event_id"]}},
+        )
+        cagg.refresh()
+        got = {
+            (r["bucket"], r["event_type"]): r["tw_avg"]
+            for r in cagg.interpolated_average_at_grain(
+                grain="1 day"
+            ).collect()
+        }
+        want = {
+            (r["bucket"], r["event_type"]): r["tw_avg"]
+            for r in interpolated_average(
+                ev, "1 day", "ts", "qv", by=["event_type"],
+                tiebreak=["event_id"],
+            ).collect()
+        }
+        assert set(got) == set(want)
+        # integer-quantized values: both sides sum the same exact-int
+        # product set, so equality is bitwise
+        for k in want:
+            assert got[k] == want[k], k
+
+    def test_non_nesting_grain_rejected(self, spark):
+        _, _, cagg = _mk_manual(
+            spark,
+            [(_ts(1, 0), "a", 1.0)],
+            time_weights={"tw": {"value": "v"}},
+        )
+        with pytest.raises(ValueError, match="multiple"):
+            cagg.interpolated_average_at_grain(grain="90 minutes")
+        with pytest.raises(ValueError, match="grain"):
+            cagg.interpolated_average_at_grain()
+
+
 class TestSQLCreate:
     def test_cmv_time_weight_and_candlestick(self, spark):
         """SQL CREATE MATERIALIZED VIEW with time_weight('LOCF', ts, v)

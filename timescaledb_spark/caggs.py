@@ -1269,6 +1269,157 @@ class ContinuousAggregate:
             ).alias(col),
         )
 
+    def interpolated_average_at_grain(
+        self,
+        tw_col: Optional[str] = None,
+        grain=None,
+        realtime: Optional[bool] = None,
+    ) -> DataFrame:
+        """Serve the toolkit ``interpolated_average(rollup(
+        time_weight(...)), start, width, prev, next)`` idiom from the
+        stored partials: each group's samples define ONE global LOCF
+        step function; each target bucket's average is the integral of
+        that step function over the bucket divided by the covered
+        duration — so a value set before an EMPTY bucket still fills
+        it, and a segment crossing a bucket edge splits its weight
+        between both buckets (what per-bucket time_weight gets wrong;
+        semantics of functions/counters.py:interpolated_average, which
+        is the raw-scan analog).
+
+        From the partials this is exact with zero raw rescans below
+        the watermark: within-parent integrals land in their parent's
+        target bucket, and each boundary segment (prev parent's last
+        sample → next parent's first) explodes over the target buckets
+        it overlaps with exact int64-µs overlap arithmetic — the same
+        product set as the raw computation, regrouped, so sums match
+        bit-for-bit when values are integer-quantized. Target ``grain``
+        must be a multiple of the cagg's bucket width (parents must
+        nest). LOCF partials only.
+
+        Output: ``(bucket, group…, tw_avg)`` — one row per target
+        bucket the step function overlaps, empty-gap buckets included.
+        """
+        from pyspark.sql import Window
+
+        from .functions.time import parse_interval
+
+        tws = self.row.get("time_weights") or {}
+        if not tws:
+            raise ValueError(
+                f"cagg {self.name!r} has no time_weight columns"
+            )
+        if tw_col is None:
+            if len(tws) > 1:
+                raise ValueError(
+                    f"cagg {self.name!r} has several time_weights "
+                    f"{sorted(tws)}; pass tw_col"
+                )
+            tw_col = next(iter(tws))
+        if tw_col not in tws:
+            raise KeyError(f"no time_weight column {tw_col!r}")
+        if str(tws[tw_col].get("method", "locf")).lower() != "locf":
+            raise ValueError(
+                "interpolated_average_at_grain needs a LOCF time_weight "
+                "(linear interpolation across gaps is interpolated_delta "
+                "territory)"
+            )
+        if grain is None:
+            raise ValueError(
+                "interpolated_average_at_grain needs an explicit grain"
+            )
+        if self.row["time_is_timestamp"]:
+            iv = parse_interval(grain)
+            if iv.months:
+                raise ValueError("needs a fixed-width grain")
+            width = iv.us
+        else:
+            width = int(grain)
+        pw = int(self.row["bucket_width_us"])
+        if self.row.get("bucket_width_months") or width % pw != 0:
+            raise ValueError(
+                "grain must be an integer multiple of the cagg's "
+                "fixed bucket width (parent buckets must nest)"
+            )
+        gb = list(self.row["group_by"])
+        bucket = self.row["bucket_alias"]
+        df = self.read(realtime=realtime)
+        if self.row["time_is_timestamp"]:
+            src_us = F.unix_micros(F.col(bucket).cast("timestamp"))
+        else:
+            src_us = F.col(bucket).cast("long")
+        base = df.select(
+            *gb,
+            src_us.alias("_src"),
+            F.col(tw_col).alias("_st"),
+        ).filter(F.col("_st").isNotNull())
+        st = F.col("_st")
+        w = Window.partitionBy(*gb).orderBy(F.col("_src").asc())
+        prev_last_us = F.lag(st["last_us"]).over(w)
+        prev_last_val = F.lag(st["last_val"]).over(w)
+        seg = base.select(
+            *gb,
+            st.alias("_st"),
+            prev_last_us.alias("_pt"),
+            prev_last_val.alias("_pv"),
+        )
+        wl = F.lit(width).cast("long")
+        # within-parent piece: the stored integral, covering
+        # [first_us, last_us] — one target bucket (parents nest)
+        within = seg.select(
+            *gb,
+            (F.expr(f"(_st.first_us DIV {width}) * {width}")).alias("_b"),
+            st["integral"].alias("_num"),
+            (st["last_us"] - st["first_us"]).cast("double").alias("_den"),
+        )
+        # boundary piece: LOCF segment [prev.last_us, first_us) at the
+        # previous parent's last value, exploded over the target
+        # buckets it overlaps (bounded by gap span / width)
+        bnd = seg.filter(
+            F.col("_pt").isNotNull() & (st["first_us"] > F.col("_pt"))
+        ).select(
+            *gb,
+            F.col("_pt").alias("_t1"),
+            st["first_us"].alias("_t2"),
+            F.col("_pv").alias("_v"),
+        )
+        b0 = F.expr(f"(_t1 DIV {width}) * {width}")
+        b1 = F.expr(f"((_t2 - 1) DIV {width}) * {width}")
+        ex = bnd.select(
+            *gb,
+            "_t1",
+            "_t2",
+            "_v",
+            F.explode(F.sequence(b0, b1, wl)).alias("_b"),
+        )
+        overlap = F.least(F.col("_t2"), F.col("_b") + wl) - F.greatest(
+            F.col("_t1"), F.col("_b")
+        )
+        pieces = within.unionByName(
+            ex.select(
+                *gb,
+                "_b",
+                (F.col("_v") * overlap.cast("double")).alias("_num"),
+                overlap.cast("double").alias("_den"),
+            )
+        )
+        out = (
+            pieces.groupBy(*gb, "_b")
+            .agg(
+                F.sum("_num").alias("_num"),
+                F.sum("_den").alias("_den"),
+            )
+            .filter(F.col("_den") > 0)
+        )
+        if self.row["time_is_timestamp"]:
+            bcol = F.timestamp_micros(F.col("_b")).alias(bucket)
+        else:
+            bcol = F.col("_b").alias(bucket)
+        return out.select(
+            bcol,
+            *gb,
+            (F.col("_num") / F.col("_den")).alias("tw_avg"),
+        )
+
     def time_weighted_at_grain(
         self,
         tw_col: Optional[str] = None,

@@ -1406,6 +1406,69 @@ def q_cagg_timeweight(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cagg_interpolated",
+    """
+    WITH seg AS (
+      SELECT event_type, epoch_us(ts) AS us, floor(value) AS v,
+             lead(epoch_us(ts)) OVER w AS nxt
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ), s2 AS (
+      SELECT * FROM seg WHERE nxt > us
+    ), ex AS (
+      SELECT event_type, us, v, nxt,
+             unnest(range((us // 86400000000) * 86400000000,
+                          ((nxt - 1) // 86400000000) * 86400000000 + 1,
+                          86400000000)) AS b
+      FROM s2
+    )
+    SELECT make_timestamp(b) AS bucket, event_type,
+           sum(v * CAST(least(nxt, b + 86400000000) - greatest(us, b)
+                        AS DOUBLE))
+             / sum(CAST(least(nxt, b + 86400000000) - greatest(us, b)
+                        AS DOUBLE)) AS tw_avg
+    FROM ex GROUP BY 1, 2
+    """,
+)
+def q_cagg_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated average SERVED FROM STORED PARTIALS (round 11; the
+    toolkit ``interpolated_average(rollup(time_weight(...)))`` idiom):
+    the hourly cagg's time-weight states merge into DAILY averages of
+    the group's ONE global LOCF step function — a value carried across
+    a day boundary (or across an entirely empty day) fills the next
+    bucket, which per-bucket time_weight cannot do. Half-materialized
+    range exercises the realtime union; each boundary segment explodes
+    over the day buckets it overlaps with exact int64-µs arithmetic,
+    so the regrouped product sums match the oracle's flat replay
+    bit-for-bit (integer-quantized values)."""
+    import tempfile
+
+    from .session import TSSession
+
+    root = tempfile.mkdtemp(prefix="ts_cagg_itw_")
+    ts = TSSession(spark, root)
+    ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "qv", F.floor(F.col("value")).cast("double")
+    )
+    ht.insert(ev)
+    cagg = ts.create_cagg(
+        "qitw",
+        ht,
+        bucket_width="1 hour",
+        aggs={},
+        group_by=["event_type"],
+        time_weights={"tw": {"value": "qv", "tiebreak": ["event_id"]}},
+    )
+    lo = min(c["range_start"] for c in ht.chunks())
+    hi = max(c["range_end"] for c in ht.chunks())
+    cagg.refresh(start=lo, end=lo + (hi - lo) // 2)
+    return cagg.interpolated_average_at_grain(
+        grain="1 day", realtime=True
+    ).select("bucket", "event_type", "tw_avg")
+
+
+@query(
     "q_cagg_candle",
     """
     WITH s AS (
