@@ -104,6 +104,68 @@ class TestSubstringDedup:
         # actually exercise the flag path
         assert any(not v[3] for v in got.values())
 
+    def test_trim_removes_exact_span(self, spark):
+        shared = "0123456789" * 4  # 40 chars
+        rows = [
+            (1, "AAAA" + shared + "BBBB"),
+            (2, "CCCC" + shared + "DDDD"),
+        ]
+        out = {
+            r["doc_id"]: r
+            for r in dedup.substring_dedup_trim(
+                _docs(spark, rows), length=30
+            ).collect()
+        }
+        # doc 1 keeps everything (first occurrence)
+        assert out[1]["clean"] == "AAAA" + shared + "BBBB"
+        assert out[1]["n_spans"] == 0
+        # doc 2 loses exactly the shared 40 chars
+        assert out[2]["clean"] == "CCCC" + "DDDD"
+        assert out[2]["n_chars_removed"] == 40
+        assert out[2]["n_spans"] == 1
+
+    def test_trim_multiple_islands_and_whole_doc(self, spark):
+        a = "a" * 35
+        b = "b" * 35
+        rows = [
+            (1, a + "-SEP-" + b),
+            (2, a + "=====" + b),  # two separate islands removed
+            (3, a),               # whole doc is a duplicate span
+        ]
+        out = {
+            r["doc_id"]: r
+            for r in dedup.substring_dedup_trim(
+                _docs(spark, rows), length=30
+            ).collect()
+        }
+        assert out[2]["clean"] == "====="
+        assert out[2]["n_spans"] == 2
+        assert out[2]["n_chars_removed"] == 70
+        assert out[3]["clean"] == ""
+        assert out[3]["n_chars_removed"] == 35
+
+    def test_trim_oracle_parity_sf(self, spark, sf_dir, duck):
+        got = {}
+        for r in dedup.substring_dedup_trim(
+            load_table(spark, sf_dir, "documents"), length=30
+        ).collect():
+            import hashlib
+
+            got[r["doc_id"]] = (
+                r["n_spans"],
+                r["n_chars_removed"],
+                len(r["clean"]),
+                hashlib.md5(r["clean"].encode()).hexdigest()[:16],
+            )
+        want = {
+            r[0]: (r[1], r[2], r[3], r[4])
+            for r in duck.execute(
+                dedup.substring_dedup_trim_sql(length=30)
+            ).fetchall()
+        }
+        assert got == want
+        assert any(v[0] > 0 for v in got.values())
+
     def test_validation(self, spark):
         with pytest.raises(ValueError):
             dedup.substring_dedup(_docs(spark, [(1, "x")]), length=1)

@@ -1085,6 +1085,233 @@ def substring_dedup(
     )
 
 
+def substring_dedup_trim(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    length: int = 40,
+) -> DataFrame:
+    """Exact-substring TRIM (the full Lee et al. 2022 ExactSubstr
+    behavior): instead of flagging whole documents, remove the
+    duplicated spans themselves — every maximal run of ≥``length``-char
+    windows first seen in an EARLIER document is cut out of the text;
+    the first occurrence (lowest ``(doc_id, position)``) keeps its
+    copy, so exactly one copy of every duplicated span survives the
+    corpus (keep-first at document granularity; a document's internal
+    repeats are not cross-doc duplicates and stay). Stride is fixed at
+    1: span boundaries are exact, not gram-aligned approximations.
+
+    Returns one row per input document:
+    ``(id, n_spans, n_chars_removed, clean)``.
+
+    Scale shape: the flag path's three linear shuffles, plus one
+    window per document (interval merge — partitions are single
+    documents, never corpus-wide) and the per-document reassembly
+    groupBy; kept-segment counts are bounded by ``len/length`` per
+    document. Same class as :func:`line_dedup`'s reassembly."""
+    if length < 2:
+        raise ValueError("substring_dedup_trim needs length >= 2")
+    from pyspark.sql import Window
+
+    base = spread(df.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_t"),
+    )
+    n_starts = F.length("_t") - F.lit(length) + 1
+    pos_seq = F.when(
+        n_starts > 0, F.sequence(F.lit(0), n_starts - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = base.select(
+        F.col(id_col),
+        F.col("_t"),
+        F.explode(pos_seq).alias("pos"),
+    ).select(
+        F.col(id_col),
+        F.col("pos"),
+        h60(F.col("_t").substr(F.col("pos") + 1, F.lit(length))).alias(
+            "gh"
+        ),
+    )
+    keepers = grams.groupBy("gh").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
+        ).alias("k")
+    )
+    dup_pos = (
+        grams.join(keepers, "gh")
+        .filter(F.col("k.d") < F.col(id_col))
+        .select(id_col, "pos")
+    )
+    # merge overlapping/adjacent [pos, pos+L) windows into maximal
+    # islands: a window whose pos exceeds the running max end starts a
+    # new island (per-document partitions — never corpus-wide)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + F.lit(length)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = dup_pos.withColumn(
+        "_new",
+        (prev_max_end.isNull() | (F.col("pos") > prev_max_end)).cast(
+            "long"
+        ),
+    ).withColumn(
+        "_island",
+        F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    islands = marked.groupBy(id_col, "_island").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + F.lit(length)).alias("e"),
+    )
+    # kept segments = complement of the islands: [prev island end,
+    # island start) per island, plus the tail after the last island
+    wi = Window.partitionBy(id_col).orderBy("s")
+    segs = islands.select(
+        id_col,
+        F.coalesce(F.lag("e").over(wi), F.lit(0)).alias("ks"),
+        F.col("s").alias("ke"),
+    )
+    tail = islands.groupBy(id_col).agg(
+        F.max("e").alias("ks"),
+        F.lit(None).cast("long").alias("ke"),  # open end -> to len
+        F.sum(F.col("e") - F.col("s")).alias("_removed"),
+        F.count(F.lit(1)).alias("_nspans"),
+    )
+    pieces = segs.select(id_col, "ks", "ke").unionByName(
+        tail.select(id_col, "ks", "ke")
+    )
+    rebuilt = (
+        pieces.join(base, id_col)
+        .select(
+            id_col,
+            F.col("ks"),
+            F.col("_t")
+            .substr(
+                (F.col("ks") + 1).cast("int"),
+                F.coalesce(
+                    (F.col("ke") - F.col("ks")).cast("int"),
+                    F.length("_t"),
+                ),
+            )
+            .alias("piece"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ks", "piece"))
+                    ),
+                    lambda x: x["piece"],
+                ),
+            ).alias("clean")
+        )
+    )
+    out = (
+        df.select(id_col, F.coalesce(F.col(text_col), F.lit("")).alias("_orig"))
+        .join(tail.select(id_col, "_removed", "_nspans"), id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_nspans"), F.lit(0)).alias("n_spans"),
+            F.coalesce(F.col("_removed"), F.lit(0)).alias(
+                "n_chars_removed"
+            ),
+            F.coalesce(F.col("clean"), F.col("_orig")).alias("clean"),
+        )
+    )
+    return out
+
+
+def substring_dedup_trim_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    length: int = 40,
+) -> str:
+    """DuckDB oracle replaying :func:`substring_dedup_trim` exactly:
+    identical keeper ordering, interval-merge islands via the same
+    running-max window, complement segments + ordered string_agg
+    reassembly. Gate-shaped output (fingerprint + length instead of
+    the full text, the :func:`line_dedup_sql` precedent)."""
+    return f"""
+    WITH base AS (
+      SELECT {id_col}, coalesce({text_col}, '') AS t FROM {table}
+    ), grams AS (
+      SELECT {id_col}, pos, substr(t, pos + 1, {length}) AS g
+      FROM (
+        SELECT {id_col}, t,
+               CAST(length(t) - {length} + 1 AS BIGINT) AS n_starts
+        FROM base
+      ) b,
+      LATERAL (SELECT unnest(range(0, greatest(n_starts, 0))) AS pos) p
+      WHERE n_starts > 0
+    ), dup AS (
+      SELECT {id_col}, pos FROM (
+        SELECT {id_col}, pos,
+               first_value({id_col}) OVER (
+                 PARTITION BY g ORDER BY {id_col}, pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS owner
+        FROM grams
+      ) WHERE owner < {id_col}
+    ), marked AS (
+      SELECT {id_col}, pos,
+             CASE WHEN max(pos + {length}) OVER (
+                    PARTITION BY {id_col} ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) IS NULL
+                  OR pos > max(pos + {length}) OVER (
+                    PARTITION BY {id_col} ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) THEN 1 ELSE 0 END AS new_island
+      FROM dup
+    ), islands AS (
+      SELECT {id_col},
+             sum(new_island) OVER (
+               PARTITION BY {id_col} ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS island, pos
+      FROM marked
+    ), spans AS (
+      SELECT {id_col}, island, min(pos) AS s,
+             max(pos) + {length} AS e
+      FROM islands GROUP BY 1, 2
+    ), pieces AS (
+      SELECT {id_col},
+             coalesce(lag(e) OVER (
+               PARTITION BY {id_col} ORDER BY s), 0) AS ks,
+             s AS ke
+      FROM spans
+      UNION ALL
+      SELECT {id_col}, max(e) AS ks, NULL AS ke
+      FROM spans GROUP BY {id_col}
+    ), rebuilt AS (
+      SELECT p.{id_col},
+             string_agg(
+               substr(b.t, CAST(p.ks + 1 AS INT),
+                      CAST(coalesce(p.ke - p.ks, length(b.t)) AS INT)),
+               '' ORDER BY p.ks) AS clean
+      FROM pieces p JOIN base b USING ({id_col})
+      GROUP BY p.{id_col}
+    ), stats AS (
+      SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(sum(e - s) AS BIGINT) AS n_chars_removed
+      FROM spans GROUP BY {id_col}
+    )
+    SELECT b.{id_col},
+           coalesce(st.n_spans, 0) AS n_spans,
+           coalesce(st.n_chars_removed, 0) AS n_chars_removed,
+           length(coalesce(r.clean, b.t))::INT AS clean_len,
+           substr(md5(coalesce(r.clean, b.t)), 1, 16) AS clean_fp
+    FROM base b
+    LEFT JOIN stats st USING ({id_col})
+    LEFT JOIN rebuilt r USING ({id_col})
+    """
+
+
 def substring_dedup_sql(
     table: str = "documents",
     text_col: str = "text",

@@ -129,6 +129,25 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_dedup_substring_trim", dedup.substring_dedup_trim_sql(length=30))
+def q_dedup_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring TRIM (round 11; the full Lee et al. 2022
+    ExactSubstr behavior): duplicated ≥30-char spans are cut out of
+    later documents — keep-first island merge + complement-segment
+    reassembly; the oracle replays the identical islands and rebuild,
+    compared by fingerprint like q_dedup_lines."""
+    out = dedup.substring_dedup_trim(
+        load_table(spark, sf_dir, "documents"), length=30
+    )
+    return out.select(
+        "doc_id",
+        "n_spans",
+        "n_chars_removed",
+        F.length("clean").cast("int").alias("clean_len"),
+        F.substring(F.md5("clean"), 1, 16).alias("clean_fp"),
+    )
+
+
 @query("q_dedup_embedding", dedup.embedding_dup_pairs_sql())
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (brute-force verification tier)."""
