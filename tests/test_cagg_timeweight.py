@@ -210,6 +210,67 @@ class TestInterpolatedServe:
         for k in want:
             assert got[k] == want[k], k
 
+    def test_interpolated_delta_matches_raw(self, spark, sf_dir):
+        from timescaledb_spark.functions.counters import (
+            interpolated_delta,
+        )
+
+        ts = TSSession(spark, tempfile.mkdtemp(prefix="ts_idl_"))
+        ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "qv", F.floor(F.col("value")).cast("double")
+        )
+        ht.insert(ev)
+        cagg = ts.create_cagg(
+            "idl", ht, bucket_width="1 hour", aggs={},
+            group_by=["event_type"],
+            counters={"cnt": {"value": "qv", "tiebreak": ["event_id"]}},
+        )
+        cagg.refresh()
+        got = {
+            (r["bucket"], r["event_type"]): (r["delta"], r["rate"])
+            for r in cagg.interpolated_delta_at_grain(
+                grain="1 day"
+            ).collect()
+        }
+        want = {
+            (r["bucket"], r["event_type"]): (r["delta"], r["rate"])
+            for r in interpolated_delta(
+                ev, "1 day", "ts", "qv", by=["event_type"],
+                tiebreak=["event_id"],
+            ).collect()
+        }
+        assert set(got) == set(want)
+        for k in want:
+            # within-span pieces telescope to stored deltas and boundary
+            # pieces share the raw formula -> bitwise equal
+            assert got[k][0] == want[k][0], k
+            assert got[k][1] == pytest.approx(want[k][1], rel=1e-12), k
+
+    def test_interpolated_delta_crossing_boundary_splits(self, spark):
+        rows = [
+            (_ts(1, 23, 0), "a", 0.0),
+            (_ts(2, 1, 0), "a", 20.0),  # +20 over 2h straddling midnight
+        ]
+        ts = TSSession(spark, tempfile.mkdtemp(prefix="ts_idl2_"))
+        ht = ts.create_hypertable("m", "ts", chunk_interval="7 days")
+        ht.insert(
+            spark.createDataFrame(rows, "ts timestamp, dev string, v double")
+        )
+        cagg = ts.create_cagg(
+            "c", ht, bucket_width="1 hour", aggs={}, group_by=["dev"],
+            counters={"cnt": {"value": "v"}},
+        )
+        cagg.refresh()
+        out = {
+            r["bucket"].day: r["delta"]
+            for r in cagg.interpolated_delta_at_grain(
+                grain="1 day"
+            ).collect()
+        }
+        assert out[1] == pytest.approx(10.0)
+        assert out[2] == pytest.approx(10.0)
+
     def test_non_nesting_grain_rejected(self, spark):
         _, _, cagg = _mk_manual(
             spark,

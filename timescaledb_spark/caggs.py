@@ -1420,6 +1420,164 @@ class ContinuousAggregate:
             (F.col("_num") / F.col("_den")).alias("tw_avg"),
         )
 
+    def interpolated_delta_at_grain(
+        self,
+        counter_col: Optional[str] = None,
+        grain=None,
+        realtime: Optional[bool] = None,
+    ) -> DataFrame:
+        """Serve the toolkit ``interpolated_delta/interpolated_rate(
+        rollup(counter_agg(...)), start, width, prev, next)`` idiom
+        from the stored counter partials: the reset-adjusted counter is
+        a monotone piecewise-linear function; each target bucket's
+        delta is its interpolated value at the bucket edges (a segment
+        crossing an edge splits its increase between both buckets),
+        rate divides by the covered duration. Exact from partials with
+        zero raw rescans because every target edge (a multiple of the
+        parent width) falls inside a BOUNDARY segment between adjacent
+        partials — never strictly inside a parent's sample span — so
+        the adjusted values at all evaluation points are recoverable
+        from (first/last value+time, delta) alone: within-span pieces
+        telescope to the stored delta, boundary pieces interpolate
+        between exactly-known endpoints (semantics of
+        functions/counters.py:interpolated_delta, the raw-scan analog).
+        Target ``grain`` must be a multiple of the cagg's bucket width.
+
+        Output: ``(bucket, group…, delta, rate)``."""
+        from pyspark.sql import Window
+
+        from .functions.time import parse_interval
+
+        counters = self.row.get("counters") or {}
+        if not counters:
+            raise ValueError(
+                f"cagg {self.name!r} has no counter columns"
+            )
+        if counter_col is None:
+            if len(counters) > 1:
+                raise ValueError(
+                    f"cagg {self.name!r} has several counters "
+                    f"{sorted(counters)}; pass counter_col"
+                )
+            counter_col = next(iter(counters))
+        if counter_col not in counters:
+            raise KeyError(f"no counter column {counter_col!r}")
+        if grain is None:
+            raise ValueError(
+                "interpolated_delta_at_grain needs an explicit grain"
+            )
+        if self.row["time_is_timestamp"]:
+            iv = parse_interval(grain)
+            if iv.months:
+                raise ValueError("needs a fixed-width grain")
+            width = iv.us
+        else:
+            width = int(grain)
+        pw = int(self.row["bucket_width_us"])
+        if self.row.get("bucket_width_months") or width % pw != 0:
+            raise ValueError(
+                "grain must be an integer multiple of the cagg's "
+                "fixed bucket width (parent buckets must nest)"
+            )
+        gb = list(self.row["group_by"])
+        bucket = self.row["bucket_alias"]
+        df = self.read(realtime=realtime)
+        if self.row["time_is_timestamp"]:
+            src_us = F.unix_micros(F.col(bucket).cast("timestamp"))
+        else:
+            src_us = F.col(bucket).cast("long")
+        base = df.select(
+            *gb,
+            src_us.alias("_src"),
+            F.col(counter_col).alias("_st"),
+        ).filter(F.col("_st").isNotNull())
+        st = F.col("_st")
+        w = Window.partitionBy(*gb).orderBy(F.col("_src").asc())
+        prev_last = F.lag(st["last_val"]).over(w)
+        bstep = st["first_val"] - prev_last
+        binc = (
+            F.when(prev_last.isNull(), F.lit(0.0))
+            .when(bstep < 0, st["first_val"])
+            .otherwise(bstep)
+        )
+        knots = base.select(
+            *gb,
+            "_src",
+            st.alias("_st"),
+            binc.alias("_binc"),
+        )
+        wc = Window.partitionBy(*gb).orderBy(F.col("_src").asc())
+        cum_binc = F.sum("_binc").over(
+            wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum_delta_before = F.sum(st["delta"]).over(
+            wc.rowsBetween(Window.unboundedPreceding, -1)
+        )
+        # anchor at the group's first sample VALUE (raw va(sample 1) =
+        # v1): differences would cancel the anchor mathematically, but
+        # the float interpolation below rounds differently under a
+        # constant shift — anchoring reproduces the raw path's adjusted
+        # values exactly (bit-for-bit with integer-quantized inputs)
+        anchor = F.first(st["first_val"]).over(
+            wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        vf = anchor + cum_binc + F.coalesce(cum_delta_before, F.lit(0.0))
+        knots = knots.select(
+            *gb,
+            "_src",
+            st["first_us"].alias("_fu"),
+            st["last_us"].alias("_lu"),
+            vf.alias("_vf"),
+            (vf + st["delta"]).alias("_vl"),
+        )
+        wk = Window.partitionBy(*gb).orderBy(F.col("_src").asc())
+        within = knots.select(
+            *gb,
+            F.col("_fu").alias("_t1"),
+            F.col("_vf").alias("_v1"),
+            F.col("_lu").alias("_t2"),
+            F.col("_vl").alias("_v2"),
+        )
+        boundary = knots.select(
+            *gb,
+            F.lag("_lu").over(wk).alias("_t1"),
+            F.lag("_vl").over(wk).alias("_v1"),
+            F.col("_fu").alias("_t2"),
+            F.col("_vf").alias("_v2"),
+        ).filter(F.col("_t1").isNotNull())
+        seg = within.unionByName(boundary).filter(
+            F.col("_t2") > F.col("_t1")
+        )
+        wl = F.lit(width).cast("long")
+        b0 = F.expr(f"(_t1 DIV {width}) * {width}")
+        b1 = F.expr(f"((_t2 - 1) DIV {width}) * {width}")
+        ex = seg.select(
+            *gb,
+            "_t1",
+            "_v1",
+            "_t2",
+            "_v2",
+            F.explode(F.sequence(b0, b1, wl)).alias("_b"),
+        )
+        lo = F.greatest(F.col("_t1"), F.col("_b"))
+        hi = F.least(F.col("_t2"), F.col("_b") + wl)
+        span = (F.col("_t2") - F.col("_t1")).cast("double")
+        dv = F.col("_v2") - F.col("_v1")
+        va_lo = F.col("_v1") + dv * (lo - F.col("_t1")).cast("double") / span
+        va_hi = F.col("_v1") + dv * (hi - F.col("_t1")).cast("double") / span
+        out = ex.groupBy(*gb, "_b").agg(
+            F.sum(va_hi - va_lo).alias("delta"),
+            (
+                F.sum(va_hi - va_lo)
+                / (F.sum((hi - lo).cast("double")) / F.lit(1e6))
+            ).alias("rate"),
+        )
+        if self.row["time_is_timestamp"]:
+            bcol = F.timestamp_micros(F.col("_b")).alias(bucket)
+        else:
+            bcol = F.col("_b").alias(bucket)
+        return out.select(bcol, *gb, "delta", "rate")
+
     def time_weighted_at_grain(
         self,
         tw_col: Optional[str] = None,

@@ -1469,6 +1469,88 @@ def q_cagg_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cagg_interpolated_rate",
+    """
+    WITH l AS (
+      SELECT event_type, ts, event_id, epoch_us(ts) AS us,
+             floor(value) AS value,
+             lag(floor(value)) OVER w AS pv
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ), adj AS (
+      SELECT event_type, us, event_id,
+             value + sum(CASE WHEN value < pv THEN pv ELSE 0.0 END)
+               OVER (PARTITION BY event_type ORDER BY us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS va
+      FROM l
+    ), seg AS (
+      SELECT event_type, us AS t1, va AS v1,
+             lead(us) OVER w2 AS t2, lead(va) OVER w2 AS v2
+      FROM adj
+      WINDOW w2 AS (PARTITION BY event_type ORDER BY us, event_id)
+    ), s2 AS (
+      SELECT * FROM seg WHERE t2 > t1
+    ), ex AS (
+      SELECT event_type, t1, v1, t2, v2,
+             unnest(range((t1 // 86400000000) * 86400000000,
+                          ((t2 - 1) // 86400000000) * 86400000000 + 1,
+                          86400000000)) AS b
+      FROM s2
+    )
+    SELECT make_timestamp(b) AS bucket, event_type,
+           sum((v1 + (v2 - v1) * CAST(least(t2, b + 86400000000) - t1
+                 AS DOUBLE) / CAST(t2 - t1 AS DOUBLE))
+             - (v1 + (v2 - v1) * CAST(greatest(t1, b) - t1 AS DOUBLE)
+                  / CAST(t2 - t1 AS DOUBLE))) AS delta,
+           sum((v1 + (v2 - v1) * CAST(least(t2, b + 86400000000) - t1
+                 AS DOUBLE) / CAST(t2 - t1 AS DOUBLE))
+             - (v1 + (v2 - v1) * CAST(greatest(t1, b) - t1 AS DOUBLE)
+                  / CAST(t2 - t1 AS DOUBLE)))
+             / (sum(CAST(least(t2, b + 86400000000) - greatest(t1, b)
+                  AS DOUBLE)) / 1e6) AS rate
+    FROM ex GROUP BY 1, 2
+    """,
+)
+def q_cagg_interpolated_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated counter delta/rate SERVED FROM STORED PARTIALS
+    (round 11; toolkit ``interpolated_delta/rate(rollup(counter_agg))``):
+    daily deltas are the reset-adjusted counter's interpolated values at
+    day edges — every edge falls inside a boundary segment between
+    adjacent hourly partials, so (first/last value+time, delta) recover
+    the adjusted series exactly; within-span pieces telescope to the
+    stored deltas and boundary pieces share the raw interpolation
+    formula operand-for-operand (bitwise with quantized values;
+    adjusted values anchored at the group's first sample). The oracle
+    replays the full raw decomposition. Half-materialized range
+    exercises the realtime union."""
+    import tempfile
+
+    from .session import TSSession
+
+    root = tempfile.mkdtemp(prefix="ts_cagg_irate_")
+    ts = TSSession(spark, root)
+    ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "qv", F.floor(F.col("value")).cast("double")
+    )
+    ht.insert(ev)
+    cagg = ts.create_cagg(
+        "qirate",
+        ht,
+        bucket_width="1 hour",
+        aggs={},
+        group_by=["event_type"],
+        counters={"cnt": {"value": "qv", "tiebreak": ["event_id"]}},
+    )
+    lo = min(c["range_start"] for c in ht.chunks())
+    hi = max(c["range_end"] for c in ht.chunks())
+    cagg.refresh(start=lo, end=lo + (hi - lo) // 2)
+    return cagg.interpolated_delta_at_grain(
+        grain="1 day", realtime=True
+    ).select("bucket", "event_type", "delta", "rate")
+
+
+@query(
     "q_cagg_candle",
     """
     WITH s AS (
