@@ -174,6 +174,7 @@ class ContinuousAggregate:
         stats_aggs: Optional[dict[str, dict]] = None,
         time_weights: Optional[dict[str, dict]] = None,
         candlesticks: Optional[dict[str, dict]] = None,
+        state_aggs: Optional[dict[str, dict]] = None,
     ) -> "ContinuousAggregate":
         """``CREATE MATERIALIZED VIEW .. WITH (timescaledb.continuous)``
         (``tsl/src/continuous_aggs/create.c:600``).
@@ -253,6 +254,17 @@ class ContinuousAggregate:
         average`` over the raw rows of that grain, zero raw rescans
         below the watermark (the toolkit
         ``average(rollup(time_weight(...)))`` idiom).
+        ``state_aggs``: output column -> ``{"state": <expr>,
+        "tiebreak": [cols…]}``: a mergeable STATE-AGG partial per
+        (bucket, group) — ``struct(n, first_us, last_us, first_state,
+        last_state, durations: map<state, struct(d, n)>)`` with the
+        toolkit ``state_agg(ts, state)`` LOCF semantics (a state holds
+        until the next sample; the final sample holds zero time; NULL
+        states are skipped — strict). Merging adjacent partials adds
+        the boundary gap to the EARLIER partial's last state, so
+        :meth:`state_durations_at_grain` serves exact per-state
+        durations at any coarser grain — the toolkit
+        ``duration_in(state, rollup(state_agg(...)))`` idiom.
         ``candlesticks``: output column -> ``{"price": <expr>,
         "volume": <expr> | None, "tiebreak": [cols…]}``: a mergeable
         OHLC partial per (bucket, group) — ``struct(n, first_us,
@@ -407,6 +419,23 @@ class ContinuousAggregate:
                 )
             norm_c[col] = spec
         candlesticks = norm_c or None
+        norm_sa: dict[str, dict] = {}
+        for col, spec in (state_aggs or {}).items():
+            if col in taken:
+                raise ValueError(
+                    f"state_agg column {col!r} collides with another "
+                    f"output column"
+                )
+            taken.add(col)
+            if "rollup_of" in spec:
+                spec = _check_rollup("state_aggs", col, spec)
+            elif "state" not in spec:
+                raise ValueError(
+                    f"state_agg partial {col!r} needs a 'state' "
+                    f"expression (or 'rollup_of')"
+                )
+            norm_sa[col] = spec
+        state_aggs = norm_sa or None
         if isinstance(bucket_width, int):
             # integer time dimension: width in raw internal units
             from .functions.time import Interval
@@ -445,6 +474,7 @@ class ContinuousAggregate:
             "stats_aggs": stats_aggs,
             "time_weights": time_weights,
             "candlesticks": candlesticks,
+            "state_aggs": state_aggs,
             "mat_table": f"_mat_{name}",
             "created_at": _time.time(),
         }
@@ -583,6 +613,9 @@ class ContinuousAggregate:
         ] + [
             (col, spec, self._candlestick_state)
             for col, spec in (self.row.get("candlesticks") or {}).items()
+        ] + [
+            (col, spec, self._stateagg_state)
+            for col, spec in (self.row.get("state_aggs") or {}).items()
         ]
         agg = None
         if exprs or not partials:
@@ -914,6 +947,7 @@ class ContinuousAggregate:
         d = d.select(
             *tcols,
             *gb,
+            "_src",
             st.alias("_st"),
             binc.alias("_binc"),
             (bstep < 0).cast("int").alias("_breset"),
@@ -934,6 +968,11 @@ class ContinuousAggregate:
             ).alias("num_resets"),
             F.min(st["first_us"]).alias("first_us"),
             F.max(st["last_us"]).alias("last_us"),
+            # toolkit first_val/last_val accessors: bookends from the
+            # earliest/latest parent partial (_src is unique per parent
+            # within a series)
+            F.min_by(st["first_val"], F.col("_src")).alias("first_val"),
+            F.max_by(st["last_val"], F.col("_src")).alias("last_val"),
         )
         if grain_all:
             return out
@@ -1089,6 +1128,8 @@ class ContinuousAggregate:
             ).alias("irate"),
             F.min(st["first_us"]).alias("first_us"),
             F.max(st["last_us"]).alias("last_us"),
+            first_v.alias("first_val"),
+            last_v.alias("last_val"),
         )
         if grain_all:
             return out
@@ -1792,6 +1833,172 @@ class ContinuousAggregate:
             return out
         return out.withColumnRenamed("_tgt", bucket)
 
+    def _stateagg_state(
+        self, raw: DataFrame, col: str, spec: dict
+    ) -> DataFrame:
+        """Mergeable STATE-AGG partial per (bucket, group): ``struct(n,
+        first_us, last_us, first_state, last_state, durations)`` where
+        ``durations`` maps each state to ``struct(d, n)`` — its
+        within-bucket LOCF held time (µs) and sample count (toolkit
+        ``state_agg`` decomposition;
+        functions/state.py:state_durations is the raw-scan analog).
+        Strict NULL semantics: NULL-state samples are skipped (they
+        neither hold time nor break the LOCF chain); an all-NULL group
+        keeps its row with a NULL state."""
+        from pyspark.sql import Window
+
+        if spec.get("rollup_of"):
+            return self._merge_stateagg_states(
+                raw, col, spec["rollup_of"]
+            )
+        balias = self.row["bucket_alias"]
+        gb = list(self.row["group_by"])
+        tb = list(spec.get("tiebreak") or ())
+        sv = F.expr(spec["state"]).cast("string")
+        us = self._raw_time_us(raw)
+        stepped = raw.select(
+            self._bucket_expr(raw),
+            *gb,
+            *[F.col(c).alias(f"_tb{i}") for i, c in enumerate(tb)],
+            us.alias("_us"),
+            sv.alias("_s"),
+        )
+        order = [F.col("_us").asc()] + [
+            F.col(f"_tb{i}").asc() for i in range(len(tb))
+        ]
+        w = Window.partitionBy(balias, *gb).orderBy(*order)
+        # next NON-NULL sample's time (NULL states are skipped, so the
+        # previous state holds across them)
+        nxt_nn = F.first(
+            F.when(F.col("_s").isNotNull(), F.col("_us")),
+            ignorenulls=True,
+        ).over(w.rowsBetween(1, Window.unboundedFollowing))
+        key = F.when(
+            F.col("_s").isNotNull(),
+            F.struct(
+                F.col("_us"), *[F.col(f"_tb{i}") for i in range(len(tb))]
+            ),
+        )
+        stepped = stepped.select(
+            balias,
+            *gb,
+            "_s",
+            F.when(
+                F.col("_s").isNotNull(),
+                F.coalesce(nxt_nn, F.col("_us")) - F.col("_us"),
+            ).alias("_dur"),
+            key.alias("_k"),
+        )
+        stage1 = stepped.groupBy(balias, *gb, "_s").agg(
+            F.sum("_dur").alias("_d"),
+            F.count("_k").alias("_n"),
+            F.min("_k").alias("_kmin"),
+            F.max("_k").alias("_kmax"),
+        )
+        ent = F.when(
+            F.col("_s").isNotNull(),
+            F.struct(F.col("_s"), F.struct(
+                F.col("_d").alias("d"), F.col("_n").alias("n")
+            ).alias("dn")),
+        )
+        flat = stage1.groupBy(balias, *gb).agg(
+            F.sum("_n").alias("_f_n"),
+            F.min(F.col("_kmin")).alias("_f_kmin"),
+            F.max(F.col("_kmax")).alias("_f_kmax"),
+            F.min_by(F.col("_s"), F.col("_kmin")).alias("_f_first_state"),
+            F.max_by(F.col("_s"), F.col("_kmax")).alias("_f_last_state"),
+            F.collect_list(ent).alias("_f_ents"),
+        )
+        return flat.select(
+            balias,
+            *gb,
+            F.when(
+                F.col("_f_n") > 0,
+                F.struct(
+                    F.col("_f_n").alias("n"),
+                    F.col("_f_kmin")["_us"].alias("first_us"),
+                    F.col("_f_kmax")["_us"].alias("last_us"),
+                    F.col("_f_first_state").alias("first_state"),
+                    F.col("_f_last_state").alias("last_state"),
+                    F.map_from_entries(
+                        F.array_sort(F.col("_f_ents"))
+                    ).alias("durations"),
+                ),
+            ).alias(col),
+        )
+
+    def state_durations_at_grain(
+        self,
+        state_col: Optional[str] = None,
+        grain: Optional[str] = None,
+        group_by: Optional[Sequence[str]] = None,
+        realtime: Optional[bool] = None,
+        start=None,
+        end=None,
+    ) -> DataFrame:
+        """Serve exact per-state held durations at any coarser grain
+        from the stored partials — the toolkit ``duration_in(state,
+        rollup(state_agg(...)))`` idiom for every state at once.
+        Merging consecutive partials inside a target bucket adds each
+        boundary gap to the EARLIER partial's last state (LOCF), so
+        the result equals ``state_durations`` over the raw rows of the
+        target grain exactly.
+
+        Output: ``(bucket?, group…, state, duration_us, n)``."""
+        from pyspark.sql import Window
+
+        self._require_full_group_by(group_by, "state_durations")
+        d, keys_gb, bucket, grain_all = self._partial_frame(
+            "state_aggs", state_col, grain, group_by, realtime, start, end
+        )
+        tcols = [] if grain_all else ["_tgt"]
+        st = F.col("_st")
+        w = Window.partitionBy(*tcols, *keys_gb).orderBy(
+            F.col("_src").asc()
+        )
+        prev_last_us = F.lag(st["last_us"]).over(w)
+        prev_last_state = F.lag(st["last_state"]).over(w)
+        gap = st["first_us"] - prev_last_us
+        d = d.select(
+            *tcols,
+            *keys_gb,
+            "_st",
+            prev_last_state.alias("_bstate"),
+            F.when(gap > 0, gap).alias("_bgap"),
+        )
+        # within-partial per-state rows
+        within = d.select(
+            *tcols,
+            *keys_gb,
+            F.explode(st["durations"]).alias("state", "_dn"),
+        ).select(
+            *tcols,
+            *keys_gb,
+            "state",
+            F.col("_dn")["d"].alias("_d"),
+            F.col("_dn")["n"].alias("_n"),
+        )
+        boundary = d.filter(
+            F.col("_bstate").isNotNull() & F.col("_bgap").isNotNull()
+        ).select(
+            *tcols,
+            *keys_gb,
+            F.col("_bstate").alias("state"),
+            F.col("_bgap").alias("_d"),
+            F.lit(0).cast("long").alias("_n"),
+        )
+        out = (
+            within.unionByName(boundary)
+            .groupBy(*tcols, *keys_gb, "state")
+            .agg(
+                F.sum("_d").alias("duration_us"),
+                F.sum("_n").alias("n"),
+            )
+        )
+        if grain_all:
+            return out
+        return out.withColumnRenamed("_tgt", bucket)
+
     # --------------------------- hierarchical state merges (rollup_of)
     def _rollup_frame(self, raw: DataFrame, src: str):
         """(child-bucket, group…, _src, _st) over the PARENT cagg's
@@ -2064,6 +2271,107 @@ class ContinuousAggregate:
                     F.col("_f_close").alias("close"),
                     F.col("_f_volume").alias("volume"),
                     F.col("_f_pv").alias("pv"),
+                ),
+            ).alias(col),
+        )
+
+    def _merge_stateagg_states(
+        self, raw: DataFrame, col: str, src: str
+    ) -> DataFrame:
+        """Child state-agg state: duration maps add per state, each
+        boundary gap lands on the earlier parent's last state, bookends
+        merge by earliest/latest parent — the
+        :meth:`state_durations_at_grain` math emitted as a state."""
+        from pyspark.sql import Window
+
+        d, balias, gb = self._rollup_frame(raw, src)
+        st = F.col("_st")
+        w = Window.partitionBy(balias, *gb).orderBy(F.col("_src").asc())
+        wp = w.rowsBetween(Window.unboundedPreceding, -1)
+        prev_last_us = F.last(
+            F.when(st.isNotNull(), st["last_us"]), ignorenulls=True
+        ).over(wp)
+        prev_last_state = F.last(
+            F.when(st.isNotNull(), st["last_state"]), ignorenulls=True
+        ).over(wp)
+        gap = st["first_us"] - prev_last_us
+        d = d.select(
+            balias,
+            *gb,
+            "_st",
+            F.when(st.isNotNull(), prev_last_state).alias("_bstate"),
+            F.when(st.isNotNull() & (gap > 0), gap).alias("_bgap"),
+            F.when(st.isNotNull(), F.col("_src")).alias("_k"),
+        )
+        per_state = d.select(
+            balias,
+            *gb,
+            F.explode_outer(st["durations"]).alias("_s", "_dn"),
+        ).select(
+            balias,
+            *gb,
+            "_s",
+            F.col("_dn")["d"].alias("_d"),
+            F.col("_dn")["n"].alias("_n"),
+        )
+        bnd = d.filter(
+            F.col("_bstate").isNotNull() & F.col("_bgap").isNotNull()
+        ).select(
+            balias,
+            *gb,
+            F.col("_bstate").alias("_s"),
+            F.col("_bgap").alias("_d"),
+            F.lit(0).cast("long").alias("_n"),
+        )
+        merged = (
+            per_state.unionByName(bnd)
+            .groupBy(balias, *gb, "_s")
+            .agg(F.sum("_d").alias("_d"), F.sum("_n").alias("_n"))
+        )
+        ent = F.when(
+            F.col("_s").isNotNull(),
+            F.struct(
+                F.col("_s"),
+                F.struct(
+                    F.col("_d").alias("d"), F.col("_n").alias("n")
+                ).alias("dn"),
+            ),
+        )
+        maps = merged.groupBy(balias, *gb).agg(
+            F.collect_list(ent).alias("_f_ents"),
+        )
+        books = d.groupBy(balias, *gb).agg(
+            F.count("_st").alias("_f_nn"),
+            F.sum(st["n"]).alias("_f_n"),
+            F.min(st["first_us"]).alias("_f_first_us"),
+            F.max(st["last_us"]).alias("_f_last_us"),
+            F.min_by(st["first_state"], F.col("_k")).alias(
+                "_f_first_state"
+            ),
+            F.max_by(st["last_state"], F.col("_k")).alias(
+                "_f_last_state"
+            ),
+        )
+        l, r = books.alias("_ml"), maps.alias("_mr")
+        cond = None
+        for k in [balias, *gb]:
+            c = F.col(f"_ml.{k}").eqNullSafe(F.col(f"_mr.{k}"))
+            cond = c if cond is None else cond & c
+        joined = l.join(r, cond).select("_ml.*", F.col("_mr._f_ents"))
+        return joined.select(
+            balias,
+            *gb,
+            F.when(
+                F.col("_f_nn") > 0,
+                F.struct(
+                    F.col("_f_n").alias("n"),
+                    F.col("_f_first_us").alias("first_us"),
+                    F.col("_f_last_us").alias("last_us"),
+                    F.col("_f_first_state").alias("first_state"),
+                    F.col("_f_last_state").alias("last_state"),
+                    F.map_from_entries(
+                        F.array_sort(F.col("_f_ents"))
+                    ).alias("durations"),
                 ),
             ).alias(col),
         )
@@ -2698,6 +3006,7 @@ class ContinuousAggregate:
             stats_aggs=self.row.get("stats_aggs"),
             time_weights=self.row.get("time_weights"),
             candlesticks=self.row.get("candlesticks"),
+            state_aggs=self.row.get("state_aggs"),
         )
         if refresh:
             new.refresh()

@@ -1629,6 +1629,60 @@ def q_cagg_candle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cagg_stateagg",
+    """
+    WITH s AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+             event_type AS state, epoch_us(ts) AS us, ts, event_id
+      FROM events
+    ), seg AS (
+      SELECT bucket, state, us,
+             lead(us) OVER (
+               PARTITION BY bucket ORDER BY ts, event_id
+             ) AS nxt
+      FROM s
+    )
+    SELECT bucket, state,
+           CAST(sum(coalesce(nxt, us) - us) AS BIGINT) AS duration_us,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seg GROUP BY 1, 2
+    """,
+)
+def q_cagg_stateagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-agg-STATE continuous aggregate (round 11; the toolkit
+    ``duration_in(state, rollup(state_agg(...)))`` idiom): hourly
+    partials store per-state LOCF durations + bookends per bucket;
+    serving DAILY durations merges 24 partials per day, each boundary
+    gap landing on the earlier partial's LAST state — identical to
+    ``state_agg`` over each day's raw rows (the decomposition the
+    oracle replays). Half-materialized range exercises the realtime
+    union; all durations are exact int64 µs."""
+    import tempfile
+
+    from .session import TSSession
+
+    root = tempfile.mkdtemp(prefix="ts_cagg_sagg_")
+    ts = TSSession(spark, root)
+    ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+    ht.insert(load_table(spark, sf_dir, "events"))
+    cagg = ts.create_cagg(
+        "qsagg",
+        ht,
+        bucket_width="1 hour",
+        aggs={},
+        state_aggs={
+            "sa": {"state": "event_type", "tiebreak": ["event_id"]}
+        },
+    )
+    lo = min(c["range_start"] for c in ht.chunks())
+    hi = max(c["range_end"] for c in ht.chunks())
+    cagg.refresh(start=lo, end=lo + (hi - lo) // 2)
+    return cagg.state_durations_at_grain(
+        grain="1 day", realtime=True
+    ).select("bucket", "state", "duration_us", "n")
+
+
+@query(
     "q_cagg_monthly",
     """
     SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS bucket,

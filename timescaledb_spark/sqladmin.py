@@ -1571,6 +1571,7 @@ def run_create_cagg(ts, m) -> DataFrame:
     stats_aggs: dict[str, dict] = {}
     time_weights: dict[str, dict] = {}
     candlesticks: dict[str, dict] = {}
+    state_aggs: dict[str, dict] = {}
     rollups: dict[str, str] = {}  # alias -> parent partial column
     partial_time_args: list[tuple[str, str, str]] = []
     for item in items:
@@ -1615,7 +1616,9 @@ def run_create_cagg(ts, m) -> DataFrame:
                     (fn, alias, args[0].strip().split(".")[-1].strip())
                 )
             continue
-        cnh = _head_call(expr, {"counter_agg", "gauge_agg", "stats_agg"})
+        cnh = _head_call(
+            expr, {"counter_agg", "gauge_agg", "stats_agg", "state_agg"}
+        )
         if cnh:
             # toolkit partial aggregates inside the cagg definition —
             # store a mergeable PARTIAL (caggs.py counters=/gauges=/
@@ -1633,6 +1636,14 @@ def run_create_cagg(ts, m) -> DataFrame:
                         "cagg partials"
                     )
                 stats_aggs[alias] = {"value": _rw(args[0].strip(), ts)}
+                continue
+            if fn == "state_agg":
+                if len(args) != 2:
+                    raise ValueError("state_agg(ts, state)")
+                state_aggs[alias] = {"state": _rw(args[1].strip(), ts)}
+                partial_time_args.append(
+                    (fn, alias, args[0].strip().split(".")[-1].strip())
+                )
                 continue
             if len(args) != 2:
                 raise ValueError(f"{fn}(ts, value)")
@@ -1753,6 +1764,10 @@ def run_create_cagg(ts, m) -> DataFrame:
         k: {**v, "value": _strip_quals(v["value"], quals)}
         for k, v in time_weights.items()
     }
+    state_aggs = {
+        k: {**v, "state": _strip_quals(v["state"], quals)}
+        for k, v in state_aggs.items()
+    }
     candlesticks = {
         k: {
             **v,
@@ -1796,6 +1811,7 @@ def run_create_cagg(ts, m) -> DataFrame:
             "stats_aggs": stats_aggs,
             "time_weights": time_weights,
             "candlesticks": candlesticks,
+            "state_aggs": state_aggs,
         }
         for alias, src_col in rollups.items():
             fam = next(
@@ -1824,6 +1840,7 @@ def run_create_cagg(ts, m) -> DataFrame:
         stats_aggs=stats_aggs or None,
         time_weights=time_weights or None,
         candlesticks=candlesticks or None,
+        state_aggs=state_aggs or None,
     )
     if not (m.group("data") or "").strip():  # WITH DATA is the PG default
         cagg.refresh()

@@ -1461,6 +1461,10 @@ _PARTIAL_ACCESSORS = {
         "rate": "rate",
         "num_resets": "num_resets",
         "num_vals": "n",
+        "first_val": "first_val",
+        "last_val": "last_val",
+        "first_time": "first_us",
+        "last_time": "last_us",
     },
     "gauges": {
         "delta": "delta",
@@ -1468,6 +1472,10 @@ _PARTIAL_ACCESSORS = {
         "idelta": "idelta",
         "irate": "irate",
         "num_vals": "n",
+        "first_val": "first_val",
+        "last_val": "last_val",
+        "first_time": "first_us",
+        "last_time": "last_us",
     },
     "stats_aggs": {
         "average": "avg",
@@ -1479,6 +1487,9 @@ _PARTIAL_ACCESSORS = {
         "max_val": "max",
     },
     "time_weights": {"average": "tw_avg", "num_vals": "n"},
+    # duration_in(state, rollup(col)) is handled specially below (it
+    # carries a state-literal argument); num_vals rides the same frame
+    "state_aggs": {"num_vals": "n", "duration_in": "duration_us"},
     "candlesticks": {
         "open": "open",
         "high": "high",
@@ -1495,6 +1506,7 @@ _PARTIAL_METHOD = {
     "stats_aggs": "stats_at_grain",
     "time_weights": "time_weighted_at_grain",
     "candlesticks": "candlestick_at_grain",
+    "state_aggs": "state_durations_at_grain",
 }
 _ALL_ACCESSOR_FNS = frozenset(
     fn for d in _PARTIAL_ACCESSORS.values() for fn in d
@@ -1543,11 +1555,24 @@ def _try_partial_accessors(ts, q: str):
     grain = None
     has_bucket = False
     n_acc = 0
+    dur_state = None
     for item in _split_select_items(cl["select"]):
         expr, alias = _alias_of(item)
         head = _head_call(expr, _ALL_ACCESSOR_FNS | {"time_bucket"})
         if head and head[0] in _ALL_ACCESSOR_FNS:
             fn, args = head
+            if fn == "duration_in":
+                # duration_in('state', rollup(sa)): the state literal
+                # filters the per-state frame; one state per query
+                if len(args) != 2:
+                    return None
+                sk, sv = _literal_of(args[0])
+                if sk != "string" or (
+                    dur_state is not None and dur_state != sv
+                ):
+                    return None
+                dur_state = str(sv)
+                args = args[1:]
             if len(args) != 1:
                 return None
             inner = _inner_call(args[0], "rollup")
@@ -1597,11 +1622,17 @@ def _try_partial_accessors(ts, q: str):
         return None
     want_groups = [p for k, _a, p in sel if k == "g"]
     eff_grain = grain if has_bucket else "all"
+    if family == "state_aggs" and dur_state is None:
+        return None  # only duration_in/num_vals serve state partials
     try:
         cagg = ts.get_cagg(frm)
         served = getattr(cagg, _PARTIAL_METHOD[family])(
             part_col, grain=eff_grain, group_by=want_groups
         )
+        if family == "state_aggs":
+            served = served.filter(
+                F.col("state") == F.lit(dur_state)
+            )
     except (KeyError, ValueError):
         return None
     cols = []
