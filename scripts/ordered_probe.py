@@ -76,6 +76,26 @@ def main() -> int:
     # group sizing honesty: max rows a single task sorts
     out.update(getattr(ht, "last_ordered_plan_info", {}))
 
+    # round-11 (r10 VERDICT wrong #3): the SAME catalog with its
+    # schema_ddl cleared (raw directory adoption / pre-DDL catalogs)
+    # must still get the Arrow O(1)-plan engine via the one-footer
+    # schema inference — same engine, same ordering, comparable timings
+    ts.catalog.hypertable.update({"id": ht.id}, {"schema_ddl": None})
+    ht.row["schema_ddl"] = None
+    t0 = time.perf_counter()
+    odf2 = ht.read_ordered()
+    out["noddl_plan_build_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    head2 = odf2.limit(5).collect()
+    out["noddl_first_rows_s"] = round(time.perf_counter() - t0, 2)
+    out["noddl_first_t"] = str(head2[0]["t"]) if head2 else None
+    out["noddl_engine"] = getattr(ht, "last_ordered_plan_info", {}).get(
+        "engine"
+    )
+    t0 = time.perf_counter()
+    out["noddl_count"] = odf2.count()
+    out["noddl_full_read_s"] = round(time.perf_counter() - t0, 2)
+
     print(json.dumps(out, indent=1))
     if out_path:
         with open(out_path, "w") as f:
