@@ -124,6 +124,7 @@ def continuous_aggregates(ts) -> DataFrame:
                     + list(c.get("stats_aggs") or {})
                     + list(c.get("time_weights") or {})
                     + list(c.get("candlesticks") or {})
+                    + list(c.get("state_aggs") or {})
                 ),
             }
         )
