@@ -48,6 +48,22 @@ INT64_MIN = -(2**63)
 INT64_MAX = 2**63 - 1
 
 
+def _grain_floor(us, width: int, origin_us: int):
+    """Origin-aligned bucket floor on an int64-µs column — the column
+    analog of ``time_bucket``'s fixed-width formula
+    (``functions/time.py:_bucket_us_expr``). Every at-grain accessor
+    must bucket with the CAGG'S origin (2000-01-03 for timestamps, 0
+    for integer time), never epoch ``DIV``: DIV mislabels widths whose
+    grid is not epoch-anchored (weeks: Thursday- vs Monday-aligned)
+    and truncates toward zero for pre-epoch timestamps, and — worse —
+    puts target edges strictly inside parent bucket spans, breaking
+    the partial accessors' exactness premise."""
+    return us - F.pmod(
+        us - F.lit(int(origin_us)).cast("long"),
+        F.lit(int(width)).cast("long"),
+    )
+
+
 def _validate_window_fns(window_fns: dict, bucket_alias: str) -> None:
     """Guarded window-function support, matching the reference's
     validation behind ``timescaledb.enable_cagg_window_functions``
@@ -301,6 +317,64 @@ class ContinuousAggregate:
             )
         if window_fns:
             _validate_window_fns(window_fns, bucket_alias)
+        if isinstance(bucket_width, int):
+            # integer time dimension: width in raw internal units
+            from .functions.time import Interval
+
+            iv = Interval(us=bucket_width)
+        else:
+            iv = parse_interval(bucket_width)
+
+        def _check_nesting(col: str, prow: dict) -> None:
+            """Hierarchical caggs must NEST: the child bucket width an
+            integer multiple of the parent's, else each parent partial
+            is silently misattributed to the child bucket containing
+            the parent's bucket START (a 90-minute child over an hourly
+            parent splits nothing — it just mislabels). The reference
+            rejects this at create time ('should be multiple of the
+            parent', tsl/src/continuous_aggs/common.c:1380-1409), as
+            does it reject fixed-width children over variable
+            (month-width) parents (common.c:1341-1354). Month child
+            over fixed parent additionally requires the parent width to
+            divide one day — month boundaries are midnights, and the
+            shared midnight-anchored origin then makes every month edge
+            a parent edge (stricter than the reference's estimated-
+            width check, which is what our exactness claim needs)."""
+            p_us = int(prow.get("bucket_width_us") or 0)
+            p_months = int(prow.get("bucket_width_months") or 0)
+            pname = prow.get("name", "?")
+            if iv.months:
+                if p_months:
+                    if iv.months % p_months or iv.months < p_months:
+                        raise ValueError(
+                            f"rollup_of={col!r}: child bucket width "
+                            f"({iv.months} months) must be an integer "
+                            f"multiple of parent cagg {pname!r}'s "
+                            f"({p_months} months)"
+                        )
+                elif p_us <= 0 or (86_400_000_000 % p_us):
+                    raise ValueError(
+                        f"rollup_of={col!r}: a month-width child over "
+                        f"fixed-width parent cagg {pname!r} needs the "
+                        f"parent width to divide 1 day so month "
+                        f"boundaries land on parent bucket edges"
+                    )
+            elif p_months:
+                raise ValueError(
+                    f"rollup_of={col!r}: cannot create a fixed-width "
+                    f"child over month-width parent cagg {pname!r} "
+                    f"(tsl/src/continuous_aggs/common.c:1341)"
+                )
+            elif p_us <= 0 or iv.us % p_us or iv.us < p_us:
+                raise ValueError(
+                    f"rollup_of={col!r}: child bucket width ({iv.us} "
+                    f"us) must be an integer multiple (>= 1x) of "
+                    f"parent cagg {pname!r}'s ({p_us} us) — "
+                    f"non-nesting hierarchical caggs misattribute "
+                    f"parent partials "
+                    f"(tsl/src/continuous_aggs/common.c:1384)"
+                )
+
         if sketches:
             from .functions.ddsketch import _gamma
 
@@ -319,10 +393,12 @@ class ContinuousAggregate:
                     # merge of the PARENT's stored states — inherit the
                     # parent sketch's alpha so quantile extraction uses
                     # the same gamma
+                    prow = ts.catalog.continuous_agg.find_one(
+                        mat_table=hypertable.name
+                    )
+                    if prow is not None:
+                        _check_nesting(col, prow)
                     if "alpha" not in spec:
-                        prow = ts.catalog.continuous_agg.find_one(
-                            mat_table=hypertable.name
-                        )
                         psk = ((prow or {}).get("sketches") or {}).get(
                             spec["rollup_of"]
                         )
@@ -355,6 +431,7 @@ class ContinuousAggregate:
                     f"hypertable is not a cagg mat table with a "
                     f"{kind_key} column of that name"
                 )
+            _check_nesting(col, prow)
             out = dict(spec)
             if kind_key == "time_weights" and "method" not in out:
                 out["method"] = pspec.get("method", "locf")
@@ -436,13 +513,6 @@ class ContinuousAggregate:
                 )
             norm_sa[col] = spec
         state_aggs = norm_sa or None
-        if isinstance(bucket_width, int):
-            # integer time dimension: width in raw internal units
-            from .functions.time import Interval
-
-            iv = Interval(us=bucket_width)
-        else:
-            iv = parse_interval(bucket_width)
         tcol = time_column or hypertable.time_column
         is_ts = (hypertable.row.get("time_type") or "timestamp") in (
             "timestamp",
@@ -1404,11 +1474,17 @@ class ContinuousAggregate:
             prev_last_val.alias("_pv"),
         )
         wl = F.lit(width).cast("long")
+        org = int(self.row.get("bucket_origin_us") or 0)
         # within-parent piece: the stored integral, covering
-        # [first_us, last_us] — one target bucket (parents nest)
+        # [first_us, last_us] — one target bucket (parents nest:
+        # the target grid shares the cagg's bucket origin, so with
+        # width a multiple of the parent width every target edge is
+        # a parent edge — origin-aligned floor, NOT epoch DIV, which
+        # would mislabel e.g. weekly buckets Thursday-aligned and
+        # truncate toward zero for pre-epoch timestamps)
         within = seg.select(
             *gb,
-            (F.expr(f"(_st.first_us DIV {width}) * {width}")).alias("_b"),
+            _grain_floor(st["first_us"], width, org).alias("_b"),
             st["integral"].alias("_num"),
             (st["last_us"] - st["first_us"]).cast("double").alias("_den"),
         )
@@ -1423,8 +1499,8 @@ class ContinuousAggregate:
             st["first_us"].alias("_t2"),
             F.col("_pv").alias("_v"),
         )
-        b0 = F.expr(f"(_t1 DIV {width}) * {width}")
-        b1 = F.expr(f"((_t2 - 1) DIV {width}) * {width}")
+        b0 = _grain_floor(F.col("_t1"), width, org)
+        b1 = _grain_floor(F.col("_t2") - F.lit(1).cast("long"), width, org)
         ex = bnd.select(
             *gb,
             "_t1",
@@ -1590,8 +1666,12 @@ class ContinuousAggregate:
             F.col("_t2") > F.col("_t1")
         )
         wl = F.lit(width).cast("long")
-        b0 = F.expr(f"(_t1 DIV {width}) * {width}")
-        b1 = F.expr(f"((_t2 - 1) DIV {width}) * {width}")
+        # origin-aligned target grid (same origin as the cagg's own
+        # buckets, so target edges are parent edges — see
+        # interpolated_average_at_grain)
+        org = int(self.row.get("bucket_origin_us") or 0)
+        b0 = _grain_floor(F.col("_t1"), width, org)
+        b1 = _grain_floor(F.col("_t2") - F.lit(1).cast("long"), width, org)
         ex = seg.select(
             *gb,
             "_t1",
@@ -1809,7 +1889,14 @@ class ContinuousAggregate:
         group); high/low/volume/pv merge commutatively, so subset
         ``group_by`` regrouping is allowed (unlike counters/gauges,
         nothing here depends on a single series' ordering beyond the
-        disjoint buckets).
+        disjoint buckets). When a subset ``group_by`` merges SERIES
+        that share a first/last sample timestamp, the per-series
+        tiebreak columns are not recoverable from the partials, so
+        the equal-time winner is instead chosen deterministically by
+        price value: ties on ``first_us`` take the LOWEST open, ties
+        on ``last_us`` the HIGHEST close (exact only when equal-time
+        ties carry equal prices — same caveat as the toolkit's
+        unspecified equal-time ordering).
 
         Output: ``(bucket?, group…, open, high, low, close, volume,
         vwap, n, first_us, last_us)``."""
@@ -1819,10 +1906,14 @@ class ContinuousAggregate:
         tcols = [] if grain_all else ["_tgt"]
         st = F.col("_st")
         out = d.groupBy(*tcols, *keys_gb).agg(
-            F.min_by(st["open"], st["first_us"]).alias("open"),
+            F.min_by(
+                st["open"], F.struct(st["first_us"], st["open"])
+            ).alias("open"),
             F.max(st["high"]).alias("high"),
             F.min(st["low"]).alias("low"),
-            F.max_by(st["close"], st["last_us"]).alias("close"),
+            F.max_by(
+                st["close"], F.struct(st["last_us"], st["close"])
+            ).alias("close"),
             F.sum(st["volume"]).alias("volume"),
             (F.sum(st["pv"]) / F.sum(st["volume"])).alias("vwap"),
             F.sum(st["n"]).alias("n"),

@@ -107,15 +107,33 @@ class TSSession:
     chunks, caggs, invalidation logs, jobs) and the hypertable data
     directories — the Spark analog of the ``_timescaledb_catalog`` schema
     (``sql/pre_install/tables.sql:42-528``).
+
+    **Session-wide side effect**: by default ``__init__`` appends the
+    known-broken Spark 4.1.2 ``RemoveRedundantAliases`` optimizer rule
+    to ``spark.sql.optimizer.excludedRules`` on the SparkSession it is
+    handed (see ``_BROKEN_RULES`` for the bug shape). This alters
+    optimizer behavior for EVERY query on that session, including the
+    caller's own — the exclusion is semantically neutral (the rule only
+    drops redundant Alias nodes; physical plans keep identical scans/
+    shuffles) but callers sharing a session who want their conf
+    untouched can pass ``exclude_broken_rules=False`` and accept that
+    the partial-cagg serving accessors may then fail analysis on
+    affected Spark versions.
     """
 
-    def __init__(self, spark: SparkSession, catalog_root: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog_root: str,
+        exclude_broken_rules: bool = True,
+    ):
         from .catalog import Catalog
 
         self.spark = spark
         self.catalog_root = catalog_root
         self.catalog = Catalog(spark, catalog_root)
-        _exclude_broken_optimizer_rules(spark)
+        if exclude_broken_rules:
+            _exclude_broken_optimizer_rules(spark)
 
     # -- hypertable lifecycle (src/hypertable.c:1444 create_hypertable) ----
     def create_hypertable(self, name, time_column, **kw):

@@ -1488,7 +1488,8 @@ _PARTIAL_ACCESSORS = {
     },
     "time_weights": {"average": "tw_avg", "num_vals": "n"},
     # duration_in(state, rollup(col)) is handled specially below (it
-    # carries a state-literal argument); num_vals rides the same frame
+    # carries a state-literal argument); num_vals is the aggregate's
+    # TOTAL sample count (summed over states before the state filter)
     "state_aggs": {"num_vals": "n", "duration_in": "duration_us"},
     "candlesticks": {
         "open": "open",
@@ -1622,17 +1623,46 @@ def _try_partial_accessors(ts, q: str):
         return None
     want_groups = [p for k, _a, p in sel if k == "g"]
     eff_grain = grain if has_bucket else "all"
-    if family == "state_aggs" and dur_state is None:
-        return None  # only duration_in/num_vals serve state partials
     try:
         cagg = ts.get_cagg(frm)
         served = getattr(cagg, _PARTIAL_METHOD[family])(
             part_col, grain=eff_grain, group_by=want_groups
         )
         if family == "state_aggs":
-            served = served.filter(
-                F.col("state") == F.lit(dur_state)
+            # toolkit num_vals(state_agg) counts ALL samples in the
+            # aggregate, not the duration_in state's — aggregate the
+            # per-state frame's n over every state BEFORE any state
+            # filter, then attach it per (bucket?, group…) key
+            bk = crow["bucket_alias"]
+            keys = ([bk] if has_bucket else []) + want_groups
+            wants_n = any(
+                k == "a" and p == "n" for k, _a, p in sel
             )
+            total = served.groupBy(*keys).agg(
+                F.sum("n").alias("_nv_total")
+            )
+            if dur_state is None:
+                # num_vals-only query (no duration_in): serve totals
+                if any(k == "a" and p != "n" for k, _a, p in sel):
+                    return None
+                served = total.withColumnRenamed("_nv_total", "n")
+            else:
+                served = served.filter(
+                    F.col("state") == F.lit(dur_state)
+                ).drop("n")
+                if wants_n:
+                    if not keys:
+                        # both sides are exactly one row
+                        served = served.crossJoin(total)
+                    else:
+                        cond = None
+                        for k in keys:
+                            c = served[k].eqNullSafe(total[k])
+                            cond = c if cond is None else cond & c
+                        served = served.join(total, cond)
+                        for k in keys:
+                            served = served.drop(total[k])
+                    served = served.withColumnRenamed("_nv_total", "n")
     except (KeyError, ValueError):
         return None
     cols = []
