@@ -2488,7 +2488,8 @@ class Hypertable:
         row filter on the raw column.
         """
         spark = self.ts.spark
-        chunks = self.chunks()
+        all_chunks = self.chunks()
+        chunks = all_chunks
         lo, hi = _to_internal(start), _to_internal(end)
         if lo is not None or hi is not None:
             chunks = [
@@ -2524,6 +2525,22 @@ class Hypertable:
             df = spark.createDataFrame([], self._schema_or_empty())
             return df
         paths = [self._chunk_glob(c) for c in chunks]
+        # Single-root fast path for many-chunk tables: handing Spark N
+        # chunk dirs makes the driver build an N-root file index (the
+        # O(chunks) plan-build cost the r11 probe measured at 3.4s for
+        # 1,460 mat chunks); one table-root read is a single parallel
+        # recursive listing with identical results — PROVIDED the disk
+        # dirs are exactly the catalog chunks (detach_chunk leaves
+        # orphan dirs that a root scan would wrongly resurrect, so
+        # verify with one cheap listdir). Only taken when most chunks
+        # survive pruning — for a narrow window, listing the few
+        # surviving roots beats listing everything and pruning.
+        use_root = False
+        if space_key is None and len(paths) >= 64:
+            if len(chunks) * 4 >= len(all_chunks) * 3:
+                on_disk = set(self._scan_chunk_dirs())
+                if {c["range_start"] for c in all_chunks} == on_disk:
+                    use_root = True
         if space_key is not None:
             if not self.row.get("space_column"):
                 raise ValueError("hypertable has no space dimension")
@@ -2559,10 +2576,25 @@ class Hypertable:
             paths = [p for p in paths if os.path.isdir(p)]
             if not paths:
                 return spark.createDataFrame([], self._schema_or_empty())
-        df = (
-            self._chunk_reader().option("basePath", self.data_dir)
-            .parquet(*paths)
-        )
+        if use_root:
+            df = (
+                self._chunk_reader()
+                .option("basePath", self.data_dir)
+                .parquet(self.data_dir)
+            )
+            if len(chunks) < len(all_chunks):
+                # partition pruning via the chunk column — resolved
+                # against the one file index at plan time, no extra scan
+                df = df.filter(
+                    F.col(CHUNK_COL).isin(
+                        [c["range_start"] for c in chunks]
+                    )
+                )
+        else:
+            df = (
+                self._chunk_reader().option("basePath", self.data_dir)
+                .parquet(*paths)
+            )
         df = self._apply_fills(df, chunks)
         if space_key is not None:
             keys = space_key if isinstance(space_key, (list, tuple)) else [space_key]
