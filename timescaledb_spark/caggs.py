@@ -191,6 +191,9 @@ class ContinuousAggregate:
         time_weights: Optional[dict[str, dict]] = None,
         candlesticks: Optional[dict[str, dict]] = None,
         state_aggs: Optional[dict[str, dict]] = None,
+        freq_aggs: Optional[dict[str, dict]] = None,
+        maxn_aggs: Optional[dict[str, dict]] = None,
+        mat_chunk_interval: Union[str, int, None] = None,
     ) -> "ContinuousAggregate":
         """``CREATE MATERIALIZED VIEW .. WITH (timescaledb.continuous)``
         (``tsl/src/continuous_aggs/create.c:600``).
@@ -255,7 +258,12 @@ class ContinuousAggregate:
         moments partial ``struct(n, s, s2, mn, mx)`` (toolkit 1-D
         ``stats_agg``); :meth:`stats_at_grain` merges by fieldwise
         add/min/max and serves n/sum/avg/stddev/variance/min/max at
-        any grain.
+        any grain. With a ``"y"`` key — ``{"value": <x expr>, "y":
+        <y expr>}`` — the TWO-variable form (toolkit
+        ``stats_agg(y, x)``, PG ``regr_*``) stores comoments
+        ``struct(n, sx, sy, sxx, syy, sxy)`` over the pairs where both
+        are non-NULL, and :meth:`stats2d_at_grain` serves slope/
+        intercept/corr/covariance at any grain.
         ``time_weights``: output column -> ``{"value": <expr>,
         "method": "locf" | "linear", "tiebreak": [cols…]}``: a
         mergeable TIME-WEIGHT partial per (bucket, group) —
@@ -435,6 +443,29 @@ class ContinuousAggregate:
             out = dict(spec)
             if kind_key == "time_weights" and "method" not in out:
                 out["method"] = pspec.get("method", "locf")
+            if kind_key == "stats_aggs" and "y" in pspec:
+                # 2-D-ness is a property of the stored state shape —
+                # the child merges the parent's comoments, so it must
+                # serve with the 2-D accessors too
+                out["y"] = pspec["y"]
+            if kind_key == "freq_aggs" and "capacity" not in out:
+                out["capacity"] = pspec.get("capacity", 256)
+            if kind_key == "maxn_aggs":
+                # the candidate-list length and direction are state
+                # properties — a child cannot keep MORE than the parent
+                out.setdefault("n", pspec.get("n", 5))
+                out.setdefault("desc", pspec.get("desc", True))
+                if int(out["n"]) > int(pspec.get("n", 5)):
+                    raise ValueError(
+                        f"rollup_of={col!r}: child n ({out['n']}) cannot "
+                        f"exceed the parent's ({pspec.get('n', 5)}) — "
+                        f"the parent states only keep that many values"
+                    )
+                if bool(out["desc"]) != bool(pspec.get("desc", True)):
+                    raise ValueError(
+                        f"rollup_of={col!r}: child direction must match "
+                        f"the parent's (desc={pspec.get('desc', True)})"
+                    )
             return out
 
         kind_keys = {
@@ -442,6 +473,8 @@ class ContinuousAggregate:
             "gauge": "gauges",
             "stats": "stats_aggs",
             "time_weight": "time_weights",
+            "freq": "freq_aggs",
+            "maxn": "maxn_aggs",
         }
         norm_families: dict[str, dict] = {}
         for kind, d in (
@@ -449,6 +482,8 @@ class ContinuousAggregate:
             ("gauge", gauges),
             ("stats", stats_aggs),
             ("time_weight", time_weights),
+            ("freq", freq_aggs),
+            ("maxn", maxn_aggs),
         ):
             normd: dict[str, dict] = {}
             for col, spec in (d or {}).items():
@@ -473,12 +508,22 @@ class ContinuousAggregate:
                             f"time_weight {col!r}: method must be 'locf' "
                             f"or 'linear', got {spec.get('method')!r}"
                         )
+                if kind == "freq" and int(spec.get("capacity", 256)) <= 0:
+                    raise ValueError(
+                        f"freq_agg {col!r}: capacity must be positive"
+                    )
+                if kind == "maxn" and int(spec.get("n", 5)) <= 0:
+                    raise ValueError(
+                        f"max_n {col!r}: n must be positive"
+                    )
                 normd[col] = spec
             norm_families[kind_keys[kind]] = normd or None
         counters = norm_families["counters"]
         gauges = norm_families["gauges"]
         stats_aggs = norm_families["stats_aggs"]
         time_weights = norm_families["time_weights"]
+        freq_aggs = norm_families["freq_aggs"]
+        maxn_aggs = norm_families["maxn_aggs"]
         norm_c: dict[str, dict] = {}
         for col, spec in (candlesticks or {}).items():
             if col in taken:
@@ -551,11 +596,35 @@ class ContinuousAggregate:
         # materialization hypertable FIRST (create.c:267): if its name
         # collides, nothing has been written yet — appending the cagg
         # row before this left a broken half-created cagg behind on
-        # failure. Bucket column is the open dimension; chunk interval =
-        # 10 buckets (enough to keep per-range rewrites local) but at
-        # least the source's interval.
+        # failure. Bucket column is the open dimension; chunk interval
+        # follows the reference: the SOURCE's interval × 10 for
+        # non-hierarchical caggs (create.c:104 MATPARTCOL_INTERVAL_FACTOR,
+        # create.c:626-631 — hierarchical children inherit the parent
+        # mat interval unchanged), floored at 10 buckets so a coarse
+        # cagg over a finely-chunked raw table still gets multi-row
+        # chunks. The old 10-buckets-only default produced ~50-row mat
+        # chunks at the x100 probe tier (1,460 dirs for 72k rows) whose
+        # listing dominated every at-grain serve; callers can override
+        # with mat_chunk_interval (the WITH (timescaledb.
+        # chunk_time_interval=...) analog, create.c:619-623).
         nominal_us = iv.us if not iv.months else iv.months * 31 * 86_400_000_000
-        mat_interval = max(nominal_us * 10, int(hypertable.row.get("chunk_interval") or 0))
+        src_interval = int(hypertable.row.get("chunk_interval") or 0)
+        is_hier = (
+            cat.continuous_agg.find_one(mat_table=hypertable.name)
+            is not None
+        )
+        if mat_chunk_interval is not None:
+            mat_interval = (
+                int(mat_chunk_interval)
+                if isinstance(mat_chunk_interval, int)
+                else parse_interval(mat_chunk_interval).us
+            )
+            if mat_interval <= 0:
+                raise ValueError("mat_chunk_interval must be positive")
+        else:
+            mat_interval = max(
+                src_interval * (1 if is_hier else 10), nominal_us * 10
+            )
         Hypertable.create(ts, row["mat_table"], bucket_alias, chunk_interval=mat_interval)
         cat.continuous_agg.append([row])
         # seed: entire range invalid (README "initial state")
@@ -1209,9 +1278,14 @@ class ContinuousAggregate:
         """Mergeable 1-D STATS partial per (bucket, group):
         ``struct(n, s, s2, mn, mx)`` — raw moments, the classical
         parallel-aggregation decomposition (also how Spark's own
-        partial aggregates merge)."""
+        partial aggregates merge). A spec with a ``"y"`` key builds the
+        TWO-variable form instead (:meth:`_stats2d_state`)."""
         if spec.get("rollup_of"):
-            return self._merge_stats_states(raw, col, spec["rollup_of"])
+            return self._merge_stats_states(
+                raw, col, spec["rollup_of"], two_d="y" in spec
+            )
+        if "y" in spec:
+            return self._stats2d_state(raw, col, spec)
         v = F.expr(spec["value"]).cast("double")
         # strict NULL semantics: the moments already skip NULLs (count/
         # sum/min/max are null-skipping); an all-NULL group's state is
@@ -1245,6 +1319,58 @@ class ContinuousAggregate:
             ).alias(col),
         )
 
+    def _stats2d_state(
+        self, raw: DataFrame, col: str, spec: dict
+    ) -> DataFrame:
+        """Mergeable 2-D STATS partial per (bucket, group):
+        ``struct(n, sx, sy, sxx, syy, sxy)`` — raw (co)moments of the
+        sample pairs where BOTH values are non-NULL (PostgreSQL
+        ``regr_*`` pair semantics; the toolkit two-variable
+        ``stats_agg(y, x)``). Fieldwise sums merge commutatively, so
+        :meth:`stats2d_at_grain` serves slope/intercept/corr/
+        covariance at any coarser grain by the standard parallel-merge
+        comoment corrections — identical to the same formulas over the
+        raw rows of that grain. ``spec['value']`` is the INDEPENDENT
+        variable (x), ``spec['y']`` the dependent one."""
+        x = F.expr(spec["value"]).cast("double")
+        y = F.expr(spec["y"]).cast("double")
+        both = x.isNotNull() & y.isNotNull()
+        base = raw.select(
+            self._bucket_expr(raw),
+            *self.row["group_by"],
+            F.when(both, x).alias("_x"),
+            F.when(both, y).alias("_y"),
+        )
+        flat = base.groupBy(
+            self.row["bucket_alias"], *self.row["group_by"]
+        ).agg(
+            F.count("_x").alias("_f_n"),
+            F.sum("_x").alias("_f_sx"),
+            F.sum("_y").alias("_f_sy"),
+            F.sum(F.col("_x") * F.col("_x")).alias("_f_sxx"),
+            F.sum(F.col("_y") * F.col("_y")).alias("_f_syy"),
+            F.sum(F.col("_x") * F.col("_y")).alias("_f_sxy"),
+        )
+        return flat.select(
+            self.row["bucket_alias"],
+            *self.row["group_by"],
+            F.when(
+                F.col("_f_n") > 0,
+                F.struct(
+                    F.col("_f_n").alias("n"),
+                    F.col("_f_sx").alias("sx"),
+                    F.col("_f_sy").alias("sy"),
+                    F.col("_f_sxx").alias("sxx"),
+                    F.col("_f_syy").alias("syy"),
+                    F.col("_f_sxy").alias("sxy"),
+                ),
+            ).alias(col),
+        )
+
+    def _is_stats2d(self, col: str) -> bool:
+        spec = (self.row.get("stats_aggs") or {}).get(col)
+        return bool(spec) and "y" in spec
+
     def stats_at_grain(
         self,
         stats_col: Optional[str] = None,
@@ -1258,6 +1384,11 @@ class ContinuousAggregate:
         moments partials (toolkit ``rollup(stats_agg(...))``
         accessors): fieldwise add/min/max merge, then
         n/sum/avg/stddev/variance (sample)/min/max extraction."""
+        if stats_col is not None and self._is_stats2d(stats_col):
+            raise ValueError(
+                f"{stats_col!r} is a 2-D stats partial — use "
+                f"stats2d_at_grain for slope/intercept/corr/covariance"
+            )
         d, keys_gb, bucket, grain_all = self._partial_frame(
             "stats_aggs", stats_col, grain, group_by, realtime, start, end
         )
@@ -1279,6 +1410,91 @@ class ContinuousAggregate:
             var.alias("variance"),
             F.min(st["mn"]).alias("min"),
             F.max(st["mx"]).alias("max"),
+        )
+        if grain_all:
+            return out
+        return out.withColumnRenamed("_tgt", bucket)
+
+    def stats2d_at_grain(
+        self,
+        stats_col: Optional[str] = None,
+        grain: Optional[str] = None,
+        group_by: Optional[Sequence[str]] = None,
+        realtime: Optional[bool] = None,
+        start=None,
+        end=None,
+    ) -> DataFrame:
+        """Serve 2-D linear-regression statistics at any coarser grain
+        from the stored comoment partials — the toolkit
+        ``stats_agg(y, x) → rollup → slope()/intercept()/corr()``
+        idiom (the regression-over-time dashboard query; PG's
+        ``regr_*`` family). Fieldwise sums merge, then the standard
+        comoment corrections: ``Cxy = Σxy − ΣxΣy/n`` etc. With
+        integer-quantized inputs every sum is exact, so the final
+        divisions are IEEE-deterministic and a SQL replay of the same
+        formulas matches bit-for-bit (the q_cagg_stats discipline).
+        Subset ``group_by`` regrouping is allowed — comoments are
+        commutative states.
+
+        Output: ``(bucket?, group…, n, average_x, average_y, sum_x,
+        sum_y, slope, intercept, covariance, corr,
+        determination_coefficient)`` — slope/corr NULL for a
+        degenerate x (all equal), covariance NULL for n ≤ 1, like
+        ``regr_slope``/``covar_samp``."""
+        if stats_col is None:
+            two_d = [
+                c
+                for c, sp in (self.row.get("stats_aggs") or {}).items()
+                if "y" in sp
+            ]
+            if len(two_d) != 1:
+                raise ValueError(
+                    f"cagg {self.name!r} has {len(two_d)} 2-D stats "
+                    f"columns; pass stats_col"
+                )
+            stats_col = two_d[0]
+        if not self._is_stats2d(stats_col):
+            raise ValueError(
+                f"{stats_col!r} is not a 2-D stats partial (create "
+                f"with stats_aggs={{col: {{'value': x, 'y': y}}}})"
+            )
+        d, keys_gb, bucket, grain_all = self._partial_frame_for_col(
+            stats_col, grain, group_by, realtime, start, end
+        )
+        tcols = [] if grain_all else ["_tgt"]
+        st = F.col("_st")
+        n = F.sum(st["n"])
+        sx = F.sum(st["sx"])
+        sy = F.sum(st["sy"])
+        sxx = F.sum(st["sxx"])
+        syy = F.sum(st["syy"])
+        sxy = F.sum(st["sxy"])
+        # comoment corrections; clamp float residue like stats_at_grain.
+        # nullif denominators, not when-guards: ANSI divide-by-zero
+        # fires even inside an unreached CaseWhen branch under codegen
+        # subexpression elimination, while x / NULL is cleanly NULL —
+        # the same semantics (degenerate x → NULL slope/corr, n ≤ 1 →
+        # NULL covariance, regr_slope/covar_samp behavior)
+        cxx = F.greatest(sxx - sx * sx / n, F.lit(0.0))
+        cyy = F.greatest(syy - sy * sy / n, F.lit(0.0))
+        cxy = sxy - sx * sy / n
+        slope = cxy / F.nullif(cxx, F.lit(0.0))
+        out = d.groupBy(*tcols, *keys_gb).agg(
+            n.alias("n"),
+            (sx / n).alias("average_x"),
+            (sy / n).alias("average_y"),
+            sx.alias("sum_x"),
+            sy.alias("sum_y"),
+            slope.alias("slope"),
+            ((sy - slope * sx) / n).alias("intercept"),
+            (
+                cxy / F.nullif((n - F.lit(1)).cast("double"), F.lit(0.0))
+            ).alias("covariance"),
+            (cxy / F.nullif(F.sqrt(cxx * cyy), F.lit(0.0))).alias("corr"),
+            F.coalesce(
+                cxy * cxy / F.nullif(cxx * cyy, F.lit(0.0)),
+                F.when((cxx > 0) & (cyy == F.lit(0.0)), F.lit(1.0)),
+            ).alias("determination_coefficient"),
         )
         if grain_all:
             return out
@@ -2238,12 +2454,38 @@ class ContinuousAggregate:
         )
 
     def _merge_stats_states(
-        self, raw: DataFrame, col: str, src: str
+        self, raw: DataFrame, col: str, src: str, two_d: bool = False
     ) -> DataFrame:
         """Child stats state: fieldwise add/min/max — moments merge
-        commutatively (the classical parallel decomposition)."""
+        commutatively (the classical parallel decomposition). 2-D
+        comoments merge by the same fieldwise sums."""
         d, balias, gb = self._rollup_frame(raw, src)
         st = F.col("_st")
+        if two_d:
+            flat = d.groupBy(balias, *gb).agg(
+                F.count("_st").alias("_f_nn"),
+                F.sum(st["n"]).alias("_f_n"),
+                F.sum(st["sx"]).alias("_f_sx"),
+                F.sum(st["sy"]).alias("_f_sy"),
+                F.sum(st["sxx"]).alias("_f_sxx"),
+                F.sum(st["syy"]).alias("_f_syy"),
+                F.sum(st["sxy"]).alias("_f_sxy"),
+            )
+            return flat.select(
+                balias,
+                *gb,
+                F.when(
+                    F.col("_f_nn") > 0,
+                    F.struct(
+                        F.col("_f_n").alias("n"),
+                        F.col("_f_sx").alias("sx"),
+                        F.col("_f_sy").alias("sy"),
+                        F.col("_f_sxx").alias("sxx"),
+                        F.col("_f_syy").alias("syy"),
+                        F.col("_f_sxy").alias("sxy"),
+                    ),
+                ).alias(col),
+            )
         flat = d.groupBy(balias, *gb).agg(
             F.count("_st").alias("_f_nn"),
             F.sum(st["n"]).alias("_f_n"),

@@ -1273,6 +1273,77 @@ def q_cagg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cagg_stats2d",
+    """
+    WITH s AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+             event_type,
+             floor(value * 100 + 0.5) AS x,
+             CAST(user_id AS DOUBLE) AS y
+      FROM events
+    ), f AS (
+      SELECT bucket, event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+      FROM s GROUP BY 1, 2
+    )
+    SELECT bucket, event_type, n,
+           sx / n AS average_x,
+           sy / n AS average_y,
+           (sxy - sx*sy/n)
+             / nullif(greatest(sxx - sx*sx/n, 0), 0) AS slope,
+           (sy - (sxy - sx*sy/n)
+                   / nullif(greatest(sxx - sx*sx/n, 0), 0) * sx) / n
+             AS intercept,
+           (sxy - sx*sy/n) / nullif(CAST(n - 1 AS DOUBLE), 0)
+             AS covariance,
+           (sxy - sx*sy/n)
+             / nullif(sqrt(greatest(sxx - sx*sx/n, 0)
+                           * greatest(syy - sy*sy/n, 0)), 0) AS corr
+    FROM f
+    """,
+)
+def q_cagg_stats2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D stats-STATE continuous aggregate (round 12; toolkit
+    ``stats_agg(y, x) → rollup → slope()/intercept()/corr()``): hourly
+    comoment partials (n, Σx, Σy, Σx², Σy², Σxy) merge fieldwise to any
+    grain; daily regression stats served from them equal the standard
+    parallel-merge comoment corrections over each day's raw rows.
+    Inputs quantized (x integer-valued, y small ints) so every sum is
+    exactly representable — the final divisions/sqrt are then
+    IEEE-deterministic and the oracle replay matches bit-for-bit.
+    Half-range refresh exercises the realtime union: the raw side
+    builds the same comoment states above the watermark."""
+    import tempfile
+
+    from .session import TSSession
+
+    root = tempfile.mkdtemp(prefix="ts_cagg_s2d_")
+    ts = TSSession(spark, root)
+    ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "x", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("double")
+    ).withColumn("y", F.col("user_id").cast("double"))
+    ht.insert(ev)
+    cagg = ts.create_cagg(
+        "qs2d",
+        ht,
+        bucket_width="1 hour",
+        aggs={},
+        group_by=["event_type"],
+        stats_aggs={"st2": {"value": "x", "y": "y"}},
+    )
+    lo = min(c["range_start"] for c in ht.chunks())
+    hi = max(c["range_end"] for c in ht.chunks())
+    cagg.refresh(start=lo, end=lo + (hi - lo) // 2)
+    return cagg.stats2d_at_grain(grain="1 day", realtime=True).select(
+        "bucket", "event_type", "n", "average_x", "average_y",
+        "slope", "intercept", "covariance", "corr",
+    )
+
+
+@query(
     "q_cagg_hier_counter",
     """
     WITH s AS (

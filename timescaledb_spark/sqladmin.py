@@ -1630,12 +1630,20 @@ def run_create_cagg(ts, m) -> DataFrame:
                 raise ValueError(f"cagg partial needs AS alias: {item!r}")
             fn, args = cnh
             if fn == "stats_agg":
-                if len(args) != 1:
+                # 1-D stats_agg(value) or 2-D stats_agg(y, x) — the
+                # toolkit/PG argument order puts the DEPENDENT variable
+                # first (regr_slope(y, x))
+                if len(args) == 1:
+                    stats_aggs[alias] = {"value": _rw(args[0].strip(), ts)}
+                elif len(args) == 2:
+                    stats_aggs[alias] = {
+                        "value": _rw(args[1].strip(), ts),
+                        "y": _rw(args[0].strip(), ts),
+                    }
+                else:
                     raise ValueError(
-                        "only 1-D stats_agg(value) is supported in "
-                        "cagg partials"
+                        "stats_agg takes 1 (value) or 2 (y, x) arguments"
                     )
-                stats_aggs[alias] = {"value": _rw(args[0].strip(), ts)}
                 continue
             if fn == "state_agg":
                 if len(args) != 2:
@@ -1757,7 +1765,13 @@ def run_create_cagg(ts, m) -> DataFrame:
         for k, v in gauges.items()
     }
     stats_aggs = {
-        k: {**v, "value": _strip_quals(v["value"], quals)}
+        k: {
+            **v,
+            "value": _strip_quals(v["value"], quals),
+            **(
+                {"y": _strip_quals(v["y"], quals)} if "y" in v else {}
+            ),
+        }
         for k, v in stats_aggs.items()
     }
     time_weights = {

@@ -1501,6 +1501,20 @@ _PARTIAL_ACCESSORS = {
         "num_vals": "n",
     },
 }
+# 2-D stats partials (stats_aggs specs with a "y") serve the regression
+# accessor family instead of the 1-D one — resolved per COLUMN below
+_STATS2D_ACCESSORS = {
+    "slope": "slope",
+    "intercept": "intercept",
+    "corr": "corr",
+    "covariance": "covariance",
+    "determination_coefficient": "determination_coefficient",
+    "average_x": "average_x",
+    "average_y": "average_y",
+    "sum_x": "sum_x",
+    "sum_y": "sum_y",
+    "num_vals": "n",
+}
 _PARTIAL_METHOD = {
     "counters": "counter_at_grain",
     "gauges": "gauge_at_grain",
@@ -1511,7 +1525,7 @@ _PARTIAL_METHOD = {
 }
 _ALL_ACCESSOR_FNS = frozenset(
     fn for d in _PARTIAL_ACCESSORS.values() for fn in d
-)
+) | frozenset(_STATS2D_ACCESSORS)
 
 
 def _try_partial_accessors(ts, q: str):
@@ -1592,11 +1606,16 @@ def _try_partial_accessors(ts, q: str):
                 return None
             if family not in (None, fam) or part_col not in (None, col):
                 return None
-            if fn not in _PARTIAL_ACCESSORS[fam]:
+            acc_map = _PARTIAL_ACCESSORS[fam]
+            if fam == "stats_aggs" and "y" in (
+                (crow.get(fam) or {}).get(col) or {}
+            ):
+                acc_map = _STATS2D_ACCESSORS
+            if fn not in acc_map:
                 return None
             family, part_col = fam, col
             n_acc += 1
-            sel.append(("a", alias or fn, _PARTIAL_ACCESSORS[fam][fn]))
+            sel.append(("a", alias or fn, acc_map[fn]))
         elif head and head[0] == "time_bucket":
             if len(head[1]) != 2 or has_bucket:
                 return None
@@ -1625,7 +1644,12 @@ def _try_partial_accessors(ts, q: str):
     eff_grain = grain if has_bucket else "all"
     try:
         cagg = ts.get_cagg(frm)
-        served = getattr(cagg, _PARTIAL_METHOD[family])(
+        meth = _PARTIAL_METHOD[family]
+        if family == "stats_aggs" and "y" in (
+            (crow.get(family) or {}).get(part_col) or {}
+        ):
+            meth = "stats2d_at_grain"
+        served = getattr(cagg, meth)(
             part_col, grain=eff_grain, group_by=want_groups
         )
         if family == "state_aggs":

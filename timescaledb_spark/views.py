@@ -125,6 +125,8 @@ def continuous_aggregates(ts) -> DataFrame:
                     + list(c.get("time_weights") or {})
                     + list(c.get("candlesticks") or {})
                     + list(c.get("state_aggs") or {})
+                    + list(c.get("freq_aggs") or {})
+                    + list(c.get("maxn_aggs") or {})
                 ),
             }
         )
