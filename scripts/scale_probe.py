@@ -234,36 +234,90 @@ def main() -> None:
     out["cagg_refresh_dirty_1pct_s"] = round(time.perf_counter() - t0, 2)
     out["cagg_dirty_ranges"] = len(ranges)
 
-    # ---- round-11: time-weight + candlestick partial families at the
-    # same many-chunk catalog: one refresh materializes BOTH partials
-    # (each is one window + one aggregate over the raw scan), and
-    # serving any grain is a state-merge over mat rows only — timed
+    # ---- round-11/12: EVERY partial family at the many-chunk catalog:
+    # one refresh materializes all states (one window/aggregate pass
+    # per family over the raw scan, joined 1:1), and serving any grain
+    # is a state-merge over mat rows only — each family's serve timed
     # separately so the O(states) serve cost is visible next to the
-    # O(raw) refresh cost
+    # O(raw) refresh cost. Round 12: the r11 15s serves were the mat
+    # READ path, not the merge — ~50-row mat chunks from the old
+    # 10-bucket chunk interval made Spark build a 1,460-root file
+    # index per serve; the reference's interval x10 rule plus the
+    # single-root scan fast path cut tw/candle serves ~5x at MULT=20
+    # (profile_serve.py artifact).
     twc = ts.create_cagg(
         "big_twc",
         ht,
         bucket_width="1 hour",
         aggs={},
         group_by=["event_type"],
+        sketches={"sk": {"value": "value"}},
+        counters={"cnt": {"value": "value", "tiebreak": ["event_id"]}},
+        gauges={"gg": {"value": "value", "tiebreak": ["event_id"]}},
+        stats_aggs={
+            "st": {"value": "value"},
+            "st2": {"value": "value", "y": "cast(user_id as double)"},
+        },
         time_weights={"tw": {"value": "value", "tiebreak": ["event_id"]}},
         candlesticks={
             "ohlc": {"price": "value", "tiebreak": ["event_id"]}
         },
+        state_aggs={"sa": {"state": "event_type"}},
+        freq_aggs={"fq": {"value": "cast(user_id % 20 as string)"}},
+        maxn_aggs={"mx": {"value": "value", "n": 3}},
+        heartbeat_aggs={"hb": {"liveness": "5 minutes"}},
     )
     t0 = time.perf_counter()
     twc.refresh()
-    out["tw_candle_cagg_refresh_s"] = round(time.perf_counter() - t0, 2)
+    out["allfam_cagg_refresh_s"] = round(time.perf_counter() - t0, 2)
+    out["allfam_mat_chunks"] = len(twc._mat().chunks())
+    serves = {
+        "tw_serve_day": lambda: twc.time_weighted_at_grain(
+            "tw", grain="1 day", realtime=False
+        ),
+        "candle_serve_day": lambda: twc.candlestick_at_grain(
+            "ohlc", grain="1 day", realtime=False
+        ),
+        "sketch_p95_day": lambda: twc.quantiles(
+            [0.95], sketch_col="sk", grain="1 day", realtime=False
+        ),
+        "counter_serve_day": lambda: twc.counter_at_grain(
+            "cnt", grain="1 day", realtime=False
+        ),
+        "gauge_serve_day": lambda: twc.gauge_at_grain(
+            "gg", grain="1 day", realtime=False
+        ),
+        "stats_serve_day": lambda: twc.stats_at_grain(
+            "st", grain="1 day", realtime=False
+        ),
+        "stats2d_serve_day": lambda: twc.stats2d_at_grain(
+            "st2", grain="1 day", realtime=False
+        ),
+        "state_serve_day": lambda: twc.state_durations_at_grain(
+            "sa", grain="1 day", realtime=False
+        ),
+        "topn_serve_day": lambda: twc.topn_at_grain(
+            "fq", n=5, grain="1 day", realtime=False
+        ),
+        "maxn_serve_day": lambda: twc.max_n_at_grain(
+            "mx", grain="1 day", realtime=False
+        ),
+        "heartbeat_serve_day": lambda: twc.heartbeat_at_grain(
+            "hb", grain="1 day", realtime=False
+        ),
+    }
+    for key, mk in serves.items():
+        t0 = time.perf_counter()
+        out[f"{key}_rows"] = mk().count()
+        out[f"{key}_s"] = round(time.perf_counter() - t0, 2)
+    # the VERDICT r11 bar: serve within ~3x of a direct flat groupBy
+    # over the same mat table
+    matdir = twc._mat().data_dir
     t0 = time.perf_counter()
-    out["tw_serve_day_rows"] = twc.time_weighted_at_grain(
-        grain="1 day", realtime=False
-    ).count()
-    out["tw_serve_day_s"] = round(time.perf_counter() - t0, 2)
-    t0 = time.perf_counter()
-    out["candle_serve_day_rows"] = twc.candlestick_at_grain(
-        grain="1 day", realtime=False
-    ).count()
-    out["candle_serve_day_s"] = round(time.perf_counter() - t0, 2)
+    spark.read.option("basePath", matdir).parquet(matdir).groupBy(
+        F.window("bucket", "1 day"), "event_type"
+    ).agg(F.sum(F.col("tw")["integral"])).count()
+    out["mat_flat_groupby_s"] = round(time.perf_counter() - t0, 2)
 
     # ---- round-8: text-pipeline operators at corpus scale --------------
     # documents × MULT (~50k-500k docs): replicated docs share every line
@@ -312,6 +366,36 @@ def main() -> None:
     out["substring_dedup_flagged_frac"] = round(
         flagged["f"] / max(flagged["n"], 1), 4
     )
+
+    # ---- round-12: the stride LEVER, measured (VERDICT r11 task #6).
+    # The gram exchange moves one ~24 B row (doc id + pos + 60-bit
+    # hash) per emitted gram = Σ ceil((len−L+1)/stride) rows; stride
+    # divides that volume at the cost of the match guarantee degrading
+    # from ≥ L to ≥ L+stride−1 spans (pipeline/dedup.py docstring
+    # formula). Recorded per stride: wall time, exact gram count, and
+    # the implied shuffle bytes-per-corpus-char.
+    total_chars = big_docs.agg(
+        F.sum(F.length("text")).alias("c")
+    ).collect()[0]["c"]
+    out["substring_corpus_chars"] = int(total_chars)
+    for stride in (1, 8, 16):
+        grams = big_docs.agg(
+            F.sum(
+                F.when(
+                    F.length("text") >= 40,
+                    F.ceil((F.length("text") - 39) / F.lit(stride)),
+                ).otherwise(F.lit(1))
+            ).alias("g")
+        ).collect()[0]["g"]
+        t0 = time.perf_counter()
+        substring_dedup(big_docs, length=40, stride=stride).agg(
+            F.sum((~F.col("keep")).cast("long"))
+        ).collect()
+        out[f"substride_{stride}_s"] = round(time.perf_counter() - t0, 2)
+        out[f"substride_{stride}_grams"] = int(grams)
+        out[f"substride_{stride}_bytes_per_char"] = round(
+            grams * 24.0 / max(total_chars, 1), 3
+        )
 
     t0 = time.perf_counter()
     bm25_topk(big_docs, ["data", "model", "training", "quality"], k=25).collect()

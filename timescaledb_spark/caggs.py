@@ -193,6 +193,7 @@ class ContinuousAggregate:
         state_aggs: Optional[dict[str, dict]] = None,
         freq_aggs: Optional[dict[str, dict]] = None,
         maxn_aggs: Optional[dict[str, dict]] = None,
+        heartbeat_aggs: Optional[dict[str, dict]] = None,
         mat_chunk_interval: Union[str, int, None] = None,
     ) -> "ContinuousAggregate":
         """``CREATE MATERIALIZED VIEW .. WITH (timescaledb.continuous)``
@@ -289,6 +290,28 @@ class ContinuousAggregate:
         :meth:`state_durations_at_grain` serves exact per-state
         durations at any coarser grain — the toolkit
         ``duration_in(state, rollup(state_agg(...)))`` idiom.
+        ``freq_aggs``: output column -> ``{"value": <expr>,
+        "capacity": k}``: a Misra–Gries/SpaceSaving frequency partial
+        per (bucket, group) — ``struct(n, counts: map<string,long>)``
+        of at most ``capacity`` heavy hitters (toolkit
+        ``freq_agg``/``topn_agg``). Lower bounds sum across merged
+        states (Agarwal et al., PODS'12), so :meth:`topn_at_grain`
+        serves "top values per hour, at any grain" — exactly whenever
+        each bucket's distinct count fits the capacity.
+        ``maxn_aggs``: output column -> ``{"value": <expr>, "n": k,
+        "desc": True|False}``: the ``n`` largest (smallest) values per
+        (bucket, group) — ``struct(n, vals: array<double>)`` (toolkit
+        ``max_n``/``min_n``). Top-n candidate lists merge losslessly,
+        so :meth:`max_n_at_grain` is exact at every grain.
+        ``heartbeat_aggs``: output column -> ``{"liveness": <interval>,
+        "tiebreak": [cols…]}``: a liveness partial per (bucket, group)
+        — ``struct(n, first_us, last_us, live_us, ranges)`` where
+        ``live_us`` is the union length of the per-heartbeat
+        ``[t, t+liveness)`` intervals (toolkit ``heartbeat_agg``).
+        Adjacent partials merge with one boundary correction each, so
+        :meth:`heartbeat_at_grain` serves exact
+        live_time/dead_time/num_live_ranges at any grain — the ops
+        analog of the counter family.
         ``candlesticks``: output column -> ``{"price": <expr>,
         "volume": <expr> | None, "tiebreak": [cols…]}``: a mergeable
         OHLC partial per (bucket, group) — ``struct(n, first_us,
@@ -450,6 +473,16 @@ class ContinuousAggregate:
                 out["y"] = pspec["y"]
             if kind_key == "freq_aggs" and "capacity" not in out:
                 out["capacity"] = pspec.get("capacity", 256)
+            if kind_key == "heartbeat_aggs":
+                # stored live times depend on the liveness interval —
+                # a child cannot reinterpret the parent's states
+                p_liv = pspec.get("liveness")
+                if "liveness" in out and out["liveness"] != p_liv:
+                    raise ValueError(
+                        f"rollup_of={col!r}: child liveness must match "
+                        f"the parent's ({p_liv!r})"
+                    )
+                out["liveness"] = p_liv
             if kind_key == "maxn_aggs":
                 # the candidate-list length and direction are state
                 # properties — a child cannot keep MORE than the parent
@@ -541,6 +574,37 @@ class ContinuousAggregate:
                 )
             norm_c[col] = spec
         candlesticks = norm_c or None
+        norm_hb: dict[str, dict] = {}
+        for col, spec in (heartbeat_aggs or {}).items():
+            if col in taken:
+                raise ValueError(
+                    f"heartbeat column {col!r} collides with another "
+                    f"output column"
+                )
+            taken.add(col)
+            if "rollup_of" in spec:
+                spec = _check_rollup("heartbeat_aggs", col, spec)
+            elif "liveness" not in spec:
+                raise ValueError(
+                    f"heartbeat partial {col!r} needs a 'liveness' "
+                    f"interval (or 'rollup_of')"
+                )
+            liv = spec["liveness"]
+            liv_us = (
+                int(liv)
+                if isinstance(liv, int)
+                else parse_interval(liv).us
+            )
+            if liv_us <= 0 or (
+                not isinstance(liv, int) and parse_interval(liv).months
+            ):
+                raise ValueError(
+                    f"heartbeat {col!r}: liveness must be a positive "
+                    f"fixed-width interval"
+                )
+            spec = {**spec, "liveness_us": liv_us}
+            norm_hb[col] = spec
+        heartbeat_aggs = norm_hb or None
         norm_sa: dict[str, dict] = {}
         for col, spec in (state_aggs or {}).items():
             if col in taken:
@@ -590,6 +654,9 @@ class ContinuousAggregate:
             "time_weights": time_weights,
             "candlesticks": candlesticks,
             "state_aggs": state_aggs,
+            "freq_aggs": freq_aggs,
+            "maxn_aggs": maxn_aggs,
+            "heartbeat_aggs": heartbeat_aggs,
             "mat_table": f"_mat_{name}",
             "created_at": _time.time(),
         }
@@ -755,6 +822,15 @@ class ContinuousAggregate:
         ] + [
             (col, spec, self._stateagg_state)
             for col, spec in (self.row.get("state_aggs") or {}).items()
+        ] + [
+            (col, spec, self._freq_state)
+            for col, spec in (self.row.get("freq_aggs") or {}).items()
+        ] + [
+            (col, spec, self._maxn_state)
+            for col, spec in (self.row.get("maxn_aggs") or {}).items()
+        ] + [
+            (col, spec, self._heartbeat_state)
+            for col, spec in (self.row.get("heartbeat_aggs") or {}).items()
         ]
         agg = None
         if exprs or not partials:
@@ -2301,6 +2377,521 @@ class ContinuousAggregate:
                 F.sum("_d").alias("duration_us"),
                 F.sum("_n").alias("n"),
             )
+        )
+        if grain_all:
+            return out
+        return out.withColumnRenamed("_tgt", bucket)
+
+    # ----------------------- frequency (topn) + max_n/min_n partials
+    @staticmethod
+    def _mg_trim_exprs(ents_col: str, cap: int):
+        """Misra–Gries trim of an exact ``array<struct(c, v)>`` count
+        list to ``capacity`` entries: sort by (count desc, value asc),
+        subtract the (capacity+1)-th count from the survivors, drop the
+        non-positive remainder (the offline SpaceSaving construction;
+        error bound per value ≤ N/(capacity+1), and summed lower bounds
+        stay mergeable — Agarwal et al., "Mergeable Summaries",
+        PODS'12). When a bucket's distinct count ≤ capacity the cut is
+        0 and the stored counts are EXACT — the any-grain exactness
+        contract the q_cagg_topn gate checks. Returns (sorted_expr,
+        counts_map_expr over the sorted alias ``_f_se``)."""
+        sorted_expr = F.expr(
+            f"array_sort({ents_col}, (a, b) -> CASE "
+            f"WHEN a.c > b.c THEN -1 WHEN a.c < b.c THEN 1 "
+            f"WHEN a.v < b.v THEN -1 WHEN a.v > b.v THEN 1 ELSE 0 END)"
+        )
+        cut = (
+            f"IF(size(_f_se) > {cap}, "
+            f"element_at(_f_se, {cap + 1}).c, CAST(0 AS BIGINT))"
+        )
+        counts = F.expr(
+            f"map_from_entries(filter(transform(slice(_f_se, 1, {cap}),"
+            f" e -> named_struct('v', e.v, 'c', e.c - {cut})),"
+            f" e -> e.c > 0))"
+        )
+        return sorted_expr, counts
+
+    def _freq_state(self, raw: DataFrame, col: str, spec: dict) -> DataFrame:
+        """Mergeable FREQUENCY partial per (bucket, group):
+        ``struct(n, counts: map<string,long>)`` — a Misra–Gries /
+        SpaceSaving summary of at most ``capacity`` heavy hitters
+        (toolkit ``freq_agg``/``topn_agg`` family;
+        functions/stats.py:freq_sketch_topn is the raw-scan analog).
+        Built from EXACT within-bucket counts (a cagg bucket bounds the
+        group), then trimmed; states merge by summed lower bounds +
+        re-trim, so :meth:`topn_at_grain` serves heavy hitters at any
+        coarser grain with the mergeable-summaries error bound — and
+        exactly when every bucket's distinct count fits the capacity.
+        Strict NULL semantics: NULL values are skipped; n counts
+        non-null samples."""
+        if spec.get("rollup_of"):
+            return self._merge_freq_states(
+                raw, col, spec["rollup_of"], int(spec.get("capacity", 256))
+            )
+        cap = int(spec.get("capacity", 256))
+        balias = self.row["bucket_alias"]
+        gb = list(self.row["group_by"])
+        v = F.expr(spec["value"]).cast("string")
+        # exact (bucket, group, value) counts first — the map-side
+        # combine collapses rows to distinct values before the exchange
+        cnt = (
+            raw.select(self._bucket_expr(raw), *gb, v.alias("_v"))
+            .groupBy(balias, *gb, "_v")
+            .agg(F.count("_v").alias("_c"))
+        )
+        ent = F.when(
+            F.col("_v").isNotNull(),
+            F.struct(F.col("_c").alias("c"), F.col("_v").alias("v")),
+        )
+        flat = cnt.groupBy(balias, *gb).agg(
+            F.sum("_c").alias("_f_n"),
+            F.collect_list(ent).alias("_f_ents"),
+        )
+        sorted_expr, counts = self._mg_trim_exprs("_f_ents", cap)
+        flat = flat.select(balias, *gb, "_f_n", sorted_expr.alias("_f_se"))
+        return flat.select(
+            balias,
+            *gb,
+            F.when(
+                F.col("_f_n") > 0,
+                F.struct(
+                    F.col("_f_n").alias("n"), counts.alias("counts")
+                ),
+            ).alias(col),
+        )
+
+    def _merge_freq_states(
+        self, raw: DataFrame, col: str, src: str, cap: int
+    ) -> DataFrame:
+        """Child frequency state: per-value lower bounds ADD across the
+        parent's states (Misra–Gries union), then one re-trim to the
+        child capacity."""
+        d, balias, gb = self._rollup_frame(raw, src)
+        st = F.col("_st")
+        totals = d.groupBy(balias, *gb).agg(
+            F.count("_st").alias("_f_nn"),
+            F.sum(st["n"]).alias("_f_n"),
+        )
+        summed = (
+            d.select(
+                balias, *gb, F.explode(st["counts"]).alias("_v", "_c")
+            )
+            .groupBy(balias, *gb, "_v")
+            .agg(F.sum("_c").alias("_c"))
+            .groupBy(balias, *gb)
+            .agg(
+                F.collect_list(
+                    F.struct(F.col("_c").alias("c"), F.col("_v").alias("v"))
+                ).alias("_f_ents")
+            )
+        )
+        keys = [balias, *gb]
+        l, r = totals.alias("_fl"), summed.alias("_fr")
+        cond = None
+        for k in keys:
+            c = F.col(f"_fl.{k}").eqNullSafe(F.col(f"_fr.{k}"))
+            cond = c if cond is None else cond & c
+        j = l.join(r, cond, "left").select(
+            "_fl.*", F.col("_fr._f_ents").alias("_f_ents")
+        )
+        # a NULL _f_ents (every parent state NULL) flows through the
+        # trim as NULL and is masked by the guard below
+        sorted_expr, counts = self._mg_trim_exprs("_f_ents", cap)
+        j = j.select(*keys, "_f_n", "_f_nn", sorted_expr.alias("_f_se"))
+        return j.select(
+            balias,
+            *gb,
+            F.when(
+                (F.col("_f_nn") > 0) & F.col("_f_n").isNotNull(),
+                F.struct(
+                    F.col("_f_n").alias("n"), counts.alias("counts")
+                ),
+            ).alias(col),
+        )
+
+    def topn_at_grain(
+        self,
+        freq_col: Optional[str] = None,
+        n: int = 10,
+        grain: Optional[str] = None,
+        group_by: Optional[Sequence[str]] = None,
+        realtime: Optional[bool] = None,
+        start=None,
+        end=None,
+    ) -> DataFrame:
+        """Serve the ``n`` most frequent values at any coarser grain
+        from the stored Misra–Gries states — the toolkit
+        ``topn(rollup(freq_agg(...)), n)`` idiom ("top URLs per hour,
+        served per day"). Per-value lower bounds sum across merged
+        states; any value with true frequency > N/(capacity+1) is
+        guaranteed to surface, counts are lower bounds — and EXACT
+        (so the top-n itself is exact) whenever every source bucket's
+        distinct count fits its capacity. Subset ``group_by``
+        regrouping is allowed (commutative merge). Deterministic order:
+        count desc, value asc.
+
+        Output: ``(bucket?, group…, value, freq_lb)``."""
+        from pyspark.sql import Window
+
+        d, keys_gb, bucket, grain_all = self._partial_frame(
+            "freq_aggs", freq_col, grain, group_by, realtime, start, end
+        )
+        tcols = [] if grain_all else ["_tgt"]
+        merged = (
+            d.select(
+                *tcols,
+                *keys_gb,
+                F.explode(F.col("_st")["counts"]).alias("value", "_c"),
+            )
+            .groupBy(*tcols, *keys_gb, "value")
+            .agg(F.sum("_c").alias("freq_lb"))
+        )
+        order = [F.col("freq_lb").desc(), F.col("value").asc()]
+        if not tcols and not keys_gb:
+            # global top-n: TakeOrderedAndProject, never an all-rows
+            # single-partition window
+            return merged.orderBy(*order).limit(n)
+        w = Window.partitionBy(*tcols, *keys_gb).orderBy(*order)
+        out = (
+            merged.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= n)
+            .drop("_rk")
+        )
+        if grain_all:
+            return out
+        return out.withColumnRenamed("_tgt", bucket)
+
+    def _maxn_state(self, raw: DataFrame, col: str, spec: dict) -> DataFrame:
+        """Mergeable MAX-N/MIN-N candidate list per (bucket, group):
+        ``struct(n, vals: array<double>)`` — the ``n`` largest (or
+        smallest) values, sorted. Top-n is an exactly-mergeable
+        summary (top-n of a union = top-n of the concatenated
+        candidate lists), so :meth:`max_n_at_grain` is exact at every
+        grain (toolkit ``max_n``/``min_n``;
+        functions/stats.py:max_n is the raw-scan analog). The
+        candidate list is built with a bounded rank window — never a
+        whole-bucket collect."""
+        from pyspark.sql import Window
+
+        if spec.get("rollup_of"):
+            return self._merge_maxn_states(raw, col, spec)
+        keep = int(spec.get("n", 5))
+        desc = bool(spec.get("desc", True))
+        balias = self.row["bucket_alias"]
+        gb = list(self.row["group_by"])
+        v = F.expr(spec["value"]).cast("double")
+        base = raw.select(self._bucket_expr(raw), *gb, v.alias("_v"))
+        # NULLS LAST so NULL rows never occupy a kept rank, while still
+        # riding the same window — every (bucket, group) keeps its row,
+        # with a NULL state when all values were NULL (strict)
+        order = (
+            F.col("_v").desc_nulls_last()
+            if desc
+            else F.col("_v").asc_nulls_last()
+        )
+        w = Window.partitionBy(balias, *gb).orderBy(order)
+        ranked = base.withColumn("_rk", F.row_number().over(w))
+        flat = ranked.groupBy(balias, *gb).agg(
+            F.count("_v").alias("_f_n"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        (F.col("_rk") <= keep) & F.col("_v").isNotNull(),
+                        F.col("_v"),
+                    )
+                ),
+                asc=not desc,
+            ).alias("_f_vals"),
+        )
+        return flat.select(
+            balias,
+            *gb,
+            F.when(
+                F.col("_f_n") > 0,
+                F.struct(
+                    F.col("_f_n").alias("n"), F.col("_f_vals").alias("vals")
+                ),
+            ).alias(col),
+        )
+
+    def _merge_maxn_states(
+        self, raw: DataFrame, col: str, spec: dict
+    ) -> DataFrame:
+        """Child candidate list: concatenate the parent lists, re-sort,
+        truncate to the child's n — lossless for top-n."""
+        keep = int(spec.get("n", 5))
+        desc = bool(spec.get("desc", True))
+        d, balias, gb = self._rollup_frame(raw, spec["rollup_of"])
+        st = F.col("_st")
+        flat = d.groupBy(balias, *gb).agg(
+            F.count("_st").alias("_f_nn"),
+            F.sum(st["n"]).alias("_f_n"),
+            F.flatten(F.collect_list(st["vals"])).alias("_f_all"),
+        )
+        vals = F.slice(
+            F.sort_array(F.col("_f_all"), asc=not desc), 1, keep
+        )
+        return flat.select(
+            balias,
+            *gb,
+            F.when(
+                (F.col("_f_nn") > 0) & (F.col("_f_n") > 0),
+                F.struct(F.col("_f_n").alias("n"), vals.alias("vals")),
+            ).alias(col),
+        )
+
+    def max_n_at_grain(
+        self,
+        maxn_col: Optional[str] = None,
+        n: Optional[int] = None,
+        grain: Optional[str] = None,
+        group_by: Optional[Sequence[str]] = None,
+        realtime: Optional[bool] = None,
+        start=None,
+        end=None,
+    ) -> DataFrame:
+        """Serve the ``n`` largest/smallest values at any coarser grain
+        from the stored candidate lists — the toolkit
+        ``into_values(rollup(max_n(...)))`` idiom. Exact at every
+        grain: the target's top-n is the top-n of the concatenated
+        per-bucket candidate lists (each list kept at least as many
+        values as any request can need). ``n`` defaults to the stored
+        list length; requesting more raises. Subset ``group_by``
+        regrouping is allowed.
+
+        Output: ``(bucket?, group…, value)`` rows, best-first."""
+        from pyspark.sql import Window
+
+        specs = self.row.get("maxn_aggs") or {}
+        if maxn_col is None:
+            if len(specs) != 1:
+                raise ValueError(
+                    f"cagg {self.name!r} has {len(specs)} max_n "
+                    f"columns; pass maxn_col"
+                )
+            maxn_col = next(iter(specs))
+        if maxn_col not in specs:
+            raise KeyError(f"no max_n column {maxn_col!r}")
+        spec = specs[maxn_col]
+        keep = int(spec.get("n", 5))
+        desc = bool(spec.get("desc", True))
+        if n is None:
+            n = keep
+        if n > keep:
+            raise ValueError(
+                f"max_n_at_grain(n={n}) exceeds the stored candidate "
+                f"list length ({keep}) — recreate the cagg with a "
+                f"larger n"
+            )
+        d, keys_gb, bucket, grain_all = self._partial_frame_for_col(
+            maxn_col, grain, group_by, realtime, start, end
+        )
+        tcols = [] if grain_all else ["_tgt"]
+        ex = d.select(
+            *tcols, *keys_gb, F.explode(F.col("_st")["vals"]).alias("value")
+        )
+        order = F.col("value").desc() if desc else F.col("value").asc()
+        if not tcols and not keys_gb:
+            return ex.orderBy(order).limit(n)
+        w = Window.partitionBy(*tcols, *keys_gb).orderBy(order)
+        out = (
+            ex.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= n)
+            .drop("_rk")
+        )
+        if grain_all:
+            return out
+        return out.withColumnRenamed("_tgt", bucket)
+
+    # ------------------------------------------ heartbeat partials
+    def _heartbeat_state(
+        self, raw: DataFrame, col: str, spec: dict
+    ) -> DataFrame:
+        """Mergeable HEARTBEAT (liveness) partial per (bucket, group):
+        ``struct(n, first_us, last_us, live_us, ranges)`` — every
+        heartbeat asserts liveness for ``liveness`` after it; live_us
+        is the union length of those intervals over the bucket's own
+        heartbeats with the LAST beat contributing its full interval
+        (toolkit ``heartbeat_agg``; functions/state.py:heartbeat_agg
+        is the raw-scan analog). Merging two adjacent partials needs
+        only one boundary correction — the earlier partial's last beat
+        contributed L but should contribute ``min(gap, L)`` — so
+        :meth:`heartbeat_at_grain` serves exact liveness rollups at
+        any grain, the ops analog of the counter family."""
+        from pyspark.sql import Window
+
+        if spec.get("rollup_of"):
+            return self._merge_heartbeat_states(raw, col, spec)
+        liv = int(spec["liveness_us"])
+        balias = self.row["bucket_alias"]
+        gb = list(self.row["group_by"])
+        tb = list(spec.get("tiebreak") or ())
+        us = self._raw_time_us(raw)
+        base = raw.select(
+            self._bucket_expr(raw),
+            *gb,
+            *[F.col(c).alias(f"_tb{i}") for i, c in enumerate(tb)],
+            us.alias("_us"),
+        )
+        order = [F.col("_us").asc()] + [
+            F.col(f"_tb{i}").asc() for i in range(len(tb))
+        ]
+        w = Window.partitionBy(balias, *gb).orderBy(*order)
+        gap = F.lead("_us").over(w) - F.col("_us")
+        stepped = base.select(
+            balias,
+            *gb,
+            "_us",
+            F.when(gap.isNull(), F.lit(liv))
+            .otherwise(F.least(gap, F.lit(liv)))
+            .alias("_live"),
+            (gap > liv).cast("long").alias("_brk"),
+        )
+        flat = stepped.groupBy(balias, *gb).agg(
+            F.count(F.lit(1)).alias("_f_n"),
+            F.min("_us").alias("_f_first"),
+            F.max("_us").alias("_f_last"),
+            F.sum("_live").alias("_f_live"),
+            (F.lit(1) + F.coalesce(F.sum("_brk"), F.lit(0))).alias(
+                "_f_ranges"
+            ),
+        )
+        return flat.select(
+            balias,
+            *gb,
+            F.when(
+                F.col("_f_n") > 0,
+                F.struct(
+                    F.col("_f_n").alias("n"),
+                    F.col("_f_first").alias("first_us"),
+                    F.col("_f_last").alias("last_us"),
+                    F.col("_f_live").alias("live_us"),
+                    F.col("_f_ranges").alias("ranges"),
+                ),
+            ).alias(col),
+        )
+
+    def _merge_heartbeat_states(
+        self, raw: DataFrame, col: str, spec: dict
+    ) -> DataFrame:
+        """Child heartbeat state: ordered merge of the parent's states
+        with one boundary correction per adjacent pair."""
+        from pyspark.sql import Window
+
+        liv = int(spec["liveness_us"])
+        d, balias, gb = self._rollup_frame(raw, spec["rollup_of"])
+        st = F.col("_st")
+        w = Window.partitionBy(balias, *gb).orderBy(F.col("_src").asc())
+        prev_last = F.lag(st["last_us"]).over(w)
+        gap = st["first_us"] - prev_last
+        # the earlier partial's last beat contributed the full L; in
+        # the merged sequence it should contribute min(gap, L)
+        corr = F.when(
+            prev_last.isNotNull(), F.lit(liv) - F.least(gap, F.lit(liv))
+        )
+        joined = F.when(
+            prev_last.isNotNull() & (gap <= liv), F.lit(1)
+        ).otherwise(F.lit(0))
+        dd = d.select(
+            balias,
+            *gb,
+            st.alias("_st"),
+            F.coalesce(corr, F.lit(0)).alias("_corr"),
+            joined.alias("_join"),
+        )
+        flat = dd.groupBy(balias, *gb).agg(
+            F.count("_st").alias("_f_nn"),
+            F.sum(st["n"]).alias("_f_n"),
+            F.min(st["first_us"]).alias("_f_first"),
+            F.max(st["last_us"]).alias("_f_last"),
+            (F.sum(st["live_us"]) - F.sum("_corr")).alias("_f_live"),
+            (F.sum(st["ranges"]) - F.sum("_join")).alias("_f_ranges"),
+        )
+        return flat.select(
+            balias,
+            *gb,
+            F.when(
+                F.col("_f_nn") > 0,
+                F.struct(
+                    F.col("_f_n").alias("n"),
+                    F.col("_f_first").alias("first_us"),
+                    F.col("_f_last").alias("last_us"),
+                    F.col("_f_live").alias("live_us"),
+                    F.col("_f_ranges").alias("ranges"),
+                ),
+            ).alias(col),
+        )
+
+    def heartbeat_at_grain(
+        self,
+        hb_col: Optional[str] = None,
+        grain: Optional[str] = None,
+        group_by: Optional[Sequence[str]] = None,
+        realtime: Optional[bool] = None,
+        start=None,
+        end=None,
+    ) -> DataFrame:
+        """Serve exact liveness statistics at any coarser grain from
+        the stored heartbeat partials — the toolkit
+        ``rollup(heartbeat_agg(...))`` → ``live_time/dead_time/
+        num_live_ranges`` idiom. Identical to ``heartbeat_agg`` over
+        the raw heartbeats of the target grain: within-bucket unions
+        are stored, each adjacent pair adds one boundary correction.
+        ``dead_us`` is the uncovered time within the observed span
+        ``[first_us, last_us + L)``. Ordered merge within one series —
+        full ``group_by`` required like counters/gauges.
+
+        Output: ``(bucket?, group…, n, live_us, dead_us,
+        num_live_ranges, first_us, last_us)``."""
+        from pyspark.sql import Window
+
+        self._require_full_group_by(group_by, "heartbeat")
+        specs = self.row.get("heartbeat_aggs") or {}
+        if hb_col is None:
+            if len(specs) != 1:
+                raise ValueError(
+                    f"cagg {self.name!r} has {len(specs)} heartbeat "
+                    f"columns; pass hb_col"
+                )
+            hb_col = next(iter(specs))
+        if hb_col not in specs:
+            raise KeyError(f"no heartbeat column {hb_col!r}")
+        liv = int(specs[hb_col]["liveness_us"])
+        d, keys_gb, bucket, grain_all = self._partial_frame_for_col(
+            hb_col, grain, group_by, realtime, start, end
+        )
+        tcols = [] if grain_all else ["_tgt"]
+        st = F.col("_st")
+        w = Window.partitionBy(*tcols, *keys_gb).orderBy(
+            F.col("_src").asc()
+        )
+        prev_last = F.lag(st["last_us"]).over(w)
+        gap = st["first_us"] - prev_last
+        corr = F.when(
+            prev_last.isNotNull(), F.lit(liv) - F.least(gap, F.lit(liv))
+        )
+        joined = F.when(
+            prev_last.isNotNull() & (gap <= liv), F.lit(1)
+        ).otherwise(F.lit(0))
+        dd = d.select(
+            *tcols,
+            *keys_gb,
+            st.alias("_st"),
+            F.coalesce(corr, F.lit(0)).alias("_corr"),
+            joined.alias("_join"),
+        )
+        live = F.sum(st["live_us"]) - F.sum("_corr")
+        first = F.min(st["first_us"])
+        last = F.max(st["last_us"])
+        out = dd.groupBy(*tcols, *keys_gb).agg(
+            F.sum(st["n"]).alias("n"),
+            live.alias("live_us"),
+            (last + F.lit(liv) - first - live).alias("dead_us"),
+            (F.sum(st["ranges"]) - F.sum("_join")).alias(
+                "num_live_ranges"
+            ),
+            first.alias("first_us"),
+            last.alias("last_us"),
         )
         if grain_all:
             return out

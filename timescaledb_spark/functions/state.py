@@ -148,6 +148,73 @@ def state_at(
     )
 
 
+def interpolated_duration_in(
+    df: DataFrame,
+    state,
+    bucket_width,
+    ts_col: str = "ts",
+    state_col: str = "state",
+    by: Sequence[str] = (),
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Bucketed ``duration_in`` with cross-bucket LOCF interpolation —
+    the toolkit two-step ``interpolated_duration_in(state_agg, start,
+    width, prev, next)``: a state sample holds until the NEXT sample,
+    across bucket edges, so a bucket with no samples still accrues the
+    carried state's time (what per-bucket ``duration_in`` gets wrong).
+    The final sample holds zero time (no ``next`` argument — matching
+    :func:`state_durations`).
+
+    Plan: one ``lead`` window per group, then each LOCF segment for the
+    target state explodes over the buckets it overlaps (bounded by
+    segment span / width) and a map-combined groupBy sums exact int64-µs
+    overlaps. Epoch-aligned buckets for positive timestamps like the
+    other raw-scan interpolated accessors (Spark ``DIV`` == DuckDB
+    ``//`` for t ≥ 0; the cagg accessors use the origin-aligned grid).
+
+    Returns ``(by…, bucket, duration_us)`` — one row per bucket the
+    state's segments overlap."""
+    from .counters import _explode_buckets, _order_cols
+    from .time import parse_interval, to_timestamp_micros
+
+    iv = parse_interval(bucket_width)
+    if iv.months:
+        raise ValueError(
+            "interpolated_duration_in needs a fixed-width bucket"
+        )
+    width = iv.us
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(
+        *_order_cols(ts_col, tiebreak)
+    )
+    us = to_unix_microseconds(ts_col)
+    seg = (
+        df.select(
+            *by,
+            us.alias("_t1"),
+            F.col(state_col).alias("_s"),
+            F.lead(us).over(w).alias("_t2"),
+        )
+        .filter(
+            F.col("_s").eqNullSafe(F.lit(state))
+            & (F.col("_t2") > F.col("_t1"))
+        )
+    )
+    wl = F.lit(width).cast("long")
+    ex = _explode_buckets(seg, by, width, [])
+    overlap = F.least(F.col("_t2"), F.col("_b") + wl) - F.greatest(
+        F.col("_t1"), F.col("_b")
+    )
+    return (
+        ex.groupBy(*by, F.col("_b"))
+        .agg(F.sum(overlap).alias("duration_us"))
+        .select(
+            *by,
+            to_timestamp_micros(F.col("_b")).alias("bucket"),
+            "duration_us",
+        )
+    )
+
+
 def heartbeat_agg(
     df: DataFrame,
     ts_col: str = "ts",

@@ -1344,6 +1344,211 @@ def q_cagg_stats2d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cagg_topn",
+    """
+    WITH s AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+             event_type, CAST(user_id % 20 AS VARCHAR) AS v
+      FROM events
+    ), c AS (
+      SELECT bucket, event_type, v,
+             CAST(count(*) AS BIGINT) AS freq_lb
+      FROM s GROUP BY 1, 2, 3
+    ), r AS (
+      SELECT bucket, event_type, v AS value, freq_lb,
+             row_number() OVER (
+               PARTITION BY bucket, event_type
+               ORDER BY freq_lb DESC, v ASC
+             ) AS rk
+      FROM c
+    )
+    SELECT bucket, event_type, value, freq_lb FROM r WHERE rk <= 5
+    """,
+)
+def q_cagg_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency (Misra–Gries) partials in a continuous aggregate
+    (round 12; toolkit ``topn(rollup(freq_agg(...)), n)`` — "top
+    values per hour, served per day"): the mat table stores a
+    capacity-bounded heavy-hitter summary per (bucket, group); serving
+    merges per-value lower bounds and re-ranks. With capacity (64) ≥
+    every bucket's distinct count (20), the stored counts are EXACT,
+    so the served top-5 equals an exact SQL replay — the same
+    exactness contract as q_freq_sketch. Half-range refresh exercises
+    the realtime union (raw-side summaries above the watermark)."""
+    import tempfile
+
+    from .session import TSSession
+
+    root = tempfile.mkdtemp(prefix="ts_cagg_topn_")
+    ts = TSSession(spark, root)
+    ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "v", (F.col("user_id") % 20).cast("string")
+    )
+    ht.insert(ev)
+    cagg = ts.create_cagg(
+        "qtopn",
+        ht,
+        bucket_width="1 hour",
+        aggs={},
+        group_by=["event_type"],
+        freq_aggs={"fq": {"value": "v", "capacity": 64}},
+    )
+    lo = min(c["range_start"] for c in ht.chunks())
+    hi = max(c["range_end"] for c in ht.chunks())
+    cagg.refresh(start=lo, end=lo + (hi - lo) // 2)
+    return cagg.topn_at_grain(
+        n=5, grain="1 day", realtime=True
+    ).select("bucket", "event_type", "value", "freq_lb")
+
+
+@query(
+    "q_cagg_maxn",
+    """
+    WITH r AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+             event_type, value,
+             row_number() OVER (
+               PARTITION BY CAST(date_trunc('day', ts) AS TIMESTAMP),
+                            event_type
+               ORDER BY value DESC
+             ) AS rk
+      FROM events
+    )
+    SELECT bucket, event_type, value FROM r WHERE rk <= 3
+    """,
+)
+def q_cagg_maxn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_n candidate-list partials in a continuous aggregate (round
+    12; toolkit ``into_values(rollup(max_n(...)))``): each hourly
+    bucket stores its 3 largest values; any coarser grain's top-3 is
+    the top-3 of the concatenated candidate lists — exactly mergeable,
+    so the daily serve equals a direct SQL rank over the raw rows.
+    Equal values make WHICH duplicate survives ambiguous but the
+    output VALUE multiset identical, so the hash compare is stable."""
+    import tempfile
+
+    from .session import TSSession
+
+    root = tempfile.mkdtemp(prefix="ts_cagg_maxn_")
+    ts = TSSession(spark, root)
+    ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+    ht.insert(load_table(spark, sf_dir, "events"))
+    cagg = ts.create_cagg(
+        "qmaxn",
+        ht,
+        bucket_width="1 hour",
+        aggs={},
+        group_by=["event_type"],
+        maxn_aggs={"mx": {"value": "value", "n": 3}},
+    )
+    lo = min(c["range_start"] for c in ht.chunks())
+    hi = max(c["range_end"] for c in ht.chunks())
+    cagg.refresh(start=lo, end=lo + (hi - lo) // 2)
+    return cagg.max_n_at_grain(
+        grain="1 day", realtime=True
+    ).select("bucket", "event_type", "value")
+
+
+@query(
+    "q_cagg_heartbeat",
+    """
+    WITH s AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+             event_type, epoch_us(ts) AS us
+      FROM events
+    ), w AS (
+      SELECT bucket, event_type, us,
+             lead(us) OVER (
+               PARTITION BY bucket, event_type ORDER BY us
+             ) AS nxt
+      FROM s
+    )
+    SELECT bucket, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN nxt IS NULL THEN 300000000
+                    ELSE least(nxt - us, 300000000) END) AS BIGINT)
+             AS live_us,
+           CAST(1 + sum(CASE WHEN nxt - us > 300000000 THEN 1 ELSE 0
+                        END) AS BIGINT) AS num_live_ranges
+    FROM w GROUP BY 1, 2
+    """,
+)
+def q_cagg_heartbeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heartbeat (liveness) partials in a continuous aggregate (round
+    12; toolkit ``rollup(heartbeat_agg(...))`` →
+    ``live_time/num_live_ranges``): each hourly bucket stores the
+    union length of its heartbeats' 5-minute liveness intervals; the
+    daily serve applies one boundary correction per adjacent pair, so
+    it equals the interval-algebra replay over the raw beats of each
+    day — all exact int64 µs, bit-stable. Duplicate timestamps
+    permute zero-length gaps only, so the lead order never changes
+    the sums. Half-range refresh exercises the realtime union."""
+    import tempfile
+
+    from .session import TSSession
+
+    root = tempfile.mkdtemp(prefix="ts_cagg_hb_")
+    ts = TSSession(spark, root)
+    ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+    ht.insert(load_table(spark, sf_dir, "events"))
+    cagg = ts.create_cagg(
+        "qhb",
+        ht,
+        bucket_width="1 hour",
+        aggs={},
+        group_by=["event_type"],
+        heartbeat_aggs={"hb": {"liveness": "5 minutes"}},
+    )
+    lo = min(c["range_start"] for c in ht.chunks())
+    hi = max(c["range_end"] for c in ht.chunks())
+    cagg.refresh(start=lo, end=lo + (hi - lo) // 2)
+    return cagg.heartbeat_at_grain(grain="1 day", realtime=True).select(
+        "bucket", "event_type", "n", "live_us", "num_live_ranges"
+    )
+
+
+@query(
+    "q_state_interpolated_dur",
+    """
+    WITH seg AS (
+      SELECT epoch_us(ts) AS t1, event_type AS s,
+             lead(epoch_us(ts)) OVER (ORDER BY ts, event_id) AS t2
+      FROM events
+    ), f AS (
+      SELECT t1, t2 FROM seg WHERE s = 'click' AND t2 > t1
+    ), ex AS (
+      SELECT t1, t2,
+             unnest(range((t1 // 86400000000) * 86400000000,
+                          ((t2 - 1) // 86400000000) * 86400000000 + 1,
+                          86400000000)) AS b
+      FROM f
+    )
+    SELECT make_timestamp(b) AS bucket,
+           CAST(sum(least(t2, b + 86400000000) - greatest(t1, b))
+                AS BIGINT) AS duration_us
+    FROM ex GROUP BY 1
+    """,
+)
+def q_state_interpolated_dur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Toolkit ``interpolated_duration_in`` (round 12): LOCF state held
+    ACROSS bucket edges — each 'click' segment of the global
+    event-stream state machine explodes over the daily buckets it
+    overlaps and contributes its exact int64-µs overlap, so a day the
+    state merely carries into still accrues time (what per-bucket
+    duration_in gets wrong). One window + bounded explode + one
+    map-combined groupBy (functions/state.py:interpolated_duration_in;
+    the toolkit two-step accessor over state_agg)."""
+    from .functions.state import interpolated_duration_in
+
+    ev = load_table(spark, sf_dir, "events")
+    return interpolated_duration_in(
+        ev, "click", "1 day", "ts", "event_type", by=[],
+        tiebreak=["event_id"],
+    )
+
+
+@query(
     "q_cagg_hier_counter",
     """
     WITH s AS (

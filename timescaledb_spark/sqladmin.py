@@ -1572,6 +1572,9 @@ def run_create_cagg(ts, m) -> DataFrame:
     time_weights: dict[str, dict] = {}
     candlesticks: dict[str, dict] = {}
     state_aggs: dict[str, dict] = {}
+    freq_aggs: dict[str, dict] = {}
+    maxn_aggs: dict[str, dict] = {}
+    heartbeat_aggs: dict[str, dict] = {}
     rollups: dict[str, str] = {}  # alias -> parent partial column
     partial_time_args: list[tuple[str, str, str]] = []
     for item in items:
@@ -1617,7 +1620,18 @@ def run_create_cagg(ts, m) -> DataFrame:
                 )
             continue
         cnh = _head_call(
-            expr, {"counter_agg", "gauge_agg", "stats_agg", "state_agg"}
+            expr,
+            {
+                "counter_agg",
+                "gauge_agg",
+                "stats_agg",
+                "state_agg",
+                "heartbeat_agg",
+                "freq_agg",
+                "topn_agg",
+                "max_n",
+                "min_n",
+            },
         )
         if cnh:
             # toolkit partial aggregates inside the cagg definition —
@@ -1652,6 +1666,64 @@ def run_create_cagg(ts, m) -> DataFrame:
                 partial_time_args.append(
                     (fn, alias, args[0].strip().split(".")[-1].strip())
                 )
+                continue
+            if fn == "heartbeat_agg":
+                # heartbeat_agg(ts, 'liveness interval') — the toolkit
+                # form also takes (start, agg_interval) which the cagg
+                # bucket supplies here
+                if len(args) != 2:
+                    raise ValueError("heartbeat_agg(ts, liveness)")
+                lk, lv = _literal_of(args[1])
+                if lk not in ("interval", "string"):
+                    raise ValueError(
+                        "heartbeat_agg liveness must be an interval "
+                        "literal"
+                    )
+                heartbeat_aggs[alias] = {"liveness": str(lv)}
+                partial_time_args.append(
+                    (fn, alias, args[0].strip().split(".")[-1].strip())
+                )
+                continue
+            if fn in ("freq_agg", "topn_agg"):
+                # toolkit freq_agg(min_freq, value): any value with
+                # frequency > min_freq·N must surface — the Misra–Gries
+                # guarantee with capacity ≥ 1/min_freq. topn_agg(n,
+                # value) sizes generously so top-n stays reliable.
+                if fn == "freq_agg" and len(args) == 1:
+                    freq_aggs[alias] = {"value": _rw(args[0].strip(), ts)}
+                elif len(args) == 2:
+                    try:
+                        fv = float(args[0].strip())
+                    except ValueError:
+                        raise ValueError(
+                            f"{fn} first argument must be a numeric "
+                            f"literal"
+                        ) from None
+                    import math as _math
+
+                    cap = (
+                        int(_math.ceil(1.0 / float(fv)))
+                        if fn == "freq_agg"
+                        else max(256, int(fv))
+                    )
+                    freq_aggs[alias] = {
+                        "value": _rw(args[1].strip(), ts),
+                        "capacity": cap,
+                    }
+                else:
+                    raise ValueError(f"{fn}([min_freq | n,] value)")
+                continue
+            if fn in ("max_n", "min_n"):
+                if len(args) != 2:
+                    raise ValueError(f"{fn}(value, n)")
+                nk, nv = _literal_of(args[1])
+                if nk != "int":
+                    raise ValueError(f"{fn} n must be an integer literal")
+                maxn_aggs[alias] = {
+                    "value": _rw(args[0].strip(), ts),
+                    "n": int(nv),
+                    "desc": fn == "max_n",
+                }
                 continue
             if len(args) != 2:
                 raise ValueError(f"{fn}(ts, value)")
@@ -1782,6 +1854,14 @@ def run_create_cagg(ts, m) -> DataFrame:
         k: {**v, "state": _strip_quals(v["state"], quals)}
         for k, v in state_aggs.items()
     }
+    freq_aggs = {
+        k: {**v, "value": _strip_quals(v["value"], quals)}
+        for k, v in freq_aggs.items()
+    }
+    maxn_aggs = {
+        k: {**v, "value": _strip_quals(v["value"], quals)}
+        for k, v in maxn_aggs.items()
+    }
     candlesticks = {
         k: {
             **v,
@@ -1826,6 +1906,9 @@ def run_create_cagg(ts, m) -> DataFrame:
             "time_weights": time_weights,
             "candlesticks": candlesticks,
             "state_aggs": state_aggs,
+            "freq_aggs": freq_aggs,
+            "maxn_aggs": maxn_aggs,
+            "heartbeat_aggs": heartbeat_aggs,
         }
         for alias, src_col in rollups.items():
             fam = next(
@@ -1855,6 +1938,9 @@ def run_create_cagg(ts, m) -> DataFrame:
         time_weights=time_weights or None,
         candlesticks=candlesticks or None,
         state_aggs=state_aggs or None,
+        freq_aggs=freq_aggs or None,
+        maxn_aggs=maxn_aggs or None,
+        heartbeat_aggs=heartbeat_aggs or None,
     )
     if not (m.group("data") or "").strip():  # WITH DATA is the PG default
         cagg.refresh()

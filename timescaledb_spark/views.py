@@ -127,6 +127,7 @@ def continuous_aggregates(ts) -> DataFrame:
                     + list(c.get("state_aggs") or {})
                     + list(c.get("freq_aggs") or {})
                     + list(c.get("maxn_aggs") or {})
+                    + list(c.get("heartbeat_aggs") or {})
                 ),
             }
         )
