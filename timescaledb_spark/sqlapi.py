@@ -1523,9 +1523,27 @@ _PARTIAL_METHOD = {
     "candlesticks": "candlestick_at_grain",
     "state_aggs": "state_durations_at_grain",
 }
-_ALL_ACCESSOR_FNS = frozenset(
-    fn for d in _PARTIAL_ACCESSORS.values() for fn in d
-) | frozenset(_STATS2D_ACCESSORS)
+# toolkit interpolated accessors — cross-bucket interpolation served
+# from the stored partials (caggs.interpolated_*_at_grain). These need
+# an explicit re-bucketing time_bucket item, serve the cagg's FULL
+# group set only (boundary segments are per-series), and cannot mix
+# with the plain accessors of the same family in one query.
+_INTERP_ACCESSORS = {
+    "time_weights": {"interpolated_average": "tw_avg"},
+    "counters": {
+        "interpolated_delta": "delta",
+        "interpolated_rate": "rate",
+    },
+}
+_INTERP_METHOD = {
+    "time_weights": "interpolated_average_at_grain",
+    "counters": "interpolated_delta_at_grain",
+}
+_ALL_ACCESSOR_FNS = (
+    frozenset(fn for d in _PARTIAL_ACCESSORS.values() for fn in d)
+    | frozenset(_STATS2D_ACCESSORS)
+    | frozenset(fn for d in _INTERP_ACCESSORS.values() for fn in d)
+)
 
 
 def _try_partial_accessors(ts, q: str):
@@ -1540,7 +1558,10 @@ def _try_partial_accessors(ts, q: str):
     rollup() calls must target ONE partial column (one state-merge per
     query); WHERE/HAVING/ORDER/LIMIT fall through, and the normal path
     rejects rollup() over a struct column with a clear analysis
-    error."""
+    error. Round 12: ``interpolated_average/delta/rate(rollup(col))``
+    route to the interpolated accessors — explicit re-bucket grain and
+    the cagg's full group set required, no mixing with the plain
+    accessors (see _INTERP_ACCESSORS)."""
     from .sqlgapfill import (
         _alias_of,
         _clauses_of,
@@ -1571,6 +1592,7 @@ def _try_partial_accessors(ts, q: str):
     has_bucket = False
     n_acc = 0
     dur_state = None
+    interp_seen = None
     for item in _split_select_items(cl["select"]):
         expr, alias = _alias_of(item)
         head = _head_call(expr, _ALL_ACCESSOR_FNS | {"time_bucket"})
@@ -1611,8 +1633,19 @@ def _try_partial_accessors(ts, q: str):
                 (crow.get(fam) or {}).get(col) or {}
             ):
                 acc_map = _STATS2D_ACCESSORS
-            if fn not in acc_map:
+            interp_map = _INTERP_ACCESSORS.get(fam) or {}
+            if fn in interp_map:
+                interp = True
+                acc_map = interp_map
+            elif fn in acc_map:
+                interp = False
+            else:
                 return None
+            if interp_seen is not None and interp_seen != interp:
+                # plain and interpolated accessors serve from different
+                # frames — mixing falls through to a loud error
+                return None
+            interp_seen = interp
             family, part_col = fam, col
             n_acc += 1
             sel.append(("a", alias or fn, acc_map[fn]))
@@ -1644,6 +1677,24 @@ def _try_partial_accessors(ts, q: str):
     eff_grain = grain if has_bucket else "all"
     try:
         cagg = ts.get_cagg(frm)
+        if interp_seen:
+            # interpolated accessors need an explicit target grain and
+            # serve the cagg's full group set (boundary segments are
+            # per-series); anything else falls through to a loud error
+            if not has_bucket or grain is None:
+                return None
+            if sorted(want_groups) != sorted(crow.get("group_by") or []):
+                return None
+            served = getattr(cagg, _INTERP_METHOD[family])(
+                part_col, grain=grain
+            )
+            cols = []
+            for kind, out_alias, payload in sel:
+                if kind == "b":
+                    cols.append(F.col(balias).alias(out_alias))
+                else:
+                    cols.append(F.col(payload).alias(out_alias))
+            return served.select(*cols)
         meth = _PARTIAL_METHOD[family]
         if family == "stats_aggs" and "y" in (
             (crow.get(family) or {}).get(part_col) or {}
