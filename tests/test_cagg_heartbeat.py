@@ -144,6 +144,27 @@ class TestHeartbeatCagg:
         with pytest.raises(ValueError, match="single series"):
             cagg.heartbeat_at_grain(grain="all", group_by=[])
 
+    def test_sql_accessor_route(self, env):
+        """live_time/dead_time/num_live_ranges(rollup(hb)) route to
+        heartbeat_at_grain with the shared GROUP BY discipline."""
+        ts, _, cagg = env
+        df = ts.sql(
+            "SELECT time_bucket('1 day', bucket) AS day, event_type, "
+            "live_time(rollup(hb)) AS lt, dead_time(rollup(hb)) AS dt, "
+            "num_live_ranges(rollup(hb)) AS nr FROM hb GROUP BY 1, 2"
+        )
+        got = {
+            (r["day"], r["event_type"]): (r["lt"], r["dt"], r["nr"])
+            for r in df.collect()
+        }
+        want = {
+            (r["bucket"], r["event_type"]): (
+                r["live_us"], r["dead_us"], r["num_live_ranges"],
+            )
+            for r in cagg.heartbeat_at_grain(grain="1 day").collect()
+        }
+        assert got == want and len(got) > 10
+
     def test_cmv_sql(self, spark):
         ts = TSSession(spark, tempfile.mkdtemp(prefix="ts_hb_sql_"))
         ht = ts.create_hypertable("m", "ts", chunk_interval="1 day")

@@ -45,6 +45,7 @@ def env(spark):
         time_weights={"tw": {"value": "v"}},
         candlesticks={"ohlc": {"price": "v"}},
         state_aggs={"sa": {"state": "loc"}},
+        heartbeat_aggs={"hb": {"liveness": "5 minutes"}},
     )
     cagg.refresh()
     return ts, cagg
@@ -60,6 +61,9 @@ _ROUTES = [
     "open(rollup(ohlc)) AS o",
     "duration_in('x', rollup(sa)) AS du",
     "num_vals(rollup(sa)) AS nv",
+    "live_time(rollup(hb)) AS lt",
+    "interpolated_average(rollup(tw)) AS iav",
+    "interpolated_delta(rollup(cnt)) AS idl",
 ]
 
 

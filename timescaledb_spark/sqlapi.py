@@ -1491,6 +1491,14 @@ _PARTIAL_ACCESSORS = {
     # carries a state-literal argument); num_vals is the aggregate's
     # TOTAL sample count (summed over states before the state filter)
     "state_aggs": {"num_vals": "n", "duration_in": "duration_us"},
+    "heartbeat_aggs": {
+        "live_time": "live_us",
+        "dead_time": "dead_us",
+        "num_live_ranges": "num_live_ranges",
+        "num_heartbeats": "n",
+        "first_time": "first_us",
+        "last_time": "last_us",
+    },
     "candlesticks": {
         "open": "open",
         "high": "high",
@@ -1522,6 +1530,7 @@ _PARTIAL_METHOD = {
     "time_weights": "time_weighted_at_grain",
     "candlesticks": "candlestick_at_grain",
     "state_aggs": "state_durations_at_grain",
+    "heartbeat_aggs": "heartbeat_at_grain",
 }
 # toolkit interpolated accessors — cross-bucket interpolation served
 # from the stored partials (caggs.interpolated_*_at_grain). These need
