@@ -2703,6 +2703,131 @@ class ContinuousAggregate:
             return out
         return out.withColumnRenamed("_tgt", bucket)
 
+    def interpolated_duration_in_at_grain(
+        self,
+        state,
+        state_col: Optional[str] = None,
+        grain=None,
+        realtime: Optional[bool] = None,
+    ) -> DataFrame:
+        """Serve the toolkit ``interpolated_duration_in(state,
+        rollup(state_agg(...)), start, width, prev, next)`` idiom from
+        the stored state partials: the samples define ONE global LOCF
+        state machine; each target bucket accrues the time the machine
+        spent in ``state`` within it — so a state carried across a
+        bucket edge (or through an empty bucket) still accrues there,
+        what per-bucket ``duration_in`` gets wrong.
+
+        Exact from partials with zero raw rescans below the watermark:
+        within-parent held time lies inside the parent's sample span
+        (⊆ one target bucket, since parents nest on the shared
+        origin-aligned grid) and lands there; each boundary segment
+        ([A.last_us, B.first_us) held at A's last state) explodes over
+        the target buckets it overlaps with exact int64-µs overlap
+        arithmetic (functions/state.py:interpolated_duration_in is the
+        raw-scan analog — with non-NULL state samples the two agree
+        bit-for-bit; NULL samples end a raw segment but are transparent
+        to the partials' LOCF, the state_agg convention). Target
+        ``grain`` must be a multiple of the cagg's bucket width.
+
+        Output: ``(bucket, group…, duration_us)``."""
+        from pyspark.sql import Window
+
+        from .functions.time import parse_interval
+
+        sas = self.row.get("state_aggs") or {}
+        if not sas:
+            raise ValueError(
+                f"cagg {self.name!r} has no state_agg columns"
+            )
+        if state_col is None:
+            if len(sas) > 1:
+                raise ValueError(
+                    f"cagg {self.name!r} has several state_aggs "
+                    f"{sorted(sas)}; pass state_col"
+                )
+            state_col = next(iter(sas))
+        if state_col not in sas:
+            raise KeyError(f"no state_agg column {state_col!r}")
+        if grain is None:
+            raise ValueError(
+                "interpolated_duration_in_at_grain needs an explicit "
+                "grain"
+            )
+        if self.row["time_is_timestamp"]:
+            iv = parse_interval(grain)
+            if iv.months:
+                raise ValueError("needs a fixed-width grain")
+            width = iv.us
+        else:
+            width = int(grain)
+        pw = int(self.row["bucket_width_us"])
+        if self.row.get("bucket_width_months") or width % pw != 0:
+            raise ValueError(
+                "grain must be an integer multiple of the cagg's "
+                "fixed bucket width (parent buckets must nest)"
+            )
+        gb = list(self.row["group_by"])
+        bucket = self.row["bucket_alias"]
+        df = self.read(realtime=realtime)
+        if self.row["time_is_timestamp"]:
+            src_us = F.unix_micros(F.col(bucket).cast("timestamp"))
+        else:
+            src_us = F.col(bucket).cast("long")
+        base = df.select(
+            *gb, src_us.alias("_src"), F.col(state_col).alias("_st")
+        ).filter(F.col("_st").isNotNull())
+        st = F.col("_st")
+        w = Window.partitionBy(*gb).orderBy(F.col("_src").asc())
+        seg = base.select(
+            *gb,
+            st.alias("_st"),
+            F.lag(st["last_us"]).over(w).alias("_pt"),
+            F.lag(st["last_state"]).over(w).alias("_ps"),
+        )
+        org = int(self.row.get("bucket_origin_us") or 0)
+        # within-parent piece: the stored per-state held time for the
+        # requested state, entirely inside one target bucket
+        within = seg.select(
+            *gb,
+            _grain_floor(st["first_us"], width, org).alias("_b"),
+            F.coalesce(
+                F.element_at(st["durations"], F.lit(str(state)))["d"],
+                F.lit(0).cast("long"),
+            ).alias("_d"),
+        ).filter(F.col("_d") > 0)
+        # boundary piece: LOCF segment at the previous parent's last
+        # state, exploded over the target buckets it overlaps
+        bnd = seg.filter(
+            F.col("_pt").isNotNull()
+            & (st["first_us"] > F.col("_pt"))
+            & F.col("_ps").eqNullSafe(F.lit(str(state)))
+        ).select(
+            *gb,
+            F.col("_pt").alias("_t1"),
+            st["first_us"].alias("_t2"),
+        )
+        wl = F.lit(width).cast("long")
+        b0 = _grain_floor(F.col("_t1"), width, org)
+        b1 = _grain_floor(F.col("_t2") - F.lit(1).cast("long"), width, org)
+        ex = bnd.select(
+            *gb, "_t1", "_t2", F.explode(F.sequence(b0, b1, wl)).alias("_b")
+        )
+        overlap = F.least(F.col("_t2"), F.col("_b") + wl) - F.greatest(
+            F.col("_t1"), F.col("_b")
+        )
+        pieces = within.unionByName(
+            ex.select(*gb, "_b", overlap.alias("_d"))
+        )
+        out = pieces.groupBy(*gb, "_b").agg(
+            F.sum("_d").alias("duration_us")
+        )
+        if self.row["time_is_timestamp"]:
+            bcol = F.timestamp_micros(F.col("_b")).alias(bucket)
+        else:
+            bcol = F.col("_b").alias(bucket)
+        return out.select(bcol, *gb, "duration_us")
+
     # ------------------------------------------ heartbeat partials
     def _heartbeat_state(
         self, raw: DataFrame, col: str, spec: dict

@@ -1549,6 +1549,66 @@ def q_state_interpolated_dur(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cagg_interp_duration",
+    """
+    WITH seg AS (
+      SELECT epoch_us(ts) AS t1, event_type AS s,
+             lead(epoch_us(ts)) OVER (ORDER BY ts, event_id) AS t2
+      FROM events
+    ), f AS (
+      SELECT t1, t2 FROM seg WHERE s = 'click' AND t2 > t1
+    ), ex AS (
+      SELECT t1, t2,
+             unnest(range((t1 // 86400000000) * 86400000000,
+                          ((t2 - 1) // 86400000000) * 86400000000 + 1,
+                          86400000000)) AS b
+      FROM f
+    )
+    SELECT make_timestamp(b) AS bucket,
+           CAST(sum(least(t2, b + 86400000000) - greatest(t1, b))
+                AS BIGINT) AS duration_us
+    FROM ex GROUP BY 1
+    """,
+)
+def q_cagg_interp_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """interpolated_duration_in SERVED FROM STATE PARTIALS (round 12;
+    toolkit ``interpolated_duration_in(state, rollup(state_agg(...)),
+    …)``): hourly state-agg partials hold per-state within-bucket LOCF
+    durations plus first/last state+time; the daily serve lands
+    within-parent held time in its (nesting) target bucket and
+    explodes each boundary segment — [A.last_us, B.first_us) held at
+    A's last state — over the day buckets it overlaps, reproducing
+    the raw global LOCF state machine exactly (all int64 µs,
+    bit-stable vs the oracle replay). Half-range refresh exercises the
+    realtime union: raw-side state partials above the watermark merge
+    seamlessly into the boundary chain."""
+    import tempfile
+
+    from .session import TSSession
+
+    root = tempfile.mkdtemp(prefix="ts_cagg_idur_")
+    ts = TSSession(spark, root)
+    ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+    ht.insert(load_table(spark, sf_dir, "events"))
+    cagg = ts.create_cagg(
+        "qidur",
+        ht,
+        bucket_width="1 hour",
+        aggs={},
+        group_by=[],
+        state_aggs={
+            "sa": {"state": "event_type", "tiebreak": ["event_id"]}
+        },
+    )
+    lo = min(c["range_start"] for c in ht.chunks())
+    hi = max(c["range_end"] for c in ht.chunks())
+    cagg.refresh(start=lo, end=lo + (hi - lo) // 2)
+    return cagg.interpolated_duration_in_at_grain(
+        "click", grain="1 day", realtime=True
+    ).select("bucket", "duration_us")
+
+
+@query(
     "q_cagg_hier_counter",
     """
     WITH s AS (

@@ -1543,10 +1543,12 @@ _INTERP_ACCESSORS = {
         "interpolated_delta": "delta",
         "interpolated_rate": "rate",
     },
+    "state_aggs": {"interpolated_duration_in": "duration_us"},
 }
 _INTERP_METHOD = {
     "time_weights": "interpolated_average_at_grain",
     "counters": "interpolated_delta_at_grain",
+    "state_aggs": "interpolated_duration_in_at_grain",
 }
 _ALL_ACCESSOR_FNS = (
     frozenset(fn for d in _PARTIAL_ACCESSORS.values() for fn in d)
@@ -1607,7 +1609,7 @@ def _try_partial_accessors(ts, q: str):
         head = _head_call(expr, _ALL_ACCESSOR_FNS | {"time_bucket"})
         if head and head[0] in _ALL_ACCESSOR_FNS:
             fn, args = head
-            if fn == "duration_in":
+            if fn in ("duration_in", "interpolated_duration_in"):
                 # duration_in('state', rollup(sa)): the state literal
                 # filters the per-state frame; one state per query
                 if len(args) != 2:
@@ -1694,9 +1696,16 @@ def _try_partial_accessors(ts, q: str):
                 return None
             if sorted(want_groups) != sorted(crow.get("group_by") or []):
                 return None
-            served = getattr(cagg, _INTERP_METHOD[family])(
-                part_col, grain=grain
-            )
+            if family == "state_aggs":
+                if dur_state is None:
+                    return None
+                served = cagg.interpolated_duration_in_at_grain(
+                    dur_state, part_col, grain=grain
+                )
+            else:
+                served = getattr(cagg, _INTERP_METHOD[family])(
+                    part_col, grain=grain
+                )
             cols = []
             for kind, out_alias, payload in sel:
                 if kind == "b":
