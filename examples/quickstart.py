@@ -155,6 +155,36 @@ def main() -> None:
         "bucket", "location", "n", "avg", "stddev"
     ).show(6)
 
+    # --- 8. round-12 families: regression, top-n, liveness -------------
+    # 2-D comoments (stats_agg(y, x)), Misra-Gries heavy hitters
+    # (freq_agg), and heartbeat liveness unions — all served at any
+    # grain from the same hourly mat table
+    ts.sql("""
+        CREATE MATERIALIZED VIEW conditions_hourly_ops
+        WITH (timescaledb.continuous) AS
+        SELECT time_bucket('1 hour', time) AS bucket, location,
+               stats_agg(humidity, temperature) AS reg,
+               freq_agg(0.05, CASE WHEN temperature > 75
+                              THEN 'hot' ELSE 'mild' END) AS fq,
+               heartbeat_agg(time, '30 minutes') AS hb
+        FROM conditions GROUP BY bucket, location
+    """)
+    print("humidity-vs-temperature regression per location (SQL route):")
+    ts.sql(
+        "SELECT location, slope(rollup(reg)) AS slope, "
+        "corr(rollup(reg)) AS corr FROM conditions_hourly_ops "
+        "GROUP BY location"
+    ).show()
+    ops = ts.get_cagg("conditions_hourly_ops")
+    print("most frequent weather per location (Misra-Gries states):")
+    ops.topn_at_grain("fq", n=2, grain="all").show()
+    print("sensor liveness (30-min heartbeat) per location:")
+    ts.sql(
+        "SELECT location, live_time(rollup(hb)) AS live_us, "
+        "num_live_ranges(rollup(hb)) AS ranges "
+        "FROM conditions_hourly_ops GROUP BY location"
+    ).show()
+
     spark.stop()
 
 
