@@ -466,18 +466,41 @@ class ContinuousAggregate:
             out = dict(spec)
             if kind_key == "time_weights" and "method" not in out:
                 out["method"] = pspec.get("method", "locf")
-            if kind_key == "stats_aggs" and "y" in pspec:
-                # 2-D-ness is a property of the stored state shape —
-                # the child merges the parent's comoments, so it must
-                # serve with the 2-D accessors too
-                out["y"] = pspec["y"]
+            if kind_key == "stats_aggs":
+                # 2-D-ness is a property of the stored STATE SHAPE —
+                # the child merges whatever the parent stores, so it
+                # inherits the parent's dimensionality; a child spec
+                # declaring "y" over a 1-D parent would dispatch the
+                # comoment merge against (n, s, s2, mn, mx) and die at
+                # refresh with an opaque FIELD_NOT_FOUND
+                if "y" in pspec:
+                    out["y"] = pspec["y"]
+                elif "y" in out:
+                    raise ValueError(
+                        f"rollup_of={col!r}: parent stats column "
+                        f"{spec['rollup_of']!r} is 1-D — a 2-D child "
+                        f"cannot be built from 1-D moments (recreate "
+                        f"the parent with stats_aggs={{..., 'y': ...}})"
+                    )
             if kind_key == "freq_aggs" and "capacity" not in out:
                 out["capacity"] = pspec.get("capacity", 256)
             if kind_key == "heartbeat_aggs":
                 # stored live times depend on the liveness interval —
-                # a child cannot reinterpret the parent's states
+                # a child cannot reinterpret the parent's states.
+                # Compare normalized MICROSECONDS, not spec text:
+                # '5 minutes' == '300 seconds' == 300000000
                 p_liv = pspec.get("liveness")
-                if "liveness" in out and out["liveness"] != p_liv:
+
+                def _liv_us(v):
+                    return (
+                        int(v)
+                        if isinstance(v, int)
+                        else parse_interval(v).us
+                    )
+
+                if "liveness" in out and _liv_us(out["liveness"]) != _liv_us(
+                    p_liv
+                ):
                     raise ValueError(
                         f"rollup_of={col!r}: child liveness must match "
                         f"the parent's ({p_liv!r})"
@@ -1460,6 +1483,13 @@ class ContinuousAggregate:
         moments partials (toolkit ``rollup(stats_agg(...))``
         accessors): fieldwise add/min/max merge, then
         n/sum/avg/stddev/variance (sample)/min/max extraction."""
+        if stats_col is None:
+            # resolve BEFORE the 2-D guard, or a cagg whose only stats
+            # column is 2-D slips into the 1-D serve and dies with an
+            # opaque FIELD_NOT_FOUND on the comoment struct
+            specs = self.row.get("stats_aggs") or {}
+            if len(specs) == 1:
+                stats_col = next(iter(specs))
         if stats_col is not None and self._is_stats2d(stats_col):
             raise ValueError(
                 f"{stats_col!r} is a 2-D stats partial — use "
@@ -1738,10 +1768,14 @@ class ContinuousAggregate:
         else:
             width = int(grain)
         pw = int(self.row["bucket_width_us"])
-        if self.row.get("bucket_width_months") or width % pw != 0:
+        if (
+            self.row.get("bucket_width_months")
+            or width <= 0
+            or width % pw != 0
+        ):
             raise ValueError(
-                "grain must be an integer multiple of the cagg's "
-                "fixed bucket width (parent buckets must nest)"
+                "grain must be a positive integer multiple of the "
+                "cagg's fixed bucket width (parent buckets must nest)"
             )
         gb = list(self.row["group_by"])
         bucket = self.row["bucket_alias"]
@@ -1883,10 +1917,14 @@ class ContinuousAggregate:
         else:
             width = int(grain)
         pw = int(self.row["bucket_width_us"])
-        if self.row.get("bucket_width_months") or width % pw != 0:
+        if (
+            self.row.get("bucket_width_months")
+            or width <= 0
+            or width % pw != 0
+        ):
             raise ValueError(
-                "grain must be an integer multiple of the cagg's "
-                "fixed bucket width (parent buckets must nest)"
+                "grain must be a positive integer multiple of the "
+                "cagg's fixed bucket width (parent buckets must nest)"
             )
         gb = list(self.row["group_by"])
         bucket = self.row["bucket_alias"]
@@ -2439,12 +2477,34 @@ class ContinuousAggregate:
             .groupBy(balias, *gb, "_v")
             .agg(F.count("_v").alias("_c"))
         )
+        # bound the per-group state BEFORE collecting: a rank window
+        # keeps only the capacity+1 heaviest values (the trim needs the
+        # (cap+1)-th count as the cut; everything ranked below has
+        # count ≤ cut and would be trimmed to ≤ 0 anyway), and the same
+        # exchange carries the group's total-sample sum — collect_list
+        # is then bounded by capacity+1 entries, never the distinct
+        # cardinality (the unbounded-collect trap _maxn_state avoids
+        # the same way)
+        from pyspark.sql import Window
+
+        wpart = Window.partitionBy(balias, *gb)
+        worder = wpart.orderBy(
+            F.col("_c").desc(), F.col("_v").asc_nulls_last()
+        )
+        ranked = cnt.select(
+            balias,
+            *gb,
+            "_v",
+            "_c",
+            F.row_number().over(worder).alias("_rk"),
+            F.sum("_c").over(wpart).alias("_tot"),
+        ).filter(F.col("_rk") <= cap + 1)
         ent = F.when(
             F.col("_v").isNotNull(),
             F.struct(F.col("_c").alias("c"), F.col("_v").alias("v")),
         )
-        flat = cnt.groupBy(balias, *gb).agg(
-            F.sum("_c").alias("_f_n"),
+        flat = ranked.groupBy(balias, *gb).agg(
+            F.min("_tot").alias("_f_n"),
             F.collect_list(ent).alias("_f_ents"),
         )
         sorted_expr, counts = self._mg_trim_exprs("_f_ents", cap)
@@ -2762,10 +2822,14 @@ class ContinuousAggregate:
         else:
             width = int(grain)
         pw = int(self.row["bucket_width_us"])
-        if self.row.get("bucket_width_months") or width % pw != 0:
+        if (
+            self.row.get("bucket_width_months")
+            or width <= 0
+            or width % pw != 0
+        ):
             raise ValueError(
-                "grain must be an integer multiple of the cagg's "
-                "fixed bucket width (parent buckets must nest)"
+                "grain must be a positive integer multiple of the "
+                "cagg's fixed bucket width (parent buckets must nest)"
             )
         gb = list(self.row["group_by"])
         bucket = self.row["bucket_alias"]
@@ -2907,7 +2971,14 @@ class ContinuousAggregate:
         d, balias, gb = self._rollup_frame(raw, spec["rollup_of"])
         st = F.col("_st")
         w = Window.partitionBy(balias, *gb).orderBy(F.col("_src").asc())
-        prev_last = F.lag(st["last_us"]).over(w)
+        # last NON-NULL preceding state, not plain lag: _rollup_frame
+        # keeps NULL parent states by contract, and a NULL row between
+        # two real partials must not suppress their boundary correction
+        # (the _merge_counter_states discipline)
+        wp = w.rowsBetween(Window.unboundedPreceding, -1)
+        prev_last = F.last(
+            F.when(st.isNotNull(), st["last_us"]), ignorenulls=True
+        ).over(wp)
         gap = st["first_us"] - prev_last
         # the earlier partial's last beat contributed the full L; in
         # the merged sequence it should contribute min(gap, L)

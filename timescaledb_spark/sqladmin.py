@@ -1699,10 +1699,16 @@ def run_create_cagg(ts, m) -> DataFrame:
                             f"{fn} first argument must be a numeric "
                             f"literal"
                         ) from None
+                    if fn == "freq_agg" and not (0.0 < fv <= 1.0):
+                        raise ValueError(
+                            "freq_agg min_freq must be in (0, 1]"
+                        )
+                    if fn == "topn_agg" and fv < 1:
+                        raise ValueError("topn_agg n must be >= 1")
                     import math as _math
 
                     cap = (
-                        int(_math.ceil(1.0 / float(fv)))
+                        int(_math.ceil(1.0 / fv))
                         if fn == "freq_agg"
                         else max(256, int(fv))
                     )
@@ -1710,6 +1716,10 @@ def run_create_cagg(ts, m) -> DataFrame:
                         "value": _rw(args[1].strip(), ts),
                         "capacity": cap,
                     }
+                    if fn == "topn_agg":
+                        # the toolkit's topn(agg) without an explicit n
+                        # serves the agg's own n — record it
+                        freq_aggs[alias]["n"] = int(fv)
                 else:
                     raise ValueError(f"{fn}([min_freq | n,] value)")
                 continue

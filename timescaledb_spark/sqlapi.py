@@ -1550,10 +1550,16 @@ _INTERP_METHOD = {
     "counters": "interpolated_delta_at_grain",
     "state_aggs": "interpolated_duration_in_at_grain",
 }
+# set-returning accessors — one row PER VALUE per key, so they must be
+# the only accessor in the SELECT: topn(rollup(freq_col)[, n]) serves
+# (keys…, value, freq_lb); into_values(rollup(maxn_col)) serves
+# (keys…, value)
+_SRF_ACCESSORS = {"topn": "freq_aggs", "into_values": "maxn_aggs"}
 _ALL_ACCESSOR_FNS = (
     frozenset(fn for d in _PARTIAL_ACCESSORS.values() for fn in d)
     | frozenset(_STATS2D_ACCESSORS)
     | frozenset(fn for d in _INTERP_ACCESSORS.values() for fn in d)
+    | frozenset(_SRF_ACCESSORS)
 )
 
 
@@ -1604,11 +1610,35 @@ def _try_partial_accessors(ts, q: str):
     n_acc = 0
     dur_state = None
     interp_seen = None
+    srf = None
     for item in _split_select_items(cl["select"]):
         expr, alias = _alias_of(item)
         head = _head_call(expr, _ALL_ACCESSOR_FNS | {"time_bucket"})
         if head and head[0] in _ALL_ACCESSOR_FNS:
             fn, args = head
+            if fn in _SRF_ACCESSORS:
+                if srf is not None:
+                    return None  # one set-returning accessor per query
+                srf_n = None
+                if fn == "topn" and len(args) == 2:
+                    nk, nv = _literal_of(args[1])
+                    if nk != "int":
+                        return None
+                    srf_n = int(nv)
+                    args = args[:1]
+                if len(args) != 1:
+                    return None
+                inner = _inner_call(args[0], "rollup")
+                if inner is None or len(inner) != 1:
+                    return None
+                col = inner[0].strip().split(".")[-1].strip()
+                fam = _SRF_ACCESSORS[fn]
+                if col not in (crow.get(fam) or {}):
+                    return None
+                srf = (fn, fam, col, srf_n)
+                n_acc += 1
+                sel.append(("s", alias or "value", fn))
+                continue
             if fn in ("duration_in", "interpolated_duration_in"):
                 # duration_in('state', rollup(sa)): the state literal
                 # filters the per-state frame; one state per query
@@ -1686,8 +1716,33 @@ def _try_partial_accessors(ts, q: str):
         return None
     want_groups = [p for k, _a, p in sel if k == "g"]
     eff_grain = grain if has_bucket else "all"
+    if srf is not None and any(k == "a" for k, _a, _p in sel):
+        return None  # set-returning + scalar accessors don't mix
     try:
         cagg = ts.get_cagg(frm)
+        if srf is not None:
+            sfn, sfam, scol, srf_n = srf
+            if sfn == "topn":
+                spec = (crow.get(sfam) or {}).get(scol) or {}
+                n = srf_n if srf_n is not None else int(spec.get("n", 10))
+                served = cagg.topn_at_grain(
+                    scol, n=n, grain=eff_grain, group_by=want_groups
+                )
+            else:
+                served = cagg.max_n_at_grain(
+                    scol, n=srf_n, grain=eff_grain, group_by=want_groups
+                )
+            cols = []
+            for kind, out_alias, payload in sel:
+                if kind == "b":
+                    cols.append(F.col(balias).alias(out_alias))
+                elif kind == "g":
+                    cols.append(F.col(payload).alias(out_alias))
+                else:
+                    cols.append(F.col("value").alias(out_alias))
+                    if sfn == "topn":
+                        cols.append(F.col("freq_lb"))
+            return served.select(*cols)
         if interp_seen:
             # interpolated accessors need an explicit target grain and
             # serve the cagg's full group set (boundary segments are
