@@ -482,8 +482,15 @@ class ContinuousAggregate:
                         f"cannot be built from 1-D moments (recreate "
                         f"the parent with stats_aggs={{..., 'y': ...}})"
                     )
-            if kind_key == "freq_aggs" and "capacity" not in out:
-                out["capacity"] = pspec.get("capacity", 256)
+            if kind_key == "freq_aggs":
+                if "capacity" not in out:
+                    out["capacity"] = pspec.get("capacity", 256)
+                # a topn_agg parent records its declared n so the SQL
+                # route's bare topn(rollup(col)) serves it — a
+                # hierarchical child must inherit it too, or the child
+                # route silently falls back to the default 10
+                if "n" in pspec:
+                    out.setdefault("n", pspec["n"])
             if kind_key == "heartbeat_aggs":
                 # stored live times depend on the liveness interval —
                 # a child cannot reinterpret the parent's states.
@@ -2525,12 +2532,30 @@ class ContinuousAggregate:
     ) -> DataFrame:
         """Child frequency state: per-value lower bounds ADD across the
         parent's states (Misra–Gries union), then one re-trim to the
-        child capacity."""
+        child capacity.
+
+        The collect feeding the re-trim is CAPACITY-bounded, not
+        grain-ratio-bounded: the trim only ever consults the
+        ``capacity + 1`` heaviest summed values (slice 1..cap minus the
+        (cap+1)-th count), so a rank window over the summed counts —
+        the same ``_rk <= cap+1`` trick :meth:`_freq_state` uses on the
+        raw side — drops everything below the cut BEFORE the
+        collect_list. Without it a coarse child (hour→year at capacity
+        256 ≈ 8,760 parents) would build a parents-per-child × capacity
+        struct list per group; with it the state build is ≤ cap+1
+        entries at any grain ratio. The window's total order (count
+        desc, value asc) matches :meth:`_mg_trim_exprs`'s sort, so the
+        pre-trim selects exactly the entries the full trim would."""
+        from pyspark.sql import Window
+
         d, balias, gb = self._rollup_frame(raw, src)
         st = F.col("_st")
         totals = d.groupBy(balias, *gb).agg(
             F.count("_st").alias("_f_nn"),
             F.sum(st["n"]).alias("_f_n"),
+        )
+        wrank = Window.partitionBy(balias, *gb).orderBy(
+            F.col("_c").desc(), F.col("_v").asc_nulls_last()
         )
         summed = (
             d.select(
@@ -2538,6 +2563,8 @@ class ContinuousAggregate:
             )
             .groupBy(balias, *gb, "_v")
             .agg(F.sum("_c").alias("_c"))
+            .withColumn("_rk", F.row_number().over(wrank))
+            .filter(F.col("_rk") <= cap + 1)
             .groupBy(balias, *gb)
             .agg(
                 F.collect_list(
@@ -2677,26 +2704,55 @@ class ContinuousAggregate:
     def _merge_maxn_states(
         self, raw: DataFrame, col: str, spec: dict
     ) -> DataFrame:
-        """Child candidate list: concatenate the parent lists, re-sort,
-        truncate to the child's n — lossless for top-n."""
+        """Child candidate list: the child's top-n of the union equals
+        the top-n of the concatenated parent lists — selected with a
+        CAPACITY-bounded rank window over the exploded candidates (the
+        same ``_rk <= keep`` trick as :meth:`_merge_freq_states`), never
+        a parents-per-child × n flatten-collect, so the state build is
+        ≤ n values per group at any grain ratio. Equal values are
+        interchangeable, so the rank tie-order never changes the kept
+        multiset."""
+        from pyspark.sql import Window
+
         keep = int(spec.get("n", 5))
         desc = bool(spec.get("desc", True))
         d, balias, gb = self._rollup_frame(raw, spec["rollup_of"])
         st = F.col("_st")
-        flat = d.groupBy(balias, *gb).agg(
+        totals = d.groupBy(balias, *gb).agg(
             F.count("_st").alias("_f_nn"),
             F.sum(st["n"]).alias("_f_n"),
-            F.flatten(F.collect_list(st["vals"])).alias("_f_all"),
         )
-        vals = F.slice(
-            F.sort_array(F.col("_f_all"), asc=not desc), 1, keep
+        order = F.col("_v").desc() if desc else F.col("_v").asc()
+        w = Window.partitionBy(balias, *gb).orderBy(order)
+        cand = (
+            d.select(balias, *gb, F.explode(st["vals"]).alias("_v"))
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= keep)
+            .groupBy(balias, *gb)
+            .agg(
+                F.sort_array(
+                    F.collect_list("_v"), asc=not desc
+                ).alias("_f_vals")
+            )
         )
-        return flat.select(
+        keys = [balias, *gb]
+        l, r = totals.alias("_ml"), cand.alias("_mr")
+        cond = None
+        for k in keys:
+            c = F.col(f"_ml.{k}").eqNullSafe(F.col(f"_mr.{k}"))
+            cond = c if cond is None else cond & c
+        j = l.join(r, cond, "left").select(
+            "_ml.*", F.col("_mr._f_vals").alias("_f_vals")
+        )
+        return j.select(
             balias,
             *gb,
             F.when(
                 (F.col("_f_nn") > 0) & (F.col("_f_n") > 0),
-                F.struct(F.col("_f_n").alias("n"), vals.alias("vals")),
+                F.struct(
+                    F.col("_f_n").alias("n"),
+                    F.col("_f_vals").alias("vals"),
+                ),
             ).alias(col),
         )
 

@@ -161,11 +161,33 @@ def gauge_agg(
 
 
 
-def _explode_buckets(seg: DataFrame, by: Sequence[str], width: int, extra: Sequence[str]) -> DataFrame:
+def _explode_buckets(
+    seg: DataFrame,
+    by: Sequence[str],
+    width: int,
+    extra: Sequence[str],
+    origin: "int | None" = None,
+) -> DataFrame:
     """Explode each ``[_t1, _t2)`` segment over the fixed-width buckets
-    it overlaps (``_b`` = bucket start, µs). Positive timestamps only:
-    Spark's ``DIV`` truncates toward zero while DuckDB's ``//`` floors —
-    they agree for t ≥ 0, which every oracle relies on."""
+    it overlaps (``_b`` = bucket start, µs). With ``origin=None`` the
+    grid is epoch-``DIV``-aligned for positive timestamps only (Spark's
+    ``DIV`` truncates toward zero while DuckDB's ``//`` floors — they
+    agree for t ≥ 0, which the epoch-grid oracles rely on). With an
+    ``origin`` the grid is origin-anchored via ``pmod`` floor — valid
+    for ANY sign, matching ``time_bucket``'s fixed-width formula."""
+    if origin is not None:
+        o = int(origin)
+        b0 = F.expr(f"_t1 - pmod(_t1 - {o}, {width})")
+        b1 = F.expr(f"(_t2 - 1) - pmod((_t2 - 1) - {o}, {width})")
+        return seg.select(
+            *by,
+            "_t1",
+            "_t2",
+            *extra,
+            F.explode(
+                F.sequence(b0, b1, F.lit(width).cast("long"))
+            ).alias("_b"),
+        )
     b0 = F.expr(f"(_t1 DIV {width}) * {width}")
     b1 = F.expr(f"((_t2 - 1) DIV {width}) * {width}")
     return seg.select(

@@ -156,6 +156,7 @@ def interpolated_duration_in(
     state_col: str = "state",
     by: Sequence[str] = (),
     tiebreak: Sequence[str] = (),
+    origin: "int | str | None" = None,
 ) -> DataFrame:
     """Bucketed ``duration_in`` with cross-bucket LOCF interpolation —
     the toolkit two-step ``interpolated_duration_in(state_agg, start,
@@ -168,14 +169,27 @@ def interpolated_duration_in(
     Plan: one ``lead`` window per group, then each LOCF segment for the
     target state explodes over the buckets it overlaps (bounded by
     segment span / width) and a map-combined groupBy sums exact int64-µs
-    overlaps. Epoch-aligned buckets for positive timestamps like the
-    other raw-scan interpolated accessors (Spark ``DIV`` == DuckDB
-    ``//`` for t ≥ 0; the cagg accessors use the origin-aligned grid).
+    overlaps.
+
+    ``origin`` anchors the bucket grid like ``time_bucket``'s origin
+    argument and defaults to the reference's Mon 2000-01-03 convention
+    (``src/time_bucket.c:98-105``) — so the raw-scan analog and the
+    cagg serve :meth:`ContinuousAggregate.
+    interpolated_duration_in_at_grain` label buckets identically for
+    EVERY width (weeks are Monday-anchored, pre-epoch timestamps
+    floor correctly). For widths that divide one day and t ≥ 0 this
+    grid coincides with the epoch-``DIV`` grid the DuckDB oracles use.
+    Pass an int (internal µs), a timestamp string, or ``origin=0`` for
+    the bare epoch grid.
 
     Returns ``(by…, bucket, duration_us)`` — one row per bucket the
     state's segments overlap."""
     from .counters import _explode_buckets, _order_cols
-    from .time import parse_interval, to_timestamp_micros
+    from .time import (
+        DEFAULT_ORIGIN_US,
+        parse_interval,
+        to_timestamp_micros,
+    )
 
     iv = parse_interval(bucket_width)
     if iv.months:
@@ -183,6 +197,17 @@ def interpolated_duration_in(
             "interpolated_duration_in needs a fixed-width bucket"
         )
     width = iv.us
+    if origin is None:
+        origin_us = DEFAULT_ORIGIN_US
+    elif isinstance(origin, int):
+        origin_us = origin
+    else:
+        from datetime import datetime, timezone
+
+        dt = datetime.fromisoformat(str(origin))
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        origin_us = int(dt.timestamp() * 1_000_000)
     w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(
         *_order_cols(ts_col, tiebreak)
     )
@@ -200,7 +225,7 @@ def interpolated_duration_in(
         )
     )
     wl = F.lit(width).cast("long")
-    ex = _explode_buckets(seg, by, width, [])
+    ex = _explode_buckets(seg, by, width, [], origin=origin_us)
     overlap = F.least(F.col("_t2"), F.col("_b") + wl) - F.greatest(
         F.col("_t1"), F.col("_b")
     )

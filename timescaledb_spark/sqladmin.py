@@ -1191,6 +1191,7 @@ def run_create_table(ts, parsed) -> DataFrame:
     fields = []
     unique_keys: list[list[str]] = []
     pk_columns: list[str] = []
+    foreign_keys: list[dict] = []
     for item in _split_args(body):
         toks = item.strip().split()
         if not toks:
@@ -1213,6 +1214,36 @@ def run_create_table(ts, parsed) -> DataFrame:
                 if km.group(1).lower().startswith("primary"):
                     # PK implies NOT NULL on every key column
                     pk_columns.extend(cols)
+                continue
+            # FOREIGN KEY (a, b) REFERENCES t [(c, d)] — recorded and
+            # ENFORCED on insert by default (src/foreign_key.c
+            # propagates hypertable FKs to every chunk so plain PG
+            # enforcement applies; here the insert path validates each
+            # batch instead — see Hypertable._check_foreign_keys)
+            fkm = re.match(
+                r"(?:constraint\s+\w+\s+)?foreign\s+key\s*\(([^)]*)\)\s*"
+                r"references\s+\"?(\w+)\"?\s*(?:\(([^)]*)\))?",
+                " ".join(toks),
+                re.I,
+            )
+            if fkm:
+                foreign_keys.append(
+                    {
+                        "columns": [
+                            c.strip().strip('"')
+                            for c in fkm.group(1).split(",")
+                        ],
+                        "ref_table": fkm.group(2),
+                        "ref_columns": (
+                            [
+                                c.strip().strip('"')
+                                for c in fkm.group(3).split(",")
+                            ]
+                            if fkm.group(3)
+                            else None
+                        ),
+                    }
+                )
             continue
         col = toks[0].strip('"')
         tt = []
