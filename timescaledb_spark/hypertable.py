@@ -219,6 +219,19 @@ class Hypertable:
                 row["unique_keys"] = uk
                 if declared.get("pk_columns"):
                     row["pk_columns"] = declared["pk_columns"]
+            fks = declared.get("foreign_keys") or []
+            for fk in fks:
+                bad = set(fk["columns"]) - names
+                if bad:
+                    raise ValueError(
+                        f"foreign key names unknown column(s) "
+                        f"{sorted(bad)}"
+                    )
+            if fks:
+                # adopted like the reference propagating table FKs to
+                # the hypertable (src/foreign_key.c) — enforced on
+                # insert by default, see _check_foreign_keys
+                row["foreign_keys"] = fks
         # all validation BEFORE any catalog mutation: a failure below a
         # partial write would leave a half-registered hypertable behind
         if space_column and (not num_partitions or num_partitions < 1):
@@ -842,6 +855,7 @@ class Hypertable:
         df: DataFrame,
         cluster: bool = True,
         strict_constraints: Optional[bool] = None,
+        enforce_foreign_keys: Optional[bool] = None,
     ) -> dict:
         """Append rows, routing each to its chunk.
 
@@ -862,12 +876,44 @@ class Hypertable:
         session-wide) validates the batch instead: duplicate keys within
         the batch or against existing rows raise, at the cost of one
         chunk-pruned key scan per declared key per insert.
+
+        Declared FOREIGN KEY constraints ARE enforced by default — the
+        reference silently enforces them (``src/foreign_key.c``
+        propagates hypertable FKs to every chunk), so relaxing them must
+        be the user's explicit choice: pass
+        ``enforce_foreign_keys=False`` per call, or set
+        ``ts.enforce_foreign_keys = False`` session-wide. Each batch
+        pays one distinct-key anti-join per FK (see
+        :meth:`_check_foreign_keys`).
         """
         strict = (
             strict_constraints
             if strict_constraints is not None
             else bool(getattr(self.ts, "strict_constraints", False))
         )
+        check_fk = bool(self.row.get("foreign_keys")) and (
+            enforce_foreign_keys
+            if enforce_foreign_keys is not None
+            else bool(getattr(self.ts, "enforce_foreign_keys", True))
+        )
+        if check_fk and not (self.row.get("unique_keys") and strict):
+            # FK-only validation path: same check-then-write critical
+            # section and post-trigger-row discipline as the strict
+            # unique path below
+            if self.row.get("unique_keys"):
+                self._warn_unenforced_once()
+            with self.ts.catalog.ht_lock(self.name):
+                pin = self._fire_before(df)
+                lvl = pin.storageLevel
+                ours = not (lvl.useMemory or lvl.useDisk)
+                if ours:
+                    pin = pin.persist()
+                try:
+                    self._check_foreign_keys(pin)
+                    return self._insert_prepared(pin, cluster=cluster)
+                finally:
+                    if ours:
+                        pin.unpersist()
         if self.row.get("unique_keys") and strict:
             # check-then-write must be one critical section (the DML
             # lock is reentrant, so _insert_prepared re-acquiring it is
@@ -887,6 +933,8 @@ class Hypertable:
                     pin = pin.persist()
                 try:
                     self._check_unique(pin)
+                    if check_fk:
+                        self._check_foreign_keys(pin)
                     return self._insert_prepared(pin, cluster=cluster)
                 finally:
                     if ours:
@@ -986,6 +1034,72 @@ class Hypertable:
                         f"on {tuple(keys)}: {vals} already exists "
                         f"(use upsert()/ON CONFLICT to update instead)"
                     )
+
+    def _check_foreign_keys(self, df: DataFrame) -> None:
+        """Default-on FK validation of an insert batch — the analog of
+        the reference enforcing hypertable FKs through per-chunk
+        constraint propagation (``src/foreign_key.c:propagate_fk``;
+        parquet has no FK machinery, so the insert path validates each
+        batch instead). PG MATCH SIMPLE semantics: a row with ANY NULL
+        key column passes; every all-non-NULL key must match a row of
+        the referenced table. ``REFERENCES t`` without columns targets
+        ``t``'s PRIMARY KEY. One distinct-key LEFT ANTI join per FK —
+        batch keys are distinct'd map-side and the referenced key set
+        is typically a broadcast-sized dimension, so the probe adds no
+        wide shuffle at scale. Documented divergence: referenced-SIDE
+        actions (RESTRICT/CASCADE on delete from the referenced table)
+        are not intercepted."""
+        df = self._conform_input(df)
+        cat = self.ts.catalog
+        for fk in self.row.get("foreign_keys") or []:
+            cols = list(fk["columns"])
+            rt = fk["ref_table"]
+            prow = cat.plain_table.find_one(name=rt)
+            hrow = None if prow else cat.hypertable.find_one(name=rt)
+            if prow is not None:
+                ref = self.ts.read_table(rt)
+                ref_meta = prow
+            elif hrow is not None:
+                ref = Hypertable(self.ts, hrow).read()
+                ref_meta = hrow
+            else:
+                raise ValueError(
+                    f'relation "{rt}" referenced by foreign key on '
+                    f"{self.name!r} does not exist"
+                )
+            refcols = list(fk.get("ref_columns") or [])
+            if not refcols:
+                refcols = list(ref_meta.get("pk_columns") or [])
+                if not refcols:
+                    raise ValueError(
+                        f"foreign key on {self.name!r} references "
+                        f"{rt!r} without columns, and {rt!r} has no "
+                        f"primary key"
+                    )
+            if len(refcols) != len(cols):
+                raise ValueError(
+                    f"foreign key column count mismatch: {cols} "
+                    f"references {rt}{tuple(refcols)}"
+                )
+            nn = df
+            for c in cols:
+                nn = nn.filter(F.col(c).isNotNull())
+            keys = [f"_fk{i}" for i in range(len(cols))]
+            batch = nn.select(
+                *[F.col(c).alias(k) for c, k in zip(cols, keys)]
+            ).distinct()
+            refk = ref.select(
+                *[F.col(rc).alias(k) for rc, k in zip(refcols, keys)]
+            ).distinct()
+            miss = batch.join(refk, keys, "left_anti").limit(1).collect()
+            if miss:
+                vals = {c: miss[0][k] for c, k in zip(cols, keys)}
+                raise ValueError(
+                    f"insert into {self.name!r} violates foreign key "
+                    f"constraint: key {vals} is not present in table "
+                    f"{rt!r} (pass enforce_foreign_keys=False to skip "
+                    f"validation)"
+                )
 
     @_serialized_dml
     def _insert_prepared(self, df: DataFrame, cluster: bool = True) -> dict:

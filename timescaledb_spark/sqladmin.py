@@ -1172,10 +1172,14 @@ def run_create_table(ts, parsed) -> DataFrame:
     registering the declared schema, creating the hypertable on
     ``partition_column``, and enabling columnstore (on by default, like
     the reference's ``default_val = true``) with any ``segmentby`` /
-    ``orderby`` settings. Constraints (PRIMARY KEY, CHECK, REFERENCES
-    ...) are accepted and ignored — parquet has no enforced constraints;
-    the engine's NOT NULL on the time dimension is enforced by
-    create_hypertable itself."""
+    ``orderby`` settings. PRIMARY KEY / UNIQUE constraints are recorded
+    (insert warns / strict-validates, upsert uses them as the arbiter);
+    FOREIGN KEY / REFERENCES constraints are recorded AND enforced on
+    insert by default (``src/foreign_key.c`` — the reference propagates
+    hypertable FKs to every chunk so plain PG enforcement applies; see
+    ``Hypertable._check_foreign_keys``). CHECK constraints are accepted
+    and ignored; the engine's NOT NULL on the time dimension is
+    enforced by create_hypertable itself."""
     if_not_exists, name, body, with_opts = parsed
     is_ht = with_opts.get("hypertable", "false").lower() in _TRUE
     if with_opts and not is_ht:
@@ -1253,15 +1257,56 @@ def run_create_table(ts, parsed) -> DataFrame:
             tt.append(t)
         if not tt:
             raise ValueError(f"column {col!r} has no type")
-        tail = " ".join(toks[1 + len(tt):]).lower()
+        tail_orig = " ".join(toks[1 + len(tt):])
+        tail = tail_orig.lower()
         if re.search(r"\bprimary\s+key\b", tail):
             unique_keys.append([col])
             pk_columns.append(col)
         elif re.search(r"\bunique\b", tail):
             unique_keys.append([col])
+        # column-level: col type REFERENCES t [(c)] — match on the
+        # ORIGINAL text (table/column identifiers are case-sensitive)
+        rm = re.search(
+            r"\breferences\s+\"?(\w+)\"?\s*(?:\(([^)]*)\))?",
+            tail_orig,
+            re.I,
+        )
+        if rm:
+            foreign_keys.append(
+                {
+                    "columns": [col],
+                    "ref_table": rm.group(1),
+                    "ref_columns": (
+                        [
+                            c.strip().strip('"')
+                            for c in rm.group(2).split(",")
+                        ]
+                        if rm.group(2)
+                        else None
+                    ),
+                }
+            )
         fields.append((col, _pg_to_spark_type(" ".join(tt))))
     if not fields:
         raise ValueError("CREATE TABLE with no columns")
+    # FK validation at declaration, like PG: the referenced table must
+    # already exist (plain or hypertable) and the declaring columns must
+    # be columns of this table
+    colset = {c for c, _t in fields}
+    for fk in foreign_keys:
+        bad = set(fk["columns"]) - colset
+        if bad:
+            raise ValueError(
+                f"foreign key names unknown column(s) {sorted(bad)}"
+            )
+        rt = fk["ref_table"]
+        if not (
+            ts.catalog.plain_table.find_one(name=rt)
+            or ts.catalog.hypertable.find_one(name=rt)
+        ):
+            raise ValueError(
+                f'relation "{rt}" referenced by foreign key does not exist'
+            )
     from pyspark.sql import types as T
 
     schema = T.StructType.fromDDL(
@@ -1295,6 +1340,7 @@ def run_create_table(ts, parsed) -> DataFrame:
                     "schema_ddl": schema.json(),
                     "unique_keys": unique_keys or None,
                     "pk_columns": pk_columns or None,
+                    "foreign_keys": foreign_keys or None,
                 }
             ]
         )
