@@ -266,6 +266,7 @@ def main() -> None:
         freq_aggs={"fq": {"value": "cast(user_id % 20 as string)"}},
         maxn_aggs={"mx": {"value": "value", "n": 3}},
         heartbeat_aggs={"hb": {"liveness": "5 minutes"}},
+        tdigest_aggs={"td": {"value": "value", "delta": 200}},
     )
     t0 = time.perf_counter()
     twc.refresh()
@@ -305,8 +306,85 @@ def main() -> None:
         "heartbeat_serve_day": lambda: twc.heartbeat_at_grain(
             "hb", grain="1 day", realtime=False
         ),
+        "heartbeat_interp_serve_day": lambda: (
+            twc.heartbeat_interpolated_at_grain(
+                "hb", grain="1 day", realtime=False
+            )
+        ),
+        "tdigest_p95_serve_day": lambda: twc.tdigest_quantiles_at_grain(
+            [0.95], "td", grain="1 day", realtime=False
+        ),
     }
     for key, mk in serves.items():
+        t0 = time.perf_counter()
+        out[f"{key}_rows"] = mk().count()
+        out[f"{key}_s"] = round(time.perf_counter() - t0, 2)
+    # ---- round-13: REALTIME-union serves (VERDICT r12 task #1) ---------
+    # the one flagship serve shape with no prior scale datapoint: the
+    # realtime view unions mat states below the watermark with raw-side
+    # partial builds above it over the 12k-chunk raw table. Production
+    # shape: a late tail lands AFTER the refresh, so the watermark sits
+    # below max(ts) and every realtime serve must (a) chunk-prune the
+    # raw side to [watermark, inf) — src.read(start=wm) — and (b) build
+    # partials over only that tail. Done-bar: each family within ~3x of
+    # its materialized-only serve above.
+    tail = ev.select(
+        (
+            F.col("ts")
+            + F.expr(f"make_interval(0,0,0,{span_days * MULT},0,0,0)")
+        ).alias("ts"),
+        (F.col("event_id") + F.lit(MULT) * F.lit(100_000_000)).alias(
+            "event_id"
+        ),
+        "user_id", "event_type", "value", "props",
+    ).limit(50_000)
+    ht.insert(tail)
+    out["realtime_tail_rows"] = 50_000
+    for key, mk in {
+        "tw_serve_day_realtime": lambda: twc.time_weighted_at_grain(
+            "tw", grain="1 day", realtime=True
+        ),
+        "candle_serve_day_realtime": lambda: twc.candlestick_at_grain(
+            "ohlc", grain="1 day", realtime=True
+        ),
+        "sketch_p95_day_realtime": lambda: twc.quantiles(
+            [0.95], sketch_col="sk", grain="1 day", realtime=True
+        ),
+        "counter_serve_day_realtime": lambda: twc.counter_at_grain(
+            "cnt", grain="1 day", realtime=True
+        ),
+        "gauge_serve_day_realtime": lambda: twc.gauge_at_grain(
+            "gg", grain="1 day", realtime=True
+        ),
+        "stats_serve_day_realtime": lambda: twc.stats_at_grain(
+            "st", grain="1 day", realtime=True
+        ),
+        "stats2d_serve_day_realtime": lambda: twc.stats2d_at_grain(
+            "st2", grain="1 day", realtime=True
+        ),
+        "state_serve_day_realtime": lambda: twc.state_durations_at_grain(
+            "sa", grain="1 day", realtime=True
+        ),
+        "topn_serve_day_realtime": lambda: twc.topn_at_grain(
+            "fq", n=5, grain="1 day", realtime=True
+        ),
+        "maxn_serve_day_realtime": lambda: twc.max_n_at_grain(
+            "mx", grain="1 day", realtime=True
+        ),
+        "heartbeat_serve_day_realtime": lambda: twc.heartbeat_at_grain(
+            "hb", grain="1 day", realtime=True
+        ),
+        "heartbeat_interp_serve_day_realtime": lambda: (
+            twc.heartbeat_interpolated_at_grain(
+                "hb", grain="1 day", realtime=True
+            )
+        ),
+        "tdigest_p95_serve_day_realtime": lambda: (
+            twc.tdigest_quantiles_at_grain(
+                [0.95], "td", grain="1 day", realtime=True
+            )
+        ),
+    }.items():
         t0 = time.perf_counter()
         out[f"{key}_rows"] = mk().count()
         out[f"{key}_s"] = round(time.perf_counter() - t0, 2)

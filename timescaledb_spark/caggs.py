@@ -194,6 +194,7 @@ class ContinuousAggregate:
         freq_aggs: Optional[dict[str, dict]] = None,
         maxn_aggs: Optional[dict[str, dict]] = None,
         heartbeat_aggs: Optional[dict[str, dict]] = None,
+        tdigest_aggs: Optional[dict[str, dict]] = None,
         mat_chunk_interval: Union[str, int, None] = None,
     ) -> "ContinuousAggregate":
         """``CREATE MATERIALIZED VIEW .. WITH (timescaledb.continuous)``
@@ -312,6 +313,15 @@ class ContinuousAggregate:
         :meth:`heartbeat_at_grain` serves exact
         live_time/dead_time/num_live_ranges at any grain — the ops
         analog of the counter family.
+        ``tdigest_aggs``: output column -> ``{"value": <expr>,
+        "delta": d}``: a mergeable T-DIGEST percentile state per
+        (bucket, group) — ``struct(n, min, max, means, weights)`` with
+        ≤ ``delta`` k1-binned centroids (toolkit ``tdigest``, the
+        rank-error sibling of ``sketches``' DDSketch; Dunning & Ertl
+        arXiv:1902.04023). :meth:`tdigest_quantiles_at_grain` serves
+        ``approx_percentile`` at any coarser grain with free
+        regrouping; lossless (exact percentile_cont) while a served
+        group holds ≤ delta values.
         ``candlesticks``: output column -> ``{"price": <expr>,
         "volume": <expr> | None, "tiebreak": [cols…]}``: a mergeable
         OHLC partial per (bucket, group) — ``struct(n, first_us,
@@ -513,6 +523,20 @@ class ContinuousAggregate:
                         f"the parent's ({p_liv!r})"
                     )
                 out["liveness"] = p_liv
+            if kind_key == "tdigest_aggs":
+                # the compression is a state property: a child merging
+                # parent centroids re-bins to its own delta, so it
+                # inherits the parent's unless explicitly (re)set; a
+                # larger child delta cannot invent resolution the
+                # parent states no longer hold, so reject it loudly
+                out.setdefault("delta", pspec.get("delta", 200))
+                if int(out["delta"]) > int(pspec.get("delta", 200)):
+                    raise ValueError(
+                        f"rollup_of={col!r}: child delta "
+                        f"({out['delta']}) cannot exceed the parent's "
+                        f"({pspec.get('delta', 200)}) — the parent "
+                        f"states only keep that many centroids"
+                    )
             if kind_key == "maxn_aggs":
                 # the candidate-list length and direction are state
                 # properties — a child cannot keep MORE than the parent
@@ -538,6 +562,7 @@ class ContinuousAggregate:
             "time_weight": "time_weights",
             "freq": "freq_aggs",
             "maxn": "maxn_aggs",
+            "tdigest": "tdigest_aggs",
         }
         norm_families: dict[str, dict] = {}
         for kind, d in (
@@ -547,6 +572,7 @@ class ContinuousAggregate:
             ("time_weight", time_weights),
             ("freq", freq_aggs),
             ("maxn", maxn_aggs),
+            ("tdigest", tdigest_aggs),
         ):
             normd: dict[str, dict] = {}
             for col, spec in (d or {}).items():
@@ -579,6 +605,11 @@ class ContinuousAggregate:
                     raise ValueError(
                         f"max_n {col!r}: n must be positive"
                     )
+                if kind == "tdigest" and int(spec.get("delta", 200)) < 2:
+                    raise ValueError(
+                        f"tdigest {col!r}: delta (compression) must "
+                        f"be >= 2"
+                    )
                 normd[col] = spec
             norm_families[kind_keys[kind]] = normd or None
         counters = norm_families["counters"]
@@ -587,6 +618,7 @@ class ContinuousAggregate:
         time_weights = norm_families["time_weights"]
         freq_aggs = norm_families["freq_aggs"]
         maxn_aggs = norm_families["maxn_aggs"]
+        tdigest_aggs = norm_families["tdigest_aggs"]
         norm_c: dict[str, dict] = {}
         for col, spec in (candlesticks or {}).items():
             if col in taken:
@@ -687,6 +719,7 @@ class ContinuousAggregate:
             "freq_aggs": freq_aggs,
             "maxn_aggs": maxn_aggs,
             "heartbeat_aggs": heartbeat_aggs,
+            "tdigest_aggs": tdigest_aggs,
             "mat_table": f"_mat_{name}",
             "created_at": _time.time(),
         }
@@ -861,6 +894,9 @@ class ContinuousAggregate:
         ] + [
             (col, spec, self._heartbeat_state)
             for col, spec in (self.row.get("heartbeat_aggs") or {}).items()
+        ] + [
+            (col, spec, self._tdigest_state)
+            for col, spec in (self.row.get("tdigest_aggs") or {}).items()
         ]
         agg = None
         if exprs or not partials:
@@ -3094,7 +3130,21 @@ class ContinuousAggregate:
         full ``group_by`` required like counters/gauges.
 
         Output: ``(bucket?, group…, n, live_us, dead_us,
-        num_live_ranges, first_us, last_us)``."""
+        num_live_ranges, first_us, last_us)``.
+
+        DOCUMENTED DEVIATION from toolkit ``heartbeat_agg(ts, start,
+        agg_interval, liveness)``: the toolkit declares an aggregation
+        interval and clips liveness at its edges; this accessor
+        measures over the OBSERVED span instead — the last beat's
+        liveness tail is never clipped at the bucket edge (``live_us``
+        can exceed the bucket span; the tail is not credited to the
+        next bucket) and ``dead_us`` covers ``[first_us, last_us+L)``,
+        not a declared interval. Self-consistent and exact for "how
+        much liveness did this bucket's own heartbeats assert"; for
+        toolkit-style declared-interval numbers use
+        :meth:`heartbeat_interpolated_at_grain`, which clips each
+        bucket to its own span and credits cross-edge tails to the
+        next bucket."""
         from pyspark.sql import Window
 
         self._require_full_group_by(group_by, "heartbeat")
@@ -3148,6 +3198,215 @@ class ContinuousAggregate:
         if grain_all:
             return out
         return out.withColumnRenamed("_tgt", bucket)
+
+    def heartbeat_interpolated_at_grain(
+        self,
+        hb_col: Optional[str] = None,
+        grain: Optional[str] = None,
+        group_by: Optional[Sequence[str]] = None,
+        realtime: Optional[bool] = None,
+        start=None,
+        end=None,
+    ) -> DataFrame:
+        """Toolkit-style DECLARED-INTERVAL heartbeat serve —
+        ``interpolated_live_time`` / ``interpolated_dead_time``
+        (toolkit heartbeat_agg with start/agg_interval): each target
+        bucket is its own declared interval, so
+
+        - the last beat's liveness tail is CLIPPED at the bucket edge
+          and the clipped portion is credited to the NEXT bucket that
+          has beats (only the previous bucket's last beat can reach —
+          every earlier beat's credited span ends at the next beat,
+          which is still inside its own bucket);
+        - ``dead_us`` is ``bucket_width − live_us`` (time before the
+          first beat / after the last tail inside the bucket counts
+          dead, unlike :meth:`heartbeat_at_grain`'s observed-span
+          rule).
+
+        Exactly the interval-algebra replay of the raw per-beat
+        segments ``[t, min(t+L, next_t))`` clipped per bucket (the
+        oracle-gate contract). Buckets with no heartbeats of their own
+        emit no row, even when a previous tail reaches into them.
+        Fixed-width grains only. One extra ``lag`` window over the
+        per-bucket merged stats — O(buckets), not O(beats)."""
+        from .functions.time import parse_interval
+        from pyspark.sql import Window
+
+        specs = self.row.get("heartbeat_aggs") or {}
+        if hb_col is None:
+            if len(specs) != 1:
+                raise ValueError(
+                    f"cagg {self.name!r} has {len(specs)} heartbeat "
+                    f"columns; pass hb_col"
+                )
+            hb_col = next(iter(specs))
+        if hb_col not in specs:
+            raise KeyError(f"no heartbeat column {hb_col!r}")
+        liv = int(specs[hb_col]["liveness_us"])
+        if grain == "all":
+            raise ValueError(
+                "interpolated heartbeat needs a fixed-width grain "
+                "(each bucket is the declared agg interval)"
+            )
+        if grain is None:
+            if self.row.get("bucket_width_months"):
+                raise ValueError(
+                    "interpolated heartbeat needs a fixed-width grain"
+                )
+            width = int(self.row["bucket_width_us"])
+        elif isinstance(grain, int):
+            width = int(grain)
+        else:
+            iv = parse_interval(grain)
+            if iv.months:
+                raise ValueError(
+                    "interpolated heartbeat needs a fixed-width grain"
+                )
+            width = iv.us
+        base = self.heartbeat_at_grain(
+            hb_col, grain, group_by, realtime, start, end
+        )
+        bucket = self.row["bucket_alias"]
+        gb = list(self.row["group_by"] if group_by is None else group_by)
+        if self.row["time_is_timestamp"]:
+            tgt_us = F.unix_micros(F.col(bucket))
+        else:
+            tgt_us = F.col(bucket).cast("long")
+        w = Window.partitionBy(*gb).orderBy(F.col(bucket).asc())
+        prev_last = F.lag("last_us").over(w)
+        ll = F.lit(liv).cast("long")
+        wl = F.lit(width).cast("long")
+        tail_out = F.greatest(
+            F.lit(0).cast("long"),
+            F.col("last_us") + ll - (tgt_us + wl),
+        )
+        reach = F.least(prev_last + ll, F.col("first_us"))
+        carry = F.when(
+            prev_last.isNotNull(),
+            F.greatest(F.lit(0).cast("long"), reach - tgt_us),
+        ).otherwise(F.lit(0).cast("long"))
+        live2 = F.col("live_us") - tail_out + carry
+        # the carried tail is a separate range unless it touches the
+        # first beat ([start, reach) meets [first_us, ...) iff
+        # reach == first_us)
+        ranges2 = F.col("num_live_ranges") + F.when(
+            (carry > 0) & (reach < F.col("first_us")), F.lit(1)
+        ).otherwise(F.lit(0))
+        return base.select(
+            bucket,
+            *gb,
+            "n",
+            live2.alias("live_us"),
+            (wl - live2).alias("dead_us"),
+            ranges2.alias("num_live_ranges"),
+        )
+
+    # ------------------------------------------ t-digest partials
+    def _tdigest_state(self, raw: DataFrame, col: str, spec: dict) -> DataFrame:
+        """Mergeable T-DIGEST partial per (bucket, group):
+        ``struct(n, min, max, means, weights)`` — ≤ ``delta`` centroids
+        binned by the k1 scale function, singletons (lossless) while
+        the bucket holds ≤ ``delta`` values (toolkit ``tdigest``;
+        functions/tdigest.py has the algorithm notes and the raw-scan
+        analog). States merge order-independently (global re-sort +
+        re-bin), so :meth:`tdigest_quantiles_at_grain` serves
+        percentiles at any coarser grain with free regrouping — the
+        rank-error sibling of the DDSketch family."""
+        from .functions.tdigest import build_states, merge_states
+
+        delta = int(spec.get("delta", 200))
+        balias = self.row["bucket_alias"]
+        gb = list(self.row["group_by"])
+        if spec.get("rollup_of"):
+            d, balias, gb = self._rollup_frame(raw, spec["rollup_of"])
+            return merge_states(
+                d.select(balias, *gb, F.col("_st").alias("_tdp")),
+                [balias, *gb],
+                "_tdp",
+                delta,
+                col,
+            )
+        return build_states(
+            raw.select(self._bucket_expr(raw), *gb,
+                       F.expr(spec["value"]).alias("_tdv")),
+            [balias, *gb],
+            F.col("_tdv"),
+            delta,
+            col,
+        )
+
+    def tdigest_quantiles_at_grain(
+        self,
+        qs: Sequence[float],
+        td_col: Optional[str] = None,
+        grain: Optional[str] = None,
+        group_by: Optional[Sequence[str]] = None,
+        realtime: Optional[bool] = None,
+        start=None,
+        end=None,
+    ) -> DataFrame:
+        """Serve percentiles from the stored t-digest states — the
+        toolkit ``approx_percentile(q, rollup(tdigest(...)))`` idiom.
+        States merge commutatively (re-sort + re-bin by cumulative
+        weight), so any coarser grain and any SUBSET regrouping are
+        allowed, like the sketch family. Exact (type-7 /
+        ``percentile_cont``) whenever the merged digest stays lossless
+        (total values per served group ≤ delta) — the oracle-gate
+        contract; rank-error ≲ π/(2·delta) otherwise.
+
+        Output: ``(bucket?, group…, n, min_val, max_val, p50, …)``."""
+        from .functions.tdigest import merge_states, tdigest_quantiles
+
+        specs = self.row.get("tdigest_aggs") or {}
+        if not specs:
+            raise ValueError(
+                f"cagg {self.name!r} has no tdigest columns (pass "
+                f"tdigest_aggs= to create_cagg)"
+            )
+        if td_col is None:
+            if len(specs) > 1:
+                raise ValueError(
+                    f"cagg {self.name!r} has several tdigests "
+                    f"{sorted(specs)}; pass td_col"
+                )
+            td_col = next(iter(specs))
+        if td_col not in specs:
+            raise KeyError(f"no tdigest column {td_col!r}")
+        delta = int(specs[td_col].get("delta", 200))
+        d, keys_gb, bucket, grain_all = self._partial_frame_for_col(
+            td_col, grain, group_by, realtime, start, end
+        )
+        tcols = [] if grain_all else ["_tgt"]
+        merged = merge_states(
+            d.select(*tcols, *keys_gb, "_st"),
+            [*tcols, *keys_gb],
+            "_st",
+            delta,
+            "_td",
+        )
+        out = tdigest_quantiles(
+            merged, list(qs), by=[*tcols, *keys_gb], state_col="_td"
+        )
+        if grain_all:
+            return out
+        return out.withColumnRenamed("_tgt", bucket)
+
+    def tdigest_summary_at_grain(
+        self,
+        td_col: Optional[str] = None,
+        grain: Optional[str] = None,
+        group_by: Optional[Sequence[str]] = None,
+        realtime: Optional[bool] = None,
+        start=None,
+        end=None,
+    ) -> DataFrame:
+        """The t-digest's EXACT scalar accessors (``num_vals`` /
+        ``min_val`` / ``max_val``) served at any grain — the no-quantile
+        projection of :meth:`tdigest_quantiles_at_grain` (the SQL
+        accessor route's entry point)."""
+        return self.tdigest_quantiles_at_grain(
+            [], td_col, grain, group_by, realtime, start, end
+        )
 
     # --------------------------- hierarchical state merges (rollup_of)
     def _rollup_frame(self, raw: DataFrame, src: str):

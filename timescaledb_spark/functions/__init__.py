@@ -2,6 +2,7 @@
 
 from .bookend import first, last
 from .histogram import histogram, width_bucket
+from .tdigest import tdigest, tdigest_quantiles, tdigest_rollup
 from .time import (
     DEFAULT_ORIGIN_US,
     Interval,
@@ -35,6 +36,9 @@ __all__ = [
     "last",
     "histogram",
     "width_bucket",
+    "tdigest",
+    "tdigest_quantiles",
+    "tdigest_rollup",
     "generate_uuidv7",
     "time_bucket_uuid",
     "to_uuidv7",

@@ -1608,6 +1608,162 @@ def q_cagg_interp_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("bucket", "duration_us")
 
 
+_TDIGEST_ORACLE = """
+    WITH arr AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+             event_type,
+             list(value ORDER BY value) AS vs,
+             count(value) AS n,
+             min(value) AS min_val, max(value) AS max_val
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT bucket, event_type, n, min_val, max_val,
+      CASE WHEN n = 1 THEN vs[1] ELSE
+        vs[CAST(floor(0.5 * (n - 1)) AS INT) + 1]
+        + (vs[least(CAST(floor(0.5 * (n - 1)) AS INT) + 2, CAST(n AS INT))]
+           - vs[CAST(floor(0.5 * (n - 1)) AS INT) + 1])
+          * (0.5 * (n - 1) - floor(0.5 * (n - 1))) END AS p50,
+      CASE WHEN n = 1 THEN vs[1] ELSE
+        vs[CAST(floor(0.9 * (n - 1)) AS INT) + 1]
+        + (vs[least(CAST(floor(0.9 * (n - 1)) AS INT) + 2, CAST(n AS INT))]
+           - vs[CAST(floor(0.9 * (n - 1)) AS INT) + 1])
+          * (0.9 * (n - 1) - floor(0.9 * (n - 1))) END AS p90
+    FROM arr
+"""
+
+
+@query("q_tdigest", _TDIGEST_ORACLE)
+def q_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest raw-scan aggregate (round 13; toolkit ``tdigest(size,
+    value)`` + ``approx_percentile``, Dunning & Ertl arXiv:1902.04023):
+    per (day, event_type) digests built Spark-native — one rank window,
+    k1 scale-function binning, bounded ≤ delta collect
+    (functions/tdigest.py). At this delta every group stays LOSSLESS
+    (singleton centroids), so extraction is exact type-7
+    (percentile_cont) interpolation and the oracle replays it
+    bit-for-bit over DuckDB sorted lists — the same identical-operand
+    discipline as the comoment oracles."""
+    from .functions.tdigest import tdigest, tdigest_quantiles
+    from .functions.time import time_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        time_bucket("1 day", "ts").alias("bucket"), "event_type", "value"
+    )
+    st = tdigest(d, "value", by=["bucket", "event_type"], delta=65536)
+    return tdigest_quantiles(
+        st, [0.5, 0.9], by=["bucket", "event_type"]
+    )
+
+
+@query("q_cagg_tdigest", _TDIGEST_ORACLE)
+def q_cagg_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest percentile partials in a continuous aggregate (round
+    13; toolkit ``tdigest`` inside a cagg + ``approx_percentile(q,
+    rollup(...))`` — the rank-error sibling of the DDSketch
+    ``percentile_agg`` family): hourly digests materialize per
+    event_type, the daily serve merges states commutatively (re-sort +
+    re-bin by cumulative weight) and extracts exact type-7 quantiles
+    while the merged digest stays lossless. Half-range refresh
+    exercises the realtime union: raw-side digests above the watermark
+    merge with mat-side states."""
+    import tempfile
+
+    from .session import TSSession
+
+    root = tempfile.mkdtemp(prefix="ts_cagg_td_")
+    ts = TSSession(spark, root)
+    ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+    ht.insert(load_table(spark, sf_dir, "events"))
+    cagg = ts.create_cagg(
+        "qtd",
+        ht,
+        bucket_width="1 hour",
+        aggs={},
+        group_by=["event_type"],
+        tdigest_aggs={"td": {"value": "value", "delta": 65536}},
+    )
+    lo = min(c["range_start"] for c in ht.chunks())
+    hi = max(c["range_end"] for c in ht.chunks())
+    cagg.refresh(start=lo, end=lo + (hi - lo) // 2)
+    return cagg.tdigest_quantiles_at_grain(
+        [0.5, 0.9], grain="1 day", realtime=True
+    )
+
+
+@query(
+    "q_cagg_heartbeat_interp",
+    """
+    WITH b AS (
+      SELECT epoch_us(ts) AS t, event_type FROM events
+    ), seg AS (
+      SELECT event_type, t AS t1,
+             least(t + 300000000,
+                   coalesce(lead(t) OVER (PARTITION BY event_type
+                                          ORDER BY t),
+                            t + 300000000)) AS t2
+      FROM b
+    ), ex AS (
+      SELECT event_type, t1, t2,
+             unnest(range((t1 // 86400000000) * 86400000000,
+                          ((t2 - 1) // 86400000000) * 86400000000 + 1,
+                          86400000000)) AS d
+      FROM seg WHERE t2 > t1
+    ), nb AS (
+      SELECT event_type, (t // 86400000000) * 86400000000 AS d,
+             count(*) AS n
+      FROM b GROUP BY 1, 2
+    ), agg AS (
+      SELECT ex.event_type, ex.d,
+             CAST(sum(least(t2, ex.d + 86400000000)
+                      - greatest(t1, ex.d)) AS BIGINT) AS live_us
+      FROM ex JOIN nb ON nb.event_type = ex.event_type AND nb.d = ex.d
+      GROUP BY 1, 2
+    )
+    SELECT make_timestamp(agg.d) AS bucket, agg.event_type, nb.n,
+           agg.live_us,
+           CAST(86400000000 - agg.live_us AS BIGINT) AS dead_us
+    FROM agg JOIN nb ON nb.event_type = agg.event_type
+                    AND nb.d = agg.d
+    """,
+)
+def q_cagg_heartbeat_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Toolkit DECLARED-INTERVAL heartbeat serve (round 13;
+    ``interpolated_live_time``/``interpolated_dead_time`` — the
+    clipped sibling of q_cagg_heartbeat, closing the r12 ADVICE
+    deviation note): each day bucket clips its beats' liveness at its
+    own edges and inherits the previous bucket's cross-edge tail, so
+    ``live_us`` equals the interval-algebra replay of the raw per-beat
+    segments ``[t, min(t+L, next))`` clipped per day, and ``dead_us``
+    is the day's remainder. Served from hourly partials with ONE extra
+    lag window over per-day merged stats (caggs.py
+    heartbeat_interpolated_at_grain) — O(buckets), not O(beats).
+    Half-range refresh exercises the realtime union."""
+    import tempfile
+
+    from .session import TSSession
+
+    root = tempfile.mkdtemp(prefix="ts_cagg_hbi_")
+    ts = TSSession(spark, root)
+    ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+    ht.insert(load_table(spark, sf_dir, "events"))
+    cagg = ts.create_cagg(
+        "qhbi",
+        ht,
+        bucket_width="1 hour",
+        aggs={},
+        group_by=["event_type"],
+        heartbeat_aggs={"hb": {"liveness": "5 minutes"}},
+    )
+    lo = min(c["range_start"] for c in ht.chunks())
+    hi = max(c["range_end"] for c in ht.chunks())
+    cagg.refresh(start=lo, end=lo + (hi - lo) // 2)
+    return cagg.heartbeat_interpolated_at_grain(
+        grain="1 day", realtime=True
+    ).select("bucket", "event_type", "n", "live_us", "dead_us")
+
+
 @query(
     "q_cagg_hier_counter",
     """

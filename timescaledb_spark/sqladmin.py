@@ -1652,6 +1652,7 @@ def run_create_cagg(ts, m) -> DataFrame:
     freq_aggs: dict[str, dict] = {}
     maxn_aggs: dict[str, dict] = {}
     heartbeat_aggs: dict[str, dict] = {}
+    tdigest_aggs: dict[str, dict] = {}
     rollups: dict[str, str] = {}  # alias -> parent partial column
     partial_time_args: list[tuple[str, str, str]] = []
     for item in items:
@@ -1708,6 +1709,7 @@ def run_create_cagg(ts, m) -> DataFrame:
                 "topn_agg",
                 "max_n",
                 "min_n",
+                "tdigest",
             },
         )
         if cnh:
@@ -1799,6 +1801,22 @@ def run_create_cagg(ts, m) -> DataFrame:
                         freq_aggs[alias]["n"] = int(fv)
                 else:
                     raise ValueError(f"{fn}([min_freq | n,] value)")
+                continue
+            if fn == "tdigest":
+                # toolkit tdigest(size, value): size is the compression
+                # (max centroids) — the rank-error percentile partial,
+                # percentile_agg/uddsketch's sibling
+                if len(args) != 2:
+                    raise ValueError("tdigest(size, value)")
+                nk, nv = _literal_of(args[0])
+                if nk != "int" or int(nv) < 2:
+                    raise ValueError(
+                        "tdigest size must be an integer literal >= 2"
+                    )
+                tdigest_aggs[alias] = {
+                    "value": _rw(args[1].strip(), ts),
+                    "delta": int(nv),
+                }
                 continue
             if fn in ("max_n", "min_n"):
                 if len(args) != 2:
@@ -1949,6 +1967,10 @@ def run_create_cagg(ts, m) -> DataFrame:
         k: {**v, "value": _strip_quals(v["value"], quals)}
         for k, v in maxn_aggs.items()
     }
+    tdigest_aggs = {
+        k: {**v, "value": _strip_quals(v["value"], quals)}
+        for k, v in tdigest_aggs.items()
+    }
     candlesticks = {
         k: {
             **v,
@@ -1996,6 +2018,7 @@ def run_create_cagg(ts, m) -> DataFrame:
             "freq_aggs": freq_aggs,
             "maxn_aggs": maxn_aggs,
             "heartbeat_aggs": heartbeat_aggs,
+            "tdigest_aggs": tdigest_aggs,
         }
         for alias, src_col in rollups.items():
             fam = next(
@@ -2028,6 +2051,7 @@ def run_create_cagg(ts, m) -> DataFrame:
         freq_aggs=freq_aggs or None,
         maxn_aggs=maxn_aggs or None,
         heartbeat_aggs=heartbeat_aggs or None,
+        tdigest_aggs=tdigest_aggs or None,
     )
     if not (m.group("data") or "").strip():  # WITH DATA is the PG default
         cagg.refresh()

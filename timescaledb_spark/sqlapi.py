@@ -1336,8 +1336,11 @@ def _try_sketch_quantiles(ts, q: str):
     if not re.fullmatch(r"[A-Za-z_]\w*", frm):
         return None
     crow = ts.catalog.continuous_agg.find_one(name=frm)
-    if crow is None or not crow.get("sketches"):
+    if crow is None or not (
+        crow.get("sketches") or crow.get("tdigest_aggs")
+    ):
         return None
+    td_cols = crow.get("tdigest_aggs") or {}
     balias = crow["bucket_alias"]
     groups = list(crow.get("group_by") or [])
     sel: list = []  # ordered (kind, out_alias, payload)
@@ -1367,10 +1370,17 @@ def _try_sketch_quantiles(ts, q: str):
             if inner is None or len(inner) != 1:
                 return None
             col = inner[0].strip()
-            if col not in crow["sketches"] or sketch_col not in (None, col):
+            if (
+                col not in (crow.get("sketches") or {})
+                and col not in td_cols
+            ) or sketch_col not in (None, col):
                 return None
             sketch_col = col
             if head[0] == "approx_percentile_rank":
+                if col in td_cols:
+                    # the rank accessor is DDSketch-only — fall through
+                    # to the loud analysis error
+                    return None
                 if p not in ranks:
                     ranks.append(p)
                 sel.append(("r", alias or f"rank_{len(ranks)}", p))
@@ -1409,12 +1419,20 @@ def _try_sketch_quantiles(ts, q: str):
         cagg = ts.get_cagg(frm)
         qd = None
         if qs_list:
-            qd = cagg.quantiles(
-                qs_list,
-                sketch_col=sketch_col,
-                grain=eff_grain,
-                group_by=want_groups,
-            )
+            if sketch_col in td_cols:
+                qd = cagg.tdigest_quantiles_at_grain(
+                    qs_list,
+                    sketch_col,
+                    grain=eff_grain,
+                    group_by=want_groups,
+                )
+            else:
+                qd = cagg.quantiles(
+                    qs_list,
+                    sketch_col=sketch_col,
+                    grain=eff_grain,
+                    group_by=want_groups,
+                )
         for i, v in enumerate(ranks):
             rdf = cagg.rank(
                 v,
@@ -1508,6 +1526,14 @@ _PARTIAL_ACCESSORS = {
         "vwap": "vwap",
         "num_vals": "n",
     },
+    # the t-digest's EXACT scalar accessors; approx_percentile(q,
+    # rollup(td)) carries a quantile argument and is routed by
+    # _try_sketch_quantiles instead (the DDSketch-route sibling)
+    "tdigest_aggs": {
+        "num_vals": "n",
+        "min_val": "min_val",
+        "max_val": "max_val",
+    },
 }
 # 2-D stats partials (stats_aggs specs with a "y") serve the regression
 # accessor family instead of the 1-D one — resolved per COLUMN below
@@ -1531,6 +1557,7 @@ _PARTIAL_METHOD = {
     "candlesticks": "candlestick_at_grain",
     "state_aggs": "state_durations_at_grain",
     "heartbeat_aggs": "heartbeat_at_grain",
+    "tdigest_aggs": "tdigest_summary_at_grain",
 }
 # toolkit interpolated accessors — cross-bucket interpolation served
 # from the stored partials (caggs.interpolated_*_at_grain). These need
@@ -1544,11 +1571,16 @@ _INTERP_ACCESSORS = {
         "interpolated_rate": "rate",
     },
     "state_aggs": {"interpolated_duration_in": "duration_us"},
+    "heartbeat_aggs": {
+        "interpolated_live_time": "live_us",
+        "interpolated_dead_time": "dead_us",
+    },
 }
 _INTERP_METHOD = {
     "time_weights": "interpolated_average_at_grain",
     "counters": "interpolated_delta_at_grain",
     "state_aggs": "interpolated_duration_in_at_grain",
+    "heartbeat_aggs": "heartbeat_interpolated_at_grain",
 }
 # set-returning accessors — one row PER VALUE per key, so they must be
 # the only accessor in the SELECT: topn(rollup(freq_col)[, n]) serves

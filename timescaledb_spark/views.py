@@ -128,6 +128,7 @@ def continuous_aggregates(ts) -> DataFrame:
                     + list(c.get("freq_aggs") or {})
                     + list(c.get("maxn_aggs") or {})
                     + list(c.get("heartbeat_aggs") or {})
+                    + list(c.get("tdigest_aggs") or {})
                 ),
             }
         )
