@@ -104,6 +104,66 @@ class TestTDigestRaw:
                 rank = bisect.bisect_left(sub, r[col]) / len(sub)
                 assert abs(rank - q) <= tol
 
+    def test_rank_lossless_exact_and_edges(self, spark, data):
+        from timescaledb_spark.functions.tdigest import (
+            tdigest,
+            tdigest_rank,
+        )
+
+        df, per_g = data
+        st = tdigest(df, "v", by=["g"], delta=30_000)  # lossless
+        for v in (0.5, 1.0, 5.0):
+            out = {
+                r["g"]: r["rank"]
+                for r in tdigest_rank(st, v, by=["g"]).collect()
+            }
+            for g, sub in per_g.items():
+                exact = bisect.bisect_right(sub, v) / len(sub)
+                assert out[g] == pytest.approx(exact, abs=1e-6)
+        lo = {r["g"]: r["rank"]
+              for r in tdigest_rank(st, -1.0, by=["g"]).collect()}
+        hi = {r["g"]: r["rank"]
+              for r in tdigest_rank(st, 1e9, by=["g"]).collect()}
+        assert set(lo.values()) == {0.0} and set(hi.values()) == {1.0}
+
+    def test_rank_compressed_bounded_and_monotone(self, spark, data):
+        """Compressed CDF: midpoint interpolation keeps the rank within
+        ~π/(2δ) of the true fraction, and is monotone in the probe."""
+        from timescaledb_spark.functions.tdigest import (
+            tdigest,
+            tdigest_rank,
+        )
+
+        df, per_g = data
+        st = tdigest(df, "v", by=["g"], delta=100)
+        probes = [0.1, 0.3, 1.0, 2.0, 5.0, 12.0, 40.0]
+        prev: dict = {}
+        for v in probes:
+            out = {
+                r["g"]: r["rank"]
+                for r in tdigest_rank(st, v, by=["g"]).collect()
+            }
+            for g, sub in per_g.items():
+                true = bisect.bisect_right(sub, v) / len(sub)
+                assert abs(out[g] - true) <= 0.02, (g, v, out[g], true)
+                if g in prev:
+                    assert out[g] >= prev[g] - 1e-12
+            prev = out
+
+    def test_rank_null_state(self, spark):
+        from timescaledb_spark.functions.tdigest import (
+            tdigest,
+            tdigest_rank,
+        )
+
+        df = spark.createDataFrame(
+            [(0, 1.0), (1, None)], "g int, v double"
+        )
+        st = tdigest(df, "v", by=["g"], delta=10)
+        out = {r["g"]: r["rank"]
+               for r in tdigest_rank(st, 5.0, by=["g"]).collect()}
+        assert out[0] == 1.0 and out[1] is None
+
     def test_null_semantics(self, spark):
         from timescaledb_spark.functions.tdigest import (
             tdigest,
@@ -197,6 +257,24 @@ class TestTDigestCagg:
         }
         assert got == want
 
+    def test_rank_serve_matches_raw(self, env):
+        _, _, cagg, ev = env
+        got = {
+            (r["bucket"], r["event_type"]): r["rank"]
+            for r in cagg.tdigest_rank_at_grain(
+                50.0, grain="1 day"
+            ).collect()
+        }
+        raw: dict = {}
+        for r in ev.select("ts", "event_type", "value").collect():
+            k = (r["ts"].replace(hour=0, minute=0, second=0,
+                                 microsecond=0), r["event_type"])
+            raw.setdefault(k, []).append(r["value"])
+        assert len(got) == len(raw)
+        for k, vs in raw.items():
+            frac = sum(1 for v in vs if v <= 50.0) / len(vs)
+            assert got[k] == pytest.approx(frac, abs=1e-6), k
+
     def test_child_cannot_widen_delta(self, env):
         ts, _, _, _ = env
         with pytest.raises(ValueError, match="exceed"):
@@ -239,12 +317,12 @@ class TestTDigestCagg:
             "max_val(rollup(td)) AS hi FROM sv GROUP BY 1, 2"
         ).collect()
         assert s[0]["n"] == 10 and s[0]["lo"] == 0.0 and s[0]["hi"] == 9.0
-        # rank accessor is DDSketch-only
-        with pytest.raises(Exception):
-            ts.sql(
-                "SELECT dev, approx_percentile_rank(5.0, rollup(td)) "
-                "AS r FROM sv GROUP BY 1"
-            ).collect()
+        # inverse accessor: exact fraction <= v in the lossless regime
+        rk = ts.sql(
+            "SELECT dev, approx_percentile_rank(5.0, rollup(td)) "
+            "AS r FROM sv GROUP BY 1"
+        ).collect()
+        assert rk[0]["r"] == pytest.approx(0.6)  # 0..5 of 0..9
         # GROUP BY refusal: select keys must match GROUP BY
         with pytest.raises(Exception):
             ts.sql(

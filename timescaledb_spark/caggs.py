@@ -3408,6 +3408,60 @@ class ContinuousAggregate:
             [], td_col, grain, group_by, realtime, start, end
         )
 
+    def tdigest_rank_at_grain(
+        self,
+        value: float,
+        td_col: Optional[str] = None,
+        grain: Optional[str] = None,
+        group_by: Optional[Sequence[str]] = None,
+        realtime: Optional[bool] = None,
+        out: str = "rank",
+        start=None,
+        end=None,
+    ) -> DataFrame:
+        """``approx_percentile_rank(value, rollup(tdigest(...)))`` —
+        the t-digest inverse (CDF) accessor: fraction of ingested
+        values ≤ ``value`` per served bucket/group, from the stored
+        states under the same merge/grain/realtime rules as
+        :meth:`tdigest_quantiles_at_grain`. Exact while the merged
+        digest stays lossless (the oracle-gate contract); standard
+        centroid-midpoint CDF interpolation otherwise."""
+        from .functions.tdigest import merge_states, tdigest_rank
+
+        specs = self.row.get("tdigest_aggs") or {}
+        if not specs:
+            raise ValueError(
+                f"cagg {self.name!r} has no tdigest columns (pass "
+                f"tdigest_aggs= to create_cagg)"
+            )
+        if td_col is None:
+            if len(specs) > 1:
+                raise ValueError(
+                    f"cagg {self.name!r} has several tdigests "
+                    f"{sorted(specs)}; pass td_col"
+                )
+            td_col = next(iter(specs))
+        if td_col not in specs:
+            raise KeyError(f"no tdigest column {td_col!r}")
+        delta = int(specs[td_col].get("delta", 200))
+        d, keys_gb, bucket, grain_all = self._partial_frame_for_col(
+            td_col, grain, group_by, realtime, start, end
+        )
+        tcols = [] if grain_all else ["_tgt"]
+        merged = merge_states(
+            d.select(*tcols, *keys_gb, "_st"),
+            [*tcols, *keys_gb],
+            "_st",
+            delta,
+            "_td",
+        )
+        res = tdigest_rank(
+            merged, value, by=[*tcols, *keys_gb], state_col="_td", out=out
+        )
+        if grain_all:
+            return res
+        return res.withColumnRenamed("_tgt", bucket)
+
     # --------------------------- hierarchical state merges (rollup_of)
     def _rollup_frame(self, raw: DataFrame, src: str):
         """(child-bucket, group…, _src, _st) over the PARENT cagg's

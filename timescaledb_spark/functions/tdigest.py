@@ -317,6 +317,76 @@ def quantile_expr(state: str, q: float) -> Column:
     )
 
 
+def rank_expr(state: str, value: float) -> Column:
+    """``approx_percentile_rank(value, tdigest)`` — the inverse (CDF)
+    accessor: fraction of ingested values ≤ ``value``, answered from
+    the stored state (same convention as :func:`.ddsketch.ddsketch_rank`).
+
+    Exact while the digest is lossless (every centroid a singleton):
+    ``count(means ≤ v) / n`` — which is what makes the oracle gate
+    hash-checkable against a DuckDB ``count(*) FILTER (v <= x)``
+    replay. Compressed digests use the standard t-digest CDF rule
+    (Dunning & Ertl arXiv:1902.04023 §2.1): linear interpolation of
+    cumulative weight between adjacent centroid MIDPOINTS, with the
+    half-centroid tails interpolated against the exact stored
+    min/max. Clamped to [0, 1]; NULL state → NULL."""
+    st = state
+    v = repr(float(value))
+    nmeans = f"size({st}.means)"
+    # ---- lossless path: exact count of singletons <= v
+    exact = (
+        f"(CAST(size(filter({st}.means, m -> m <= {v})) AS DOUBLE)"
+        f" / CAST({st}.n AS DOUBLE))"
+    )
+    # ---- compressed path: midpoint interpolation of cumulative weight
+    cum = (
+        f"aggregate({st}.weights, array(CAST(0 AS DOUBLE)), "
+        f"(acc, w) -> array_append(acc, element_at(acc, -1) + "
+        f"CAST(w AS DOUBLE)))"
+    )
+    idx = f"size(filter({st}.means, m -> m <= {v}))"
+    nn = f"CAST({st}.n AS DOUBLE)"
+    mid = (
+        "(element_at(_tdc, _tdi) + "
+        f"CAST(element_at({st}.weights, _tdi) AS DOUBLE) / 2.0D)"
+    )
+    mid1 = (
+        "(element_at(_tdc, _tdi + 1) + "
+        f"CAST(element_at({st}.weights, _tdi + 1) AS DOUBLE) / 2.0D)"
+    )
+    lo_m = f"element_at({st}.means, _tdi)"
+    hi_m = f"element_at({st}.means, _tdi + 1)"
+    # below the first centroid mean: ramp 0 -> w1/2 over [min, mean1]
+    head = (
+        f"(CAST(element_at({st}.weights, 1) AS DOUBLE) / 2.0D"
+        f" * ({v} - {st}.min)"
+        f" / nullif(element_at({st}.means, 1) - {st}.min, 0.0D))"
+    )
+    # above the last centroid mean: ramp n - wk/2 -> n over [meank, max]
+    tail = (
+        f"({nn} - CAST(element_at({st}.weights, _tdi) AS DOUBLE) / 2.0D"
+        f" + CAST(element_at({st}.weights, _tdi) AS DOUBLE) / 2.0D"
+        f" * ({v} - {lo_m}) / nullif({st}.max - {lo_m}, 0.0D))"
+    )
+    general = (
+        f"element_at(transform(array({cum}), _tdc -> "
+        f"element_at(transform(array({idx}), _tdi -> "
+        f"CASE WHEN _tdi <= 0 THEN coalesce({head}, 0.0D) "
+        f"WHEN _tdi >= {nmeans} THEN coalesce({tail}, {nn}) "
+        f"ELSE {mid} + ({mid1} - {mid}) * ({v} - {lo_m}) "
+        f"/ nullif({hi_m} - {lo_m}, 0.0D) "
+        f"END), 1)), 1) / {nn}"
+    )
+    return F.expr(
+        f"CASE WHEN {st} IS NULL THEN NULL "
+        f"WHEN {v} < {st}.min THEN 0.0D "
+        f"WHEN {v} >= {st}.max THEN 1.0D "
+        f"WHEN {st}.n = {nmeans} THEN {exact} "
+        f"ELSE least(1.0D, greatest(0.0D, coalesce({general}, 0.0D))) "
+        f"END"
+    )
+
+
 def tdigest(
     df: DataFrame,
     value_col: str = "value",
@@ -359,3 +429,20 @@ def tdigest_quantiles(
     for q in qs:
         cols.append(quantile_expr(state_col, q).alias(_qname(q)))
     return df.select(*cols)
+
+
+def tdigest_rank(
+    df: DataFrame,
+    value: float,
+    by: Sequence[str] = (),
+    state_col: str = "tdigest",
+    out: str = "rank",
+) -> DataFrame:
+    """``approx_percentile_rank(value, tdigest)`` over stored states —
+    one output row per input state row, rounded to 6 decimals (the
+    :func:`.ddsketch.ddsketch_rank` convention so both percentile
+    algebras serve identically-shaped rank frames)."""
+    return df.select(
+        *by,
+        F.round(rank_expr(state_col, value), 6).alias(out),
+    )

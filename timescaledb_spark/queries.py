@@ -1693,6 +1693,51 @@ def q_cagg_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cagg_tdigest_rank",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+           event_type,
+           round(CAST(count(*) FILTER (value <= 50.0) AS DOUBLE)
+                 / count(*), 6) AS rank_50
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def q_cagg_tdigest_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``approx_percentile_rank(value, rollup(tdigest(...)))`` (round
+    13; the toolkit's inverse/CDF accessor on the t-digest family,
+    previously refused in the SQL route): the full SQL path — hourly
+    tdigest partials, daily state merge, rank extraction — against a
+    DuckDB exact-fraction replay. At delta=65536 every merged digest
+    stays lossless, so the served rank is EXACTLY count(≤v)/n and the
+    gate hash-checks bit-for-bit (identical double division + 6-dp
+    round on both sides). Half-range refresh keeps the realtime union
+    in the serve."""
+    import tempfile
+
+    from .session import TSSession
+
+    root = tempfile.mkdtemp(prefix="ts_cagg_tdr_")
+    ts = TSSession(spark, root)
+    ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+    ht.insert(load_table(spark, sf_dir, "events"))
+    ts.sql(
+        "CREATE MATERIALIZED VIEW qtdr WITH (timescaledb.continuous) "
+        "AS SELECT time_bucket('1 hour', ts) AS bucket, event_type, "
+        "tdigest(65536, value) AS td FROM events GROUP BY 1, 2"
+    )
+    cagg = ts.get_cagg("qtdr")
+    lo = min(c["range_start"] for c in ht.chunks())
+    hi = max(c["range_end"] for c in ht.chunks())
+    cagg.refresh(start=lo, end=lo + (hi - lo) // 2)
+    return ts.sql(
+        "SELECT time_bucket('1 day', bucket) AS bucket, event_type, "
+        "approx_percentile_rank(50.0, rollup(td)) AS rank_50 "
+        "FROM qtdr GROUP BY 1, 2"
+    )
+
+
+@query(
     "q_cagg_heartbeat_interp",
     """
     WITH b AS (

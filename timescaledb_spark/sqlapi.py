@@ -1377,10 +1377,6 @@ def _try_sketch_quantiles(ts, q: str):
                 return None
             sketch_col = col
             if head[0] == "approx_percentile_rank":
-                if col in td_cols:
-                    # the rank accessor is DDSketch-only — fall through
-                    # to the loud analysis error
-                    return None
                 if p not in ranks:
                     ranks.append(p)
                 sel.append(("r", alias or f"rank_{len(ranks)}", p))
@@ -1434,13 +1430,22 @@ def _try_sketch_quantiles(ts, q: str):
                     group_by=want_groups,
                 )
         for i, v in enumerate(ranks):
-            rdf = cagg.rank(
-                v,
-                sketch_col=sketch_col,
-                grain=eff_grain,
-                group_by=want_groups,
-                out=f"_rk{i}",
-            )
+            if sketch_col in td_cols:
+                rdf = cagg.tdigest_rank_at_grain(
+                    v,
+                    sketch_col,
+                    grain=eff_grain,
+                    group_by=want_groups,
+                    out=f"_rk{i}",
+                )
+            else:
+                rdf = cagg.rank(
+                    v,
+                    sketch_col=sketch_col,
+                    grain=eff_grain,
+                    group_by=want_groups,
+                    out=f"_rk{i}",
+                )
             if qd is None:
                 qd = rdf
             elif not keys_out:
