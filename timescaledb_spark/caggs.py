@@ -849,10 +849,15 @@ class ContinuousAggregate:
         y, mo = divmod(midx, 12)
         return int(datetime(y, mo + 1, 1, tzinfo=_tz.utc).timestamp() * 1_000_000)
 
-    def _aggregate(self, raw: DataFrame) -> DataFrame:
+    def _aggregate(
+        self, raw: DataFrame, only_cols: Optional[Sequence[str]] = None
+    ) -> DataFrame:
         """The 'partial view' query:
         [join dim] + [where] + bucket + group_by + aggs + [sketch
-        states] + [window_fns]."""
+        states] + [window_fns]. ``only_cols`` restricts the build to
+        the named output columns — the single-family realtime serve
+        path (:meth:`read`): untouched families' partial builds (and
+        their 1:1 joins) are never planned at all."""
         j = self.row.get("join")
         if j:
             dim = self.ts.read_table(j["table"])
@@ -862,7 +867,11 @@ class ContinuousAggregate:
             raw = raw.join(F.broadcast(dim), on=on, how=j.get("how", "inner"))
         if self.row.get("where"):
             raw = raw.filter(F.expr(self.row["where"]))
-        exprs = [F.expr(e).alias(n) for n, e in self.row["aggs"].items()]
+        exprs = [
+            F.expr(e).alias(n)
+            for n, e in self.row["aggs"].items()
+            if only_cols is None or n in only_cols
+        ]
         keys = [self.row["bucket_alias"], *self.row["group_by"]]
         partials = [
             (col, spec, self._sketch_state)
@@ -898,6 +907,8 @@ class ContinuousAggregate:
             (col, spec, self._tdigest_state)
             for col, spec in (self.row.get("tdigest_aggs") or {}).items()
         ]
+        if only_cols is not None:
+            partials = [p for p in partials if p[0] in only_cols]
         agg = None
         if exprs or not partials:
             agg = raw.groupBy(
@@ -928,8 +939,9 @@ class ContinuousAggregate:
                 c = F.col(f"_pl.{k}").eqNullSafe(F.col(f"_pr.{k}"))
                 cond = c if cond is None else cond & c
             agg = l.join(r, cond).select("_pl.*", F.col(f"_pr.{col}"))
-        for col, expr in (self.row.get("window_fns") or {}).items():
-            agg = agg.withColumn(col, F.expr(expr))
+        if only_cols is None:
+            for col, expr in (self.row.get("window_fns") or {}).items():
+                agg = agg.withColumn(col, F.expr(expr))
         return agg
 
     def _sketch_state(self, raw: DataFrame, col: str, spec: dict) -> DataFrame:
@@ -1177,7 +1189,7 @@ class ContinuousAggregate:
         bucket = self.row["bucket_alias"]
         gb = list(self.row["group_by"] if group_by is None else group_by)
 
-        df = self.read(realtime=realtime)
+        df = self.read(realtime=realtime, only_cols=[counter_col])
         if start is not None or end is not None:
             bc = F.col(bucket)
             if self.row["time_is_timestamp"]:
@@ -1822,7 +1834,7 @@ class ContinuousAggregate:
             )
         gb = list(self.row["group_by"])
         bucket = self.row["bucket_alias"]
-        df = self.read(realtime=realtime)
+        df = self.read(realtime=realtime, only_cols=[tw_col])
         if self.row["time_is_timestamp"]:
             src_us = F.unix_micros(F.col(bucket).cast("timestamp"))
         else:
@@ -1971,7 +1983,7 @@ class ContinuousAggregate:
             )
         gb = list(self.row["group_by"])
         bucket = self.row["bucket_alias"]
-        df = self.read(realtime=realtime)
+        df = self.read(realtime=realtime, only_cols=[counter_col])
         if self.row["time_is_timestamp"]:
             src_us = F.unix_micros(F.col(bucket).cast("timestamp"))
         else:
@@ -2925,7 +2937,7 @@ class ContinuousAggregate:
             )
         gb = list(self.row["group_by"])
         bucket = self.row["bucket_alias"]
-        df = self.read(realtime=realtime)
+        df = self.read(realtime=realtime, only_cols=[state_col])
         if self.row["time_is_timestamp"]:
             src_us = F.unix_micros(F.col(bucket).cast("timestamp"))
         else:
@@ -3960,7 +3972,7 @@ class ContinuousAggregate:
 
         bucket = self.row["bucket_alias"]
         gb = list(self.row["group_by"] if group_by is None else group_by)
-        df = self.read(realtime=realtime)
+        df = self.read(realtime=realtime, only_cols=[col])
         if start is not None or end is not None:
             bc = F.col(bucket)
             if self.row["time_is_timestamp"]:
@@ -4227,24 +4239,53 @@ class ContinuousAggregate:
         return [(a, b) for a, b in merged]
 
     # --------------------------------------------------------------- read
-    def read(self, realtime: Optional[bool] = None) -> DataFrame:
+    def read(
+        self,
+        realtime: Optional[bool] = None,
+        only_cols: Optional[Sequence[str]] = None,
+    ) -> DataFrame:
         """User-view read. Realtime = materialized below the watermark,
-        raw aggregation at/after it (``common.c:1745 build_union_query``)."""
+        raw aggregation at/after it (``common.c:1745 build_union_query``).
+
+        ``only_cols`` restricts the projection to the named value
+        columns (keys always included) AND — the part Catalyst cannot
+        do itself — restricts the realtime raw-side partial build to
+        just those families: the full ``_aggregate`` is a 1:1 join
+        chain of every family's partial aggregate, and joins survive
+        column pruning, so without this a single-family serve over an
+        N-family cagg pays N partial builds on the tail. Serving
+        accessors pass their one column; ``None`` keeps the full view.
+        Columns computed by ``window_fns`` may depend on arbitrary
+        sibling aggregates, so requesting one falls back to the full
+        aggregate (still projected afterwards)."""
         if realtime is None:
             realtime = not self.row.get("materialized_only", False)
         mat = self._mat()
         wm = self.watermark()
         bucket = self.row["bucket_alias"]
         has_mat = mat.row.get("schema_ddl") is not None
+        keys = [bucket, *self.row["group_by"]]
+        if only_cols is not None and any(
+            c in (self.row.get("window_fns") or {}) for c in only_cols
+        ):
+            only_cols = None
+        proj = (
+            None
+            if only_cols is None
+            else [*keys, *[c for c in only_cols if c not in keys]]
+        )
         if not realtime:
             if not has_mat:
                 raise ValueError(f"cagg {self.name!r} never refreshed")
-            return mat.read()
+            out = mat.read()
+            return out if proj is None else out.select(*proj)
 
         src = self._source()
         wm_i = wm if wm is not None else INT64_MIN
         raw = src.read(start=wm_i if wm is not None else None)
-        raw_agg = self._aggregate(raw)
+        raw_agg = self._aggregate(raw, only_cols=only_cols)
+        if proj is not None:
+            raw_agg = raw_agg.select(*proj)
         if not has_mat:
             return raw_agg
         if self.row["time_is_timestamp"]:
@@ -4256,6 +4297,8 @@ class ContinuousAggregate:
         # watermark rollback or retention on the raw table it excludes
         # whole mat chunks); the row filter stays for the boundary chunk
         mat_side = mat.read(end=wm_i).filter(F.col(bucket) < wm_lit)
+        if proj is not None:
+            mat_side = mat_side.select(*proj)
         raw_side = raw_agg.filter(F.col(bucket) >= wm_lit)
         return mat_side.unionByName(raw_side)
 
@@ -4355,7 +4398,7 @@ class ContinuousAggregate:
         bucket = self.row["bucket_alias"]
         gb = list(self.row["group_by"] if group_by is None else group_by)
 
-        df = self.read(realtime=realtime)
+        df = self.read(realtime=realtime, only_cols=[sketch_col])
         # serving bounds ("p95 of the last 7 days"): filter whole parent
         # buckets BEFORE the merge — [start, end) on the bucket column,
         # so the window is bucket-aligned like the reference's cagg
