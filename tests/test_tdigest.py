@@ -100,6 +100,11 @@ class TestTDigestRaw:
         out = tdigest_quantiles(merged, [0.5, 0.99], by=["g"]).collect()
         for r in out:
             sub = per_g[r["g"]]
+            # mean stays EXACT through compression + merge: centroid
+            # weighted sums recover the true sum
+            assert r["mean"] == pytest.approx(
+                sum(sub) / len(sub), rel=1e-9
+            )
             for q, col, tol in ((0.5, "p50", 0.03), (0.99, "p99", 0.006)):
                 rank = bisect.bisect_left(sub, r[col]) / len(sub)
                 assert abs(rank - q) <= tol
@@ -314,9 +319,11 @@ class TestTDigestCagg:
         s = ts.sql(
             "SELECT time_bucket('1 day', bucket) AS day, dev, "
             "num_vals(rollup(td)) AS n, min_val(rollup(td)) AS lo, "
-            "max_val(rollup(td)) AS hi FROM sv GROUP BY 1, 2"
+            "max_val(rollup(td)) AS hi, mean(rollup(td)) AS m "
+            "FROM sv GROUP BY 1, 2"
         ).collect()
         assert s[0]["n"] == 10 and s[0]["lo"] == 0.0 and s[0]["hi"] == 9.0
+        assert s[0]["m"] == pytest.approx(4.5)
         # inverse accessor: exact fraction <= v in the lossless regime
         rk = ts.sql(
             "SELECT dev, approx_percentile_rank(5.0, rollup(td)) "

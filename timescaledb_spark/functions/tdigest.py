@@ -410,6 +410,19 @@ def tdigest_rollup(
     return merge_states(df, list(by), state_col, delta, out or state_col)
 
 
+def mean_expr(state: str) -> Column:
+    """``mean(tdigest)`` — EXACT regardless of compression: each
+    centroid's mean is the average of the values it absorbed, so
+    ``Σ mean_i·w_i`` recovers the true sum (toolkit tdigest ``mean``
+    accessor)."""
+    return F.expr(
+        f"CASE WHEN {state} IS NULL THEN NULL ELSE "
+        f"aggregate(zip_with({state}.means, {state}.weights, "
+        f"(m, w) -> m * CAST(w AS DOUBLE)), CAST(0 AS DOUBLE), "
+        f"(a, x) -> a + x) / CAST({state}.n AS DOUBLE) END"
+    )
+
+
 def tdigest_quantiles(
     df: DataFrame,
     qs: Sequence[float],
@@ -417,14 +430,15 @@ def tdigest_quantiles(
     state_col: str = "tdigest",
 ) -> DataFrame:
     """Extract ``approx_percentile`` columns (plus exact ``n`` /
-    ``min_val`` / ``max_val``) from stored states — one output row per
-    input state row."""
+    ``min_val`` / ``max_val`` / ``mean``) from stored states — one
+    output row per input state row."""
     st = F.col(state_col)
     cols = [
         *by,
         st["n"].alias("n"),
         st["min"].alias("min_val"),
         st["max"].alias("max_val"),
+        mean_expr(state_col).alias("mean"),
     ]
     for q in qs:
         cols.append(quantile_expr(state_col, q).alias(_qname(q)))

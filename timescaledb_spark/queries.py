@@ -1614,11 +1614,12 @@ _TDIGEST_ORACLE = """
              event_type,
              list(value ORDER BY value) AS vs,
              count(value) AS n,
-             min(value) AS min_val, max(value) AS max_val
+             min(value) AS min_val, max(value) AS max_val,
+             avg(value) AS mean
       FROM events WHERE value IS NOT NULL
       GROUP BY 1, 2
     )
-    SELECT bucket, event_type, n, min_val, max_val,
+    SELECT bucket, event_type, n, min_val, max_val, mean,
       CASE WHEN n = 1 THEN vs[1] ELSE
         vs[CAST(floor(0.5 * (n - 1)) AS INT) + 1]
         + (vs[least(CAST(floor(0.5 * (n - 1)) AS INT) + 2, CAST(n AS INT))]

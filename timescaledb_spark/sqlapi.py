@@ -1538,6 +1538,7 @@ _PARTIAL_ACCESSORS = {
         "num_vals": "n",
         "min_val": "min_val",
         "max_val": "max_val",
+        "mean": "mean",
     },
 }
 # 2-D stats partials (stats_aggs specs with a "y") serve the regression
