@@ -33,6 +33,14 @@ def main() -> None:
 
     spark = build_spark(app_name="ts_scale_probe")
     out: dict = {"sf_dir": SF_DIR, "mult": MULT}
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALE_PROBE.json"
+
+    def flush() -> None:
+        # checkpoint partial results: a late-section failure (e.g. an
+        # OOM in the 10M-key streaming leg) must not discard the
+        # finished sections' timings
+        with open(out_path, "w") as f:
+            json.dump(out, f, indent=1)
 
     ev = load_table(spark, SF_DIR, "events")
     n0 = ev.count()
@@ -97,6 +105,7 @@ def main() -> None:
     )
     out["merge_s"] = round(time.perf_counter() - t0, 2)
     out["merge_updated"] = st["rows_updated"]
+    flush()
 
     # ---- skewed space dimension (probe v2): ONE hot device carries 50%
     # of all rows — the shape that melts naive hash partitioning at
@@ -147,6 +156,7 @@ def main() -> None:
         "tier"
     ).count().count()
     out["skew_join_salted_s"] = round(time.perf_counter() - t0, 2)
+    flush()
 
     # ---- round-7 operators at scale ------------------------------------
     # connected components: 1M edges (500k-node chains of length 4 plus
@@ -208,6 +218,7 @@ def main() -> None:
     )
     out["gapfill_20m_rows"] = gf.count()
     out["gapfill_20m_s"] = round(time.perf_counter() - t0, 2)
+    flush()
 
     # cagg over the 2,400-chunk hypertable: initial refresh vs a dirty
     # refresh after late data lands in ~1% of the time span — the dirty
@@ -233,6 +244,7 @@ def main() -> None:
     ranges = cagg.refresh()
     out["cagg_refresh_dirty_1pct_s"] = round(time.perf_counter() - t0, 2)
     out["cagg_dirty_ranges"] = len(ranges)
+    flush()
 
     # ---- round-11/12: EVERY partial family at the many-chunk catalog:
     # one refresh materializes all states (one window/aggregate pass
@@ -333,7 +345,7 @@ def main() -> None:
             F.col("ts")
             + F.expr(f"make_interval(0,0,0,{span_days * MULT},0,0,0)")
         ).alias("ts"),
-        (F.col("event_id") + F.lit(MULT) * F.lit(100_000_000)).alias(
+        (F.col("event_id") + F.lit(MULT * 100_000_000)).alias(
             "event_id"
         ),
         "user_id", "event_type", "value", "props",
@@ -396,6 +408,7 @@ def main() -> None:
         F.window("bucket", "1 day"), "event_type"
     ).agg(F.sum(F.col("tw")["integral"])).count()
     out["mat_flat_groupby_s"] = round(time.perf_counter() - t0, 2)
+    flush()
 
     # ---- round-8: text-pipeline operators at corpus scale --------------
     # documents × MULT (~50k-500k docs): replicated docs share every line
@@ -478,6 +491,7 @@ def main() -> None:
     t0 = time.perf_counter()
     bm25_topk(big_docs, ["data", "model", "training", "quality"], k=25).collect()
     out["bm25_docs_s"] = round(time.perf_counter() - t0, 2)
+    flush()
 
     # heavy hitters at high cardinality: 10M rows over ~1M distinct keys
     # with a few planted heavy keys — the Misra-Gries path's shuffle is
@@ -496,6 +510,7 @@ def main() -> None:
     ex = {r["v"] for r in topn(hh, "v", n=5).collect()}
     out["freq_exact_10m_1mkeys_s"] = round(time.perf_counter() - t0, 2)
     out["freq_sketch_topn_match"] = sk == ex
+    flush()
 
     # ---- round-9: stream_dedup state eviction at the x100 key tier ----
     # 10M-distinct-key batch builds 10M state rows; a later batch past
@@ -538,6 +553,14 @@ def main() -> None:
             "removed": so.get("numRowsRemoved"),
         }
 
+    # 10M keys of state live comfortably off-heap in RocksDB; the
+    # default HDFS-backed provider keeps every version in JVM heap and
+    # OOMs the shared 8g driver after the many-chunk sections' caches
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
     t0 = time.perf_counter()
     r1 = _sd_run()
     out["stream_dedup_load_s"] = round(time.perf_counter() - t0, 2)
@@ -559,6 +582,7 @@ def main() -> None:
         and r1["rows"] >= n_keys
         and r3["rows"] <= 2000
     )
+    flush()
 
     # ---- round-9/10: ordered scan over the many-chunk hypertable ------
     # catalog-ordered per-chunk sorted scans — the no-global-sort
@@ -599,6 +623,7 @@ def main() -> None:
     n_asap = asap_smooth(series, "ts", "value", resolution=24, by=["uid"]).count()
     out["asap_2m_10kseries_s"] = round(time.perf_counter() - t0, 2)
     out["asap_out_rows"] = n_asap
+    flush()
 
     # ---- round-9: SemDeDup at 100k x 64-dim vectors -------------------
     # cluster-then-dedup: assignment is 100k x 128 broadcast argmax; the
@@ -626,6 +651,7 @@ def main() -> None:
     ).collect()[0]
     out["semdedup_100k_s"] = round(time.perf_counter() - t0, 2)
     out["semdedup_kept_frac"] = round(sd["kept"] / sd["n"], 4)
+    flush()
 
     # ---- round-9: DISTINCT SkipScan catalog-vs-scan -------------------
     # ~30 compressed chunks: the catalog path must answer with no data
@@ -655,6 +681,7 @@ def main() -> None:
     n_scan = ht4.df().select("event_type").distinct().count()
     out["skipscan_fullscan_s"] = round(time.perf_counter() - t0, 2)
     out["skipscan_match"] = n_dv == n_scan
+    flush()
 
     print(json.dumps(out))
     with open(sys.argv[1] if len(sys.argv) > 1 else "SCALE_PROBE.json", "w") as f:
