@@ -330,6 +330,23 @@ class TestTDigestCagg:
             "AS r FROM sv GROUP BY 1"
         ).collect()
         assert rk[0]["r"] == pytest.approx(0.6)  # 0..5 of 0..9
+        # multi-quantile array accessor, both literal spellings
+        pa = ts.sql(
+            "SELECT dev, approx_percentile_array(array[0.5, 0.9], "
+            "rollup(td)) AS ps FROM sv GROUP BY 1"
+        ).collect()
+        assert pa[0]["ps"] == pytest.approx([4.5, 8.1])
+        pa2 = ts.sql(
+            "SELECT dev, approx_percentile_array(array(0.9, 0.5), "
+            "rollup(td)) AS ps FROM sv GROUP BY 1"
+        ).collect()
+        assert pa2[0]["ps"] == pytest.approx([8.1, 4.5])  # argument order
+        # non-literal array argument is refused loudly, not misparsed
+        with pytest.raises(Exception):
+            ts.sql(
+                "SELECT dev, approx_percentile_array(v, rollup(td)) "
+                "AS ps FROM sv GROUP BY 1"
+            ).collect()
         # GROUP BY refusal: select keys must match GROUP BY
         with pytest.raises(Exception):
             ts.sql(

@@ -1739,6 +1739,65 @@ def q_cagg_tdigest_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sql_percentile_array",
+    """
+    WITH arr AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+             event_type,
+             list(value ORDER BY value) AS vs,
+             count(value) AS n
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT bucket, event_type, [
+      CASE WHEN n = 1 THEN vs[1] ELSE
+        vs[CAST(floor(0.5 * (n - 1)) AS INT) + 1]
+        + (vs[least(CAST(floor(0.5 * (n - 1)) AS INT) + 2, CAST(n AS INT))]
+           - vs[CAST(floor(0.5 * (n - 1)) AS INT) + 1])
+          * (0.5 * (n - 1) - floor(0.5 * (n - 1))) END,
+      CASE WHEN n = 1 THEN vs[1] ELSE
+        vs[CAST(floor(0.9 * (n - 1)) AS INT) + 1]
+        + (vs[least(CAST(floor(0.9 * (n - 1)) AS INT) + 2, CAST(n AS INT))]
+           - vs[CAST(floor(0.9 * (n - 1)) AS INT) + 1])
+          * (0.9 * (n - 1) - floor(0.9 * (n - 1))) END
+    ] AS ps
+    FROM arr
+    """,
+)
+def q_sql_percentile_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``approx_percentile_array(array[...], rollup(...))`` (round 13;
+    the toolkit's multi-quantile accessor): one SQL call serves a
+    percentile LIST per bucket/group from stored t-digest states —
+    parsed as N approx_percentile items packed into one array column
+    in argument order. At delta=65536 the digests stay lossless, so
+    the served array is exact type-7 and the DuckDB replay builds the
+    identical list literal. Half-range refresh keeps the realtime
+    union in the path."""
+    import tempfile
+
+    from .session import TSSession
+
+    root = tempfile.mkdtemp(prefix="ts_sql_pa_")
+    ts = TSSession(spark, root)
+    ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+    ht.insert(load_table(spark, sf_dir, "events"))
+    ts.sql(
+        "CREATE MATERIALIZED VIEW qpa WITH (timescaledb.continuous) "
+        "AS SELECT time_bucket('1 hour', ts) AS bucket, event_type, "
+        "tdigest(65536, value) AS td FROM events GROUP BY 1, 2"
+    )
+    cagg = ts.get_cagg("qpa")
+    lo = min(c["range_start"] for c in ht.chunks())
+    hi = max(c["range_end"] for c in ht.chunks())
+    cagg.refresh(start=lo, end=lo + (hi - lo) // 2)
+    return ts.sql(
+        "SELECT time_bucket('1 day', bucket) AS bucket, event_type, "
+        "approx_percentile_array(array[0.5, 0.9], rollup(td)) AS ps "
+        "FROM qpa GROUP BY 1, 2"
+    )
+
+
+@query(
     "q_cagg_heartbeat_interp",
     """
     WITH b AS (

@@ -113,9 +113,9 @@ def _split_args(argstr: str) -> list[str]:
         if ch in "'\"`":
             i = _skip_string(argstr, i)
             continue
-        if ch == "(":
+        if ch in "([":
             depth += 1
-        elif ch == ")":
+        elif ch in ")]":
             depth -= 1
         elif ch == "," and depth == 0:
             args.append(argstr[start:i].strip())
@@ -1305,6 +1305,24 @@ def _group_by_matches_select_keys(cl, sel, balias, grain) -> bool:
     return matched == set(key_idx)
 
 
+def _parse_float_array(s: str) -> Optional[list[float]]:
+    """Parse an ``ARRAY[0.5, 0.9]`` / ``array(0.5, 0.9)`` literal of
+    numeric literals; None when it is anything else."""
+    t = s.strip()
+    if not t.lower().startswith("array"):
+        return None
+    t = t[5:].strip()
+    if len(t) < 2 or t[0] not in "[(" or t[-1] not in "])":
+        return None
+    out = []
+    for part in t[1:-1].split(","):
+        try:
+            out.append(float(part.strip()))
+        except ValueError:
+            return None
+    return out or None
+
+
 def _try_sketch_quantiles(ts, q: str):
     """The toolkit sketch-cagg serving idiom in SQL —
     ``SELECT [time_bucket('1 day', bucket) | bucket,] group…,
@@ -1353,19 +1371,31 @@ def _try_sketch_quantiles(ts, q: str):
         expr, alias = _alias_of(item)
         head = _head_call(
             expr,
-            {"approx_percentile", "approx_percentile_rank", "time_bucket"},
+            {
+                "approx_percentile",
+                "approx_percentile_rank",
+                "approx_percentile_array",
+                "time_bucket",
+            },
         )
         if head and head[0] in (
             "approx_percentile",
             "approx_percentile_rank",
+            "approx_percentile_array",
         ):
             args = head[1]
             if len(args) != 2:
                 return None
-            try:
-                p = float(args[0])
-            except ValueError:
-                return None
+            if head[0] == "approx_percentile_array":
+                ps = _parse_float_array(args[0])
+                if ps is None:
+                    return None
+                p = None
+            else:
+                try:
+                    p = float(args[0])
+                except ValueError:
+                    return None
             inner = _inner_call(args[1], "rollup")
             if inner is None or len(inner) != 1:
                 return None
@@ -1376,6 +1406,15 @@ def _try_sketch_quantiles(ts, q: str):
             ) or sketch_col not in (None, col):
                 return None
             sketch_col = col
+            if head[0] == "approx_percentile_array":
+                # toolkit approx_percentile_array(array[...], rollup):
+                # the listed percentiles serve like N approx_percentile
+                # items packed into one array column, in argument order
+                for q_ in ps:
+                    if q_ not in qs_list:
+                        qs_list.append(q_)
+                sel.append(("qa", alias or "approx_percentile_array", ps))
+                continue
             if head[0] == "approx_percentile_rank":
                 if p not in ranks:
                     ranks.append(p)
@@ -1471,6 +1510,12 @@ def _try_sketch_quantiles(ts, q: str):
         elif kind == "r":
             cols.append(
                 F.col(f"_rk{ranks.index(payload)}").alias(out_alias)
+            )
+        elif kind == "qa":
+            cols.append(
+                F.array(*[F.col(_qname(p)) for p in payload]).alias(
+                    out_alias
+                )
             )
         else:
             cols.append(F.col(_qname(payload)).alias(out_alias))
