@@ -4265,10 +4265,11 @@ class ContinuousAggregate:
         bucket = self.row["bucket_alias"]
         has_mat = mat.row.get("schema_ddl") is not None
         keys = [bucket, *self.row["group_by"]]
+        build_cols = only_cols
         if only_cols is not None and any(
             c in (self.row.get("window_fns") or {}) for c in only_cols
         ):
-            only_cols = None
+            build_cols = None  # window col needs its sibling aggregates
         proj = (
             None
             if only_cols is None
@@ -4283,7 +4284,7 @@ class ContinuousAggregate:
         src = self._source()
         wm_i = wm if wm is not None else INT64_MIN
         raw = src.read(start=wm_i if wm is not None else None)
-        raw_agg = self._aggregate(raw, only_cols=only_cols)
+        raw_agg = self._aggregate(raw, only_cols=build_cols)
         if proj is not None:
             raw_agg = raw_agg.select(*proj)
         if not has_mat:
