@@ -1636,8 +1636,12 @@ _INTERP_METHOD = {
 # set-returning accessors — one row PER VALUE per key, so they must be
 # the only accessor in the SELECT: topn(rollup(freq_col)[, n]) serves
 # (keys…, value, freq_lb); into_values(rollup(maxn_col)) serves
-# (keys…, value)
-_SRF_ACCESSORS = {"topn": "freq_aggs", "into_values": "maxn_aggs"}
+# (keys…, value); into_values(rollup(state_agg_col)) serves
+# (keys…, state, duration_us) — the toolkit per-state durations SRF
+_SRF_ACCESSORS = {
+    "topn": ("freq_aggs",),
+    "into_values": ("maxn_aggs", "state_aggs"),
+}
 _ALL_ACCESSOR_FNS = (
     frozenset(fn for d in _PARTIAL_ACCESSORS.values() for fn in d)
     | frozenset(_STATS2D_ACCESSORS)
@@ -1715,12 +1719,22 @@ def _try_partial_accessors(ts, q: str):
                 if inner is None or len(inner) != 1:
                     return None
                 col = inner[0].strip().split(".")[-1].strip()
-                fam = _SRF_ACCESSORS[fn]
-                if col not in (crow.get(fam) or {}):
+                fam = next(
+                    (
+                        f
+                        for f in _SRF_ACCESSORS[fn]
+                        if col in (crow.get(f) or {})
+                    ),
+                    None,
+                )
+                if fam is None:
                     return None
                 srf = (fn, fam, col, srf_n)
                 n_acc += 1
-                sel.append(("s", alias or "value", fn))
+                default_alias = (
+                    "state" if fam == "state_aggs" else "value"
+                )
+                sel.append(("s", alias or default_alias, fn))
                 continue
             if fn in ("duration_in", "interpolated_duration_in"):
                 # duration_in('state', rollup(sa)): the state literal
@@ -1811,6 +1825,10 @@ def _try_partial_accessors(ts, q: str):
                 served = cagg.topn_at_grain(
                     scol, n=n, grain=eff_grain, group_by=want_groups
                 )
+            elif sfam == "state_aggs":
+                served = cagg.state_durations_at_grain(
+                    scol, grain=eff_grain, group_by=want_groups
+                )
             else:
                 served = cagg.max_n_at_grain(
                     scol, n=srf_n, grain=eff_grain, group_by=want_groups
@@ -1821,6 +1839,9 @@ def _try_partial_accessors(ts, q: str):
                     cols.append(F.col(balias).alias(out_alias))
                 elif kind == "g":
                     cols.append(F.col(payload).alias(out_alias))
+                elif sfam == "state_aggs":
+                    cols.append(F.col("state").alias(out_alias))
+                    cols.append(F.col("duration_us"))
                 else:
                     cols.append(F.col("value").alias(out_alias))
                     if sfn == "topn":
