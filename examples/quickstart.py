@@ -185,6 +185,31 @@ def main() -> None:
         "FROM conditions_hourly_ops GROUP BY location"
     ).show()
 
+    # --- 9. round-13: t-digest percentiles + CDF, percentile arrays ----
+    # the rank-error sibling of percentile_agg: mergeable t-digest
+    # states, exact mean/min/max/num_vals, approx_percentile /
+    # approx_percentile_rank (inverse CDF) / approx_percentile_array
+    ts.sql("""
+        CREATE MATERIALIZED VIEW conditions_hourly_td
+        WITH (timescaledb.continuous) AS
+        SELECT time_bucket('1 hour', time) AS bucket, location,
+               tdigest(200, temperature) AS td
+        FROM conditions GROUP BY bucket, location
+    """)
+    print("t-digest: p50/p95 list + fraction below 70F:")
+    ts.sql(
+        "SELECT location, "
+        "approx_percentile_array(array[0.5, 0.95], rollup(td)) AS ps, "
+        "approx_percentile_rank(70.0, rollup(td)) AS frac_below_70 "
+        "FROM conditions_hourly_td GROUP BY location"
+    ).show()
+    print("t-digest exact scalars (mean from centroid weighted sums):")
+    ts.sql(
+        "SELECT location, mean(rollup(td)) AS mean_temp, "
+        "num_vals(rollup(td)) AS n "
+        "FROM conditions_hourly_td GROUP BY location"
+    ).show()
+
     spark.stop()
 
 
