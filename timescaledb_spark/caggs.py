@@ -542,6 +542,10 @@ class ContinuousAggregate:
                 # properties — a child cannot keep MORE than the parent
                 out.setdefault("n", pspec.get("n", 5))
                 out.setdefault("desc", pspec.get("desc", True))
+                if pspec.get("by") is not None:
+                    # payload presence travels: the child merges the
+                    # parent's (value, data) entries
+                    out.setdefault("by", pspec["by"])
                 if int(out["n"]) > int(pspec.get("n", 5)):
                     raise ValueError(
                         f"rollup_of={col!r}: child n ({out['n']}) cannot "
@@ -2705,20 +2709,67 @@ class ContinuousAggregate:
         grain (toolkit ``max_n``/``min_n``;
         functions/stats.py:max_n is the raw-scan analog). The
         candidate list is built with a bounded rank window — never a
-        whole-bucket collect."""
+        whole-bucket collect.
+
+        With a ``"by"`` payload expression (toolkit ``max_n_by(value,
+        data, n)``) the state carries a parallel ``data`` array —
+        entries ordered by (value, data) in the list's direction, so
+        value ties resolve deterministically by payload and merges stay
+        exact on the (value, data) total order."""
         from pyspark.sql import Window
 
         if spec.get("rollup_of"):
             return self._merge_maxn_states(raw, col, spec)
         keep = int(spec.get("n", 5))
         desc = bool(spec.get("desc", True))
+        by = spec.get("by")
         balias = self.row["bucket_alias"]
         gb = list(self.row["group_by"])
         v = F.expr(spec["value"]).cast("double")
-        base = raw.select(self._bucket_expr(raw), *gb, v.alias("_v"))
         # NULLS LAST so NULL rows never occupy a kept rank, while still
         # riding the same window — every (bucket, group) keeps its row,
         # with a NULL state when all values were NULL (strict)
+        if by is not None:
+            base = raw.select(
+                self._bucket_expr(raw),
+                *gb,
+                v.alias("_v"),
+                F.expr(by).alias("_d"),
+            )
+            order = (
+                [F.col("_v").desc_nulls_last(), F.col("_d").desc_nulls_last()]
+                if desc
+                else [F.col("_v").asc_nulls_last(), F.col("_d").asc_nulls_last()]
+            )
+            w = Window.partitionBy(balias, *gb).orderBy(*order)
+            ranked = base.withColumn("_rk", F.row_number().over(w))
+            flat = ranked.groupBy(balias, *gb).agg(
+                F.count("_v").alias("_f_n"),
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            (F.col("_rk") <= keep) & F.col("_v").isNotNull(),
+                            F.struct(
+                                F.col("_v").alias("v"), F.col("_d").alias("d")
+                            ),
+                        )
+                    ),
+                    asc=not desc,
+                ).alias("_f_ents"),
+            )
+            return flat.select(
+                balias,
+                *gb,
+                F.when(
+                    F.col("_f_n") > 0,
+                    F.struct(
+                        F.col("_f_n").alias("n"),
+                        F.expr("transform(_f_ents, e -> e.v)").alias("vals"),
+                        F.expr("transform(_f_ents, e -> e.d)").alias("data"),
+                    ),
+                ).alias(col),
+            )
+        base = raw.select(self._bucket_expr(raw), *gb, v.alias("_v"))
         order = (
             F.col("_v").desc_nulls_last()
             if desc
@@ -2764,31 +2815,90 @@ class ContinuousAggregate:
 
         keep = int(spec.get("n", 5))
         desc = bool(spec.get("desc", True))
+        has_by = spec.get("by") is not None
         d, balias, gb = self._rollup_frame(raw, spec["rollup_of"])
         st = F.col("_st")
         totals = d.groupBy(balias, *gb).agg(
             F.count("_st").alias("_f_nn"),
             F.sum(st["n"]).alias("_f_n"),
         )
-        order = F.col("_v").desc() if desc else F.col("_v").asc()
-        w = Window.partitionBy(balias, *gb).orderBy(order)
-        cand = (
-            d.select(balias, *gb, F.explode(st["vals"]).alias("_v"))
-            .withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= keep)
-            .groupBy(balias, *gb)
-            .agg(
-                F.sort_array(
-                    F.collect_list("_v"), asc=not desc
-                ).alias("_f_vals")
+        if has_by:
+            ex = d.select(
+                balias,
+                *gb,
+                F.explode(
+                    F.arrays_zip(
+                        st["vals"].alias("v"), st["data"].alias("d")
+                    )
+                ).alias("_e"),
+            ).select(
+                balias,
+                *gb,
+                F.col("_e.v").alias("_v"),
+                F.col("_e.d").alias("_d"),
             )
-        )
+            order = (
+                [F.col("_v").desc(), F.col("_d").desc_nulls_last()]
+                if desc
+                else [F.col("_v").asc(), F.col("_d").asc_nulls_last()]
+            )
+            w = Window.partitionBy(balias, *gb).orderBy(*order)
+            cand = (
+                ex.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") <= keep)
+                .groupBy(balias, *gb)
+                .agg(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col("_v").alias("v"),
+                                F.col("_d").alias("d"),
+                            )
+                        ),
+                        asc=not desc,
+                    ).alias("_f_ents")
+                )
+            )
+        else:
+            order = F.col("_v").desc() if desc else F.col("_v").asc()
+            w = Window.partitionBy(balias, *gb).orderBy(order)
+            cand = (
+                d.select(balias, *gb, F.explode(st["vals"]).alias("_v"))
+                .withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") <= keep)
+                .groupBy(balias, *gb)
+                .agg(
+                    F.sort_array(
+                        F.collect_list("_v"), asc=not desc
+                    ).alias("_f_vals")
+                )
+            )
         keys = [balias, *gb]
         l, r = totals.alias("_ml"), cand.alias("_mr")
         cond = None
         for k in keys:
             c = F.col(f"_ml.{k}").eqNullSafe(F.col(f"_mr.{k}"))
             cond = c if cond is None else cond & c
+        if has_by:
+            j = l.join(r, cond, "left").select(
+                "_ml.*", F.col("_mr._f_ents").alias("_f_ents")
+            )
+            return j.select(
+                balias,
+                *gb,
+                F.when(
+                    (F.col("_f_nn") > 0) & (F.col("_f_n") > 0),
+                    F.struct(
+                        F.col("_f_n").alias("n"),
+                        F.expr("transform(_f_ents, e -> e.v)").alias(
+                            "vals"
+                        ),
+                        F.expr("transform(_f_ents, e -> e.d)").alias(
+                            "data"
+                        ),
+                    ),
+                ).alias(col),
+            )
         j = l.join(r, cond, "left").select(
             "_ml.*", F.col("_mr._f_vals").alias("_f_vals")
         )
@@ -2823,7 +2933,9 @@ class ContinuousAggregate:
         list length; requesting more raises. Subset ``group_by``
         regrouping is allowed.
 
-        Output: ``(bucket?, group…, value)`` rows, best-first."""
+        Output: ``(bucket?, group…, value)`` rows, best-first —
+        ``(bucket?, group…, value, data)`` for a ``max_n_by`` column
+        (value ties ordered by payload in the list's direction)."""
         from pyspark.sql import Window
 
         specs = self.row.get("maxn_aggs") or {}
@@ -2839,6 +2951,7 @@ class ContinuousAggregate:
         spec = specs[maxn_col]
         keep = int(spec.get("n", 5))
         desc = bool(spec.get("desc", True))
+        has_by = spec.get("by") is not None
         if n is None:
             n = keep
         if n > keep:
@@ -2851,13 +2964,39 @@ class ContinuousAggregate:
             maxn_col, grain, group_by, realtime, start, end
         )
         tcols = [] if grain_all else ["_tgt"]
-        ex = d.select(
-            *tcols, *keys_gb, F.explode(F.col("_st")["vals"]).alias("value")
-        )
-        order = F.col("value").desc() if desc else F.col("value").asc()
+        if has_by:
+            ex = d.select(
+                *tcols,
+                *keys_gb,
+                F.explode(
+                    F.arrays_zip(
+                        F.col("_st")["vals"].alias("v"),
+                        F.col("_st")["data"].alias("d"),
+                    )
+                ).alias("_e"),
+            ).select(
+                *tcols,
+                *keys_gb,
+                F.col("_e.v").alias("value"),
+                F.col("_e.d").alias("data"),
+            )
+            order = (
+                [F.col("value").desc(), F.col("data").desc_nulls_last()]
+                if desc
+                else [F.col("value").asc(), F.col("data").asc_nulls_last()]
+            )
+        else:
+            ex = d.select(
+                *tcols,
+                *keys_gb,
+                F.explode(F.col("_st")["vals"]).alias("value"),
+            )
+            order = [
+                F.col("value").desc() if desc else F.col("value").asc()
+            ]
         if not tcols and not keys_gb:
-            return ex.orderBy(order).limit(n)
-        w = Window.partitionBy(*tcols, *keys_gb).orderBy(order)
+            return ex.orderBy(*order).limit(n)
+        w = Window.partitionBy(*tcols, *keys_gb).orderBy(*order)
         out = (
             ex.withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= n)

@@ -1451,6 +1451,56 @@ def q_cagg_maxn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cagg_maxn_by",
+    """
+    WITH r AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+             event_type, value, event_id AS data,
+             row_number() OVER (
+               PARTITION BY CAST(date_trunc('day', ts) AS TIMESTAMP),
+                            event_type
+               ORDER BY value DESC, event_id DESC
+             ) AS rk
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT bucket, event_type, value, data FROM r WHERE rk <= 3
+    """,
+)
+def q_cagg_maxn_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_n_by payload partials in a continuous aggregate (round 13;
+    toolkit ``max_n_by(value, data, n)`` + ``into_values(rollup(...))``
+    — top-n values each carrying an accompanying payload, e.g. the
+    device that produced the reading): hourly states hold parallel
+    (vals, data) arrays ordered by (value, payload) so value ties
+    resolve deterministically; any coarser grain's top-3 is the top-3
+    of the concatenated entries on the (value, data) total order —
+    bit-stable vs a direct two-key SQL rank over the raw rows. The SQL
+    route exercises CREATE MV parsing and the SRF serve; half-range
+    refresh keeps the realtime union in the path."""
+    import tempfile
+
+    from .session import TSSession
+
+    root = tempfile.mkdtemp(prefix="ts_cagg_mxb_")
+    ts = TSSession(spark, root)
+    ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+    ht.insert(load_table(spark, sf_dir, "events"))
+    ts.sql(
+        "CREATE MATERIALIZED VIEW qmxb WITH (timescaledb.continuous) "
+        "AS SELECT time_bucket('1 hour', ts) AS bucket, event_type, "
+        "max_n_by(value, event_id, 3) AS mx FROM events GROUP BY 1, 2"
+    )
+    cagg = ts.get_cagg("qmxb")
+    lo = min(c["range_start"] for c in ht.chunks())
+    hi = max(c["range_end"] for c in ht.chunks())
+    cagg.refresh(start=lo, end=lo + (hi - lo) // 2)
+    return ts.sql(
+        "SELECT time_bucket('1 day', bucket) AS bucket, event_type, "
+        "into_values(rollup(mx)) AS value FROM qmxb GROUP BY 1, 2"
+    )
+
+
+@query(
     "q_cagg_heartbeat",
     """
     WITH s AS (

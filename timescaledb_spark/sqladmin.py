@@ -1709,6 +1709,8 @@ def run_create_cagg(ts, m) -> DataFrame:
                 "topn_agg",
                 "max_n",
                 "min_n",
+                "max_n_by",
+                "min_n_by",
                 "tdigest",
             },
         )
@@ -1828,6 +1830,21 @@ def run_create_cagg(ts, m) -> DataFrame:
                     "value": _rw(args[0].strip(), ts),
                     "n": int(nv),
                     "desc": fn == "max_n",
+                }
+                continue
+            if fn in ("max_n_by", "min_n_by"):
+                # toolkit max_n_by(value, data, n): the top-n values
+                # with an accompanying payload per entry
+                if len(args) != 3:
+                    raise ValueError(f"{fn}(value, data, n)")
+                nk, nv = _literal_of(args[2])
+                if nk != "int":
+                    raise ValueError(f"{fn} n must be an integer literal")
+                maxn_aggs[alias] = {
+                    "value": _rw(args[0].strip(), ts),
+                    "by": _rw(args[1].strip(), ts),
+                    "n": int(nv),
+                    "desc": fn == "max_n_by",
                 }
                 continue
             if len(args) != 2:

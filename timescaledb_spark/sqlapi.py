@@ -1846,6 +1846,12 @@ def _try_partial_accessors(ts, q: str):
                     cols.append(F.col("value").alias(out_alias))
                     if sfn == "topn":
                         cols.append(F.col("freq_lb"))
+                    elif (
+                        ((crow.get(sfam) or {}).get(scol) or {}).get("by")
+                        is not None
+                    ):
+                        # max_n_by: the payload rides along
+                        cols.append(F.col("data"))
             return served.select(*cols)
         if interp_seen:
             # interpolated accessors need an explicit target grain and
