@@ -161,3 +161,30 @@ def test_stateagg_serve_equals_raw(spark, seed):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+@pytest.mark.parametrize("seed", [7, 99])
+def test_maxn_by_serve_equals_raw(spark, seed):
+    """Round 13: day-grain max_n_by from hourly payload partials equals
+    a direct two-key rank over each day's raw rows — on the (value,
+    payload) total order, NULL values excluded, duplicate timestamps
+    irrelevant (the family orders by value, not time)."""
+    rows = _gen(seed)
+    _, _, cagg = _mk(
+        spark, rows,
+        maxn_aggs={"mx": {"value": "v", "by": "rid", "n": 3}},
+    )
+    got: dict = {}
+    for r in cagg.max_n_at_grain("mx", grain="1 day").collect():
+        got.setdefault((r["bucket"].day, r["dev"]), []).append(
+            (r["value"], r["data"])
+        )
+    want: dict = {}
+    for ts_, rid, dev, v in rows:
+        if v is not None:
+            want.setdefault((ts_.day, dev), []).append((v, rid))
+    for k in want:
+        want[k] = sorted(want[k], key=lambda e: (-e[0], -e[1]))[:3]
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k], (k, got[k], want[k])
