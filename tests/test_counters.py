@@ -99,3 +99,55 @@ def test_gauge_agg_single_sample(spark):
     r = gauge_agg(df, "ts", "v", tiebreak=["eid"]).collect()[0]
     assert r["delta"] == 0.0 and r["rate"] is None
     assert r["idelta"] is None and r["irate"] is None
+
+
+def test_counter_num_changes(spark):
+    """Round 13: num_changes — adjacent non-null samples with a
+    different value; resets count as changes, flat repeats don't."""
+    from pyspark.sql import functions as F
+
+    from timescaledb_spark.functions.counters import counter_agg
+
+    vals = [5.0, 5.0, 7.0, 7.0, 2.0, 9.0]  # changes: 5->7, 7->2, 2->9
+    df = spark.createDataFrame(
+        [(1704067200000000 + i * 10_000_000, i, v) for i, v in enumerate(vals)],
+        "us long, eid long, v double",
+    ).select(F.timestamp_micros("us").alias("ts"), "eid", "v")
+    r = counter_agg(df, "ts", "v", tiebreak=["eid"]).collect()[0]
+    assert r["num_changes"] == 3 and r["num_resets"] == 1
+
+
+def test_cagg_num_changes_served_and_sql(spark):
+    """Served at a coarser grain, boundary changes count exactly once;
+    the SQL accessor route serves the same number."""
+    import datetime
+    import tempfile
+
+    from timescaledb_spark.session import TSSession
+
+    ts = TSSession(spark, tempfile.mkdtemp(prefix="ts_ncagg_"))
+    ht = ts.create_hypertable("m", "ts", chunk_interval="7 days")
+    # hour 0: 1,1,3 (1 change); hour 1 starts at 3 (no boundary change)
+    # then 3,8 (1 change); hour 2 starts at 2 (boundary change+reset)
+    rows = [
+        (datetime.datetime(2024, 1, 1, 0, mi), i, v)
+        for i, (mi, v) in enumerate([(0, 1.0), (10, 1.0), (20, 3.0)])
+    ] + [
+        (datetime.datetime(2024, 1, 1, 1, mi), 10 + i, v)
+        for i, (mi, v) in enumerate([(0, 3.0), (30, 8.0)])
+    ] + [
+        (datetime.datetime(2024, 1, 1, 2, 0), 20, 2.0),
+    ]
+    ht.insert(spark.createDataFrame(rows, "ts timestamp, eid long, v double"))
+    cagg = ts.create_cagg(
+        "nc", ht, bucket_width="1 hour", aggs={}, group_by=[],
+        counters={"cnt": {"value": "v", "tiebreak": ["eid"]}},
+    )
+    cagg.refresh()
+    r = cagg.counter_at_grain("cnt", grain="1 day").collect()[0]
+    assert r["num_changes"] == 3 and r["num_resets"] == 1
+    s = ts.sql(
+        "SELECT num_changes(rollup(cnt)) AS nc, "
+        "num_resets(rollup(cnt)) AS nr FROM nc"
+    ).collect()[0]
+    assert s["nc"] == 3 and s["nr"] == 1

@@ -1100,6 +1100,10 @@ class ContinuousAggregate:
             F.when(F.col("_v").isNotNull(), (step < 0).cast("int")).alias(
                 "_reset"
             ),
+            F.when(
+                F.col("_v").isNotNull() & prev.isNotNull(),
+                (F.col("_v") != prev).cast("int"),
+            ).alias("_change"),
             key.alias("_k"),
         )
         # aggregate FLAT fields, then assemble the struct in a plain
@@ -1116,6 +1120,7 @@ class ContinuousAggregate:
             F.max_by(F.col("_v"), F.col("_k")).alias("_f_last_val"),
             F.sum("_inc").alias("_f_delta"),
             F.coalesce(F.sum("_reset"), F.lit(0)).alias("_f_resets"),
+            F.coalesce(F.sum("_change"), F.lit(0)).alias("_f_changes"),
         )
         return flat.select(
             balias,
@@ -1130,6 +1135,7 @@ class ContinuousAggregate:
                     F.col("_f_last_val").alias("last_val"),
                     F.col("_f_delta").alias("delta"),
                     F.col("_f_resets").alias("num_resets"),
+                    F.col("_f_changes").alias("num_changes"),
                 ),
             ).alias(col),
         )
@@ -1248,6 +1254,10 @@ class ContinuousAggregate:
             st.alias("_st"),
             binc.alias("_binc"),
             (bstep < 0).cast("int").alias("_breset"),
+            F.when(
+                prev_last.isNotNull(),
+                (st["first_val"] != prev_last).cast("int"),
+            ).alias("_bchange"),
         )
         span_s = (
             F.max(st["last_us"]) - F.min(st["first_us"])
@@ -1263,6 +1273,10 @@ class ContinuousAggregate:
                 F.sum(st["num_resets"])
                 + F.coalesce(F.sum("_breset"), F.lit(0))
             ).alias("num_resets"),
+            (
+                F.sum(st["num_changes"])
+                + F.coalesce(F.sum("_bchange"), F.lit(0))
+            ).alias("num_changes"),
             F.min(st["first_us"]).alias("first_us"),
             F.max(st["last_us"]).alias("last_us"),
             # toolkit first_val/last_val accessors: bookends from the
@@ -3667,6 +3681,10 @@ class ContinuousAggregate:
             F.when(st.isNotNull(), (bstep < 0).cast("int")).alias(
                 "_breset"
             ),
+            F.when(
+                st.isNotNull() & prev_last.isNotNull(),
+                (st["first_val"] != prev_last).cast("int"),
+            ).alias("_bchange"),
             F.when(st.isNotNull(), F.col("_src")).alias("_k"),
         )
         flat = d.groupBy(balias, *gb).agg(
@@ -3684,6 +3702,10 @@ class ContinuousAggregate:
                 F.sum(st["num_resets"])
                 + F.coalesce(F.sum("_breset"), F.lit(0))
             ).alias("_f_resets"),
+            (
+                F.sum(st["num_changes"])
+                + F.coalesce(F.sum("_bchange"), F.lit(0))
+            ).alias("_f_changes"),
         )
         return flat.select(
             balias,
@@ -3698,6 +3720,7 @@ class ContinuousAggregate:
                     F.col("_f_last_val").alias("last_val"),
                     F.col("_f_delta").alias("delta"),
                     F.col("_f_resets").alias("num_resets"),
+                    F.col("_f_changes").alias("num_changes"),
                 ),
             ).alias(col),
         )

@@ -35,7 +35,8 @@ def counter_agg(
     Returns per group: ``n`` samples, ``delta`` (reset-adjusted total
     increase), ``rate`` (delta / observed seconds), ``irate``
     (reset-adjusted increase of the LAST step / its seconds),
-    ``num_resets``, ``first_ts``/``last_ts``.
+    ``num_resets``, ``num_changes`` (adjacent samples with a different
+    value), ``first_ts``/``last_ts``.
     """
     w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(
         *_order_cols(ts_col, tiebreak)
@@ -57,6 +58,9 @@ def counter_agg(
         F.col(value_col).alias("_v"),
         inc.alias("_inc"),
         (step < 0).cast("int").alias("_reset"),
+        F.when(
+            prev_v.isNotNull(), (F.col(value_col) != prev_v).cast("int")
+        ).alias("_change"),
         prev_us.alias("_prev_us"),
         last_key.alias("_k"),
     )
@@ -74,6 +78,7 @@ def counter_agg(
             F.max_by(F.col("_inc"), F.col("_k")) / elapsed_s,
         ).alias("irate"),
         F.coalesce(F.sum("_reset"), F.lit(0)).alias("num_resets"),
+        F.coalesce(F.sum("_change"), F.lit(0)).alias("num_changes"),
         F.min("_us").alias("first_us"),
         F.max("_us").alias("last_us"),
     )

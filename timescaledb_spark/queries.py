@@ -276,6 +276,8 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
            END AS rate,
            CAST(sum(CASE WHEN pv IS NOT NULL AND value < pv
                          THEN 1 ELSE 0 END) AS BIGINT) AS num_resets,
+           CAST(sum(CASE WHEN pv IS NOT NULL AND value <> pv
+                         THEN 1 ELSE 0 END) AS BIGINT) AS num_changes,
            min(us) AS first_us,
            max(us) AS last_us
     FROM s GROUP BY user_id
@@ -291,7 +293,10 @@ def q_counter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return counter_agg(
         ev, "ts", "value", by=["user_id"], tiebreak=["event_id"]
-    ).select("user_id", "n", "delta", "rate", "num_resets", "first_us", "last_us")
+    ).select(
+        "user_id", "n", "delta", "rate", "num_resets", "num_changes",
+        "first_us", "last_us",
+    )
 
 
 @query(
@@ -1103,7 +1108,9 @@ def q_cagg_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
            sum(CASE WHEN prev IS NULL THEN 0
                     WHEN v < prev THEN v ELSE v - prev END) AS delta,
            CAST(sum(CASE WHEN v < prev THEN 1 ELSE 0 END) AS BIGINT)
-             AS num_resets
+             AS num_resets,
+           CAST(sum(CASE WHEN prev IS NOT NULL AND v <> prev
+                         THEN 1 ELSE 0 END) AS BIGINT) AS num_changes
     FROM st GROUP BY 1, 2
     """,
 )
@@ -1143,7 +1150,7 @@ def q_cagg_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi = max(c["range_end"] for c in ht.chunks())
     cagg.refresh(start=lo, end=lo + (hi - lo) // 2)
     return cagg.counter_at_grain(grain="1 day", realtime=True).select(
-        "bucket", "event_type", "n", "delta", "num_resets"
+        "bucket", "event_type", "n", "delta", "num_resets", "num_changes"
     )
 
 
@@ -1939,7 +1946,9 @@ def q_cagg_heartbeat_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
            sum(CASE WHEN prev IS NULL THEN 0
                     WHEN v < prev THEN v ELSE v - prev END) AS delta,
            CAST(sum(CASE WHEN v < prev THEN 1 ELSE 0 END) AS BIGINT)
-             AS num_resets
+             AS num_resets,
+           CAST(sum(CASE WHEN prev IS NOT NULL AND v <> prev
+                         THEN 1 ELSE 0 END) AS BIGINT) AS num_changes
     FROM st GROUP BY 1, 2
     """,
 )
@@ -1982,7 +1991,7 @@ def q_cagg_hier_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     daily.refresh()
     return daily.counter_at_grain("cnt_d", realtime=False).select(
-        "bucket", "event_type", "n", "delta", "num_resets"
+        "bucket", "event_type", "n", "delta", "num_resets", "num_changes"
     )
 
 

@@ -1528,6 +1528,7 @@ _PARTIAL_ACCESSORS = {
         "delta": "delta",
         "rate": "rate",
         "num_resets": "num_resets",
+        "num_changes": "num_changes",
         "num_vals": "n",
         "first_val": "first_val",
         "last_val": "last_val",
