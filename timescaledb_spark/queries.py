@@ -1806,18 +1806,17 @@ def q_cagg_tdigest_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE value IS NOT NULL
       GROUP BY 1, 2
     )
-    SELECT bucket, event_type, [
+    SELECT bucket, event_type,
       CASE WHEN n = 1 THEN vs[1] ELSE
         vs[CAST(floor(0.5 * (n - 1)) AS INT) + 1]
         + (vs[least(CAST(floor(0.5 * (n - 1)) AS INT) + 2, CAST(n AS INT))]
            - vs[CAST(floor(0.5 * (n - 1)) AS INT) + 1])
-          * (0.5 * (n - 1) - floor(0.5 * (n - 1))) END,
+          * (0.5 * (n - 1) - floor(0.5 * (n - 1))) END AS p50,
       CASE WHEN n = 1 THEN vs[1] ELSE
         vs[CAST(floor(0.9 * (n - 1)) AS INT) + 1]
         + (vs[least(CAST(floor(0.9 * (n - 1)) AS INT) + 2, CAST(n AS INT))]
            - vs[CAST(floor(0.9 * (n - 1)) AS INT) + 1])
-          * (0.9 * (n - 1) - floor(0.9 * (n - 1))) END
-    ] AS ps
+          * (0.9 * (n - 1) - floor(0.9 * (n - 1))) END AS p90
     FROM arr
     """,
 )
@@ -1827,9 +1826,11 @@ def q_sql_percentile_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile LIST per bucket/group from stored t-digest states —
     parsed as N approx_percentile items packed into one array column
     in argument order. At delta=65536 the digests stay lossless, so
-    the served array is exact type-7 and the DuckDB replay builds the
-    identical list literal. Half-range refresh keeps the realtime
-    union in the path."""
+    the served array is exact type-7. The GATE unpacks the array into
+    scalar ``p50``/``p90`` columns (the driver's pandas canonicalizer
+    cannot hash list values — round 14); the SQL route itself keeps
+    its array return. Half-range refresh keeps the realtime union in
+    the path."""
     import tempfile
 
     from .session import TSSession
@@ -1847,10 +1848,13 @@ def q_sql_percentile_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = min(c["range_start"] for c in ht.chunks())
     hi = max(c["range_end"] for c in ht.chunks())
     cagg.refresh(start=lo, end=lo + (hi - lo) // 2)
-    return ts.sql(
+    out = ts.sql(
         "SELECT time_bucket('1 day', bucket) AS bucket, event_type, "
         "approx_percentile_array(array[0.5, 0.9], rollup(td)) AS ps "
         "FROM qpa GROUP BY 1, 2"
+    )
+    return out.selectExpr(
+        "bucket", "event_type", "ps[0] AS p50", "ps[1] AS p90"
     )
 
 
