@@ -48,6 +48,22 @@ INT64_MIN = -(2**63)
 INT64_MAX = 2**63 - 1
 
 
+def _struct_has_field(df: DataFrame, col: str, field: str) -> bool:
+    """True when ``df[col]`` is a struct carrying ``field``.
+
+    Serves consult this so states materialized BEFORE a field was
+    added (counter/gauge ``num_changes``, rounds 13/14) keep working:
+    absent field → the accessor serves NULL instead of failing at
+    analysis time (no forced drop-and-recreate on upgrade)."""
+    from pyspark.sql.types import StructType
+
+    try:
+        dt = df.schema[col].dataType
+    except Exception:
+        return False
+    return isinstance(dt, StructType) and field in dt.names
+
+
 def _grain_floor(us, width: int, origin_us: int):
     """Origin-aligned bucket floor on an int64-µs column — the column
     analog of ``time_bucket``'s fixed-width formula
@@ -1274,8 +1290,12 @@ class ContinuousAggregate:
                 + F.coalesce(F.sum("_breset"), F.lit(0))
             ).alias("num_resets"),
             (
-                F.sum(st["num_changes"])
-                + F.coalesce(F.sum("_bchange"), F.lit(0))
+                (
+                    F.sum(st["num_changes"])
+                    + F.coalesce(F.sum("_bchange"), F.lit(0))
+                )
+                if _struct_has_field(d, "_st", "num_changes")
+                else F.lit(None).cast("long")
             ).alias("num_changes"),
             F.min(st["first_us"]).alias("first_us"),
             F.max(st["last_us"]).alias("last_us"),
@@ -1336,6 +1356,10 @@ class ContinuousAggregate:
             "_v",
             (F.col("_v") - prev_v).alias("_step"),
             prev_us.alias("_prev_us"),
+            F.when(
+                F.col("_v").isNotNull() & prev_v.isNotNull(),
+                (F.col("_v") != prev_v).cast("int"),
+            ).alias("_change"),
             key.alias("_k"),
         )
         # flat aggregate + struct-in-projection (see _counter_state)
@@ -1348,6 +1372,7 @@ class ContinuousAggregate:
             F.max_by(F.col("_v"), F.col("_k")).alias("_f_last_val"),
             F.max_by(F.col("_step"), F.col("_k")).alias("_f_last_step"),
             F.max_by(F.col("_prev_us"), F.col("_k")).alias("_f_last_prev"),
+            F.coalesce(F.sum("_change"), F.lit(0)).alias("_f_changes"),
         )
         return flat.select(
             balias,
@@ -1362,6 +1387,7 @@ class ContinuousAggregate:
                     F.col("_f_last_val").alias("last_val"),
                     F.col("_f_last_step").alias("last_step"),
                     F.col("_f_last_prev").alias("last_prev_us"),
+                    F.col("_f_changes").alias("num_changes"),
                 ),
             ).alias(col),
         )
@@ -1399,6 +1425,7 @@ class ContinuousAggregate:
             st["last_step"], st["first_val"] - prev_last_val
         )
         cand_prev_us = F.coalesce(st["last_prev_us"], prev_last_us)
+        has_changes = _struct_has_field(d, "_st", "num_changes")
         d = d.select(
             *tcols,
             *keys_gb,
@@ -1406,6 +1433,12 @@ class ContinuousAggregate:
             st.alias("_st"),
             cand_idelta.alias("_cid"),
             cand_prev_us.alias("_cpu"),
+            # one boundary change per adjacent parent pair (the counter
+            # serve's _bchange; gauge num_changes counts value changes)
+            F.when(
+                prev_last_val.isNotNull(),
+                (st["first_val"] != prev_last_val).cast("int"),
+            ).alias("_bchange"),
         )
         # per-component min_by/max_by keyed on the parent bucket (_src,
         # unique within the target group → all components come from one
@@ -1441,6 +1474,14 @@ class ContinuousAggregate:
             F.max(st["last_us"]).alias("last_us"),
             first_v.alias("first_val"),
             last_v.alias("last_val"),
+            (
+                (
+                    F.sum(st["num_changes"])
+                    + F.coalesce(F.sum("_bchange"), F.lit(0))
+                )
+                if has_changes
+                else F.lit(None).cast("long")
+            ).alias("num_changes"),
         )
         if grain_all:
             return out
@@ -2757,6 +2798,10 @@ class ContinuousAggregate:
             )
             w = Window.partitionBy(balias, *gb).orderBy(*order)
             ranked = base.withColumn("_rk", F.row_number().over(w))
+            # sort stored entries by the selection rank, not by the
+            # (v, d) struct: struct comparison orders NULL payloads
+            # smallest, which for asc contradicts the window's
+            # *_nulls_last payload order at value-tie keep boundaries
             flat = ranked.groupBy(balias, *gb).agg(
                 F.count("_v").alias("_f_n"),
                 F.sort_array(
@@ -2764,11 +2809,13 @@ class ContinuousAggregate:
                         F.when(
                             (F.col("_rk") <= keep) & F.col("_v").isNotNull(),
                             F.struct(
-                                F.col("_v").alias("v"), F.col("_d").alias("d")
+                                F.col("_rk").alias("r"),
+                                F.col("_v").alias("v"),
+                                F.col("_d").alias("d"),
                             ),
                         )
                     ),
-                    asc=not desc,
+                    asc=True,
                 ).alias("_f_ents"),
             )
             return flat.select(
@@ -2857,6 +2904,8 @@ class ContinuousAggregate:
                 else [F.col("_v").asc(), F.col("_d").asc_nulls_last()]
             )
             w = Window.partitionBy(balias, *gb).orderBy(*order)
+            # rank-order the stored entries (see _maxn_state: struct
+            # sort breaks *_nulls_last payload order on asc ties)
             cand = (
                 ex.withColumn("_rk", F.row_number().over(w))
                 .filter(F.col("_rk") <= keep)
@@ -2865,11 +2914,12 @@ class ContinuousAggregate:
                     F.sort_array(
                         F.collect_list(
                             F.struct(
+                                F.col("_rk").alias("r"),
                                 F.col("_v").alias("v"),
                                 F.col("_d").alias("d"),
                             )
                         ),
-                        asc=not desc,
+                        asc=True,
                     ).alias("_f_ents")
                 )
             )
@@ -3703,8 +3753,12 @@ class ContinuousAggregate:
                 + F.coalesce(F.sum("_breset"), F.lit(0))
             ).alias("_f_resets"),
             (
-                F.sum(st["num_changes"])
-                + F.coalesce(F.sum("_bchange"), F.lit(0))
+                (
+                    F.sum(st["num_changes"])
+                    + F.coalesce(F.sum("_bchange"), F.lit(0))
+                )
+                if _struct_has_field(d, "_st", "num_changes")
+                else F.lit(None).cast("long")
             ).alias("_f_changes"),
         )
         return flat.select(
@@ -3748,12 +3802,17 @@ class ContinuousAggregate:
             st["last_step"], st["first_val"] - prev_last_val
         )
         cand_prev = F.coalesce(st["last_prev_us"], prev_last_us)
+        has_changes = _struct_has_field(d, "_st", "num_changes")
         d = d.select(
             balias,
             *gb,
             "_st",
             cand_step.alias("_cs"),
             cand_prev.alias("_cp"),
+            F.when(
+                st.isNotNull() & prev_last_val.isNotNull(),
+                (st["first_val"] != prev_last_val).cast("int"),
+            ).alias("_bchange"),
             F.when(st.isNotNull(), F.col("_src")).alias("_k"),
         )
         flat = d.groupBy(balias, *gb).agg(
@@ -3765,6 +3824,14 @@ class ContinuousAggregate:
             F.max_by(st["last_val"], F.col("_k")).alias("_f_last_val"),
             F.max_by(F.col("_cs"), F.col("_k")).alias("_f_last_step"),
             F.max_by(F.col("_cp"), F.col("_k")).alias("_f_last_prev"),
+            (
+                (
+                    F.sum(st["num_changes"])
+                    + F.coalesce(F.sum("_bchange"), F.lit(0))
+                )
+                if has_changes
+                else F.lit(None).cast("long")
+            ).alias("_f_changes"),
         )
         return flat.select(
             balias,
@@ -3779,6 +3846,7 @@ class ContinuousAggregate:
                     F.col("_f_last_val").alias("last_val"),
                     F.col("_f_last_step").alias("last_step"),
                     F.col("_f_last_prev").alias("last_prev_us"),
+                    F.col("_f_changes").alias("num_changes"),
                 ),
             ).alias(col),
         )

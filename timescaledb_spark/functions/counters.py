@@ -145,6 +145,9 @@ def gauge_agg(
         F.col(value_col).alias("_v"),
         (F.col(value_col) - prev_v).alias("_step"),
         prev_us.alias("_prev_us"),
+        F.when(
+            prev_v.isNotNull(), (F.col(value_col) != prev_v).cast("int")
+        ).alias("_change"),
         key.alias("_k"),
     )
     span_s = (F.max("_us") - F.min("_us")).cast("double") / 1e6
@@ -160,6 +163,7 @@ def gauge_agg(
         F.when(
             last_prev.isNotNull() & (elapsed_s > 0), last_step / elapsed_s
         ).alias("irate"),
+        F.coalesce(F.sum("_change"), F.lit(0)).alias("num_changes"),
         F.min("_us").alias("first_us"),
         F.max("_us").alias("last_us"),
     )

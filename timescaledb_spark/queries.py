@@ -447,6 +447,9 @@ def q_heartbeat(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN arg_max(value - pv, k)
                      / ((max(us) - arg_max(pus, k)) / 1000000.0)
                 END AS irate,
+           CAST(coalesce(sum(CASE WHEN pv IS NOT NULL
+                THEN CAST(value <> pv AS INT) END), 0) AS BIGINT)
+             AS num_changes,
            min(us) AS first_us,
            max(us) AS last_us
     FROM s GROUP BY 1

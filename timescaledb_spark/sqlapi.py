@@ -1540,6 +1540,7 @@ _PARTIAL_ACCESSORS = {
         "rate": "rate",
         "idelta": "idelta",
         "irate": "irate",
+        "num_changes": "num_changes",
         "num_vals": "n",
         "first_val": "first_val",
         "last_val": "last_val",
