@@ -122,3 +122,17 @@ def test_sql_analyze_and_vacuum(ts, spark):
     assert r["stats_rows"] == 1
     r = ts.sql("VACUUM va").collect()[0]  # stats refresh; parquet needs no vacuum
     assert r["stats_rows"] == 1
+
+
+def test_clear_hypertable_cache(ts, spark):
+    ht = ts.create_hypertable("cc", "ts", chunk_interval="1 day")
+    ht.insert(_rows(spark, 0, 2))
+    before = ht.df().count()
+    # warm the JsonlTable row caches
+    assert ts.catalog.hypertable.find_one(name="cc") is not None
+    out = ts.sql("SELECT clear_hypertable_cache()").collect()
+    assert out[0]["ok"] is True
+    for t in ts.catalog._tables.values():
+        assert t._cache_key is None
+    # catalog still serves correct state after the cache drop
+    assert ts.get_hypertable("cc").df().count() == before > 0

@@ -631,3 +631,78 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = f"stream_dedup_{_uuid.uuid4().hex[:8]}"
     run_to_memory_sink(ded, sink)
     return spark.table(sink).filter(F.col("event_type") != SENTINEL)
+
+
+@query(
+    "q_copy_binary",
+    """
+    WITH src AS (
+      SELECT ts, event_id,
+             CASE WHEN event_id % 100 = 0 THEN NULL ELSE value END AS v,
+             event_type
+      FROM events WHERE event_id % 5 = 0
+    )
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(v) AS BIGINT) AS n_val,
+           sum(v) AS sum_v,
+           CAST(sum(length(event_type)) AS BIGINT) AS len_t
+    FROM src GROUP BY 1, 2
+    """,
+)
+def q_copy_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``COPY t FROM 'dump' WITH (FORMAT binary)`` (round 14; the
+    reference's PG-binary COPY path, ``src/copy.c`` — the one COPY
+    format previously missing): a deterministic events subset is
+    encoded as a real PGCOPY binary stream (signature/flags/extension
+    header, int16 field counts, int32 field lengths, network-order
+    field bytes, -1 trailer — ``sources/pgcopy.py:write_pgcopy``),
+    then COPY'd into a schema-declared hypertable via the SQL route —
+    ``binaryFile`` scan + ``mapInPandas`` decode, normal chunk-routed
+    insert. NULLs (every 100th event's value) and UTF-8 strings ride
+    the wire; the oracle replays the same subset arithmetic straight
+    from parquet, so any decode drift (epoch offset, endianness, NULL
+    map, string encoding) breaks the hash."""
+    import os as _os
+    import tempfile as _tf
+
+    from .session import TSSession
+    from .sources.pgcopy import write_pgcopy
+
+    sub = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 5 == 0)
+        .select(
+            "ts",
+            "event_id",
+            F.when(F.col("event_id") % 100 != 0, F.col("value")).alias("v"),
+            "event_type",
+        )
+    )
+    ddl = "ts timestamp, event_id bigint, v double, event_type string"
+    d = _tf.mkdtemp(prefix="ts_cpbin_")
+    path = _os.path.join(d, "events.bin")
+    write_pgcopy([tuple(r) for r in sub.collect()], ddl, path)
+
+    ts = TSSession(spark, _tf.mkdtemp(prefix="ts_cpbin_wh_"))
+    ts.sql(
+        "CREATE TABLE evb (ts TIMESTAMPTZ NOT NULL, event_id BIGINT, "
+        "v DOUBLE PRECISION, event_type TEXT) WITH (tsdb.hypertable, "
+        "tsdb.partition_column='ts', tsdb.chunk_interval='7 days')"
+    )
+    ts.sql(f"COPY evb FROM '{path}' WITH (FORMAT binary)")
+    ht = ts.get_hypertable("evb")
+    return (
+        ht.read()
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("v").alias("n_val"),
+            F.sum("v").alias("sum_v"),
+            F.sum(F.length("event_type")).alias("len_t"),
+        )
+    )

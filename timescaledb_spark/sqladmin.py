@@ -340,6 +340,18 @@ def _h_post_restore(ts, pos, named):
     return _df(ts, [(True,)], "ok boolean")
 
 
+def _h_clear_hypertable_cache(ts, pos, named):
+    """``clear_hypertable_cache()`` (sql/ddl_api.sql — multinode-era
+    cache helper, kept for public-API name parity): drop cached
+    catalog state so the next access re-reads storage. Here that is
+    every JsonlTable's row cache plus Spark's relation cache."""
+    with ts.catalog.write_lock:
+        for t in ts.catalog._tables.values():
+            t._cache_key = None
+    ts.spark.catalog.clearCache()
+    return _df(ts, [(True,)], "ok boolean")
+
+
 def _h_get_telemetry_report(ts, pos, named):
     """``get_telemetry_report()`` — LOCAL installation-shape report
     (never transmitted; this engine has no phone-home path)."""
@@ -521,6 +533,7 @@ ADMIN_FNS = {
     "set_number_partitions": _h_set_number_partitions,
     "timescaledb_pre_restore": _h_pre_restore,
     "timescaledb_post_restore": _h_post_restore,
+    "clear_hypertable_cache": _h_clear_hypertable_cache,
     "get_telemetry_report": _h_get_telemetry_report,
     "hypertable_size": _h_hypertable_size,
     "chunks_detailed_size": _h_chunks_detailed_size,
@@ -2453,6 +2466,19 @@ def run_copy(ts, m) -> DataFrame:
         opts[parts[0].lower()] = parts[1].strip().strip("'") if len(parts) > 1 else "true"
     fmt = opts.get("format", "text").lower()
     ht = ts.get_hypertable(name)
+    if fmt == "binary":
+        # PG binary dump (src/copy.c binary path): schema-driven wire
+        # decode, one task per dump file — see sources/pgcopy.py
+        from .sources.pgcopy import read_pgcopy
+
+        if not ht.row.get("schema_ddl"):
+            raise ValueError(
+                "COPY ... WITH (FORMAT binary) needs a declared table "
+                "schema (the binary format carries no type metadata)"
+            )
+        src = read_pgcopy(ts.spark, path, ht._schema())
+        st = ht.insert(src)
+        return _df(ts, [(int(st["rows"]),)], "rows_copied bigint")
     reader = ts.spark.read
     if ht.row.get("schema_ddl"):
         reader = reader.schema(ht._schema())
