@@ -109,9 +109,12 @@ def build_states(
     delta = _check_delta(delta)
     base = df.select(*keys, value.cast("double").alias("_v"))
     w = Window.partitionBy(*keys).orderBy(F.col("_v").asc_nulls_last())
-    nn = F.sum(
-        F.when(F.col("_v").isNotNull(), F.lit(1)).otherwise(F.lit(0))
-    ).over(Window.partitionBy(*keys))
+    # non-null count as a FULL frame of the same ordered spec (not a
+    # separate partition-only window): both window functions share one
+    # sort and one WindowExec (round 14 — same trick as merge_states)
+    nn = F.count("_v").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
     d = base.select(
         *keys,
         "_v",
@@ -163,24 +166,46 @@ def merge_states(
     centroid count ≤ total weight ≤ delta bounds it otherwise)."""
     delta = _check_delta(delta)
     st = F.col(state_col)
-    totals = d.groupBy(*keys).agg(
-        F.count(state_col).alias("_nn"),
-        F.sum(st["n"]).alias("_tn"),
-        F.min(st["min"]).alias("_tmn"),
-        F.max(st["max"]).alias("_tmx"),
+    # ONE pipeline, ONE shuffle (round 14 — the r13 shape was the most
+    # expensive serve in the system at x100: 3 window expressions over
+    # 2 specs plus a separate totals aggregation joined back by sort-
+    # merge). Shape-preserving rewrites:
+    # - NULL states explode to one dummy (NULL, NULL) entry, so every
+    #   input group keeps a row and the totals branch + left join
+    #   disappear (all-NULL group ⇔ _tn stays NULL);
+    # - group n / min / max ride the exploded rows (each state's
+    #   scalars repeat on its centroids; n == Σweights for any valid
+    #   digest) and fold in the same two aggregations as the bins;
+    # - cumulative weight and total weight are two FRAMES of one
+    #   window spec → a single sort, one WindowExec;
+    # - the singleton-regime rank IS cumb+1 (total weight ≤ delta ⇒
+    #   every input centroid is a parent singleton of weight 1), so
+    #   row_number() goes away entirely.
+    ents = F.when(
+        st.isNotNull(),
+        F.arrays_zip(st["means"].alias("_m"), st["weights"].alias("_w")),
+    ).otherwise(
+        F.array(
+            F.struct(
+                F.lit(None).cast("double").alias("_m"),
+                F.lit(None).cast("bigint").alias("_w"),
+            )
+        )
     )
     rows = d.select(
         *keys,
-        F.explode(
-            F.arrays_zip(st["means"].alias("_m"), st["weights"].alias("_w"))
-        ).alias("_c"),
+        st["min"].alias("_smn"),
+        st["max"].alias("_smx"),
+        F.explode(ents).alias("_c"),
     ).select(
         *keys,
+        "_smn",
+        "_smx",
         F.col("_c._m").alias("_m"),
         F.col("_c._w").alias("_w"),
     )
     worder = Window.partitionBy(*keys).orderBy(
-        F.col("_m").asc(), F.col("_w").asc()
+        F.col("_m").asc_nulls_last(), F.col("_w").asc()
     )
     cumb = F.coalesce(
         F.sum("_w").over(
@@ -188,13 +213,18 @@ def merge_states(
         ),
         F.lit(0).cast("long"),
     )
-    big_n = F.sum("_w").over(Window.partitionBy(*keys))
+    big_n = F.sum("_w").over(
+        worder.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
     rows = rows.select(
         *keys,
+        "_smn",
+        "_smx",
         "_m",
         "_w",
         cumb.alias("_cumb"),
-        F.row_number().over(worder).alias("_rk"),
         big_n.alias("_N"),
     )
     qmid = (
@@ -206,40 +236,32 @@ def merge_states(
         ),
         F.lit(delta - 1),
     )
-    cl = F.when(F.col("_N") <= delta, F.col("_rk").cast("long")).otherwise(
-        binned.cast("long")
-    )
+    cl = F.when(F.col("_m").isNull(), F.lit(None).cast("long")).when(
+        F.col("_N") <= delta, F.col("_cumb") + 1
+    ).otherwise(binned.cast("long"))
     per = rows.groupBy(*keys, cl.alias("_cl")).agg(
         F.sum("_w").alias("_w2"),
         (
             F.sum(F.col("_m") * F.col("_w").cast("double"))
             / F.sum("_w").cast("double")
         ).alias("_m2"),
+        F.min("_smn").alias("_bmn"),
+        F.max("_smx").alias("_bmx"),
+    )
+    ent2 = F.when(
+        F.col("_cl").isNotNull(),
+        F.struct(F.col("_m2").alias("mean"), F.col("_w2").alias("weight")),
     )
     cents = per.groupBy(*keys).agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct(
-                    F.col("_m2").alias("mean"), F.col("_w2").alias("weight")
-                )
-            )
-        ).alias("_te")
+        F.sum(F.when(F.col("_cl").isNotNull(), F.col("_w2"))).alias("_tn"),
+        F.min("_bmn").alias("_tmn"),
+        F.max("_bmx").alias("_tmx"),
+        F.array_sort(F.collect_list(ent2)).alias("_te"),
     )
-    l, r = totals.alias("_tl"), cents.alias("_tr")
-    cond = None
-    for k in keys:
-        c = F.col(f"_tl.{k}").eqNullSafe(F.col(f"_tr.{k}"))
-        cond = c if cond is None else cond & c
-    if cond is None:
-        j = l.crossJoin(r.select("_te"))
-    else:
-        j = l.join(r, cond, "left").select(
-            "_tl.*", F.col("_tr._te").alias("_te")
-        )
-    return j.select(
+    return cents.select(
         *keys,
         F.when(
-            (F.col("_nn") > 0) & F.col("_tn").isNotNull(),
+            F.col("_tn").isNotNull(),
             _state_struct(
                 F.col("_tn"), F.col("_tmn"), F.col("_tmx"), "_te"
             ).cast(
