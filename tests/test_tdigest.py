@@ -368,3 +368,58 @@ class TestTDigestCagg:
                 "time_bucket('1 hour', ts) AS bucket, "
                 "tdigest(0.5, v) AS td FROM m GROUP BY 1"
             )
+
+
+class TestMergeNullAndBounds:
+    """Round-14 single-shuffle merge regression: NULL states survive the
+    rollup via the dummy-entry explode (the totals branch + left join
+    are gone), and state min/max — now carried on the exploded rows —
+    still merge exactly."""
+
+    def test_rollup_all_null_and_mixed_groups(self, spark):
+        from pyspark.sql import functions as F
+
+        from timescaledb_spark.functions.tdigest import (
+            tdigest,
+            tdigest_rollup,
+        )
+
+        df = spark.createDataFrame(
+            [
+                # g=0: two parts, one all-NULL -> merged state real
+                (0, 0, 1.0), (0, 0, 5.0), (0, 1, None),
+                # g=1: every part NULL -> merged state NULL, row kept
+                (1, 0, None), (1, 1, None),
+            ],
+            "g int, part int, v double",
+        )
+        st = tdigest(df, "v", by=["g", "part"], delta=50)
+        merged = {
+            r["g"]: r["out"]
+            for r in tdigest_rollup(
+                st.drop("part"), by=["g"], state_col="tdigest",
+                delta=50, out="out",
+            ).collect()
+        }
+        assert set(merged) == {0, 1}
+        assert merged[1] is None
+        assert merged[0]["n"] == 2
+        assert merged[0]["min"] == 1.0 and merged[0]["max"] == 5.0
+
+    def test_rollup_minmax_exact_through_compression(self, spark):
+        from timescaledb_spark.functions.tdigest import (
+            tdigest,
+            tdigest_rollup,
+        )
+
+        rows = [(i % 7, float((i * 37) % 1000)) for i in range(3000)]
+        df = spark.createDataFrame(rows, "part int, v double")
+        st = tdigest(df, "v", by=["part"], delta=20)  # compressed
+        m = tdigest_rollup(
+            st.select("tdigest"), by=[], state_col="tdigest",
+            delta=20, out="out",
+        ).collect()[0]["out"]
+        vals = [v for _, v in rows]
+        assert m["n"] == len(vals)
+        assert m["min"] == min(vals) and m["max"] == max(vals)
+        assert len(m["means"]) <= 20

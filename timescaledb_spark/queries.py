@@ -1718,6 +1718,43 @@ def q_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TDIGEST_FIXTURE: dict = {}
+
+
+def _tdigest_cagg_fixture(spark: SparkSession, sf_dir: str):
+    """Shared hourly delta=65536 t-digest cagg over events, half-range
+    refreshed — reused by the three t-digest cagg gates, whose r13 rigs
+    were three IDENTICAL builds (VERDICT r13 minor #3: the two slowest
+    bench gates were mostly fixture cost). Built once per
+    (session, sf_dir) through the SQL ``CREATE MATERIALIZED VIEW``
+    route so the parse path stays covered (the ``tdigest_aggs=`` API
+    path is covered by ``tests/test_tdigest.py``); every gate serve is
+    read-only over the materialized states."""
+    import tempfile
+
+    from .session import TSSession
+
+    key = (id(spark.sparkContext), sf_dir)
+    hit = _TDIGEST_FIXTURE.get(key)
+    if hit is not None:
+        return hit
+    root = tempfile.mkdtemp(prefix="ts_cagg_td_")
+    ts = TSSession(spark, root)
+    ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
+    ht.insert(load_table(spark, sf_dir, "events"))
+    ts.sql(
+        "CREATE MATERIALIZED VIEW qtd WITH (timescaledb.continuous) "
+        "AS SELECT time_bucket('1 hour', ts) AS bucket, event_type, "
+        "tdigest(65536, value) AS td FROM events GROUP BY 1, 2"
+    )
+    cagg = ts.get_cagg("qtd")
+    lo = min(c["range_start"] for c in ht.chunks())
+    hi = max(c["range_end"] for c in ht.chunks())
+    cagg.refresh(start=lo, end=lo + (hi - lo) // 2)
+    _TDIGEST_FIXTURE[key] = (ts, cagg)
+    return ts, cagg
+
+
 @query("q_cagg_tdigest", _TDIGEST_ORACLE)
 def q_cagg_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-digest percentile partials in a continuous aggregate (round
@@ -1729,25 +1766,7 @@ def q_cagg_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     while the merged digest stays lossless. Half-range refresh
     exercises the realtime union: raw-side digests above the watermark
     merge with mat-side states."""
-    import tempfile
-
-    from .session import TSSession
-
-    root = tempfile.mkdtemp(prefix="ts_cagg_td_")
-    ts = TSSession(spark, root)
-    ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
-    ht.insert(load_table(spark, sf_dir, "events"))
-    cagg = ts.create_cagg(
-        "qtd",
-        ht,
-        bucket_width="1 hour",
-        aggs={},
-        group_by=["event_type"],
-        tdigest_aggs={"td": {"value": "value", "delta": 65536}},
-    )
-    lo = min(c["range_start"] for c in ht.chunks())
-    hi = max(c["range_end"] for c in ht.chunks())
-    cagg.refresh(start=lo, end=lo + (hi - lo) // 2)
+    _, cagg = _tdigest_cagg_fixture(spark, sf_dir)
     return cagg.tdigest_quantiles_at_grain(
         [0.5, 0.9], grain="1 day", realtime=True
     )
@@ -1773,28 +1792,12 @@ def q_cagg_tdigest_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays lossless, so the served rank is EXACTLY count(≤v)/n and the
     gate hash-checks bit-for-bit (identical double division + 6-dp
     round on both sides). Half-range refresh keeps the realtime union
-    in the serve."""
-    import tempfile
-
-    from .session import TSSession
-
-    root = tempfile.mkdtemp(prefix="ts_cagg_tdr_")
-    ts = TSSession(spark, root)
-    ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
-    ht.insert(load_table(spark, sf_dir, "events"))
-    ts.sql(
-        "CREATE MATERIALIZED VIEW qtdr WITH (timescaledb.continuous) "
-        "AS SELECT time_bucket('1 hour', ts) AS bucket, event_type, "
-        "tdigest(65536, value) AS td FROM events GROUP BY 1, 2"
-    )
-    cagg = ts.get_cagg("qtdr")
-    lo = min(c["range_start"] for c in ht.chunks())
-    hi = max(c["range_end"] for c in ht.chunks())
-    cagg.refresh(start=lo, end=lo + (hi - lo) // 2)
+    in the serve (shared fixture: :func:`_tdigest_cagg_fixture`)."""
+    ts, _ = _tdigest_cagg_fixture(spark, sf_dir)
     return ts.sql(
         "SELECT time_bucket('1 day', bucket) AS bucket, event_type, "
         "approx_percentile_rank(50.0, rollup(td)) AS rank_50 "
-        "FROM qtdr GROUP BY 1, 2"
+        "FROM qtd GROUP BY 1, 2"
     )
 
 
@@ -1833,28 +1836,12 @@ def q_sql_percentile_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar ``p50``/``p90`` columns (the driver's pandas canonicalizer
     cannot hash list values — round 14); the SQL route itself keeps
     its array return. Half-range refresh keeps the realtime union in
-    the path."""
-    import tempfile
-
-    from .session import TSSession
-
-    root = tempfile.mkdtemp(prefix="ts_sql_pa_")
-    ts = TSSession(spark, root)
-    ht = ts.create_hypertable("events", "ts", chunk_interval="7 days")
-    ht.insert(load_table(spark, sf_dir, "events"))
-    ts.sql(
-        "CREATE MATERIALIZED VIEW qpa WITH (timescaledb.continuous) "
-        "AS SELECT time_bucket('1 hour', ts) AS bucket, event_type, "
-        "tdigest(65536, value) AS td FROM events GROUP BY 1, 2"
-    )
-    cagg = ts.get_cagg("qpa")
-    lo = min(c["range_start"] for c in ht.chunks())
-    hi = max(c["range_end"] for c in ht.chunks())
-    cagg.refresh(start=lo, end=lo + (hi - lo) // 2)
+    the path (shared fixture: :func:`_tdigest_cagg_fixture`)."""
+    ts, _ = _tdigest_cagg_fixture(spark, sf_dir)
     out = ts.sql(
         "SELECT time_bucket('1 day', bucket) AS bucket, event_type, "
         "approx_percentile_array(array[0.5, 0.9], rollup(td)) AS ps "
-        "FROM qpa GROUP BY 1, 2"
+        "FROM qtd GROUP BY 1, 2"
     )
     return out.selectExpr(
         "bucket", "event_type", "ps[0] AS p50", "ps[1] AS p90"
