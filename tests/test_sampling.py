@@ -110,3 +110,49 @@ def test_source_mix_fractional_epochs_decorrelated(spark):
 
     with _pytest.raises(ValueError):
         source_mix(df, "src", {"a": -1.0})
+
+
+def test_temperature_rates_math():
+    """alpha=1 -> uniform epochs (r_s = epochs_total for every source);
+    alpha=0 -> equal output share per source; alpha in between
+    upweights small sources; expected output size is epochs_total*N."""
+    from timescaledb_spark.pipeline.sampling import temperature_rates
+
+    counts = {"en": 800, "fr": 150, "zh": 50}
+    n = sum(counts.values())
+
+    r1 = temperature_rates(counts, alpha=1.0, epochs_total=2.0)
+    assert all(abs(v - 2.0) < 1e-12 for v in r1.values())
+
+    r0 = temperature_rates(counts, alpha=0.0, epochs_total=1.0)
+    shares = {s: r0[s] * counts[s] / n for s in counts}
+    assert all(abs(v - 1 / 3) < 1e-12 for v in shares.values())
+
+    rh = temperature_rates(counts, alpha=0.5, epochs_total=1.0)
+    # smaller source gets more epochs
+    assert rh["zh"] > rh["fr"] > rh["en"]
+    # expected emitted rows == epochs_total * N
+    assert abs(sum(rh[s] * counts[s] for s in counts) - n) < 1e-9
+
+    assert temperature_rates({}, 0.5) == {}
+    assert temperature_rates({"a": 0}, 0.5) == {}
+    with pytest.raises(ValueError):
+        temperature_rates(counts, alpha=-1)
+
+
+def test_temperature_mix_output_shares(spark):
+    from timescaledb_spark.pipeline.sampling import temperature_mix
+
+    rows = [(i, "big" if i < 9000 else "small") for i in range(10000)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = temperature_mix(df, "src", alpha=0.0, epochs_total=1.0)
+    got = {r["src"]: r["n"] for r in
+           out.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # alpha=0: equal output share per source (~5000 each)
+    assert abs(got["big"] - 5000) < 350
+    assert abs(got["small"] - 5000) < 350
+    # deterministic
+    again = {r["src"]: r["n"] for r in
+             temperature_mix(df, "src", alpha=0.0, epochs_total=1.0)
+             .groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert again == got

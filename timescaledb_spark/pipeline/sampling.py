@@ -287,3 +287,66 @@ def split_assign_sql(
         whens.append(f"WHEN {bucket} < {int(acc * _DEN)} THEN '{name}'")
     case = "CASE " + " ".join(whens) + f" ELSE '{items[-1][0]}' END"
     return f"SELECT {projection}, {case} AS {out_col} FROM {table}"
+
+
+def temperature_rates(
+    counts: dict[str, int],
+    alpha: float,
+    epochs_total: float = 1.0,
+) -> dict[str, float]:
+    """Temperature-smoothed mixing rates from per-source row counts —
+    the multilingual/pretraining exponent-sampling recipe (mBERT's
+    exponent-smoothed sampling; Conneau & Lample 2019 XLM §3.1: sample
+    sources ∝ p^alpha, alpha<1 upweighting low-resource sources).
+
+    Returns EPOCHS per source in :func:`source_mix` semantics:
+    ``r_s = epochs_total * N * w_s / n_s`` with
+    ``w_s = p_s^alpha / sum p^alpha`` — the expected emitted row count
+    is ``epochs_total * N`` while each source's share of the output is
+    ``w_s``. Pure integer-counts -> float math, so a gate and its
+    oracle derive bit-identical rates from the same counts.
+    """
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    if epochs_total < 0:
+        raise ValueError("epochs_total must be >= 0")
+    kept = {s: int(n) for s, n in counts.items() if n > 0}
+    if not kept:
+        return {}
+    total = sum(kept.values())
+    w = {s: (n / total) ** alpha for s, n in kept.items()}
+    z = sum(w.values())
+    return {
+        s: epochs_total * total * (w[s] / z) / kept[s] for s in kept
+    }
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str,
+    alpha: float,
+    epochs_total: float = 1.0,
+    id_col: str = "doc_id",
+    salt: str = "tmix",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Temperature-based source mixing: derive per-source rates from
+    the data (:func:`temperature_rates`) and emit the epoch-weighted
+    mix (:func:`source_mix`).
+
+    Scale shape: ONE bounded aggregation (rows per distinct source —
+    driver state is the source list, like the BM25/IVF stats passes)
+    followed by source_mix's zero-shuffle projection + bounded explode
+    + scan-speed filter. Deterministic end to end: counts are exact,
+    the rate math is pure, and the emit decision is the salted 60-bit
+    id hash."""
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(source_col).count().collect()
+        if r[0] is not None
+    }
+    rates = temperature_rates(counts, alpha, epochs_total)
+    return source_mix(
+        df, source_col, rates, id_col=id_col, salt=salt,
+        epoch_col=epoch_col,
+    )

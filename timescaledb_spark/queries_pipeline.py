@@ -702,3 +702,64 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (id, centroid, is_kept) output)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return dedup.semantic_dedup(emb, threshold=0.45, centroid_stride=50)
+
+
+def _temperature_mix_oracle() -> str:
+    """Data-derived oracle for q_temperature_mix: read the per-lang
+    counts straight from parquet, derive the SAME rates with the SAME
+    pure function the operator uses (integer counts -> identical float
+    math), and let DuckDB independently replay the salted-hash emit
+    decisions via source_mix_sql. Lazy (resolved at oracle_sql() time)
+    because the SQL text embeds the data-derived rates."""
+    import os
+
+    import pyarrow.parquet as papq
+
+    from .pipeline.sampling import source_mix_sql, temperature_rates
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    t = papq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang"]
+    )
+    counts: dict = {}
+    for v in t["lang"].to_pylist():
+        counts[v] = counts.get(v, 0) + 1
+    rates = temperature_rates(counts, alpha=0.5, epochs_total=1.5)
+    inner = source_mix_sql(
+        table="documents",
+        source_expr="lang",
+        rates=rates,
+        salt="tmix",
+        projection="doc_id, lang, epoch, n_chars",
+    )
+    return (
+        "SELECT lang, epoch, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(n_chars) AS BIGINT) AS chars "
+        f"FROM ({inner}) GROUP BY 1, 2"
+    )
+
+
+@query("q_temperature_mix", _temperature_mix_oracle)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (round 14; the multilingual
+    pretraining recipe — mBERT exponent-smoothed sampling / XLM
+    alpha=0.5: sample sources proportional to p^alpha so low-resource
+    languages are upweighted): per-lang rates derived from the corpus
+    in ONE bounded aggregation (driver state = the source list), then
+    the epoch-weighted deterministic mix — full copies for floor(r)
+    plus a salted id-hash sample of the remainder. Zero shuffle after
+    the stats pass. The oracle re-derives the rates from the same
+    counts and replays every hash decision in DuckDB, so the hash
+    gates the rate math AND the sampler."""
+    from .pipeline.sampling import temperature_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = temperature_mix(
+        docs, "lang", alpha=0.5, epochs_total=1.5, salt="tmix"
+    )
+    return out.groupBy("lang", "epoch").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("chars"),
+    )
