@@ -763,3 +763,25 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("n_chars").alias("chars"),
     )
+
+
+@query(
+    "q_nb_classify",
+    __import__("timescaledb_spark.pipeline.classify", fromlist=["x"])
+    .nb_classify_sql(vocab_cap=5000),
+)
+def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-based filtering (round 14; the GPT-3 quality-classifier
+    / LLaMA fasttext-filter family): self-trained add-one multinomial
+    Naive Bayes over the shared tokenizer, capped top-5k vocabulary so
+    the dense (vocab x labels) model broadcasts at any corpus size.
+    Train = one explode + two map-combined groupBys; score = one
+    explode + broadcast model join + per-(doc,label) aggregation with
+    the OOV smoothing floor folded in from the per-doc token count.
+    The oracle replays tokenize/vocab-cap/counts/ln/argmax end to end
+    in DuckDB — integer counts make the ln() inputs identical, scores
+    are 6dp-rounded before the argmax, ties break lexicographically."""
+    from .pipeline.classify import nb_classify
+
+    docs = load_table(spark, sf_dir, "documents")
+    return nb_classify(docs, vocab_cap=5000)
