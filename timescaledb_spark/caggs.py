@@ -2601,17 +2601,24 @@ class ContinuousAggregate:
         # the same way)
         from pyspark.sql import Window
 
-        wpart = Window.partitionBy(balias, *gb)
-        worder = wpart.orderBy(
+        worder = Window.partitionBy(balias, *gb).orderBy(
             F.col("_c").desc(), F.col("_v").asc_nulls_last()
         )
+        # group total as a FULL frame of the same ordered spec: one
+        # sort, one WindowExec (round 14 — the merge_states trick)
         ranked = cnt.select(
             balias,
             *gb,
             "_v",
             "_c",
             F.row_number().over(worder).alias("_rk"),
-            F.sum("_c").over(wpart).alias("_tot"),
+            F.sum("_c")
+            .over(
+                worder.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .alias("_tot"),
         ).filter(F.col("_rk") <= cap + 1)
         ent = F.when(
             F.col("_v").isNotNull(),

@@ -115,12 +115,14 @@ def ddsketch_quantiles(
     for q in qs:
         if not 0.0 < q <= 1.0:
             raise ValueError(f"quantile {q} must be in (0, 1]")
-    w = (
-        Window.partitionBy(*[F.col(c) for c in by])
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wspec = Window.partitionBy(*[F.col(c) for c in by]).orderBy("bucket")
+    w = wspec.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # group total as a FULL frame of the same ordered spec — one sort,
+    # one WindowExec (round 14; a separate partition-only window cost a
+    # second pass)
+    wn = wspec.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    wn = Window.partitionBy(*[F.col(c) for c in by])
     cum = sketch.withColumn("cum", F.sum("cnt").over(w)).withColumn(
         "n", F.sum("cnt").over(wn)
     )
