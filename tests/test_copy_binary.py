@@ -141,3 +141,42 @@ def test_copy_sql_binary_into_hypertable(spark):
     assert len(ht.chunks()) >= 2
     got = {r["eid"]: r["v"] for r in ht.df().collect()}
     assert got[99] is None and got[7] == 3.5
+
+
+def test_copy_where_filters_rows(spark):
+    import csv
+
+    from timescaledb_spark.session import TSSession
+
+    ts = TSSession(spark, tempfile.mkdtemp(prefix="ts_cpw_"))
+    ts.sql(
+        "CREATE TABLE cw (ts TIMESTAMPTZ NOT NULL, eid BIGINT, "
+        "v DOUBLE PRECISION) WITH (tsdb.hypertable, "
+        "tsdb.partition_column='ts', tsdb.chunk_interval='7 days')"
+    )
+    d = tempfile.mkdtemp(prefix="ts_cpwf_")
+    p = os.path.join(d, "rows.csv")
+    with open(p, "w", newline="") as f:
+        w = csv.writer(f)
+        for i in range(20):
+            w.writerow([f"2024-01-{1 + i % 5:02d} 00:00:00", i, i / 2])
+    out = ts.sql(
+        f"COPY cw FROM '{p}' WITH (FORMAT csv) WHERE eid % 2 = 0"
+    ).collect()
+    assert out[0]["rows_copied"] == 10
+    got = sorted(r["eid"] for r in ts.get_hypertable("cw").df().collect())
+    assert got == list(range(0, 20, 2))
+
+    # binary format + WHERE compose
+    from timescaledb_spark.sources.pgcopy import write_pgcopy
+
+    pb = os.path.join(d, "rows.bin")
+    write_pgcopy(
+        [(datetime.datetime(2024, 2, 1), 100 + i, float(i)) for i in range(6)],
+        "ts timestamp, eid bigint, v double",
+        pb,
+    )
+    out = ts.sql(
+        f"COPY cw FROM '{pb}' WITH (FORMAT binary) WHERE v >= 3"
+    ).collect()
+    assert out[0]["rows_copied"] == 3

@@ -562,3 +562,44 @@ def test_explain_realtime_cagg_header(spark, sf_dir, tmp_path):
         if r["plan_line"].startswith("Cagg ev_daily")
     ]
     assert len(hdr2) == 1 and "materialized-only" in hdr2[0]
+
+
+def test_insert_returning(spark, tmp_path_factory):
+    """INSERT .. RETURNING (round 14; test/sql/insert_returning.sql):
+    * returns the inserted rows post-cast; an expression list evaluates
+    over them; a string literal containing 'returning' doesn't split."""
+    import datetime
+
+    s = TSSession(spark, str(tmp_path_factory.mktemp("ts_ret")))
+    s.sql(
+        "CREATE TABLE r (ts TIMESTAMPTZ NOT NULL, v DOUBLE PRECISION) "
+        "WITH (tsdb.hypertable, tsdb.partition_column='ts', "
+        "tsdb.chunk_interval='7 days')"
+    )
+    rows = s.sql(
+        "INSERT INTO r VALUES (TIMESTAMP '2024-01-01', 1.5), "
+        "(TIMESTAMP '2024-01-02', 2.5) RETURNING *"
+    ).collect()
+    assert sorted((r["ts"].day, r["v"]) for r in rows) == [
+        (1, 1.5), (2, 2.5)
+    ]
+    rows = s.sql(
+        "INSERT INTO r (ts, v) VALUES (TIMESTAMP '2024-01-03', 3.0) "
+        "RETURNING v * 2 AS dbl"
+    ).collect()
+    assert [r["dbl"] for r in rows] == [6.0]
+    assert s.get_hypertable("r").df().count() == 3
+
+    s.sql(
+        "CREATE TABLE rs (ts TIMESTAMPTZ NOT NULL, t TEXT) "
+        "WITH (tsdb.hypertable, tsdb.partition_column='ts', "
+        "tsdb.chunk_interval='7 days')"
+    )
+    out = s.sql(
+        "INSERT INTO rs VALUES (TIMESTAMP '2024-01-01', "
+        "'not returning anything')"
+    ).collect()
+    assert out[0]["rows_inserted"] == 1
+    assert s.get_hypertable("rs").df().collect()[0]["t"] == (
+        "not returning anything"
+    )

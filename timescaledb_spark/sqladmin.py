@@ -30,7 +30,7 @@ from __future__ import annotations
 import re
 from datetime import datetime, timezone as _tz
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from .sqlapi import (
     _NAMED,
@@ -2115,8 +2115,9 @@ _ON_CONFLICT = re.compile(
 )
 _COPY_RE = re.compile(
     r"^\s*copy\s+([A-Za-z_]\w*)\s+from\s+'([^']+)'\s*"
-    r"(?:with\s*\((?P<opts>[^)]*)\))?\s*$",
-    re.I,
+    r"(?:with\s*\((?P<opts>[^)]*)\))?"
+    r"(?:\s+where\s+(?P<where>.+))?\s*$",
+    re.I | re.S,
 )
 
 _RESERVED_ALIASES = {"target", "excluded"}
@@ -2453,11 +2454,14 @@ def match_copy(q: str):
 
 
 def run_copy(ts, m) -> DataFrame:
-    """COPY t FROM 'file' WITH (FORMAT csv|text, HEADER, DELIMITER 'c') —
-    the reference's chunk-routing COPY path (src/copy.c): the file is
-    read with the hypertable's declared schema (parallel, splittable
-    scan) and routed through the normal insert tuple routing."""
+    """COPY t FROM 'file' WITH (FORMAT csv|text|binary, HEADER,
+    DELIMITER 'c') [WHERE cond] — the reference's chunk-routing COPY
+    path (src/copy.c; WHERE filtering per test/sql/copy_where.sql): the
+    file is read with the hypertable's declared schema (parallel,
+    splittable scan), filtered, and routed through the normal insert
+    tuple routing."""
     name, path = m.group(1), m.group(2)
+    where = m.group("where")
     opts = {}
     for item in _split_args(m.group("opts") or ""):
         if not item:
@@ -2477,6 +2481,8 @@ def run_copy(ts, m) -> DataFrame:
                 "schema (the binary format carries no type metadata)"
             )
         src = read_pgcopy(ts.spark, path, ht._schema())
+        if where:
+            src = src.filter(F.expr(where))
         st = ht.insert(src)
         return _df(ts, [(int(st["rows"]),)], "rows_copied bigint")
     reader = ts.spark.read
@@ -2496,5 +2502,7 @@ def run_copy(ts, m) -> DataFrame:
             .option("emptyValue", "")
         )
     src = reader.csv(path)
+    if where:
+        src = src.filter(F.expr(where))
     st = ht.insert(src)
     return _df(ts, [(int(st["rows"]),)], "rows_copied bigint")

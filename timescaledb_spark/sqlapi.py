@@ -1984,6 +1984,17 @@ def ts_sql(ts, query: str) -> DataFrame:
     m = _INSERT_RE.match(q)
     if m:
         name, collist, rest = m.group(1), m.group(2), m.group(3)
+        # INSERT .. RETURNING expr[, ...] | * (test/sql/
+        # insert_returning.sql): split the trailing clause off the
+        # source query (searched on the string-stripped text so a
+        # literal containing 'returning' can't split mid-value)
+        ret_exprs = None
+        mr = re.search(
+            r"\breturning\b(.+)$", _strip_strings(rest), re.I | re.S
+        )
+        if mr:
+            ret_exprs = rest[mr.start(1):].strip()
+            rest = rest[: mr.start(0)].rstrip()
         rest, views = _register_views(ts, rest)
         try:
             src = ts.spark.sql(rewrite_sql(rest, ts))
@@ -2060,6 +2071,15 @@ def ts_sql(ts, query: str) -> DataFrame:
                 ]
             )
         stats = ht.insert(src)
+        if ret_exprs is not None:
+            # PG returns the inserted rows (post-cast projection); the
+            # source is re-evaluated for the return set, so VALUES /
+            # deterministic SELECT sources round-trip exactly
+            if ret_exprs.strip() == "*":
+                return src
+            return src.selectExpr(
+                *[e for e in _split_args(ret_exprs) if e]
+            )
         return ts.spark.createDataFrame(
             [(int(stats["rows"]),)], "rows_inserted bigint"
         )
