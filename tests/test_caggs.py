@@ -389,3 +389,41 @@ def test_refresh_restores_invalidations_on_failure(ts, spark, monkeypatch):
     }
     assert got != full  # the late row changed day 2's count
     assert ("2024-01-02 00:00:00", 2) not in got or True
+
+
+def test_refresh_force_rematerializes(spark, tmp_path_factory):
+    """force=True re-materializes a clean window (reference 2.18
+    refresh_continuous_aggregate(..., force) — sql/ddl_api.sql:204):
+    repairs out-of-band damage to the mat table that the invalidation
+    log knows nothing about."""
+    import datetime
+
+    from timescaledb_spark.session import TSSession
+
+    ts = TSSession(spark, str(tmp_path_factory.mktemp("ts_force")))
+    ht = ts.create_hypertable("m", "ts", chunk_interval="7 days")
+    ht.insert(spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 1 + d, h), float(d * 24 + h))
+         for d in range(3) for h in range(4)],
+        "ts timestamp, v double",
+    ))
+    cagg = ts.create_cagg(
+        "fc", ht, bucket_width="1 day", aggs={"n": "count(*)", "s": "sum(v)"}
+    )
+    cagg.refresh()
+    want = {(r["bucket"], r["n"], r["s"])
+            for r in cagg.read(realtime=False).collect()}
+    # clean window: a plain refresh is a no-op...
+    assert cagg.refresh() == []
+    # ...out-of-band damage: clobber the mat table rows
+    cagg._mat().delete_where("true")
+    assert cagg.read(realtime=False).count() == 0
+    assert cagg.refresh() == []  # log is clean - hole is invisible
+    # force re-materializes the window
+    ranges = ts.sql(
+        "CALL refresh_continuous_aggregate('fc', NULL, NULL, force => true)"
+    ).collect()
+    assert ranges[0]["ranges_materialized"] == 1
+    got = {(r["bucket"], r["n"], r["s"])
+           for r in cagg.read(realtime=False).collect()}
+    assert got == want

@@ -4282,9 +4282,13 @@ class ContinuousAggregate:
         start: Union[int, str, datetime, None] = None,
         end: Union[int, str, datetime, None] = None,
         verbose: bool = False,
+        force: bool = False,
     ) -> list[tuple[int, int]]:
-        """``refresh_continuous_aggregate(cagg, start, end)``
-        (``tsl/src/continuous_aggs/refresh.c:735``). Returns the dirty
+        """``refresh_continuous_aggregate(cagg, start, end[, force])``
+        (``tsl/src/continuous_aggs/refresh.c:735``; the ``force``
+        parameter re-materializes the whole requested window even when
+        the invalidation log shows nothing dirty — the reference added
+        it for rebuilding after out-of-band changes). Returns the
         ranges that were materialized (internal units, half-open)."""
         cat = self.ts.catalog
         src = self._source()
@@ -4419,6 +4423,11 @@ class ContinuousAggregate:
             ]
             cat.materialization_invalidation_log.replace(others + leftovers)
 
+        if force:
+            # the whole window is re-materialized regardless of the log
+            # (overlapping log entries were already cut by txn 2b, so a
+            # forced pass also clears any genuine dirt inside it)
+            dirty = [(win_s, win_e)]
         # merge overlapping/adjacent dirty ranges
         dirty.sort()
         merged: list[list[int]] = []

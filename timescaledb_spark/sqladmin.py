@@ -872,7 +872,12 @@ def run_admin(ts, fn: str, argstr: str) -> DataFrame:
         cagg = ts.get_cagg(pos[0].value)
         start = pos[1].value if len(pos) > 1 and pos[1].kind != "null" else None
         end = pos[2].value if len(pos) > 2 and pos[2].kind != "null" else None
-        ranges = cagg.refresh(start=start, end=end)
+        # 4th positional / named: force (sql/ddl_api.sql:204)
+        force = False
+        fv = named.get("force") or (pos[3] if len(pos) > 3 else None)
+        if fv is not None and fv.kind != "null":
+            force = str(fv.value).lower() in ("true", "t", "on", "1")
+        ranges = cagg.refresh(start=start, end=end, force=force)
         return _df(ts, [(len(ranges),)], "ranges_materialized int")
     return ADMIN_FNS[fn](ts, pos, named)
 
