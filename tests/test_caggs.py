@@ -427,3 +427,88 @@ def test_refresh_force_rematerializes(spark, tmp_path_factory):
     got = {(r["bucket"], r["n"], r["s"])
            for r in cagg.read(realtime=False).collect()}
     assert got == want
+
+
+def test_refresh_batched_incremental(spark, tmp_path_factory):
+    """Incremental refresh batching (reference 2.18: buckets_per_batch
+    splits dirty ranges into bucket-aligned batches; max_batches bounds
+    per-call work, pushing the remainder BACK into the invalidation log
+    so the next call continues; refresh_newest_first serves fresh data
+    first)."""
+    import datetime
+
+    from timescaledb_spark.session import TSSession
+
+    ts = TSSession(spark, str(tmp_path_factory.mktemp("ts_batch")))
+    ht = ts.create_hypertable("m", "ts", chunk_interval="7 days")
+    ht.insert(spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 1 + d, h), float(d))
+         for d in range(6) for h in range(2)],
+        "ts timestamp, v double",
+    ))
+    cagg = ts.create_cagg(
+        "bt", ht, bucket_width="1 day", aggs={"n": "count(*)"}
+    )
+    # 6 dirty days, 2 buckets per batch, at most 2 batches per call,
+    # newest first: call 1 materializes days 5-6 then 3-4
+    r1 = cagg.refresh(
+        buckets_per_batch=2, max_batches=2, refresh_newest_first=True
+    )
+    assert len(r1) == 2
+    days = {r["bucket"].day for r in cagg.read(realtime=False).collect()}
+    assert days == {3, 4, 5, 6}
+    # call 2 picks up the deferred remainder from the log
+    r2 = cagg.refresh(buckets_per_batch=2, max_batches=2)
+    assert len(r2) >= 1
+    days = {r["bucket"].day for r in cagg.read(realtime=False).collect()}
+    assert days == {1, 2, 3, 4, 5, 6}
+    # clean now
+    assert cagg.refresh() == []
+    # results identical to an atomic refresh of a twin cagg
+    twin = ts.create_cagg(
+        "bt2", ht, bucket_width="1 day", aggs={"n": "count(*)"}
+    )
+    twin.refresh()
+    a = {(r["bucket"], r["n"]) for r in cagg.read(realtime=False).collect()}
+    b = {(r["bucket"], r["n"]) for r in twin.read(realtime=False).collect()}
+    assert a == b
+
+
+def test_refresh_batched_policy_and_sql_options(spark, tmp_path_factory):
+    import datetime
+
+    from timescaledb_spark.session import TSSession
+
+    ts = TSSession(spark, str(tmp_path_factory.mktemp("ts_batch2")))
+    ht = ts.create_hypertable("m", "ts", chunk_interval="7 days")
+    ht.insert(spark.createDataFrame(
+        [(datetime.datetime(2024, 1, 1 + d), float(d)) for d in range(4)],
+        "ts timestamp, v double",
+    ))
+    cagg = ts.create_cagg(
+        "bp", ht, bucket_width="1 day", aggs={"n": "count(*)"}
+    )
+    # SQL options JSONB route
+    out = ts.sql(
+        "CALL refresh_continuous_aggregate('bp', NULL, NULL, false, "
+        "'{\"buckets_per_batch\": 1, \"max_batches_per_execution\": 3}')"
+    ).collect()
+    # 3 batches: the below-data edge (empty) + days 1 and 2
+    assert out[0]["ranges_materialized"] == 3
+    assert {r["bucket"].day for r in cagg.read(realtime=False).collect()} \
+        == {1, 2}
+    # policy carries the knobs through the scheduler config; each run
+    # advances by one bucket
+    jid = ts.jobs.add_continuous_aggregate_policy(
+        "bp", start_offset="3650 days", end_offset=None,
+        schedule_interval="1 hour", buckets_per_batch=1,
+        max_batches_per_execution=1,
+    )
+    row = [j for j in ts.jobs.list() if j["id"] == jid][0]
+    assert row["config"]["buckets_per_batch"] == 1
+    ts.jobs.run_job(jid)
+    assert {r["bucket"].day for r in cagg.read(realtime=False).collect()} \
+        == {1, 2, 3}
+    ts.jobs.run_job(jid)
+    assert {r["bucket"].day for r in cagg.read(realtime=False).collect()} \
+        == {1, 2, 3, 4}

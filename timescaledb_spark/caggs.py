@@ -4283,13 +4283,32 @@ class ContinuousAggregate:
         end: Union[int, str, datetime, None] = None,
         verbose: bool = False,
         force: bool = False,
+        buckets_per_batch: int = 0,
+        max_batches: int = 0,
+        refresh_newest_first: bool = False,
     ) -> list[tuple[int, int]]:
-        """``refresh_continuous_aggregate(cagg, start, end[, force])``
-        (``tsl/src/continuous_aggs/refresh.c:735``; the ``force``
-        parameter re-materializes the whole requested window even when
-        the invalidation log shows nothing dirty — the reference added
-        it for rebuilding after out-of-band changes). Returns the
-        ranges that were materialized (internal units, half-open)."""
+        """``refresh_continuous_aggregate(cagg, start, end[, force,
+        options])`` (``tsl/src/continuous_aggs/refresh.c:735``).
+
+        ``force`` re-materializes the whole requested window even when
+        the invalidation log shows nothing dirty (reference 2.18 —
+        rebuilds after out-of-band changes).
+
+        Incremental refresh (``continuous_agg_refresh_batched``,
+        refresh.c:628; the 2.18 options JSONB / policy columns):
+        ``buckets_per_batch`` splits each dirty range into
+        bucket-aligned batches materialized as separate jobs (0 =
+        single atomic pass); ``max_batches`` bounds the batches per
+        call, pushing the remainder BACK into the invalidation log so
+        the next call continues where this one stopped (the policy's
+        bounded-work contract); ``refresh_newest_first`` processes
+        batches newest-first so fresh data serves before the backfill
+        finishes. Infinite-sentinel range ends stay unsplit (they cost
+        nothing to materialize beyond the data they cover) — batching
+        splits the data-covered middle.
+
+        Returns the ranges actually materialized (internal units,
+        half-open)."""
         cat = self.ts.catalog
         src = self._source()
 
@@ -4436,6 +4455,94 @@ class ContinuousAggregate:
                 merged[-1][1] = max(merged[-1][1], b)
             else:
                 merged.append([a, b])
+
+        if buckets_per_batch and int(buckets_per_batch) > 0 and merged:
+            # bucket-aligned batching, clamped to the data span: the
+            # initial invalidation entry is (-inf, +inf) and splitting
+            # from a sentinel would enumerate the whole int64 line, so
+            # the infinite edges stay single batches and the middle
+            # splits per k buckets (the reference's split function
+            # likewise batches only window chunks that contain data)
+            k = int(buckets_per_batch)
+            span = int(1) << 61
+            # true DATA bounds, not chunk-aligned bounds (a chunk's
+            # range_start precedes its first row by up to one interval,
+            # and empty lead batches would burn the max_batches budget):
+            # min over the oldest chunk, max over the newest — O(2
+            # chunks), the same trick the open-ended window uses above
+            chunks_meta = src.chunks()
+            d_lo = d_hi = None
+            if chunks_meta:
+                oldest, newest = chunks_meta[0], chunks_meta[-1]
+                mn = (
+                    src.read(
+                        start=oldest["range_start"],
+                        end=oldest["range_end"],
+                    )
+                    .agg(F.min(src.time_column).alias("mn"))
+                    .collect()[0]["mn"]
+                )
+                mx = (
+                    src.read(start=newest["range_start"])
+                    .agg(F.max(src.time_column).alias("mx"))
+                    .collect()[0]["mx"]
+                )
+                d_lo = _to_internal(mn) if mn is not None else None
+                d_hi = (
+                    _to_internal(mx) + 1
+                    if mx is not None
+                    else None
+                )
+            batches: list[list[int]] = []
+            for a, b in merged:
+                lo_c = a
+                hi_c = b
+                if d_lo is not None and a < -span:
+                    lo_c = min(self._floor_us(d_lo), b)
+                if d_hi is not None and b > span:
+                    hi_c = max(min(self._next_us(self._floor_us(d_hi)), b), lo_c)
+                if a < lo_c:
+                    batches.append([a, lo_c])
+                cur = lo_c
+                while cur < hi_c:
+                    nxt = cur
+                    for _ in range(k):
+                        nxt = self._next_us(nxt)
+                        if nxt >= hi_c:
+                            break
+                    nxt = min(nxt, hi_c)
+                    if nxt <= cur:
+                        break
+                    batches.append([cur, nxt])
+                    cur = nxt
+                if hi_c < b:
+                    batches.append([hi_c, b])
+            merged = batches
+        if refresh_newest_first:
+            merged = list(reversed(merged))
+        deferred: list[list[int]] = []
+        if max_batches and int(max_batches) > 0 and len(merged) > int(
+            max_batches
+        ):
+            deferred = merged[int(max_batches):]
+            merged = merged[: int(max_batches)]
+        if deferred:
+            # bounded-work contract: the remainder goes BACK into the
+            # log so the next call picks it up (same shape as the
+            # failed-materialization redo path below)
+            with cat.write_lock:
+                cat.materialization_invalidation_log.append(
+                    [
+                        {
+                            "cagg_id": self.id,
+                            "lowest_modified_value": a,
+                            "greatest_modified_value": (
+                                (b - 1) if b < INT64_MAX else b
+                            ),
+                        }
+                        for a, b in deferred
+                    ]
+                )
 
         # ---- materialize each dirty range (materialize.c:442-489).
         # The dirty entries were already cut from the log (txn 2b) — on a

@@ -147,7 +147,15 @@ def _proc_refresh_cagg(ts, config: dict, now_s: float) -> dict:
         now_us = int(now_s * 1_000_000)
         start = _offset_internal(start_off, now_us)
         end = _offset_internal(end_off, now_us)
-    ranges = cagg.refresh(start=start, end=end)
+    ranges = cagg.refresh(
+        start=start,
+        end=end,
+        buckets_per_batch=int(config.get("buckets_per_batch") or 0),
+        max_batches=int(config.get("max_batches_per_execution") or 0),
+        refresh_newest_first=bool(
+            config.get("refresh_newest_first") or False
+        ),
+    )
     return {"materialized_ranges": len(ranges)}
 
 
@@ -553,12 +561,30 @@ class JobRegistry:
         end_offset: Union[str, int, None],
         schedule_interval: Union[str, int, float],
         if_not_exists: bool = False,
+        buckets_per_batch: Optional[int] = None,
+        max_batches_per_execution: Optional[int] = None,
+        refresh_newest_first: Optional[bool] = None,
     ) -> int:
-        """``add_continuous_aggregate_policy`` (sql/policy_api.sql:99)."""
+        """``add_continuous_aggregate_policy`` (sql/policy_api.sql:99;
+        the three incremental-refresh columns are the reference 2.18
+        batching knobs, passed through to ``Cagg.refresh``)."""
         self.ts.get_cagg(cagg)
+        conf = {
+            "cagg": cagg,
+            "start_offset": start_offset,
+            "end_offset": end_offset,
+        }
+        if buckets_per_batch is not None:
+            conf["buckets_per_batch"] = int(buckets_per_batch)
+        if max_batches_per_execution is not None:
+            conf["max_batches_per_execution"] = int(
+                max_batches_per_execution
+            )
+        if refresh_newest_first is not None:
+            conf["refresh_newest_first"] = bool(refresh_newest_first)
         return self._add_policy(
             "policy_refresh_continuous_aggregate",
-            {"cagg": cagg, "start_offset": start_offset, "end_offset": end_offset},
+            conf,
             schedule_interval,
             if_not_exists,
         )

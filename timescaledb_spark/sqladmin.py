@@ -872,12 +872,33 @@ def run_admin(ts, fn: str, argstr: str) -> DataFrame:
         cagg = ts.get_cagg(pos[0].value)
         start = pos[1].value if len(pos) > 1 and pos[1].kind != "null" else None
         end = pos[2].value if len(pos) > 2 and pos[2].kind != "null" else None
-        # 4th positional / named: force (sql/ddl_api.sql:204)
+        # 4th positional / named: force; 5th: options JSONB
+        # (sql/ddl_api.sql:199-205 — buckets_per_batch,
+        # max_batches_per_execution, refresh_newest_first)
         force = False
         fv = named.get("force") or (pos[3] if len(pos) > 3 else None)
         if fv is not None and fv.kind != "null":
             force = str(fv.value).lower() in ("true", "t", "on", "1")
-        ranges = cagg.refresh(start=start, end=end, force=force)
+        opts = {}
+        ov = named.get("options") or (pos[4] if len(pos) > 4 else None)
+        if ov is not None and ov.kind != "null":
+            import json as _json
+
+            opts = _json.loads(str(ov.value))
+        ranges = cagg.refresh(
+            start=start,
+            end=end,
+            force=force,
+            buckets_per_batch=int(opts.get("buckets_per_batch") or 0),
+            max_batches=int(
+                opts.get("max_batches_per_execution")
+                or opts.get("max_batches")
+                or 0
+            ),
+            refresh_newest_first=bool(
+                opts.get("refresh_newest_first") or False
+            ),
+        )
         return _df(ts, [(len(ranges),)], "ranges_materialized int")
     return ADMIN_FNS[fn](ts, pos, named)
 
