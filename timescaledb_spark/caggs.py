@@ -705,7 +705,10 @@ class ContinuousAggregate:
             norm_sa[col] = spec
         state_aggs = norm_sa or None
         tcol = time_column or hypertable.time_column
-        is_ts = (hypertable.row.get("time_type") or "timestamp") in (
+        is_uuid = hypertable.row.get("time_type") == "uuid"
+        # UUIDv7 dimensions bucket by their embedded timestamp, so the
+        # cagg's buckets ARE timestamps (time_bucket_uuid returns one)
+        is_ts = is_uuid or (hypertable.row.get("time_type") or "timestamp") in (
             "timestamp",
             "timestamp_ntz",
             "date",
@@ -722,6 +725,7 @@ class ContinuousAggregate:
             "bucket_width_months": iv.months,  # variable-width bucket_function
             "bucket_origin_us": DEFAULT_ORIGIN_US if is_ts else 0,
             "time_is_timestamp": is_ts,
+            "time_is_uuid": is_uuid,
             "bucket_alias": bucket_alias,
             "group_by": list(group_by),
             "aggs": aggs,
@@ -823,6 +827,15 @@ class ContinuousAggregate:
     def _bucket_expr(self, df: DataFrame):
         from .functions.time import time_bucket, time_bucket_int
 
+        if self.row.get("time_is_uuid"):
+            from .functions.time import Interval
+            from .functions.uuid7 import time_bucket_uuid
+
+            months = int(self.row.get("bucket_width_months") or 0)
+            iv = Interval(months=months) if months else Interval(us=self.width)
+            return time_bucket_uuid(iv, self.row["time_column"]).alias(
+                self.row["bucket_alias"]
+            )
         if self.row["time_is_timestamp"]:
             from .functions.time import Interval
 
@@ -1159,6 +1172,10 @@ class ContinuousAggregate:
     def _raw_time_us(self, raw: DataFrame):
         """int64 internal units of the cagg's time column on ``raw``."""
         tcol = self.row["time_column"]
+        if self.row.get("time_is_uuid"):
+            from .functions.uuid7 import uuid_timestamp_micros
+
+            return uuid_timestamp_micros(F.col(tcol))
         if self.row["time_is_timestamp"]:
             dt = dict(raw.dtypes).get(tcol, "timestamp")
             if dt == "date":
@@ -4330,13 +4347,12 @@ class ContinuousAggregate:
                 hi = 0
             else:
                 newest = chunks[-1]
-                mxrow = (
-                    src.read(start=newest["range_start"])
-                    .agg(F.max(src.time_column).alias("mx"))
-                    .collect()[0]
-                )
+                nframe = src.read(start=newest["range_start"])
+                mxrow = nframe.agg(
+                    F.max(src._internal_time_expr(nframe)).alias("mx")
+                ).collect()[0]
                 hi = (
-                    _to_internal(mxrow["mx"]) + 1
+                    int(mxrow["mx"]) + 1
                     if mxrow["mx"] is not None
                     else newest["range_start"]
                 )
@@ -4474,25 +4490,18 @@ class ContinuousAggregate:
             d_lo = d_hi = None
             if chunks_meta:
                 oldest, newest = chunks_meta[0], chunks_meta[-1]
-                mn = (
-                    src.read(
-                        start=oldest["range_start"],
-                        end=oldest["range_end"],
-                    )
-                    .agg(F.min(src.time_column).alias("mn"))
-                    .collect()[0]["mn"]
+                of = src.read(
+                    start=oldest["range_start"], end=oldest["range_end"]
                 )
-                mx = (
-                    src.read(start=newest["range_start"])
-                    .agg(F.max(src.time_column).alias("mx"))
-                    .collect()[0]["mx"]
-                )
-                d_lo = _to_internal(mn) if mn is not None else None
-                d_hi = (
-                    _to_internal(mx) + 1
-                    if mx is not None
-                    else None
-                )
+                mn = of.agg(
+                    F.min(src._internal_time_expr(of)).alias("mn")
+                ).collect()[0]["mn"]
+                nf = src.read(start=newest["range_start"])
+                mx = nf.agg(
+                    F.max(src._internal_time_expr(nf)).alias("mx")
+                ).collect()[0]["mx"]
+                d_lo = int(mn) if mn is not None else None
+                d_hi = int(mx) + 1 if mx is not None else None
             batches: list[list[int]] = []
             for a, b in merged:
                 lo_c = a

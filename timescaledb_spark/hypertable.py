@@ -110,6 +110,7 @@ class Hypertable:
         space_column: Optional[str] = None,
         num_partitions: Optional[int] = None,
         if_not_exists: bool = False,
+        time_type: Optional[str] = None,
     ) -> "Hypertable":
         """``create_hypertable(rel, by_range(time) [, by_hash(space, n)])``.
 
@@ -117,16 +118,21 @@ class Hypertable:
         ONE catalog transaction: two concurrent create_hypertable calls
         (threads or processes) must not both pass the check and register
         duplicate rows over one data dir."""
+        if time_type not in (None, "uuid"):
+            raise ValueError(
+                "time_type hint must be 'uuid' (other time types are "
+                "inferred from the column)"
+            )
         with ts.catalog.write_lock:
             return cls._create_locked(
                 ts, name, time_column, chunk_interval, space_column,
-                num_partitions, if_not_exists,
+                num_partitions, if_not_exists, time_type,
             )
 
     @classmethod
     def _create_locked(
         cls, ts, name, time_column, chunk_interval, space_column,
-        num_partitions, if_not_exists,
+        num_partitions, if_not_exists, time_type=None,
     ) -> "Hypertable":
         cat = ts.catalog
         existing = cat.hypertable.find_one(name=name)
@@ -139,7 +145,10 @@ class Hypertable:
             "id": ht_id,
             "name": name,
             "time_column": time_column,
-            "time_type": None,  # filled on first insert
+            # uuid is an explicit hint (a UUIDv7 column arrives as a
+            # Spark string — src/uuid.c "time" partitioning on UUIDv7);
+            # other kinds are inferred on first insert
+            "time_type": time_type,
             "chunk_interval": None,  # internal units; filled below or on insert
             "chunk_interval_spec": chunk_interval,
             "space_column": space_column,
@@ -180,7 +189,13 @@ class Hypertable:
             dt = dict((f.name, f.dataType.simpleString()) for f in schema.fields)[
                 time_column
             ]
-            if dt.startswith("timestamp"):
+            if row.get("time_type") == "uuid":
+                if dt != "string":
+                    raise ValueError(
+                        f"uuid time column {time_column!r} must be "
+                        f"declared uuid/text (got {dt!r})"
+                    )
+            elif dt.startswith("timestamp"):
                 row["time_type"] = "timestamp"
             elif dt == "date":
                 row["time_type"] = "date"
@@ -300,6 +315,15 @@ class Hypertable:
         reference in a join) while ``df`` still supplies the dtype."""
         dt = dict(df.dtypes)[self.time_column]
         c = F.col(self.time_column) if col is None else col
+        if self.row.get("time_type") == "uuid":
+            # UUIDv7 "time" partitioning (src/uuid.c, test/sql/uuid.sql):
+            # the embedded unix-ms (+12-bit sub-ms) timestamp IS the
+            # dimension value. Non-v7 UUIDs have no timestamp (PG's
+            # uuid_timestamp errors on them) — they extract NULL here,
+            # so the routing null guard rejects such inserts atomically
+            from .functions.uuid7 import uuid_timestamp_micros, uuid_version
+
+            return F.when(uuid_version(c) == 7, uuid_timestamp_micros(c))
         if dt.startswith("timestamp"):
             return F.unix_micros(c.cast(T.TimestampType()))
         if dt == "date":
@@ -311,7 +335,11 @@ class Hypertable:
         return c.cast(T.LongType())
 
     def _default_interval_for(self, dtype: str) -> int:
-        if dtype.startswith("timestamp") or dtype == "date":
+        if (
+            dtype.startswith("timestamp")
+            or dtype == "date"
+            or self.row.get("time_type") == "uuid"
+        ):
             return DEFAULT_CHUNK_INTERVAL_US
         return INTEGER_DEFAULT_INTERVALS.get(dtype, 1_000_000)
 
@@ -324,6 +352,11 @@ class Hypertable:
                 f"time column {self.time_column!r} not in {sorted(dtypes)}"
             )
         dt = dtypes[self.time_column]
+        if self.row.get("time_type") == "uuid" and dt != "string":
+            raise ValueError(
+                f"uuid time column {self.time_column!r} must arrive as a "
+                f"string column (got {dt!r})"
+            )
         if self.row.get("time_type") is None:
             if dt.startswith("timestamp"):
                 kind = "timestamp"
@@ -3414,7 +3447,29 @@ class Hypertable:
         place this recipe lives; read() and read_ordered() both use it.
         """
         dt = dict(df.dtypes).get(self.time_column, "")
-        if dt.startswith("timestamp"):
+        if self.row.get("time_type") == "uuid":
+            # coarse PUSHABLE string-range filter: canonical UUIDv7 text
+            # orders by its embedded ms timestamp, so boundary UUIDs at
+            # the enclosing ms give a row-group-skipping predicate; the
+            # exact µs bound is the residual expression filter
+            from .functions.uuid7 import to_uuidv7_boundary
+
+            tcol = F.col(self.time_column)
+            if lo is not None:
+                ms_lo = (lo // 1000) * 1000
+                df = df.filter(
+                    tcol >= to_uuidv7_boundary(F.timestamp_micros(F.lit(ms_lo)))
+                )
+                if lo != ms_lo:
+                    df = df.filter(self._internal_expr_on(df) >= F.lit(lo))
+            if hi is not None:
+                ms_hi = -(-hi // 1000) * 1000
+                df = df.filter(
+                    tcol < to_uuidv7_boundary(F.timestamp_micros(F.lit(ms_hi)))
+                )
+                if hi != ms_hi:
+                    df = df.filter(self._internal_expr_on(df) < F.lit(hi))
+        elif dt.startswith("timestamp"):
             tcol = F.col(self.time_column)
             if lo is not None:
                 df = df.filter(tcol >= F.timestamp_micros(F.lit(lo)))

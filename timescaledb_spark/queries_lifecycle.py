@@ -706,3 +706,52 @@ def q_copy_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("event_type")).alias("len_t"),
         )
     )
+
+
+@query(
+    "q_uuid_hypertable",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(value) AS sum_v
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-22'
+    GROUP BY 1, 2
+    """,
+)
+def q_uuid_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UUIDv7 "time" partitioning end-to-end (round 14; reference
+    test/sql/uuid.sql, src/uuid.c): events keyed by a deterministic
+    UUIDv7 (ts + event_id seed) into a uuid-partitioned hypertable —
+    chunk routing, pruned reads, and bucketing all derive from the
+    EMBEDDED ms(+sub-ms) timestamp, never a timestamp column. The read
+    window is ms-aligned, where embedded and raw time agree exactly
+    (the sub-ms 12-bit field floors within the ms), so the DuckDB
+    oracle is the plain timestamp replay; any drift in the uuid
+    encode/extract/boundary math breaks the hash."""
+    import tempfile as _tf
+
+    from .functions.uuid7 import to_uuidv7, uuid_timestamp
+    from .session import TSSession
+
+    ts = TSSession(spark, _tf.mkdtemp(prefix="ts_uuidht_"))
+    ht = ts.create_hypertable(
+        "uuid_events", "id", chunk_interval="7 days", time_type="uuid"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    ht.insert(
+        ev.select(
+            to_uuidv7("ts", F.col("event_id").cast("string")).alias("id"),
+            "event_type",
+            "value",
+        )
+    )
+    got = ht.read(start="2024-01-08", end="2024-01-22")
+    return got.groupBy(
+        F.date_trunc("day", uuid_timestamp("id")).alias("bucket"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("sum_v"),
+    )

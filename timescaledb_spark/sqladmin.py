@@ -1232,6 +1232,7 @@ def run_create_table(ts, parsed) -> DataFrame:
             "(src/process_utility.c: partition column must be specified)"
         )
     fields = []
+    pg_types: dict[str, str] = {}
     unique_keys: list[list[str]] = []
     pk_columns: list[str] = []
     foreign_keys: list[dict] = []
@@ -1325,6 +1326,7 @@ def run_create_table(ts, parsed) -> DataFrame:
                     ),
                 }
             )
+        pg_types[col] = " ".join(tt).strip().lower()
         fields.append((col, _pg_to_spark_type(" ".join(tt))))
     if not fields:
         raise ValueError("CREATE TABLE with no columns")
@@ -1387,6 +1389,10 @@ def run_create_table(ts, parsed) -> DataFrame:
         kw = {}
         if with_opts.get("chunk_interval"):
             kw["chunk_interval"] = with_opts["chunk_interval"]
+        if pg_types.get(part_col) == "uuid":
+            # UUIDv7 "time" partitioning (test/sql/uuid.sql): the PG
+            # column type carries the hint our string-typed schema loses
+            kw["time_type"] = "uuid"
         try:
             ht = ts.create_hypertable(name, part_col, **kw)
         except Exception:
