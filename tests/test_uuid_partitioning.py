@@ -167,3 +167,27 @@ def test_uuid_boundary_pushdown_filter(ts, spark):
     b = to_uuidv7_boundary(F.lit("2024-01-03").cast("timestamp"))
     n_ge = df.filter(F.col("id") >= b).count()
     assert n_ge == 18  # Jan 3, 4, 5
+
+
+def test_uuid_compression_roundtrip(ts, spark):
+    """compress/decompress on uuid chunks (tsl/test/sql/
+    compression_uuid.sql): the sorted rewrite orders by the uuid column
+    (canonical v7 text order == embedded time order)."""
+    from timescaledb_spark.compression import (
+        compress_chunk,
+        decompress_chunk,
+        enable_columnstore,
+    )
+
+    ht = ts.create_hypertable(
+        "uc", "id", chunk_interval="1 day", time_type="uuid"
+    )
+    ht.insert(_mk(spark))
+    enable_columnstore(ht, segmentby=["dev"])
+    n0 = ht.df().count()
+    c = ht.chunks()[0]
+    compress_chunk(ht, c["range_start"])
+    assert ht.df().count() == n0
+    assert ht.read(start="2024-01-01", end="2024-01-02").count() == 6
+    decompress_chunk(ht, c["range_start"])
+    assert ht.df().count() == n0
