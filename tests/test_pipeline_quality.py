@@ -337,3 +337,22 @@ def test_chargram_lm_plan_shape(spark, sf_dir):
     out = chargram_logprob(docs, train_chargram_lm(docs))
     assert broadcast_join_count(out) >= 1
     assert cartesian_count(out) == 0
+
+
+def test_chunk_documents_grid_and_tail(spark):
+    from timescaledb_spark.pipeline.textproc import chunk_documents
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(10))),
+        (2, "a b c"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["doc_id"], r["chunk_idx"]): (r["n_tokens"], r["chunk"])
+           for r in chunk_documents(df, window=4, stride=3).collect()}
+    assert out[(1, 0)] == (4, "w0 w1 w2 w3")
+    assert out[(1, 2)] == (4, "w6 w7 w8 w9")
+    assert out[(2, 0)] == (3, "a b c")
+    assert not any(k[0] == 3 for k in out)  # empty doc -> no rows
+    # overlap: consecutive windows share window - stride tokens
+    assert out[(1, 1)][1].split()[0] == out[(1, 0)][1].split()[-1]

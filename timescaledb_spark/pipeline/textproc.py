@@ -401,3 +401,96 @@ def redact_pii_sql(name: str) -> dict[str, str]:
         cur = f"regexp_replace({cur}, '{pat}', '{token}', 'g')"
     out["redacted"] = cur
     return out
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 256,
+    stride: int = 192,
+) -> DataFrame:
+    """Context-window document splitting — the pretraining chunking
+    step (split long documents into fixed-token windows with overlap so
+    no training example truncates mid-context; e.g. BERT's 512-token
+    sliding windows, RAG passage chunking). Windows start every
+    ``stride`` tokens (stride < window ⇒ overlap of window−stride); the
+    final window is the shorter tail unless it is fully contained in
+    the previous one. Documents with no tokens yield zero rows.
+
+    Pure array expressions: tokenize once, bind the array, slice per
+    start index — one projection + a bounded explode (≤ n_tokens /
+    stride rows out per doc), no shuffle, no Python.
+
+    Output: ``(id, chunk_idx, n_tokens, chunk)``.
+    """
+    if window <= 0 or stride <= 0:
+        raise ValueError("window and stride must be positive")
+    toks = F.expr(_toks(text_col))
+    # bind the token array before slicing (no CSE across lambda scopes
+    # — the word_shingles/char_ngrams discipline)
+    starts = F.expr(
+        f"""
+        transform(
+          array({_toks(text_col)}),
+          t -> CASE
+            WHEN size(t) = 0 THEN array()
+            WHEN size(t) <= {window} THEN array(0)
+            ELSE transform(
+              sequence(0, CAST(ceil((size(t) - {window})
+                                    / CAST({stride} AS DOUBLE)) AS INT)),
+              i -> i * {stride})
+          END
+        )[0]
+        """
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        toks.alias("_t"),
+        starts.alias("_ss"),
+    )
+    ex = base.select(
+        "_id", "_t", F.posexplode("_ss").alias("_ci", "_st")
+    )
+    piece = F.slice(F.col("_t"), F.col("_st") + 1, window)
+    return ex.select(
+        F.col("_id").alias(id_col),
+        F.col("_ci").alias("chunk_idx"),
+        F.size(piece).alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk"),
+    )
+
+
+def chunk_documents_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+    window: int = 256,
+    stride: int = 192,
+) -> str:
+    """DuckDB oracle replaying :func:`chunk_documents` exactly (same
+    tokenizer, same start grid, same tail rule)."""
+    toks = _toks_duck(text_expr)
+    return f"""
+    WITH t AS (
+      SELECT {id_expr} AS id, {toks} AS tk FROM {table}
+    ), s AS (
+      SELECT id, tk,
+             CASE
+               WHEN len(tk) = 0 THEN []
+               WHEN len(tk) <= {window} THEN [0]
+               ELSE [i * {stride} FOR i IN range(0,
+                 CAST(ceil((len(tk) - {window})
+                           / CAST({stride} AS DOUBLE)) AS INT) + 1)]
+             END AS starts
+      FROM t
+    ), ex AS (
+      SELECT id, tk, unnest(starts) AS st,
+             generate_subscripts(starts, 1) - 1 AS ci
+      FROM s
+    )
+    SELECT id AS {id_expr}, CAST(ci AS INT) AS chunk_idx,
+           CAST(len(tk[st + 1 : st + {window}]) AS INT) AS n_tokens,
+           array_to_string(tk[st + 1 : st + {window}], ' ') AS chunk
+    FROM ex
+    """

@@ -785,3 +785,22 @@ def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return nb_classify(docs, vocab_cap=5000)
+
+
+@query(
+    "q_chunk_documents",
+    __import__("timescaledb_spark.pipeline.textproc", fromlist=["x"])
+    .chunk_documents_sql(window=64, stride=48),
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window document splitting (round 14; the pretraining
+    chunking step — BERT-style sliding windows / RAG passage chunking):
+    fixed 64-token windows starting every 48 tokens (16-token overlap),
+    short tail kept unless fully contained. Pure array expressions over
+    the shared tokenizer: one projection + bounded explode, zero
+    shuffle. The oracle replays the start grid and slicing in DuckDB,
+    so the hash gates the tokenizer, the grid, and the tail rule."""
+    from .pipeline.textproc import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, window=64, stride=48)
