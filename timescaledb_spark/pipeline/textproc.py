@@ -426,6 +426,12 @@ def chunk_documents(
     """
     if window <= 0 or stride <= 0:
         raise ValueError("window and stride must be positive")
+    if stride > window:
+        # stride > window leaves token gaps between chunks AND the
+        # ceil start grid can overshoot past the end (found by
+        # tests/test_r14_properties.py) — every real chunking config
+        # overlaps or exactly partitions
+        raise ValueError("stride must be <= window (no coverage gaps)")
     toks = F.expr(_toks(text_col))
     # bind the token array before slicing (no CSE across lambda scopes
     # — the word_shingles/char_ngrams discipline)
