@@ -4472,6 +4472,7 @@ class ContinuousAggregate:
             else:
                 merged.append([a, b])
 
+        d_lo = d_hi = None  # true data bounds (computed by the batching path)
         if buckets_per_batch and int(buckets_per_batch) > 0 and merged:
             # bucket-aligned batching, clamped to the data span: the
             # initial invalidation entry is (-inf, +inf) and splitting
@@ -4487,7 +4488,6 @@ class ContinuousAggregate:
             # min over the oldest chunk, max over the newest — O(2
             # chunks), the same trick the open-ended window uses above
             chunks_meta = src.chunks()
-            d_lo = d_hi = None
             if chunks_meta:
                 oldest, newest = chunks_meta[0], chunks_meta[-1]
                 of = src.read(
@@ -4504,6 +4504,15 @@ class ContinuousAggregate:
                 d_hi = int(mx) + 1 if mx is not None else None
             batches: list[list[int]] = []
             for a, b in merged:
+                if (a < -span and d_lo is None) or (b > span and d_hi is None):
+                    # an infinite sentinel edge with NO data bound to
+                    # clamp to (empty hypertable, or an all-NULL boundary
+                    # chunk): lo_c/hi_c would stay at the sentinel and
+                    # the per-bucket loop below would enumerate the whole
+                    # int64 line — keep the range as a single batch, the
+                    # same treatment sentinel edges get when bounds exist
+                    batches.append([a, b])
+                    continue
                 lo_c = a
                 hi_c = b
                 if d_lo is not None and a < -span:
@@ -4594,10 +4603,40 @@ class ContinuousAggregate:
                 cat.materialization_invalidation_log.append(redo)
             raise
 
-        # ---- advance watermark (continuous_aggs_watermark.c)
+        # ---- advance watermark (continuous_aggs_watermark.c). The
+        # watermark must never pass a DEFERRED (never-materialized)
+        # batch: realtime reads serve mat-table rows below it and raw
+        # rows at/above it, so a watermark above a hole would silently
+        # drop those buckets until the next refresh. The reference
+        # derives it from the max bucket actually materialized
+        # (tsl/src/continuous_aggs/materialize.c:762) — cap at the
+        # lowest deferred range start (deferral order is irrelevant:
+        # with refresh_newest_first the deferred ranges are the oldest,
+        # and the raw side above the capped watermark still serves the
+        # newer, already-materialized buckets correctly).
+        wm_cap = win_e
+        if deferred:
+            # provably data-free deferred ranges (entirely below the
+            # oldest row's bucket) can't hide anything from a realtime
+            # read — only real deferred coverage caps the watermark. An
+            # -inf-edged deferred range with no data bound known keeps
+            # the sentinel cap (nothing below is servable from mat).
+            d_lo_floor = self._floor_us(d_lo) if d_lo is not None else None
+            for a, b in deferred:
+                if d_lo_floor is not None and b <= d_lo_floor:
+                    continue
+                if a <= INT64_MIN and d_lo_floor is not None:
+                    a = d_lo_floor
+                wm_cap = min(wm_cap, a)
         wm = self.watermark()
-        new_wm = max(wm if wm is not None else INT64_MIN, win_e)
-        cat.cagg_watermark.update({"cagg_id": self.id}, {"watermark": new_wm})
+        new_wm = max(wm if wm is not None else INT64_MIN, wm_cap)
+        if new_wm > INT64_MIN:
+            # a sentinel watermark claims nothing and is not a valid
+            # timestamp — leave the row untouched (realtime reads with
+            # no watermark serve everything from the raw side)
+            cat.cagg_watermark.update(
+                {"cagg_id": self.id}, {"watermark": new_wm}
+            )
         return [(a, b) for a, b in merged]
 
     # --------------------------------------------------------------- read

@@ -403,7 +403,11 @@ def _compress_chunk_commit(ht: Hypertable, chunk: dict, data: dict) -> dict:
     cat = ht.ts.catalog
     cat.chunk.update(
         {"id": chunk["id"]},
-        {"status": "columnstore", "n_rows": data.get("n_rows")},
+        {
+            "status": "columnstore",
+            "n_rows": data.get("n_rows"),
+            "unordered": False,
+        },
     )
     ht._mark_fill_done([chunk["range_start"]])
     cat.chunk_column_stats.delete({"chunk_id": chunk["id"]})
@@ -446,6 +450,7 @@ def _compress_commit_batch(ht: Hypertable, items) -> list[dict]:
             if d is not None:
                 r["status"] = "columnstore"
                 r["n_rows"] = d.get("n_rows")
+                r["unordered"] = False
         cat.chunk.replace(rows)
         ht._mark_fill_done([c["range_start"] for c, _ in items])
         srows = cat.chunk_column_stats.read()
@@ -584,10 +589,19 @@ def compress_chunks(
     older_than=None,
     newer_than=None,
     recompress: bool = False,
+    recompress_unordered: bool = True,
     parallelism: int = 8,
 ) -> list[dict]:
     """Compress every (still-rowstore) chunk in the window — the payload of
     ``add_compression_policy`` (tsl/src/bgw_policy/compression_api.c).
+
+    ``recompress_unordered`` (sql/policy_internal.sql:141,201-206;
+    reference PR #10226, default TRUE like the reference): also fold
+    columnstore chunks whose rowstore tail is UNORDERED — a plain
+    append after compression set their ``unordered`` status bit. With
+    ``False`` those chunks are skipped (the operator opts out of the
+    expensive sorted rewrite until a quieter window); ``recompress=True``
+    still rewrites every chunk regardless.
 
     Chunk rewrites are independent (each touches only its own directory),
     so the Spark work runs ``parallelism``-wide — concurrent job
@@ -596,7 +610,9 @@ def compress_chunks(
     cands = [
         c
         for c in ht.show_chunks(older_than=older_than, newer_than=newer_than)
-        if c.get("status") != "columnstore" or recompress
+        if c.get("status") != "columnstore"
+        or recompress
+        or (recompress_unordered and c.get("unordered"))
     ]
     if not cands:
         return []

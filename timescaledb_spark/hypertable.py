@@ -1587,6 +1587,23 @@ class Hypertable:
     def _conform_input(self, df: DataFrame) -> DataFrame:
         """Fill added columns absent from an INSERT/UPSERT input with
         their defaults (PG: INSERT without the new column → default)."""
+        if (
+            self.row.get("time_type") == "uuid"
+            and self.time_column in df.columns
+        ):
+            # canonicalize UUID text to lowercase AT WRITE TIME (PG's
+            # uuid type is case-insensitive on input but renders one
+            # canonical lowercase form): the pushable text-range prune
+            # filter (_time_bound_filter) compares lexicographically
+            # against lowercase-hex boundary literals, and 'A' < 'a',
+            # so an uppercase stored row would be silently excluded
+            # from pruned reads / caggs / refresh windows. Routing
+            # (F.conv) is case-insensitive, so only storage needs the
+            # canonical form — normalizing here keeps the read-side
+            # filter a plain pushable comparison on the raw column.
+            df = df.withColumn(
+                self.time_column, F.lower(F.col(self.time_column))
+            )
         for ac in self.added_columns():
             if ac["name"] not in df.columns:
                 df = df.withColumn(
@@ -1869,9 +1886,20 @@ class Hypertable:
                 if r.get("n_rows") is not None:
                     r["n_rows"] = None
                     changed = True
-                if downgrade and r.get("status") == "columnstore":
-                    r["status"] = "rowstore"
-                    changed = True
+                if r.get("status") == "columnstore":
+                    if downgrade:
+                        r["status"] = "rowstore"
+                        if r.get("unordered"):
+                            r["unordered"] = False
+                        changed = True
+                    elif not r.get("unordered"):
+                        # a plain append into a columnstore chunk leaves
+                        # an unsorted tail — the reference's unordered
+                        # status bit (bit 2, sql/policy_internal.sql:156)
+                        # set by ts_chunk_set_unordered; the compaction
+                        # policy's recompress_unordered flag keys off it
+                        r["unordered"] = True
+                        changed = True
             if changed:
                 cat.chunk.replace(rows)
             if ids:

@@ -120,7 +120,11 @@ def _proc_compression(ts, config: dict, now_s: float) -> dict:
 
     ht = ts.get_hypertable(config["hypertable"])
     cutoff = _ht_cutoff(ht, config["compress_after"], now_s)
-    done = compress_chunks(ht, older_than=cutoff)
+    done = compress_chunks(
+        ht,
+        older_than=cutoff,
+        recompress_unordered=bool(config.get("recompress_unordered", True)),
+    )
     return {"compressed_chunks": len(done)}
 
 
@@ -321,11 +325,28 @@ class JobRegistry:
 
     def alter_job(self, job_id: int, **changes: Any) -> dict:
         """``alter_job`` (sql/job_api.sql:30): mutate schedule/config/
-        scheduled/next_start in place."""
+        scheduled/next_start in place.
+
+        ``config_merge`` (sql/job_api.sql:36; tsl/src/bgw_policy/
+        job_api.c:434, reference PR #10225) merges the given keys into
+        the EXISTING config — merge keys take precedence, untouched
+        keys survive — instead of replacing it wholesale like
+        ``config``; specifying both is an error, like the reference."""
         cat = self.ts.catalog
         job = cat.bgw_job.find_one(id=job_id)
         if not job:
             raise KeyError(f"no job {job_id}")
+        config_merge = changes.pop("config_merge", None)
+        if config_merge is not None:
+            if "config" in changes:
+                raise ValueError(
+                    'cannot specify both "config" and "config_merge": '
+                    'use "config" to replace the configuration or '
+                    '"config_merge" to merge into it'
+                )
+            merged = dict(job.get("config") or {})
+            merged.update(config_merge)
+            changes["config"] = merged
         next_start = changes.pop("next_start", None)
         for k in ("schedule_interval", "retry_period"):
             if k in changes:
@@ -541,13 +562,21 @@ class JobRegistry:
         compress_after: Union[str, int],
         schedule_interval: Union[str, int, float] = "12 hours",
         if_not_exists: bool = False,
+        recompress_unordered: bool = True,
     ) -> int:
         """``add_compression_policy`` / ``add_columnstore_policy``
-        (sql/policy_api.sql:66,79)."""
+        (sql/policy_api.sql:66,79). ``recompress_unordered``
+        (sql/policy_internal.sql:141, reference PR #10226, default TRUE)
+        controls whether the policy also recompresses columnstore chunks
+        whose rowstore tail is unordered (post-compression appends)."""
         self.ts.get_hypertable(hypertable)
         return self._add_policy(
             "policy_compression",
-            {"hypertable": hypertable, "compress_after": compress_after},
+            {
+                "hypertable": hypertable,
+                "compress_after": compress_after,
+                "recompress_unordered": bool(recompress_unordered),
+            },
             schedule_interval,
             if_not_exists,
         )

@@ -105,8 +105,15 @@ def nb_scores(
     rounded to 6 decimals; ties break by label asc.
 
     Output: ``(id, label, score)`` — one row per document."""
+    # NULL text tokenizes to NULL, and F.size(NULL) is -1 — which would
+    # make the OOV count negative and the score wrong (and diverge from
+    # the oracle, whose len(NULL) is NULL → coalesced to 0). Coalesce to
+    # an empty token array so NULL documents score as zero-token docs.
     base = spread(df.select(id_col, text_col)).select(
-        F.col(id_col).alias("_id"), tokens(text_col).alias("_ts")
+        F.col(id_col).alias("_id"),
+        F.coalesce(
+            tokens(text_col), F.array().cast("array<string>")
+        ).alias("_ts"),
     )
     ntok = base.select("_id", F.size("_ts").alias("_n"))
     ex = base.select("_id", F.explode("_ts").alias("word"))
@@ -214,7 +221,7 @@ def nb_classify_sql(
       LEFT JOIN wl ON wl.w = vocab.w AND wl.l = lab.l
     ),
     ntok AS (
-      SELECT {id_expr} AS id, len({toks}) AS n FROM {table}
+      SELECT {id_expr} AS id, coalesce(len({toks}), 0) AS n FROM {table}
     ),
     matched AS (
       SELECT tok.id, model.label, count(*) AS m, sum(model.logp) AS s

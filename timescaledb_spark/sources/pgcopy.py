@@ -105,11 +105,21 @@ def iter_pgcopy_tuples(
     ncols = len(dec)
     buf = io.BytesIO(blob)
     buf.seek(len(PGCOPY_SIGNATURE))
-    flags, ext_len = struct.unpack(">iI", buf.read(8))
-    if flags:
-        # bit 16 is the pre-PG12 OID flag (adds a hidden per-tuple
-        # field); any other bit is from a future incompatible format
+    flags, ext_len = struct.unpack(">II", buf.read(8))
+    if flags & (1 << 16):
+        # bit 16 is the pre-PG12 OID flag: it adds a hidden per-tuple
+        # field we cannot decode — its own message, like PG's reader
+        raise ValueError(
+            "COPY BINARY: OID flag bit set (pre-PG12 dump with "
+            "per-tuple OIDs is not supported)"
+        )
+    if flags & 0xFFFF0000:
+        # bits 16-31 are reserved for CRITICAL format issues — a reader
+        # must abort on any unexpected one (PG COPY BINARY spec;
+        # src/backend/commands/copyfromparse.c header check)
         raise ValueError(f"COPY BINARY: unsupported flag bits {flags:#x}")
+    # bits 0-15 signal backwards-COMPATIBLE format issues — the spec
+    # says a reader should simply ignore any bit set in this range
     buf.seek(ext_len, io.SEEK_CUR)  # header extension: skip, per spec
     while True:
         head = buf.read(2)

@@ -735,8 +735,8 @@ def _rh_alter_job(ts, argstr: str) -> DataFrame:
                 f"arguments, e.g. schedule_interval => INTERVAL '1 hour')"
             )
         key, rawv = m.group(1).lower(), m.group(2).strip()
-        if key == "config":
-            changes["config"] = _json.loads(_literal_of(rawv)[1])
+        if key in ("config", "config_merge"):
+            changes[key] = _json.loads(_literal_of(rawv)[1])
         elif key in ("scheduled", "fixed_schedule"):
             changes[key] = rawv.lower() == "true"
         else:

@@ -2070,11 +2070,16 @@ def ts_sql(ts, query: str) -> DataFrame:
                     for c in src.columns
                 ]
             )
+        if ret_exprs is not None:
+            # PG returns the ACTUALLY-INSERTED rows. Pin the source rows
+            # BEFORE the insert runs: a self-referential source (INSERT
+            # INTO t SELECT .. FROM t) or a non-deterministic SELECT
+            # re-evaluated after the write would return rows differing
+            # from what was inserted. localCheckpoint materializes the
+            # rows and truncates the lineage off the underlying table.
+            src = src.localCheckpoint(eager=True)
         stats = ht.insert(src)
         if ret_exprs is not None:
-            # PG returns the inserted rows (post-cast projection); the
-            # source is re-evaluated for the return set, so VALUES /
-            # deterministic SELECT sources round-trip exactly
             if ret_exprs.strip() == "*":
                 return src
             return src.selectExpr(
