@@ -334,3 +334,267 @@ def resize_media(
             )
 
     return df.select(id_col, "payload").mapInPandas(run, RESIZED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash media dedup (round 15)
+# ---------------------------------------------------------------------------
+
+DHASH_ROWS, DHASH_COLS = 8, 9  # 8x9 brightness grid -> 64 dHash bits
+_GRID_CELLS = DHASH_ROWS * DHASH_COLS
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+    ]
+)
+
+
+def _fallback_grid(p: bytes) -> list:
+    """Deterministic stand-in for the decoded 8x9 brightness grid when
+    PIL is absent: cell k = the integer mean byte of the k-th of 72
+    equal byte segments (0 for empty segments). A REAL reduced image
+    responds the same way a mean-pooled grayscale does — small payload
+    edits perturb only the touched cells, so near-identical payloads
+    land within small Hamming distance (unlike an md5-derived grid,
+    which would scramble on any edit)."""
+    n = len(p)
+    g = []
+    for k in range(_GRID_CELLS):
+        lo = (k * n) // _GRID_CELLS
+        hi = ((k + 1) * n) // _GRID_CELLS
+        g.append(sum(p[lo:hi]) // (hi - lo) if hi > lo else 0)
+    return g
+
+
+def _grid_dhash(g: list) -> int:
+    """difference hash over an 8x9 grid: bit (r*8+c) set iff
+    g[r][c] < g[r][c+1] (Krawetz's dHash, gradient direction per
+    adjacent-column pair). Returned as SIGNED int64 (Spark LongType)."""
+    h = 0
+    for r in range(DHASH_ROWS):
+        for c in range(DHASH_COLS - 1):
+            if g[r * DHASH_COLS + c] < g[r * DHASH_COLS + c + 1]:
+                h |= 1 << (r * (DHASH_COLS - 1) + c)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def dhash64(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """64-bit perceptual difference hash (dHash) per media payload —
+    the fingerprint stage of multimodal dedup (reference has no media
+    operators; this extends the pipeline surface like pHash dedup in
+    web-scale curation, e.g. LAION's URL+pHash dedup).
+
+    With PIL importable: real decode -> grayscale -> 9x8 LANCZOS
+    reduce -> adjacent-column gradient bits. Without it: the
+    deterministic mean-byte grid of :func:`_fallback_grid` (the
+    established decode_media dispatch), which the DuckDB oracle
+    replays byte-for-byte. NULL payloads hash to 0 (the empty-payload
+    hash) so they cluster together rather than erroring.
+
+    Single-scan ``mapInPandas`` projection, zero shuffle — at 100 TB
+    each task hashes only its input split."""
+    use_pil = _try_pil()
+
+    def _hash(p: bytes) -> int:
+        if use_pil:
+            try:
+                import io
+
+                import PIL.Image
+
+                with PIL.Image.open(io.BytesIO(p)) as im:
+                    small = im.convert("L").resize(
+                        (DHASH_COLS, DHASH_ROWS), PIL.Image.LANCZOS
+                    )
+                    px = list(small.getdata())
+                    return _grid_dhash(px)
+            except Exception:
+                pass
+        return _grid_dhash(_fallback_grid(p))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "dhash": pd.Series(
+                        [
+                            _hash(p) if p is not None else 0
+                            for p in pdf["payload"]
+                        ],
+                        dtype="int64",
+                    ),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(run, DHASH_SCHEMA)
+
+
+def dhash64_sql(
+    table: str = "documents", text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB oracle replaying the FALLBACK dHash arithmetic on the
+    same payload bytes (UTF-8 of ``text_col``; testdata is ASCII so
+    char codes == bytes, the ``sample_frames_sql`` convention). The
+    unsigned 64-bit sum is built in HUGEINT and folded to signed
+    int64 exactly like the Python ``h - 2**64`` fold."""
+    cells = _GRID_CELLS
+    return f"""
+    WITH codes AS (
+      SELECT {id_col},
+             coalesce(length({text_col}), 0) AS n,
+             list_transform(
+               range(1, coalesce(length({text_col}), 0) + 1),
+               i -> ascii(substring({text_col}, CAST(i AS INT), 1))
+             ) AS cs
+      FROM {table}
+    ),
+    grid AS (
+      SELECT {id_col}, k,
+             CASE WHEN ((k + 1) * n) // {cells} > (k * n) // {cells}
+                  THEN list_sum(cs[(k * n) // {cells} + 1 : ((k + 1) * n) // {cells}])
+                       // (((k + 1) * n) // {cells} - (k * n) // {cells})
+                  ELSE 0 END AS g
+      FROM codes, (SELECT unnest(range(0, {cells})) AS k)
+    ),
+    sums AS (
+      SELECT a.{id_col},
+             sum(CASE WHEN a.g < b.g
+                      THEN CAST(1 AS HUGEINT) << (a.k - a.k // {DHASH_COLS})
+                      ELSE CAST(0 AS HUGEINT) END) AS h
+      FROM grid a
+      JOIN grid b ON b.{id_col} = a.{id_col} AND b.k = a.k + 1
+                 AND a.k % {DHASH_COLS} < {DHASH_COLS - 1}
+      GROUP BY 1
+    )
+    SELECT {id_col},
+           CAST(CASE WHEN h >= CAST(9223372036854775808 AS HUGEINT)
+                     THEN h - CAST(18446744073709551616 AS HUGEINT)
+                     ELSE h END AS BIGINT) AS dhash
+    FROM sums
+    """
+
+
+def media_dup_pairs(
+    df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-duplicate media pairs at Hamming(dhash) <= ``max_hamming``.
+
+    The 64-bit hash is banded into 4 x 16-bit keys (the ``simhash_pairs``
+    discipline): any pair at Hamming <= 3 agrees exactly on >= 1 band
+    (pigeonhole over 4 bands), so one self-join on (band, key) finds all
+    of them with NO pairwise pass; candidates are verified with
+    ``bit_count(xor)``. One shuffle on the band key — survives 100 TB
+    because band keys distribute like the hash bits."""
+    fp = dhash64(df, id_col)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright("dhash", 16 * b)
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias("key"),
+        )
+        for b in range(4)
+    ]
+    bands = (
+        fp.select(id_col, "dhash", F.explode(F.array(*band_cols)).alias("bk"))
+        .select(id_col, "dhash", "bk.band", "bk.key")
+        .cache()  # the self-join would re-run the hash pass per branch
+    )
+    return (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("x.dhash").bitwiseXOR(F.col("y.dhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def media_dup_pairs_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> str:
+    """Oracle: same banding + verification over the replayed hashes.
+    DuckDB ``>>`` on BIGINT is arithmetic like Spark's shiftright; the
+    & 65535 mask extracts the same 16 bits either way."""
+    fp = dhash64_sql(table, text_col, id_col)
+    return f"""
+    WITH fp AS ({fp}),
+    bands AS (
+      SELECT {id_col}, dhash, b AS band, (dhash >> (16 * b)) & 65535 AS key
+      FROM fp, (SELECT unnest(range(0, 4)) AS b)
+    )
+    SELECT DISTINCT x.{id_col} AS id_a, y.{id_col} AS id_b,
+           bit_count(xor(x.dhash, y.dhash)) AS hamming
+    FROM bands x
+    JOIN bands y ON y.band = x.band AND y.key = x.key
+                AND x.{id_col} < y.{id_col}
+    WHERE bit_count(xor(x.dhash, y.dhash)) <= {max_hamming}
+    """
+
+
+def media_dedup(
+    df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Keep-first perceptual dedup: near-dup pairs -> connected
+    components (min-id label) -> keep exactly the component minimum.
+    Output: one row per input payload ``(id, dhash, keep)``.
+
+    Composition of :func:`media_dup_pairs` (banded, no pairwise pass)
+    and :func:`pipeline.dedup.dup_clusters` (alternating large-star /
+    small-star, O(log n) shuffle rounds) — every stage is bounded at
+    100 TB."""
+    from .dedup import dup_clusters
+
+    pairs = media_dup_pairs(df, id_col, max_hamming)
+    clusters = dup_clusters(pairs)
+    fp = dhash64(df, id_col)
+    return (
+        fp.join(
+            clusters.withColumnRenamed("member", id_col), id_col, "left"
+        )
+        .select(
+            id_col,
+            "dhash",
+            (
+                F.col("cluster_id").isNull()
+                | (F.col("cluster_id") == F.col(id_col))
+            ).alias("keep"),
+        )
+    )
+
+
+def media_dedup_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> str:
+    from .dedup import dup_clusters_sql
+
+    pairs = media_dup_pairs_sql(table, text_col, id_col, max_hamming)
+    clusters = dup_clusters_sql(pairs)
+    fp = dhash64_sql(table, text_col, id_col)
+    return f"""
+    WITH fp AS ({fp}),
+    clusters AS ({clusters})
+    SELECT fp.{id_col}, fp.dhash,
+           (clusters.cluster_id IS NULL
+            OR clusters.cluster_id = fp.{id_col}) AS keep
+    FROM fp LEFT JOIN clusters ON clusters.member = fp.{id_col}
+    """

@@ -804,3 +804,52 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return chunk_documents(docs, window=64, stride=48)
+
+
+# corpus with controlled duplicates for the perceptual-dedup gate: the
+# base documents plus exact re-uploads (doc_id % 10 == 0) and
+# lightly-edited near copies (doc_id % 7 == 0, first character
+# uppercased) — deterministic and identically derivable in both engines
+_MEDIA_CORPUS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, text
+    FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 200000 AS doc_id,
+           upper(substring(text, 1, 1)) || substring(text, 2) AS text
+    FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def _media_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    near = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(
+            F.upper(F.substring("text", 1, 1)),
+            F.expr("substring(text, 2)"),
+        ).alias("text"),
+    )
+    return docs.union(exact).union(near)
+
+
+@query(
+    "q_media_dedup",
+    multimodal.media_dedup_sql(table=f"({_MEDIA_CORPUS_SQL})"),
+)
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash media dedup (round 15): 64-bit dHash per payload
+    (PIL decode when importable, deterministic mean-byte grid
+    otherwise), banded into 4 x 16-bit keys so every Hamming<=3 pair
+    collides on >= 1 band (pigeonhole — no pairwise pass), verified
+    with bit_count(xor), resolved to connected components, keep-first
+    (component minimum id). The corpus injects exact re-uploads and
+    lightly-edited near copies so the gate exercises candidate
+    generation, verification, and cluster resolution end to end; the
+    oracle replays the hash, banding, and transitive closure."""
+    corpus = _media_corpus(spark, sf_dir)
+    return multimodal.media_dedup(multimodal.with_payload(corpus))
