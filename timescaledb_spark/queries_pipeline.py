@@ -853,3 +853,27 @@ def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the hash, banding, and transitive closure."""
     corpus = _media_corpus(spark, sf_dir)
     return multimodal.media_dedup(multimodal.with_payload(corpus))
+
+
+@query(
+    "q_domain_filter",
+    __import__("timescaledb_spark.pipeline.urlfilter", fromlist=["x"])
+    .domain_filter_sql(block=("spam.net",), cap_per_domain=25)
+    .replace("\n", " "),
+)
+def q_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain-level curation filter (round 15; RefinedWeb §3.1 /
+    C4 §2.2): registrable-domain (eTLD+1) extraction as pure string
+    expressions (zero shuffle, no UDF), blocklist drop, and a
+    deterministic 25-docs-per-domain cap (one window shuffle). URLs are
+    doc_id-derived and exercise subdomain, mixed-case, multi-label
+    suffix, userinfo, port, unknown-TLD, and bare-suffix edges; the
+    oracle replays the whole chain."""
+    from .pipeline.urlfilter import domain_filter, synth_url
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", synth_url("doc_id").alias("url")
+    )
+    return domain_filter(
+        docs, block=["spam.net"], cap_per_domain=25
+    ).select("doc_id", "url", "domain")
