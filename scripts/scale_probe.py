@@ -683,6 +683,85 @@ def main() -> None:
     out["skipscan_match"] = n_dv == n_scan
     flush()
 
+    # ---- round-15: COPY BINARY decode throughput ----------------------
+    # 64 dump files, ~100k rows each — the restore-at-scale shape: file-
+    # axis task parallelism, bounded Arrow batches inside each task. The
+    # encode (driver-side, test-only direction) is done ONCE and the
+    # blob reused per file; decode cost is identical either way.
+    import shutil
+
+    from timescaledb_spark.sources.pgcopy import read_pgcopy, write_pgcopy
+
+    cb_dir = tempfile.mkdtemp(prefix="ts_pgcopy_scale_")
+    cb_schema = "ts timestamp, eid bigint, v double"
+    import datetime as _dt
+
+    base_ts = _dt.datetime(2024, 1, 1)
+    rows_per_file = 100_000
+    n_files = 64
+    blob = write_pgcopy(
+        [
+            (base_ts + _dt.timedelta(seconds=i), i, float(i % 997) / 7.0)
+            for i in range(rows_per_file)
+        ],
+        cb_schema,
+    )
+    for i in range(n_files):
+        with open(os.path.join(cb_dir, f"dump_{i:03d}.bin"), "wb") as f:
+            f.write(blob)
+    t0 = time.perf_counter()
+    cb_df = read_pgcopy(spark, cb_dir, cb_schema)
+    cb_n = cb_df.count()
+    cb_s = time.perf_counter() - t0
+    out["copy_binary_x100_rows"] = cb_n
+    out["copy_binary_x100_files"] = n_files
+    out["copy_binary_x100_tasks"] = cb_df.rdd.getNumPartitions()
+    out["copy_binary_x100_s"] = round(cb_s, 2)
+    out["copy_binary_x100_rows_per_s"] = int(cb_n / cb_s)
+    shutil.rmtree(cb_dir, ignore_errors=True)
+    flush()
+
+    # ---- round-15: perceptual media dedup at corpus scale --------------
+    # exact-re-upload-heavy corpus (every doc replicated MULT times
+    # verbatim): the hash-collapse path must stay LINEAR in the corpus —
+    # banding runs over distinct hashes only
+    from timescaledb_spark.pipeline.multimodal import media_dedup, with_payload
+
+    media_corpus = docs.crossJoin(
+        spark.range(MULT).select(F.col("id").alias("_rep"))
+    ).select(
+        (F.col("doc_id") + F.col("_rep") * F.lit(1_000_000_000)).alias(
+            "doc_id"
+        ),
+        "text",
+    )
+    t0 = time.perf_counter()
+    md = media_dedup(with_payload(media_corpus))
+    md_stats = md.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("keep").cast("long")).alias("kept"),
+        F.countDistinct("dhash").alias("hashes"),
+    ).collect()[0]
+    out["media_dedup_docs_s"] = round(time.perf_counter() - t0, 2)
+    out["media_dedup_docs"] = md_stats["n"]
+    out["media_dedup_kept"] = md_stats["kept"]
+    out["media_dedup_distinct_hashes"] = md_stats["hashes"]
+    flush()
+
+    # ---- round-15: URL/domain curation at corpus scale -----------------
+    from timescaledb_spark.pipeline.urlfilter import domain_filter, synth_url
+
+    urls = media_corpus.select(
+        "doc_id", synth_url("doc_id").alias("url")
+    )
+    t0 = time.perf_counter()
+    dfilt = domain_filter(
+        urls, block=["spam.net"], cap_per_domain=10_000
+    )
+    out["domain_filter_kept"] = dfilt.count()
+    out["domain_filter_docs_s"] = round(time.perf_counter() - t0, 2)
+    flush()
+
     print(json.dumps(out))
     with open(sys.argv[1] if len(sys.argv) > 1 else "SCALE_PROBE.json", "w") as f:
         json.dump(out, f, indent=1)

@@ -477,18 +477,14 @@ def dhash64_sql(
     """
 
 
-def media_dup_pairs(
-    df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+def _banded_pairs(
+    fp: DataFrame, id_col: str, max_hamming: int
 ) -> DataFrame:
-    """Near-duplicate media pairs at Hamming(dhash) <= ``max_hamming``.
-
-    The 64-bit hash is banded into 4 x 16-bit keys (the ``simhash_pairs``
-    discipline): any pair at Hamming <= 3 agrees exactly on >= 1 band
-    (pigeonhole over 4 bands), so one self-join on (band, key) finds all
-    of them with NO pairwise pass; candidates are verified with
-    ``bit_count(xor)``. One shuffle on the band key — survives 100 TB
-    because band keys distribute like the hash bits."""
-    fp = dhash64(df, id_col)
+    """Hamming<=k pairs over a (id, dhash) frame via 4 x 16-bit banding:
+    any pair at Hamming <= 3 agrees exactly on >= 1 band (pigeonhole
+    over 4 bands), so one self-join on (band, key) finds all of them
+    with NO pairwise pass; candidates are verified with
+    ``bit_count(xor)``. One shuffle on the band key."""
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -523,6 +519,18 @@ def media_dup_pairs(
     )
 
 
+def media_dup_pairs(
+    df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-duplicate media pairs at Hamming(dhash) <= ``max_hamming``
+    — the full pair enumeration. On exact-duplicate-heavy corpora the
+    output itself is quadratic in the duplicate-group size (k identical
+    payloads = k(k-1)/2 pairs); when you only need KEEPERS, use
+    :func:`media_dedup`, which collapses identical hashes first and
+    stays linear in the corpus."""
+    return _banded_pairs(dhash64(df, id_col), id_col, max_hamming)
+
+
 def media_dup_pairs_sql(
     table: str = "documents",
     text_col: str = "text",
@@ -555,27 +563,35 @@ def media_dedup(
     components (min-id label) -> keep exactly the component minimum.
     Output: one row per input payload ``(id, dhash, keep)``.
 
-    Composition of :func:`media_dup_pairs` (banded, no pairwise pass)
-    and :func:`pipeline.dedup.dup_clusters` (alternating large-star /
-    small-star, O(log n) shuffle rounds) — every stage is bounded at
-    100 TB."""
+    Scale shape: identical hashes are collapsed FIRST (one map-combined
+    groupBy: representative = min id per hash) — a web corpus is
+    dominated by exact re-uploads, and banding k identical payloads
+    would enumerate k(k-1)/2 pairs inside one bucket. The banded
+    self-join and the connected components (alternating large-star /
+    small-star, O(log n) shuffle rounds) then run over DISTINCT hashes
+    only; members rejoin through their hash. The component minimum over
+    representatives IS the global minimum (each rep is already its
+    hash-group minimum), so the collapse is semantics-preserving —
+    the gate oracle computes the uncollapsed transitive closure and
+    hashes equal."""
     from .dedup import dup_clusters
 
-    pairs = media_dup_pairs(df, id_col, max_hamming)
-    clusters = dup_clusters(pairs)
     fp = dhash64(df, id_col)
-    return (
-        fp.join(
-            clusters.withColumnRenamed("member", id_col), id_col, "left"
+    reps = fp.groupBy("dhash").agg(F.min(id_col).alias("_rep"))
+    rep_fp = reps.select(F.col("_rep").alias(id_col), "dhash")
+    pairs = _banded_pairs(rep_fp, id_col, max_hamming)
+    clusters = dup_clusters(pairs)
+    labels = (
+        reps.join(
+            clusters.withColumnRenamed("member", "_rep"), "_rep", "left"
+        ).select(
+            "dhash", F.coalesce("cluster_id", F.col("_rep")).alias("_cl")
         )
-        .select(
-            id_col,
-            "dhash",
-            (
-                F.col("cluster_id").isNull()
-                | (F.col("cluster_id") == F.col(id_col))
-            ).alias("keep"),
-        )
+    )
+    return fp.join(labels, "dhash", "left").select(
+        id_col,
+        "dhash",
+        (F.col(id_col) == F.col("_cl")).alias("keep"),
     )
 
 
