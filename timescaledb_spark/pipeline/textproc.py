@@ -500,3 +500,198 @@ def chunk_documents_sql(
            array_to_string(tk[st + 1 : st + {window}], ' ') AS chunk
     FROM ex
     """
+
+
+# ---------------------------------------------------------------------------
+# Gopher doc-level quality rules (round 15)
+# ---------------------------------------------------------------------------
+
+#: the eight Gopher "required English words" (Rae et al. 2021, A1.1)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+#: whitespace-word splitter (Gopher counts whitespace words, which keep
+#: punctuation — unlike the shared alnum tokenizer); the _SPARK variant
+#: survives Spark SQL string-literal backslash processing
+_WS_RE = r"\s+"
+_WS_RE_SPARK = r"\\s+"
+
+
+def gopher_quality(name: str) -> dict[str, Column]:
+    """The doc-level half of Gopher's quality rules (Rae et al. 2021
+    Table A1; the repetition half is :func:`repetition_signals`) as pure
+    column expressions — zero shuffle, scan-speed filtering at 100 TB:
+
+    - ``n_words``: whitespace word count (bounds 50..100,000)
+    - ``mean_word_len``: over the alnum tokenizer (bounds 3..10)
+    - ``symbol_word_ratio``: '#' or '...' occurrences per word (< 0.1)
+    - ``frac_alpha_words``: whitespace words containing >= 1 alphabetic
+      character (>= 0.80)
+    - ``n_required_stop``: DISTINCT hits among the 8 required English
+      words (>= 2)
+    - ``passes``: the conjunction, including the bullet (<= 0.90) and
+      ellipsis (<= 0.30) line fractions from :func:`repetition_signals`
+
+    The paired :func:`gopher_quality_sql` emits the bit-identical DuckDB
+    formulas (counts and ratios of integer counts)."""
+    words = f"filter(split({name}, '{_WS_RE_SPARK}'), w -> length(w) > 0)"
+    n_words = F.expr(f"size({words})")
+    n_words_d = n_words.cast("double")
+    mwl = mean_token_len(name)
+    n_sym = F.expr(
+        f"regexp_count({name}, '#') + regexp_count({name}, '\\\\.\\\\.\\\\.')"
+    )
+    frac_alpha = F.expr(
+        f"size(filter({words}, w -> w rlike '[A-Za-z]'))"
+    ) / F.greatest(F.lit(1).cast("double"), n_words_d)
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    n_req = F.expr(
+        f"size(filter(array({stops}), s -> array_contains({_toks(name)}, s)))"
+    )
+    rep = repetition_signals(name)
+    sym_ratio = n_sym.cast("double") / F.greatest(
+        F.lit(1).cast("double"), n_words_d
+    )
+    passes = (
+        (n_words >= 50)
+        & (n_words <= 100_000)
+        & (mwl >= 3.0)
+        & (mwl <= 10.0)
+        & (sym_ratio < 0.1)
+        & (frac_alpha >= 0.8)
+        & (n_req >= 2)
+        & (rep["bullet_line_frac"] <= 0.9)
+        & (rep["ellipsis_line_frac"] <= 0.3)
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mwl,
+        "symbol_word_ratio": sym_ratio,
+        "frac_alpha_words": frac_alpha,
+        "n_required_stop": n_req,
+        "passes": passes,
+    }
+
+
+def gopher_quality_sql(name: str) -> dict[str, str]:
+    """DuckDB formulas matching :func:`gopher_quality` bit-exactly."""
+    words = (
+        f"list_filter(regexp_split_to_array({name}, '{_WS_RE}'),"
+        f" w -> length(w) > 0)"
+    )
+    n_words = f"len({words})"
+    mwl = mean_token_len_sql(name)
+    n_sym = (
+        f"(len(regexp_extract_all({name}, '#'))"
+        f" + len(regexp_extract_all({name}, '\\.\\.\\.')))"
+    )
+    frac_alpha = (
+        f"len(list_filter({words}, w -> regexp_matches(w, '[A-Za-z]')))"
+        f" / greatest(1.0, CAST({n_words} AS DOUBLE))"
+    )
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    n_req = (
+        f"len(list_filter([{stops}],"
+        f" s -> list_contains({_toks_duck(name)}, s)))"
+    )
+    rep = repetition_signals_sql(name)
+    sym_ratio = (
+        f"CAST({n_sym} AS DOUBLE) / greatest(1.0, CAST({n_words} AS DOUBLE))"
+    )
+    passes = (
+        f"({n_words} >= 50 AND {n_words} <= 100000"
+        f" AND {mwl} >= 3.0 AND {mwl} <= 10.0"
+        f" AND {sym_ratio} < 0.1"
+        f" AND {frac_alpha} >= 0.8"
+        f" AND {n_req} >= 2"
+        f" AND {rep['bullet_line_frac']} <= 0.9"
+        f" AND {rep['ellipsis_line_frac']} <= 0.3)"
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mwl,
+        "symbol_word_ratio": sym_ratio,
+        "frac_alpha_words": frac_alpha,
+        "n_required_stop": n_req,
+        "passes": passes,
+    }
+
+
+# ---------------------------------------------------------------------------
+# RefinedWeb line-wise filtering (round 15)
+# ---------------------------------------------------------------------------
+
+#: line-drop rules (Penedo et al. 2023 §3.2 "line-wise corrections"):
+#: social-media counters, numeric-only lines, uppercase-dominated lines
+COUNTER_LINE_RE = (
+    r"(?i)^\s*\d+\s+(likes?|comments?|shares?|views?|points?|votes?"
+    r"|retweets?|followers?)\b\s*$"
+)
+NUMERIC_LINE_RE = r"^[\s0-9.,:/()\[\]#-]*[0-9][\s0-9.,:/()\[\]#-]*$"
+
+
+def _line_bad_spark(x: Column) -> Column:
+    upper = F.length(F.regexp_replace(x, "[^A-Z]", ""))
+    alpha = F.length(F.regexp_replace(x, "[^A-Za-z]", ""))
+    return (
+        x.rlike(COUNTER_LINE_RE)
+        | x.rlike(NUMERIC_LINE_RE)
+        | ((alpha >= 10) & (upper * 10 > alpha * 6))
+    )
+
+
+def _line_bad_sql(x: str) -> str:
+    upper = f"length(regexp_replace({x}, '[^A-Z]', '', 'g'))"
+    alpha = f"length(regexp_replace({x}, '[^A-Za-z]', '', 'g'))"
+    return (
+        f"(regexp_matches({x}, '{COUNTER_LINE_RE}')"
+        f" OR regexp_matches({x}, '{NUMERIC_LINE_RE}')"
+        f" OR ({alpha} >= 10 AND {upper} * 10 > {alpha} * 6))"
+    )
+
+
+def line_filter(name: str, max_removed_frac: float = 0.5) -> dict[str, Column]:
+    """RefinedWeb-style line-wise corrections as pure array expressions:
+    drop counter lines ("3 likes"), numeric-only lines, and
+    uppercase-dominated lines (> 60% of >= 10 alphabetic chars); keep
+    the document unless the dropped lines exceed ``max_removed_frac``
+    of its characters (Penedo et al. 2023: "if these corrections remove
+    more than 5%/50% of the document, drop it" — the char-fraction
+    form). Zero shuffle.
+
+    Returns ``{"filtered", "n_lines_removed", "removed_char_frac",
+    "keep"}``."""
+    ls = F.split(F.col(name), "\n", -1)
+    kept = F.filter(ls, lambda x: ~_line_bad_spark(x))
+    total_chars = F.length(F.array_join(ls, ""))
+    kept_chars = F.length(F.array_join(kept, ""))
+    removed_frac = (total_chars - kept_chars).cast("double") / F.greatest(
+        F.lit(1), total_chars
+    ).cast("double")
+    return {
+        "filtered": F.array_join(kept, "\n"),
+        "n_lines_removed": F.size(ls) - F.size(kept),
+        "removed_char_frac": removed_frac,
+        "keep": removed_frac <= F.lit(float(max_removed_frac)),
+    }
+
+
+def line_filter_sql(
+    name: str, max_removed_frac: float = 0.5
+) -> dict[str, str]:
+    """DuckDB formulas matching :func:`line_filter` bit-exactly."""
+    ls = f"string_split({name}, chr(10))"
+    kept = f"list_filter({ls}, x -> NOT {_line_bad_sql('x')})"
+    total = f"length(list_aggregate({ls}, 'string_agg', ''))"
+    keptc = (
+        f"coalesce(length(list_aggregate({kept}, 'string_agg', '')), 0)"
+    )
+    frac = (
+        f"CAST({total} - {keptc} AS DOUBLE)"
+        f" / CAST(greatest(1, {total}) AS DOUBLE)"
+    )
+    return {
+        "filtered": f"coalesce(list_aggregate({kept}, 'string_agg', chr(10)), '')",
+        "n_lines_removed": f"len({ls}) - len({kept})",
+        "removed_char_frac": frac,
+        "keep": f"({frac} <= {float(max_removed_frac)})",
+    }

@@ -877,3 +877,70 @@ def q_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_filter(
         docs, block=["spam.net"], cap_per_domain=25
     ).select("doc_id", "url", "domain")
+
+
+_GQ = textproc.gopher_quality_sql("text")
+
+
+@query(
+    "q_gopher_quality",
+    f"""
+    SELECT doc_id,
+           {_GQ['n_words']} AS n_words,
+           {_GQ['mean_word_len']} AS mean_word_len,
+           {_GQ['symbol_word_ratio']} AS symbol_word_ratio,
+           {_GQ['frac_alpha_words']} AS frac_alpha_words,
+           {_GQ['n_required_stop']} AS n_required_stop,
+           {_GQ['passes']} AS passes
+    FROM documents
+    """,
+)
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher doc-level quality rules (round 15; Rae et al. 2021 Table
+    A1 — word-count bounds, mean word length, symbol-to-word ratio,
+    alphabetic-word fraction, required-stopword hits, plus the bullet/
+    ellipsis line fractions): pure per-row column expressions, zero
+    shuffle; the oracle replays every count and ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    gq = textproc.gopher_quality("text")
+    return docs.select(
+        "doc_id",
+        gq["n_words"].alias("n_words"),
+        gq["mean_word_len"].alias("mean_word_len"),
+        gq["symbol_word_ratio"].alias("symbol_word_ratio"),
+        gq["frac_alpha_words"].alias("frac_alpha_words"),
+        gq["n_required_stop"].alias("n_required_stop"),
+        gq["passes"].alias("passes"),
+    )
+
+
+_LF = textproc.line_filter_sql("text")
+
+
+@query(
+    "q_line_filter",
+    f"""
+    SELECT doc_id,
+           md5({_LF['filtered']}) AS filtered_md5,
+           {_LF['n_lines_removed']} AS n_lines_removed,
+           {_LF['removed_char_frac']} AS removed_char_frac,
+           {_LF['keep']} AS keep
+    FROM documents
+    """,
+)
+def q_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb line-wise corrections (round 15; Penedo et al. 2023
+    §3.2): drop counter / numeric-only / uppercase-dominated lines,
+    keep the document unless the removed lines exceed half its
+    characters. Pure array expressions, zero shuffle; the rebuilt
+    filtered text is md5-compared so the oracle gates the exact kept
+    line set and join order."""
+    docs = load_table(spark, sf_dir, "documents")
+    lf = textproc.line_filter("text")
+    return docs.select(
+        "doc_id",
+        F.md5(lf["filtered"]).alias("filtered_md5"),
+        lf["n_lines_removed"].alias("n_lines_removed"),
+        lf["removed_char_frac"].alias("removed_char_frac"),
+        lf["keep"].alias("keep"),
+    )
