@@ -134,3 +134,43 @@ def test_gate_matches_oracle(spark, duck, sf_dir):
     want = {tuple(r) for r in duck.execute(oracles["q_media_dedup"]).fetchall()}
     assert got == want
     assert any(not k for _, _, k in got)  # injected duplicates are caught
+
+
+def test_ahash_reference_values(spark):
+    from timescaledb_spark.pipeline.multimodal import (
+        _fallback_grid_n,
+        _grid_ahash,
+        ahash64,
+    )
+
+    # constant grid: nothing exceeds the mean -> 0
+    assert _grid_ahash([9] * 64) == 0
+    # one hot cell: only it exceeds the integer mean
+    g = [0] * 64
+    g[5] = 200
+    assert _grid_ahash(g) == 1 << 5
+    # all-but-one hot: mean pulls below the hot cells -> 63 bits set
+    g2 = [200] * 64
+    g2[0] = 0
+    h = _grid_ahash(g2)
+    assert bin(h & ((1 << 64) - 1)).count("1") == 63
+    # engine path: NULL/empty payloads hash to 0
+    df = spark.createDataFrame(
+        [(1, b"some payload bytes here"), (2, None), (3, b"")],
+        "doc_id bigint, payload binary",
+    )
+    got = {r["doc_id"]: r["ahash"] for r in ahash64(df).collect()}
+    assert got[2] == 0 and got[3] == 0 and got[1] != 0
+    # fallback grid at 64 cells matches the generic helper
+    assert _fallback_grid_n(b"abcdef" * 30, 64)
+
+
+def test_ahash_gate_matches_oracle(spark, duck, sf_dir):
+    from timescaledb_spark import queries as Q
+
+    qs, oracles = Q.queries(), Q.oracle_sql()
+    got = {tuple(r) for r in qs["q_media_ahash"](spark, sf_dir).collect()}
+    want = {
+        tuple(r) for r in duck.execute(oracles["q_media_ahash"]).fetchall()
+    }
+    assert got == want and got

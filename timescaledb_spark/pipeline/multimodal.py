@@ -614,3 +614,123 @@ def media_dedup_sql(
             OR clusters.cluster_id = fp.{id_col}) AS keep
     FROM fp LEFT JOIN clusters ON clusters.member = fp.{id_col}
     """
+
+
+AHASH_CELLS = 64  # 8x8 grid
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ahash", T.LongType()),
+    ]
+)
+
+
+def _fallback_grid_n(p: bytes, cells: int) -> list:
+    """Mean-byte grid over ``cells`` equal byte segments (the
+    :func:`_fallback_grid` arithmetic at an arbitrary cell count)."""
+    n = len(p)
+    g = []
+    for k in range(cells):
+        lo = (k * n) // cells
+        hi = ((k + 1) * n) // cells
+        g.append(sum(p[lo:hi]) // (hi - lo) if hi > lo else 0)
+    return g
+
+
+def _grid_ahash(g: list) -> int:
+    """average hash over a 64-cell grid: bit k set iff g[k] > the
+    integer mean of the grid (Krawetz's aHash; integer mean keeps both
+    engines on identical rational arithmetic)."""
+    m = sum(g) // len(g)
+    h = 0
+    for k, v in enumerate(g):
+        if v > m:
+            h |= 1 << k
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def ahash64(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """64-bit average hash (aHash) per media payload — the companion
+    fingerprint to :func:`dhash64` (aHash keys on absolute brightness
+    vs the mean, dHash on gradients; running both and intersecting
+    candidates cuts false positives). Same dispatch: PIL decode ->
+    grayscale -> 8x8 reduce when importable, deterministic mean-byte
+    grid otherwise. Single-scan mapInPandas, zero shuffle."""
+    use_pil = _try_pil()
+
+    def _hash(p: bytes) -> int:
+        if use_pil:
+            try:
+                import io
+
+                import PIL.Image
+
+                with PIL.Image.open(io.BytesIO(p)) as im:
+                    small = im.convert("L").resize(
+                        (8, 8), PIL.Image.LANCZOS
+                    )
+                    return _grid_ahash(list(small.getdata()))
+            except Exception:
+                pass
+        return _grid_ahash(_fallback_grid_n(p, AHASH_CELLS))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "ahash": pd.Series(
+                        [
+                            _hash(p) if p is not None else 0
+                            for p in pdf["payload"]
+                        ],
+                        dtype="int64",
+                    ),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(run, AHASH_SCHEMA)
+
+
+def ahash64_sql(
+    table: str = "documents", text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB oracle for the fallback aHash (same conventions as
+    :func:`dhash64_sql`; integer grid mean -> identical thresholds)."""
+    cells = AHASH_CELLS
+    return f"""
+    WITH codes AS (
+      SELECT {id_col},
+             coalesce(length({text_col}), 0) AS n,
+             list_transform(
+               range(1, coalesce(length({text_col}), 0) + 1),
+               i -> ascii(substring({text_col}, CAST(i AS INT), 1))
+             ) AS cs
+      FROM {table}
+    ),
+    grid AS (
+      SELECT {id_col}, k,
+             CASE WHEN ((k + 1) * n) // {cells} > (k * n) // {cells}
+                  THEN list_sum(cs[(k * n) // {cells} + 1 : ((k + 1) * n) // {cells}])
+                       // (((k + 1) * n) // {cells} - (k * n) // {cells})
+                  ELSE 0 END AS g
+      FROM codes, (SELECT unnest(range(0, {cells})) AS k)
+    ),
+    means AS (
+      SELECT {id_col}, sum(g) // {cells} AS m FROM grid GROUP BY 1
+    ),
+    sums AS (
+      SELECT grid.{id_col},
+             sum(CASE WHEN grid.g > means.m
+                      THEN CAST(1 AS HUGEINT) << grid.k
+                      ELSE CAST(0 AS HUGEINT) END) AS h
+      FROM grid JOIN means ON means.{id_col} = grid.{id_col}
+      GROUP BY 1
+    )
+    SELECT {id_col},
+           CAST(CASE WHEN h >= CAST(9223372036854775808 AS HUGEINT)
+                     THEN h - CAST(18446744073709551616 AS HUGEINT)
+                     ELSE h END AS BIGINT) AS ahash
+    FROM sums
+    """

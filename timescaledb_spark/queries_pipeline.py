@@ -944,3 +944,14 @@ def q_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         lf["removed_char_frac"].alias("removed_char_frac"),
         lf["keep"].alias("keep"),
     )
+
+
+@query("q_media_ahash", multimodal.ahash64_sql())
+def q_media_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit average perceptual hash per payload (round 15; the aHash
+    companion to q_media_dedup's dHash — absolute brightness vs the
+    grid mean instead of gradients). Single-scan mapInPandas, zero
+    shuffle; the oracle replays the grid, the integer mean threshold,
+    and the signed fold."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.ahash64(multimodal.with_payload(docs))
