@@ -1,0 +1,133 @@
+"""Training-shard export — the materialize-the-mixture stage of a
+training-data pipeline: assign every document a (split, shard) cell
+deterministically, then write one sized file per shard so the training
+loader streams shards without a manifest-side shuffle.
+
+Reference analog: none (SURVEY pipeline surface). The determinism
+contract matches :mod:`.sampling`: the same document lands in the same
+split AND the same shard on every run and engine (portable 60-bit md5
+id-hash), so an export can be resumed, diffed, or reproduced exactly.
+
+Scale shape (100 TB):
+
+- **Assignment** is a pure projection (two hash expressions) — zero
+  shuffle, evaluated at scan speed.
+- **The write** repartitions on the exact (split, shard) key, so every
+  shard's rows land in ONE task → exactly one output file per shard
+  directory; total shuffle volume = the dataset, once — the minimum any
+  resharding write can do. Shard counts are chosen per split so file
+  sizes track a target (``n_shards`` can be a dict per split).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .sampling import _key_col, _key_sql, split_assign, split_assign_sql
+
+
+def shard_assign(
+    df: DataFrame,
+    n_shards: Union[int, dict],
+    weights: Optional[dict] = None,
+    id_col: str = "doc_id",
+    salt: str = "shard",
+    split_col: str = "split",
+    out_col: str = "shard",
+) -> DataFrame:
+    """Add ``split`` (when ``weights`` given; otherwise the existing
+    ``split_col`` is used or a single 'train' split assumed) and
+    ``shard`` = id-hash mod the split's shard count."""
+    out = df
+    if weights is not None:
+        out = split_assign(out, weights, id_col=id_col, out_col=split_col)
+    elif split_col not in out.columns:
+        out = out.withColumn(split_col, F.lit("train"))
+    key = _key_col(id_col, salt)
+    if isinstance(n_shards, dict):
+        if not n_shards:
+            raise ValueError("n_shards dict must not be empty")
+        expr: Optional[Column] = None
+        for name, n in sorted(n_shards.items()):
+            branch = F.pmod(key, F.lit(int(n)))
+            cond = F.col(split_col) == name
+            expr = (
+                F.when(cond, branch) if expr is None else expr.when(cond, branch)
+            )
+        shard = expr.otherwise(F.pmod(key, F.lit(int(min(n_shards.values())))))
+    else:
+        shard = F.pmod(key, F.lit(int(n_shards)))
+    return out.withColumn(out_col, shard.cast("int"))
+
+
+def shard_assign_sql(
+    table: str = "documents",
+    n_shards: Union[int, dict] = 16,
+    weights: Optional[dict] = None,
+    id_col: str = "doc_id",
+    salt: str = "shard",
+    projection: str = "doc_id",
+) -> str:
+    """DuckDB oracle replaying :func:`shard_assign` (split via the
+    :func:`..sampling.split_assign_sql` thresholds, shard via the same
+    portable hash)."""
+    key = _key_sql(id_col, salt)
+    if weights is not None:
+        inner = split_assign_sql(
+            table, weights, id_col=id_col, projection=f"{projection}"
+        )
+        base = f"({inner})"
+    else:
+        base = f"(SELECT {projection}, 'train' AS split FROM {table})"
+    if isinstance(n_shards, dict):
+        cases = " ".join(
+            f"WHEN split = '{name}' THEN ({key} % {int(n)})"
+            for name, n in sorted(n_shards.items())
+        )
+        fallback = int(min(n_shards.values()))
+        shard = f"CASE {cases} ELSE ({key} % {fallback}) END"
+    else:
+        shard = f"({key} % {int(n_shards)})"
+    return (
+        f"SELECT {projection}, split, CAST({shard} AS INT) AS shard "
+        f"FROM {base}"
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: Union[int, dict],
+    weights: Optional[dict] = None,
+    id_col: str = "doc_id",
+    fmt: str = "parquet",
+) -> dict:
+    """Materialize the corpus as ``path/split=<s>/shard=<k>/`` with
+    exactly ONE file per shard: the frame is repartitioned on the exact
+    (split, shard) key before a partitioned write, so each shard's rows
+    are in a single task. Returns per-(split, shard) row counts (the
+    export manifest)."""
+    assigned = shard_assign(df, n_shards, weights, id_col=id_col)
+    total = (
+        sum(int(v) for v in n_shards.values())
+        if isinstance(n_shards, dict)
+        else int(n_shards) * (len(weights) if weights else 1)
+    )
+    (
+        assigned.repartition(max(total, 1), "split", "shard")
+        .write.mode("overwrite")
+        .partitionBy("split", "shard")
+        .format(fmt)
+        .save(path)
+    )
+    manifest = (
+        assigned.groupBy("split", "shard")
+        .count()
+        .orderBy("split", "shard")
+        .collect()
+    )
+    return {
+        (r["split"], r["shard"]): r["count"] for r in manifest
+    }

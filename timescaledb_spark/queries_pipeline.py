@@ -955,3 +955,27 @@ def q_media_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the signed fold."""
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.ahash64(multimodal.with_payload(docs))
+
+
+@query(
+    "q_shard_assign",
+    __import__("timescaledb_spark.pipeline.export", fromlist=["x"])
+    .shard_assign_sql(
+        n_shards={"train": 8, "val": 2, "test": 2},
+        weights={"train": 0.9, "val": 0.05, "test": 0.05},
+    ),
+)
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard export assignment (round 15; the materialize-the-
+    mixture stage): deterministic (split, shard) per document — split by
+    hash thresholds, shard by a salted hash mod the split's shard
+    count. Pure projection, zero shuffle; write_training_shards turns
+    this into one file per shard."""
+    from .pipeline.export import shard_assign
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shard_assign(
+        docs,
+        n_shards={"train": 8, "val": 2, "test": 2},
+        weights={"train": 0.9, "val": 0.05, "test": 0.05},
+    ).select("doc_id", "split", "shard")
