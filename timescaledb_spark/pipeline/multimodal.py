@@ -557,7 +557,10 @@ def media_dup_pairs_sql(
 
 
 def media_dedup(
-    df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    shuffle_partitions: int = 8,
 ) -> DataFrame:
     """Keep-first perceptual dedup: near-dup pairs -> connected
     components (min-id label) -> keep exactly the component minimum.
@@ -576,11 +579,19 @@ def media_dedup(
     hashes equal."""
     from .dedup import dup_clusters
 
-    fp = dhash64(df, id_col)
+    # the fingerprint pass (Python mapInPandas over every payload) is
+    # by far the most expensive stage — pin it: it feeds the rep
+    # groupBy AND the final member join, and recomputing it doubles
+    # the corpus scans. fp is (id, hash) — 16 bytes/row, cacheable at
+    # any corpus size that fits the cluster's storage fraction.
+    fp = dhash64(df, id_col).cache()
     reps = fp.groupBy("dhash").agg(F.min(id_col).alias("_rep"))
     rep_fp = reps.select(F.col("_rep").alias(id_col), "dhash")
     pairs = _banded_pairs(rep_fp, id_col, max_hamming)
-    clusters = dup_clusters(pairs)
+    # the component rounds shuffle the (small) distinct-hash edge set —
+    # corpus-sized partition counts pay per-round scheduling for empty
+    # partitions (the q_dedup_clusters discipline)
+    clusters = dup_clusters(pairs, shuffle_partitions=shuffle_partitions)
     labels = (
         reps.join(
             clusters.withColumnRenamed("member", "_rep"), "_rep", "left"
