@@ -73,20 +73,44 @@ def stratified_cap(
     cap: int,
     id_col: str = "doc_id",
     salt: str = "",
+    skew_partitions: int = 0,
 ) -> DataFrame:
     """At most ``cap`` rows per ``by`` group, chosen deterministically by
     id-hash order (the "cap per domain / per language" rebalancing op).
     One window shuffle on the group key; ties broken by the id itself so
-    the selection is total-ordered and engine-portable."""
+    the selection is total-ordered and engine-portable.
+
+    ``skew_partitions`` > 0 enables the exact two-stage top-k for
+    LOW-CARDINALITY hot keys (e.g. capping per registrable domain, where
+    a handful of domains hold most of the corpus and a single window
+    would sort each domain on one task): stage 1 ranks within
+    (group, id-hash mod S) subpartitions and keeps each subpartition's
+    top ``cap``; stage 2 ranks the surviving ≤ S·cap rows per group.
+    The selection criterion is a total order, so every global top-cap
+    row survives its subpartition's cut — the result is IDENTICAL to
+    the single-window form (same oracle), but the big shuffle spreads
+    over S× more keys and the final sort touches S·cap rows per group
+    instead of the whole group."""
     if cap < 1:
         raise ValueError("cap must be >= 1")
-    w = Window.partitionBy(*by).orderBy(
-        _key_col(id_col, salt), F.col(id_col)
-    )
+    # stage the md5 rank key as a real column: the window stages
+    # reference it as partition subkey AND sort key, and each window
+    # re-evaluates inline expressions — one md5 per row, not 3-4
+    out = df.withColumn("_sc_key", _key_col(id_col, salt))
+    key = F.col("_sc_key")
+    if skew_partitions and int(skew_partitions) > 1:
+        sub = F.pmod(key, F.lit(int(skew_partitions)))
+        w1 = Window.partitionBy(*by, sub).orderBy(key, F.col(id_col))
+        out = (
+            out.withColumn("_sc_rn", F.row_number().over(w1))
+            .filter(F.col("_sc_rn") <= cap)
+            .drop("_sc_rn")
+        )
+    w = Window.partitionBy(*by).orderBy(key, F.col(id_col))
     return (
-        df.withColumn("_sc_rn", F.row_number().over(w))
+        out.withColumn("_sc_rn", F.row_number().over(w))
         .filter(F.col("_sc_rn") <= cap)
-        .drop("_sc_rn")
+        .drop("_sc_rn", "_sc_key")
     )
 
 
