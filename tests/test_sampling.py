@@ -156,3 +156,31 @@ def test_temperature_mix_output_shares(spark):
              temperature_mix(df, "src", alpha=0.0, epochs_total=1.0)
              .groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert again == got
+
+
+def test_stratified_cap_two_stage_exact(spark):
+    """The skew-safe two-stage top-k must select EXACTLY the same rows
+    as the single window for any cap/groups (the global per-group
+    top-cap under a total order survives every subpartition cut)."""
+    import random
+
+    from timescaledb_spark.pipeline.sampling import stratified_cap
+
+    rnd = random.Random(15)
+    rows = [
+        (i, rnd.choice(["a", "b", "c"])) for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, grp string")
+    for cap in (1, 7, 100, 5000):
+        single = {
+            r["doc_id"]
+            for r in stratified_cap(df, ["grp"], cap).collect()
+        }
+        for s in (2, 8, 64):
+            two = {
+                r["doc_id"]
+                for r in stratified_cap(
+                    df, ["grp"], cap, skew_partitions=s
+                ).collect()
+            }
+            assert two == single, (cap, s)
