@@ -12,11 +12,24 @@ from .dedup import (
     simhash64,
     simhash_pairs,
 )
-from .multimodal import decode_media, resize_media, sample_frames, with_payload
+from .export import shard_assign, write_training_shards
+from .multimodal import (
+    ahash64,
+    decode_media,
+    dhash64,
+    media_dedup,
+    media_dup_pairs,
+    resize_media,
+    sample_frames,
+    with_payload,
+)
 from .sampling import hash_sample, split_assign, stratified_cap
 from .similarity import hyperplane_bucket, knn_bruteforce, knn_ivf
+from .urlfilter import domain_filter, host_of, registrable_domain, synth_url
 from .textproc import (
     bpe_token_count,
+    gopher_quality,
+    line_filter,
     doc_fingerprint,
     lang_id,
     quality_score,
@@ -25,28 +38,40 @@ from .textproc import (
 )
 
 __all__ = [
+    "ahash64",
     "bpe_token_count",
     "cosine",
     "decode_media",
+    "dhash64",
     "doc_fingerprint",
+    "domain_filter",
     "embedding_dup_pairs",
     "exact_dedup",
+    "gopher_quality",
     "h60",
+    "host_of",
     "hyperplane_bucket",
     "knn_bruteforce",
     "knn_ivf",
     "lang_id",
+    "line_filter",
     "lttb",
+    "media_dedup",
+    "media_dup_pairs",
     "minhash_lsh_pairs",
     "minhash_signature",
     "ngram_jaccard_pairs",
     "quality_score",
+    "registrable_domain",
     "sample_frames",
+    "shard_assign",
     "simhash64",
     "simhash_pairs",
+    "synth_url",
     "text_features",
     "token_count",
     "tokens",
     "with_payload",
     "word_shingles",
+    "write_training_shards",
 ]
