@@ -398,3 +398,110 @@ def knn_pq(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (round 15)
+# ---------------------------------------------------------------------------
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-vector int8 scalar quantization — the embedding-storage op
+    (FAISS ScalarQuantizer QT_8bit discipline): codes = floor((x - min)
+    / scale + 0.5) with scale = (max - min) / 255, stored with the
+    per-vector (min, scale) so dot products / reconstruction need only
+    the codes. 4x smaller than float32 at ~1% recall loss in practice.
+
+    Pure array expressions (aggregate for min/max, transform for the
+    codes) — zero shuffle, quantizes at scan speed. Constant vectors
+    (max == min) get scale 0 and all-zero codes. The explicit
+    floor(+0.5) rounding keeps both engines on identical double
+    arithmetic (round() half-even vs half-up would diverge)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    vmin = F.array_min(v)
+    vmax = F.array_max(v)
+    scale = (vmax - vmin) / F.lit(255.0)
+    codes = F.when(
+        scale > 0,
+        F.transform(
+            v,
+            lambda x: F.floor((x - vmin) / scale + F.lit(0.5)).cast("int"),
+        ),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return df.select(
+        F.col(id_col),
+        vmin.alias("vmin"),
+        scale.alias("scale"),
+        codes.alias("codes"),
+    )
+
+
+def quantize_embeddings_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB replay (flattened to one row per dimension so the hash
+    gate compares scalar cells, not array literals)."""
+    v = f"list_transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    return f"""
+    WITH q AS (
+      SELECT {id_col},
+             list_min({v}) AS vmin,
+             (list_max({v}) - list_min({v})) / 255.0 AS scale,
+             {v} AS v
+      FROM {table}
+    )
+    SELECT {id_col}, vmin, scale,
+           CAST(i - 1 AS INT) AS dim,
+           CASE WHEN scale > 0
+                THEN CAST(floor((v[CAST(i AS INT)] - vmin) / scale + 0.5) AS INT)
+                ELSE 0 END AS code
+    FROM q, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i)
+    """
+
+
+def dequantize_cosine_topk(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force cosine top-k served FROM the quantized codes
+    (reconstruct x ≈ vmin + code·scale inside the fold) — the storage
+    path's verification twin: proves the codes carry the geometry.
+    Same shape as knn_bruteforce: broadcast query, one scan, one
+    top-k."""
+    q = [float(x) for x in query_vec]
+    qn = sum(x * x for x in q) ** 0.5
+    quant = quantize_embeddings(df, vec_col, id_col)
+    recon = F.transform(
+        F.col("codes"),
+        lambda c: F.col("vmin") + c.cast("double") * F.col("scale"),
+    )
+    qarr = F.array(*[F.lit(x) for x in q])
+    dot = F.aggregate(
+        F.zip_with(recon, qarr, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(recon, lambda a: a * a),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        quant.select(
+            id_col,
+            F.round(
+                F.try_divide(dot, norm * F.lit(qn)), 6
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc_nulls_last(), F.col(id_col))
+        .limit(int(k))
+    )

@@ -979,3 +979,42 @@ def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_shards={"train": 8, "val": 2, "test": 2},
         weights={"train": 0.9, "val": 0.05, "test": 0.05},
     ).select("doc_id", "split", "shard")
+
+
+@query(
+    "q_bpe_pairs",
+    __import__("timescaledb_spark.pipeline.bpe", fromlist=["x"])
+    .bpe_pair_counts_sql(top_k=100),
+)
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-training pair counting (round 15; Sennrich et al. 2016
+    Algorithm 1, the first merge iteration): distinct-word frequency
+    table first (all later work bounded by vocabulary, not corpus),
+    then adjacent-symbol pairs with end-of-word markers, weighted by
+    word frequency — two map-combined shuffles total. Top-100 pairs
+    under the deterministic (count desc, pair asc) merge order."""
+    from .pipeline.bpe import bpe_pair_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_pair_counts(docs, top_k=100)
+
+
+@query(
+    "q_quantize_embeddings",
+    __import__("timescaledb_spark.pipeline.similarity", fromlist=["x"])
+    .quantize_embeddings_sql(),
+)
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization of the embedding column
+    (round 15; the FAISS QT_8bit storage discipline): codes =
+    floor((x - vmin)/scale + 0.5), scale = (max-min)/255, explicit
+    half-up rounding so both engines share the double arithmetic.
+    Pure array expressions, zero shuffle; flattened per-dimension for
+    the hash gate."""
+    from .pipeline.similarity import quantize_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb)
+    return q.select(
+        "vec_id", "vmin", "scale", F.posexplode("codes").alias("dim", "code")
+    )
