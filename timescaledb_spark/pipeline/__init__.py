@@ -2,7 +2,9 @@
 analysis, multimodal columns (BASELINE north-star items beyond the
 TimescaleDB reference surface)."""
 
+from .bpe import bpe_pair_counts, word_freq
 from .core import cosine, h60, minhash_signature, tokens, word_shingles
+from .curate import curate_corpus
 from .downsample import lttb
 from .dedup import (
     embedding_dup_pairs,
@@ -24,7 +26,13 @@ from .multimodal import (
     with_payload,
 )
 from .sampling import hash_sample, split_assign, stratified_cap
-from .similarity import hyperplane_bucket, knn_bruteforce, knn_ivf
+from .similarity import (
+    dequantize_cosine_topk,
+    hyperplane_bucket,
+    knn_bruteforce,
+    knn_ivf,
+    quantize_embeddings,
+)
 from .urlfilter import domain_filter, host_of, registrable_domain, synth_url
 from .textproc import (
     bpe_token_count,
@@ -39,9 +47,12 @@ from .textproc import (
 
 __all__ = [
     "ahash64",
+    "bpe_pair_counts",
     "bpe_token_count",
     "cosine",
+    "curate_corpus",
     "decode_media",
+    "dequantize_cosine_topk",
     "dhash64",
     "doc_fingerprint",
     "domain_filter",
@@ -62,6 +73,7 @@ __all__ = [
     "minhash_signature",
     "ngram_jaccard_pairs",
     "quality_score",
+    "quantize_embeddings",
     "registrable_domain",
     "sample_frames",
     "shard_assign",
@@ -72,6 +84,7 @@ __all__ = [
     "token_count",
     "tokens",
     "with_payload",
+    "word_freq",
     "word_shingles",
     "write_training_shards",
 ]

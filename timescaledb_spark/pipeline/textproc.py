@@ -516,7 +516,12 @@ _WS_RE = r"\s+"
 _WS_RE_SPARK = r"\\s+"
 
 
-def gopher_quality(name: str) -> dict[str, Column]:
+def gopher_quality(
+    name: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_required_stops: int = 2,
+) -> dict[str, Column]:
     """The doc-level half of Gopher's quality rules (Rae et al. 2021
     Table A1; the repetition half is :func:`repetition_signals`) as pure
     column expressions — zero shuffle, scan-speed filtering at 100 TB:
@@ -552,13 +557,13 @@ def gopher_quality(name: str) -> dict[str, Column]:
         F.lit(1).cast("double"), n_words_d
     )
     passes = (
-        (n_words >= 50)
-        & (n_words <= 100_000)
+        (n_words >= int(min_words))
+        & (n_words <= int(max_words))
         & (mwl >= 3.0)
         & (mwl <= 10.0)
         & (sym_ratio < 0.1)
         & (frac_alpha >= 0.8)
-        & (n_req >= 2)
+        & (n_req >= int(min_required_stops))
         & (rep["bullet_line_frac"] <= 0.9)
         & (rep["ellipsis_line_frac"] <= 0.3)
     )
@@ -572,7 +577,12 @@ def gopher_quality(name: str) -> dict[str, Column]:
     }
 
 
-def gopher_quality_sql(name: str) -> dict[str, str]:
+def gopher_quality_sql(
+    name: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_required_stops: int = 2,
+) -> dict[str, str]:
     """DuckDB formulas matching :func:`gopher_quality` bit-exactly."""
     words = (
         f"list_filter(regexp_split_to_array({name}, '{_WS_RE}'),"
@@ -598,11 +608,11 @@ def gopher_quality_sql(name: str) -> dict[str, str]:
         f"CAST({n_sym} AS DOUBLE) / greatest(1.0, CAST({n_words} AS DOUBLE))"
     )
     passes = (
-        f"({n_words} >= 50 AND {n_words} <= 100000"
+        f"({n_words} >= {int(min_words)} AND {n_words} <= {int(max_words)}"
         f" AND {mwl} >= 3.0 AND {mwl} <= 10.0"
         f" AND {sym_ratio} < 0.1"
         f" AND {frac_alpha} >= 0.8"
-        f" AND {n_req} >= 2"
+        f" AND {n_req} >= {int(min_required_stops)}"
         f" AND {rep['bullet_line_frac']} <= 0.9"
         f" AND {rep['ellipsis_line_frac']} <= 0.3)"
     )

@@ -1018,3 +1018,65 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.select(
         "vec_id", "vmin", "scale", F.posexplode("codes").alias("dim", "code")
     )
+
+
+# corpus for the composed-curation gate: exact re-uploads + near
+# copies (lowercased tokenizer makes the uppercase edit Jaccard-1.0 but
+# md5-distinct) + counter-line spam tails that line_filter must drop
+_CURATE_CORPUS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, text
+    FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 200000 AS doc_id,
+           upper(substring(text, 1, 1)) || substring(text, 2) AS text
+    FROM documents WHERE doc_id % 7 = 0
+    UNION ALL
+    SELECT doc_id + 300000 AS doc_id,
+           text || repeat(chr(10) || '99999 likes', 60) AS text
+    FROM documents WHERE doc_id % 13 = 0
+"""
+
+
+def _curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    near = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(
+            F.upper(F.substring("text", 1, 1)),
+            F.expr("substring(text, 2)"),
+        ).alias("text"),
+    )
+    spam = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.expr("repeat(concat(chr(10), '99999 likes'), 60)"),
+        ).alias("text"),
+    )
+    return docs.union(exact).union(near).union(spam)
+
+
+@query(
+    "q_curate",
+    __import__("timescaledb_spark.pipeline.curate", fromlist=["x"])
+    .curate_corpus_sql(
+        table=f"({_CURATE_CORPUS_SQL})", min_required_stops=0
+    ),
+)
+def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation composition (round 15): line-wise filter →
+    Gopher doc rules (required-stopword rule relaxed for the synthetic
+    corpus) → exact dedup → MinHash near-dup components; each document
+    gets the verdict of the FIRST stage that drops it. The oracle
+    replays the identical stage chain with survivor threading, so the
+    hash gates stage ORDER, not just each stage in isolation."""
+    from .pipeline.curate import curate_corpus
+
+    return curate_corpus(
+        _curate_corpus(spark, sf_dir), min_required_stops=0
+    )
