@@ -35,9 +35,14 @@ def curate_corpus(
     first dropping stage (or 'kept')."""
     lf = line_filter(text_col)["keep"]
     gq = gopher_quality(text_col, **gopher_kwargs)["passes"]
+    # pin the flag pass: it feeds the survivor chain (filter -> exact ->
+    # minhash) AND the final verdict projection — without the cache the
+    # two heavy array/regex flag expressions re-evaluate ~3x. (id, text,
+    # 2 booleans) — at cluster scale prefer a checkpoint of (id, flags)
+    # and re-read text by semi-join if caching the corpus is too big.
     flags = df.select(
         F.col(id_col), F.col(text_col), lf.alias("_lf"), gq.alias("_gq")
-    )
+    ).cache()
     surv2 = flags.filter(F.col("_lf") & F.col("_gq")).select(
         id_col, text_col
     )
