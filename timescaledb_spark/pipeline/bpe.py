@@ -115,7 +115,8 @@ def bpe_pair_counts_sql(
         SELECT unnest(range(1, len(cs))) AS i
       )
     )
-    SELECT l AS left_sym, r AS right_sym, sum(freq) AS pair_count
+    SELECT l AS left_sym, r AS right_sym,
+           CAST(sum(freq) AS BIGINT) AS pair_count
     FROM pairs GROUP BY 1, 2
     {lim}
     """
