@@ -37,7 +37,13 @@ _HOSTS = st.one_of(
 
 
 def _model_domain(host: str) -> str | None:
-    """Independent reference implementation of the PSL-subset rule."""
+    """Independent reference implementation of the PSL-subset rule.
+    Longest-match first: a host that IS a public suffix (including a
+    multi-label one like 'github.io') has no registrable domain —
+    hypothesis caught a first draft of this model that matched the
+    shorter 'io' rule before the bare-suffix check."""
+    if host in PUBLIC_SUFFIXES:
+        return None
     labels = host.split(".")
     best = None
     for s in PUBLIC_SUFFIXES:
@@ -47,8 +53,6 @@ def _model_domain(host: str) -> str | None:
                 best = k
     if best is not None:
         return ".".join(labels[-(best + 1):])
-    if host in PUBLIC_SUFFIXES:
-        return None
     if len(labels) >= 2:
         return ".".join(labels[-2:])
     return None
