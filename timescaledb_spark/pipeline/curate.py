@@ -33,18 +33,28 @@ def curate_corpus(
 ) -> DataFrame:
     """One row per input document: ``(id, verdict)`` with verdict the
     first dropping stage (or 'kept')."""
-    lf = line_filter(text_col)["keep"]
-    gq = gopher_quality(text_col, **gopher_kwargs)["passes"]
+    # NULL text makes both stage flags NULL; the survivor filter drops
+    # those docs either way, but a NULL flag would skip every verdict
+    # WHEN branch and mis-report them as 'kept' (round-15 advice) —
+    # coalesce to FALSE so they carry the first stage's drop verdict
+    lf = F.coalesce(line_filter(text_col)["keep"], F.lit(False))
+    gq = F.coalesce(
+        gopher_quality(text_col, **gopher_kwargs)["passes"], F.lit(False)
+    )
     # pin the flag pass: it feeds the survivor chain (filter -> exact ->
-    # minhash) AND the final verdict projection — without the cache the
-    # two heavy array/regex flag expressions re-evaluate ~3x. (id, text,
-    # 2 booleans) — at cluster scale prefer a checkpoint of (id, flags)
-    # and re-read text by semi-join if caching the corpus is too big.
+    # minhash) AND the final verdict projection — without the pin the
+    # two heavy array/regex flag expressions re-evaluate ~3x. Only
+    # (id, 2 booleans) is pinned — ~17 bytes/row at ANY corpus size;
+    # survivors re-read their text through a join against the source
+    # (one extra scan, but the corpus TEXT is never held in storage
+    # memory — the cluster-scale default per the round-15 review).
+    # localCheckpoint, not cache: blocks are freed by the
+    # ContextCleaner when the caller drops the result.
     flags = df.select(
-        F.col(id_col), F.col(text_col), lf.alias("_lf"), gq.alias("_gq")
-    ).cache()
-    surv2 = flags.filter(F.col("_lf") & F.col("_gq")).select(
-        id_col, text_col
+        F.col(id_col), lf.alias("_lf"), gq.alias("_gq")
+    ).localCheckpoint(eager=False)
+    surv2 = df.select(id_col, text_col).join(
+        flags.filter(F.col("_lf") & F.col("_gq")).select(id_col), id_col
     )
     # exact dedup among quality survivors: keeper = min id per content
     exmap = surv2.select(
@@ -62,7 +72,7 @@ def curate_corpus(
         F.col("member") != F.col("cluster_id")
     ).select(F.col("member").alias(id_col), F.lit(True).alias("_nd"))
     return (
-        flags.select(id_col, "_lf", "_gq")
+        flags
         .join(exj, id_col, "left")
         .join(near_drop, id_col, "left")
         .select(
@@ -83,8 +93,11 @@ def curate_corpus_sql(
     id_col: str = "doc_id",
     **gopher_kwargs,
 ) -> str:
-    lf = line_filter_sql(text_col)["keep"]
-    gq = gopher_quality_sql(text_col, **gopher_kwargs)["passes"]
+    lf = f"coalesce({line_filter_sql(text_col)['keep']}, FALSE)"
+    gq = (
+        f"coalesce({gopher_quality_sql(text_col, **gopher_kwargs)['passes']},"
+        f" FALSE)"
+    )
     pairs = minhash_lsh_pairs_sql("surv3", text_col, id_col)
     clusters = dup_clusters_sql(pairs)
     return f"""

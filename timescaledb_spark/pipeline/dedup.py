@@ -26,7 +26,7 @@ candidate sets and scores bit-exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from . import core
 from .core import (
@@ -115,7 +115,10 @@ def minhash_lsh_pairs(
             core.shingle_hashes(word_shingles(text_col, shingle_k)).alias("hl"),
         )
         .filter(F.size("hl") > 0)
-        .cache()
+        # localCheckpoint, not cache: blocks are freed by the
+        # ContextCleaner when the caller drops the result (cache()
+        # would pin the CacheManager entry forever)
+        .localCheckpoint(eager=False)
     )
 
     sigs = hl.select(
@@ -128,13 +131,14 @@ def minhash_lsh_pairs(
         band_cols.append(
             F.struct(F.lit(b).alias("band"), F.concat_ws(",", *parts).alias("key"))
         )
-    # cache: the self-join would otherwise recompute the permutations
-    # once per branch. Bands are 4 short rows per doc — tiny relative to
-    # the corpus, safe to materialize at any scale.
+    # materialized: the self-join would otherwise recompute the
+    # permutations once per branch. Bands are 4 short rows per doc —
+    # tiny relative to the corpus, safe to pin at any scale (and freed
+    # on GC, unlike a cache() pin).
     bands = (
         sigs.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk"))
         .select(id_col, "bk.band", "bk.key")
-        .cache()
+        .localCheckpoint(eager=False)
     )
 
     cand = (
@@ -149,9 +153,13 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # cached: reused by both sides of the verification join and the size
+    # pinned: reused by both sides of the verification join and the size
     # aggregate (3 plan branches). Int64 shingle hashes, not strings.
-    sh = hl.select(F.col(id_col), F.explode("hl").alias("s")).distinct().cache()
+    sh = (
+        hl.select(F.col(id_col), F.explode("hl").alias("s"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     sz = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     inter = (
         cand.join(sh.alias("sa"), F.col("id_a") == F.col(f"sa.{id_col}"))
@@ -252,7 +260,9 @@ def ngram_jaccard_pairs(
     Quadratic worst case — the verification baseline; use
     ``minhash_lsh_pairs`` at scale. Returns the same shape as LSH so the
     two can be diffed."""
-    sh = _distinct_shingles(df, text_col, id_col, shingle_k).cache()
+    sh = _distinct_shingles(df, text_col, id_col, shingle_k).localCheckpoint(
+        eager=False
+    )
     sz = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     inter = (
         sh.alias("x")
@@ -384,49 +394,168 @@ def simhash64_sql(table: str = "documents", text_col: str = "text", id_col: str 
     """
 
 
+def _band_key(src: Column, lo: int, width: int) -> Column:
+    """Bits ``[lo, lo+width)`` of ``src`` as a non-negative long.
+    Arithmetic shiftright + mask extracts the same bits as a logical
+    shift for every lo >= 1 (sign extension only touches above-mask
+    bits); width >= 63 falls back to the raw value (the mask literal
+    would not fit a signed long, and a full-width band IS the hash)."""
+    if width >= 63:
+        return src
+    shifted = F.shiftright(src, lo) if lo else src
+    return shifted.bitwiseAND(F.lit((1 << width) - 1))
+
+
+def _residual(src: Column, lo: int, width: int, conceptual: int) -> Column:
+    """``src`` with bits ``[lo, lo+width)`` removed and the halves packed
+    back together — the ``conceptual - width`` bits a band-equal pair can
+    still differ in. ``conceptual`` <= 64 counts the meaningful bits of
+    ``src`` (higher bits are zero by construction)."""
+    hi = lo + width
+    low = src.bitwiseAND(F.lit((1 << lo) - 1)) if lo else F.lit(0).cast("long")
+    if hi >= conceptual:
+        # the removed slice reaches the top: nothing above it survives
+        # (also dodges Java's shift-mod-64 on shiftright(x, 64))
+        return low
+    high = F.shiftright(src, hi).bitwiseAND(F.lit((1 << (conceptual - hi)) - 1))
+    return (F.shiftleft(high, lo) if lo else high).bitwiseOR(low)
+
+
+def banded_hamming_pairs(
+    fp: DataFrame,
+    id_col: str,
+    hash_col: str,
+    total_bits: int,
+    max_hamming: int = 3,
+    max_bucket: int = 128,
+    max_levels: int = 4,
+) -> DataFrame:
+    """All pairs at Hamming(``hash_col``) <= ``max_hamming`` over an
+    ``(id, hash)`` frame, with NO pairwise pass and BOUNDED bucket sizes.
+
+    Pigeonhole banding: the hash is cut into ``max_hamming + 1`` bands
+    (band count derived from the radius — a fixed 4-band layout is
+    silently incomplete for radius >= 4, the round-15 advice), so any
+    pair within the radius agrees exactly on >= 1 band; a self-join on
+    (band, key) finds every candidate, verified with ``bit_count(xor)``.
+
+    The round-15 scale ceiling: fixed 16-bit band keys give at most
+    65,536 buckets per band, so expected candidates grow ~n²/32k past
+    ~1e7 DISTINCT fingerprints. Fix: **recursive re-banding** — a
+    (band, key) bucket larger than ``max_bucket`` is not joined; within
+    it the pair's remaining <= ``max_hamming`` differing bits live in
+    the residual (hash minus the matched band), so the residual is cut
+    into ``max_hamming + 1`` sub-bands (pigeonhole again — still exact)
+    and the bucket re-buckets on (bucket, sub-band, sub-key), recursing
+    until buckets are bounded or ``max_levels`` is hit (the last level
+    joins whatever remains: identical fingerprints can never be split,
+    and their pairs are genuine output). Each level costs one
+    count-groupBy and one shuffle of the oversized rows only; candidate
+    volume is bounded by ~2 x max_bucket x n instead of n²/buckets.
+
+    Bucket paths are tracked as a single xxhash64 key (long, not a
+    growing string) — a cross-path collision merely merges two buckets'
+    candidate sets, which the exact Hamming verification filters, so
+    correctness is unaffected.
+
+    Output: (id_a, id_b, hamming) with id_a < id_b — exactly the
+    Hamming <= ``max_hamming`` closure, independent of bucket splits,
+    so oracles may replay any complete banding.
+    """
+    if max_hamming < 0:
+        raise ValueError("banded_hamming_pairs needs max_hamming >= 0")
+    if not 1 <= total_bits <= 64:
+        raise ValueError("banded_hamming_pairs needs 1 <= total_bits <= 64")
+    n_bands = max_hamming + 1
+    h = F.col(hash_col)
+
+    def _explode_levels(df, src_expr, conceptual, parent_key):
+        """One row per (row, band): (id, hash, bkey, res)."""
+        width = -(-conceptual // n_bands)
+        parts = []
+        for b in range(n_bands):
+            lo = b * width
+            key = _band_key(src_expr, lo, width)
+            res = _residual(src_expr, lo, width, conceptual)
+            bkey = (
+                F.xxhash64(parent_key, F.lit(b), key)
+                if parent_key is not None
+                else F.xxhash64(F.lit(b), key)
+            )
+            parts.append(F.struct(bkey.alias("bkey"), res.alias("res")))
+        out = df.select(
+            F.col(id_col), h, F.explode(F.array(*parts)).alias("_bk")
+        ).select(id_col, hash_col, "_bk.bkey", "_bk.res")
+        return out, n_bands * width - width
+
+    def _self_join(part):
+        return (
+            part.alias("x")
+            .join(
+                part.alias("y"),
+                (F.col("x.bkey") == F.col("y.bkey"))
+                & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+            )
+            .select(
+                F.col(f"x.{id_col}").alias("id_a"),
+                F.col(f"y.{id_col}").alias("id_b"),
+                F.bit_count(
+                    F.col(f"x.{hash_col}").bitwiseXOR(F.col(f"y.{hash_col}"))
+                ).alias("hamming"),
+            )
+        )
+
+    cur, rbits = _explode_levels(
+        fp.select(id_col, hash_col), h, total_bits, None
+    )
+    parts = []
+    level = 0
+    while True:
+        # materialize the level (the count pass and the self-join both
+        # read it; lineage truncation keeps per-level plans flat) —
+        # localCheckpoint blocks are freed by the ContextCleaner when
+        # the frame is garbage-collected (no CacheManager pin)
+        cur = cur.localCheckpoint(eager=True)
+        last = level >= max_levels or rbits < n_bands
+        if last:
+            parts.append(_self_join(cur))
+            break
+        counts = cur.groupBy("bkey").agg(F.count(F.lit(1)).alias("_n"))
+        sized = cur.join(counts, "bkey")
+        parts.append(_self_join(sized.filter(F.col("_n") <= max_bucket).drop("_n")))
+        big = sized.filter(F.col("_n") > max_bucket).drop("_n")
+        if counts.filter(F.col("_n") > max_bucket).isEmpty():
+            break
+        cur, rbits = _explode_levels(big, F.col("res"), rbits, F.col("bkey"))
+        level += 1
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct().filter(F.col("hamming") <= max_hamming)
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket: int = 128,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
-    Banding: split the 60-bit fingerprint into 4 15-bit keys; any pair at
-    Hamming ≤ 3 agrees exactly on ≥ 1 band (pigeonhole), so the self-join
-    on (band, key) finds all of them without an n² comparison; candidates
-    are then verified with bit_count(xor).
-    """
+    Banding via :func:`banded_hamming_pairs`: ``max_hamming + 1`` bands
+    of the 60-bit fingerprint (pigeonhole — complete for ANY radius, not
+    just 3), with recursive re-banding of oversized buckets so candidate
+    volume stays ~linear past 1e7 distinct fingerprints."""
     fp = simhash64(df, text_col, id_col)
-    n_bands = 4
-    width = SIMHASH_BITS // n_bands
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            ((F.col("simhash").bitwiseAND(F.lit(((1 << width) - 1) << (b * width))))).alias("key"),
-        )
-        for b in range(n_bands)
-    ]
-    bands = (
-        fp.select(id_col, "simhash", F.explode(F.array(*band_cols)).alias("bk"))
-        .select(id_col, "simhash", "bk.band", "bk.key")
-        .cache()  # self-join would recompute the fingerprint per branch
-    )
-    return (
-        bands.alias("x")
-        .join(
-            bands.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.key") == F.col("y.key"))
-            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
-        )
-        .select(
-            F.col(f"x.{id_col}").alias("id_a"),
-            F.col(f"y.{id_col}").alias("id_b"),
-            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).alias("hamming"),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
+    return banded_hamming_pairs(
+        fp,
+        id_col,
+        "simhash",
+        SIMHASH_BITS,
+        max_hamming=max_hamming,
+        max_bucket=max_bucket,
     )
 
 
@@ -459,7 +588,7 @@ def embedding_dup_pairs(
     pre = (
         spread(df.select(F.col(id_col), dv.alias("v")))
         .select(F.col(id_col), "v", norm.alias("nrm"))
-        .cache()
+        .localCheckpoint(eager=False)
     )
     dot = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),

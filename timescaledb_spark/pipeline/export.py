@@ -49,6 +49,18 @@ def shard_assign(
     if isinstance(n_shards, dict):
         if not n_shards:
             raise ValueError("n_shards dict must not be empty")
+        # a typo between weights keys and n_shards keys must be an
+        # error, not a silent mis-shard through a fallback (round-15
+        # advice): validate the statically-known split domain here and
+        # guard the runtime domain (pre-existing split column) with
+        # raise_error in the CASE's ELSE branch
+        split_domain = set(weights) if weights is not None else None
+        if split_domain is not None and not split_domain <= set(n_shards):
+            missing = sorted(split_domain - set(n_shards))
+            raise ValueError(
+                f"shard_assign: splits {missing} have no n_shards entry "
+                f"(known: {sorted(n_shards)})"
+            )
         expr: Optional[Column] = None
         for name, n in sorted(n_shards.items()):
             branch = F.pmod(key, F.lit(int(n)))
@@ -56,7 +68,14 @@ def shard_assign(
             expr = (
                 F.when(cond, branch) if expr is None else expr.when(cond, branch)
             )
-        shard = expr.otherwise(F.pmod(key, F.lit(int(min(n_shards.values())))))
+        shard = expr.otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("shard_assign: split not in n_shards: "),
+                    F.col(split_col),
+                )
+            ).cast("bigint")
+        )
     else:
         shard = F.pmod(key, F.lit(int(n_shards)))
     return out.withColumn(out_col, shard.cast("int"))
@@ -82,12 +101,21 @@ def shard_assign_sql(
     else:
         base = f"(SELECT {projection}, 'train' AS split FROM {table})"
     if isinstance(n_shards, dict):
+        if weights is not None and not set(weights) <= set(n_shards):
+            missing = sorted(set(weights) - set(n_shards))
+            raise ValueError(
+                f"shard_assign_sql: splits {missing} have no n_shards "
+                f"entry (known: {sorted(n_shards)})"
+            )
         cases = " ".join(
             f"WHEN split = '{name}' THEN ({key} % {int(n)})"
             for name, n in sorted(n_shards.items())
         )
-        fallback = int(min(n_shards.values()))
-        shard = f"CASE {cases} ELSE ({key} % {fallback}) END"
+        shard = (
+            f"CASE {cases} ELSE CAST(error("
+            f"'shard_assign: split not in n_shards: ' || split) AS BIGINT)"
+            f" END"
+        )
     else:
         shard = f"({key} % {int(n_shards)})"
     return (

@@ -478,44 +478,24 @@ def dhash64_sql(
 
 
 def _banded_pairs(
-    fp: DataFrame, id_col: str, max_hamming: int
+    fp: DataFrame, id_col: str, max_hamming: int, max_bucket: int = 128
 ) -> DataFrame:
-    """Hamming<=k pairs over a (id, dhash) frame via 4 x 16-bit banding:
-    any pair at Hamming <= 3 agrees exactly on >= 1 band (pigeonhole
-    over 4 bands), so one self-join on (band, key) finds all of them
-    with NO pairwise pass; candidates are verified with
-    ``bit_count(xor)``. One shuffle on the band key."""
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.shiftright("dhash", 16 * b)
-            .bitwiseAND(F.lit(0xFFFF))
-            .alias("key"),
-        )
-        for b in range(4)
-    ]
-    bands = (
-        fp.select(id_col, "dhash", F.explode(F.array(*band_cols)).alias("bk"))
-        .select(id_col, "dhash", "bk.band", "bk.key")
-        .cache()  # the self-join would re-run the hash pass per branch
-    )
-    return (
-        bands.alias("x")
-        .join(
-            bands.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.key") == F.col("y.key"))
-            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
-        )
-        .select(
-            F.col(f"x.{id_col}").alias("id_a"),
-            F.col(f"y.{id_col}").alias("id_b"),
-            F.bit_count(
-                F.col("x.dhash").bitwiseXOR(F.col("y.dhash"))
-            ).alias("hamming"),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
+    """Hamming<=k pairs over a (id, dhash) frame via pigeonhole banding
+    with recursive re-banding of oversized buckets — the shared
+    :func:`..dedup.banded_hamming_pairs` discipline: band count derived
+    from the radius (complete for ANY ``max_hamming``, not just 3), and
+    buckets past ``max_bucket`` re-bucket on sub-bands of their residual
+    bits so candidate volume stays ~linear past 1e7 distinct
+    fingerprints (the round-15 scale ceiling)."""
+    from .dedup import banded_hamming_pairs
+
+    return banded_hamming_pairs(
+        fp,
+        id_col,
+        "dhash",
+        64,
+        max_hamming=max_hamming,
+        max_bucket=max_bucket,
     )
 
 
@@ -537,15 +517,25 @@ def media_dup_pairs_sql(
     id_col: str = "doc_id",
     max_hamming: int = 3,
 ) -> str:
-    """Oracle: same banding + verification over the replayed hashes.
+    """Oracle: one-level pigeonhole banding + verification over the
+    replayed hashes — the band count is derived from the radius
+    (``max_hamming + 1``), matching the Spark side's completeness for
+    any radius; the final pair set is the exact Hamming closure either
+    way, so the oracle need not replay the recursive bucket splits.
     DuckDB ``>>`` on BIGINT is arithmetic like Spark's shiftright; the
-    & 65535 mask extracts the same 16 bits either way."""
+    mask extracts the same bits either way."""
+    n_bands = max_hamming + 1
+    width = -(-64 // n_bands)
+    mask = (1 << width) - 1 if width < 63 else None
+    key = (
+        f"(dhash >> ({width} * b)) & {mask}" if mask is not None else "dhash"
+    )
     fp = dhash64_sql(table, text_col, id_col)
     return f"""
     WITH fp AS ({fp}),
     bands AS (
-      SELECT {id_col}, dhash, b AS band, (dhash >> (16 * b)) & 65535 AS key
-      FROM fp, (SELECT unnest(range(0, 4)) AS b)
+      SELECT {id_col}, dhash, b AS band, {key} AS key
+      FROM fp, (SELECT unnest(range(0, {n_bands})) AS b)
     )
     SELECT DISTINCT x.{id_col} AS id_a, y.{id_col} AS id_b,
            bit_count(xor(x.dhash, y.dhash)) AS hamming
@@ -582,9 +572,11 @@ def media_dedup(
     # the fingerprint pass (Python mapInPandas over every payload) is
     # by far the most expensive stage — pin it: it feeds the rep
     # groupBy AND the final member join, and recomputing it doubles
-    # the corpus scans. fp is (id, hash) — 16 bytes/row, cacheable at
-    # any corpus size that fits the cluster's storage fraction.
-    fp = dhash64(df, id_col).cache()
+    # the corpus scans. fp is (id, hash) — 16 bytes/row at any corpus
+    # size. localCheckpoint, not cache: the blocks are freed by the
+    # ContextCleaner when the caller drops the result (a cache() here
+    # pins the CacheManager entry forever — the round-15 hygiene leak).
+    fp = dhash64(df, id_col).localCheckpoint(eager=False)
     reps = fp.groupBy("dhash").agg(F.min(id_col).alias("_rep"))
     rep_fp = reps.select(F.col("_rep").alias(id_col), "dhash")
     pairs = _banded_pairs(rep_fp, id_col, max_hamming)

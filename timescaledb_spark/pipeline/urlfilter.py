@@ -117,18 +117,17 @@ def registrable_domain(
     (measured over 500k rows); the regex form makes the duplication
     immaterial."""
     h = _c(host)
-    expr = None
+    # the "host IS a public suffix -> NULL" rule must run BEFORE the
+    # tail patterns: with a nested-suffix list (real PSL entries like
+    # k12.ma.us and pvt.k12.ma.us) a host equal to the LONGER suffix
+    # would otherwise match the shorter suffix's tail pattern and be
+    # reported as a registrable domain (round-15 advice)
+    expr = F.when(h.isin(*suffixes), F.lit(None).cast("string"))
     for _k, group in _by_label_count(suffixes):
         m = F.regexp_extract(h, _tail_pattern(group), 1)
-        cond = m != ""
-        expr = F.when(cond, m) if expr is None else expr.when(cond, m)
+        expr = expr.when(m != "", m)
     generic = F.regexp_extract(h, _GENERIC_TAIL, 1)
-    head = expr if expr is not None else F.when(F.lit(False), F.lit(None))
-    return (
-        head.when(h.isin(*suffixes), F.lit(None))
-        .when(generic != "", generic)
-        .otherwise(F.lit(None))
-    )
+    return expr.when(generic != "", generic).otherwise(F.lit(None))
 
 
 def registrable_domain_sql(
@@ -136,15 +135,14 @@ def registrable_domain_sql(
 ) -> str:
     """DuckDB replay: regexp_extract returns '' on no match in both
     engines, so the CASE shape is identical."""
-    cases = []
+    inlist = ", ".join(f"'{s}'" for s in suffixes)
+    cases = [f"WHEN {host_expr} IN ({inlist}) THEN NULL"]
     for _k, group in _by_label_count(suffixes):
         pat = _tail_pattern(group)
         cases.append(
             f"WHEN regexp_extract({host_expr}, '{pat}', 1) <> '' "
             f"THEN regexp_extract({host_expr}, '{pat}', 1)"
         )
-    inlist = ", ".join(f"'{s}'" for s in suffixes)
-    cases.append(f"WHEN {host_expr} IN ({inlist}) THEN NULL")
     cases.append(
         f"WHEN regexp_extract({host_expr}, '{_GENERIC_TAIL}', 1) <> '' "
         f"THEN regexp_extract({host_expr}, '{_GENERIC_TAIL}', 1)"
