@@ -1,11 +1,11 @@
-"""BPE vocabulary induction over a corpus — the pair-counting core of
-byte-pair-encoding training (Sennrich et al. 2016, "Neural Machine
-Translation of Rare Words with Subword Units", Algorithm 1): count
-adjacent symbol pairs weighted by word frequency; the argmax pair is
-the next merge. The counting step is the distributed part (every
-iteration is one scan of the word-frequency table); the merge loop
-itself mutates a vocab-sized table and runs wherever the word table
-lives.
+"""BPE vocabulary training over a corpus (Sennrich et al. 2016, "Neural
+Machine Translation of Rare Words with Subword Units", Algorithm 1):
+:func:`bpe_pair_counts` is one counting iteration; :func:`bpe_train`
+runs the full loop — count adjacent symbol pairs weighted by word
+frequency, take the deterministic argmax as the next merge, apply it to
+the distinct-word symbol table (a single codegen string replace under
+the SEP2 encoding — see ``SEP``), repeat; :func:`bpe_segment` applies a
+learned merge list to segment the vocabulary.
 
 Reference analog: none (SURVEY pipeline surface) — tokenizer training
 is a standard pre-training pipeline stage.
@@ -25,6 +25,8 @@ Scale shape (100 TB):
 
 from __future__ import annotations
 
+from typing import List, Optional, Sequence, Tuple
+
 from pyspark.sql import DataFrame, functions as F
 
 from .core import tokens, tokens_sql
@@ -32,6 +34,23 @@ from .core import tokens, tokens_sql
 #: end-of-word marker (the </w> of the paper, one char to keep symbol
 #: arithmetic trivial)
 EOW = "·"
+
+#: symbol-sequence encoding: a word's symbols are joined AND bounded by
+#: a doubled unit separator — ``␟␟s1␟␟s2␟␟…␟␟`` (U+001F never occurs in
+#: tokenizer output, which is [a-z0-9]+ plus the EOW marker). With this
+#: encoding, applying ONE BPE merge (l, r) greedily left-to-right and
+#: non-overlapping — exactly Sennrich et al. 2016's merge application —
+#: is a single plain-string ``replace(enc, '␟l␟␟r␟', '␟lr␟')``: the
+#: pattern consumes the inner half of each boundary and the replacement
+#: restores it, so consecutive merges in one word chain correctly
+#: (scan resumes after the replacement, like every engine's replace),
+#: while partial-token matches are impossible (a symbol can neither
+#: start nor end inside another symbol across a ␟). The same replace is
+#: a JVM-codegen string op in Spark, a plain replace() in DuckDB, and
+#: str.replace in Python — all three scan left-to-right non-overlapping,
+#: so the oracle and the reference replay are bit-identical.
+SEP = "\x1f"
+SEP2 = SEP + SEP
 
 
 def word_freq(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -84,6 +103,286 @@ def bpe_pair_counts(
             F.col("right_sym"),
         ).limit(int(top_k))
     return out
+
+
+def _encode_word(word_col: str = "word") -> F.Column:
+    """Initial symbol sequence of a word (chars + EOW) in the SEP2
+    encoding — ``␟␟c1␟␟c2␟␟…␟␟·␟␟``."""
+    chars = F.concat(
+        F.filter(F.split(F.col(word_col), ""), lambda c: c != ""),
+        F.array(F.lit(EOW)),
+    )
+    return F.concat(F.lit(SEP2), F.array_join(chars, SEP2), F.lit(SEP2))
+
+
+def _enc_syms(enc_col: str = "enc") -> F.Column:
+    """Symbol array back out of the SEP2 encoding."""
+    return F.filter(F.split(F.col(enc_col), SEP2), lambda s: s != "")
+
+
+def _pair_counts_of(words: DataFrame) -> DataFrame:
+    """(left_sym, right_sym, pair_count) over an encoded word-frequency
+    frame ``(enc, freq)`` — one map-combined shuffle, output bounded by
+    |current symbol vocabulary|²."""
+    # zip_with over two shifted slices, NOT transform(sequence(1, n-1)):
+    # a fully-merged word has ONE symbol, and sequence(1, 0) steps
+    # DOWNWARD ([1, 0] — an out-of-bounds index under ANSI mode) where
+    # slice(.., 1, 0) is simply empty
+    pairs = (
+        words.withColumn("_syms", _enc_syms())
+        .select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(_syms, 1, size(_syms) - 1), "
+                    "slice(_syms, 2, size(_syms) - 1), "
+                    "(x, y) -> struct(x AS l, y AS r))"
+                )
+            ).alias("p"),
+        )
+        .select("freq", "p.l", "p.r")
+    )
+    return pairs.groupBy(
+        F.col("l").alias("left_sym"), F.col("r").alias("right_sym")
+    ).agg(F.sum("freq").alias("pair_count"))
+
+
+def merge_pattern(left_sym: str, right_sym: str) -> Tuple[str, str]:
+    """(search, replacement) strings applying the merge under the SEP2
+    encoding (see the SEP docstring for why a plain replace is exactly
+    the greedy left-to-right non-overlapping BPE merge)."""
+    return (
+        f"{SEP}{left_sym}{SEP2}{right_sym}{SEP}",
+        f"{SEP}{left_sym}{right_sym}{SEP}",
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 50,
+    text_col: str = "text",
+    shuffle_partitions: Optional[int] = 8,
+    checkpoint_every: int = 25,
+) -> List[dict]:
+    """Full iterative BPE vocabulary training (Sennrich et al. 2016
+    Algorithm 1): ``n_merges`` rounds of count-pairs → argmax →
+    apply-merge over the distinct-word frequency table. Returns the
+    learned merge table ``[{step, left_sym, right_sym, pair_count}]``
+    (1-based steps, argmax ties broken (count desc, left asc, right
+    asc) — the deterministic order shared with the DuckDB oracle).
+
+    Scale shape (100 TB): the corpus is touched ONCE (the word-frequency
+    groupBy); every iteration then scans only the distinct-word table —
+    bounded by vocabulary (~1e6-1e7 rows), not corpus size. The merge
+    application is a single plain-string replace (see ``SEP``) — a JVM
+    codegen op, no UDF, no Python in the executor path. The word table
+    is localCheckpoint-ed every ``checkpoint_every`` merges so per-round
+    plans stay flat (the dup_clusters discipline; blocks are
+    ContextCleaner-freed). Each iteration is inherently a driver round
+    trip (one argmax collect of a single row) — the sequential argmax IS
+    the algorithm; batching k merges per scan changes the learned
+    sequence unless the top-k are provably non-interacting, so exact
+    training stays one merge per round.
+
+    ``shuffle_partitions`` sizes the per-round shuffles to the vocab
+    table (corpus-sized partition counts pay per-round scheduling for
+    empty partitions); the session conf is restored afterwards.
+    """
+    spark = df.sparkSession
+    old = None
+    if shuffle_partitions is not None:
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        words = word_freq(df, text_col).select(
+            _encode_word().alias("enc"), "freq"
+        )
+        words = words.localCheckpoint(eager=True)
+        merges: List[dict] = []
+        for step in range(1, int(n_merges) + 1):
+            top = (
+                _pair_counts_of(words)
+                .orderBy(
+                    F.col("pair_count").desc(), "left_sym", "right_sym"
+                )
+                .limit(1)
+                .collect()
+            )
+            if not top:  # every word is a single symbol — vocab exhausted
+                break
+            l, r, c = (
+                top[0]["left_sym"],
+                top[0]["right_sym"],
+                int(top[0]["pair_count"]),
+            )
+            merges.append(
+                {
+                    "step": step,
+                    "left_sym": l,
+                    "right_sym": r,
+                    "pair_count": c,
+                }
+            )
+            search, repl = merge_pattern(l, r)
+            words = words.select(
+                F.replace(
+                    F.col("enc"), F.lit(search), F.lit(repl)
+                ).alias("enc"),
+                "freq",
+            )
+            if step % max(int(checkpoint_every), 1) == 0:
+                words = words.localCheckpoint(eager=True)
+        return merges
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def bpe_train_df(
+    df: DataFrame, n_merges: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """:func:`bpe_train` as a DataFrame — the gate-shaped form."""
+    spark = df.sparkSession
+    merges = bpe_train(df, n_merges=n_merges, text_col=text_col)
+    return spark.createDataFrame(
+        [
+            (m["step"], m["left_sym"], m["right_sym"], m["pair_count"])
+            for m in merges
+        ],
+        "step int, left_sym string, right_sym string, pair_count bigint",
+    )
+
+
+def bpe_segment(
+    df: DataFrame,
+    merges: Sequence[Tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Segment the corpus vocabulary under a learned merge list: one row
+    per DISTINCT word — ``(word, freq, n_syms, syms)`` with ``syms`` the
+    space-joined subword sequence after applying every merge in order.
+
+    The merge chain is ``len(merges)`` nested plain-string replaces —
+    all whole-stage codegen, zero Python per row; work is bounded by the
+    vocabulary (the corpus is only touched by the word-frequency
+    groupBy). Re-joining subwords to documents is a broadcast join of
+    this table against exploded tokens when needed."""
+    out = word_freq(df, text_col).select(
+        "word", "freq", _encode_word().alias("enc")
+    )
+    enc = F.col("enc")
+    for l, r in merges:
+        search, repl = merge_pattern(str(l), str(r))
+        enc = F.replace(enc, F.lit(search), F.lit(repl))
+    syms = F.filter(F.split(enc, SEP2), lambda s: s != "")
+    return out.select(
+        "word",
+        "freq",
+        F.size(syms).alias("n_syms"),
+        F.array_join(syms, " ").alias("syms"),
+    )
+
+
+def _sq(s: str) -> str:
+    """SQL string literal (single-quote doubling; SEP is a control char
+    DuckDB passes through verbatim)."""
+    return "'" + str(s).replace("'", "''") + "'"
+
+
+def _encode_word_sql(word_expr: str = "word") -> str:
+    return (
+        f"{_sq(SEP2)} || array_to_string("
+        f"list_append(string_split({word_expr}, ''), '{EOW}'), {_sq(SEP2)})"
+        f" || {_sq(SEP2)}"
+    )
+
+
+def _pair_counts_sql(words_cte: str) -> str:
+    """Pair counts over an encoded (enc, freq) CTE."""
+    return f"""
+      SELECT cs[j] AS l, cs[j + 1] AS r, CAST(sum(freq) AS BIGINT) AS c
+      FROM (
+        SELECT list_filter(string_split(enc, {_sq(SEP2)}), s -> s <> '') AS cs,
+               freq
+        FROM {words_cte}
+      ), LATERAL (SELECT unnest(range(1, len(cs))) AS j)
+      GROUP BY 1, 2
+    """
+
+
+def bpe_train_sql(
+    table: str = "documents", text_col: str = "text", n_merges: int = 50
+) -> str:
+    """DuckDB oracle replaying the FULL training loop: the ``n_merges``
+    iterations are unrolled into a CTE chain — each step recomputes pair
+    counts from the previous word table, takes the same deterministic
+    argmax, and applies the merge with the identical plain-string
+    replace under the identical SEP2 encoding, so the learned merge
+    table is bit-equal."""
+    toks = tokens_sql(text_col)
+    s, s2 = _sq(SEP), _sq(SEP2)
+    ctes = [
+        f"""wf AS (
+      SELECT word, count(*) AS freq FROM (
+        SELECT unnest({toks}) AS word FROM {table}
+      ) GROUP BY 1
+    )""",
+        f"w0 AS MATERIALIZED (SELECT {_encode_word_sql()} AS enc, freq FROM wf)",
+    ]
+    for i in range(int(n_merges)):
+        ctes.append(
+            f"m{i} AS MATERIALIZED (SELECT {i + 1} AS step, l, r, c FROM "
+            f"({_pair_counts_sql(f'w{i}')}) ORDER BY c DESC, l, r LIMIT 1)"
+        )
+        ctes.append(
+            f"""w{i + 1} AS MATERIALIZED (
+      SELECT replace(enc,
+                     {s} || (SELECT l FROM m{i}) || {s2} ||
+                       (SELECT r FROM m{i}) || {s},
+                     {s} || (SELECT l FROM m{i}) ||
+                       (SELECT r FROM m{i}) || {s}) AS enc,
+             freq
+      FROM w{i}
+    )"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM m{i}" for i in range(int(n_merges)))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT step, l AS left_sym, r AS right_sym, c AS pair_count"
+        f" FROM ({union})"
+    )
+
+
+def bpe_segment_sql(
+    merges: Sequence[Tuple[str, str]],
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """DuckDB oracle for :func:`bpe_segment` under a GIVEN merge list —
+    the identical replace chain over the identical encoding."""
+    toks = tokens_sql(text_col)
+    s, s2 = _sq(SEP), _sq(SEP2)
+    enc = _encode_word_sql()
+    for l, r in merges:
+        search = _sq(f"{SEP}{l}{SEP2}{r}{SEP}")
+        repl = _sq(f"{SEP}{l}{r}{SEP}")
+        enc = f"replace({enc}, {search}, {repl})"
+    return f"""
+    WITH wf AS (
+      SELECT word, count(*) AS freq FROM (
+        SELECT unnest({toks}) AS word FROM {table}
+      ) GROUP BY 1
+    ),
+    seg AS (
+      SELECT word, freq,
+             list_filter(string_split({enc}, {s2}), x -> x <> '') AS cs
+      FROM wf
+    )
+    SELECT word, freq, CAST(len(cs) AS INT) AS n_syms,
+           array_to_string(cs, ' ') AS syms
+    FROM seg
+    """
 
 
 def bpe_pair_counts_sql(

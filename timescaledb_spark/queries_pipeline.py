@@ -1000,6 +1000,60 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_bpe_train",
+    __import__("timescaledb_spark.pipeline.bpe", fromlist=["x"])
+    .bpe_train_sql(n_merges=50),
+)
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full iterative BPE training (round 16; Sennrich et al. 2016
+    Algorithm 1): 50 rounds of count-pairs → deterministic argmax →
+    apply-merge over the distinct-word table. Every round is
+    vocab-bounded (the corpus is scanned once, by the word-frequency
+    groupBy); the merge application is a single codegen string replace
+    under the doubled-separator symbol encoding. The oracle unrolls the
+    SAME 50 iterations as a materialized CTE chain, so the hash gates
+    the whole learned merge sequence — counts, tie-breaks, and the
+    greedy left-to-right merge application at every step."""
+    from .pipeline.bpe import bpe_train_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train_df(docs, n_merges=50)
+
+
+#: fixed merge list for the segmentation gate (chained merges included:
+#: 'th' + 'e·' only fires after both component merges have applied)
+_SEG_MERGES = (
+    ("e", "·"),
+    ("t", "h"),
+    ("th", "e·"),
+    ("i", "n"),
+    ("a", "n"),
+    ("an", "d·"),
+    ("s", "·"),
+    ("e", "r"),
+    ("in", "g"),
+    ("o", "n"),
+)
+
+
+@query(
+    "q_bpe_segment",
+    __import__("timescaledb_spark.pipeline.bpe", fromlist=["x"])
+    .bpe_segment_sql(_SEG_MERGES),
+)
+def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE segmentation under a learned merge list (round 16): the
+    vocabulary table segmented by a 10-merge chain (including two-level
+    merges that only fire after their components) — one codegen replace
+    per merge, work bounded by the vocabulary. The oracle replays the
+    identical replace chain over the identical encoding."""
+    from .pipeline.bpe import bpe_segment
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_segment(docs, _SEG_MERGES)
+
+
+@query(
     "q_quantize_embeddings",
     __import__("timescaledb_spark.pipeline.similarity", fromlist=["x"])
     .quantize_embeddings_sql(),
