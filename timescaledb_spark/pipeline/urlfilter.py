@@ -30,7 +30,7 @@ registrable domain is the last two labels.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Union
+from typing import Optional, Sequence, Tuple, Union
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -75,6 +75,67 @@ def host_of_sql(url_expr: str) -> str:
     )
 
 
+def load_public_suffixes(
+    source, icann_only: bool = False
+) -> Tuple[str, ...]:
+    """Load a public-suffix list in the standard PSL file format
+    (https://publicsuffix.org/list/ — the format is public; the list
+    itself is data, not code): one rule per line, ``//`` comments,
+    ``*.`` wildcard rules, ``!`` exception rules. ``source`` is a file
+    path, an iterable of lines, or a one-column DataFrame of rules.
+    ``icann_only`` stops at the ICANN section end marker (drops the
+    PRIVATE DOMAINS section — github.io-style vendor suffixes).
+
+    Returns the rule tuple (markers preserved) that
+    :func:`registrable_domain` / :func:`domain_filter` accept."""
+    if isinstance(source, DataFrame):
+        col = source.columns[0]
+        lines = [r[col] for r in source.select(col).collect()]
+    elif isinstance(source, (str, bytes)):
+        with open(source, encoding="utf-8") as f:
+            lines = f.read().splitlines()
+    else:
+        lines = list(source)
+    rules = []
+    for raw in lines:
+        line = (raw or "").strip()
+        if icann_only and "===END ICANN DOMAINS===" in line:
+            break
+        if not line or line.startswith("//"):
+            continue
+        rules.append(line.split()[0].lower().lstrip("."))
+    return tuple(dict.fromkeys(rules))
+
+
+def _parse_rules(
+    suffixes: Sequence[str],
+) -> Tuple[Tuple[str, ...], Tuple[str, ...], Tuple[str, ...]]:
+    """Split a rule list into (plain, wildcard bases, exceptions) —
+    markers stripped, lowercased, de-duplicated, order-normalized."""
+    plain, wild, exc = [], [], []
+    for s in suffixes:
+        s = str(s).strip().lower()
+        if not s:
+            continue
+        if s.startswith("!"):
+            exc.append(s[1:])
+        elif s.startswith("*."):
+            wild.append(s[2:])
+        elif s == "*":
+            continue  # the implicit default rule — always active
+        else:
+            plain.append(s)
+    return (
+        tuple(sorted(set(plain))),
+        tuple(sorted(set(wild))),
+        tuple(sorted(set(exc))),
+    )
+
+
+def _labels(s: str) -> int:
+    return s.count(".") + 1
+
+
 def _by_label_count(suffixes: Sequence[str]) -> list:
     """Group suffixes by label count, most labels first — single-label
     suffixes are omitted because their rule coincides with the PSL
@@ -98,47 +159,119 @@ def _tail_pattern(group: Sequence[str]) -> str:
 _GENERIC_TAIL = "([^.]+[.][^.]+)$"  # PSL default rule: last two labels
 
 
+def _tail_groups(plain: Sequence[str], wild: Sequence[str]) -> list:
+    """Rules grouped by EFFECTIVE label count, most labels first, as
+    regex alternation fragments: a plain suffix contributes itself; a
+    wildcard base ``b`` (the PSL rule ``*.b``) contributes
+    ``[^.]+[.]b`` — one more (arbitrary) label, so it lands in the
+    ``labels(b) + 1`` group. Single-label plain suffixes are omitted
+    (their rule coincides with the PSL default ``*`` rule)."""
+    groups: dict = {}
+    for s in plain:
+        k = _labels(s)
+        if k >= 2:
+            groups.setdefault(k, []).append(s.replace(".", "[.]"))
+    for b in wild:
+        groups.setdefault(_labels(b) + 1, []).append(
+            "[^.]+[.]" + b.replace(".", "[.]")
+        )
+    return sorted(((k, sorted(v)) for k, v in groups.items()), reverse=True)
+
+
 def registrable_domain(
     host: Union[str, Column],
     suffixes: Sequence[str] = PUBLIC_SUFFIXES,
 ) -> Column:
-    """eTLD+1 of a host under the given public-suffix set: the suffix's
-    label count plus one trailing label. A host that IS a public suffix
-    has no registrable domain (NULL); unknown TLDs use the PSL default
-    rule (last two labels), which also covers every single-label suffix
-    — so evaluation is one anchored regex per DISTINCT multi-label
-    suffix LENGTH plus one generic tail regex, not per-suffix work.
+    """eTLD+1 of a host under the given public-suffix rules — full PSL
+    semantics (https://publicsuffix.org/list/, the documented
+    algorithm): plain rules, ``*.`` wildcard rules (any label + base is
+    a public suffix), ``!`` exception rules (the exception itself is a
+    registrable domain; its public suffix is the rule minus its leftmost
+    label), prevailing rule = exception first, else most labels, else
+    the implicit ``*`` default (last label is the suffix → registrable =
+    last two labels). A host that IS a public suffix has no registrable
+    domain (NULL).
 
-    Deliberately CHEAP (a couple of small anchored regexes, no array
-    machinery): Catalyst's predicate pushdown substitutes projection
-    aliases into filter conditions, so curation predicates re-evaluate
-    this expression 2-3x per row — the earlier split/slice/array_join
-    form cost 6 µs per evaluation and tripled to 18 µs under pushdown
-    (measured over 500k rows); the regex form makes the duplication
+    Evaluation cost is INDEPENDENT of the rule count's distribution
+    across hosts: exceptions are a handful of cheap equality/endswith
+    branches, every "host IS a suffix" check is one ``isin`` plus one
+    anchored regex per wildcard label count, and tail extraction is one
+    anchored regex per DISTINCT label count (~5 for the real ~9.7k-rule
+    PSL — the alternation grows with the list, the WHEN chain does
+    not, so whole-stage codegen never sees more branches). The regex
+    PATTERN is data, compiled once per task, so a 1k-rule list costs
+    the same codegen as 12 rules (proven by test_urlfilter_psl.py);
+    past ~RE2-unfriendly sizes use :func:`registrable_domain_join`,
+    the broadcast-join matcher (``domain_filter`` switches
+    automatically above ``REGEX_MAX_RULES``).
+
+    Deliberately CHEAP per row (anchored regexes, no array machinery):
+    Catalyst's predicate pushdown substitutes projection aliases into
+    filter conditions, so curation predicates re-evaluate this
+    expression 2-3x per row — the earlier split/slice/array_join form
+    tripled under pushdown; the regex form makes duplication
     immaterial."""
+    plain, wild, exc = _parse_rules(suffixes)
     h = _c(host)
-    # the "host IS a public suffix -> NULL" rule must run BEFORE the
-    # tail patterns: with a nested-suffix list (real PSL entries like
-    # k12.ma.us and pvt.k12.ma.us) a host equal to the LONGER suffix
-    # would otherwise match the shorter suffix's tail pattern and be
-    # reported as a registrable domain (round-15 advice)
-    expr = F.when(h.isin(*suffixes), F.lit(None).cast("string"))
-    for _k, group in _by_label_count(suffixes):
-        m = F.regexp_extract(h, _tail_pattern(group), 1)
-        expr = expr.when(m != "", m)
+    expr = None
+
+    def _when(cond, val):
+        nonlocal expr
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+
+    # 1. exception rules beat everything (PSL: "If more than one rule
+    #    matches, the prevailing rule is the one which is an exception
+    #    rule"): any host ending with the exception registers AS it
+    for e in sorted(exc, key=lambda s: (-_labels(s), s)):
+        _when((h == e) | h.endswith("." + e), F.lit(e))
+    # 2. "host IS a public suffix -> NULL" before any tail pattern
+    #    (nested-suffix ordering, round-15 advice). No longer rule can
+    #    claim such a host: a k'-label tail needs k'+1 > k labels.
+    if plain:
+        _when(h.isin(*plain), F.lit(None).cast("string"))
+    if wild:
+        walts = "|".join(b.replace(".", "[.]") for b in sorted(wild))
+        _when(
+            F.regexp_extract(h, f"^([^.]+[.](?:{walts}))$", 1) != "",
+            F.lit(None).cast("string"),
+        )
+    # 3. registrable = one label + the longest matching suffix:
+    #    label-count groups descending implement longest-match
+    for _k, alts in _tail_groups(plain, wild):
+        m = F.regexp_extract(h, f"([^.]+[.](?:{'|'.join(alts)}))$", 1)
+        _when(m != "", m)
+    # 4. the implicit * default rule
     generic = F.regexp_extract(h, _GENERIC_TAIL, 1)
+    if expr is None:
+        return F.when(generic != "", generic).otherwise(F.lit(None))
     return expr.when(generic != "", generic).otherwise(F.lit(None))
 
 
 def registrable_domain_sql(
     host_expr: str, suffixes: Sequence[str] = PUBLIC_SUFFIXES
 ) -> str:
-    """DuckDB replay: regexp_extract returns '' on no match in both
-    engines, so the CASE shape is identical."""
-    inlist = ", ".join(f"'{s}'" for s in suffixes)
-    cases = [f"WHEN {host_expr} IN ({inlist}) THEN NULL"]
-    for _k, group in _by_label_count(suffixes):
-        pat = _tail_pattern(group)
+    """DuckDB replay of :func:`registrable_domain` — identical rule
+    chain (exceptions, IS-suffix NULLs, label-count tails, default
+    rule); regexp_extract returns '' on no match in both engines, so
+    the CASE shape is identical."""
+    plain, wild, exc = _parse_rules(suffixes)
+    cases = []
+    for e in sorted(exc, key=lambda s: (-_labels(s), s)):
+        cases.append(
+            f"WHEN {host_expr} = '{e}' OR {host_expr} LIKE '%.{e}' "
+            f"THEN '{e}'"
+        )
+    if plain:
+        inlist = ", ".join(f"'{s}'" for s in plain)
+        cases.append(f"WHEN {host_expr} IN ({inlist}) THEN NULL")
+    if wild:
+        walts = "|".join(b.replace(".", "[.]") for b in sorted(wild))
+        cases.append(
+            f"WHEN regexp_extract({host_expr}, "
+            f"'^([^.]+[.](?:{walts}))$', 1) <> '' THEN NULL"
+        )
+    for _k, alts in _tail_groups(plain, wild):
+        pat = f"([^.]+[.](?:{'|'.join(alts)}))$"
         cases.append(
             f"WHEN regexp_extract({host_expr}, '{pat}', 1) <> '' "
             f"THEN regexp_extract({host_expr}, '{pat}', 1)"
@@ -148,6 +281,118 @@ def registrable_domain_sql(
         f"THEN regexp_extract({host_expr}, '{_GENERIC_TAIL}', 1)"
     )
     return "CASE " + " ".join(cases) + " ELSE NULL END"
+
+
+#: above this rule count, domain_filter switches from the regex
+#: expression to the broadcast-join matcher (regex alternations in the
+#: tens of thousands of branches stress RE2/Java compilation; the join
+#: path's cost is flat in the rule count)
+REGEX_MAX_RULES = 5000
+
+
+def registrable_domain_join(
+    df: DataFrame,
+    host_col: str,
+    suffixes: Sequence[str],
+    out_col: str = "domain",
+) -> DataFrame:
+    """eTLD+1 via a broadcast rule join — the arbitrarily-large-PSL
+    path, semantics identical to :func:`registrable_domain` (property-
+    tested equal). Each host emits one candidate tail per DISTINCT rule
+    label count (~5 for the real PSL, so the explode factor is tiny and
+    independent of the rule count), tails probe the broadcast rule
+    table twice (exact match; first label wildcarded), and the
+    prevailing rule (exception first, else most labels) picks the
+    registrable slice. One broadcast hash join, no shuffle of the
+    corpus beyond the per-host aggregate's map-side combine — at 100 TB
+    the rule table is ~300 KB against any corpus size."""
+    plain, wild, exc = _parse_rules(suffixes)
+    spark = df.sparkSession
+    rules = (
+        [(s, _labels(s), 0) for s in plain]
+        + [("*." + b, _labels(b) + 1, 1) for b in wild]
+        + [(e, _labels(e), 2) for e in exc]
+    )
+    if not rules:
+        rules = [("\x00none", 0, 0)]  # unmatchable — default rule only
+    rdf = spark.createDataFrame(
+        rules, "rule string, eff_labels int, kind int"
+    )
+    ks = sorted({r[1] for r in rules if r[1] > 0})
+    # resolve DISTINCT hosts only (web corpora repeat hosts heavily),
+    # then map the host -> domain table back onto the corpus
+    hosts = df.select(F.col(host_col).alias("_rdj_h")).distinct()
+    labels = F.split(F.col("_rdj_h"), r"\.")
+    n = F.size(labels)
+
+    def _tail(k: int) -> Column:
+        return F.array_join(F.slice(labels, n - F.lit(k) + 1, F.lit(k)), ".")
+
+    # candidate keys: per distinct rule label count k, the host's exact
+    # k-label tail AND the same tail with its first label wildcarded —
+    # flat strings, so the rule probe is ONE broadcast hash equi-join
+    cands = []
+    for k in ks:
+        cands.append(F.when(n >= k, _tail(k)))
+        if k >= 2:
+            cands.append(
+                F.when(n >= k, F.concat(F.lit("*."), _tail(k - 1)))
+            )
+    exploded = hosts.select(
+        "_rdj_h",
+        n.alias("_rdj_n"),
+        F.explode(
+            F.filter(F.array(*cands), lambda c: c.isNotNull())
+        ).alias("_rdj_c"),
+    )
+    # prevailing rule per host: exception first, else most labels
+    # (kind breaks plain/wildcard ties deterministically; either way
+    # both describe a public suffix of the same length)
+    rank = (
+        F.when(F.col("kind") == 2, F.lit(1 << 20)).otherwise(F.lit(0))
+        + F.col("eff_labels") * 4
+        + F.col("kind")
+    )
+    best = (
+        exploded.join(F.broadcast(rdf), F.col("_rdj_c") == F.col("rule"))
+        .groupBy("_rdj_h", "_rdj_n")
+        .agg(
+            F.max_by(
+                F.struct("kind", "eff_labels", "rule"), rank
+            ).alias("_r")
+        )
+    )
+    nn = F.col("_rdj_n")
+    lbl2 = F.split(F.col("_rdj_h"), r"\.")
+    kind, eff = F.col("_r.kind"), F.col("_r.eff_labels")
+    reg = lambda cnt: F.array_join(  # noqa: E731
+        F.slice(lbl2, nn - cnt + 1, cnt), "."
+    )
+    resolved = best.select(
+        "_rdj_h",
+        F.when(kind == 2, F.col("_r.rule"))
+        .when(nn > eff, reg(eff + 1))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("_rdj_d"),
+        F.lit(True).alias("_rdj_m"),  # matched (domain may still be NULL)
+    )
+    # ONLY unmatched hosts fall to the implicit * default rule — a
+    # matched host whose domain is NULL IS a public suffix and stays NULL
+    hl = F.split(F.col("_rdj_h"), r"\.")
+    hn = F.size(hl)
+    default_reg = F.when(
+        (hn >= 2) & (F.col("_rdj_h") != ""),
+        F.array_join(F.slice(hl, hn - 1, 2), "."),
+    )
+    mapped = hosts.join(resolved, "_rdj_h", "left").select(
+        "_rdj_h",
+        F.when(F.col("_rdj_m"), F.col("_rdj_d"))
+        .otherwise(default_reg)
+        .alias(out_col),
+    )
+    return df.join(
+        mapped, df[host_col] == mapped["_rdj_h"], "left"
+    ).drop("_rdj_h")
 
 
 # --------------------------------------------------------------------------
@@ -238,14 +483,21 @@ def domain_filter(
 
     ``block``/``allow`` accept a small in-code sequence (compiled to a
     literal ``isin`` — zero shuffle) or a one-column DataFrame
-    (broadcast anti/semi join — the production-size path)."""
-    out = (
-        df.withColumn("_df_host", host_of(F.col(url_col)))
-        .withColumn(
+    (broadcast anti/semi join — the production-size path).
+
+    ``suffixes`` takes full PSL rule lists (wildcards/exceptions — see
+    :func:`load_public_suffixes`); above ``REGEX_MAX_RULES`` rules the
+    eTLD+1 extraction switches from the regex expression to the
+    broadcast-join matcher automatically (identical semantics)."""
+    hosted = df.withColumn("_df_host", host_of(F.col(url_col)))
+    if len(suffixes) > REGEX_MAX_RULES:
+        out = registrable_domain_join(
+            hosted, "_df_host", suffixes, out_col=out_col
+        ).drop("_df_host")
+    else:
+        out = hosted.withColumn(
             out_col, registrable_domain(F.col("_df_host"), suffixes)
-        )
-        .drop("_df_host")
-    )
+        ).drop("_df_host")
     if block is not None:
         if isinstance(block, DataFrame):
             bl = block.toDF(out_col)
