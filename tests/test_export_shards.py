@@ -64,6 +64,33 @@ def test_write_one_file_per_shard(spark, sf_dir, tmp_path):
     assert sum(manifest.values()) == docs.count()
 
 
+def test_export_scans_source_exactly_once(spark, tmp_path):
+    """Round-16 review fix: the manifest must come from the files just
+    written, not from re-aggregating the assignment frame — that re-ran
+    the whole upstream pipeline for a second corpus scan. An accumulator
+    bumped inside a mapInPandas stage counts how many source rows are
+    ever produced; a second scan would double it."""
+    import pandas as pd
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    base = spark.createDataFrame(
+        [(i,) for i in range(500)], "doc_id bigint"
+    ).mapInPandas(counting, "doc_id bigint")
+    path = str(tmp_path / "once")
+    manifest = write_training_shards(base, path, SHARDS, WEIGHTS)
+    assert sum(manifest.values()) == 500
+    assert acc.value == 500, (
+        f"source produced {acc.value} rows for a 500-row corpus — "
+        "the export scanned it more than once"
+    )
+
+
 def test_gate_matches_oracle(spark, duck, sf_dir):
     from timescaledb_spark import queries as Q
 

@@ -136,7 +136,14 @@ def write_training_shards(
     exactly ONE file per shard: the frame is repartitioned on the exact
     (split, shard) key before a partitioned write, so each shard's rows
     are in a single task. Returns per-(split, shard) row counts (the
-    export manifest)."""
+    export manifest).
+
+    The manifest is derived from the files just WRITTEN (a zero-column
+    count over the output — Parquet answers it from row-group metadata),
+    never by re-aggregating ``assigned``: that would re-run the entire
+    upstream pipeline for a second full corpus scan + shuffle (the
+    round-15 review finding). One source scan per export, regression-
+    tested by an accumulator in tests/test_export_shards.py."""
     assigned = shard_assign(df, n_shards, weights, id_col=id_col)
     total = (
         sum(int(v) for v in n_shards.values())
@@ -151,11 +158,13 @@ def write_training_shards(
         .save(path)
     )
     manifest = (
-        assigned.groupBy("split", "shard")
+        df.sparkSession.read.format(fmt)
+        .load(path)
+        .groupBy("split", "shard")
         .count()
         .orderBy("split", "shard")
         .collect()
     )
     return {
-        (r["split"], r["shard"]): r["count"] for r in manifest
+        (r["split"], int(r["shard"])): r["count"] for r in manifest
     }
