@@ -762,6 +762,64 @@ def main() -> None:
     out["domain_filter_docs_s"] = round(time.perf_counter() - t0, 2)
     flush()
 
+    # ---- round-16: bounded Hamming banding at 1e7 DISTINCT fingerprints
+    # the round-15 ceiling: 16-bit band keys cap at 65,536 buckets per
+    # band, so one-level banding enumerates ~n²/32k candidates past ~1e7
+    # distinct fingerprints. This leg builds 100k*MULT distinct 64-bit
+    # fingerprints (90% uniform random, 10% in 4-member Hamming-2
+    # clusters so real pairs exist), measures the recursive-banding pair
+    # enumeration, and records the candidate volume the UNBOUNDED
+    # one-level join would have produced (computed analytically from the
+    # level-0 bucket histogram — never materialized).
+    from timescaledb_spark.pipeline.dedup import banded_hamming_pairs
+
+    n_fp = 100_000 * MULT
+    uniq_cut = (n_fp * 9 // 10) // 4 * 4  # 4-aligned: last 10% clusters
+    base = F.xxhash64(F.lit("grp"), (F.col("id") / 4).cast("long"))
+    member_flip = F.expr(
+        "shiftleft(cast(1 as bigint), cast(pmod(id, 4) * 7 + 3 as int))"
+    )
+    fps = spark.range(n_fp).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < uniq_cut, F.xxhash64("id"))
+        .otherwise(base.bitwiseXOR(member_flip))
+        .alias("h"),
+    )
+    out["hamming_fp_distinct"] = fps.select("h").distinct().count()
+    # would-be candidate volume of one-level 4x16-bit banding
+    t0 = time.perf_counter()
+    would_be = (
+        fps.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.shiftright("h", 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .bitwiseOR(F.lit(b << 32))
+                        .alias("k")
+                        for b in range(4)
+                    ]
+                )
+            ).alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .agg(F.sum(F.expr("m * (m - 1) / 2")).alias("c"))
+        .collect()[0]["c"]
+    )
+    out["hamming_unbounded_candidates"] = int(would_be)
+    out["hamming_histogram_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    pairs = banded_hamming_pairs(
+        fps, "doc_id", "h", 64, max_hamming=3, max_bucket=128
+    )
+    out["hamming_pairs"] = pairs.count()
+    out["hamming_bounded_s"] = round(time.perf_counter() - t0, 2)
+    out["hamming_unbounded_candidates_per_output_pair"] = (
+        round(int(would_be) / max(out["hamming_pairs"], 1), 1)
+    )
+    flush()
+
     print(json.dumps(out))
     with open(sys.argv[1] if len(sys.argv) > 1 else "SCALE_PROBE.json", "w") as f:
         json.dump(out, f, indent=1)

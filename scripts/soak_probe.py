@@ -137,6 +137,27 @@ def main() -> None:
         .start()
     )
 
+    # round-16: a curation tick runs the composed pipeline (flags ->
+    # exact dedup -> MinHash -> components) on a static corpus every
+    # other sample and drops the result: pipeline ops pin frames via
+    # localCheckpoint ONLY, so after a GC the cached-RDD count must fall
+    # back to baseline — the runtime counterpart of the extended
+    # .cache() AST invariant (a CacheManager pin would accumulate here
+    # forever, the round-15 hygiene finding)
+    from timescaledb_spark.pipeline.curate import curate_corpus
+
+    curate_src = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("the quick brown fox jumps over the lazy dog number "),
+            (F.col("id") % 500).cast("string"),
+            F.lit(
+                " and it keeps running through the field because the "
+                "morning is cold and the work is long"
+            ),
+        ).alias("text"),
+    )
+
     samples: list[dict] = []
     t_end = time.time() + SOAK_SECONDS
     while time.time() < t_end:
@@ -181,6 +202,18 @@ def main() -> None:
             if tw and tw[0]["tw_avg"] is not None
             else None
         )
+        if len(samples) % 2 == 0:
+            import gc
+
+            t0 = time.perf_counter()
+            curate_corpus(curate_src, min_required_stops=0).count()
+            tick["curate_s"] = round(time.perf_counter() - t0, 2)
+            gc.collect()  # drop the py4j refs -> JVM weak refs
+            sc._jvm.System.gc()  # let the ContextCleaner see them
+            time.sleep(1.0)
+            tick["cached_rdds_post_curate"] = len(
+                sc._jsc.sc().getRDDStorageInfo()
+            )
         samples.append(tick)
 
     ingest_q.stop()
@@ -225,9 +258,25 @@ def main() -> None:
         out["soak_refresh_late_s"] = round(late, 2)
         out["soak_refresh_flat"] = late <= max(early * 2.0, early + 2.0)
 
-    ok = bool(out.get("soak_state_bounded")) and bool(
-        out.get("soak_cache_flat")
-    ) and out.get("soak_refresh_flat", True)
+    cur_series = [
+        s["cached_rdds_post_curate"]
+        for s in samples
+        if "cached_rdds_post_curate" in s
+    ]
+    if cur_series:
+        out["soak_curate_cache_series"] = cur_series
+        # a CacheManager leak grows ~3 entries per tick, linearly; the
+        # localCheckpoint lifecycle keeps the count at a small constant
+        # (cleanup is async, so individual samples may lag a tick)
+        out["soak_curate_cache_flat"] = max(cur_series) <= 6
+        out["soak_curate_ticks"] = len(cur_series)
+
+    ok = (
+        bool(out.get("soak_state_bounded"))
+        and bool(out.get("soak_cache_flat"))
+        and out.get("soak_refresh_flat", True)
+        and out.get("soak_curate_cache_flat", True)
+    )
     out["soak_ok"] = ok
 
     print(json.dumps(out))
