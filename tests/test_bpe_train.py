@@ -176,6 +176,68 @@ def test_train_property_random_corpora(spark):
         assert got == want, f"trial {trial}"
 
 
+def test_encode_matches_reference(spark, duck):
+    """bpe_encode: per-document subword ids equal a direct Python
+    replay (segment each word with the reference merge application,
+    ids = lexicographic symbol rank, concatenated in document order),
+    and the DuckDB oracle matches bit-for-bit."""
+    from timescaledb_spark.pipeline.bpe import bpe_encode, bpe_encode_sql
+
+    merges_full, _ = ref_train([t for _, t in CORPUS], 12)
+    merges = [(l, r) for _, l, r, _ in merges_full]
+
+    def seg_word(w):
+        syms = list(w) + [EOW]
+        for l, r in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    words = sorted(
+        {
+            w
+            for _, t in CORPUS
+            for w in re.findall(r"[a-z0-9]+", (t or "").lower())
+        }
+    )
+    segd = {w: seg_word(w) for w in words}
+    ranks = {
+        s: i
+        for i, s in enumerate(sorted({x for v in segd.values() for x in v}))
+    }
+    want = {}
+    for did, t in CORPUS:
+        toks = re.findall(r"[a-z0-9]+", (t or "").lower())
+        ids = [ranks[s] for w in toks for s in segd[w]]
+        want[did] = (len(toks), len(ids), ids)
+
+    df = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_subtok"], list(r["sym_ids"]))
+        for r in bpe_encode(df, merges).collect()
+    }
+    assert got == want
+    duck.execute(
+        "CREATE OR REPLACE TEMP TABLE _bpe16e (doc_id BIGINT, text VARCHAR)"
+    )
+    duck.executemany("INSERT INTO _bpe16e VALUES (?, ?)", CORPUS)
+    oracle = {
+        r[0]: (r[1], r[2], list(r[3]))
+        for r in duck.execute(
+            bpe_encode_sql(merges, table="_bpe16e")
+        ).fetchall()
+    }
+    assert oracle == want
+    duck.execute("DROP TABLE _bpe16e")
+
+
 def test_train_exhausts_gracefully(spark):
     """Fewer possible merges than requested: the loop stops when every
     word is a single symbol (no pairs left) instead of erroring."""

@@ -283,6 +283,149 @@ def bpe_segment(
     )
 
 
+def bpe_encode(
+    df: DataFrame,
+    merges: Sequence[Tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode the corpus to subword-id sequences under a learned merge
+    list — the tokenizer APPLICATION stage that train → segment → encode
+    → pack pipelines ship to the training loader. One row per document:
+    ``(id, n_words, n_subtok, sym_ids)`` with ``sym_ids`` the
+    concatenated per-word subword ids in document order; ids are the
+    0-based lexicographic rank of the symbol string (deterministic
+    across engines and runs — no dependence on discovery order).
+
+    Scale shape (100 TB): segmentation and id assignment run over the
+    DISTINCT-word table (vocab-bounded; the symbol table is
+    |alphabet| + |merges| rows, so its rank window is a non-issue);
+    the corpus-sized work is one explode of the shared tokenizer and a
+    BROADCAST join of exploded tokens against the (word → ids) map —
+    the corpus text itself is never shuffled; the per-document
+    reassembly groupBy is the only corpus-scale shuffle (the
+    ``line_dedup`` class)."""
+    from pyspark.sql import Window
+
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("word")).distinct()
+    )
+    enc = _encode_word()
+    for l, r in merges:
+        search, repl = merge_pattern(str(l), str(r))
+        enc = F.replace(enc, F.lit(search), F.lit(repl))
+    seg = words.select(
+        "word",
+        F.filter(F.split(enc, SEP2), lambda s: s != "").alias("_syms"),
+    )
+    sym_ids = (
+        seg.select(F.explode("_syms").alias("sym"))
+        .distinct()
+        .select(
+            "sym",
+            (
+                F.row_number().over(Window.orderBy("sym")) - 1
+            ).alias("sym_id"),
+        )
+    )
+    wids = (
+        seg.select("word", F.posexplode("_syms").alias("p", "sym"))
+        .join(F.broadcast(sym_ids), "sym")
+        .groupBy("word")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "sym_id"))),
+                lambda x: x["sym_id"],
+            ).alias("ids")
+        )
+    )
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("wp", "word")
+    ).join(F.broadcast(wids), "word")
+    assembled = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.size("ids")).alias("n_subtok"),
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("wp", "ids"))),
+                lambda x: x["ids"],
+            )
+        ).alias("sym_ids"),
+    )
+    return (
+        df.select(id_col)
+        .join(assembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.coalesce("n_subtok", F.lit(0)).alias("n_subtok"),
+            F.coalesce(
+                "sym_ids", F.array().cast("array<int>")
+            ).alias("sym_ids"),
+        )
+    )
+
+
+def bpe_encode_sql(
+    merges: Sequence[Tuple[str, str]],
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`bpe_encode` — identical replace chain,
+    identical lexicographic symbol ids, identical document-order
+    concatenation."""
+    toks = tokens_sql(text_col)
+    s2 = _sq(SEP2)
+    enc = _encode_word_sql()
+    for l, r in merges:
+        enc = (
+            f"replace({enc}, {_sq(f'{SEP}{l}{SEP2}{r}{SEP}')}, "
+            f"{_sq(f'{SEP}{l}{r}{SEP}')})"
+        )
+    return f"""
+    WITH wf AS (
+      SELECT DISTINCT unnest({toks}) AS word FROM {table}
+    ),
+    seg AS (
+      SELECT word,
+             list_filter(string_split({enc}, {s2}), x -> x <> '') AS cs
+      FROM wf
+    ),
+    syms AS (
+      SELECT sym,
+             CAST(row_number() OVER (ORDER BY sym) - 1 AS INT) AS sym_id
+      FROM (SELECT DISTINCT unnest(cs) AS sym FROM seg)
+    ),
+    wids AS (
+      SELECT word, list(sym_id ORDER BY p) AS ids
+      FROM (
+        SELECT word, p, cs[p] AS sym
+        FROM seg, LATERAL (SELECT unnest(range(1, len(cs) + 1)) AS p)
+      ) JOIN syms USING (sym)
+      GROUP BY word
+    ),
+    toks AS (
+      SELECT {id_col}, wp, arr[wp] AS word
+      FROM (SELECT {id_col}, {toks} AS arr FROM {table}),
+           LATERAL (SELECT unnest(range(1, len(arr) + 1)) AS wp)
+    ),
+    assembled AS (
+      SELECT toks.{id_col},
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(len(ids)) AS BIGINT) AS n_subtok,
+             flatten(list(ids ORDER BY wp)) AS sym_ids
+      FROM toks JOIN wids USING (word)
+      GROUP BY 1
+    )
+    SELECT t.{id_col},
+           coalesce(a.n_words, 0) AS n_words,
+           coalesce(a.n_subtok, 0) AS n_subtok,
+           coalesce(a.sym_ids, []) AS sym_ids
+    FROM {table} t LEFT JOIN assembled a ON a.{id_col} = t.{id_col}
+    """
+
+
 def _sq(s: str) -> str:
     """SQL string literal (single-quote doubling; SEP is a control char
     DuckDB passes through verbatim)."""

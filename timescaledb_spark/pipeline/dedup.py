@@ -564,6 +564,38 @@ def simhash_pairs(
 # ---------------------------------------------------------------------------
 
 
+def simhash_pairs_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> str:
+    """DuckDB oracle for :func:`simhash_pairs`: one-level pigeonhole
+    banding (band count derived from the radius, like the Spark side)
+    over the replayed fingerprints + exact bit_count verification. The
+    output is the exact Hamming closure, so the oracle need not replay
+    the recursive bucket splits — any complete banding produces the
+    identical final set."""
+    n_bands = max_hamming + 1
+    width = -(-SIMHASH_BITS // n_bands)
+    mask = (1 << width) - 1
+    fp = simhash64_sql(table, text_col, id_col)
+    return f"""
+    WITH fp AS ({fp}),
+    bands AS (
+      SELECT {id_col}, simhash, b AS band,
+             (simhash >> ({width} * b)) & {mask} AS key
+      FROM fp, (SELECT unnest(range(0, {n_bands})) AS b)
+    )
+    SELECT DISTINCT x.{id_col} AS id_a, y.{id_col} AS id_b,
+           bit_count(xor(x.simhash, y.simhash)) AS hamming
+    FROM bands x
+    JOIN bands y ON y.band = x.band AND y.key = x.key
+                AND x.{id_col} < y.{id_col}
+    WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}
+    """
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -116,6 +116,19 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash64(load_table(spark, sf_dir, "documents"))
 
 
+@query("q_dedup_simhash_pairs", dedup.simhash_pairs_sql(max_hamming=6))
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIR enumeration (round 16) at radius 6 — above
+    the old fixed-4-band ceiling, so the gate exercises the derived
+    band count (radius + 1) AND the bounded recursive re-banding path
+    (max_bucket=8 forces bucket splits on this corpus); the oracle runs
+    one-level pigeonhole banding, which must produce the identical
+    exact Hamming closure."""
+    return dedup.simhash_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=6, max_bucket=8
+    )
+
+
 @query("q_dedup_substring", dedup.substring_dedup_sql(length=30))
 def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup (Lee et al. 2022 ExactSubstr, round 11):
@@ -1051,6 +1064,24 @@ def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_segment(docs, _SEG_MERGES)
+
+
+@query(
+    "q_bpe_encode",
+    __import__("timescaledb_spark.pipeline.bpe", fromlist=["x"])
+    .bpe_encode_sql(_SEG_MERGES),
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus → subword-id encoding under a merge list (round 16; the
+    tokenizer APPLICATION stage): segmentation and lexicographic id
+    assignment over the distinct-word table, broadcast word→ids map
+    probed by the exploded corpus, per-document ordered reassembly.
+    The oracle replays the chain including the full id sequences, so
+    the hash gates subword order inside every document."""
+    from .pipeline.bpe import bpe_encode
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_encode(docs, _SEG_MERGES)
 
 
 @query(
