@@ -520,7 +520,14 @@ def banded_hamming_pairs(
         if last:
             parts.append(_self_join(cur))
             break
-        counts = cur.groupBy("bkey").agg(F.count(F.lit(1)).alias("_n"))
+        # histogram-sized (≤ bands x buckets rows; oversized-row count /
+        # max_bucket deeper down) — materialized once, read by the size
+        # join AND the any-oversized probe
+        counts = (
+            cur.groupBy("bkey")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .localCheckpoint(eager=True)
+        )
         sized = cur.join(counts, "bkey")
         parts.append(_self_join(sized.filter(F.col("_n") <= max_bucket).drop("_n")))
         big = sized.filter(F.col("_n") > max_bucket).drop("_n")

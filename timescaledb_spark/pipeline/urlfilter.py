@@ -416,7 +416,10 @@ _SYNTH_HOSTS = (
 )
 
 
-def synth_url(id_col: Union[str, Column] = "doc_id") -> Column:
+def synth_url(
+    id_col: Union[str, Column] = "doc_id",
+    hosts: Sequence[str] = _SYNTH_HOSTS,
+) -> Column:
     """Deterministic URL derived from the id: scheme by parity, host by
     id modulo the host table, an explicit port every 5th id, userinfo
     every 11th —
@@ -424,8 +427,8 @@ def synth_url(id_col: Union[str, Column] = "doc_id") -> Column:
     :func:`registrable_domain` without external data."""
     i = _c(id_col)
     host = F.element_at(
-        F.array(*[F.lit(h) for h in _SYNTH_HOSTS]),
-        (F.pmod(i, F.lit(len(_SYNTH_HOSTS))) + 1).cast("int"),
+        F.array(*[F.lit(h) for h in hosts]),
+        (F.pmod(i, F.lit(len(hosts))) + 1).cast("int"),
     )
     scheme = F.when(F.pmod(i, F.lit(2)) == 0, F.lit("https")).otherwise(
         F.lit("http")
@@ -447,9 +450,12 @@ def synth_url(id_col: Union[str, Column] = "doc_id") -> Column:
     )
 
 
-def synth_url_sql(id_expr: str = "doc_id") -> str:
-    hosts = ", ".join(f"'{h}'" for h in _SYNTH_HOSTS)
-    n = len(_SYNTH_HOSTS)
+def synth_url_sql(
+    id_expr: str = "doc_id", hosts: Sequence[str] = _SYNTH_HOSTS
+) -> str:
+    host_list = hosts
+    hosts = ", ".join(f"'{h}'" for h in host_list)
+    n = len(host_list)
     return (
         f"(CASE WHEN ({id_expr}) % 2 = 0 THEN 'https' ELSE 'http' END"
         f" || '://'"

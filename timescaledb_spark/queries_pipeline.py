@@ -892,6 +892,50 @@ def q_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "url", "domain")
 
 
+#: PSL-semantics gate fixtures: nested plain rules, wildcards, and
+#: exceptions, over hosts that exercise every precedence edge
+_PSL_GATE_RULES = (
+    "us", "ck", "jp", "com", "ma.us", "co.jp",
+    "k12.ma.us", "pvt.k12.ma.us",
+    "*.kawasaki.jp", "!city.kawasaki.jp", "*.ck", "!www.ck",
+)
+_PSL_GATE_HOSTS = (
+    "example.com", "kawasaki.jp", "foo.kawasaki.jp",
+    "a.foo.kawasaki.jp", "city.kawasaki.jp", "x.city.kawasaki.jp",
+    "www.ck", "sub.www.ck", "other.ck", "x.other.ck",
+    "pvt.k12.ma.us", "school.k12.ma.us", "a.school.k12.ma.us",
+    "boston.ma.us", "a.co.jp", "weird.internal",
+)
+
+
+@query(
+    "q_domain_filter_psl",
+    __import__("timescaledb_spark.pipeline.urlfilter", fromlist=["x"])
+    .domain_filter_sql(
+        url_expr=__import__(
+            "timescaledb_spark.pipeline.urlfilter", fromlist=["x"]
+        ).synth_url_sql(hosts=_PSL_GATE_HOSTS),
+        suffixes=_PSL_GATE_RULES,
+    )
+    .replace("\n", " "),
+)
+def q_domain_filter_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-PSL registrable-domain semantics (round 16): wildcard rules
+    (any label + base is a public suffix), exception rules (the
+    exception IS the registrable domain and beats every other match),
+    nested plain rules, and the implicit * default — all as the same
+    scan-speed WHEN chain (one branch per label count). Zero shuffle;
+    the oracle replays the identical precedence chain."""
+    from .pipeline.urlfilter import domain_filter, synth_url
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", synth_url("doc_id", hosts=_PSL_GATE_HOSTS).alias("url")
+    )
+    return domain_filter(docs, suffixes=_PSL_GATE_RULES).select(
+        "doc_id", "url", "domain"
+    )
+
+
 _GQ = textproc.gopher_quality_sql("text")
 
 
