@@ -855,15 +855,17 @@ def _media_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     multimodal.media_dedup_sql(table=f"({_MEDIA_CORPUS_SQL})"),
 )
 def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual-hash media dedup (round 15): 64-bit dHash per payload
-    (PIL decode when importable, deterministic mean-byte grid
-    otherwise), banded into 4 x 16-bit keys so every Hamming<=3 pair
-    collides on >= 1 band (pigeonhole — no pairwise pass), verified
-    with bit_count(xor), resolved to connected components, keep-first
+    """Perceptual-hash media dedup (round 15; bounded banding round 16):
+    64-bit dHash per payload (PIL decode when importable, deterministic
+    mean-byte grid otherwise), pigeonhole-banded into radius+1 keys with
+    recursive re-banding of oversized buckets (candidate volume stays
+    ~linear past 1e7 distinct fingerprints), verified with
+    bit_count(xor), resolved to connected components, keep-first
     (component minimum id). The corpus injects exact re-uploads and
     lightly-edited near copies so the gate exercises candidate
     generation, verification, and cluster resolution end to end; the
-    oracle replays the hash, banding, and transitive closure."""
+    oracle replays the hash, a complete one-level banding, and the
+    transitive closure."""
     corpus = _media_corpus(spark, sf_dir)
     return multimodal.media_dedup(multimodal.with_payload(corpus))
 
