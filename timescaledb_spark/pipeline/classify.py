@@ -1,12 +1,15 @@
-"""Multinomial Naive Bayes document classification — the
-classifier-based quality/domain filter family (GPT-3's LR-over-features
-quality classifier, Brown et al. 2020 Appendix A; LLaMA's fasttext
-language filter, Touvron et al. 2023 §2.1). No external classifier
-library exists in this environment, so the model is a self-contained
-add-one-smoothed multinomial NB over the shared pipeline tokenizer —
-the plumbing (bounded train pass → broadcastable dense model → one
-scoring pass) is exactly the production shape; swap the probability
-table for an exported fasttext/LR model when one is available.
+"""Document classifiers: multinomial Naive Bayes and a trainable
+logistic-regression quality model — the classifier-based quality/domain
+filter family (GPT-3's LR-over-features quality classifier, Brown et
+al. 2020 Appendix A; LLaMA's fasttext language filter, Touvron et al.
+2023 §2.1; DCLM/FineWeb-Edu's distilled quality classifiers). No
+external classifier library exists in this environment, so both models
+are self-contained: an add-one-smoothed multinomial NB over the shared
+pipeline tokenizer, and a batch-gradient-descent LR over hashed
+char-trigram features — the plumbing (bounded train pass →
+broadcastable dense model → one scoring pass) is exactly the
+production shape; swap the probability/weight table for an exported
+fasttext/LR model when one is available.
 
 Scale design:
 
@@ -245,3 +248,413 @@ def nb_classify_sql(
       FROM scored
     ) WHERE rk = 1
     """
+
+
+# ---------------------------------------------------------------------------
+# logistic-regression quality classifier (batch GD, hashed features)
+# ---------------------------------------------------------------------------
+#
+# The distillation step real curation pipelines run (DCLM, Li et al.
+# 2024 §3.3; FineWeb-Edu, Penedo et al. 2024): fit a fast linear model
+# to a slow/expensive quality signal, then filter the full corpus with
+# the linear model at scan speed. Here the teacher signal is the Gopher
+# doc-level rule-set (textproc.gopher_quality) and the student is LR
+# over hashed char-trigram count features (the textproc.hash_features
+# bucketing) — at 100 TB the teacher runs on a hash_sample'd training
+# slice only, while the learned 65-double weight vector scores the
+# whole corpus as a pure projection.
+#
+# Cross-engine determinism (the chargram/bpe discipline): per-row float
+# work is a fixed left-to-right fold of identical IEEE doubles, so it
+# is bit-equal in Spark codegen and DuckDB; the only cross-ROW
+# reduction (the gradient sum) is quantized to 1e-9 int64 units first,
+# so partial-aggregation order cannot move the result; sigmoid outputs
+# are quantized to 1e-6 before they feed the residual, so a potential
+# last-ulp libm exp() divergence between JVM and C cannot propagate.
+# The DuckDB oracle unrolls the SAME iterations as a materialized CTE
+# chain (the bpe_train_sql shape).
+
+#: LR defaults: 64 hashed-trigram buckets + bias + length signal, 16
+#: full-batch GD rounds at step size 3 (swept at sf0.01: accuracy vs
+#: the Gopher teacher plateaus ~0.94 here; larger steps oscillate,
+#: presence/log1p feature variants stall at chance on this corpus)
+LR_DIM = 64
+LR_ITERS = 16
+LR_RATE = 3.0
+#: gram-count saturation for the length feature least(1, n/SCALE)
+LR_LEN_SCALE = 512.0
+_LR_Q_P = 1.0e6  # sigmoid quantum (1e-6 probabilities)
+_LR_Q_G = 1.0e9  # gradient quantum (1e-9 units, exact int64 sums)
+
+
+def _lr_label(text_col: str, min_required_stops: int = 2):
+    from .textproc import gopher_quality
+
+    return gopher_quality(
+        text_col, min_required_stops=min_required_stops
+    )["passes"].cast("int")
+
+
+def _lr_label_sql(text_col: str, min_required_stops: int = 2) -> str:
+    from .textproc import gopher_quality_sql
+
+    gq = gopher_quality_sql(
+        text_col, min_required_stops=min_required_stops
+    )
+    return f"CAST({gq['passes']} AS INT)"
+
+
+def lr_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = LR_DIM,
+    label: Column | None = None,
+    min_required_stops: int = 2,
+) -> DataFrame:
+    """Dense LR design matrix: one row per document — ``(id, _y, _xs)``
+    with ``_xs = [1.0 (bias), least(1, n/256) (saturating length
+    signal — count-normalized trigram features alone cannot see
+    document length, which half the teacher rules depend on),
+    c_0/n, …, c_{dim-1}/n]`` where ``c_j`` are the hashed char-trigram
+    bucket counts (:func:`~.textproc.hash_features`) and ``n`` the
+    document's gram count (``max(1, length-2)``). ``label`` defaults
+    to the Gopher doc-level verdict (the teacher being distilled);
+    ``min_required_stops`` is forwarded to it.
+
+    Scale shape: the sparse (id, bucket, cnt) table is densified by one
+    64-way conditional aggregation — output bounded by docs × 1 row,
+    features exact rationals so both engines divide identical ints."""
+    from .textproc import FEAT_N, hash_features
+
+    y = (
+        label
+        if label is not None
+        else _lr_label(text_col, min_required_stops)
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        y.alias("_y"),
+        F.greatest(
+            F.lit(1.0),
+            (F.length(text_col) - (FEAT_N - 1)).cast("double"),
+        ).alias("_n"),
+    )
+    piv = (
+        hash_features(df, text_col, id_col, dim)
+        .groupBy(F.col(id_col).alias("_id"))
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("bucket") == j, F.col("cnt"))
+                ).alias(f"_c{j}")
+                for j in range(int(dim))
+            ]
+        )
+    )
+    xs = F.array(
+        F.lit(1.0),
+        F.least(F.lit(1.0), F.col("_n") / F.lit(LR_LEN_SCALE)),
+        *[
+            F.coalesce(F.col(f"_c{j}"), F.lit(0)).cast("double")
+            / F.col("_n")
+            for j in range(int(dim))
+        ],
+    )
+    return base.join(piv, "_id", "left").select(
+        "_id", "_y", xs.alias("_xs")
+    )
+
+
+def _lr_p(weights: list) -> Column:
+    """Quantized sigmoid of the fixed-order dot product — per-row, all
+    IEEE ops in a deterministic left fold, bit-equal across engines.
+    (Passing the weights as a 1-row crossJoined array column to reuse
+    codegen across training rounds was measured SLOWER than literal
+    re-embedding — the per-round createDataFrame + broadcast costs more
+    than the recompile on a bounded training slice.)"""
+    warr = F.array(*[F.lit(float(v)) for v in weights])
+    z = F.aggregate(
+        F.zip_with(warr, F.col("_xs"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        F.floor(F.lit(_LR_Q_P) / (F.lit(1.0) + F.exp(-z)) + F.lit(0.5))
+        / F.lit(_LR_Q_P)
+    )
+
+
+def lr_train(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = LR_DIM,
+    iters: int = LR_ITERS,
+    rate: float = LR_RATE,
+    label: Column | None = None,
+    min_required_stops: int = 2,
+) -> List[float]:
+    """Full-batch gradient-descent LR training: ``iters`` rounds of
+    score → residual → exact-integer gradient sum → driver-side weight
+    update (one bounded collect per round, the bpe_train shape).
+    Returns the learned ``dim + 2`` weights (bias first).
+
+    100 TB: train on a :func:`~.sampling.hash_sample` slice (the
+    design matrix is localCheckpoint-ed once; each round then scans
+    only that bounded slice); the returned weights are 66 doubles —
+    scoring the full corpus is a zero-shuffle projection.
+
+    The gradient reduction posexplodes the per-row quantized-int
+    gradient array and sums per position — the map-combined shuffle
+    moves partitions × 66 rows, and the simple plan keeps per-round
+    codegen flat (66 separate aggregate expressions each re-embedding
+    the weight fold measured ~1.5 s/round of compile time alone)."""
+    d1 = int(dim) + 2
+    feats = lr_features(
+        df, text_col, id_col, dim, label, min_required_stops
+    ).localCheckpoint(eager=True)
+    n = feats.count()
+    w = [0.0] * d1
+    for _ in range(int(iters)):
+        scored = feats.select("_y", "_xs", _lr_p(w).alias("_p"))
+        resid = F.col("_p") - F.col("_y").cast("double")
+        grad = F.transform(
+            F.col("_xs"),
+            lambda x: F.floor(
+                resid * x * F.lit(_LR_Q_G) + F.lit(0.5)
+            ).cast("long"),
+        )
+        rows = (
+            scored.select(F.posexplode(grad).alias("_j", "_g"))
+            .groupBy("_j")
+            .agg(F.sum("_g").alias("_gs"))
+            .collect()
+        )
+        gsum = {r["_j"]: r["_gs"] for r in rows}
+        w = [
+            w[j] - float(rate) * (gsum.get(j, 0) / (n * _LR_Q_G))
+            for j in range(d1)
+        ]
+    return w
+
+
+def lr_round(v: float) -> float:
+    """Engine-neutral 1e-9 half-up rounding of a weight (Python form of
+    ``floor(v * 1e9 + 0.5) / 1e9``)."""
+    import math
+
+    return math.floor(v * _LR_Q_G + 0.5) / _LR_Q_G
+
+
+def lr_train_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = LR_DIM,
+    iters: int = LR_ITERS,
+    rate: float = LR_RATE,
+    min_required_stops: int = 2,
+) -> DataFrame:
+    """:func:`lr_train` as a DataFrame ``(j, weight)`` — the gate form
+    (weights 1e-9 half-up rounded, identically to the oracle)."""
+    w = lr_train(
+        df, text_col, id_col, dim, iters, rate,
+        min_required_stops=min_required_stops,
+    )
+    return df.sparkSession.createDataFrame(
+        [(j, lr_round(v)) for j, v in enumerate(w)],
+        "j int, weight double",
+    )
+
+
+def lr_scores(
+    df: DataFrame,
+    weights: List[float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = LR_DIM,
+) -> DataFrame:
+    """Score a corpus under a trained weight vector:
+    ``(id, prob, pred)`` — the scan-speed filtering pass (the feature
+    densification is the only shuffle; the model is 65 literals)."""
+    feats = lr_features(df, text_col, id_col, dim, label=F.lit(0))
+    p = _lr_p(list(weights))
+    return feats.select(
+        F.col("_id").alias(id_col),
+        p.alias("prob"),
+        (p >= F.lit(0.5)).cast("int").alias("pred"),
+    )
+
+
+def lr_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = LR_DIM,
+    iters: int = LR_ITERS,
+    rate: float = LR_RATE,
+    min_required_stops: int = 2,
+) -> DataFrame:
+    """Train-and-score in one call (the gate form): distill the Gopher
+    verdict into LR weights, then score every document —
+    ``(id, label_hq, prob, pred)``."""
+    w = lr_train(
+        df, text_col, id_col, dim, iters, rate,
+        min_required_stops=min_required_stops,
+    )
+    feats = lr_features(
+        df, text_col, id_col, dim,
+        min_required_stops=min_required_stops,
+    )
+    p = _lr_p(w)
+    return feats.select(
+        F.col("_id").alias(id_col),
+        F.col("_y").alias("label_hq"),
+        p.alias("prob"),
+        (p >= F.lit(0.5)).cast("int").alias("pred"),
+    )
+
+
+def _lr_feats_ctes(
+    table: str,
+    text_col: str,
+    id_col: str,
+    dim: int,
+    min_required_stops: int = 2,
+) -> str:
+    """The shared oracle CTE prefix: sparse hashed counts → 64-way
+    conditional-aggregation pivot → dense design matrix."""
+    from .textproc import FEAT_N, _feat_bucket
+
+    cs = ",\n             ".join(
+        f"coalesce(sum(CASE WHEN bucket = {j} THEN cnt END), 0) AS c{j}"
+        for j in range(int(dim))
+    )
+    xs = ", ".join(
+        f"CAST(coalesce(c{j}, 0) AS DOUBLE) / b.n"
+        for j in range(int(dim))
+    )
+    return f"""sparse AS (
+      SELECT id, bucket, count(*) AS cnt FROM (
+        SELECT {id_col} AS id,
+               unnest([{_feat_bucket(text_col, int(dim))}
+                       FOR i IN range(1, greatest(length({text_col}) - {FEAT_N - 1}, 0) + 1)]) AS bucket
+        FROM {table}
+      ) GROUP BY 1, 2
+    ),
+    piv AS (
+      SELECT id, {cs}
+      FROM sparse GROUP BY 1
+    ),
+    feats AS MATERIALIZED (
+      SELECT b.id, b.y, [1.0, least(1.0, b.n / {LR_LEN_SCALE!r}), {xs}] AS xs
+      FROM (SELECT {id_col} AS id,
+                   {_lr_label_sql(text_col, min_required_stops)} AS y,
+                   greatest(1.0, CAST(length({text_col}) - {FEAT_N - 1} AS DOUBLE)) AS n
+            FROM {table}) b
+      LEFT JOIN piv USING (id)
+    )"""
+
+
+def _lr_chain_ctes(dim: int, iters: int, rate: float) -> list:
+    """The unrolled GD iteration chain (w0 → p0 → g0 → w1 → …) — each
+    step materialized (referenced multiple times; the bpe_train_sql
+    lesson: un-materialized CTE chains re-inline exponentially)."""
+    d1 = int(dim) + 2
+    dot = "0.0 + " + " + ".join(
+        f"w.ws[{j + 1}] * xs[{j + 1}]" for j in range(d1)
+    )
+    zeros = ", ".join("0.0" for _ in range(d1))
+    ctes = [
+        f"w0 AS MATERIALIZED (SELECT [{zeros}] AS ws)",
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM feats)",
+    ]
+    for i in range(int(iters)):
+        ctes.append(
+            f"""p{i} AS MATERIALIZED (
+      SELECT id, y, xs,
+             floor({_LR_Q_P!r} / (1.0 + exp(-({dot}))) + 0.5) / {_LR_Q_P!r} AS p
+      FROM feats, w{i} w
+    )"""
+        )
+        gs = ", ".join(
+            f"CAST(sum(CAST(floor((p - CAST(y AS DOUBLE)) * xs[{j + 1}]"
+            f" * {_LR_Q_G!r} + 0.5) AS BIGINT)) AS BIGINT)"
+            for j in range(d1)
+        )
+        ctes.append(f"g{i} AS MATERIALIZED (SELECT [{gs}] AS gs FROM p{i})")
+        ws = ", ".join(
+            f"w.ws[{j + 1}] - {float(rate)!r} * "
+            f"(CAST(g.gs[{j + 1}] AS DOUBLE) / (nn.n * {_LR_Q_G!r}))"
+            for j in range(d1)
+        )
+        ctes.append(
+            f"w{i + 1} AS MATERIALIZED "
+            f"(SELECT [{ws}] AS ws FROM w{i} w, g{i} g, nn)"
+        )
+    return ctes
+
+
+def lr_train_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = LR_DIM,
+    iters: int = LR_ITERS,
+    rate: float = LR_RATE,
+    min_required_stops: int = 2,
+) -> str:
+    """DuckDB oracle replaying the FULL training loop literal-for-
+    literal: identical hashed features, identical Gopher teacher
+    labels, the identical fixed-order dot-product fold, 1e-6-quantized
+    sigmoids, 1e-9-integer gradient sums, and the same weight-update
+    arithmetic — so the learned weight vector is bit-equal."""
+    ctes = [
+        _lr_feats_ctes(table, text_col, id_col, dim, min_required_stops)
+    ]
+    ctes += _lr_chain_ctes(dim, iters, rate)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT CAST(t.j AS INT) AS j,
+           floor(w.ws[t.j + 1] * {_LR_Q_G!r} + 0.5) / {_LR_Q_G!r} AS weight
+    FROM w{int(iters)} w, (SELECT unnest(range(0, {int(dim) + 2})) AS j) t
+    """
+    )
+
+
+def lr_quality_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = LR_DIM,
+    iters: int = LR_ITERS,
+    rate: float = LR_RATE,
+    min_required_stops: int = 2,
+) -> str:
+    """DuckDB oracle for :func:`lr_quality`: the full training chain
+    plus one scoring pass under the final weights."""
+    d1 = int(dim) + 2
+    dot = "0.0 + " + " + ".join(
+        f"w.ws[{j + 1}] * xs[{j + 1}]" for j in range(d1)
+    )
+    ctes = [
+        _lr_feats_ctes(table, text_col, id_col, dim, min_required_stops)
+    ]
+    ctes += _lr_chain_ctes(dim, iters, rate)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    final AS (
+      SELECT id, y,
+             floor({_LR_Q_P!r} / (1.0 + exp(-({dot}))) + 0.5) / {_LR_Q_P!r} AS p
+      FROM feats, w{int(iters)} w
+    )
+    SELECT id AS {id_col}, y AS label_hq, p AS prob,
+           CAST(p >= 0.5 AS INT) AS pred
+    FROM final
+    """
+    )

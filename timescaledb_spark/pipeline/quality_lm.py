@@ -186,3 +186,90 @@ def chargram_logprob_sql(
     FROM g LEFT JOIN model m USING (g)
     GROUP BY {id_col}
     """
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity bucketing (head / middle / tail)
+# ---------------------------------------------------------------------------
+
+
+def ppl_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet's per-language perplexity partition (Wenzek et al. 2020
+    §4.3: each language is split into equal head/middle/tail thirds by
+    LM perplexity; downstream training mixes or drops whole buckets).
+    Documents are ranked by the char-gram LM's mean log-prob DESC
+    (higher log-prob = lower perplexity = head — the monotone stand-in
+    for perplexity, so no cross-engine ``exp`` enters the ordering),
+    ties broken by id, and ntile'd per language.
+
+    Output: ``(id, lang, n_grams, avg_logp, ppl_tile, ppl_bucket)``
+    for every document the LM can score (≥ ``order`` chars after
+    normalization — CCNet's length floor drops the rest).
+
+    Scale shape: train + score are the :func:`chargram_logprob`
+    plumbing (broadcast model, O(docs) shuffle). The exact per-language
+    ntile is ONE sort per language — fine to ~1e8 docs/language; for a
+    100 TB corpus compute per-language bucket CUTOFFS instead (exact
+    percentiles of the 1e-6-quantized avg_logp via its bounded value
+    histogram — the banding-histogram trick), broadcast the ≤2 cutoff
+    values per language, and label by comparison at scan speed; the
+    tile column is then derived without any global sort."""
+    model = train_chargram_lm(df, text_col)
+    scored = chargram_logprob(df, model, text_col, id_col)
+    from pyspark.sql import Window
+
+    j = scored.join(
+        df.select(F.col(id_col), F.col(lang_col)), id_col
+    )
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col("avg_logp").desc(), F.col(id_col)
+    )
+    tile = F.ntile(int(n_buckets)).over(w)
+    name = (
+        F.when(tile == 1, F.lit("head"))
+        .when(tile == int(n_buckets), F.lit("tail"))
+        .otherwise(F.lit("middle"))
+    )
+    return j.select(
+        F.col(id_col),
+        F.col(lang_col),
+        "n_grams",
+        "avg_logp",
+        tile.alias("ppl_tile"),
+        name.alias("ppl_bucket"),
+    )
+
+
+def ppl_buckets_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+) -> str:
+    """DuckDB oracle for :func:`ppl_buckets`: the chargram train+score
+    replay, the identical (avg_logp DESC, id) per-language ordering,
+    and the same ntile → head/middle/tail mapping."""
+    inner = chargram_logprob_sql(table, text_col, id_col)
+    return f"""
+    WITH scored AS ({inner}),
+    tiled AS (
+      SELECT s.{id_col}, t.{lang_col}, s.n_grams, s.avg_logp,
+             CAST(ntile({int(n_buckets)}) OVER (
+               PARTITION BY t.{lang_col}
+               ORDER BY s.avg_logp DESC, s.{id_col}
+             ) AS INT) AS ppl_tile
+      FROM scored s JOIN {table} t USING ({id_col})
+    )
+    SELECT {id_col}, {lang_col}, n_grams, avg_logp, ppl_tile,
+           CASE WHEN ppl_tile = 1 THEN 'head'
+                WHEN ppl_tile = {int(n_buckets)} THEN 'tail'
+                ELSE 'middle' END AS ppl_bucket
+    FROM tiled
+    """

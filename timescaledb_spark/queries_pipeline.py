@@ -1211,3 +1211,55 @@ def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_corpus(
         _curate_corpus(spark, sf_dir), min_required_stops=0
     )
+
+
+@query(
+    "q_lr_train",
+    __import__("timescaledb_spark.pipeline.classify", fromlist=["x"])
+    .lr_train_sql(min_required_stops=1),
+)
+def q_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainable LR quality classifier — TRAINING (round 16; the
+    DCLM/FineWeb-Edu distillation step: fit a fast linear model to an
+    expensive teacher signal, here the Gopher doc-level rules with the
+    required-stopword floor at 1 — the synthetic corpus draws from a
+    one-stopword vocabulary). 16 full-batch GD rounds over hashed
+    char-trigram count features + a saturating length signal; per-row
+    float work is a fixed-order fold, sigmoids quantize to 1e-6,
+    gradient sums quantize to 1e-9 int64 (order-independent exact
+    reduction), so the oracle's unrolled materialized CTE chain learns
+    the bit-identical 66-double weight vector."""
+    from .pipeline.classify import lr_train_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lr_train_df(docs, min_required_stops=1)
+
+
+@query(
+    "q_lr_quality",
+    __import__("timescaledb_spark.pipeline.classify", fromlist=["x"])
+    .lr_quality_sql(min_required_stops=1),
+)
+def q_lr_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainable LR quality classifier — TRAIN + SCORE (round 16):
+    distill the Gopher verdict into 66 weights, then score every
+    document (id, teacher label, 1e-6-quantized probability, 0.5-
+    threshold prediction). Scoring is the 100 TB path: the model is 66
+    literals, the only shuffle is the feature densification; accuracy
+    vs the teacher is ~0.94 at sf0.01 (asserted looser in pytest)."""
+    from .pipeline.classify import lr_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lr_quality(docs, min_required_stops=1)
+
+
+@query("q_ppl_buckets", quality_lm.ppl_buckets_sql())
+def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity bucketing (round 16; Wenzek et al. 2020 §4.3):
+    per-language head/middle/tail terciles by char-gram LM mean
+    log-prob (monotone in perplexity, so no cross-engine exp), ties by
+    id. The oracle replays training, the 1e-9-quantized scoring, the
+    ordering, and the tile naming; at 100 TB the exact per-language
+    ntile is replaced by broadcast percentile cutoffs (docstring)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_lm.ppl_buckets(docs)
