@@ -26,7 +26,7 @@ candidate sets and scores bit-exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from . import core
 from .core import (
@@ -1817,3 +1817,103 @@ def kmeans_refine(
         [(cid, [float(x) for x in v]) for cid, v in sorted(cur.items())],
         f"centroid_id long, cvec array<double>",
     )
+
+
+def keep_best(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    score: Column | None = None,
+) -> DataFrame:
+    """Quality-aware canonical selection (round 16): real pipelines
+    keep the HIGHEST-QUALITY member of each duplicate cluster, not the
+    smallest id (min-id :func:`keep_canonical` is the degenerate case
+    score=const). ``score`` defaults to the deterministic
+    :func:`~.textproc.quality_score` heuristic.
+
+    Output: one row per corpus document —
+    ``(id, cluster_id, quality, kept)`` with ``cluster_id`` the
+    component label (own id when unduplicated), ``quality`` the
+    1e-6-quantized score and ``kept`` 1 for the per-cluster argmax
+    (ties by id asc) plus every unclustered doc.
+
+    Scale shape: the argmax window runs over the CLUSTER FRAME only
+    (bounded by docs-that-had-a-duplicate, orders of magnitude smaller
+    than the corpus); the loser set broadcasts back as an anti-ish
+    left join — the corpus itself is never sorted or windowed."""
+    from .textproc import quality_score
+
+    q = score if score is not None else quality_score("text")
+    scored = docs.select(F.col(id_col).alias("_id"), q.alias("_q"))
+    mem = clusters.join(
+        scored, clusters["member"] == scored["_id"]
+    ).select("member", "cluster_id", "_q")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("_q").desc(), F.col("member").asc()
+    )
+    losers = (
+        mem.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select(F.col("member").alias("_loser"))
+    )
+    lab = clusters.select(
+        F.col("member").alias("_id"), "cluster_id"
+    )
+    return (
+        scored.join(F.broadcast(lab), "_id", "left")
+        .join(
+            F.broadcast(losers),
+            scored["_id"] == F.col("_loser"),
+            "left",
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("cluster_id"), F.col("_id")).alias(
+                "cluster_id"
+            ),
+            (
+                F.floor(F.col("_q") * F.lit(1.0e6) + F.lit(0.5))
+                / F.lit(1.0e6)
+            ).alias("quality"),
+            F.col("_loser").isNull().cast("int").alias("kept"),
+        )
+    )
+
+
+def keep_best_sql(
+    pairs_sql: str,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    score_sql: str | None = None,
+) -> str:
+    """DuckDB oracle for :func:`keep_best`: the recursive-CTE closure
+    of ``pairs_sql``, the identical raw-double quality ordering with
+    id tie-break, and the same 1e-6 output quantization."""
+    from .textproc import quality_score_sql
+
+    q = score_sql if score_sql is not None else quality_score_sql(text_col)
+    return f"""
+    WITH clus AS (
+      SELECT * FROM ({dup_clusters_sql(pairs_sql)})
+    ),
+    scored AS (
+      SELECT {id_col} AS id, {q} AS q FROM {table}
+    ),
+    losers AS (
+      SELECT member FROM (
+        SELECT m.member,
+               row_number() OVER (
+                 PARTITION BY m.cluster_id ORDER BY s.q DESC, m.member ASC
+               ) AS rn
+        FROM clus m JOIN scored s ON s.id = m.member
+      ) WHERE rn > 1
+    )
+    SELECT s.id AS {id_col},
+           coalesce(c.cluster_id, s.id) AS cluster_id,
+           floor(s.q * 1000000.0 + 0.5) / 1000000.0 AS quality,
+           CAST(l.member IS NULL AS INT) AS kept
+    FROM scored s
+    LEFT JOIN clus c ON c.member = s.id
+    LEFT JOIN losers l ON l.member = s.id
+    """

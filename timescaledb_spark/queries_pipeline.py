@@ -1263,3 +1263,21 @@ def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntile is replaced by broadcast percentile cutoffs (docstring)."""
     docs = load_table(spark, sf_dir, "documents")
     return quality_lm.ppl_buckets(docs)
+
+
+@query(
+    "q_dedup_keep_best",
+    dedup.keep_best_sql(dedup.minhash_lsh_pairs_sql()),
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection (round 16): MinHash-LSH
+    near-dup pairs → connected components → keep the HIGHEST-quality
+    member per cluster (ties by id) instead of the min-id keeper —
+    what a real pipeline ships. The argmax window runs over the
+    bounded cluster frame only; losers broadcast back, the corpus is
+    never sorted. The oracle replays pairs, closure, the raw-double
+    quality ordering, and the kept flags."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs)
+    clusters = dedup.dup_clusters(pairs, shuffle_partitions=8)
+    return dedup.keep_best(docs, clusters)
