@@ -215,11 +215,10 @@ def ppl_buckets(
     Scale shape: train + score are the :func:`chargram_logprob`
     plumbing (broadcast model, O(docs) shuffle). The exact per-language
     ntile is ONE sort per language — fine to ~1e8 docs/language; for a
-    100 TB corpus compute per-language bucket CUTOFFS instead (exact
-    percentiles of the 1e-6-quantized avg_logp via its bounded value
-    histogram — the banding-histogram trick), broadcast the ≤2 cutoff
-    values per language, and label by comparison at scan speed; the
-    tile column is then derived without any global sort."""
+    100 TB corpus use :func:`ppl_bucket_cutoffs` instead (exact
+    percentile CUTOFFS from the bounded value histogram of the
+    1e-6-quantized avg_logp, broadcast, labels by comparison at scan
+    speed — no global sort)."""
     model = train_chargram_lm(df, text_col)
     scored = chargram_logprob(df, model, text_col, id_col)
     from pyspark.sql import Window
@@ -272,4 +271,116 @@ def ppl_buckets_sql(
                 WHEN ppl_tile = {int(n_buckets)} THEN 'tail'
                 ELSE 'middle' END AS ppl_bucket
     FROM tiled
+    """
+
+
+def ppl_bucket_cutoffs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """The 100 TB form of :func:`ppl_buckets` — CCNet's actual
+    deployment shape (Wenzek et al. 2020 §4.3 compute per-language
+    perplexity THRESHOLDS once, then label by comparison): no corpus
+    sort, no per-language ntile window.
+
+    Algorithm: the per-document mean log-probs are already
+    1e-6-quantized, so ``groupBy(lang, avg_logp).count()`` is an EXACT
+    value histogram (bounded by distinct quantized scores, not docs);
+    a cumulative count over that small frame finds the crossing values
+
+    - ``c1`` = max score v with ``|{logp ≥ v}| ≥ ⌈n/3⌉``  (head floor)
+    - ``c2`` = max score v with ``|{logp ≥ v}| ≥ ⌈2n/3⌉`` (middle floor)
+
+    and the ≤2 cutoffs per language broadcast back: ``head`` =
+    ``logp ≥ c1``, ``tail`` = ``logp < c2``, else ``middle``. Ties sit
+    wholly on the head side of their boundary (value semantics — equal
+    scores land in equal buckets, unlike ntile's positional split), so
+    bucket sizes overshoot n/3 by at most the boundary tie group.
+
+    Output: ``(id, lang, avg_logp, ppl_bucket)`` for every scoreable
+    document."""
+    from pyspark.sql import Window
+
+    model = train_chargram_lm(df, text_col)
+    scored = chargram_logprob(df, model, text_col, id_col).join(
+        df.select(F.col(id_col), F.col(lang_col)), id_col
+    )
+    hist = scored.groupBy(lang_col, "avg_logp").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    wdesc = (
+        Window.partitionBy(lang_col)
+        .orderBy(F.col("avg_logp").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy(lang_col)
+    cum = hist.select(
+        lang_col,
+        "avg_logp",
+        F.sum("_c").over(wdesc).alias("_cum"),
+        F.sum("_c").over(wtot).alias("_n"),
+    )
+    n1 = F.ceil(F.col("_n") / 3)
+    n2 = F.ceil(F.col("_n") * 2 / 3)
+    cuts = cum.groupBy(lang_col).agg(
+        F.max(
+            F.when(F.col("_cum") >= n1, F.col("avg_logp"))
+        ).alias("_c1"),
+        F.max(
+            F.when(F.col("_cum") >= n2, F.col("avg_logp"))
+        ).alias("_c2"),
+    )
+    lab = (
+        F.when(F.col("avg_logp") >= F.col("_c1"), F.lit("head"))
+        .when(F.col("avg_logp") >= F.col("_c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.join(F.broadcast(cuts), lang_col).select(
+        F.col(id_col),
+        F.col(lang_col),
+        "avg_logp",
+        lab.alias("ppl_bucket"),
+    )
+
+
+def ppl_bucket_cutoffs_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> str:
+    """DuckDB oracle for :func:`ppl_bucket_cutoffs`: the identical
+    histogram, cumulative crossing values, and comparison labels."""
+    inner = chargram_logprob_sql(table, text_col, id_col)
+    return f"""
+    WITH scored AS (
+      SELECT s.{id_col}, t.{lang_col}, s.avg_logp
+      FROM ({inner}) s JOIN {table} t USING ({id_col})
+    ),
+    hist AS (
+      SELECT {lang_col}, avg_logp, count(*) AS c
+      FROM scored GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT {lang_col}, avg_logp,
+             sum(c) OVER (
+               PARTITION BY {lang_col} ORDER BY avg_logp DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cm,
+             sum(c) OVER (PARTITION BY {lang_col}) AS n
+      FROM hist
+    ),
+    cuts AS (
+      SELECT {lang_col},
+             max(CASE WHEN cm >= ceil(n / 3) THEN avg_logp END) AS c1,
+             max(CASE WHEN cm >= ceil(n * 2 / 3) THEN avg_logp END) AS c2
+      FROM cum GROUP BY 1
+    )
+    SELECT s.{id_col}, s.{lang_col}, s.avg_logp,
+           CASE WHEN s.avg_logp >= c.c1 THEN 'head'
+                WHEN s.avg_logp >= c.c2 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM scored s JOIN cuts c USING ({lang_col})
     """

@@ -1260,7 +1260,8 @@ def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-prob (monotone in perplexity, so no cross-engine exp), ties by
     id. The oracle replays training, the 1e-9-quantized scoring, the
     ordering, and the tile naming; at 100 TB the exact per-language
-    ntile is replaced by broadcast percentile cutoffs (docstring)."""
+    ntile is replaced by broadcast percentile cutoffs — implemented
+    as q_ppl_cutoffs."""
     docs = load_table(spark, sf_dir, "documents")
     return quality_lm.ppl_buckets(docs)
 
@@ -1281,3 +1282,16 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.minhash_lsh_pairs(docs)
     clusters = dedup.dup_clusters(pairs, shuffle_partitions=8)
     return dedup.keep_best(docs, clusters)
+
+
+@query("q_ppl_cutoffs", quality_lm.ppl_bucket_cutoffs_sql())
+def q_ppl_cutoffs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cutoff-based CCNet bucketing (round 16) — the 100 TB path the
+    exact-ntile gate's docstring promises: per-language value
+    HISTOGRAM of the 1e-6-quantized scores (bounded by distinct
+    values, not docs), cumulative crossing values as tercile cutoffs,
+    ≤2 broadcast doubles per language, labels by comparison at scan
+    speed — zero corpus-wide sort. The oracle replays histogram,
+    crossings, and labels."""
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_lm.ppl_bucket_cutoffs(docs)
