@@ -705,3 +705,105 @@ def line_filter_sql(
         "removed_char_frac": frac,
         "keep": f"({frac} <= {float(max_removed_frac)})",
     }
+
+
+# ---------------------------------------------------------------------------
+# corpus card (per-slice data-card summary)
+# ---------------------------------------------------------------------------
+
+
+def corpus_card(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    by: tuple = ("lang", "source"),
+    min_required_stops: int = 2,
+) -> DataFrame:
+    """Per-slice corpus summary — the numbers a dataset card reports
+    (Gebru et al. 2021 "Datasheets for Datasets"; every release's
+    composition table): document/token/char volume, exact-duplicate
+    fraction, mean heuristic quality, Gopher pass rate, grouped by
+    ``by`` (default language × source).
+
+    One corpus scan + one map-combined groupBy bounded by
+    ``|lang × source|`` — scan-speed at 100 TB. Cross-engine float
+    discipline: per-doc quality quantizes to 1e-9 int64 before the
+    sum (order-independent), the mean rounds via the shared
+    ``floor(x + 0.5)`` fold; the fraction columns are exact-integer
+    ratios (bit-equal division in both engines)."""
+    q9 = F.floor(
+        quality_score(text_col) * F.lit(1.0e9) + F.lit(0.5)
+    ).cast("long")
+    gq = gopher_quality(
+        text_col, min_required_stops=min_required_stops
+    )["passes"].cast("long")
+    base = df.select(
+        *[F.col(c) for c in by],
+        F.md5(F.col(text_col)).alias("_h"),
+        token_count(text_col).alias("_t"),
+        F.length(text_col).alias("_len"),
+        q9.alias("_q9"),
+        gq.alias("_gp"),
+    )
+    agg = base.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("_h").alias("n_distinct"),
+        F.sum("_t").alias("n_tokens"),
+        F.sum("_len").alias("n_chars"),
+        F.sum("_q9").alias("_sq9"),
+        F.sum("_gp").alias("_sgp"),
+    )
+    n = F.col("n_docs")
+    return agg.select(
+        *by,
+        "n_docs",
+        "n_distinct",
+        ((n - F.col("n_distinct")) / n).alias("dup_frac"),
+        "n_tokens",
+        "n_chars",
+        (
+            F.floor(
+                F.col("_sq9").cast("double") / n / F.lit(1.0e3)
+                + F.lit(0.5)
+            )
+            / F.lit(1.0e6)
+        ).alias("avg_quality"),
+        (F.col("_sgp") / n).alias("gopher_pass_frac"),
+    )
+
+
+def corpus_card_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    by: tuple = ("lang", "source"),
+    min_required_stops: int = 2,
+) -> str:
+    """DuckDB oracle for :func:`corpus_card` — identical per-doc
+    quantization, identical integer sums and ratio folds."""
+    cols = ", ".join(by)
+    gq = gopher_quality_sql(
+        text_col, min_required_stops=min_required_stops
+    )["passes"]
+    return f"""
+    WITH base AS (
+      SELECT {cols},
+             md5({text_col}) AS h,
+             {token_count_sql(text_col)} AS t,
+             length({text_col}) AS len,
+             CAST(floor(({quality_score_sql(text_col)}) * 1000000000.0
+                        + 0.5) AS BIGINT) AS q9,
+             CAST({gq} AS BIGINT) AS gp
+      FROM {table}
+    )
+    SELECT {cols},
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+           (count(*) - count(DISTINCT h)) / count(*) AS dup_frac,
+           CAST(sum(t) AS BIGINT) AS n_tokens,
+           CAST(sum(len) AS BIGINT) AS n_chars,
+           floor(CAST(sum(q9) AS DOUBLE) / count(*) / 1000.0 + 0.5)
+             / 1000000.0 AS avg_quality,
+           sum(gp) / count(*) AS gopher_pass_frac
+    FROM base GROUP BY {cols}
+    """

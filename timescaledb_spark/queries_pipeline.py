@@ -1295,3 +1295,18 @@ def q_ppl_cutoffs(spark: SparkSession, sf_dir: str) -> DataFrame:
     crossings, and labels."""
     docs = load_table(spark, sf_dir, "documents")
     return quality_lm.ppl_bucket_cutoffs(docs)
+
+
+@query(
+    "q_corpus_card",
+    textproc.corpus_card_sql(min_required_stops=1),
+)
+def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-slice corpus data card (round 16; the Datasheets-style
+    composition table a release ships): docs/tokens/chars, exact-dup
+    fraction, 1e-9-quantized mean quality, Gopher pass rate per
+    language × source — one scan, one groupBy bounded by the slice
+    count. The oracle replays every count, quantized sum, and exact
+    integer ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textproc.corpus_card(docs, min_required_stops=1)
