@@ -820,6 +820,33 @@ def main() -> None:
     )
     flush()
 
+    # ---- round-16: LR distillation, train-small / score-big ------------
+    # the 100 TB shape of the quality classifier: the expensive teacher
+    # (Gopher rules) + 16 GD rounds run on a 1% hash-sample slice only;
+    # the full corpus is then scored as a pure projection under the 66
+    # learned literals — no training-scale work ever touches the corpus.
+    from timescaledb_spark.pipeline.classify import lr_scores, lr_train
+    from timescaledb_spark.pipeline.sampling import hash_sample
+
+    t0 = time.perf_counter()
+    lr_w = lr_train(
+        hash_sample(media_corpus, 0.01), min_required_stops=1
+    )
+    out["lr_train_sample_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    lr_stats = (
+        lr_scores(media_corpus, lr_w)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("pred").alias("kept"),
+        )
+        .collect()[0]
+    )
+    out["lr_score_docs"] = lr_stats["n"]
+    out["lr_score_kept_frac"] = round(lr_stats["kept"] / lr_stats["n"], 4)
+    out["lr_score_docs_s"] = round(time.perf_counter() - t0, 2)
+    flush()
+
     print(json.dumps(out))
     with open(sys.argv[1] if len(sys.argv) > 1 else "SCALE_PROBE.json", "w") as f:
         json.dump(out, f, indent=1)
