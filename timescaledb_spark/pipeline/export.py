@@ -168,3 +168,67 @@ def write_training_shards(
     return {
         (r["split"], int(r["shard"])): r["count"] for r in manifest
     }
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Release-to-release corpus diff (round 16): classify every
+    document id across two corpus versions as ``added`` / ``removed``
+    / ``changed`` (same id, different content hash) / ``unchanged`` —
+    the audit table a dataset release ships next to its card.
+
+    Output: ``(id, status, old_hash, new_hash)``, one row per id seen
+    in either version.
+
+    Scale shape: each side reduces to (id, md5) at scan time — the
+    full-outer join moves two hash columns, never text; on
+    id-partitioned corpora the join is co-partitioned (no extra
+    shuffle). Status totals are a cheap groupBy over the result."""
+    o = old.select(
+        F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("old_hash")
+    )
+    n = new.select(
+        F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("new_hash")
+    )
+    j = o.join(n, "_id", "full_outer")
+    status = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        F.col("_id").alias(id_col),
+        status.alias("status"),
+        "old_hash",
+        "new_hash",
+    )
+
+
+def corpus_diff_sql(
+    old_sql: str,
+    new_sql: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle for :func:`corpus_diff` over two table
+    expressions (subqueries or names)."""
+    return f"""
+    WITH o AS (
+      SELECT {id_col} AS id, md5({text_col}) AS old_hash FROM {old_sql}
+    ),
+    n AS (
+      SELECT {id_col} AS id, md5({text_col}) AS new_hash FROM {new_sql}
+    )
+    SELECT coalesce(o.id, n.id) AS {id_col},
+           CASE WHEN o.id IS NULL THEN 'added'
+                WHEN n.id IS NULL THEN 'removed'
+                WHEN o.old_hash <> n.new_hash THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           o.old_hash, n.new_hash
+    FROM o FULL OUTER JOIN n ON o.id = n.id
+    """

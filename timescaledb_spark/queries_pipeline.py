@@ -1310,3 +1310,50 @@ def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer ratio."""
     docs = load_table(spark, sf_dir, "documents")
     return textproc.corpus_card(docs, min_required_stops=1)
+
+
+#: deterministic "next release" of the documents table for the diff
+#: gate: drop ids % 11 == 0, edit text of ids % 7 == 3, add re-keyed
+#: copies of ids % 13 == 5
+_DIFF_NEW_SQL = (
+    "SELECT doc_id, CASE WHEN doc_id % 7 = 3 THEN text || ' [v2]' "
+    "ELSE text END AS text FROM documents WHERE doc_id % 11 <> 0 "
+    "UNION ALL SELECT doc_id + 1000000 AS doc_id, text || ' [new]' "
+    "AS text FROM documents WHERE doc_id % 13 = 5"
+)
+
+
+@query(
+    "q_corpus_diff",
+    __import__("timescaledb_spark.pipeline.export", fromlist=["x"])
+    .corpus_diff_sql("documents", f"({_DIFF_NEW_SQL})"),
+)
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-to-release corpus diff (round 16): added/removed/
+    changed/unchanged per id by content hash between the corpus and a
+    deterministically edited next release — each side reduces to
+    (id, md5) at scan time, the full-outer join never moves text. The
+    oracle rebuilds the same synthetic release and replays the
+    classification."""
+    from .pipeline.export import corpus_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = (
+        docs.filter(F.col("doc_id") % 11 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 3,
+                F.concat(F.col("text"), F.lit(" [v2]")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 13 == 5).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" [new]")).alias("text"),
+            )
+        )
+    )
+    return corpus_diff(docs, new)
