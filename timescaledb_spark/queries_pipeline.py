@@ -1357,3 +1357,47 @@ def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return corpus_diff(docs, new)
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM tokenizer (round 16 continuation)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_unigram_segment",
+    __import__("timescaledb_spark.pipeline.unigram", fromlist=["x"])
+    .unigram_segment_sql(top_multi=64),
+)
+def q_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM Viterbi segmentation (Kudo 2018): seed vocabulary
+    from weighted substring counts (all single chars + top-64 multis),
+    1e-6-quantized integer log-probs, then the max-likelihood
+    segmentation of every distinct word as ONE JVM-side expression
+    chain (lattice edges via broadcast join, ``aggregate`` forward DP,
+    bounded backtrace). The oracle replays the DP as a recursive CTE
+    carrying the alpha/backpointer lists, so the hash gates every
+    word's exact integer score, tie-breaks, and piece sequence."""
+    from .pipeline.unigram import unigram_segment
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_segment(docs, top_multi=64)
+
+
+@query(
+    "q_unigram_train",
+    __import__("timescaledb_spark.pipeline.unigram", fromlist=["x"])
+    .unigram_train_sql(top_multi=64, rounds=3),
+)
+def q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-EM (Viterbi-EM) unigram training (Kudo 2018 §3.2): three
+    rounds of segment → usage re-count → prune over the distinct-word
+    table, single-char pieces kept alive add-one style. The oracle
+    unrolls the SAME three rounds as a materialized CTE chain, each
+    with its own recursive Viterbi — the hash gates the whole learned
+    vocabulary: counts, prune survivors, and final quantized
+    log-probs."""
+    from .pipeline.unigram import unigram_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_train(docs, top_multi=64, rounds=3)
