@@ -755,3 +755,26 @@ def q_uuid_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("value").alias("sum_v"),
     )
+
+
+@query(
+    "q_stream_near_dedup",
+    __import__("timescaledb_spark.streaming.neardedup", fromlist=["x"])
+    .stream_near_dedup_sql(max_hamming=3),
+)
+def q_stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-duplicate dedup (round 16): the documents table
+    replayed as four id-ordered micro-batches through foreachBatch —
+    each batch is simhash-fingerprinted, batch-internal later
+    duplicates drop via the recursive-banded self-join, store matches
+    drop via a broadcast banded equi-join against the on-disk
+    fingerprint store of every earlier arrival, survivors append to
+    the sink and all fingerprints to the store. The oracle replays
+    fingerprints + the Hamming-pair closure and keeps every id that
+    never appears as a pair's LATER side — so the hash gates the
+    fingerprints, the banding completeness, and the arrival-order
+    drop rule across batch boundaries."""
+    from .streaming.neardedup import staged_id_stream, stream_near_dedup
+
+    sdf = staged_id_stream(spark, sf_dir, n_batches=4)
+    return stream_near_dedup(sdf, max_hamming=3)

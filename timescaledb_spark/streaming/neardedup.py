@@ -1,0 +1,228 @@
+"""Streaming NEAR-duplicate dedup: drop a document as it arrives when
+any EARLIER arrival is within a simhash Hamming radius — the streaming
+counterpart of ``pipeline.dedup.simhash_pairs`` the way
+``streaming.dedup.stream_dedup`` is the counterpart of exact dedup.
+
+Semantics (deterministic, oracle-replayable): a document survives iff
+NO earlier-arriving document has ``hamming(simhash) <= max_hamming``,
+where "earlier" is (micro-batch, id) lexicographic — with id-ordered
+replay batches that is exactly the id order, so the batch oracle is
+"every id that never appears as the LATER side of a Hamming pair".
+Dropped documents still poison later arrivals (the comparison set is
+every ARRIVAL, not every survivor) — the semantics real incremental
+corpus dedup ships, and what makes the closure order-independent
+within a batch.
+
+Scale shape (100 TB/day):
+
+- The fingerprint STORE is the operator's state: one (id, simhash) row
+  per arrival, banded-equi-joined against each new micro-batch. It
+  lives as parquet on object storage, not in executor memory — global
+  corpus dedup genuinely needs the full fingerprint history, so state
+  is disk-resident by design (unlike ``stream_dedup``'s in-horizon
+  key store). 1e10 documents ≈ 160 GB of fingerprints: a bounded,
+  cheap scan relative to the corpus itself. A production deployment
+  writes the store bucketed by band key so each micro-batch join
+  prunes to matching buckets; compaction is a background job.
+- **Batch-internal pairs** go through the exact recursive-banded
+  self-join (:func:`..pipeline.dedup.banded_hamming_pairs` — bounded
+  buckets, linear candidates); **batch-vs-store** is a plain banded
+  equi-join with the small batch side broadcast: pigeonhole still
+  guarantees any in-radius pair shares a band, and no store×store work
+  is ever redone.
+- Survivors append to the output sink; ALL batch fingerprints append
+  to the store. Nothing corpus-scale is ever collected to the driver.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..pipeline.dedup import (
+    SIMHASH_BITS,
+    banded_hamming_pairs,
+    simhash64,
+    simhash64_sql,
+    simhash_pairs_sql,
+)
+
+
+def _banded_cross(
+    batch_fp: DataFrame, store_fp: DataFrame, max_hamming: int
+) -> DataFrame:
+    """Distinct batch ids within ``max_hamming`` of ANY store row: both
+    sides explode into ``max_hamming + 1`` pigeonhole bands and
+    equi-join on (band, key) — the batch side is broadcast (a
+    micro-batch is small next to the store), candidates verify with
+    ``bit_count(xor)``. Complete by the same pigeonhole argument as
+    the self-join: an in-radius pair agrees exactly on >= 1 band."""
+    n_bands = max_hamming + 1
+    width = -(-SIMHASH_BITS // n_bands)
+
+    def bands(df: DataFrame, id_col: str) -> DataFrame:
+        keys = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright("simhash", b * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("key"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+        return df.select(
+            F.col("doc_id").alias(id_col),
+            F.col("simhash").alias(f"{id_col}_sim"),
+            F.explode(keys).alias("bk"),
+        ).select(id_col, f"{id_col}_sim", "bk.band", "bk.key")
+
+    return (
+        bands(store_fp, "sid")
+        .join(F.broadcast(bands(batch_fp, "bid")), ["band", "key"])
+        .filter(
+            F.bit_count(F.col("sid_sim").bitwiseXOR(F.col("bid_sim")))
+            <= F.lit(max_hamming)
+        )
+        .select(F.col("bid").alias("doc_id"))
+        .distinct()
+    )
+
+
+def near_dedup_batch(
+    batch: DataFrame,
+    store_path: str,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket: int = 128,
+) -> None:
+    """Process ONE micro-batch: fingerprint, drop batch-internal later
+    duplicates and anything matching the store, append survivors to
+    ``out_path`` and every batch fingerprint to ``store_path``. Pure
+    DataFrame work — callable from ``foreachBatch`` or batch tests."""
+    spark = batch.sparkSession
+    fp = (
+        simhash64(batch.select(id_col, text_col), text_col, id_col)
+        .withColumnRenamed(id_col, "doc_id")
+        .localCheckpoint(eager=True)
+    )
+    internal_b = (
+        banded_hamming_pairs(
+            fp, "doc_id", "simhash", SIMHASH_BITS,
+            max_hamming=max_hamming, max_bucket=max_bucket,
+        )
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    dropped = internal_b
+    if os.path.isdir(store_path):
+        store_fp = spark.read.parquet(store_path)
+        dropped = dropped.unionByName(
+            _banded_cross(fp, store_fp, max_hamming)
+        ).distinct()
+    survivors = fp.join(dropped, "doc_id", "left_anti")
+    survivors.write.mode("append").parquet(out_path)
+    fp.write.mode("append").parquet(store_path)
+
+
+def stream_near_dedup(
+    sdf: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket: int = 128,
+    work_dir: str | None = None,
+) -> DataFrame:
+    """Run the near-dedup stream to completion (``availableNow``) and
+    return the surviving ``(doc_id, simhash)`` frame.
+
+    ``sdf`` must be a streaming DataFrame whose micro-batches arrive in
+    id order (see :func:`staged_id_stream`) for the "earlier arrival"
+    rule to equal the id order the oracle replays."""
+    spark = sdf.sparkSession
+    work = work_dir or tempfile.mkdtemp(prefix="ts_neardedup_")
+    store = os.path.join(work, "store")
+    out = os.path.join(work, "survivors")
+    ckpt = os.path.join(work, "ckpt")
+
+    def handle(batch: DataFrame, _bid: int) -> None:
+        near_dedup_batch(
+            batch, store, out,
+            text_col=text_col, id_col=id_col,
+            max_hamming=max_hamming, max_bucket=max_bucket,
+        )
+
+    q = (
+        sdf.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
+def staged_id_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    n_batches: int = 4,
+) -> DataFrame:
+    """ReadStream over ``<sf_dir>/<table>.parquet`` split into
+    ``n_batches`` id-range files replayed IN ORDER (file-name order,
+    one micro-batch per file under ``maxFilesPerTrigger=1``) — the
+    deterministic arrival order the near-dedup oracle assumes."""
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    tmp = tempfile.mkdtemp(prefix="ts_idstream_")
+    df = spark.read.parquet(src)
+    splits = df.select(
+        F.ntile(n_batches).over(Window.orderBy(id_col)).alias("_b"), "*"
+    )
+    for b in range(1, n_batches + 1):
+        part = splits.filter(F.col("_b") == b).drop("_b")
+        pdir = os.path.join(tmp, f"stage-{b:03d}")
+        part.coalesce(1).write.mode("overwrite").parquet(pdir)
+        src_file = next(
+            f for f in os.listdir(pdir) if f.endswith(".parquet")
+        )
+        shutil.move(
+            os.path.join(pdir, src_file),
+            os.path.join(tmp, f"part-{b:03d}.parquet"),
+        )
+        shutil.rmtree(pdir, ignore_errors=True)
+    schema = spark.read.parquet(os.path.join(tmp, "part-001.parquet")).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tmp)
+    )
+
+
+def stream_near_dedup_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> str:
+    """DuckDB oracle: the survivors are exactly the ids that never
+    appear as the LATER side of a Hamming-closure pair — the pair
+    enumeration replays :func:`..pipeline.dedup.simhash_pairs_sql`
+    (same fingerprints, same banding), so the hash gates fingerprints
+    AND the arrival-order drop rule."""
+    fp = simhash64_sql(table, text_col, id_col)
+    pairs = simhash_pairs_sql(table, text_col, id_col, max_hamming)
+    return f"""
+    WITH fp AS ({fp}),
+    pairs AS ({pairs})
+    SELECT fp.{id_col} AS doc_id, fp.simhash
+    FROM fp
+    WHERE fp.{id_col} NOT IN (SELECT id_b FROM pairs)
+    """
