@@ -244,3 +244,29 @@ def test_logp_quantization_is_integral(spark):
     assert dict(lp.dtypes)["lp"] == "bigint"
     vals = [r["lp"] for r in lp.collect()]
     assert all(isinstance(v, int) and v < 0 for v in vals)
+
+
+def test_encode_matches_model(spark):
+    """unigram_encode: ids are lexicographic ranks of used pieces and
+    per-document sequences follow token order; over-cap words are
+    skipped (not counted)."""
+    from timescaledb_spark.pipeline.unigram import unigram_encode
+
+    long_word = "y" * (MAX_WORD_LEN + 1)
+    corpus = CORPUS + [f"the {long_word} cat"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id bigint, text string"
+    )
+    wf = _model_wf(corpus)
+    lp = _model_lp(_model_seed(wf, 8))
+    seg = {w: _model_viterbi(w, lp)[1] for w in wf}
+    used = sorted({p for ps in seg.values() for p in ps})
+    rank = {p: i for i, p in enumerate(used)}
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_subtok"], r["piece_ids"])
+        for r in unigram_encode(df, top_multi=8).collect()
+    }
+    for i, t in enumerate(corpus):
+        words = [w for w in _toks(t) if len(w) <= MAX_WORD_LEN]
+        ids = [rank[p] for w in words for p in seg[w]]
+        assert got[i] == (len(words), len(ids), ids), i

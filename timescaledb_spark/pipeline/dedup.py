@@ -510,23 +510,31 @@ def banded_hamming_pairs(
     )
     parts = []
     level = 0
+    from pyspark.storagelevel import StorageLevel
+
     while True:
         # materialize the level (the count pass and the self-join both
         # read it; lineage truncation keeps per-level plans flat) —
         # localCheckpoint blocks are freed by the ContextCleaner when
-        # the frame is garbage-collected (no CacheManager pin)
-        cur = cur.localCheckpoint(eager=True)
+        # the frame is garbage-collected (no CacheManager pin).
+        # DISK_ONLY: the level frame is bands×n rows read exactly twice;
+        # the default MEMORY_AND_DISK unroll spikes the heap past 1e7
+        # distinct fingerprints (the r16 x100 probe OOM'd a 48g local
+        # JVM on the 4×10M-row level-0 frame), while the serialize-to-
+        # disk path streams without unroll memory
+        cur = cur.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
         last = level >= max_levels or rbits < n_bands
         if last:
             parts.append(_self_join(cur))
             break
-        # histogram-sized (≤ bands x buckets rows; oversized-row count /
-        # max_bucket deeper down) — materialized once, read by the size
-        # join AND the any-oversized probe
+        # bucket histogram: one row per DISTINCT (band, key) — ~bands×n
+        # rows for a mostly-unique corpus, so disk-resident like the
+        # level frame — materialized once, read by the size join AND
+        # the any-oversized probe
         counts = (
             cur.groupBy("bkey")
             .agg(F.count(F.lit(1)).alias("_n"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
         )
         sized = cur.join(counts, "bkey")
         parts.append(_self_join(sized.filter(F.col("_n") <= max_bucket).drop("_n")))

@@ -470,3 +470,130 @@ def unigram_train_sql(
         SELECT s.piece, CAST(s.cnt AS BIGINT) AS cnt, l.lp
         FROM {sel} s JOIN lp_fin l ON s.piece = l.piece"""
     )
+
+
+def unigram_encode(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_piece_len: int = 4,
+    top_multi: int = 512,
+) -> DataFrame:
+    """Encode the corpus to unigram piece-id sequences — the
+    application stage (train → segment → encode) for the unigram
+    family, mirroring :func:`..bpe.bpe_encode`'s discipline: one row
+    per document ``(id, n_words, n_subtok, piece_ids)``; ids are the
+    0-based lexicographic rank of the pieces actually used, so the
+    mapping has no dependence on discovery order.
+
+    Scale shape: segmentation and id assignment are vocab-bounded; the
+    corpus-sized work is one tokenizer explode and a BROADCAST join of
+    tokens against the (word → ids) map — corpus text is never
+    shuffled; the per-document ordered reassembly is the only
+    corpus-scale shuffle. Words longer than :data:`MAX_WORD_LEN` are
+    outside the trained vocabulary and are skipped (not counted),
+    identically in the oracle."""
+    from pyspark.sql import Window
+
+    wf = unigram_word_freq(df, text_col)
+    lp = piece_logp(seed_pieces(wf, max_piece_len, top_multi))
+    seg = viterbi_segment(wf, lp, max_piece_len)
+    pid = (
+        seg.select(F.explode("pieces").alias("piece"))
+        .distinct()
+        .select(
+            "piece",
+            (F.row_number().over(Window.orderBy("piece")) - 1).alias(
+                "piece_id"
+            ),
+        )
+    )
+    wids = (
+        seg.select("word", F.posexplode("pieces").alias("p", "piece"))
+        .join(F.broadcast(pid), "piece")
+        .groupBy("word")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "piece_id"))),
+                lambda x: x["piece_id"],
+            ).alias("ids")
+        )
+    )
+    toks = (
+        df.select(
+            F.col(id_col), F.posexplode(tokens(text_col)).alias("wp", "word")
+        )
+        .filter(F.length("word") <= MAX_WORD_LEN)
+        .join(F.broadcast(wids), "word")
+    )
+    assembled = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.size("ids")).alias("n_subtok"),
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("wp", "ids"))),
+                lambda x: x["ids"],
+            )
+        ).alias("piece_ids"),
+    )
+    return (
+        df.select(id_col)
+        .join(assembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.coalesce("n_subtok", F.lit(0)).alias("n_subtok"),
+            F.coalesce("piece_ids", F.array().cast("array<int>")).alias(
+                "piece_ids"
+            ),
+        )
+    )
+
+
+def unigram_encode_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_piece_len: int = 4,
+    top_multi: int = 512,
+) -> str:
+    """DuckDB oracle for :func:`unigram_encode`: the seeded-vocabulary
+    Viterbi replay (recursive CTE) plus the identical lexicographic id
+    assignment and document-order concatenation."""
+    ctes, seg, _ = _sql_chain(table, text_col, max_piece_len, top_multi, 0)
+    toks = tokens_sql(text_col)
+    return (
+        "WITH RECURSIVE\n" + ",\n".join(ctes) + f""",
+    pid AS (
+      SELECT piece,
+             CAST(row_number() OVER (ORDER BY piece) - 1 AS INT) AS piece_id
+      FROM (SELECT DISTINCT unnest(pieces) AS piece FROM {seg})
+    ),
+    wids AS (
+      SELECT word, list(piece_id ORDER BY p) AS ids
+      FROM (
+        SELECT word, p, pieces[p] AS piece
+        FROM {seg}, LATERAL (SELECT unnest(range(1, len(pieces) + 1)) AS p)
+      ) JOIN pid USING (piece)
+      GROUP BY word
+    ),
+    tok2 AS (
+      SELECT {id_col}, wp, arr[wp] AS word
+      FROM (SELECT {id_col}, {toks} AS arr FROM {table}),
+           LATERAL (SELECT unnest(range(1, len(arr) + 1)) AS wp)
+      WHERE length(arr[wp]) <= {MAX_WORD_LEN}
+    ),
+    assembled AS (
+      SELECT tok2.{id_col},
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(len(ids)) AS BIGINT) AS n_subtok,
+             flatten(list(ids ORDER BY wp)) AS piece_ids
+      FROM tok2 JOIN wids USING (word)
+      GROUP BY 1
+    )
+    SELECT t.{id_col},
+           coalesce(a.n_words, 0) AS n_words,
+           coalesce(a.n_subtok, 0) AS n_subtok,
+           coalesce(a.piece_ids, []) AS piece_ids
+    FROM {table} t LEFT JOIN assembled a ON a.{id_col} = t.{id_col}"""
+    )

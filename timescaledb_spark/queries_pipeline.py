@@ -1401,3 +1401,21 @@ def q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return unigram_train(docs, top_multi=64, rounds=3)
+
+
+@query(
+    "q_unigram_encode",
+    __import__("timescaledb_spark.pipeline.unigram", fromlist=["x"])
+    .unigram_encode_sql(top_multi=64),
+)
+def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus → unigram piece-id encoding (round 16; the application
+    stage of the unigram family): seeded-vocabulary Viterbi over the
+    distinct-word table, lexicographic piece ids, broadcast word→ids
+    probe, per-document ordered reassembly as the only corpus-scale
+    shuffle. The oracle replays the recursive-CTE Viterbi and the full
+    id sequences, so subword order inside every document is gated."""
+    from .pipeline.unigram import unigram_encode
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_encode(docs, top_multi=64)
