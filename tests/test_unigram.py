@@ -270,3 +270,13 @@ def test_encode_matches_model(spark):
         words = [w for w in _toks(t) if len(w) <= MAX_WORD_LEN]
         ids = [rank[p] for w in words for p in seg[w]]
         assert got[i] == (len(words), len(ids), ids), i
+
+
+def test_edgeless_word_still_emits_row(spark):
+    """A word with NO vocabulary substring at all must emit its
+    (NEG, NULL) row, not vanish in the edge join (hypothesis-found)."""
+    wf = spark.createDataFrame([("b", 1)], "word string, freq bigint")
+    lp = spark.createDataFrame([("a", -1)], "piece string, lp bigint")
+    rows = viterbi_segment(wf, lp).collect()
+    assert len(rows) == 1
+    assert rows[0]["score"] == NEG and rows[0]["pieces"] is None

@@ -147,3 +147,129 @@ def window_text_sql(
            CAST(ceil((length({text_col}) - {width}) / {stride}.0) AS BIGINT) + 1,
            1))) AS i)
     """
+
+
+def pack_token_ids(
+    enc: DataFrame,
+    id_col: str = "doc_id",
+    ids_col: str = "piece_ids",
+    budget: int = 2048,
+    shard_by: Sequence[str] = (),
+) -> DataFrame:
+    """MATERIALIZED concat-and-chunk packing — the training-loader
+    output itself, not just the assignment: concatenate every
+    document's token ids in ``id_col`` order and cut the stream into
+    exact ``budget``-length sequences (the final partial sequence
+    remains short). One row per TRAINING SEQUENCE:
+    ``(shard.., seq_id, n_docs, n_tok, ids)``.
+
+    Compose with :func:`..unigram.unigram_encode` /
+    :func:`..bpe.bpe_encode` for the full tokenize → pack path.
+
+    Shape: a document spanning sequences ``[floor(start/B),
+    floor((end-1)/B)]`` explodes into one slice per spanned sequence
+    (array slicing, no per-token rows — the explode is bounded by
+    n_tok/B + 1 per doc), then one groupBy on the sequence id
+    reassembles slices in stream order. Like :func:`pack_sequences`,
+    the cumulative offset is a per-shard window — at 100 TB callers
+    MUST pack per shard (language / date / hash bucket); the global
+    form is for small corpora and tests. Empty documents carry no
+    tokens and are dropped (they produce no slice)."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    B = int(budget)
+    w = (
+        Window.partitionBy(*[F.col(c) for c in shard_by])
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = (
+        enc.select(
+            *shard_by,
+            F.col(id_col),
+            F.col(ids_col).alias("_ids"),
+            F.size(ids_col).cast("long").alias("_n"),
+        )
+        .filter(F.col("_n") > 0)
+        .withColumn("_cum", F.sum("_n").over(w))
+        .withColumn("_start", F.col("_cum") - F.col("_n"))
+    )
+    sliced = t.select(
+        *shard_by,
+        "_start",
+        F.explode(
+            F.expr(
+                f"""transform(
+                  sequence(CAST(floor(_start / {B}) AS BIGINT),
+                           CAST(floor((_cum - 1) / {B}) AS BIGINT)),
+                  s -> struct(
+                    s AS seq_id,
+                    greatest(s * {B}, _start) AS abs_from,
+                    slice(_ids,
+                          CAST(greatest(s * {B}, _start) - _start + 1 AS INT),
+                          CAST(least((s + 1) * {B}, _cum)
+                               - greatest(s * {B}, _start) AS INT)) AS piece))"""
+            )
+        ).alias("_sl"),
+    ).select(*shard_by, "_sl.seq_id", "_sl.abs_from", "_sl.piece")
+    return (
+        sliced.groupBy(*shard_by, "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("abs_from", "piece"))),
+                    lambda x: x["piece"],
+                )
+            ).alias("ids"),
+        )
+        .select(
+            *shard_by,
+            "seq_id",
+            "n_docs",
+            F.size("ids").cast("long").alias("n_tok"),
+            "ids",
+        )
+    )
+
+
+def pack_token_ids_sql(
+    inner_sql: str,
+    id_col: str = "doc_id",
+    ids_col: str = "piece_ids",
+    budget: int = 2048,
+) -> str:
+    """DuckDB oracle for :func:`pack_token_ids` (unsharded form) over
+    any inner query producing ``(id_col, ids_col)`` — same window
+    algebra, same slice arithmetic, same stream-order reassembly."""
+    B = int(budget)
+    return f"""
+    WITH enc AS ({inner_sql}),
+    t AS (
+      SELECT {id_col} AS _id, {ids_col} AS _ids,
+             CAST(len({ids_col}) AS BIGINT) AS _n
+      FROM enc WHERE len({ids_col}) > 0
+    ),
+    c AS (
+      SELECT *, sum(_n) OVER (ORDER BY _id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cum
+      FROM t
+    ),
+    sliced AS (
+      SELECT s.s AS seq_id,
+             greatest(s.s * {B}, _cum - _n) AS abs_from,
+             _ids[CAST(greatest(s.s * {B}, _cum - _n) - (_cum - _n) + 1 AS BIGINT):
+                  CAST(least((s.s + 1) * {B}, _cum) - (_cum - _n) AS BIGINT)]
+               AS piece
+      FROM c, LATERAL (
+        SELECT unnest(range(CAST(floor((_cum - _n) / {B}.0) AS BIGINT),
+                            CAST(floor((_cum - 1) / {B}.0) AS BIGINT) + 1)) AS s
+      ) s
+    )
+    SELECT seq_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(piece)) AS BIGINT) AS n_tok,
+           flatten(list(piece ORDER BY abs_from)) AS ids
+    FROM sliced
+    GROUP BY seq_id
+    """

@@ -160,10 +160,26 @@ def viterbi_segment(
     wsub = wf.select("word", "freq", F.explode(edge_expr).alias("e")).select(
         "word", "freq", "e.j", "e.i", "e.sub"
     )
-    wedge = (
+    wedge_inner = (
         wsub.join(F.broadcast(lp_df), wsub.sub == lp_df.piece)
-        .groupBy("word", "freq")
+        .groupBy("word")
         .agg(F.collect_list(F.struct("j", "i", "lp")).alias("edges"))
+    )
+    # LEFT join back to the word table: a word with NO vocabulary
+    # substring at all (possible under an arbitrary caller-supplied
+    # vocabulary) must still emit its (NEG, NULL) row, not vanish in
+    # the edge inner join — hypothesis caught the dropped-row variant
+    wedge = (
+        wf.select("word", "freq")
+        .join(wedge_inner, "word", "left")
+        .select(
+            "word",
+            "freq",
+            F.coalesce(
+                "edges",
+                F.array().cast("array<struct<j:int,i:int,lp:bigint>>"),
+            ).alias("edges"),
+        )
     )
     dp = (
         wedge.withColumn(
@@ -357,12 +373,19 @@ def _sql_chain(
             )"""
         )
         ctes.append(
+            # LEFT join: an edgeless word still emits its (NEG, NULL)
+            # row — same contract as the Spark side
             f"""wedge_{r} AS MATERIALIZED (
               SELECT w.word, w.freq,
-                     list({{'j': s.j, 'i': s.i, 'lp': lp.lp}}) AS edges
-              FROM wf w JOIN wsub s ON w.word = s.word
-                        JOIN lp_{r} lp ON s.sub = lp.piece
-              GROUP BY 1, 2
+                     coalesce(e.edges,
+                              CAST([] AS STRUCT(j INTEGER, i INTEGER,
+                                                lp BIGINT)[])) AS edges
+              FROM wf w LEFT JOIN (
+                SELECT s.word,
+                       list({{'j': s.j, 'i': s.i, 'lp': lp.lp}}) AS edges
+                FROM wsub s JOIN lp_{r} lp ON s.sub = lp.piece
+                GROUP BY 1
+              ) e ON w.word = e.word
             )"""
         )
         ctes.append(

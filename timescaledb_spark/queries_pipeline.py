@@ -1419,3 +1419,28 @@ def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return unigram_encode(docs, top_multi=64)
+
+
+@query(
+    "q_tokenize_pack",
+    __import__("timescaledb_spark.pipeline.packing", fromlist=["x"])
+    .pack_token_ids_sql(
+        __import__("timescaledb_spark.pipeline.unigram", fromlist=["x"])
+        .unigram_encode_sql(top_multi=64),
+        budget=128,
+    ),
+)
+def q_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end tokenize → pack (round 16 continuation; the training
+    loader's actual input): unigram-encode the corpus, then cut the
+    concatenated id stream into exact 128-token training sequences —
+    slices per spanned sequence (bounded by n_tok/budget + 1 per doc,
+    no per-token rows), one groupBy on the sequence id reassembling in
+    stream order. The oracle nests the full encode replay inside the
+    identical window/slice algebra, so the hash gates every sequence's
+    exact id content and boundaries."""
+    from .pipeline.packing import pack_token_ids
+    from .pipeline.unigram import unigram_encode
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_token_ids(unigram_encode(docs, top_multi=64), budget=128)
