@@ -923,6 +923,8 @@ def dup_clusters(
 def _dup_clusters_run(
     pairs: DataFrame, id_a: str, id_b: str, max_iter: int
 ) -> DataFrame:
+    from pyspark.sql import Observation, Window
+
     e = pairs.select(
         F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
     ).filter(F.col("u") != F.col("v")).distinct()
@@ -937,6 +939,14 @@ def _dup_clusters_run(
     # re-execute once per reference
     e = e.localCheckpoint(eager=True)
 
+    # Both stars compute "group minimum over u, re-emitted on every
+    # row" — a min() over an unordered Window.partitionBy(u), ONE
+    # shuffle, instead of the groupBy + join-back pair (two shuffles +
+    # join planning per star). Same rows out, so the converged forest
+    # is identical (r16 optimization round; guide §2.4 — two operations
+    # keyed the same way share one exchange).
+    _wu = Window.partitionBy("u")
+
     def _large(edges: DataFrame) -> DataFrame:
         """(v, m(u)) for every neighbor v > u, m = min(Γ(u) ∪ {u}).
         Every input edge contributes exactly once — via its smaller
@@ -944,11 +954,8 @@ def _dup_clusters_run(
         nbr = edges.unionByName(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        mins = nbr.groupBy("u").agg(F.min("v").alias("_mn")).select(
-            "u", F.least(F.col("_mn"), F.col("u")).alias("m")
-        )
         return (
-            nbr.join(mins, "u")
+            nbr.withColumn("m", F.least(F.min("v").over(_wu), F.col("u")))
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .distinct()
@@ -958,33 +965,50 @@ def _dup_clusters_run(
         """Input oriented (child, parent); group each child over its
         parents: emit (child, m) and (p, m) for the non-min parents —
         including the SELF edge, which is what keeps lone children
-        attached to their root."""
-        mins = edges.groupBy("u").agg(F.min("v").alias("m"))
-        others = (
-            edges.join(mins, "u")
-            .filter(F.col("v") != F.col("m"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        attached to their root. Edges are distinct, so v == m holds on
+        exactly ONE row per group — that row carries the self edge
+        (u, m); every other row carries its parent edge (v, m)."""
+        return (
+            edges.withColumn("m", F.min("v").over(_wu))
+            .select(
+                F.when(F.col("v") == F.col("m"), F.col("u"))
+                .otherwise(F.col("v"))
+                .alias("u"),
+                F.col("m").alias("v"),
+            )
+            .distinct()
         )
-        selfrows = mins.select("u", F.col("m").alias("v"))
-        return others.unionByName(selfrows).distinct()
-
-    def _checksum(edges: DataFrame):
-        row = edges.agg(
-            F.count(F.lit(1)).alias("n"),
-            # decimal sum: int64 hash sums overflow under ANSI mode
-            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
-        ).collect()[0]
-        return (row["n"], row["h"])
 
     prev = None
     for _ in range(max_iter):
-        e = _small(_large(e))
+        stepped = _small(_large(e))
+        # Convergence checksum rides the checkpoint job as observe()
+        # metrics — one action per round instead of materialize +
+        # re-scan (the insert-path observe discipline).
+        obs = Observation()
+        stepped = stepped.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: int64 hash sums overflow under ANSI mode
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        )
         # localCheckpoint: materialize AND truncate lineage — without it
         # each round re-analyzes the whole prior plan and the iteration
         # goes quadratic in planning time (measured: 64-node chain took
         # minutes with persist-only, sub-second per round with this)
-        e = e.localCheckpoint(eager=True)
-        cur = _checksum(e)
+        e = stepped.localCheckpoint(eager=True)
+        try:
+            got = obs.get
+            cur = (got["n"], got["h"])
+        except Exception:
+            # Observation delivery is a listener-bus callback and can
+            # (rarely) fail to materialize; fall back to a direct scan
+            # of the just-checkpointed frame.
+            row = e.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+            ).collect()[0]
+            cur = (row["n"], row["h"])
         if cur == prev:
             break
         prev = cur
