@@ -409,11 +409,27 @@ def lr_train(
     gradient array and sums per position — the map-combined shuffle
     moves partitions × 66 rows, and the simple plan keeps per-round
     codegen flat (66 separate aggregate expressions each re-embedding
-    the weight fold measured ~1.5 s/round of compile time alone)."""
-    d1 = int(dim) + 2
+    the weight fold measured ~1.5 s/round of compile time alone; a
+    project-then-sum-per-element variant lets Catalyst collapse the
+    fold back into all 66 aggregates and measured 5× slower)."""
     feats = lr_features(
         df, text_col, id_col, dim, label, min_required_stops
     ).localCheckpoint(eager=True)
+    return _lr_train_on(feats, dim, iters, rate)
+
+
+def _lr_train_on(
+    feats: DataFrame,
+    dim: int = LR_DIM,
+    iters: int = LR_ITERS,
+    rate: float = LR_RATE,
+) -> List[float]:
+    """The GD loop over an already-materialized design matrix — split
+    out so train-and-score callers (:func:`lr_quality`) build and pin
+    the feature pass ONCE instead of once for training and again for
+    scoring (the r16 optimization round: the feature pass — teacher
+    rules + trigram hashing + pivot — was ~half the gate's wall)."""
+    d1 = int(dim) + 2
     n = feats.count()
     w = [0.0] * d1
     for _ in range(int(iters)):
@@ -498,15 +514,19 @@ def lr_quality(
 ) -> DataFrame:
     """Train-and-score in one call (the gate form): distill the Gopher
     verdict into LR weights, then score every document —
-    ``(id, label_hq, prob, pred)``."""
-    w = lr_train(
-        df, text_col, id_col, dim, iters, rate,
-        min_required_stops=min_required_stops,
-    )
+    ``(id, label_hq, prob, pred)``.
+
+    Training and scoring share ONE materialized design matrix (train
+    corpus == score corpus in this form): the feature pass runs once,
+    and the scoring projection reads the pinned (id, y, xs) rows
+    instead of re-running teacher rules + trigram hashing. Production
+    at 100 TB splits the two (:func:`lr_train` on a hash_sample slice,
+    :func:`lr_scores` over the full corpus as a pure projection)."""
     feats = lr_features(
         df, text_col, id_col, dim,
         min_required_stops=min_required_stops,
-    )
+    ).localCheckpoint(eager=True)
+    w = _lr_train_on(feats, dim, iters, rate)
     p = _lr_p(w)
     return feats.select(
         F.col("_id").alias(id_col),
