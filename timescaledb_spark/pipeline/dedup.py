@@ -505,42 +505,57 @@ def banded_hamming_pairs(
             )
         )
 
+    from pyspark.sql import Observation, Window
+    from pyspark.storagelevel import StorageLevel
+
     cur, rbits = _explode_levels(
         fp.select(id_col, hash_col), h, total_bits, None
     )
     parts = []
     level = 0
-    from pyspark.storagelevel import StorageLevel
 
     while True:
-        # materialize the level (the count pass and the self-join both
-        # read it; lineage truncation keeps per-level plans flat) —
-        # localCheckpoint blocks are freed by the ContextCleaner when
-        # the frame is garbage-collected (no CacheManager pin).
+        last = level >= max_levels or rbits < n_bands
+        if not last:
+            # bucket size as a window count over bkey — rides the SAME
+            # shuffle that co-locates each bucket, replacing the
+            # separate histogram groupBy + checkpoint + size join of
+            # the r16 build (two materializations and an extra join
+            # shuffle per level); the any-oversized probe rides the
+            # checkpoint job as an observe() metric instead of its own
+            # isEmpty scan (guide §2.4: operations keyed the same way
+            # share one exchange).
+            cur = cur.withColumn(
+                "_n", F.count(F.lit(1)).over(Window.partitionBy("bkey"))
+            )
+            obs = Observation()
+            cur = cur.observe(obs, F.max("_n").alias("mx"))
+        # materialize the level (the self-join reads it twice; lineage
+        # truncation keeps per-level plans flat) — localCheckpoint
+        # blocks are freed by the ContextCleaner when the frame is
+        # garbage-collected (no CacheManager pin).
         # DISK_ONLY: the level frame is bands×n rows read exactly twice;
         # the default MEMORY_AND_DISK unroll spikes the heap past 1e7
         # distinct fingerprints (the r16 x100 probe OOM'd a 48g local
         # JVM on the 4×10M-row level-0 frame), while the serialize-to-
         # disk path streams without unroll memory
         cur = cur.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
-        last = level >= max_levels or rbits < n_bands
         if last:
             parts.append(_self_join(cur))
             break
-        # bucket histogram: one row per DISTINCT (band, key) — ~bands×n
-        # rows for a mostly-unique corpus, so disk-resident like the
-        # level frame — materialized once, read by the size join AND
-        # the any-oversized probe
-        counts = (
-            cur.groupBy("bkey")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+        try:
+            mx = obs.get["mx"]
+        except Exception:
+            # Observation delivery is a listener-bus callback and can
+            # (rarely) fail; fall back to a direct scan of the
+            # checkpointed frame.
+            mx = cur.agg(F.max("_n").alias("mx")).collect()[0]["mx"]
+        parts.append(
+            _self_join(cur.filter(F.col("_n") <= max_bucket).drop("_n"))
         )
-        sized = cur.join(counts, "bkey")
-        parts.append(_self_join(sized.filter(F.col("_n") <= max_bucket).drop("_n")))
-        big = sized.filter(F.col("_n") > max_bucket).drop("_n")
-        if counts.filter(F.col("_n") > max_bucket).isEmpty():
+        if mx is None or mx <= max_bucket:
             break
+        big = cur.filter(F.col("_n") > max_bucket).drop("_n")
         cur, rbits = _explode_levels(big, F.col("res"), rbits, F.col("bkey"))
         level += 1
 
