@@ -55,12 +55,17 @@ def train_nb(
         F.col(label_col).alias("_l"),
         F.explode(tokens(text_col)).alias("_w"),
     )
+    # vocab is referenced three times (the wl broadcast join, the dense
+    # crossJoin, and count()); unmaterialized, each reference re-runs
+    # the corpus explode + top-k — localCheckpoint pins the ≤vocab_cap
+    # rows after the first execution (blocks ContextCleaner-freed).
     vocab = (
         toks.groupBy("_w")
         .agg(F.count(F.lit(1)).alias("_c"))
         .orderBy(F.col("_c").desc(), F.col("_w").asc())
         .limit(int(vocab_cap))
         .select("_w")
+        .localCheckpoint(eager=False)
     )
     wl = (
         toks.join(F.broadcast(vocab), "_w")
@@ -170,8 +175,13 @@ def nb_classify(
 ) -> DataFrame:
     """Self-train on the labeled corpus and score it — the one-call
     form (production splits train/score across corpora; both passes
-    are the same plumbing)."""
-    model = train_nb(df, text_col, label_col, vocab_cap)
+    are the same plumbing). The dense model (vocab × labels rows —
+    bounded) is materialized once: :func:`nb_scores` reads it from two
+    plan branches (the broadcast score join and the per-label scalar
+    frame), and each would otherwise re-run the training scan chain."""
+    model = train_nb(df, text_col, label_col, vocab_cap).localCheckpoint(
+        eager=False
+    )
     return nb_scores(df, model, text_col, id_col)
 
 

@@ -1265,14 +1265,19 @@ def substring_dedup(
             "gh"
         ),
     )
-    keepers = grams.groupBy("gh").agg(
+    # keeper via min() over Window.partitionBy(gh), not groupBy + join
+    # back: the join's two inputs each force their own exchange of the
+    # gram pipeline, so the explode + substr + hash pass over the whole
+    # corpus would run twice (guide §2.4; r16 optimization round). One
+    # exchange on gh, same keeper rows out.
+    from pyspark.sql import Window
+
+    marked = grams.withColumn(
+        "k",
         F.min(
             F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
-        ).alias("k")
-    )
-    marked = grams.join(keepers, "gh").withColumn(
-        "dup", (F.col("k.d") < F.col(id_col)).cast("long")
-    )
+        ).over(Window.partitionBy("gh")),
+    ).withColumn("dup", (F.col("k.d") < F.col(id_col)).cast("long"))
     stats = marked.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_grams"),
         F.sum("dup").alias("n_dup_grams"),
@@ -1347,13 +1352,17 @@ def substring_dedup_trim(
             "gh"
         ),
     )
-    keepers = grams.groupBy("gh").agg(
-        F.min(
-            F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
-        ).alias("k")
-    )
+    # keeper via window-min over gh (one exchange, one gram pass) —
+    # see substring_dedup for the groupBy-vs-window rationale
     dup_pos = (
-        grams.join(keepers, "gh")
+        grams.withColumn(
+            "k",
+            F.min(
+                F.struct(
+                    F.col(id_col).alias("d"), F.col("pos").alias("p")
+                )
+            ).over(Window.partitionBy("gh")),
+        )
         .filter(F.col("k.d") < F.col(id_col))
         .select(id_col, "pos")
     )

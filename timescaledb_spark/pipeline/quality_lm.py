@@ -304,9 +304,15 @@ def ppl_bucket_cutoffs(
     from pyspark.sql import Window
 
     model = train_chargram_lm(df, text_col)
+    # scored feeds TWO plan branches (the cutoff histogram and the
+    # final labeling join); unmaterialized, the whole train + score
+    # subtree — two corpus scans plus the model join — would execute
+    # once per branch (r16 optimization round). (id, n_grams,
+    # avg_logp, lang) is ~30 bytes/row at any scale; localCheckpoint
+    # blocks are ContextCleaner-freed when the caller drops the result.
     scored = chargram_logprob(df, model, text_col, id_col).join(
         df.select(F.col(id_col), F.col(lang_col)), id_col
-    )
+    ).localCheckpoint(eager=False)
     hist = scored.groupBy(lang_col, "avg_logp").agg(
         F.count(F.lit(1)).alias("_c")
     )
