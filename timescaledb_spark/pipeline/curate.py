@@ -57,12 +57,21 @@ def curate_corpus(
         flags.filter(F.col("_lf") & F.col("_gq")).select(id_col), id_col
     )
     # exact dedup among quality survivors: keeper = min id per content
+    # hash — min() over Window.partitionBy(_h), not groupBy + join back
+    # (the join's two inputs would each re-run the survivor join + md5
+    # pass; one exchange on the hash gives every row its keeper —
+    # guide §2.4, the substring_dedup discipline)
+    from pyspark.sql import Window
+
     exmap = surv2.select(
         F.col(id_col), F.md5(F.col(text_col)).alias("_h")
     )
-    keepers = exmap.groupBy("_h").agg(F.min(id_col).alias("_keeper"))
-    exj = exmap.join(keepers, "_h").select(
-        id_col, (F.col(id_col) == F.col("_keeper")).alias("_exk")
+    exj = exmap.select(
+        id_col,
+        (
+            F.col(id_col)
+            == F.min(id_col).over(Window.partitionBy("_h"))
+        ).alias("_exk"),
     )
     surv3 = surv2.join(exj.filter("_exk").select(id_col), id_col)
     # near-dup dedup among exact survivors (banded MinHash + components)

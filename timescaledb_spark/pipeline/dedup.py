@@ -338,6 +338,13 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     but each expression is trivial — unlike a 60-way nested fold, which
     whole-stage codegen compiles for tens of seconds. Tokenless docs come
     back via the left join with fingerprint 0 (matches the oracle).
+
+    The 60 aggregates and the 60-term assembly are built as SQL strings
+    (one ``F.expr`` each / one for the whole assembly): hand-composing
+    them from Column operators cost ~0.9s of pure py4j round trips per
+    call — more than the job itself at micro-batch sizes (measured in
+    the r16 optimization round; the parsed expression trees, and hence
+    the results, are identical).
     """
     tok = spread(df.select(id_col, text_col)).select(
         F.col(id_col),
@@ -347,21 +354,28 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     )
     h = tok.select(
         F.col(id_col),
-        F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long").alias("hv"),
+        F.expr(
+            "cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint)"
+        ).alias("hv"),
     )
     sums = h.groupBy(id_col).agg(
         *[
-            F.sum(
-                (F.shiftright("hv", j).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
-            ).alias(f"b{j}")
+            F.expr(
+                f"sum(cast((shiftright(hv, {j}) & 1) * 2 - 1 as bigint))"
+                f" as b{j}"
+            )
             for j in range(SIMHASH_BITS)
         ]
     )
-    fp_expr = None
-    for j in range(SIMHASH_BITS):
-        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        fp_expr = term if fp_expr is None else fp_expr + term
-    fp = sums.select(F.col(id_col), fp_expr.cast("long").alias("simhash"))
+    fp_sql = " + ".join(
+        f"(case when b{j} > 0 then cast({1 << j} as bigint)"
+        f" else cast(0 as bigint) end)"
+        for j in range(SIMHASH_BITS)
+    )
+    fp = sums.select(
+        F.col(id_col),
+        F.expr(f"cast(({fp_sql}) as bigint)").alias("simhash"),
+    )
     return (
         df.select(F.col(id_col))
         .join(fp, id_col, "left")

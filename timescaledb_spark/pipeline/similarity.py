@@ -419,21 +419,32 @@ def quantize_embeddings(
     (max == min) get scale 0 and all-zero codes. The explicit
     floor(+0.5) rounding keeps both engines on identical double
     arithmetic (round() half-even vs half-up would diverge)."""
+    # Two-step projection: (vmin, scale, v) land as ATTRIBUTES before
+    # the per-element code lambda references them. Inlined directly,
+    # the higher-order transform (a CodegenFallback — no codegen, no
+    # common-subexpression elimination) re-evaluates the full
+    # array_min/array_max subtree per ELEMENT — O(d²) per row, measured
+    # ~1.5x the whole op's wall at sf0.1 (r16 optimization round).
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    vmin = F.array_min(v)
-    vmax = F.array_max(v)
-    scale = (vmax - vmin) / F.lit(255.0)
-    codes = F.when(
-        scale > 0,
-        F.transform(
-            v,
-            lambda x: F.floor((x - vmin) / scale + F.lit(0.5)).cast("int"),
-        ),
-    ).otherwise(F.transform(v, lambda x: F.lit(0)))
-    return df.select(
+    base = df.select(
         F.col(id_col),
-        vmin.alias("vmin"),
-        scale.alias("scale"),
+        F.array_min(v).alias("vmin"),
+        ((F.array_max(v) - F.array_min(v)) / F.lit(255.0)).alias("scale"),
+        v.alias("_v"),
+    )
+    codes = F.when(
+        F.col("scale") > 0,
+        F.transform(
+            F.col("_v"),
+            lambda x: F.floor(
+                (x - F.col("vmin")) / F.col("scale") + F.lit(0.5)
+            ).cast("int"),
+        ),
+    ).otherwise(F.transform(F.col("_v"), lambda x: F.lit(0)))
+    return base.select(
+        F.col(id_col),
+        F.col("vmin"),
+        F.col("scale"),
         codes.alias("codes"),
     )
 
