@@ -314,10 +314,14 @@ def bpe_encode(
     for l, r in merges:
         search, repl = merge_pattern(str(l), str(r))
         enc = F.replace(enc, F.lit(search), F.lit(repl))
+    # seg feeds BOTH the symbol-rank branch and the (word -> ids)
+    # branch; unpinned, the corpus explode-distinct AND the |merges|-
+    # deep replace chain execute twice. Only (word, syms) is pinned —
+    # vocabulary-bounded (r16 optimization round: bounded-frame reuse).
     seg = words.select(
         "word",
         F.filter(F.split(enc, SEP2), lambda s: s != "").alias("_syms"),
-    )
+    ).localCheckpoint(eager=False)
     sym_ids = (
         seg.select(F.explode("_syms").alias("sym"))
         .distinct()

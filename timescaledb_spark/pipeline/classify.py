@@ -376,6 +376,31 @@ def lr_features(
     )
 
 
+def _lr_p_sql(weights: list) -> str:
+    """SQL text of the quantized sigmoid over ``_xs`` — built as ONE
+    string so each training round costs one parse instead of ~70 py4j
+    Column round trips (~0.11 s/round measured; the parsed expression
+    tree, and hence the arithmetic, is identical to the Column form).
+    Callers must bind it to a projection ALIAS before any per-element
+    reference (higher-order transforms are CodegenFallback with no
+    common-subexpression elimination — inlining this fold into a
+    lambda re-evaluates it per element, measured 13x slower).
+    Every float literal carries the ``D`` suffix: a bare ``1000000.0``
+    parses as DECIMAL(8,1) in Spark SQL (unlike ``F.lit(float)``),
+    which silently turns the final division DECIMAL-typed."""
+    warr = (
+        "array(" + ",".join(f"{float(v)!r}D" for v in weights) + ")"
+    )
+    z = (
+        f"aggregate(zip_with({warr}, _xs, (a, b) -> a * b), "
+        f"cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    return (
+        f"(floor({_LR_Q_P!r}D / (1.0D + exp(-({z}))) + 0.5D)"
+        f" / {_LR_Q_P!r}D)"
+    )
+
+
 def _lr_p(weights: list) -> Column:
     """Quantized sigmoid of the fixed-order dot product — per-row, all
     IEEE ops in a deterministic left fold, bit-equal across engines.
@@ -383,16 +408,7 @@ def _lr_p(weights: list) -> Column:
     codegen across training rounds was measured SLOWER than literal
     re-embedding — the per-round createDataFrame + broadcast costs more
     than the recompile on a bounded training slice.)"""
-    warr = F.array(*[F.lit(float(v)) for v in weights])
-    z = F.aggregate(
-        F.zip_with(warr, F.col("_xs"), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    return (
-        F.floor(F.lit(_LR_Q_P) / (F.lit(1.0) + F.exp(-z)) + F.lit(0.5))
-        / F.lit(_LR_Q_P)
-    )
+    return F.expr(_lr_p_sql(weights))
 
 
 def lr_train(
@@ -442,17 +458,19 @@ def _lr_train_on(
     d1 = int(dim) + 2
     n = feats.count()
     w = [0.0] * d1
+    # weight-independent SQL pieces built once; the per-round plan is
+    # two selectExpr parses instead of ~70 py4j Column calls (identical
+    # expression tree, ~0.11 s/round less driver time). _p stays a
+    # projection alias so the grad transform reads an attribute, not a
+    # re-inlined sigmoid fold (no CSE inside higher-order functions).
+    grad_sql = (
+        f"transform(_xs, x -> cast(floor((_p - cast(_y as double))"
+        f" * x * {_LR_Q_G!r}D + 0.5D) as bigint))"
+    )
     for _ in range(int(iters)):
-        scored = feats.select("_y", "_xs", _lr_p(w).alias("_p"))
-        resid = F.col("_p") - F.col("_y").cast("double")
-        grad = F.transform(
-            F.col("_xs"),
-            lambda x: F.floor(
-                resid * x * F.lit(_LR_Q_G) + F.lit(0.5)
-            ).cast("long"),
-        )
         rows = (
-            scored.select(F.posexplode(grad).alias("_j", "_g"))
+            feats.selectExpr("_y", "_xs", f"{_lr_p_sql(w)} as _p")
+            .selectExpr(f"posexplode({grad_sql}) as (_j, _g)")
             .groupBy("_j")
             .agg(F.sum("_g").alias("_gs"))
             .collect()
@@ -505,11 +523,15 @@ def lr_scores(
     ``(id, prob, pred)`` — the scan-speed filtering pass (the feature
     densification is the only shuffle; the model is 65 literals)."""
     feats = lr_features(df, text_col, id_col, dim, label=F.lit(0))
-    p = _lr_p(list(weights))
-    return feats.select(
+    # _p lands as an attribute first: prob and pred both read it, so
+    # the sigmoid fold (CodegenFallback, no subexpression elimination)
+    # evaluates once per row instead of twice
+    return feats.selectExpr(
+        "_id", f"{_lr_p_sql(list(weights))} as _p"
+    ).select(
         F.col("_id").alias(id_col),
-        p.alias("prob"),
-        (p >= F.lit(0.5)).cast("int").alias("pred"),
+        F.col("_p").alias("prob"),
+        (F.col("_p") >= F.lit(0.5)).cast("int").alias("pred"),
     )
 
 
@@ -537,12 +559,14 @@ def lr_quality(
         min_required_stops=min_required_stops,
     ).localCheckpoint(eager=True)
     w = _lr_train_on(feats, dim, iters, rate)
-    p = _lr_p(w)
-    return feats.select(
+    # same two-step as lr_scores: one sigmoid evaluation per row
+    return feats.selectExpr(
+        "_id", "_y", f"{_lr_p_sql(w)} as _p"
+    ).select(
         F.col("_id").alias(id_col),
         F.col("_y").alias("label_hq"),
-        p.alias("prob"),
-        (p >= F.lit(0.5)).cast("int").alias("pred"),
+        F.col("_p").alias("prob"),
+        (F.col("_p") >= F.lit(0.5)).cast("int").alias("pred"),
     )
 
 

@@ -1914,7 +1914,14 @@ def keep_best(
     from .textproc import quality_score
 
     q = score if score is not None else quality_score("text")
-    scored = docs.select(F.col(id_col).alias("_id"), q.alias("_q"))
+    # scored feeds TWO plan branches (the cluster-member argmax and the
+    # final all-docs projection); without a pin the heavy quality_score
+    # text expression re-scans the whole corpus once per branch. Only
+    # (id, double) is pinned — bounded-frame reuse, the corpus text is
+    # read exactly once.
+    scored = docs.select(
+        F.col(id_col).alias("_id"), q.alias("_q")
+    ).localCheckpoint(eager=False)
     mem = clusters.join(
         scored, clusters["member"] == scored["_id"]
     ).select("member", "cluster_id", "_q")

@@ -239,10 +239,15 @@ def _em_round(
     counts — usage pieces are a subset of ``sel``'s, so the cap only
     bites when pruning; singles: usage + 1)."""
     seg = viterbi_segment(wf, piece_logp(sel), max_piece_len)
+    # usage feeds BOTH the singles and multis branches; unpinned, the
+    # whole Viterbi chain above it executes twice per EM round. Only
+    # (piece, u) is pinned — vocabulary-bounded (r16 optimization
+    # round: bounded-frame reuse).
     usage = (
         seg.select("freq", F.explode("pieces").alias("piece"))
         .groupBy("piece")
         .agg(F.sum("freq").alias("u"))
+        .localCheckpoint(eager=False)
     )
     singles = (
         sel.filter(F.length("piece") == 1)
@@ -274,8 +279,13 @@ def unigram_segment(
     every distinct word: ``(word, freq, score, seg)`` with ``seg`` the
     space-joined piece sequence and ``score`` the exact integer DP
     maximum (1e-6 log-prob units)."""
-    wf = unigram_word_freq(df, text_col)
-    lp = piece_logp(seed_pieces(wf, max_piece_len, top_multi))
+    # same pin discipline as unigram_encode: wf has 3 subtree uses,
+    # the seed 2 — both vocabulary-bounded
+    wf = unigram_word_freq(df, text_col).localCheckpoint(eager=False)
+    sel = seed_pieces(wf, max_piece_len, top_multi).localCheckpoint(
+        eager=False
+    )
+    lp = piece_logp(sel)
     out = viterbi_segment(wf, lp, max_piece_len)
     return out.select(
         "word", "freq", "score", F.array_join("pieces", " ").alias("seg")
@@ -518,9 +528,19 @@ def unigram_encode(
     identically in the oracle."""
     from pyspark.sql import Window
 
-    wf = unigram_word_freq(df, text_col)
-    lp = piece_logp(seed_pieces(wf, max_piece_len, top_multi))
-    seg = viterbi_segment(wf, lp, max_piece_len)
+    # Pins (all vocabulary-bounded, r16 optimization round): wf feeds
+    # seeding AND both sides of the lattice build (3 subtree uses = 3
+    # corpus explode+groupBy passes unpinned); the seed feeds the
+    # log-prob total AND the projection; seg feeds the id-rank and the
+    # (word -> ids) branches. Each pin makes its chain execute once.
+    wf = unigram_word_freq(df, text_col).localCheckpoint(eager=False)
+    sel = seed_pieces(wf, max_piece_len, top_multi).localCheckpoint(
+        eager=False
+    )
+    lp = piece_logp(sel)
+    seg = viterbi_segment(wf, lp, max_piece_len).localCheckpoint(
+        eager=False
+    )
     pid = (
         seg.select(F.explode("pieces").alias("piece"))
         .distinct()
