@@ -503,12 +503,25 @@ def banded_hamming_pairs(
         return out, n_bands * width - width
 
     def _self_join(part):
+        # the Hamming radius check sits IN the join condition: failing
+        # candidates die at the probe, before the union/distinct
+        # exchange ever sees them (guide §2.3 — shuffle fewer bytes;
+        # the final filter used to run AFTER the distinct, so every
+        # out-of-radius candidate was shuffled once per appearance)
         return (
             part.alias("x")
             .join(
                 part.alias("y"),
                 (F.col("x.bkey") == F.col("y.bkey"))
-                & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+                & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+                & (
+                    F.bit_count(
+                        F.col(f"x.{hash_col}").bitwiseXOR(
+                            F.col(f"y.{hash_col}")
+                        )
+                    )
+                    <= F.lit(max_hamming)
+                ),
             )
             .select(
                 F.col(f"x.{id_col}").alias("id_a"),
@@ -576,7 +589,9 @@ def banded_hamming_pairs(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.distinct().filter(F.col("hamming") <= max_hamming)
+    # in-radius is already enforced inside each self-join; the distinct
+    # only dedups true pairs that matched in several bands
+    return out.distinct()
 
 
 def simhash_pairs(
