@@ -332,10 +332,13 @@ def lr_features(
     to the Gopher doc-level verdict (the teacher being distilled);
     ``min_required_stops`` is forwarded to it.
 
-    Scale shape: the sparse (id, bucket, cnt) table is densified by one
-    64-way conditional aggregation — output bounded by docs × 1 row,
+    Scale shape: the exploded gram stream is densified by ONE
+    map-combined 64-way conditional count aggregation keyed on the doc
+    (r16 optimization round: the previous hash_features → 64-way pivot
+    route paid two Exchanges — (id, bucket) then (id) — for the same
+    docs × 1 output; the fused groupBy ships docs × dim counters once),
     features exact rationals so both engines divide identical ints."""
-    from .textproc import FEAT_N, hash_features
+    from .textproc import FEAT_N
 
     y = (
         label
@@ -350,14 +353,26 @@ def lr_features(
             (F.length(text_col) - (FEAT_N - 1)).cast("double"),
         ).alias("_n"),
     )
+    # same gram/bucket stream as textproc.hash_features (one codepoint
+    # pass, O(1) element_at per gram), but aggregated straight to the
+    # per-document dense counts — bucket counts are identical integers
+    grams = F.expr(
+        f"CASE WHEN length({text_col}) >= {FEAT_N} THEN "
+        f"transform(sequence(1, length({text_col}) - {FEAT_N - 1}), "
+        f"i -> (cps[i - 1] * 65536 + cps[i] * 256 + cps[i + 1])"
+        f" % {int(dim)}) "
+        f"ELSE array() END"
+    )
     piv = (
-        hash_features(df, text_col, id_col, dim)
-        .groupBy(F.col(id_col).alias("_id"))
+        df.withColumn(
+            "cps",
+            F.expr(f"transform(split({text_col}, ''), c -> ascii(c))"),
+        )
+        .select(F.col(id_col).alias("_id"), F.explode(grams).alias("bucket"))
+        .groupBy("_id")
         .agg(
             *[
-                F.sum(
-                    F.when(F.col("bucket") == j, F.col("cnt"))
-                ).alias(f"_c{j}")
+                F.count_if(F.col("bucket") == j).alias(f"_c{j}")
                 for j in range(int(dim))
             ]
         )
@@ -431,13 +446,18 @@ def lr_train(
     only that bounded slice); the returned weights are 66 doubles —
     scoring the full corpus is a zero-shuffle projection.
 
-    The gradient reduction posexplodes the per-row quantized-int
-    gradient array and sums per position — the map-combined shuffle
-    moves partitions × 66 rows, and the simple plan keeps per-round
-    codegen flat (66 separate aggregate expressions each re-embedding
-    the weight fold measured ~1.5 s/round of compile time alone; a
+    The gradient reduction is 66 scalar ``sum()`` aggregates over the
+    ``_p`` attribute — one global map-combined aggregation, no explode
+    (r16 optimization round: the posexplode form shipped 66 rows per
+    document through a groupBy(_j); the scalar form ships 66 longs per
+    partition and measured 4.1s vs 4.8–6.0s per 16-round train at
+    sf0.1, weights bit-identical). The fold must stay behind the
+    ``_p`` alias: 66 aggregates each re-embedding the weight fold
+    measured ~1.5 s/round of compile time alone, and a
     project-then-sum-per-element variant lets Catalyst collapse the
-    fold back into all 66 aggregates and measured 5× slower)."""
+    fold back into all 66 aggregates (5× slower). An explicit-sum
+    (non-fold) sigmoid was also measured and is SLOWER in both
+    gradient shapes (7.6s posexplode / 6.0–9.6s aggs)."""
     feats = lr_features(
         df, text_col, id_col, dim, label, min_required_stops
     ).localCheckpoint(eager=True)
@@ -463,21 +483,21 @@ def _lr_train_on(
     # expression tree, ~0.11 s/round less driver time). _p stays a
     # projection alias so the grad transform reads an attribute, not a
     # re-inlined sigmoid fold (no CSE inside higher-order functions).
-    grad_sql = (
-        f"transform(_xs, x -> cast(floor((_p - cast(_y as double))"
-        f" * x * {_LR_Q_G!r}D + 0.5D) as bigint))"
-    )
-    for _ in range(int(iters)):
-        rows = (
-            feats.selectExpr("_y", "_xs", f"{_lr_p_sql(w)} as _p")
-            .selectExpr(f"posexplode({grad_sql}) as (_j, _g)")
-            .groupBy("_j")
-            .agg(F.sum("_g").alias("_gs"))
-            .collect()
+    grad_aggs = [
+        (
+            f"sum(cast(floor((_p - cast(_y as double)) * _xs[{j}]"
+            f" * {_LR_Q_G!r}D + 0.5D) as bigint)) as _g{j}"
         )
-        gsum = {r["_j"]: r["_gs"] for r in rows}
+        for j in range(d1)
+    ]
+    for _ in range(int(iters)):
+        row = (
+            feats.selectExpr("_y", "_xs", f"{_lr_p_sql(w)} as _p")
+            .selectExpr(*grad_aggs)
+            .collect()[0]
+        )
         w = [
-            w[j] - float(rate) * (gsum.get(j, 0) / (n * _LR_Q_G))
+            w[j] - float(rate) * ((row[f"_g{j}"] or 0) / (n * _LR_Q_G))
             for j in range(d1)
         ]
     return w

@@ -60,7 +60,12 @@ def _banded_cross(
     equi-join on (band, key) — the batch side is broadcast (a
     micro-batch is small next to the store), candidates verify with
     ``bit_count(xor)``. Complete by the same pigeonhole argument as
-    the self-join: an in-radius pair agrees exactly on >= 1 band."""
+    the self-join: an in-radius pair agrees exactly on >= 1 band.
+
+    May return the same batch id more than once (one row per matching
+    band/store pair) — the only consumer is a left_anti probe, where
+    duplicates are harmless; deduplicating here cost a full aggregate
+    exchange per micro-batch for nothing (r16 optimization round)."""
     n_bands = max_hamming + 1
     width = -(-SIMHASH_BITS // n_bands)
 
@@ -90,7 +95,6 @@ def _banded_cross(
             <= F.lit(max_hamming)
         )
         .select(F.col("bid").alias("doc_id"))
-        .distinct()
     )
 
 
@@ -113,20 +117,21 @@ def near_dedup_batch(
         .withColumnRenamed(id_col, "doc_id")
         .localCheckpoint(eager=True)
     )
-    internal_b = (
-        banded_hamming_pairs(
-            fp, "doc_id", "simhash", SIMHASH_BITS,
-            max_hamming=max_hamming, max_bucket=max_bucket,
-        )
-        .select(F.col("id_b").alias("doc_id"))
-        .distinct()
-    )
+    # the drop set only ever probes a left_anti join, so duplicate ids
+    # are harmless — no distinct anywhere on the drop path (each one
+    # cost a full aggregate exchange per micro-batch; r16 optimization
+    # round, guide §2.4: a `distinct` on data whose uniqueness nothing
+    # downstream needs)
+    internal_b = banded_hamming_pairs(
+        fp, "doc_id", "simhash", SIMHASH_BITS,
+        max_hamming=max_hamming, max_bucket=max_bucket,
+    ).select(F.col("id_b").alias("doc_id"))
     dropped = internal_b
     if os.path.isdir(store_path):
         store_fp = spark.read.parquet(store_path)
         dropped = dropped.unionByName(
             _banded_cross(fp, store_fp, max_hamming)
-        ).distinct()
+        )
     survivors = fp.join(dropped, "doc_id", "left_anti")
     survivors.write.mode("append").parquet(out_path)
     fp.write.mode("append").parquet(store_path)
@@ -183,9 +188,12 @@ def staged_id_stream(
     src = os.path.join(sf_dir, f"{table}.parquet")
     tmp = tempfile.mkdtemp(prefix="ts_idstream_")
     df = spark.read.parquet(src)
+    # materialize the ntile pass once — each per-stage filtered write
+    # below would otherwise re-run the global-order window (n_batches
+    # single-partition sorts of the full table; r16 optimization round)
     splits = df.select(
         F.ntile(n_batches).over(Window.orderBy(id_col)).alias("_b"), "*"
-    )
+    ).localCheckpoint(eager=True)
     for b in range(1, n_batches + 1):
         part = splits.filter(F.col("_b") == b).drop("_b")
         pdir = os.path.join(tmp, f"stage-{b:03d}")
