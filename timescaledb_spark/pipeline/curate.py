@@ -66,13 +66,17 @@ def curate_corpus(
     exmap = surv2.select(
         F.col(id_col), F.md5(F.col(text_col)).alias("_h")
     )
+    # pinned like flags: exj feeds the surv3 filter AND the final
+    # verdict join — unpinned, the source-scan → survivor-join → md5 →
+    # window chain executed once per branch (r16 optimization round).
+    # (id, bool) rows only, ~9 bytes/row at any corpus size.
     exj = exmap.select(
         id_col,
         (
             F.col(id_col)
             == F.min(id_col).over(Window.partitionBy("_h"))
         ).alias("_exk"),
-    )
+    ).localCheckpoint(eager=False)
     surv3 = surv2.join(exj.filter("_exk").select(id_col), id_col)
     # near-dup dedup among exact survivors (banded MinHash + components)
     pairs = minhash_lsh_pairs(surv3, text_col, id_col)
