@@ -99,6 +99,38 @@ def test_timestamp_column(spark):
     assert dict(out.dtypes)["ts"] == "timestamp"
 
 
+def test_lttb_carry_across_arrow_batches(spark):
+    """The mapInPandas scan walks contiguous groups with a carry across
+    Arrow batch boundaries; force tiny batches so every series straddles
+    several batches and the carry path (not just the in-batch walk)
+    produces the rows."""
+    rng = np.random.default_rng(7)
+    frames = []
+    for dev in range(6):
+        n = 150 + dev * 31
+        frames.append(
+            pd.DataFrame(
+                {
+                    "device": dev,
+                    "ts": np.sort(rng.choice(100_000, n, replace=False)),
+                    "value": np.cumsum(rng.normal(size=n)),
+                }
+            )
+        )
+    pdf = pd.concat(frames, ignore_index=True)
+    df = spark.createDataFrame(pdf).coalesce(1)
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "40")  # every series spans >3 batches
+        tiny = lttb(df, "ts", "value", n_out=24, by=["device"]).collect()
+    finally:
+        spark.conf.set(key, old or "10000")
+    big = lttb(df, "ts", "value", n_out=24, by=["device"]).collect()
+    assert sorted(map(tuple, tiny)) == sorted(map(tuple, big))
+    assert len(tiny) == 6 * 24
+
+
 def test_lttb_null_keys_form_one_series(spark):
     """Review fix: NaN != NaN splitting made every null-key row its own
     group; null keys must downsample as ONE series."""

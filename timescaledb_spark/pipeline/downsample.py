@@ -97,12 +97,29 @@ def lttb(
     # small series that overhead dominates (measured ~3x at sf0.1). So:
     # repartition on the keys, sort each partition by (keys, time), and
     # stream ONE mapInPandas pass that walks contiguous groups with a
-    # carry across Arrow batch boundaries.
+    # carry across Arrow batch boundaries. The walk itself is pure numpy:
+    # the partition sort already orders every group by time, so no
+    # per-group pandas sort/groupby/concat is needed — group bounds come
+    # from one vectorized key-change scan and each series is a zero-copy
+    # array slice (measured 1.5s -> 0.7s per call at sf0.1, 1,500 series;
+    # per-group pandas machinery was ~0.9ms/group).
     parts = src.repartition(*[F.col(c) for c in by]).sortWithinPartitions(
         *by, time_col
     )
 
+    def _batch_xy(pdf: pd.DataFrame):
+        import numpy as np
+
+        xs = (
+            pdf[time_col].to_numpy().astype("int64")
+            if is_ts
+            else pdf[time_col].to_numpy()
+        ).astype("float64")
+        ys = pdf[value_col].to_numpy().astype("float64")
+        return np.asarray(xs), ys
+
     def _scan(batches):
+        import numpy as np
         import pandas as pd
 
         carry = None
@@ -110,27 +127,42 @@ def lttb(
             if carry is not None:
                 pdf = pd.concat([carry, pdf], ignore_index=True)
                 carry = None
-            if len(pdf) == 0:
+            n = len(pdf)
+            if n == 0:
                 continue
-            keys = pdf[by]
-            # NaN-safe group-change test: plain != treats NaN != NaN as
-            # True, splitting a null-key series into one group per row
-            shifted = keys.shift()
-            changed = (keys != shifted) & ~(keys.isna() & shifted.isna())
-            grp = changed.any(axis=1).cumsum()
-            last = grp.iloc[-1]
-            done_mask = grp != last
-            carry = pdf[~done_mask]
-            done = pdf[done_mask]
-            if len(done):
-                yield pd.concat(
-                    [
-                        _per_series(g)
-                        for _, g in done.groupby(grp[done_mask], sort=False)
-                    ],
-                    ignore_index=True,
+            changed = np.zeros(n, dtype=bool)
+            changed[0] = True
+            for c in by:
+                a = pdf[c].to_numpy()
+                prev, cur = a[:-1], a[1:]
+                # NaN-safe group-change test: plain != treats NaN != NaN
+                # as True, splitting a null-key series one-group-per-row
+                changed[1:] |= (cur != prev) & ~(
+                    pd.isna(cur) & pd.isna(prev)
                 )
+            starts = np.flatnonzero(changed)
+            # the trailing group may continue into the next Arrow batch
+            last_start = int(starts[-1])
+            carry = pdf.iloc[last_start:]
+            if last_start == 0:
+                continue
+            xs, ys = _batch_xy(pdf)
+            bounds = np.append(starts[starts < last_start], last_start)
+            kept = [
+                int(bounds[g])
+                + np.sort(
+                    _lttb_numpy(
+                        xs[bounds[g] : bounds[g + 1]],
+                        ys[bounds[g] : bounds[g + 1]],
+                        n_out,
+                    )
+                )
+                for g in range(len(bounds) - 1)
+            ]
+            yield pdf.iloc[np.concatenate(kept)]
         if carry is not None and len(carry):
-            yield _per_series(carry)
+            pdf = carry.reset_index(drop=True)
+            xs, ys = _batch_xy(pdf)
+            yield pdf.iloc[np.sort(_lttb_numpy(xs, ys, n_out))]
 
     return parts.mapInPandas(_scan, out_schema)
