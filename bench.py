@@ -90,8 +90,13 @@ def main() -> None:
     # stdout line is the driver contract, but long runs can get their
     # stdout tail-truncated in round artifacts — persist the complete
     # parsed dict as a first-class file too, so every per-query timing
-    # stays machine-readable (compact separators keep the line small)
-    print(json.dumps(out, separators=(",", ":")))
+    # stays machine-readable (compact separators keep the line small).
+    # The STDOUT copy rounds per-query seconds to 2 decimals (r16 verdict
+    # item 6: keep the line as small as possible for tail-capture
+    # windows); the BENCH_FULL files below keep the 4-decimal values.
+    stdout_out = dict(out)
+    stdout_out["queries"] = {k: round(v, 2) for k, v in times.items()}
+    print(json.dumps(stdout_out, separators=(",", ":")))
     here = os.path.dirname(os.path.abspath(__file__))
     # per-round archive (r10 VERDICT item 7): BENCH_FULL.json is the
     # latest-run scratch copy (gitignored — any sf, any iteration);

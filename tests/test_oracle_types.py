@@ -42,3 +42,31 @@ def test_no_lossy_oracle_result_types(duck):
         "oracle columns with pandas-lossy DuckDB types "
         "(driver hashes through float64):\n  " + "\n  ".join(bad)
     )
+
+
+#: Nested result types the driver's canonicalizer cannot sort —
+#: pandas ``sort_values`` raises ``TypeError: unhashable type: 'list'``
+#: on LIST/STRUCT/MAP columns.  This errored q_bpe_encode /
+#: q_unigram_encode / q_tokenize_pack in round 16; the convention is to
+#: flatten per-position in the gate select (posexplode + LATERAL
+#: unnest), as q_quantize_embeddings does.
+_UNSORTABLE = re.compile(r"(\[\]$|^(STRUCT|MAP|LIST|UNION))", re.I)
+
+
+def test_no_nested_oracle_result_types(duck):
+    bad: list[str] = []
+    for name, sql in oracle_sql().items():
+        try:
+            cur = duck.execute(f"DESCRIBE ({sql})")
+        except Exception as e:  # pragma: no cover - surfaced as lint failure
+            bad.append(f"{name}: DESCRIBE failed: {e}")
+            continue
+        for col, typ, *_ in cur.fetchall():
+            if _UNSORTABLE.search(str(typ)):
+                bad.append(
+                    f"{name}.{col}: {typ} (flatten it for the hash gate)"
+                )
+    assert not bad, (
+        "oracle columns with driver-unsortable nested types "
+        "(pandas sort_values cannot order them):\n  " + "\n  ".join(bad)
+    )

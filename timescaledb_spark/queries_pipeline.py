@@ -1112,22 +1112,52 @@ def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_segment(docs, _SEG_MERGES)
 
 
+def _flatten_ids_sql(inner: str, keep: tuple, arr: str, val: str) -> str:
+    """Flatten an ``array<int>`` oracle column per-position for the hash
+    gate (the driver's canonicalizer cannot sort raw list columns —
+    same convention as q_quantize_embeddings). Outer semantics: a row
+    with an empty array survives with NULL (pos, val), matching Spark's
+    ``posexplode_outer``."""
+    keep_cols = ", ".join(f"_t.{c}" for c in keep)
+    return f"""
+    SELECT {keep_cols},
+           CAST(_u.p - 1 AS INT) AS pos,
+           _t.{arr}[_u.p] AS {val}
+    FROM ({inner}) _t
+    LEFT JOIN LATERAL (
+      SELECT unnest(range(1, len(_t.{arr}) + 1)) AS p
+    ) _u ON true
+    """
+
+
 @query(
     "q_bpe_encode",
-    __import__("timescaledb_spark.pipeline.bpe", fromlist=["x"])
-    .bpe_encode_sql(_SEG_MERGES),
+    _flatten_ids_sql(
+        __import__("timescaledb_spark.pipeline.bpe", fromlist=["x"])
+        .bpe_encode_sql(_SEG_MERGES),
+        ("doc_id", "n_words", "n_subtok"),
+        "sym_ids",
+        "sym_id",
+    ),
 )
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus → subword-id encoding under a merge list (round 16; the
     tokenizer APPLICATION stage): segmentation and lexicographic id
     assignment over the distinct-word table, broadcast word→ids map
     probed by the exploded corpus, per-document ordered reassembly.
-    The oracle replays the chain including the full id sequences, so
-    the hash gates subword order inside every document."""
+    The oracle replays the chain including the full id sequences —
+    flattened per-position for the hash gate (the driver cannot
+    canonicalize list columns), so subword order inside every document
+    is still gated."""
     from .pipeline.bpe import bpe_encode
 
     docs = load_table(spark, sf_dir, "documents")
-    return bpe_encode(docs, _SEG_MERGES)
+    return bpe_encode(docs, _SEG_MERGES).select(
+        "doc_id",
+        "n_words",
+        "n_subtok",
+        F.posexplode_outer("sym_ids").alias("pos", "sym_id"),
+    )
 
 
 @query(
@@ -1405,8 +1435,13 @@ def q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_unigram_encode",
-    __import__("timescaledb_spark.pipeline.unigram", fromlist=["x"])
-    .unigram_encode_sql(top_multi=64),
+    _flatten_ids_sql(
+        __import__("timescaledb_spark.pipeline.unigram", fromlist=["x"])
+        .unigram_encode_sql(top_multi=64),
+        ("doc_id", "n_words", "n_subtok"),
+        "piece_ids",
+        "piece_id",
+    ),
 )
 def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus → unigram piece-id encoding (round 16; the application
@@ -1414,20 +1449,31 @@ def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-word table, lexicographic piece ids, broadcast word→ids
     probe, per-document ordered reassembly as the only corpus-scale
     shuffle. The oracle replays the recursive-CTE Viterbi and the full
-    id sequences, so subword order inside every document is gated."""
+    id sequences — flattened per-position for the hash gate — so
+    subword order inside every document is still gated."""
     from .pipeline.unigram import unigram_encode
 
     docs = load_table(spark, sf_dir, "documents")
-    return unigram_encode(docs, top_multi=64)
+    return unigram_encode(docs, top_multi=64).select(
+        "doc_id",
+        "n_words",
+        "n_subtok",
+        F.posexplode_outer("piece_ids").alias("pos", "piece_id"),
+    )
 
 
 @query(
     "q_tokenize_pack",
-    __import__("timescaledb_spark.pipeline.packing", fromlist=["x"])
-    .pack_token_ids_sql(
-        __import__("timescaledb_spark.pipeline.unigram", fromlist=["x"])
-        .unigram_encode_sql(top_multi=64),
-        budget=128,
+    _flatten_ids_sql(
+        __import__("timescaledb_spark.pipeline.packing", fromlist=["x"])
+        .pack_token_ids_sql(
+            __import__("timescaledb_spark.pipeline.unigram", fromlist=["x"])
+            .unigram_encode_sql(top_multi=64),
+            budget=128,
+        ),
+        ("seq_id", "n_docs", "n_tok"),
+        "ids",
+        "token_id",
     ),
 )
 def q_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1437,10 +1483,17 @@ def q_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     slices per spanned sequence (bounded by n_tok/budget + 1 per doc,
     no per-token rows), one groupBy on the sequence id reassembling in
     stream order. The oracle nests the full encode replay inside the
-    identical window/slice algebra, so the hash gates every sequence's
-    exact id content and boundaries."""
+    identical window/slice algebra — flattened per-position for the
+    hash gate — so every sequence's exact id content and boundaries
+    are still gated."""
     from .pipeline.packing import pack_token_ids
     from .pipeline.unigram import unigram_encode
 
     docs = load_table(spark, sf_dir, "documents")
-    return pack_token_ids(unigram_encode(docs, top_multi=64), budget=128)
+    packed = pack_token_ids(unigram_encode(docs, top_multi=64), budget=128)
+    return packed.select(
+        "seq_id",
+        "n_docs",
+        "n_tok",
+        F.posexplode_outer("ids").alias("pos", "token_id"),
+    )
