@@ -46,7 +46,7 @@ from __future__ import annotations
 import math
 from typing import Optional, Sequence
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 #: default compression (max centroids), the toolkit example size
 DEFAULT_DELTA = 200
@@ -64,35 +64,40 @@ def _check_delta(delta: int) -> int:
     return delta
 
 
-def _cluster_col(rk: Column, n: Column, delta: int) -> Column:
+#: float literal of math.pi as Spark SQL double (bit-identical to the
+#: Column-form F.lit(math.pi) the builders used before the SQL-string
+#: rewrite)
+_PI = repr(math.pi)
+
+
+def _part_clause(keys: Sequence[str]) -> str:
+    if not keys:
+        return ""
+    return "PARTITION BY " + ", ".join(f"`{k}`" for k in keys) + " "
+
+
+def _cluster_sql(rk: str, n: str, delta: int) -> str:
     """k1 scale-function bin for a value at rank ``rk`` of ``n``:
     singleton (rank) while the group fits ``delta``, else
     ``floor(δ·(asin(2q−1)/π + ½))`` of the rank midpoint quantile."""
-    q = (rk.cast("double") - 0.5) / n.cast("double")
-    binned = F.least(
-        F.floor(
-            F.lit(float(delta))
-            * (F.asin(2.0 * q - 1.0) / math.pi + 0.5)
-        ),
-        F.lit(delta - 1),
+    q = f"((CAST({rk} AS DOUBLE) - 0.5D) / CAST({n} AS DOUBLE))"
+    binned = (
+        f"least(floor({float(delta)!r}D * "
+        f"(asin(2.0D * {q} - 1.0D) / {_PI}D + 0.5D)), {delta - 1})"
     )
-    return F.when(n <= delta, rk.cast("long")).otherwise(
-        binned.cast("long")
+    return (
+        f"CASE WHEN {n} <= {delta} THEN CAST({rk} AS BIGINT) "
+        f"ELSE CAST({binned} AS BIGINT) END"
     )
 
 
-def _state_struct(tn, tmn, tmx, ents) -> Column:
-    return F.when(
-        tn > 0,
-        F.struct(
-            tn.alias("n"),
-            tmn.alias("min"),
-            tmx.alias("max"),
-            F.expr(f"transform({ents}, c -> c.mean)").alias("means"),
-            F.expr(
-                f"transform({ents}, c -> CAST(c.weight AS BIGINT))"
-            ).alias("weights"),
-        ),
+def _state_struct_sql(tn: str, tmn: str, tmx: str, ents: str) -> str:
+    return (
+        f"CASE WHEN {tn} > 0 THEN named_struct("
+        f"'n', {tn}, 'min', {tmn}, 'max', {tmx}, "
+        f"'means', transform({ents}, c -> c.mean), "
+        f"'weights', transform({ents}, c -> CAST(c.weight AS BIGINT))"
+        f") END"
     )
 
 
@@ -105,48 +110,48 @@ def build_states(
 ) -> DataFrame:
     """Per-``keys`` t-digest states from raw rows. Strict NULL
     semantics: NULL values are skipped; a group whose values are all
-    NULL still gets a row, with a NULL state."""
+    NULL still gets a row, with a NULL state.
+
+    Expressions are built as SQL strings (one py4j parse each) — the
+    round-17 fixed-cost lever: the Column form cost ~600 py4j round
+    trips per call on the cagg serve path. The algebra is unchanged."""
     delta = _check_delta(delta)
+    kq = [f"`{k}`" for k in keys]
     base = df.select(*keys, value.cast("double").alias("_v"))
-    w = Window.partitionBy(*keys).orderBy(F.col("_v").asc_nulls_last())
     # non-null count as a FULL frame of the same ordered spec (not a
     # separate partition-only window): both window functions share one
     # sort and one WindowExec (round 14 — same trick as merge_states)
-    nn = F.count("_v").over(
-        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    d = base.select(
-        *keys,
+    wo = f"{_part_clause(keys)}ORDER BY _v ASC NULLS LAST"
+    d = base.selectExpr(
+        *kq,
         "_v",
-        nn.alias("_n"),
-        F.row_number().over(w).alias("_rk"),
+        f"count(_v) OVER ({wo} ROWS BETWEEN UNBOUNDED PRECEDING "
+        f"AND UNBOUNDED FOLLOWING) AS _n",
+        f"row_number() OVER ({wo}) AS _rk",
     )
-    cl = F.when(F.col("_v").isNull(), F.lit(None).cast("long")).otherwise(
-        _cluster_col(F.col("_rk"), F.col("_n"), delta)
+    cl = (
+        "CASE WHEN _v IS NULL THEN CAST(NULL AS BIGINT) ELSE "
+        + _cluster_sql("_rk", "_n", delta)
+        + " END"
     )
-    per = d.groupBy(*keys, cl.alias("_cl")).agg(
-        F.count("_v").alias("_w"),
-        F.avg("_v").alias("_m"),
-        F.min("_v").alias("_mn"),
-        F.max("_v").alias("_mx"),
+    per = d.groupBy(*[F.col(k) for k in keys], F.expr(cl).alias("_cl")).agg(
+        F.expr("count(_v)").alias("_w"),
+        F.expr("avg(_v)").alias("_m"),
+        F.expr("min(_v)").alias("_mn"),
+        F.expr("max(_v)").alias("_mx"),
     )
-    ent = F.when(
-        F.col("_cl").isNotNull(),
-        F.struct(F.col("_m").alias("mean"), F.col("_w").alias("weight")),
+    flat = per.groupBy(*[F.col(k) for k in keys]).agg(
+        F.expr("sum(CASE WHEN _cl IS NOT NULL THEN _w END)").alias("_tn"),
+        F.expr("min(_mn)").alias("_tmn"),
+        F.expr("max(_mx)").alias("_tmx"),
+        F.expr(
+            "array_sort(collect_list(CASE WHEN _cl IS NOT NULL THEN "
+            "named_struct('mean', _m, 'weight', _w) END))"
+        ).alias("_te"),
     )
-    flat = per.groupBy(*keys).agg(
-        F.sum(
-            F.when(F.col("_cl").isNotNull(), F.col("_w"))
-        ).alias("_tn"),
-        F.min("_mn").alias("_tmn"),
-        F.max("_mx").alias("_tmx"),
-        F.array_sort(F.collect_list(ent)).alias("_te"),
-    )
-    return flat.select(
-        *keys,
-        _state_struct(
-            F.col("_tn"), F.col("_tmn"), F.col("_tmx"), "_te"
-        ).alias(out),
+    return flat.selectExpr(
+        *kq,
+        _state_struct_sql("_tn", "_tmn", "_tmx", "_te") + f" AS `{out}`",
     )
 
 
@@ -165,7 +170,8 @@ def merge_states(
     entries per group (bins bound it when total weight > delta, total
     centroid count ≤ total weight ≤ delta bounds it otherwise)."""
     delta = _check_delta(delta)
-    st = F.col(state_col)
+    kq = [f"`{k}`" for k in keys]
+    st = f"`{state_col}`"
     # ONE pipeline, ONE shuffle (round 14 — the r13 shape was the most
     # expensive serve in the system at x100: 3 window expressions over
     # 2 specs plus a separate totals aggregation joined back by sort-
@@ -181,104 +187,76 @@ def merge_states(
     # - the singleton-regime rank IS cumb+1 (total weight ≤ delta ⇒
     #   every input centroid is a parent singleton of weight 1), so
     #   row_number() goes away entirely.
-    ents = F.when(
-        st.isNotNull(),
-        F.arrays_zip(st["means"].alias("_m"), st["weights"].alias("_w")),
-    ).otherwise(
-        F.array(
-            F.struct(
-                F.lit(None).cast("double").alias("_m"),
-                F.lit(None).cast("bigint").alias("_w"),
-            )
-        )
+    # Expressions are SQL strings (round 17): the Column form cost
+    # ~1,300 py4j round trips per call on the cagg serve path.
+    ents = (
+        f"CASE WHEN {st} IS NOT NULL THEN "
+        f"zip_with({st}.means, {st}.weights, "
+        f"(m, w) -> named_struct('_m', m, '_w', w)) "
+        f"ELSE array(named_struct('_m', CAST(NULL AS DOUBLE), "
+        f"'_w', CAST(NULL AS BIGINT))) END"
     )
-    rows = d.select(
-        *keys,
-        st["min"].alias("_smn"),
-        st["max"].alias("_smx"),
-        F.explode(ents).alias("_c"),
-    ).select(
-        *keys,
-        "_smn",
-        "_smx",
-        F.col("_c._m").alias("_m"),
-        F.col("_c._w").alias("_w"),
-    )
-    worder = Window.partitionBy(*keys).orderBy(
-        F.col("_m").asc_nulls_last(), F.col("_w").asc()
-    )
-    cumb = F.coalesce(
-        F.sum("_w").over(
-            worder.rowsBetween(Window.unboundedPreceding, -1)
-        ),
-        F.lit(0).cast("long"),
-    )
-    big_n = F.sum("_w").over(
-        worder.rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing
-        )
-    )
-    rows = rows.select(
-        *keys,
+    rows = d.selectExpr(
+        *kq,
+        f"{st}.min AS _smn",
+        f"{st}.max AS _smx",
+        f"explode({ents}) AS _c",
+    ).selectExpr(*kq, "_smn", "_smx", "_c._m AS _m", "_c._w AS _w")
+    wo = f"{_part_clause(keys)}ORDER BY _m ASC NULLS LAST, _w ASC"
+    rows = rows.selectExpr(
+        *kq,
         "_smn",
         "_smx",
         "_m",
         "_w",
-        cumb.alias("_cumb"),
-        big_n.alias("_N"),
+        f"coalesce(sum(_w) OVER ({wo} ROWS BETWEEN UNBOUNDED PRECEDING "
+        f"AND 1 PRECEDING), CAST(0 AS BIGINT)) AS _cumb",
+        f"sum(_w) OVER ({wo} ROWS BETWEEN UNBOUNDED PRECEDING "
+        f"AND UNBOUNDED FOLLOWING) AS _N",
     )
     qmid = (
-        F.col("_cumb").cast("double") + F.col("_w").cast("double") / 2.0
-    ) / F.col("_N").cast("double")
-    binned = F.least(
-        F.floor(
-            F.lit(float(delta)) * (F.asin(2.0 * qmid - 1.0) / math.pi + 0.5)
-        ),
-        F.lit(delta - 1),
+        "((CAST(_cumb AS DOUBLE) + CAST(_w AS DOUBLE) / 2.0D) "
+        "/ CAST(_N AS DOUBLE))"
     )
-    cl = F.when(F.col("_m").isNull(), F.lit(None).cast("long")).when(
-        F.col("_N") <= delta, F.col("_cumb") + 1
-    ).otherwise(binned.cast("long"))
-    per = rows.groupBy(*keys, cl.alias("_cl")).agg(
-        F.sum("_w").alias("_w2"),
-        (
-            F.sum(F.col("_m") * F.col("_w").cast("double"))
-            / F.sum("_w").cast("double")
+    binned = (
+        f"least(floor({float(delta)!r}D * "
+        f"(asin(2.0D * {qmid} - 1.0D) / {_PI}D + 0.5D)), {delta - 1})"
+    )
+    cl = (
+        f"CASE WHEN _m IS NULL THEN CAST(NULL AS BIGINT) "
+        f"WHEN _N <= {delta} THEN _cumb + 1 "
+        f"ELSE CAST({binned} AS BIGINT) END"
+    )
+    per = rows.groupBy(
+        *[F.col(k) for k in keys], F.expr(cl).alias("_cl")
+    ).agg(
+        F.expr("sum(_w)").alias("_w2"),
+        F.expr(
+            "sum(_m * CAST(_w AS DOUBLE)) / CAST(sum(_w) AS DOUBLE)"
         ).alias("_m2"),
-        F.min("_smn").alias("_bmn"),
-        F.max("_smx").alias("_bmx"),
+        F.expr("min(_smn)").alias("_bmn"),
+        F.expr("max(_smx)").alias("_bmx"),
     )
-    ent2 = F.when(
-        F.col("_cl").isNotNull(),
-        F.struct(F.col("_m2").alias("mean"), F.col("_w2").alias("weight")),
+    cents = per.groupBy(*[F.col(k) for k in keys]).agg(
+        F.expr("sum(CASE WHEN _cl IS NOT NULL THEN _w2 END)").alias("_tn"),
+        F.expr("min(_bmn)").alias("_tmn"),
+        F.expr("max(_bmx)").alias("_tmx"),
+        F.expr(
+            "array_sort(collect_list(CASE WHEN _cl IS NOT NULL THEN "
+            "named_struct('mean', _m2, 'weight', _w2) END))"
+        ).alias("_te"),
     )
-    cents = per.groupBy(*keys).agg(
-        F.sum(F.when(F.col("_cl").isNotNull(), F.col("_w2"))).alias("_tn"),
-        F.min("_bmn").alias("_tmn"),
-        F.max("_bmx").alias("_tmx"),
-        F.array_sort(F.collect_list(ent2)).alias("_te"),
-    )
-    return cents.select(
-        *keys,
-        F.when(
-            F.col("_tn").isNotNull(),
-            _state_struct(
-                F.col("_tn"), F.col("_tmn"), F.col("_tmx"), "_te"
-            ).cast(
-                "struct<n:bigint,min:double,max:double,"
-                "means:array<double>,weights:array<bigint>>"
-            ),
-        ).alias(out),
+    state = _state_struct_sql("_tn", "_tmn", "_tmx", "_te")
+    return cents.selectExpr(
+        *kq,
+        f"CASE WHEN _tn IS NOT NULL THEN CAST({state} AS "
+        f"STRUCT<n: BIGINT, min: DOUBLE, max: DOUBLE, "
+        f"means: ARRAY<DOUBLE>, weights: ARRAY<BIGINT>>) END AS `{out}`",
     )
 
 
-def quantile_expr(state: str, q: float) -> Column:
-    """Quantile of a stored t-digest state (SQL column reference
-    ``state``): exact type-7 (``percentile_cont``) interpolation while
-    the digest is lossless (every centroid a singleton — real t-digest
-    implementations are likewise exact below the compression
-    threshold), the standard centroid-midpoint interpolation rule
-    otherwise, clamped to the first/last centroid mean."""
+def _quantile_sql(state: str, q: float) -> str:
+    """SQL string of :func:`quantile_expr` (one py4j parse at bind)."""
     if not 0.0 <= q <= 1.0:
         raise ValueError(f"quantile {q} outside [0, 1]")
     st = state
@@ -331,7 +309,7 @@ def quantile_expr(state: str, q: float) -> Column:
         f"ELSE {lo_m} + ({hi_m} - {lo_m}) * ({t} - {mlo}) / ({mhi} - {mlo}) "
         f"END), 1)), 1)"
     )
-    return F.expr(
+    return (
         f"CASE WHEN {st} IS NULL THEN NULL "
         f"WHEN {st}.n = 1 THEN element_at({st}.means, 1) "
         f"WHEN {st}.n = size({st}.means) THEN {exact} "
@@ -339,8 +317,19 @@ def quantile_expr(state: str, q: float) -> Column:
     )
 
 
-def rank_expr(state: str, value: float) -> Column:
-    """``approx_percentile_rank(value, tdigest)`` — the inverse (CDF)
+def quantile_expr(state: str, q: float) -> Column:
+    """Quantile of a stored t-digest state (SQL column reference
+    ``state``): exact type-7 (``percentile_cont``) interpolation while
+    the digest is lossless (every centroid a singleton — real t-digest
+    implementations are likewise exact below the compression
+    threshold), the standard centroid-midpoint interpolation rule
+    otherwise, clamped to the first/last centroid mean."""
+    return F.expr(_quantile_sql(state, q))
+
+
+def _rank_sql(state: str, value: float) -> str:
+    """SQL string of :func:`rank_expr`: ``approx_percentile_rank(value,
+    tdigest)`` — the inverse (CDF)
     accessor: fraction of ingested values ≤ ``value``, answered from
     the stored state (same convention as :func:`.ddsketch.ddsketch_rank`).
 
@@ -399,7 +388,7 @@ def rank_expr(state: str, value: float) -> Column:
         f"/ nullif({hi_m} - {lo_m}, 0.0D) "
         f"END), 1)), 1) / {nn}"
     )
-    return F.expr(
+    return (
         f"CASE WHEN {st} IS NULL THEN NULL "
         f"WHEN {v} < {st}.min THEN 0.0D "
         f"WHEN {v} >= {st}.max THEN 1.0D "
@@ -407,6 +396,11 @@ def rank_expr(state: str, value: float) -> Column:
         f"ELSE least(1.0D, greatest(0.0D, coalesce({general}, 0.0D))) "
         f"END"
     )
+
+
+def rank_expr(state: str, value: float) -> Column:
+    """Column form of :func:`_rank_sql`."""
+    return F.expr(_rank_sql(state, value))
 
 
 def tdigest(
@@ -432,17 +426,21 @@ def tdigest_rollup(
     return merge_states(df, list(by), state_col, delta, out or state_col)
 
 
-def mean_expr(state: str) -> Column:
-    """``mean(tdigest)`` — EXACT regardless of compression: each
-    centroid's mean is the average of the values it absorbed, so
-    ``Σ mean_i·w_i`` recovers the true sum (toolkit tdigest ``mean``
-    accessor)."""
-    return F.expr(
+def _mean_sql(state: str) -> str:
+    return (
         f"CASE WHEN {state} IS NULL THEN NULL ELSE "
         f"aggregate(zip_with({state}.means, {state}.weights, "
         f"(m, w) -> m * CAST(w AS DOUBLE)), CAST(0 AS DOUBLE), "
         f"(a, x) -> a + x) / CAST({state}.n AS DOUBLE) END"
     )
+
+
+def mean_expr(state: str) -> Column:
+    """``mean(tdigest)`` — EXACT regardless of compression: each
+    centroid's mean is the average of the values it absorbed, so
+    ``Σ mean_i·w_i`` recovers the true sum (toolkit tdigest ``mean``
+    accessor)."""
+    return F.expr(_mean_sql(state))
 
 
 def tdigest_quantiles(
@@ -454,17 +452,17 @@ def tdigest_quantiles(
     """Extract ``approx_percentile`` columns (plus exact ``n`` /
     ``min_val`` / ``max_val`` / ``mean``) from stored states — one
     output row per input state row."""
-    st = F.col(state_col)
+    st = f"`{state_col}`"
     cols = [
-        *by,
-        st["n"].alias("n"),
-        st["min"].alias("min_val"),
-        st["max"].alias("max_val"),
-        mean_expr(state_col).alias("mean"),
+        *[f"`{k}`" for k in by],
+        f"{st}.n AS n",
+        f"{st}.min AS min_val",
+        f"{st}.max AS max_val",
+        _mean_sql(state_col) + " AS mean",
     ]
     for q in qs:
-        cols.append(quantile_expr(state_col, q).alias(_qname(q)))
-    return df.select(*cols)
+        cols.append(_quantile_sql(state_col, q) + f" AS {_qname(q)}")
+    return df.selectExpr(*cols)
 
 
 def tdigest_rank(
@@ -478,7 +476,7 @@ def tdigest_rank(
     one output row per input state row, rounded to 6 decimals (the
     :func:`.ddsketch.ddsketch_rank` convention so both percentile
     algebras serve identically-shaped rank frames)."""
-    return df.select(
-        *by,
-        F.round(rank_expr(state_col, value), 6).alias(out),
+    return df.selectExpr(
+        *[f"`{k}`" for k in by],
+        f"round({_rank_sql(state_col, value)}, 6) AS `{out}`",
     )
