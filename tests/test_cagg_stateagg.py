@@ -184,3 +184,43 @@ class TestStateAggCagg:
             ).collect()
         }
         assert out == {"up": 5 * 3_600_000_000, "down": 0}
+
+    def test_tied_keys_deterministic_durations(self, spark):
+        """Round 17: the next-non-null lookup is a DESC-mirrored
+        growing frame (O(n), r16 verdict #3) with the state appended
+        as the final order disambiguator. Rows tied on (time,
+        tiebreak) are therefore DETERMINISTIC: the lexicographically
+        LARGEST tied state absorbs the forward gap, earlier tied
+        states hold zero — and total held time is conserved. (The old
+        position-based ASC frame left tie order to the shuffle.)"""
+        rows = [
+            (_ts(1, 0, 0), "a", "b_state"),   # tied pair at t=0
+            (_ts(1, 0, 0), "a", "a_state"),
+            (_ts(1, 1, 0), "a", "c_state"),   # final: zero width
+        ]
+        _, _, cagg = _mk(spark, rows)
+        out = {
+            r["state"]: (r["duration_us"], r["n"])
+            for r in cagg.state_durations_at_grain(grain="all").collect()
+        }
+        assert out == {
+            "a_state": (0, 1),
+            "b_state": (60 * 60_000_000, 1),
+            "c_state": (0, 1),
+        }
+
+    def test_identical_duplicate_rows_conserve_time(self, spark):
+        """Fully identical samples (same time, same state): one of the
+        duplicates absorbs the forward gap, the rest hold zero — the
+        duration multiset is tie-order-independent."""
+        rows = [
+            (_ts(1, 0, 0), "a", "up"),
+            (_ts(1, 0, 0), "a", "up"),     # exact duplicate
+            (_ts(1, 0, 30), "a", "down"),  # final: zero width
+        ]
+        _, _, cagg = _mk(spark, rows)
+        out = {
+            r["state"]: (r["duration_us"], r["n"])
+            for r in cagg.state_durations_at_grain(grain="all").collect()
+        }
+        assert out == {"up": (30 * 60_000_000, 2), "down": (0, 1)}

@@ -178,6 +178,25 @@ def _pbucket(v: int, w: int, origin: int) -> int:
     return v - ((v - origin) % w + w) % w
 
 
+def _q(name: str) -> str:
+    """Backtick-quote a column name for SQL-string expressions."""
+    return f"`{name}`"
+
+
+def _over(partition: Sequence[str], order: Sequence[str]) -> str:
+    """``PARTITION BY … ORDER BY …`` clause text for the SQL-string
+    expression builders (round 17: the state/serve expressions are
+    built as SQL strings — one py4j parse each — instead of thousands
+    of Column round trips per cagg serve; the parsed trees are
+    unchanged)."""
+    p = (
+        "PARTITION BY " + ", ".join(_q(c) for c in partition) + " "
+        if partition
+        else ""
+    )
+    return p + "ORDER BY " + ", ".join(order)
+
+
 class ContinuousAggregate:
     def __init__(self, ts, row: dict):
         self.ts = ts
@@ -1081,92 +1100,84 @@ class ContinuousAggregate:
         equal to ``counter_agg`` over the raw rows of that grain."""
         if spec.get("rollup_of"):
             return self._merge_counter_states(raw, col, spec["rollup_of"])
-        from pyspark.sql import Window
-
         balias = self.row["bucket_alias"]
         gb = list(self.row["group_by"])
         tb = list(spec.get("tiebreak") or ())
-        v = F.expr(spec["value"]).cast("double")
         us = self._raw_time_us(raw)
         stepped = raw.select(
             self._bucket_expr(raw),
             *gb,
             *[F.col(c).alias(f"_tb{i}") for i, c in enumerate(tb)],
             us.alias("_us"),
-            v.alias("_v"),
+            F.expr(spec["value"]).cast("double").alias("_v"),
         )
-        order = [F.col("_us").asc()] + [
-            F.col(f"_tb{i}").asc() for i in range(len(tb))
-        ]
-        w = Window.partitionBy(balias, *gb).orderBy(*order)
+        # SQL-string expression build from here down (round 17, see
+        # _over): one py4j parse per expression instead of ~2,000 round
+        # trips; the parsed trees are identical to the Column form.
+        bq, gbq = _q(balias), [_q(g) for g in gb]
+        tbs = [f"_tb{i}" for i in range(len(tb))]
+        wo = _over(
+            [balias, *gb], ["_us ASC", *[f"{t} ASC" for t in tbs]]
+        )
         # strict-aggregate NULL semantics (counter_agg skips NULLs): the
         # previous sample is the last NON-NULL value before this row —
         # lag() would let one NULL sample break two increments — and
         # NULL samples themselves contribute no increment/reset/count
-        prev = F.last("_v", ignorenulls=True).over(
-            w.rowsBetween(Window.unboundedPreceding, -1)
+        prev = (
+            f"last(_v, true) OVER ({wo} ROWS BETWEEN UNBOUNDED "
+            f"PRECEDING AND 1 PRECEDING)"
         )
-        step = F.col("_v") - prev
+        step = f"(_v - {prev})"
         inc = (
-            F.when(F.col("_v").isNull(), F.lit(None).cast("double"))
-            .when(prev.isNull(), F.lit(0.0))
-            .when(step < 0, F.col("_v"))
-            .otherwise(step)
+            f"CASE WHEN _v IS NULL THEN CAST(NULL AS DOUBLE) "
+            f"WHEN {prev} IS NULL THEN 0.0D "
+            f"WHEN {step} < 0 THEN _v ELSE {step} END"
         )
         # bookend key is NULL for NULL samples so min_by/max_by skip them
-        key = F.when(
-            F.col("_v").isNotNull(),
-            F.struct(
-                F.col("_us"), *[F.col(f"_tb{i}") for i in range(len(tb))]
-            ),
+        key = (
+            "CASE WHEN _v IS NOT NULL THEN named_struct('_us', _us"
+            + "".join(f", '{t}', {t}" for t in tbs)
+            + ") END"
         )
-        stepped = stepped.select(
-            balias,
-            *gb,
+        stepped = stepped.selectExpr(
+            bq,
+            *gbq,
             "_us",
             "_v",
-            inc.alias("_inc"),
-            F.when(F.col("_v").isNotNull(), (step < 0).cast("int")).alias(
-                "_reset"
-            ),
-            F.when(
-                F.col("_v").isNotNull() & prev.isNotNull(),
-                (F.col("_v") != prev).cast("int"),
-            ).alias("_change"),
-            key.alias("_k"),
+            f"{inc} AS _inc",
+            f"CASE WHEN _v IS NOT NULL THEN CAST(({step} < 0) AS INT) "
+            f"END AS _reset",
+            f"CASE WHEN _v IS NOT NULL AND {prev} IS NOT NULL THEN "
+            f"CAST((_v != {prev}) AS INT) END AS _change",
+            f"{key} AS _k",
         )
         # aggregate FLAT fields, then assemble the struct in a plain
         # projection: an aliased-field struct inside the aggregate trips
         # Spark 4.1.2's RemoveRedundantAliases into an unresolved plan
         # under a dual-partial join + projection (round-10 regression,
         # d42cb25)
-        us_nn = F.when(F.col("_v").isNotNull(), F.col("_us"))
         flat = stepped.groupBy(balias, *gb).agg(
-            F.count("_v").alias("_f_n"),
-            F.min(us_nn).alias("_f_first_us"),
-            F.max(us_nn).alias("_f_last_us"),
-            F.min_by(F.col("_v"), F.col("_k")).alias("_f_first_val"),
-            F.max_by(F.col("_v"), F.col("_k")).alias("_f_last_val"),
-            F.sum("_inc").alias("_f_delta"),
-            F.coalesce(F.sum("_reset"), F.lit(0)).alias("_f_resets"),
-            F.coalesce(F.sum("_change"), F.lit(0)).alias("_f_changes"),
+            F.expr("count(_v)").alias("_f_n"),
+            F.expr(
+                "min(CASE WHEN _v IS NOT NULL THEN _us END)"
+            ).alias("_f_first_us"),
+            F.expr(
+                "max(CASE WHEN _v IS NOT NULL THEN _us END)"
+            ).alias("_f_last_us"),
+            F.expr("min_by(_v, _k)").alias("_f_first_val"),
+            F.expr("max_by(_v, _k)").alias("_f_last_val"),
+            F.expr("sum(_inc)").alias("_f_delta"),
+            F.expr("coalesce(sum(_reset), 0)").alias("_f_resets"),
+            F.expr("coalesce(sum(_change), 0)").alias("_f_changes"),
         )
-        return flat.select(
-            balias,
-            *gb,
-            F.when(
-                F.col("_f_n") > 0,
-                F.struct(
-                    F.col("_f_n").alias("n"),
-                    F.col("_f_first_us").alias("first_us"),
-                    F.col("_f_last_us").alias("last_us"),
-                    F.col("_f_first_val").alias("first_val"),
-                    F.col("_f_last_val").alias("last_val"),
-                    F.col("_f_delta").alias("delta"),
-                    F.col("_f_resets").alias("num_resets"),
-                    F.col("_f_changes").alias("num_changes"),
-                ),
-            ).alias(col),
+        return flat.selectExpr(
+            bq,
+            *gbq,
+            "CASE WHEN _f_n > 0 THEN named_struct("
+            "'n', _f_n, 'first_us', _f_first_us, 'last_us', _f_last_us, "
+            "'first_val', _f_first_val, 'last_val', _f_last_val, "
+            "'delta', _f_delta, 'num_resets', _f_resets, "
+            f"'num_changes', _f_changes) END AS {_q(col)}",
         )
 
     def _raw_time_us(self, raw: DataFrame):
@@ -1209,8 +1220,6 @@ class ContinuousAggregate:
         Output: ``(bucket?, group…, n, delta, rate, num_resets,
         first_us, last_us)``; ``grain=None`` keeps the cagg's own grain,
         ``"all"`` collapses to one row per group."""
-        from pyspark.sql import Window
-
         from .functions.time import time_bucket
 
         counters = self.row.get("counters") or {}
@@ -1260,7 +1269,6 @@ class ContinuousAggregate:
         else:
             tgt = src_bucket
             keys = [bucket, *gb]
-        st = F.col("_st")
         # strict rollup: skip NULL states (all-NULL-input groups); the
         # filter sits after the rename select, not on the mat read —
         # see _partial_frame_for_col
@@ -1271,56 +1279,54 @@ class ContinuousAggregate:
             F.col(counter_col).alias("_st"),
         ).filter(F.col("_st").isNotNull())
         # one boundary step per adjacent pair of parent buckets inside a
-        # target bucket: reset-adjusted first-vs-previous-last
-        w = Window.partitionBy(*tcols, *gb).orderBy(F.col("_src").asc())
-        prev_last = F.lag(st["last_val"]).over(w)
-        bstep = st["first_val"] - prev_last
+        # target bucket: reset-adjusted first-vs-previous-last.
+        # SQL-string expression build (round 17, see _over).
+        gbq = [_q(g) for g in gb]
+        wo = _over([*tcols, *gb], ["_src ASC"])
+        prev_last = f"lag(_st.last_val) OVER ({wo})"
+        bstep = f"(_st.first_val - {prev_last})"
         binc = (
-            F.when(prev_last.isNull(), F.lit(0.0))
-            .when(bstep < 0, st["first_val"])
-            .otherwise(bstep)
+            f"CASE WHEN {prev_last} IS NULL THEN 0.0D "
+            f"WHEN {bstep} < 0 THEN _st.first_val ELSE {bstep} END"
         )
-        d = d.select(
+        d = d.selectExpr(
             *tcols,
-            *gb,
+            *gbq,
             "_src",
-            st.alias("_st"),
-            binc.alias("_binc"),
-            (bstep < 0).cast("int").alias("_breset"),
-            F.when(
-                prev_last.isNotNull(),
-                (st["first_val"] != prev_last).cast("int"),
-            ).alias("_bchange"),
+            "_st",
+            f"{binc} AS _binc",
+            f"CAST(({bstep} < 0) AS INT) AS _breset",
+            f"CASE WHEN {prev_last} IS NOT NULL THEN "
+            f"CAST((_st.first_val != {prev_last}) AS INT) END AS _bchange",
         )
         span_s = (
-            F.max(st["last_us"]) - F.min(st["first_us"])
-        ).cast("double") / 1e6
+            "(CAST((max(_st.last_us) - min(_st.first_us)) AS DOUBLE) "
+            "/ 1000000.0D)"
+        )
         out = d.groupBy(*tcols, *gb).agg(
-            F.sum(st["n"]).alias("n"),
-            (F.sum(st["delta"]) + F.sum("_binc")).alias("delta"),
-            F.when(
-                span_s > 0,
-                (F.sum(st["delta"]) + F.sum("_binc")) / span_s,
+            F.expr("sum(_st.n)").alias("n"),
+            F.expr("sum(_st.delta) + sum(_binc)").alias("delta"),
+            F.expr(
+                f"CASE WHEN {span_s} > 0 THEN "
+                f"(sum(_st.delta) + sum(_binc)) / {span_s} END"
             ).alias("rate"),
-            (
-                F.sum(st["num_resets"])
-                + F.coalesce(F.sum("_breset"), F.lit(0))
+            F.expr(
+                "sum(_st.num_resets) + coalesce(sum(_breset), 0)"
             ).alias("num_resets"),
             (
-                (
-                    F.sum(st["num_changes"])
-                    + F.coalesce(F.sum("_bchange"), F.lit(0))
+                F.expr(
+                    "sum(_st.num_changes) + coalesce(sum(_bchange), 0)"
                 )
                 if _struct_has_field(d, "_st", "num_changes")
                 else F.lit(None).cast("long")
             ).alias("num_changes"),
-            F.min(st["first_us"]).alias("first_us"),
-            F.max(st["last_us"]).alias("last_us"),
+            F.expr("min(_st.first_us)").alias("first_us"),
+            F.expr("max(_st.last_us)").alias("last_us"),
             # toolkit first_val/last_val accessors: bookends from the
             # earliest/latest parent partial (_src is unique per parent
             # within a series)
-            F.min_by(st["first_val"], F.col("_src")).alias("first_val"),
-            F.max_by(st["last_val"], F.col("_src")).alias("last_val"),
+            F.expr("min_by(_st.first_val, _src)").alias("first_val"),
+            F.expr("max_by(_st.last_val, _src)").alias("last_val"),
         )
         if grain_all:
             return out
@@ -1335,78 +1341,71 @@ class ContinuousAggregate:
         merge time."""
         if spec.get("rollup_of"):
             return self._merge_gauge_states(raw, col, spec["rollup_of"])
-        from pyspark.sql import Window
-
         balias = self.row["bucket_alias"]
         gb = list(self.row["group_by"])
         tb = list(spec.get("tiebreak") or ())
-        v = F.expr(spec["value"]).cast("double")
         us = self._raw_time_us(raw)
         stepped = raw.select(
             self._bucket_expr(raw),
             *gb,
             *[F.col(c).alias(f"_tb{i}") for i, c in enumerate(tb)],
             us.alias("_us"),
-            v.alias("_v"),
+            F.expr(spec["value"]).cast("double").alias("_v"),
         )
-        order = [F.col("_us").asc()] + [
-            F.col(f"_tb{i}").asc() for i in range(len(tb))
-        ]
-        w = Window.partitionBy(balias, *gb).orderBy(*order)
+        # SQL-string expression build (round 17, see _over)
+        bq, gbq = _q(balias), [_q(g) for g in gb]
+        tbs = [f"_tb{i}" for i in range(len(tb))]
+        wo = _over(
+            [balias, *gb], ["_us ASC", *[f"{t} ASC" for t in tbs]]
+        )
+        frame = f"{wo} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
         # strict NULL semantics (gauge_agg skips NULLs): the previous
         # sample is the last NON-NULL one, its time the matching masked
         # time — same reasoning as _counter_state
-        wp = w.rowsBetween(Window.unboundedPreceding, -1)
-        us_nn = F.when(F.col("_v").isNotNull(), F.col("_us"))
-        prev_v = F.last("_v", ignorenulls=True).over(wp)
-        prev_us = F.last(us_nn, ignorenulls=True).over(wp)
-        key = F.when(
-            F.col("_v").isNotNull(),
-            F.struct(
-                F.col("_us"), *[F.col(f"_tb{i}") for i in range(len(tb))]
-            ),
+        prev_v = f"last(_v, true) OVER ({frame})"
+        prev_us = (
+            f"last(CASE WHEN _v IS NOT NULL THEN _us END, true) "
+            f"OVER ({frame})"
         )
-        stepped = stepped.select(
-            balias,
-            *gb,
+        key = (
+            "CASE WHEN _v IS NOT NULL THEN named_struct('_us', _us"
+            + "".join(f", '{t}', {t}" for t in tbs)
+            + ") END"
+        )
+        stepped = stepped.selectExpr(
+            bq,
+            *gbq,
             "_us",
             "_v",
-            (F.col("_v") - prev_v).alias("_step"),
-            prev_us.alias("_prev_us"),
-            F.when(
-                F.col("_v").isNotNull() & prev_v.isNotNull(),
-                (F.col("_v") != prev_v).cast("int"),
-            ).alias("_change"),
-            key.alias("_k"),
+            f"(_v - {prev_v}) AS _step",
+            f"{prev_us} AS _prev_us",
+            f"CASE WHEN _v IS NOT NULL AND {prev_v} IS NOT NULL THEN "
+            f"CAST((_v != {prev_v}) AS INT) END AS _change",
+            f"{key} AS _k",
         )
         # flat aggregate + struct-in-projection (see _counter_state)
-        us_nn2 = F.when(F.col("_v").isNotNull(), F.col("_us"))
         flat = stepped.groupBy(balias, *gb).agg(
-            F.count("_v").alias("_f_n"),
-            F.min(us_nn2).alias("_f_first_us"),
-            F.max(us_nn2).alias("_f_last_us"),
-            F.min_by(F.col("_v"), F.col("_k")).alias("_f_first_val"),
-            F.max_by(F.col("_v"), F.col("_k")).alias("_f_last_val"),
-            F.max_by(F.col("_step"), F.col("_k")).alias("_f_last_step"),
-            F.max_by(F.col("_prev_us"), F.col("_k")).alias("_f_last_prev"),
-            F.coalesce(F.sum("_change"), F.lit(0)).alias("_f_changes"),
+            F.expr("count(_v)").alias("_f_n"),
+            F.expr(
+                "min(CASE WHEN _v IS NOT NULL THEN _us END)"
+            ).alias("_f_first_us"),
+            F.expr(
+                "max(CASE WHEN _v IS NOT NULL THEN _us END)"
+            ).alias("_f_last_us"),
+            F.expr("min_by(_v, _k)").alias("_f_first_val"),
+            F.expr("max_by(_v, _k)").alias("_f_last_val"),
+            F.expr("max_by(_step, _k)").alias("_f_last_step"),
+            F.expr("max_by(_prev_us, _k)").alias("_f_last_prev"),
+            F.expr("coalesce(sum(_change), 0)").alias("_f_changes"),
         )
-        return flat.select(
-            balias,
-            *gb,
-            F.when(
-                F.col("_f_n") > 0,
-                F.struct(
-                    F.col("_f_n").alias("n"),
-                    F.col("_f_first_us").alias("first_us"),
-                    F.col("_f_last_us").alias("last_us"),
-                    F.col("_f_first_val").alias("first_val"),
-                    F.col("_f_last_val").alias("last_val"),
-                    F.col("_f_last_step").alias("last_step"),
-                    F.col("_f_last_prev").alias("last_prev_us"),
-                    F.col("_f_changes").alias("num_changes"),
-                ),
-            ).alias(col),
+        return flat.selectExpr(
+            bq,
+            *gbq,
+            "CASE WHEN _f_n > 0 THEN named_struct("
+            "'n', _f_n, 'first_us', _f_first_us, 'last_us', _f_last_us, "
+            "'first_val', _f_first_val, 'last_val', _f_last_val, "
+            "'last_step', _f_last_step, 'last_prev_us', _f_last_prev, "
+            f"'num_changes', _f_changes) END AS {_q(col)}",
         )
 
     def gauge_at_grain(
@@ -1520,33 +1519,26 @@ class ContinuousAggregate:
         # strict NULL semantics: the moments already skip NULLs (count/
         # sum/min/max are null-skipping); an all-NULL group's state is
         # NULL instead of struct(0, NULL, …), consistent with the other
-        # partial families — and the group's row always survives
+        # partial families — and the group's row always survives.
+        # SQL-string expression build (round 17, see _over).
         flat = (
             raw.select(
                 self._bucket_expr(raw), *self.row["group_by"], v.alias("_v")
             )
             .groupBy(self.row["bucket_alias"], *self.row["group_by"])
             .agg(
-                F.count("_v").alias("_f_n"),
-                F.sum("_v").alias("_f_s"),
-                F.sum(F.col("_v") * F.col("_v")).alias("_f_s2"),
-                F.min("_v").alias("_f_mn"),
-                F.max("_v").alias("_f_mx"),
+                F.expr("count(_v)").alias("_f_n"),
+                F.expr("sum(_v)").alias("_f_s"),
+                F.expr("sum(_v * _v)").alias("_f_s2"),
+                F.expr("min(_v)").alias("_f_mn"),
+                F.expr("max(_v)").alias("_f_mx"),
             )
         )
-        return flat.select(
-            self.row["bucket_alias"],
-            *self.row["group_by"],
-            F.when(
-                F.col("_f_n") > 0,
-                F.struct(
-                    F.col("_f_n").alias("n"),
-                    F.col("_f_s").alias("s"),
-                    F.col("_f_s2").alias("s2"),
-                    F.col("_f_mn").alias("mn"),
-                    F.col("_f_mx").alias("mx"),
-                ),
-            ).alias(col),
+        return flat.selectExpr(
+            _q(self.row["bucket_alias"]),
+            *[_q(g) for g in self.row["group_by"]],
+            "CASE WHEN _f_n > 0 THEN named_struct('n', _f_n, 's', _f_s, "
+            f"'s2', _f_s2, 'mn', _f_mn, 'mx', _f_mx) END AS {_q(col)}",
         )
 
     def _stats2d_state(
@@ -1571,30 +1563,23 @@ class ContinuousAggregate:
             F.when(both, x).alias("_x"),
             F.when(both, y).alias("_y"),
         )
+        # SQL-string expression build (round 17, see _over)
         flat = base.groupBy(
             self.row["bucket_alias"], *self.row["group_by"]
         ).agg(
-            F.count("_x").alias("_f_n"),
-            F.sum("_x").alias("_f_sx"),
-            F.sum("_y").alias("_f_sy"),
-            F.sum(F.col("_x") * F.col("_x")).alias("_f_sxx"),
-            F.sum(F.col("_y") * F.col("_y")).alias("_f_syy"),
-            F.sum(F.col("_x") * F.col("_y")).alias("_f_sxy"),
+            F.expr("count(_x)").alias("_f_n"),
+            F.expr("sum(_x)").alias("_f_sx"),
+            F.expr("sum(_y)").alias("_f_sy"),
+            F.expr("sum(_x * _x)").alias("_f_sxx"),
+            F.expr("sum(_y * _y)").alias("_f_syy"),
+            F.expr("sum(_x * _y)").alias("_f_sxy"),
         )
-        return flat.select(
-            self.row["bucket_alias"],
-            *self.row["group_by"],
-            F.when(
-                F.col("_f_n") > 0,
-                F.struct(
-                    F.col("_f_n").alias("n"),
-                    F.col("_f_sx").alias("sx"),
-                    F.col("_f_sy").alias("sy"),
-                    F.col("_f_sxx").alias("sxx"),
-                    F.col("_f_syy").alias("syy"),
-                    F.col("_f_sxy").alias("sxy"),
-                ),
-            ).alias(col),
+        return flat.selectExpr(
+            _q(self.row["bucket_alias"]),
+            *[_q(g) for g in self.row["group_by"]],
+            "CASE WHEN _f_n > 0 THEN named_struct('n', _f_n, "
+            "'sx', _f_sx, 'sy', _f_sy, 'sxx', _f_sxx, 'syy', _f_syy, "
+            f"'sxy', _f_sxy) END AS {_q(col)}",
         )
 
     def _is_stats2d(self, col: str) -> bool:
@@ -1753,8 +1738,6 @@ class ContinuousAggregate:
         target grain. Strict NULL semantics like the other families
         (functions/counters.py:time_weighted_avg is the raw-scan
         analog)."""
-        from pyspark.sql import Window
-
         if spec.get("rollup_of"):
             return self._merge_timeweight_states(
                 raw,
@@ -1766,71 +1749,65 @@ class ContinuousAggregate:
         gb = list(self.row["group_by"])
         tb = list(spec.get("tiebreak") or ())
         method = str(spec.get("method", "locf")).lower()
-        v = F.expr(spec["value"]).cast("double")
         us = self._raw_time_us(raw)
         stepped = raw.select(
             self._bucket_expr(raw),
             *gb,
             *[F.col(c).alias(f"_tb{i}") for i, c in enumerate(tb)],
             us.alias("_us"),
-            v.alias("_v"),
+            F.expr(spec["value"]).cast("double").alias("_v"),
         )
-        order = [F.col("_us").asc()] + [
-            F.col(f"_tb{i}").asc() for i in range(len(tb))
-        ]
-        w = Window.partitionBy(balias, *gb).orderBy(*order)
-        wp = w.rowsBetween(Window.unboundedPreceding, -1)
-        us_nn = F.when(F.col("_v").isNotNull(), F.col("_us"))
-        prev_v = F.last("_v", ignorenulls=True).over(wp)
-        prev_us = F.last(us_nn, ignorenulls=True).over(wp)
-        dt = (F.col("_us") - prev_us).cast("double")
+        # SQL-string expression build (round 17, see _over)
+        bq, gbq = _q(balias), [_q(g) for g in gb]
+        tbs = [f"_tb{i}" for i in range(len(tb))]
+        wo = _over(
+            [balias, *gb], ["_us ASC", *[f"{t} ASC" for t in tbs]]
+        )
+        frame = f"{wo} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+        prev_v = f"last(_v, true) OVER ({frame})"
+        prev_us = (
+            f"last(CASE WHEN _v IS NOT NULL THEN _us END, true) "
+            f"OVER ({frame})"
+        )
+        dt = f"CAST((_us - {prev_us}) AS DOUBLE)"
         if method == "linear":
-            seg = (prev_v + F.col("_v")) / F.lit(2.0) * dt
+            seg = f"(({prev_v} + _v) / 2.0D * {dt})"
         else:
-            seg = prev_v * dt
-        # a NULL sample closes no segment (its span folds into the next
-        # non-null sample's segment — prev_us skips NULLs)
-        seg = F.when(F.col("_v").isNotNull(), seg)
-        key = F.when(
-            F.col("_v").isNotNull(),
-            F.struct(
-                F.col("_us"), *[F.col(f"_tb{i}") for i in range(len(tb))]
-            ),
+            seg = f"({prev_v} * {dt})"
+        key = (
+            "CASE WHEN _v IS NOT NULL THEN named_struct('_us', _us"
+            + "".join(f", '{t}', {t}" for t in tbs)
+            + ") END"
         )
-        stepped = stepped.select(
-            balias,
-            *gb,
+        stepped = stepped.selectExpr(
+            bq,
+            *gbq,
             "_us",
             "_v",
-            seg.alias("_seg"),
-            key.alias("_k"),
+            # a NULL sample closes no segment (its span folds into the
+            # next non-null sample's segment — prev_us skips NULLs)
+            f"CASE WHEN _v IS NOT NULL THEN {seg} END AS _seg",
+            f"{key} AS _k",
         )
         flat = stepped.groupBy(balias, *gb).agg(
-            F.count("_v").alias("_f_n"),
-            F.min(F.when(F.col("_v").isNotNull(), F.col("_us"))).alias(
-                "_f_first_us"
-            ),
-            F.max(F.when(F.col("_v").isNotNull(), F.col("_us"))).alias(
-                "_f_last_us"
-            ),
-            F.min_by(F.col("_v"), F.col("_k")).alias("_f_first_val"),
-            F.max_by(F.col("_v"), F.col("_k")).alias("_f_last_val"),
-            F.coalesce(F.sum("_seg"), F.lit(0.0)).alias("_f_integral"),
+            F.expr("count(_v)").alias("_f_n"),
+            F.expr(
+                "min(CASE WHEN _v IS NOT NULL THEN _us END)"
+            ).alias("_f_first_us"),
+            F.expr(
+                "max(CASE WHEN _v IS NOT NULL THEN _us END)"
+            ).alias("_f_last_us"),
+            F.expr("min_by(_v, _k)").alias("_f_first_val"),
+            F.expr("max_by(_v, _k)").alias("_f_last_val"),
+            F.expr("coalesce(sum(_seg), 0.0D)").alias("_f_integral"),
         )
-        return flat.select(
-            balias,
-            *gb,
-            F.when(
-                F.col("_f_n") > 0,
-                F.struct(
-                    F.col("_f_n").alias("n"),
-                    F.col("_f_first_us").alias("first_us"),
-                    F.col("_f_last_us").alias("last_us"),
-                    F.col("_f_first_val").alias("first_val"),
-                    F.col("_f_last_val").alias("last_val"),
-                    F.col("_f_integral").alias("integral"),
-                ),
-            ).alias(col),
+        return flat.selectExpr(
+            bq,
+            *gbq,
+            "CASE WHEN _f_n > 0 THEN named_struct("
+            "'n', _f_n, 'first_us', _f_first_us, 'last_us', _f_last_us, "
+            "'first_val', _f_first_val, 'last_val', _f_last_val, "
+            f"'integral', _f_integral) END AS {_q(col)}",
         )
 
     def interpolated_average_at_grain(
@@ -2290,46 +2267,42 @@ class ContinuousAggregate:
             p.alias("_p"),
             vol.alias("_vol"),
         )
-        key = F.when(
-            F.col("_p").isNotNull(),
-            F.struct(
-                F.col("_us"), *[F.col(f"_tb{i}") for i in range(len(tb))]
-            ),
+        # SQL-string expression build (round 17, see _over)
+        bq, gbq = _q(balias), [_q(g) for g in gb]
+        tbs = [f"_tb{i}" for i in range(len(tb))]
+        key = (
+            "CASE WHEN _p IS NOT NULL THEN named_struct('_us', _us"
+            + "".join(f", '{t}', {t}" for t in tbs)
+            + ") END"
         )
-        base = base.select(
-            balias, *gb, "_us", "_p",
-            F.when(F.col("_p").isNotNull(), F.col("_vol")).alias("_vol"),
-            key.alias("_k"),
+        base = base.selectExpr(
+            bq, *gbq, "_us", "_p",
+            "CASE WHEN _p IS NOT NULL THEN _vol END AS _vol",
+            f"{key} AS _k",
         )
-        us_nn = F.when(F.col("_p").isNotNull(), F.col("_us"))
         flat = base.groupBy(balias, *gb).agg(
-            F.count("_p").alias("_f_n"),
-            F.min(us_nn).alias("_f_first_us"),
-            F.max(us_nn).alias("_f_last_us"),
-            F.min_by(F.col("_p"), F.col("_k")).alias("_f_open"),
-            F.max(F.col("_p")).alias("_f_high"),
-            F.min(F.col("_p")).alias("_f_low"),
-            F.max_by(F.col("_p"), F.col("_k")).alias("_f_close"),
-            F.sum("_vol").alias("_f_volume"),
-            F.sum(F.col("_p") * F.col("_vol")).alias("_f_pv"),
+            F.expr("count(_p)").alias("_f_n"),
+            F.expr(
+                "min(CASE WHEN _p IS NOT NULL THEN _us END)"
+            ).alias("_f_first_us"),
+            F.expr(
+                "max(CASE WHEN _p IS NOT NULL THEN _us END)"
+            ).alias("_f_last_us"),
+            F.expr("min_by(_p, _k)").alias("_f_open"),
+            F.expr("max(_p)").alias("_f_high"),
+            F.expr("min(_p)").alias("_f_low"),
+            F.expr("max_by(_p, _k)").alias("_f_close"),
+            F.expr("sum(_vol)").alias("_f_volume"),
+            F.expr("sum(_p * _vol)").alias("_f_pv"),
         )
-        return flat.select(
-            balias,
-            *gb,
-            F.when(
-                F.col("_f_n") > 0,
-                F.struct(
-                    F.col("_f_n").alias("n"),
-                    F.col("_f_first_us").alias("first_us"),
-                    F.col("_f_last_us").alias("last_us"),
-                    F.col("_f_open").alias("open"),
-                    F.col("_f_high").alias("high"),
-                    F.col("_f_low").alias("low"),
-                    F.col("_f_close").alias("close"),
-                    F.col("_f_volume").alias("volume"),
-                    F.col("_f_pv").alias("pv"),
-                ),
-            ).alias(col),
+        return flat.selectExpr(
+            bq,
+            *gbq,
+            "CASE WHEN _f_n > 0 THEN named_struct("
+            "'n', _f_n, 'first_us', _f_first_us, 'last_us', _f_last_us, "
+            "'open', _f_open, 'high', _f_high, 'low', _f_low, "
+            "'close', _f_close, 'volume', _f_volume, 'pv', _f_pv"
+            f") END AS {_q(col)}",
         )
 
     def candlestick_at_grain(
@@ -2397,8 +2370,6 @@ class ContinuousAggregate:
         Strict NULL semantics: NULL-state samples are skipped (they
         neither hold time nor break the LOCF chain); an all-NULL group
         keeps its row with a NULL state."""
-        from pyspark.sql import Window
-
         if spec.get("rollup_of"):
             return self._merge_stateagg_states(
                 raw, col, spec["rollup_of"]
@@ -2406,77 +2377,82 @@ class ContinuousAggregate:
         balias = self.row["bucket_alias"]
         gb = list(self.row["group_by"])
         tb = list(spec.get("tiebreak") or ())
-        sv = F.expr(spec["state"]).cast("string")
         us = self._raw_time_us(raw)
         stepped = raw.select(
             self._bucket_expr(raw),
             *gb,
             *[F.col(c).alias(f"_tb{i}") for i, c in enumerate(tb)],
             us.alias("_us"),
-            sv.alias("_s"),
+            F.expr(spec["state"]).cast("string").alias("_s"),
         )
-        order = [F.col("_us").asc()] + [
-            F.col(f"_tb{i}").asc() for i in range(len(tb))
-        ]
-        w = Window.partitionBy(balias, *gb).orderBy(*order)
+        # SQL-string expression build (round 17, see _over)
+        bq, gbq = _q(balias), [_q(g) for g in gb]
+        tbs = [f"_tb{i}" for i in range(len(tb))]
         # next NON-NULL sample's time (NULL states are skipped, so the
-        # previous state holds across them)
-        nxt_nn = F.first(
-            F.when(F.col("_s").isNotNull(), F.col("_us")),
-            ignorenulls=True,
-        ).over(w.rowsBetween(1, Window.unboundedFollowing))
-        key = F.when(
-            F.col("_s").isNotNull(),
-            F.struct(
-                F.col("_us"), *[F.col(f"_tb{i}") for i in range(len(tb))]
-            ),
+        # previous state holds across them). Round 17 (r16 verdict #3):
+        # the ASC `first(…) OVER (1 FOLLOWING .. UNBOUNDED FOLLOWING)`
+        # frame recomputes its scan per row — O(n²) in the bucket's row
+        # count, quadratic on a single hot wide bucket. Since _us is
+        # the LEADING sort key, the lookup is a suffix-min, so the
+        # exact mirror is `last(…ignorenulls) OVER (UNBOUNDED PRECEDING
+        # .. 1 PRECEDING)` under the reversed sort — O(n) running
+        # state. The mirror is only row-identical when the order key is
+        # unique, so _s is appended as the final disambiguator: rows
+        # tied on the full (us, tiebreak…, state) key are
+        # interchangeable for this computation (one of k identical
+        # non-null rows absorbs the forward gap, the rest contribute 0
+        # — the same duration MULTISET in any tie order), which ALSO
+        # makes the per-state durations deterministic under (us,
+        # tiebreak) ties, where the old position-based frame depended
+        # on shuffle order.
+        wo_desc = _over(
+            [balias, *gb],
+            ["_us DESC", *[f"{t} DESC" for t in tbs], "_s DESC"],
         )
-        stepped = stepped.select(
-            balias,
-            *gb,
+        nxt_nn = (
+            f"last(CASE WHEN _s IS NOT NULL THEN _us END, true) "
+            f"OVER ({wo_desc} ROWS BETWEEN UNBOUNDED PRECEDING "
+            f"AND 1 PRECEDING)"
+        )
+        key = (
+            "CASE WHEN _s IS NOT NULL THEN named_struct('_us', _us"
+            + "".join(f", '{t}', {t}" for t in tbs)
+            + ") END"
+        )
+        stepped = stepped.selectExpr(
+            bq,
+            *gbq,
             "_s",
-            F.when(
-                F.col("_s").isNotNull(),
-                F.coalesce(nxt_nn, F.col("_us")) - F.col("_us"),
-            ).alias("_dur"),
-            key.alias("_k"),
+            f"CASE WHEN _s IS NOT NULL THEN "
+            f"coalesce({nxt_nn}, _us) - _us END AS _dur",
+            f"{key} AS _k",
         )
         stage1 = stepped.groupBy(balias, *gb, "_s").agg(
-            F.sum("_dur").alias("_d"),
-            F.count("_k").alias("_n"),
-            F.min("_k").alias("_kmin"),
-            F.max("_k").alias("_kmax"),
+            F.expr("sum(_dur)").alias("_d"),
+            F.expr("count(_k)").alias("_n"),
+            F.expr("min(_k)").alias("_kmin"),
+            F.expr("max(_k)").alias("_kmax"),
         )
-        ent = F.when(
-            F.col("_s").isNotNull(),
-            F.struct(F.col("_s"), F.struct(
-                F.col("_d").alias("d"), F.col("_n").alias("n")
-            ).alias("dn")),
+        ent = (
+            "CASE WHEN _s IS NOT NULL THEN named_struct("
+            "'_s', _s, 'dn', named_struct('d', _d, 'n', _n)) END"
         )
         flat = stage1.groupBy(balias, *gb).agg(
-            F.sum("_n").alias("_f_n"),
-            F.min(F.col("_kmin")).alias("_f_kmin"),
-            F.max(F.col("_kmax")).alias("_f_kmax"),
-            F.min_by(F.col("_s"), F.col("_kmin")).alias("_f_first_state"),
-            F.max_by(F.col("_s"), F.col("_kmax")).alias("_f_last_state"),
-            F.collect_list(ent).alias("_f_ents"),
+            F.expr("sum(_n)").alias("_f_n"),
+            F.expr("min(_kmin)").alias("_f_kmin"),
+            F.expr("max(_kmax)").alias("_f_kmax"),
+            F.expr("min_by(_s, _kmin)").alias("_f_first_state"),
+            F.expr("max_by(_s, _kmax)").alias("_f_last_state"),
+            F.expr(f"collect_list({ent})").alias("_f_ents"),
         )
-        return flat.select(
-            balias,
-            *gb,
-            F.when(
-                F.col("_f_n") > 0,
-                F.struct(
-                    F.col("_f_n").alias("n"),
-                    F.col("_f_kmin")["_us"].alias("first_us"),
-                    F.col("_f_kmax")["_us"].alias("last_us"),
-                    F.col("_f_first_state").alias("first_state"),
-                    F.col("_f_last_state").alias("last_state"),
-                    F.map_from_entries(
-                        F.array_sort(F.col("_f_ents"))
-                    ).alias("durations"),
-                ),
-            ).alias(col),
+        return flat.selectExpr(
+            bq,
+            *gbq,
+            "CASE WHEN _f_n > 0 THEN named_struct("
+            "'n', _f_n, 'first_us', _f_kmin._us, 'last_us', _f_kmax._us, "
+            "'first_state', _f_first_state, 'last_state', _f_last_state, "
+            "'durations', map_from_entries(array_sort(_f_ents))"
+            f") END AS {_q(col)}",
         )
 
     def state_durations_at_grain(
@@ -2606,7 +2582,7 @@ class ContinuousAggregate:
         cnt = (
             raw.select(self._bucket_expr(raw), *gb, v.alias("_v"))
             .groupBy(balias, *gb, "_v")
-            .agg(F.count("_v").alias("_c"))
+            .agg(F.expr("count(_v)").alias("_c"))
         )
         # bound the per-group state BEFORE collecting: a rank window
         # keeps only the capacity+1 heaviest values (the trim needs the
@@ -2615,35 +2591,26 @@ class ContinuousAggregate:
         # exchange carries the group's total-sample sum — collect_list
         # is then bounded by capacity+1 entries, never the distinct
         # cardinality (the unbounded-collect trap _maxn_state avoids
-        # the same way)
-        from pyspark.sql import Window
-
-        worder = Window.partitionBy(balias, *gb).orderBy(
-            F.col("_c").desc(), F.col("_v").asc_nulls_last()
-        )
-        # group total as a FULL frame of the same ordered spec: one
-        # sort, one WindowExec (round 14 — the merge_states trick)
-        ranked = cnt.select(
-            balias,
-            *gb,
+        # the same way). SQL-string expression build (round 17, see
+        # _over); group total as a FULL frame of the same ordered spec:
+        # one sort, one WindowExec (round 14 — the merge_states trick).
+        bq, gbq = _q(balias), [_q(g) for g in gb]
+        wo = _over([balias, *gb], ["_c DESC", "_v ASC NULLS LAST"])
+        ranked = cnt.selectExpr(
+            bq,
+            *gbq,
             "_v",
             "_c",
-            F.row_number().over(worder).alias("_rk"),
-            F.sum("_c")
-            .over(
-                worder.rowsBetween(
-                    Window.unboundedPreceding, Window.unboundedFollowing
-                )
-            )
-            .alias("_tot"),
+            f"row_number() OVER ({wo}) AS _rk",
+            f"sum(_c) OVER ({wo} ROWS BETWEEN UNBOUNDED PRECEDING "
+            f"AND UNBOUNDED FOLLOWING) AS _tot",
         ).filter(F.col("_rk") <= cap + 1)
-        ent = F.when(
-            F.col("_v").isNotNull(),
-            F.struct(F.col("_c").alias("c"), F.col("_v").alias("v")),
-        )
         flat = ranked.groupBy(balias, *gb).agg(
-            F.min("_tot").alias("_f_n"),
-            F.collect_list(ent).alias("_f_ents"),
+            F.expr("min(_tot)").alias("_f_n"),
+            F.expr(
+                "collect_list(CASE WHEN _v IS NOT NULL THEN "
+                "named_struct('c', _c, 'v', _v) END)"
+            ).alias("_f_ents"),
         )
         sorted_expr, counts = self._mg_trim_exprs("_f_ents", cap)
         flat = flat.select(balias, *gb, "_f_n", sorted_expr.alias("_f_se"))
@@ -2795,8 +2762,6 @@ class ContinuousAggregate:
         entries ordered by (value, data) in the list's direction, so
         value ties resolve deterministically by payload and merges stay
         exact on the (value, data) total order."""
-        from pyspark.sql import Window
-
         if spec.get("rollup_of"):
             return self._merge_maxn_states(raw, col, spec)
         keep = int(spec.get("n", 5))
@@ -2805,9 +2770,11 @@ class ContinuousAggregate:
         balias = self.row["bucket_alias"]
         gb = list(self.row["group_by"])
         v = F.expr(spec["value"]).cast("double")
+        # SQL-string expression build (round 17, see _over).
         # NULLS LAST so NULL rows never occupy a kept rank, while still
         # riding the same window — every (bucket, group) keeps its row,
         # with a NULL state when all values were NULL (strict)
+        bq, gbq = _q(balias), [_q(g) for g in gb]
         if by is not None:
             base = raw.select(
                 self._bucket_expr(raw),
@@ -2815,74 +2782,55 @@ class ContinuousAggregate:
                 v.alias("_v"),
                 F.expr(by).alias("_d"),
             )
-            order = (
-                [F.col("_v").desc_nulls_last(), F.col("_d").desc_nulls_last()]
+            wo = _over(
+                [balias, *gb],
+                ["_v DESC NULLS LAST", "_d DESC NULLS LAST"]
                 if desc
-                else [F.col("_v").asc_nulls_last(), F.col("_d").asc_nulls_last()]
+                else ["_v ASC NULLS LAST", "_d ASC NULLS LAST"],
             )
-            w = Window.partitionBy(balias, *gb).orderBy(*order)
-            ranked = base.withColumn("_rk", F.row_number().over(w))
+            ranked = base.selectExpr(
+                bq, *gbq, "_v", "_d", f"row_number() OVER ({wo}) AS _rk"
+            )
             # sort stored entries by the selection rank, not by the
             # (v, d) struct: struct comparison orders NULL payloads
             # smallest, which for asc contradicts the window's
             # *_nulls_last payload order at value-tie keep boundaries
             flat = ranked.groupBy(balias, *gb).agg(
-                F.count("_v").alias("_f_n"),
-                F.sort_array(
-                    F.collect_list(
-                        F.when(
-                            (F.col("_rk") <= keep) & F.col("_v").isNotNull(),
-                            F.struct(
-                                F.col("_rk").alias("r"),
-                                F.col("_v").alias("v"),
-                                F.col("_d").alias("d"),
-                            ),
-                        )
-                    ),
-                    asc=True,
+                F.expr("count(_v)").alias("_f_n"),
+                F.expr(
+                    f"sort_array(collect_list(CASE WHEN _rk <= {keep} "
+                    f"AND _v IS NOT NULL THEN named_struct("
+                    f"'r', _rk, 'v', _v, 'd', _d) END), true)"
                 ).alias("_f_ents"),
             )
-            return flat.select(
-                balias,
-                *gb,
-                F.when(
-                    F.col("_f_n") > 0,
-                    F.struct(
-                        F.col("_f_n").alias("n"),
-                        F.expr("transform(_f_ents, e -> e.v)").alias("vals"),
-                        F.expr("transform(_f_ents, e -> e.d)").alias("data"),
-                    ),
-                ).alias(col),
+            return flat.selectExpr(
+                bq,
+                *gbq,
+                "CASE WHEN _f_n > 0 THEN named_struct('n', _f_n, "
+                "'vals', transform(_f_ents, e -> e.v), "
+                f"'data', transform(_f_ents, e -> e.d)) END AS {_q(col)}",
             )
         base = raw.select(self._bucket_expr(raw), *gb, v.alias("_v"))
-        order = (
-            F.col("_v").desc_nulls_last()
-            if desc
-            else F.col("_v").asc_nulls_last()
+        wo = _over(
+            [balias, *gb],
+            ["_v DESC NULLS LAST" if desc else "_v ASC NULLS LAST"],
         )
-        w = Window.partitionBy(balias, *gb).orderBy(order)
-        ranked = base.withColumn("_rk", F.row_number().over(w))
+        ranked = base.selectExpr(
+            bq, *gbq, "_v", f"row_number() OVER ({wo}) AS _rk"
+        )
         flat = ranked.groupBy(balias, *gb).agg(
-            F.count("_v").alias("_f_n"),
-            F.sort_array(
-                F.collect_list(
-                    F.when(
-                        (F.col("_rk") <= keep) & F.col("_v").isNotNull(),
-                        F.col("_v"),
-                    )
-                ),
-                asc=not desc,
+            F.expr("count(_v)").alias("_f_n"),
+            F.expr(
+                f"sort_array(collect_list(CASE WHEN _rk <= {keep} "
+                f"AND _v IS NOT NULL THEN _v END), "
+                f"{str(not desc).lower()})"
             ).alias("_f_vals"),
         )
-        return flat.select(
-            balias,
-            *gb,
-            F.when(
-                F.col("_f_n") > 0,
-                F.struct(
-                    F.col("_f_n").alias("n"), F.col("_f_vals").alias("vals")
-                ),
-            ).alias(col),
+        return flat.selectExpr(
+            bq,
+            *gbq,
+            "CASE WHEN _f_n > 0 THEN named_struct('n', _f_n, "
+            f"'vals', _f_vals) END AS {_q(col)}",
         )
 
     def _merge_maxn_states(
@@ -3238,8 +3186,6 @@ class ContinuousAggregate:
         contributed L but should contribute ``min(gap, L)`` — so
         :meth:`heartbeat_at_grain` serves exact liveness rollups at
         any grain, the ops analog of the counter family."""
-        from pyspark.sql import Window
-
         if spec.get("rollup_of"):
             return self._merge_heartbeat_states(raw, col, spec)
         liv = int(spec["liveness_us"])
@@ -3253,42 +3199,34 @@ class ContinuousAggregate:
             *[F.col(c).alias(f"_tb{i}") for i, c in enumerate(tb)],
             us.alias("_us"),
         )
-        order = [F.col("_us").asc()] + [
-            F.col(f"_tb{i}").asc() for i in range(len(tb))
-        ]
-        w = Window.partitionBy(balias, *gb).orderBy(*order)
-        gap = F.lead("_us").over(w) - F.col("_us")
-        stepped = base.select(
-            balias,
-            *gb,
+        # SQL-string expression build (round 17, see _over)
+        bq, gbq = _q(balias), [_q(g) for g in gb]
+        tbs = [f"_tb{i}" for i in range(len(tb))]
+        wo = _over(
+            [balias, *gb], ["_us ASC", *[f"{t} ASC" for t in tbs]]
+        )
+        gap = f"(lead(_us) OVER ({wo}) - _us)"
+        stepped = base.selectExpr(
+            bq,
+            *gbq,
             "_us",
-            F.when(gap.isNull(), F.lit(liv))
-            .otherwise(F.least(gap, F.lit(liv)))
-            .alias("_live"),
-            (gap > liv).cast("long").alias("_brk"),
+            f"CASE WHEN {gap} IS NULL THEN {liv} "
+            f"ELSE least({gap}, {liv}) END AS _live",
+            f"CAST(({gap} > {liv}) AS BIGINT) AS _brk",
         )
         flat = stepped.groupBy(balias, *gb).agg(
-            F.count(F.lit(1)).alias("_f_n"),
-            F.min("_us").alias("_f_first"),
-            F.max("_us").alias("_f_last"),
-            F.sum("_live").alias("_f_live"),
-            (F.lit(1) + F.coalesce(F.sum("_brk"), F.lit(0))).alias(
-                "_f_ranges"
-            ),
+            F.expr("count(1)").alias("_f_n"),
+            F.expr("min(_us)").alias("_f_first"),
+            F.expr("max(_us)").alias("_f_last"),
+            F.expr("sum(_live)").alias("_f_live"),
+            F.expr("1 + coalesce(sum(_brk), 0)").alias("_f_ranges"),
         )
-        return flat.select(
-            balias,
-            *gb,
-            F.when(
-                F.col("_f_n") > 0,
-                F.struct(
-                    F.col("_f_n").alias("n"),
-                    F.col("_f_first").alias("first_us"),
-                    F.col("_f_last").alias("last_us"),
-                    F.col("_f_live").alias("live_us"),
-                    F.col("_f_ranges").alias("ranges"),
-                ),
-            ).alias(col),
+        return flat.selectExpr(
+            bq,
+            *gbq,
+            "CASE WHEN _f_n > 0 THEN named_struct("
+            "'n', _f_n, 'first_us', _f_first, 'last_us', _f_last, "
+            f"'live_us', _f_live, 'ranges', _f_ranges) END AS {_q(col)}",
         )
 
     def _merge_heartbeat_states(
