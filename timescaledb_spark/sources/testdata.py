@@ -27,11 +27,27 @@ TABLES = (
 ).split()
 
 
+#: inferred parquet schemas per file path — METADATA only (the file's
+#: column types never change within a session); every query still scans
+#: the data itself. Skips the ~50ms footer-inference job Spark runs per
+#: reader open, which sat on every load_table call of every gate
+#: (round 17).
+_SCHEMA_CACHE: dict = {}
+
+
+def _file_schema(spark: SparkSession, path: str) -> T.StructType:
+    sch = _SCHEMA_CACHE.get(path)
+    if sch is None:
+        sch = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[path] = sch
+    return sch
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        df = spark.read.schema(_file_schema(spark, path)).parquet(path)
         dtype = dict(df.dtypes).get("ts", "")
         if dtype == "bigint":
             # integer division: double division loses precision at ns scale
@@ -41,7 +57,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # is session-zoned TimestampType (int64 µs, sql/util_time.sql:49)
             df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
         return df
-    return spark.read.parquet(path)
+    return spark.read.schema(_file_schema(spark, path)).parquet(path)
 
 
 def load_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
