@@ -80,6 +80,14 @@ def _grain_floor(us, width: int, origin_us: int):
     )
 
 
+def _grain_floor_sql(us: str, width: int, origin_us: int) -> str:
+    """SQL-string form of :func:`_grain_floor` (round 17, see _over)."""
+    return (
+        f"({us} - pmod({us} - CAST({int(origin_us)} AS BIGINT), "
+        f"CAST({int(width)} AS BIGINT)))"
+    )
+
+
 def _validate_window_fns(window_fns: dict, bucket_alias: str) -> None:
     """Guarded window-function support, matching the reference's
     validation behind ``timescaledb.enable_cagg_window_functions``
@@ -2473,47 +2481,42 @@ class ContinuousAggregate:
         target grain exactly.
 
         Output: ``(bucket?, group…, state, duration_us, n)``."""
-        from pyspark.sql import Window
-
         self._require_full_group_by(group_by, "state_durations")
         d, keys_gb, bucket, grain_all = self._partial_frame(
             "state_aggs", state_col, grain, group_by, realtime, start, end
         )
         tcols = [] if grain_all else ["_tgt"]
-        st = F.col("_st")
-        w = Window.partitionBy(*tcols, *keys_gb).orderBy(
-            F.col("_src").asc()
-        )
-        prev_last_us = F.lag(st["last_us"]).over(w)
-        prev_last_state = F.lag(st["last_state"]).over(w)
-        gap = st["first_us"] - prev_last_us
-        d = d.select(
+        # SQL-string expression build (round 17, see _over)
+        gbq = [_q(g) for g in keys_gb]
+        wo = _over([*tcols, *keys_gb], ["_src ASC"])
+        gap = f"(_st.first_us - lag(_st.last_us) OVER ({wo}))"
+        d = d.selectExpr(
             *tcols,
-            *keys_gb,
+            *gbq,
             "_st",
-            prev_last_state.alias("_bstate"),
-            F.when(gap > 0, gap).alias("_bgap"),
+            f"lag(_st.last_state) OVER ({wo}) AS _bstate",
+            f"CASE WHEN {gap} > 0 THEN {gap} END AS _bgap",
         )
         # within-partial per-state rows
-        within = d.select(
+        within = d.selectExpr(
             *tcols,
-            *keys_gb,
-            F.explode(st["durations"]).alias("state", "_dn"),
-        ).select(
+            *gbq,
+            "explode(_st.durations) AS (state, _dn)",
+        ).selectExpr(
             *tcols,
-            *keys_gb,
+            *gbq,
             "state",
-            F.col("_dn")["d"].alias("_d"),
-            F.col("_dn")["n"].alias("_n"),
+            "_dn.d AS _d",
+            "_dn.n AS _n",
         )
         boundary = d.filter(
             F.col("_bstate").isNotNull() & F.col("_bgap").isNotNull()
-        ).select(
+        ).selectExpr(
             *tcols,
-            *keys_gb,
-            F.col("_bstate").alias("state"),
-            F.col("_bgap").alias("_d"),
-            F.lit(0).cast("long").alias("_n"),
+            *gbq,
+            "_bstate AS state",
+            "_bgap AS _d",
+            "CAST(0 AS BIGINT) AS _n",
         )
         out = (
             within.unionByName(boundary)
@@ -3070,8 +3073,6 @@ class ContinuousAggregate:
         ``grain`` must be a multiple of the cagg's bucket width.
 
         Output: ``(bucket, group…, duration_us)``."""
-        from pyspark.sql import Window
-
         from .functions.time import parse_interval
 
         sas = self.row.get("state_aggs") or {}
@@ -3120,50 +3121,52 @@ class ContinuousAggregate:
         base = df.select(
             *gb, src_us.alias("_src"), F.col(state_col).alias("_st")
         ).filter(F.col("_st").isNotNull())
-        st = F.col("_st")
-        w = Window.partitionBy(*gb).orderBy(F.col("_src").asc())
-        seg = base.select(
-            *gb,
-            st.alias("_st"),
-            F.lag(st["last_us"]).over(w).alias("_pt"),
-            F.lag(st["last_state"]).over(w).alias("_ps"),
+        # SQL-string expression build (round 17, see _over)
+        gbq = [_q(g) for g in gb]
+        wo = _over(gb, ["_src ASC"])
+        seg = base.selectExpr(
+            *gbq,
+            "_st",
+            f"lag(_st.last_us) OVER ({wo}) AS _pt",
+            f"lag(_st.last_state) OVER ({wo}) AS _ps",
         )
         org = int(self.row.get("bucket_origin_us") or 0)
+        ssq = "'" + str(state).replace("'", "''") + "'"
         # within-parent piece: the stored per-state held time for the
         # requested state, entirely inside one target bucket
-        within = seg.select(
-            *gb,
-            _grain_floor(st["first_us"], width, org).alias("_b"),
-            F.coalesce(
-                F.element_at(st["durations"], F.lit(str(state)))["d"],
-                F.lit(0).cast("long"),
-            ).alias("_d"),
+        within = seg.selectExpr(
+            *gbq,
+            _grain_floor_sql("_st.first_us", width, org) + " AS _b",
+            f"coalesce(element_at(_st.durations, {ssq}).d, "
+            f"CAST(0 AS BIGINT)) AS _d",
         ).filter(F.col("_d") > 0)
         # boundary piece: LOCF segment at the previous parent's last
         # state, exploded over the target buckets it overlaps
         bnd = seg.filter(
-            F.col("_pt").isNotNull()
-            & (st["first_us"] > F.col("_pt"))
-            & F.col("_ps").eqNullSafe(F.lit(str(state)))
-        ).select(
-            *gb,
-            F.col("_pt").alias("_t1"),
-            st["first_us"].alias("_t2"),
-        )
-        wl = F.lit(width).cast("long")
-        b0 = _grain_floor(F.col("_t1"), width, org)
-        b1 = _grain_floor(F.col("_t2") - F.lit(1).cast("long"), width, org)
-        ex = bnd.select(
-            *gb, "_t1", "_t2", F.explode(F.sequence(b0, b1, wl)).alias("_b")
-        )
-        overlap = F.least(F.col("_t2"), F.col("_b") + wl) - F.greatest(
-            F.col("_t1"), F.col("_b")
+            F.expr(
+                f"_pt IS NOT NULL AND _st.first_us > _pt "
+                f"AND _ps <=> {ssq}"
+            )
+        ).selectExpr(*gbq, "_pt AS _t1", "_st.first_us AS _t2")
+        b0 = _grain_floor_sql("_t1", width, org)
+        b1 = _grain_floor_sql("(_t2 - CAST(1 AS BIGINT))", width, org)
+        ex = bnd.selectExpr(
+            *gbq,
+            "_t1",
+            "_t2",
+            f"explode(sequence({b0}, {b1}, "
+            f"CAST({int(width)} AS BIGINT))) AS _b",
         )
         pieces = within.unionByName(
-            ex.select(*gb, "_b", overlap.alias("_d"))
+            ex.selectExpr(
+                *gbq,
+                "_b",
+                f"least(_t2, _b + CAST({int(width)} AS BIGINT)) - "
+                f"greatest(_t1, _b) AS _d",
+            )
         )
         out = pieces.groupBy(*gb, "_b").agg(
-            F.sum("_d").alias("duration_us")
+            F.expr("sum(_d)").alias("duration_us")
         )
         if self.row["time_is_timestamp"]:
             bcol = F.timestamp_micros(F.col("_b")).alias(bucket)
@@ -3322,8 +3325,6 @@ class ContinuousAggregate:
         :meth:`heartbeat_interpolated_at_grain`, which clips each
         bucket to its own span and credits cross-edge tails to the
         next bucket."""
-        from pyspark.sql import Window
-
         self._require_full_group_by(group_by, "heartbeat")
         specs = self.row.get("heartbeat_aggs") or {}
         if hb_col is None:
@@ -3340,37 +3341,32 @@ class ContinuousAggregate:
             hb_col, grain, group_by, realtime, start, end
         )
         tcols = [] if grain_all else ["_tgt"]
-        st = F.col("_st")
-        w = Window.partitionBy(*tcols, *keys_gb).orderBy(
-            F.col("_src").asc()
-        )
-        prev_last = F.lag(st["last_us"]).over(w)
-        gap = st["first_us"] - prev_last
-        corr = F.when(
-            prev_last.isNotNull(), F.lit(liv) - F.least(gap, F.lit(liv))
-        )
-        joined = F.when(
-            prev_last.isNotNull() & (gap <= liv), F.lit(1)
-        ).otherwise(F.lit(0))
-        dd = d.select(
+        # SQL-string expression build (round 17, see _over)
+        gbq = [_q(g) for g in keys_gb]
+        wo = _over([*tcols, *keys_gb], ["_src ASC"])
+        prev_last = f"lag(_st.last_us) OVER ({wo})"
+        gap = f"(_st.first_us - {prev_last})"
+        dd = d.selectExpr(
             *tcols,
-            *keys_gb,
-            st.alias("_st"),
-            F.coalesce(corr, F.lit(0)).alias("_corr"),
-            joined.alias("_join"),
+            *gbq,
+            "_st",
+            f"coalesce(CASE WHEN {prev_last} IS NOT NULL THEN "
+            f"{liv} - least({gap}, {liv}) END, 0) AS _corr",
+            f"CASE WHEN {prev_last} IS NOT NULL AND {gap} <= {liv} "
+            f"THEN 1 ELSE 0 END AS _join",
         )
-        live = F.sum(st["live_us"]) - F.sum("_corr")
-        first = F.min(st["first_us"])
-        last = F.max(st["last_us"])
+        live = "(sum(_st.live_us) - sum(_corr))"
         out = dd.groupBy(*tcols, *keys_gb).agg(
-            F.sum(st["n"]).alias("n"),
-            live.alias("live_us"),
-            (last + F.lit(liv) - first - live).alias("dead_us"),
-            (F.sum(st["ranges"]) - F.sum("_join")).alias(
+            F.expr("sum(_st.n)").alias("n"),
+            F.expr(live).alias("live_us"),
+            F.expr(
+                f"max(_st.last_us) + {liv} - min(_st.first_us) - {live}"
+            ).alias("dead_us"),
+            F.expr("sum(_st.ranges) - sum(_join)").alias(
                 "num_live_ranges"
             ),
-            first.alias("first_us"),
-            last.alias("last_us"),
+            F.expr("min(_st.first_us)").alias("first_us"),
+            F.expr("max(_st.last_us)").alias("last_us"),
         )
         if grain_all:
             return out
