@@ -353,22 +353,17 @@ def lr_features(
             (F.length(text_col) - (FEAT_N - 1)).cast("double"),
         ).alias("_n"),
     )
-    # same gram/bucket stream as textproc.hash_features (one codepoint
-    # pass, O(1) element_at per gram), but aggregated straight to the
-    # per-document dense counts — bucket counts are identical integers
-    grams = F.expr(
-        f"CASE WHEN length({text_col}) >= {FEAT_N} THEN "
-        f"transform(sequence(1, length({text_col}) - {FEAT_N - 1}), "
-        f"i -> (cps[i - 1] * 65536 + cps[i] * 256 + cps[i + 1])"
-        f" % {int(dim)}) "
-        f"ELSE array() END"
-    )
+    # THE gram/bucket stream of textproc.hash_features (shared helper —
+    # bucket counts are identical integers by construction), aggregated
+    # straight to the per-document dense counts
+    from .textproc import _cps_expr, _gram_buckets_expr
+
     piv = (
-        df.withColumn(
-            "cps",
-            F.expr(f"transform(split({text_col}, ''), c -> ascii(c))"),
+        df.withColumn("cps", _cps_expr(text_col))
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(_gram_buckets_expr(text_col, dim)).alias("bucket"),
         )
-        .select(F.col(id_col).alias("_id"), F.explode(grams).alias("bucket"))
         .groupBy("_id")
         .agg(
             *[

@@ -219,6 +219,31 @@ def _feat_bucket(name: str, dim: int) -> str:
     )
 
 
+def _cps_expr(text_col: str) -> Column:
+    """Codepoint array of ``text_col`` — the single split+ascii pass every
+    gram consumer shares (bind it to a sibling column named ``cps``)."""
+    return F.expr(f"transform(split({text_col}, ''), c -> ascii(c))")
+
+
+def _gram_buckets_expr(text_col: str, dim: int) -> Column:
+    """Bucket stream of the FEAT_N-gram codepoint polynomial, reading a
+    sibling ``cps`` column built by :func:`_cps_expr`. THE shared
+    featurizer formula: ``hash_features`` and ``classify.lr_features``
+    must produce identical integer buckets (their DuckDB oracles replay
+    this exact arithmetic), so the expression lives here once (r16
+    ADVICE: the lr_features copy could silently diverge).
+
+    One codepoint pass per row, then O(1) ``element_at`` per gram — the
+    naive per-position form calls substring+ascii 3x per character and
+    measured ~2x slower at sf0.1."""
+    return F.expr(
+        f"CASE WHEN length({text_col}) >= {FEAT_N} THEN "
+        f"transform(sequence(1, length({text_col}) - {FEAT_N - 1}), "
+        f"i -> (cps[i - 1] * 65536 + cps[i] * 256 + cps[i + 1]) % {int(dim)}) "
+        f"ELSE array() END"
+    )
+
+
 def hash_features(
     df: DataFrame,
     text_col: str = "text",
@@ -231,21 +256,12 @@ def hash_features(
     (sequence/transform/explode + one map-combined groupBy), so the only
     shuffle is the final (id, bucket) count — output is bounded by
     docs × dim regardless of text length. Returns (id, bucket, cnt)."""
-    # one codepoint pass per row (split+ascii), then O(1) element_at per
-    # gram — the naive per-position form calls substring+ascii 3x per
-    # character and measured ~2x slower at sf0.1
-    grams = F.expr(
-        f"CASE WHEN length({text_col}) >= {FEAT_N} THEN "
-        f"transform(sequence(1, length({text_col}) - {FEAT_N - 1}), "
-        f"i -> (cps[i - 1] * 65536 + cps[i] * 256 + cps[i + 1]) % {dim}) "
-        f"ELSE array() END"
-    )
-    df = df.withColumn(
-        "cps",
-        F.expr(f"transform(split({text_col}, ''), c -> ascii(c))"),
-    )
+    df = df.withColumn("cps", _cps_expr(text_col))
     return (
-        df.select(F.col(id_col), F.explode(grams).alias("bucket"))
+        df.select(
+            F.col(id_col),
+            F.explode(_gram_buckets_expr(text_col, dim)).alias("bucket"),
+        )
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

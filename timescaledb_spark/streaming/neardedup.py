@@ -37,11 +37,9 @@ Scale shape (100 TB/day):
 from __future__ import annotations
 
 import os
-import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.window import Window
 
 from ..pipeline.dedup import (
     SIMHASH_BITS,
@@ -128,7 +126,11 @@ def near_dedup_batch(
     ).select(F.col("id_b").alias("doc_id"))
     dropped = internal_b
     if os.path.isdir(store_path):
-        store_fp = spark.read.parquet(store_path)
+        # the store schema IS the fingerprint schema (every append below
+        # writes `fp`) — passing it skips the footer-sampling inference
+        # job a schemaless parquet open runs per micro-batch (guide §6;
+        # same lever as the r17 hypertable/_chunk_reader change)
+        store_fp = spark.read.schema(fp.schema).parquet(store_path)
         dropped = dropped.unionByName(
             _banded_cross(fp, store_fp, max_hamming)
         )
@@ -185,27 +187,33 @@ def staged_id_stream(
     ``n_batches`` id-range files replayed IN ORDER (file-name order,
     one micro-batch per file under ``maxFilesPerTrigger=1``) — the
     deterministic arrival order the near-dedup oracle assumes."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as papq
+
     src = os.path.join(sf_dir, f"{table}.parquet")
     tmp = tempfile.mkdtemp(prefix="ts_idstream_")
-    df = spark.read.parquet(src)
-    # materialize the ntile pass once — each per-stage filtered write
-    # below would otherwise re-run the global-order window (n_batches
-    # single-partition sorts of the full table; r16 optimization round)
-    splits = df.select(
-        F.ntile(n_batches).over(Window.orderBy(id_col)).alias("_b"), "*"
-    ).localCheckpoint(eager=True)
+    # the staging is replay SIMULATION, not query work (production
+    # arrivals come from a real stream): slice the source driver-side
+    # with pyarrow — the r16 build ran a global-order ntile window +
+    # localCheckpoint + n_batches coalesce(1) filtered writes for the
+    # same four files (~1.3s of Spark jobs per gate run; r17, guide §1.2
+    # "don't compute things you throw away" — heartbeat_stream already
+    # stages its files driver-side for the same reason). Slices replay
+    # ntile semantics exactly: ordered by id, contiguous, first
+    # (rows % n) slices one row larger.
+    t = papq.read_table(src)
+    t = t.take(pc.sort_indices(t, sort_keys=[(id_col, "ascending")]))
+    n_rows = t.num_rows
+    base, rem = divmod(n_rows, n_batches)
+    off = 0
     for b in range(1, n_batches + 1):
-        part = splits.filter(F.col("_b") == b).drop("_b")
-        pdir = os.path.join(tmp, f"stage-{b:03d}")
-        part.coalesce(1).write.mode("overwrite").parquet(pdir)
-        src_file = next(
-            f for f in os.listdir(pdir) if f.endswith(".parquet")
-        )
-        shutil.move(
-            os.path.join(pdir, src_file),
-            os.path.join(tmp, f"part-{b:03d}.parquet"),
-        )
-        shutil.rmtree(pdir, ignore_errors=True)
+        size = base + (1 if b <= rem else 0)
+        dst = os.path.join(tmp, f"part-{b:03d}.parquet")
+        papq.write_table(t.slice(off, size), dst)
+        # FileStreamSource orders micro-batches by mtime: pin strictly
+        # increasing stamps (same discipline as heartbeat_stream)
+        os.utime(dst, (1_000_000_000 + b * 100, 1_000_000_000 + b * 100))
+        off += size
     schema = spark.read.parquet(os.path.join(tmp, "part-001.parquet")).schema
     return (
         spark.readStream.schema(schema)

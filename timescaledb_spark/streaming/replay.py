@@ -42,10 +42,21 @@ import atexit  # noqa: E402
 atexit.register(_cleanup_replay_dirs)
 
 
+#: inferred staged-file schema per replay dir — inference is a
+#: footer-sampling Spark job (~0.1s); the staged files never change
+#: after staging, so one inference per dir serves every later gate run
+_REPLAY_SCHEMAS: dict = {}
+
+
 def _read_replay_dir(spark: SparkSession, tmp: str, src: str) -> DataFrame:
     """Build the streaming frame over an already-staged replay dir."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(os.path.join(tmp, "part-000.parquet")).schema
+    schema = _REPLAY_SCHEMAS.get(tmp)
+    if schema is None:
+        schema = spark.read.parquet(
+            os.path.join(tmp, "part-000.parquet")
+        ).schema
+        _REPLAY_SCHEMAS[tmp] = schema
     ts_is_ns = {
         f.name: f.dataType.simpleString() for f in schema.fields
     }.get("ts") == "bigint"
