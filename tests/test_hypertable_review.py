@@ -248,3 +248,58 @@ def test_merge_rejects_space_column_update(spark, tmp_path):
     ht.insert(df)
     with _pt.raises(ValueError, match="partition column"):
         ht.merge_into(df, ["ts", "id"], matched_update={"dev": "3"})
+
+
+def test_delete_where_null_predicate_keeps_rows(ts, spark):
+    """SQL DELETE semantics: a WHERE that evaluates to NULL keeps the
+    row (r17 — the pre-fused path filtered kept with a bare ~cond, so
+    NULL-cond rows were silently dropped from the rewrite without being
+    counted as deleted; update_where already coalesced)."""
+    ht = ts.create_hypertable("nd", "ts", chunk_interval="1 day")
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 00:00:00", 1.0),
+            ("2024-01-01 01:00:00", None),
+            ("2024-01-01 02:00:00", 5.0),
+        ],
+        "ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ht.insert(df)
+    # value > 2 is NULL for the NULL-valued row: only 5.0 deletes
+    n = ht.delete_where("value > 2")
+    assert n == 1
+    vals = sorted(
+        (r["value"] for r in ht.read().collect()),
+        key=lambda v: (v is None, v),
+    )
+    assert vals == [1.0, None]
+
+
+def test_delete_where_fused_survivors_drop_emptied_chunk(ts, spark):
+    """The per-chunk gating pass must report fully-doomed chunks so
+    their dirs drop without a separate kept-side scan (r17 fusion)."""
+    ht = ts.create_hypertable("fd", "ts", chunk_interval="1 day")
+    ht.insert(_batch(spark, n=96))  # 96 half-hourly rows -> 2 day chunks
+    chunks_before = len(ht.chunks())
+    assert chunks_before == 2
+    # doom every row of day 1 (values 0..47)
+    n = ht.delete_where("value < 48")
+    assert n == 48
+    assert len(ht.chunks()) == 1
+    assert ht.read().count() == 48
+
+
+def test_merge_delete_fused_survivors(ts, spark):
+    """delete_matched merge on a plain table: the surviving-chunk set
+    rides the gating aggregate (r17) — emptied chunks still drop and
+    counts are unchanged."""
+    ht = ts.create_hypertable("md", "ts", chunk_interval="1 day")
+    ht.insert(_batch(spark, n=96))  # 2 day chunks
+    # source = every row of day 1 (values 0..47): deleting empties chunk 1
+    src = ht.df().filter(F.col("value") < 48).select("ts", "device", "value")
+    st = ht.merge_into(
+        src, ["ts", "device"], delete_matched=True, insert_not_matched=False
+    )
+    assert st["rows_deleted"] == 48
+    assert ht.read().count() == 48
+    assert len(ht.chunks()) == 1

@@ -2223,6 +2223,30 @@ class Hypertable:
                 F.when(t_here & s_here, F.col("excluded._smult"))
             ).alias("max_mult"),
         ]
+        # delete-bearing merges need the SURVIVING chunk set (a fully-
+        # emptied chunk dir is invisible to dynamic overwrite); ride it
+        # on this same gating aggregate instead of a separate
+        # distinct().collect() that re-executed the full-outer join once
+        # more (r17, guide §2.4: operations keyed the same way share one
+        # pass). Space-partitioned tables keep the explicit pair collect
+        # (the surviving (chunk, space) pairs need the space routing
+        # expression, which the narrow stats join does not carry).
+        fuse_surv = bool(delete_matched or del_idx) and not self.row.get(
+            "space_column"
+        )
+        if fuse_surv:
+            kept_cond = (t_here & ~is_delete & ~nmbs_delete) | is_insert
+            aggs.append(
+                F.collect_set(
+                    F.when(
+                        kept_cond,
+                        F.coalesce(
+                            F.col("target._tchunk"),
+                            F.col("excluded._schunk"),
+                        ),
+                    )
+                ).alias("surv")
+            )
         if nmbs:
             # gating stats need the clause conditions (arbitrary target
             # columns), so they run on the FULL-WIDTH join; affected
@@ -2320,9 +2344,12 @@ class Hypertable:
 
         if delete_matched or n_nmbs_del:
             # a fully-emptied chunk dir is invisible to dynamic overwrite
-            survivors = {
-                r[0] for r in out.select(CHUNK_COL).distinct().collect()
-            }
+            if fuse_surv:
+                survivors = set(counts["surv"] or [])
+            else:
+                survivors = {
+                    r[0] for r in out.select(CHUNK_COL).distinct().collect()
+                }
             emptied = [
                 existing[s] for s in hit if s not in survivors
             ]
@@ -2488,16 +2515,37 @@ class Hypertable:
             *[os.path.join(self.data_dir, f"{CHUNK_COL}={c['range_start']}") for c in targets]
         )
         old = self._apply_fills(old, targets)
-        doomed = old.filter(cond)
-        mm = doomed.agg(
-            F.min(self._internal_time_expr(old)).alias("lo"),
-            F.max(self._internal_time_expr(old)).alias("hi"),
-            F.count(F.lit(1)).alias("n"),
-        ).collect()[0]
+        # NULL predicates keep the row (SQL DELETE semantics, the same
+        # coalesce update_where applies): a bare `~cond` filter silently
+        # dropped NULL-cond rows from the rewrite without counting them
+        # as deleted
+        doom_cond = F.coalesce(cond, F.lit(False))
+        doomed = old.filter(doom_cond)
+        has_space = bool(
+            self.row.get("space_column") and SPACE_COL in old.columns
+        )
+        # one per-chunk stats pass gates the rewrite AND yields the
+        # surviving chunk (and space-pair) sets — previously a global
+        # doomed agg plus a separate kept-side distinct().collect(), each
+        # its own scan of the targeted chunks (r17, guide §2.4)
+        grp = [CHUNK_COL] + ([SPACE_COL] if has_space else [])
+        t_int = self._internal_time_expr(old)
+        per = old.groupBy(*grp).agg(
+            F.count(F.lit(1)).alias("nt"),
+            F.sum(doom_cond.cast("long")).alias("nd"),
+            F.min(F.when(doom_cond, t_int)).alias("lo"),
+            F.max(F.when(doom_cond, t_int)).alias("hi"),
+        ).collect()
+        n_doomed = sum(int(r["nd"] or 0) for r in per)
+        mm = {
+            "n": n_doomed,
+            "lo": min((r["lo"] for r in per if r["lo"] is not None), default=None),
+            "hi": max((r["hi"] for r in per if r["hi"] is not None), default=None),
+        }
         if mm["n"] == 0:
             return 0
         self._check_frozen(mm["lo"], mm["hi"])
-        kept = old.filter(~cond)
+        kept = old.filter(~doom_cond)
         del_hooks = sorted(
             self._hooks("before_row", "delete"), key=lambda t: t["name"]
         )
@@ -2530,12 +2578,33 @@ class Hypertable:
                 doomed_rows = doomed.drop(CHUNK_COL, SPACE_COL).localCheckpoint(
                     eager=True
                 )
-            space_pairs = self._surviving_space_pairs(kept)
-            if space_pairs is not None:
-                survivors = {ch for ch, _k in space_pairs}
+            if del_hooks:
+                # BEFORE-row delete triggers can veto deletions, so the
+                # survivor sets must come from the post-trigger frame
+                space_pairs = self._surviving_space_pairs(kept)
+                if space_pairs is not None:
+                    survivors = {ch for ch, _k in space_pairs}
+                else:
+                    survivors = {
+                        r[0]
+                        for r in kept.select(CHUNK_COL).distinct().collect()
+                    }
             else:
+                # survivor sets already computed by the per-chunk gating
+                # pass above — no extra kept-side scan
+                space_pairs = (
+                    {
+                        (r[CHUNK_COL], r[SPACE_COL])
+                        for r in per
+                        if int(r["nt"]) > int(r["nd"] or 0)
+                    }
+                    if has_space
+                    else None
+                )
                 survivors = {
-                    r[0] for r in kept.select(CHUNK_COL).distinct().collect()
+                    r[CHUNK_COL]
+                    for r in per
+                    if int(r["nt"]) > int(r["nd"] or 0)
                 }
             emptied = [c for c in targets if c["range_start"] not in survivors]
             if len(emptied) < len(targets):
